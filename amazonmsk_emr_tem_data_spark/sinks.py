@@ -1,0 +1,69 @@
+"""Sinks: console, CSV, parquet, Kafka (K1–K5).
+
+Fixes the reference's sink-chain bug: ``temReadFromTopic.py:98-102``
+chains ``.mode("overwrite")`` AFTER ``.csv(...)`` — ``csv()`` returns
+``None``, so the write runs in default (errorifexists) mode and the
+script then crashes on ``NoneType.mode``. Here mode is set before the
+terminal format call, always.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def console_sink(df: DataFrame, num_rows: int = 50, truncate: bool = False) -> None:
+    """K3: batch console sink (temReadFromTopic.py:86-91 used
+    ``write.format("console")``; ``show`` is the idiomatic equivalent)."""
+    df.show(num_rows, truncate=truncate)
+
+
+def csv_sink(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    sep: str = "|",
+    header: bool = True,
+) -> None:
+    """K5: CSV sink — pipe-delimited with header, like the reference's
+    s3a://…/spark_output/tem_calculated write (temReadFromTopic.py:98-101),
+    with the mode chained correctly."""
+    df.write.mode(mode).option("header", header).option("sep", sep).csv(path)
+
+
+def parquet_sink(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Columnar sink (engine default; the reference had none). At scale,
+    ``partition_by`` on a low-cardinality time/bucket column enables
+    partition pruning for downstream readers."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def kafka_batch_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    security: dict[str, str] | None = None,
+) -> None:
+    """K1: whole-DataFrame Kafka produce (temDataRead.py:77-83).
+
+    ``df`` must already be in envelope form (string ``key`` + ``value``
+    columns — see functions/codec.to_kafka_envelope). One distributed
+    ``save()``; contrast with the reference's per-row loop (K2), which is
+    replaced by sources/replay.replay_stream + a streaming Kafka sink.
+    """
+    writer = (
+        df.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+    )
+    for k, v in (security or {}).items():
+        writer = writer.option(k if k.startswith("kafka.") else f"kafka.{k}", v)
+    writer.save()

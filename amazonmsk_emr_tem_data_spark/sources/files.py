@@ -1,0 +1,90 @@
+"""File sources: parquet-first table loaders + the reference's CSV scan.
+
+The reference's only file source is a schema-first CSV scan (S1,
+``/root/reference/pyspark_scripts/temDataRead.py:50-52``). This engine is
+parquet-first (columnar at rest → column pruning + predicate pushdown hit
+the scan), with CSV retained for ingest parity.
+
+Scale note: loaders take any Hadoop-FS URI. At 100 TB the same
+``spark.read.parquet`` call reads a partitioned S3 prefix; partition
+pruning and pushdown come from Catalyst, not from code here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TESTDATA_TABLES, tem_schema
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark 4 rejects the
+    physical type outright ([PARQUET_TYPE_ILLEGAL]), so reads go through
+    the ``nanosAsLong`` legacy mode and these columns are restored to
+    TimestampType below. Footer-only metadata read: O(1), driver-side."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        schema = pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver fixture table from ``{sf_dir}/{name}.parquet``.
+
+    Transparently restores TIMESTAMP(NANOS) columns (pandas/pyarrow
+    default) to Spark TimestampType: read as long nanos, then integer-
+    divide to micros (`DIV` — a double division would lose precision at
+    ~1.7e18 ns epoch values).
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = _nanos_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every driver fixture table (see /root/repo/TESTDATA.md)."""
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views for spark.sql queries."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_tem_csv(
+    spark: SparkSession, path: str, compat: bool = False, drop_index: bool = True
+) -> DataFrame:
+    """S1: schema-first CSV scan of telemetry readings.
+
+    Mirrors the reference scan (explicit schema + header=True + sep=",",
+    temDataRead.py:50-52) and the index-column drop (P1, temDataRead.py:52).
+    With ``compat=False`` (default) the engine schema applies the §7.4
+    fixes (doubles, timestamp dateTime, float TbottomTestTankHpCir).
+    """
+    schema = tem_schema(include_index=True, compat=compat)
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("sep", ",")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(path)
+    )
+    if drop_index:
+        df = df.drop("Unnamed: 0")
+    return df

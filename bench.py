@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is measured with the `noop` sink (full plan executes, nothing
+is collected to the driver) — the honest cost of the distributed work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from amazonmsk_emr_tem_data_spark.session import get_spark  # noqa: E402
+from amazonmsk_emr_tem_data_spark.queries import REGISTRY  # noqa: E402
+
+#: The queries that define the engine's headline throughput. A mix of
+#: scan+agg, multi-join, window, codec, and (as they land) the
+#: north-star dedup/similarity/text operators.
+HEADLINE = [
+    "tem_hourly_avg",
+    "q1_pricing_summary",
+    "revenue_by_segment",
+    "nation_revenue",
+    "topk_orders_per_priority",
+    "running_total_per_customer",
+    "dedup_first_event",
+    "envelope_roundtrip",
+    "json_props_extract",
+    "distinct_users_per_type",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+
+    results: dict[str, float] = {}
+    # warm the JVM + parquet footers once with the cheapest query
+    REGISTRY["tem_hourly_avg"][0](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    total = 0.0
+    for name in HEADLINE:
+        if name not in REGISTRY:
+            continue
+        fn, _ = REGISTRY[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        results[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": results,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
