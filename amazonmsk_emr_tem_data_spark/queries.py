@@ -659,6 +659,129 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# streaming (M3): bounded availableNow drains of real streaming plans,
+# compared against batch oracles (complete output mode ⇒ bit-equal)
+# ---------------------------------------------------------------------------
+
+
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming tumbling window drained via availableNow.
+    `window('1 hour').start` lands on the hour grid, so the batch
+    oracle is a date_trunc group-by."""
+    from .streaming.pipelines import stream_tumbling_agg
+
+    return stream_tumbling_agg(spark, sf_dir)
+
+
+_STREAM_TUMBLING_SQL = f"""
+SELECT date_trunc('hour', ts) AS bucket_ts,
+       event_type,
+       COUNT(*) AS n_events,
+       {_dsum("value")} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def stream_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h window, 1h slide): every event belongs to
+    two windows. Oracle: union of the two hour-grid window starts that
+    contain each event."""
+    from .streaming.pipelines import stream_sliding_counts
+
+    return stream_sliding_counts(spark, sf_dir)
+
+
+_STREAM_SLIDING_SQL = """
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM (
+  SELECT date_trunc('hour', ts) AS window_start, event_type FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, event_type FROM events
+)
+GROUP BY window_start, event_type
+"""
+
+
+def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup (dropDuplicates) drained bounded ⇒
+    exactly batch DISTINCT."""
+    from .streaming.pipelines import stream_distinct_keys
+
+    return stream_distinct_keys(spark, sf_dir)
+
+
+_STREAM_DISTINCT_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def stream_session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min idle gap). Spark session
+    semantics: a session extends while the next event is < last+gap;
+    end = last event + gap. The oracle reproduces exactly that with
+    lag/flag/cumsum sessionization."""
+    from .streaming.pipelines import stream_session_windows
+
+    return stream_session_windows(spark, sf_dir)
+
+
+_SESSION_SQL_BODY = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+_STREAM_SESSION_SQL = _SESSION_SQL_BODY
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization as a window-function composition (lag →
+    gap flag → running sum → group), the classic pattern for engines
+    without session_window. Must agree with the streaming variant AND
+    the oracle. One shuffle on user_id; sort within partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+                >= 1800.0
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    return sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).drop("sid")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -686,6 +809,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "json_props_extract": (json_props_extract, _JSON_PROPS_SQL),
     "distinct_users_per_type": (distinct_users_per_type, _DISTINCT_USERS_SQL),
     "top10_lineitems": (top10_lineitems, _TOP10_SQL),
+    "stream_tumbling_hourly": (stream_tumbling_hourly, _STREAM_TUMBLING_SQL),
+    "stream_sliding_2h": (stream_sliding_2h, _STREAM_SLIDING_SQL),
+    "stream_distinct_users": (stream_distinct_users, _STREAM_DISTINCT_SQL),
+    "stream_session_windows": (stream_session_windows_q, _STREAM_SESSION_SQL),
+    "sessionize_events": (sessionize_events, _SESSION_SQL_BODY),
 }
 
 

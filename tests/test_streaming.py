@@ -1,0 +1,86 @@
+"""Streaming pipeline tests: EP3 parity on reference data + gap
+operators (watermark/window/dedup/session) via deterministic
+availableNow drains — no broker needed (SURVEY.md §7.3)."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazonmsk_emr_tem_data_spark.functions.codec import to_kafka_envelope
+from amazonmsk_emr_tem_data_spark.functions.tem import with_tem_avg
+from amazonmsk_emr_tem_data_spark.schemas import TEM_AVG_COL, tem_schema
+from amazonmsk_emr_tem_data_spark.sources.files import read_tem_csv
+from amazonmsk_emr_tem_data_spark.streaming.pipelines import (
+    events_stream,
+    run_to_memory,
+)
+from amazonmsk_emr_tem_data_spark.streaming.tem_stream import decode_tem_stream
+
+CSV2 = "/root/reference/data/csv2.csv"
+
+
+def test_ep3_stream_decode_equals_batch(spark):
+    """The full EP3 chain (envelope → decode → Tem(Avg)) run through
+    MicroBatchExecution gives exactly the batch answer."""
+    batch = read_tem_csv(spark, CSV2)
+    env_dir = tempfile.mkdtemp(prefix="tem_env_")
+    to_kafka_envelope(batch, key_col="id").write.mode("overwrite").parquet(env_dir)
+
+    env_stream = (
+        spark.readStream.schema("key string, value string").parquet(env_dir)
+    )
+    assert env_stream.isStreaming
+    result = run_to_memory(decode_tem_stream(env_stream), output_mode="append")
+
+    expected = with_tem_avg(batch)
+    assert result.count() == 1510
+    got = sorted(map(tuple, result.collect()))
+    want = sorted(map(tuple, expected.collect()))
+    assert got == want
+
+
+def test_events_stream_is_streaming_and_typed(spark, sf_dir):
+    s = events_stream(spark, sf_dir)
+    assert s.isStreaming
+    assert dict((f.name, f.dataType.simpleString()) for f in s.schema.fields)[
+        "ts"
+    ] == "timestamp"
+
+
+def test_append_mode_withholds_unclosed_windows(spark, sf_dir):
+    """Documented semantic: bounded append+watermark run emits only
+    windows the final watermark passed — a strict subset of complete."""
+    from amazonmsk_emr_tem_data_spark.streaming.pipelines import stream_tumbling_agg
+
+    complete = stream_tumbling_agg(spark, sf_dir, output_mode="complete")
+    append = stream_tumbling_agg(spark, sf_dir, output_mode="append")
+    n_complete, n_append = complete.count(), append.count()
+    assert n_append <= n_complete
+    assert n_complete - n_append <= 10  # only the tail windows differ
+
+
+def test_checkpoint_resume_is_idempotent(spark, sf_dir):
+    """Restarting a drained availableNow query from its checkpoint
+    reprocesses nothing (the recovery semantics the reference lacked —
+    it re-read from `earliest` on every restart, SURVEY §2.6)."""
+    ckpt = tempfile.mkdtemp(prefix="ckpt_resume_")
+    out_dir = tempfile.mkdtemp(prefix="out_resume_")
+
+    def run_once():
+        ev = events_stream(spark, sf_dir)
+        q = (
+            ev.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(out_dir).count()
+    run_once()  # resume: no new files → no new rows
+    n2 = spark.read.parquet(out_dir).count()
+    assert n1 > 0 and n1 == n2
