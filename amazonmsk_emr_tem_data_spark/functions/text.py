@@ -1,0 +1,153 @@
+"""Text-analysis column functions (north-star: LLM training-data prep).
+
+All pure built-in column expressions — JVM-side, codegen'd, no Python in
+the hot path — so they run at full scan speed over a 100 TB documents
+corpus. Each has an exact DuckDB SQL twin in queries.py.
+
+Conventions shared by every function (and their SQL twins):
+- ``norm_text`` = lower(trim(collapse whitespace)) — the canonical form
+  for fingerprinting and shingling.
+- tokens = norm_text split on single spaces (normalization guarantees
+  single-spaced).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Stopword regexes per language for the n-gram/stopword language-ID
+#: heuristic. Applied to lowercased text with word boundaries.
+LANG_STOPWORDS = {
+    "en": r"\b(the|and|of|to|in|is)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+    "es": r"\b(el|los|las|y|es)\b",
+}
+
+#: English stopwords for the quality score's stopword-ratio feature.
+QUALITY_STOPWORDS = r"\b(the|a|of|and|to|in|is|for|on|with)\b"
+
+PUNCT_CLASS = r"[.!?,;:]"
+
+
+def norm_text(col: Column | str = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def tokens(col: Column | str = "text") -> Column:
+    return F.split(norm_text(col), " ")
+
+
+def token_count(col: Column | str = "text") -> Column:
+    """Whitespace token count (the training-data 'length in tokens'
+    first approximation; BPE-ish sub-word counting is in bpeish_token_count)."""
+    return F.size(tokens(col)).cast("long")
+
+
+def bpeish_token_count(col: Column | str = "text") -> Column:
+    """BPE-ish sub-word proxy: word pieces of ≤4 chars. A word of length
+    L contributes ceil(L/4) pieces — the standard cheap stand-in for a
+    real tokenizer when estimating token budgets at corpus scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        tokens(c),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+    )
+
+
+def fingerprint(col: Column | str = "text") -> Column:
+    """Document fingerprint: md5 of the normalized text — the exact-dup
+    key (hash-groupBy dedup at scale: shuffle on this, not on text)."""
+    return F.md5(norm_text(col))
+
+
+def stopword_count(col: Column | str = "text", pattern: str = QUALITY_STOPWORDS) -> Column:
+    return F.regexp_count(norm_text(col), F.lit(pattern)).cast("long")
+
+
+def punct_count(col: Column | str = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(PUNCT_CLASS)).cast("long")
+
+
+def upper_count(col: Column | str = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit("[A-Z]")).cast("long")
+
+
+def lang_scores(col: Column | str = "text") -> dict[str, Column]:
+    """Per-language stopword hit counts on lowercased text."""
+    n = norm_text(col)
+    return {
+        lang: F.regexp_count(n, F.lit(pat)).cast("long")
+        for lang, pat in LANG_STOPWORDS.items()
+    }
+
+
+def predicted_lang(col: Column | str = "text") -> Column:
+    """Argmax of lang_scores with fixed tie-break order en>de>fr>es —
+    deterministic, SQL-twin-able. (On synthetic fixture text this
+    mostly says 'en'; the *operator contract* — deterministic scoring +
+    argmax — is what the engine provides.)"""
+    s = lang_scores(col)
+    return (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when(s["fr"] >= s["es"], "fr")
+        .otherwise("es")
+    )
+
+
+def quality_features(col: Column | str = "text") -> dict[str, Column]:
+    """The standard cheap quality signals for corpus filtering."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c).cast("long")
+    n_tok = token_count(c)
+    n_norm_chars = F.length(norm_text(c)).cast("long")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        # single-spaced ⇒ total token chars = len - (n_tok - 1)
+        "avg_token_len": (n_norm_chars - (n_tok - F.lit(1))) / n_tok,
+        "stopword_ratio": stopword_count(c) / n_tok,
+        "punct_ratio": punct_count(c) / n_chars,
+        "upper_ratio": upper_count(c) / n_chars,
+    }
+
+
+def quality_score(col: Column | str = "text") -> Column:
+    """Composite quality in [0,~1]: rewards stopword presence and sane
+    token lengths, penalizes punctuation/uppercase noise. Weighted sum
+    of deterministic ratios — identical expression tree in the SQL twin."""
+    f = quality_features(col)
+    return (
+        F.lit(0.4) * F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+        + F.lit(0.3) * F.least(f["avg_token_len"] / 8, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(f["punct_ratio"] * 10, F.lit(1.0)))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(f["upper_ratio"] * 10, F.lit(1.0)))
+    )
+
+
+def rolling_hash(col: Column | str = "text", window: int = 8) -> Column:
+    """Deterministic 64-bit rolling-style content hash: min over all
+    ``window``-token shingle hashes (winnowing-style document sketch).
+    Uses the cross-engine md5→int64 hash (see shingle_hash_expr)."""
+    w = tokens(col)
+    shingles = F.when(
+        F.size(w) >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - window),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, window)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+    return F.array_min(F.transform(shingles, md5_hash64))
+
+
+def md5_hash64(c: Column) -> Column:
+    """Cross-engine deterministic 60-bit integer hash: first 15 hex
+    digits of md5 as a bigint. DuckDB twin:
+    ``CAST(('0x' || substring(md5(x),1,15)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")

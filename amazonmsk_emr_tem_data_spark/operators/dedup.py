@@ -1,0 +1,308 @@
+"""Deduplication operators (north-star: LLM training-data prep).
+
+Five families over the ``documents`` table, each designed scale-first:
+
+- **exact**: hash-groupBy on an md5 fingerprint of normalized text. One
+  shuffle on a 128-bit key (never on the text itself). The 100 TB
+  pattern: fingerprint at ingest, keep-first by deterministic tie-break.
+- **n-gram Jaccard**: word-3-gram shingles → explode → equi-join on
+  shingle → count-intersection / union. Exact, but O(pairs sharing a
+  shingle) — the verification step of the near-dup stack.
+- **MinHash + LSH**: K deterministic hash functions (md5-based, so the
+  DuckDB oracle can reproduce them bit-for-bit) → per-doc signature →
+  single-row bands → candidate pairs share ≥1 signature slot → exact
+  Jaccard verification of candidates only. The scale path: candidate
+  generation is linear in corpus size, the quadratic step touches only
+  colliding pairs.
+- **SimHash**: 64-bit sign-aggregated token-hash sketch; near-dups =
+  pairs within Hamming distance d (bucketed by rotating chunks).
+- **embedding cosine**: near-dup by semantic similarity over the
+  ``embeddings`` table (see operators/similarity.py for the join
+  strategies).
+
+MinHash/Jaccard shingle + hash conventions are shared with
+functions/text.py (norm_text, md5_hash64) and mirrored in the oracle SQL
+in queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import fingerprint, md5_hash64, tokens
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_first(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact-content fingerprint.
+
+    Deterministic (min id), single shuffle on the fingerprint. At scale
+    prefer this over ``dropDuplicates`` (arbitrary survivor) for
+    reproducible corpus builds.
+    """
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("fingerprint", fingerprint("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def fingerprint_groups(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-fingerprint group stats (the dedup report: how many copies
+    of each distinct content)."""
+    return (
+        df.withColumn("fingerprint", fingerprint("text"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by jaccard + minhash)
+# ---------------------------------------------------------------------------
+
+
+def shingle_array(text_col: Column | str = "text", k: int = 3) -> Column:
+    """Distinct word-k-gram shingles of normalized text. Documents with
+    fewer than k tokens contribute their whole text as one shingle."""
+    w = tokens(text_col)
+    grams = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+    return F.array_distinct(grams)
+
+
+def shingled(df: DataFrame, id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    return df.select(id_col, shingle_array("text", k).alias("shingles"))
+
+
+def _exploded(df: DataFrame, id_col: str) -> DataFrame:
+    return df.select(id_col, F.explode("shingles").alias("shingle"))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, threshold: float = 0.6, id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """All document pairs with word-k-gram Jaccard ≥ threshold.
+
+    Plan: explode → self-equi-join on shingle (shuffle co-located on the
+    shingle key) → count common → join per-doc sizes → filter. Exact but
+    quadratic in colliding docs; at 100 TB use minhash_lsh_pairs which
+    funnels only LSH candidates into this verification.
+    """
+    sh = shingled(df, id_col, k).cache()
+    sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
+    ex = _exploded(sh, id_col)
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _seeded_hash(seed: int):
+    # NB: a plain `lambda s, i=seed: ...` is wrong twice over — PySpark
+    # passes the *array index* as a second lambda arg (shadowing the
+    # seed), and 3-arity lambdas are rejected by `aggregate`. A closure
+    # factory keeps the seed a true compile-time constant.
+    return lambda s: md5_hash64(F.concat(F.lit(f"{seed}:"), s))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> list[Column]:
+    """K deterministic min-hashes: slot i = min over shingles of
+    md5_hash64(i || ':' || shingle). md5-based so any engine (and the
+    DuckDB oracle) reproduces it exactly."""
+    return [
+        F.array_min(F.transform(shingles, _seeded_hash(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH candidates + exact verification.
+
+    Bands of 1 row (candidate ⇔ any signature slot collides): miss
+    probability for a pair at Jaccard j is (1−j)^K — at j=0.6, K=16
+    that is 4e-7; planted near-dups (j≥0.97) are never missed. The
+    verification step recomputes exact Jaccard on candidates only, so
+    false positives cost work, never correctness.
+
+    Scale: signatures are one narrow map over shingles; candidate
+    generation explodes K rows/doc and shuffles on (slot, value) —
+    linear in corpus size. Only colliding pairs reach the quadratic
+    verify.
+    """
+    sh = shingled(df, id_col, k).cache()
+    sig = sh.select(id_col, "shingles", *minhash_signature(F.col("shingles"), num_hashes))
+    slots = F.array(
+        *[
+            F.struct(F.lit(i).alias("slot"), F.col(f"mh{i}").alias("val"))
+            for i in range(num_hashes)
+        ]
+    )
+    exploded = sig.select(id_col, F.explode(slots).alias("s")).select(
+        id_col, F.col("s.slot").alias("slot"), F.col("s.val").alias("val")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.slot") == F.col("b.slot"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "n_common", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_sketch(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    k: int = 3,
+) -> DataFrame:
+    """60-bit SimHash over each document's distinct word-k-gram
+    shingles: bit b of the sketch is 1 iff at least half the shingle
+    hashes have bit b set.
+
+    Features are k-gram shingles, not single tokens: on a small
+    vocabulary single tokens give every document nearly the same
+    feature set (no resolution); k-grams span a |V|^k space where
+    near-dup structure survives.
+
+    Single-pass relational plan: explode shingles → hash → ONE
+    hash-aggregate with 60 conditional-sum columns (all codegen'd long
+    math) → fold the majority votes into the sketch. Shuffles once on
+    doc_id; at 100 TB that is a map-side-combinable agg, not an O(bits)
+    array re-scan per row."""
+    ex = df.select(
+        F.col(id_col), F.explode(shingle_array(text_col, k)).alias("token")
+    ).select(id_col, md5_hash64(F.col("token")).alias("h"))
+    agg = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+            for b in range(bits)
+        ],
+    )
+    sk = F.lit(0).cast("long")
+    for b in range(bits):
+        sk = sk + F.when(
+            F.col(f"b{b}") * 2 >= F.col("n"), F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select(id_col, sk.alias("sk"))
+
+
+def simhash_pairs(
+    df: DataFrame, max_hamming: int = 6, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance ``max_hamming`` of the
+    60-bit SimHash. Candidate generation: split the sketch into
+    ``max_hamming + 1`` chunks — by pigeonhole, any pair within the
+    distance budget must share at least one exact chunk, so the join is
+    an equi-join on (chunk_idx, chunk_value), never a cross join."""
+    sk = simhash_sketch(df, id_col)
+    n_chunks = max_hamming + 1
+    base, extra = divmod(60, n_chunks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftright(F.col("sk"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("cv"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    ex = sk.select(id_col, "sk", F.explode(chunks).alias("c")).select(
+        id_col, "sk", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.sk").alias("sk_a"),
+            F.col("b.sk").alias("sk_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

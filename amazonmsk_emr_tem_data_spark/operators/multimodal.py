@@ -1,0 +1,153 @@
+"""Multimodal column plumbing (north-star).
+
+Pattern for 100 TB media corpora: media lives as opaque ``binary``
+columns (or object-store URIs) beside a typed metadata struct; decode /
+feature-extract / frame-sample run as Arrow-batched pandas iterators
+(``mapInPandas``) so bytes never round-trip through Python row by row.
+
+The container has no image/audio codecs, so the actual decode is a
+clearly-marked stub (`NotImplementedError` unless ``fake=True``); the
+Spark-side contract — schemas, batch iteration, partitioning, output
+explosion — is real and tested. Swapping the stub for PIL/ffmpeg is a
+pure function replacement.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Metadata struct carried beside every payload column.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+    ]
+)
+
+
+def with_binary_payload(
+    df: DataFrame, source_col: str = "text", mime: str = "application/octet-stream"
+) -> DataFrame:
+    """Attach a binary payload + typed metadata struct. (Fixtures have
+    no real media, so the payload is the UTF-8 encoding of a source
+    column — the column *types and plumbing* are the deliverable.)"""
+    payload = F.encode(F.col(source_col), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.octet_length(payload).cast("long").alias("byte_len"),
+            F.sha2(payload, 256).alias("sha256"),
+        ),
+    )
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def decode_images(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -> DataFrame:
+    """Decode binary payloads to image features via an Arrow-batched
+    pandas iterator. Each batch stays columnar driver→executor; Python
+    touches bytes only inside the vectorized iterator.
+
+    The closure is deliberately self-contained (no references to this
+    module): executor Python workers unpickle it by value, so the
+    operator works even when the package isn't importable on the
+    workers' sys.path (e.g. driver launched from another directory
+    without shipping a pyFiles zip).
+    """
+
+    def decode_iter(batches) -> Iterator:
+        import pandas as pd
+
+        def decode_one(payload: bytes) -> tuple[int, int, int, float]:
+            # STUB: the real implementation is PIL/libvips; fake=True
+            # derives deterministic pseudo-dimensions from the bytes so
+            # the distributed plumbing is testable without codecs.
+            if not fake:
+                raise NotImplementedError(
+                    "image codecs are not available in this environment; "
+                    "pass fake=True or plug in PIL.Image.open here"
+                )
+            n = len(payload)
+            width = 16 + (n % 64)
+            height = 16 + ((n // 64) % 64)
+            mean = (sum(payload[:256]) / min(n, 256)) if n else 0.0
+            return width, height, 3, float(mean)
+
+        for pdf in batches:
+            feats = [decode_one(p if p is not None else b"") for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_channels": [f[2] for f in feats],
+                    "mean_intensity": [f[3] for f in feats],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(decode_iter, _DECODE_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_offset_bytes", T.LongType()),
+        T.StructField("frame_sha256", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, id_col: str = "doc_id", fake: bool = True
+) -> DataFrame:
+    """Frame sampling for video payloads: 1 input row → N frame rows.
+    STUB decoder (byte-range slices stand in for decoded frames); the
+    real version replaces the slicer with ffmpeg keyframe extraction.
+    Output explosion happens executor-side — the driver never sees
+    frame data."""
+
+    def frames_iter(batches) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "video codecs are not available; plug in ffmpeg here"
+                    )
+                data = payload if payload is not None else b""
+                step = max(1, len(data) // n_frames)
+                for i in range(n_frames):
+                    chunk = data[i * step : (i + 1) * step]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i,
+                            i * step,
+                            hashlib.sha256(chunk).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_offset_bytes", "frame_sha256"]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(frames_iter, _FRAME_SCHEMA)

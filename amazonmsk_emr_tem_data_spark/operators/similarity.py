@@ -1,0 +1,284 @@
+"""Similarity search over embedding columns (north-star).
+
+Three tiers, trading exactness for scale:
+
+1. **Brute-force cosine top-k** (`cosine_topk`, `knn_join`): exact.
+   The query side is broadcast (it's small by definition), so the fact
+   scan never shuffles — per-partition partial top-k, then a final
+   k-merge. At 100 TB this is one pass over the corpus per query batch.
+2. **LSH-bucketed ANN** (`lsh_ann_join`): random-hyperplane signatures
+   (deterministic, seeded) bucket the corpus; only same-bucket (or
+   near-bucket) pairs are scored. Linear candidate generation.
+3. **IVF-style coarse quantization** (`ivf_topk`): corpus pre-assigned
+   to coarse cells (here: the fixture's `label` column plays the
+   centroid-assignment role; production would k-means on a sample);
+   queries probe only the nearest cells.
+
+Vector math is pure column expressions (`zip_with` + `aggregate`) in
+doubles — JVM-side, no Python, and bit-reproducible against the DuckDB
+oracle (`list_dot_product` over DOUBLE[]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, left-to-right (matches DuckDB's
+    list_dot_product over DOUBLE[] bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector. One narrow pass
+    (no shuffle until the final k-row sort)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        id_col, cosine(F.col(vec_col), q).alias("cos_sim")
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def knn_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact k-NN join: for every query vector, its k nearest corpus
+    vectors. The query side is broadcast → the corpus never shuffles;
+    ranking windows partition by query."""
+    joined = embeddings.crossJoin(F.broadcast(queries)).select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space near-dup pairs: all (a < b) with cosine ≥
+    threshold. Exact all-pairs — the verification-tier operator; at
+    corpus scale feed it LSH candidates instead (lsh_ann_join)."""
+    a = embeddings.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# scale paths: LSH + IVF
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (numpy PCG64, fixed seed)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def with_lsh_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 3,
+    n_tables: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table random-hyperplane LSH: per table t, bucket = sign
+    bits of ⟨v, hᵗᵢ⟩. One table of p planes collides a pair at angle θ
+    with probability (1−θ/π)^p — too lossy alone for moderate
+    similarity; with T independent tables the miss probability drops to
+    (1−(1−θ/π)^p)^T (p=3, T=12 at cos 0.45 ⇒ ~2% miss). Buckets are
+    computed scan-side (no shuffle); output column ``buckets`` is an
+    array of (table, bucket) structs ready to explode."""
+    tables = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        bucket = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            h = F.array(*[F.lit(float(x)) for x in p])
+            bit = F.when(dot(F.col(vec_col), h) >= 0, F.lit(1)).otherwise(F.lit(0))
+            bucket = bucket + bit.cast("long") * F.lit(2**i).cast("long")
+        tables.append(F.struct(F.lit(t).alias("t"), bucket.alias("bk")))
+    return embeddings.withColumn("buckets", F.array(*tables))
+
+
+def lsh_ann_join(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.45,
+    n_planes: int = 3,
+    n_tables: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate near-dup pairs: candidates collide in ≥1 LSH table,
+    then are exact-verified (so precision is 1.0; recall is governed by
+    the (p, T) schedule). Candidate generation explodes T rows/vector
+    and equi-joins on (table, bucket) — linear in corpus size."""
+    bucketed = with_lsh_buckets(embeddings, dim, n_planes, n_tables, seed, vec_col)
+    ex = bucketed.select(
+        id_col, vec_col, F.explode("buckets").alias("b")
+    ).select(id_col, vec_col, F.col("b.t").alias("t"), F.col("b.bk").alias("bk"))
+    a = ex.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a"), "t", "bk"
+    )
+    b = ex.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b"), "t", "bk"
+    )
+    candidates = (
+        a.join(b, ["t", "bk"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "emb_a", "emb_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        candidates.withColumn("cos_sim", cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    sample_n: int = 4096,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Coarse quantizer training: deterministic Lloyd's k-means on a
+    bounded sample, driver-side numpy. This is the standard IVF recipe —
+    the quantizer trains on a sample once and is broadcast; only the
+    cell *assignment* runs over the full corpus. Init = first k sampled
+    vectors in id order (deterministic, no RNG)."""
+    import numpy as np
+
+    sample = (
+        embeddings.orderBy(id_col).limit(sample_n).select(vec_col).toPandas()
+    )
+    x = np.array([list(v) for v in sample[vec_col]], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cent = x[:k].copy()
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent.tolist()
+
+
+def with_ivf_cell(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest coarse centroid (scan-side
+    argmax over k broadcast literals — no shuffle, no UDF)."""
+    best_cell = F.lit(0)
+    best_sim = cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in centroids[0]]))
+    for c, vec in enumerate(centroids[1:], start=1):
+        sim = cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec]))
+        better = sim > best_sim
+        best_cell = F.when(better, F.lit(c)).otherwise(best_cell)
+        best_sim = F.when(better, sim).otherwise(best_sim)
+    return embeddings.withColumn("ivf_cell", best_cell)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe_cells: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF ANN: train a k-means coarse quantizer on a sample, assign
+    the corpus to cells scan-side, probe only the ``n_probe_cells``
+    cells nearest each query, exact-rank within them. The corpus is
+    touched once for assignment and once (pruned) for scoring."""
+    centroids = kmeans_centroids(embeddings, k=n_cells, vec_col=vec_col, id_col=id_col)
+    celled = with_ivf_cell(embeddings, centroids, vec_col)
+
+    cent_rows = [(c, [float(x) for x in vec]) for c, vec in enumerate(centroids)]
+    cent_df = embeddings.sparkSession.createDataFrame(
+        cent_rows, "ivf_cell int, centroid array<double>"
+    )
+    q_cells = (
+        queries.crossJoin(F.broadcast(cent_df))
+        .withColumn("c_sim", cosine(F.col(query_vec_col), F.col("centroid")))
+        .withColumn(
+            "c_rank",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.col("c_sim").desc(), F.col("ivf_cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("c_rank") <= n_probe_cells)
+        .select(query_id_col, query_vec_col, "ivf_cell")
+    )
+    cand = celled.join(F.broadcast(q_cells), "ivf_cell")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("cos_sim", cosine(F.col(vec_col), F.col(query_vec_col)))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )

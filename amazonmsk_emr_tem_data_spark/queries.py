@@ -580,7 +580,7 @@ SELECT p_brand,
        COUNT(*) AS n_parts,
        MIN(UPPER(p_name)) AS first_name,
        MAX(SUBSTRING(p_name, 1, 8)) AS last_prefix,
-       SUM(CAST(LENGTH(p_name) AS BIGINT)) AS total_name_len
+       CAST(SUM(LENGTH(p_name)) AS BIGINT) AS total_name_len
 FROM part
 GROUP BY p_brand
 """
@@ -782,6 +782,343 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# north-star operators (M4): text analysis, dedup, similarity, multimodal
+# ---------------------------------------------------------------------------
+
+#: Shared DuckDB fragments mirroring functions/text.py conventions.
+#: NB DuckDB regexp_replace needs the explicit 'g' flag (Spark replaces
+#: all matches by default).
+_NORM_SQL = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+_HASH64_SQL = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def doc_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text statistics: char/token/BPE-ish counts, stopword + punct
+    hits. Pure codegen'd column expressions — full scan speed."""
+    from .functions import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        tx.token_count("text").alias("n_tokens"),
+        tx.bpeish_token_count("text").alias("bpeish_tokens"),
+        tx.stopword_count("text").alias("n_stopwords"),
+        tx.punct_count("text").alias("n_punct"),
+    )
+
+
+_DOC_TEXT_FEATURES_SQL = rf"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+       CAST(list_sum(list_transform({_TOKS_SQL},
+            w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) AS bpeish_tokens,
+       CAST(len(regexp_extract_all({_NORM_SQL},
+            '\b(the|a|of|and|to|in|is|for|on|with)\b')) AS BIGINT) AS n_stopwords,
+       CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS n_punct
+FROM documents
+"""
+
+
+def doc_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + language-ID heuristic (north-star text
+    analysis). Identical expression trees on both engines ⇒ the
+    composite double score compares bit-exactly."""
+    from .functions import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        tx.predicted_lang("text").alias("pred_lang"),
+        tx.quality_score("text").alias("quality"),
+    )
+
+
+_QUALITY_SQL_PARTS = {
+    "stop_ratio": rf"(len(regexp_extract_all({_NORM_SQL}, '\b(the|a|of|and|to|in|is|for|on|with)\b')) / len({_TOKS_SQL}))",
+    "avg_tok": rf"((length({_NORM_SQL}) - (len({_TOKS_SQL}) - 1)) / len({_TOKS_SQL}))",
+    "punct_ratio": r"(len(regexp_extract_all(text, '[.!?,;:]')) / length(text))",
+    "upper_ratio": r"(len(regexp_extract_all(text, '[A-Z]')) / length(text))",
+}
+
+_DOC_QUALITY_LANGID_SQL = rf"""
+SELECT doc_id, lang,
+       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es' END AS pred_lang,
+       0.4 * least({_QUALITY_SQL_PARTS["stop_ratio"]} * 4, 1.0)
+       + 0.3 * least({_QUALITY_SQL_PARTS["avg_tok"]} / 8, 1.0)
+       + 0.2 * (1.0 - least({_QUALITY_SQL_PARTS["punct_ratio"]} * 10, 1.0))
+       + 0.1 * (1.0 - least({_QUALITY_SQL_PARTS["upper_ratio"]} * 10, 1.0)) AS quality
+FROM (
+  SELECT doc_id, lang, text,
+         CAST(len(regexp_extract_all({_NORM_SQL}, '\b(the|and|of|to|in|is)\b')) AS BIGINT) AS s_en,
+         CAST(len(regexp_extract_all({_NORM_SQL}, '\b(der|die|das|und|ist)\b')) AS BIGINT) AS s_de,
+         CAST(len(regexp_extract_all({_NORM_SQL}, '\b(le|la|les|et|est)\b')) AS BIGINT) AS s_fr,
+         CAST(len(regexp_extract_all({_NORM_SQL}, '\b(el|los|las|y|es)\b')) AS BIGINT) AS s_es
+  FROM documents
+)
+"""
+
+
+def doc_fingerprint_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup report: md5(norm_text) fingerprint → copy count +
+    deterministic keeper. The 100 TB dedup shuffles this 128-bit key,
+    never the text."""
+    from .operators.dedup import fingerprint_groups
+
+    return fingerprint_groups(load_table(spark, sf_dir, "documents"))
+
+
+_DOC_FINGERPRINT_SQL = f"""
+SELECT md5({_NORM_SQL}) AS fingerprint,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS keeper_id
+FROM documents
+GROUP BY 1
+"""
+
+
+def doc_exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keep-first: survivors only."""
+    from .operators.dedup import exact_dedup_first
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_first(docs).select("doc_id", "fingerprint")
+
+
+_DOC_EXACT_DEDUP_SQL = f"""
+SELECT doc_id, fingerprint FROM (
+  SELECT doc_id, md5({_NORM_SQL}) AS fingerprint,
+         ROW_NUMBER() OVER (PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+#: Brute-force word-3-gram Jaccard pairs ≥ 0.6 — the oracle for BOTH
+#: the exact similarity join AND the MinHash-LSH path (which must reach
+#: full recall at this threshold: planted dups sit at j ≥ 0.97 and the
+#: K=16 single-row-band miss probability there is (1-j)^16 ≈ 1e-24).
+_JACCARD_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(generate_series(1, len(w)-2),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [array_to_string(w, ' ')] END)) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(c AS BIGINT) AS n_common,
+       c / (sa.n + sb.n - c) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE c / (sa.n + sb.n - c) >= 0.6
+"""
+
+
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity self-join."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, threshold=0.6)
+    return out.withColumn("n_common", F.col("n_common").cast("long"))
+
+
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified. Same oracle as the
+    brute-force join: on this corpus the LSH candidates must contain
+    every true pair (recall 1.0) — the correctness gate doubles as a
+    recall test of the scale path."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(docs, threshold=0.6, num_hashes=16)
+    return out.withColumn("n_common", F.col("n_common").cast("long"))
+
+
+def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: the 60-bit bit-vote sketch is
+    impractical to mirror in one SQL statement; recall vs the exact
+    Jaccard pairs is unit-tested in tests/test_northstar.py)."""
+    from .operators.dedup import simhash_pairs
+
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style content sketch: min hash over 8-token rolling
+    shingles."""
+    from .functions.text import rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_hash("text").alias("sketch"))
+
+
+_ROLLING_SQL = f"""
+SELECT doc_id,
+       list_min(list_transform(
+         CASE WHEN len(w) >= 8
+              THEN list_transform(generate_series(1, len(w)-7),
+                                  i -> array_to_string(w[i:i+7], ' '))
+              ELSE [array_to_string(w, ' ')] END,
+         s -> {_HASH64_SQL.format(x='s')})) AS sketch
+FROM (SELECT doc_id, {_TOKS_SQL} AS w FROM documents)
+"""
+
+_COS_SQL = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)
+
+
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 query vector.
+    Spark's fold-based dot product is bit-identical to DuckDB's
+    list_dot_product over DOUBLE[] (verified), so no rounding is
+    needed."""
+    from .operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("embedding"), F.col("qv")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+_EMB_TOPK_SQL = f"""
+SELECT a.vec_id, {_COS_SQL.format(a='a.embedding', b='q.embedding')} AS cos_sim
+FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY cos_sim DESC, a.vec_id ASC
+LIMIT 10
+"""
+
+
+def embedding_knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN join: 5 query vectors (vec_id < 5, broadcast) × full
+    corpus, top-5 each."""
+    from .operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_join(emb, queries_df, k=5)
+
+
+_EMB_KNN_SQL = f"""
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT q.vec_id AS query_id, a.vec_id AS vec_id,
+         {_COS_SQL.format(a='a.embedding', b='q.embedding')} AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_COS_SQL.format(a='a.embedding', b='q.embedding')} DESC,
+                    a.vec_id ASC) AS rank
+  FROM embeddings a, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+) WHERE rank <= 5
+"""
+
+
+def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-space near-dup pairs (cosine ≥ 0.45)."""
+    from .operators.similarity import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), 0.45)
+
+
+_EMB_NEAR_DUP_SQL = f"""
+SELECT vec_a, vec_b, cos_sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cos_sim >= 0.45
+"""
+
+
+def lsh_ann_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table random-hyperplane LSH ANN pairs (rows-only: the
+    numpy-seeded hyperplanes are not SQL-reproducible; recall vs the
+    exact pairs is unit-tested)."""
+    from .operators.similarity import lsh_ann_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_ann_join(emb, dim=64, threshold=0.45)
+
+
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse-quantized ANN (rows-only: centroid averages are
+    accumulation-order-dependent; overlap vs exact k-NN is
+    unit-tested)."""
+    from .operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, queries_df, k=5)
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed media metadata (mime/byte_len/sha256) —
+    the opaque-media column contract."""
+    from .operators.multimodal import with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = with_binary_payload(docs)
+    return out.select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.byte_len").alias("byte_len"),
+        F.col("media_meta.sha256").alias("sha256"),
+    )
+
+
+_MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       'application/octet-stream' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched image-decode plumbing (fake decoder — no codecs in
+    the container; rows-only + determinism unit tests)."""
+    from .operators.multimodal import decode_images, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_images(with_binary_payload(docs), fake=True)
+
+
+def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: 1 payload row → 4 frame rows,
+    exploded executor-side (rows-only + unit tests)."""
+    from .operators.multimodal import sample_frames, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(with_binary_payload(docs), n_frames=4)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -814,6 +1151,26 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_distinct_users": (stream_distinct_users, _STREAM_DISTINCT_SQL),
     "stream_session_windows": (stream_session_windows_q, _STREAM_SESSION_SQL),
     "sessionize_events": (sessionize_events, _SESSION_SQL_BODY),
+    # north-star: text analysis
+    "doc_text_features": (doc_text_features, _DOC_TEXT_FEATURES_SQL),
+    "doc_quality_langid": (doc_quality_langid, _DOC_QUALITY_LANGID_SQL),
+    "doc_fingerprint_groups": (doc_fingerprint_groups_q, _DOC_FINGERPRINT_SQL),
+    "doc_rolling_fingerprint": (doc_rolling_fingerprint, _ROLLING_SQL),
+    # north-star: dedup
+    "doc_exact_dedup": (doc_exact_dedup_q, _DOC_EXACT_DEDUP_SQL),
+    "ngram_jaccard_pairs": (ngram_jaccard_pairs_q, _JACCARD_PAIRS_SQL),
+    "minhash_lsh_pairs": (minhash_lsh_pairs_q, _JACCARD_PAIRS_SQL),
+    "simhash_pairs": (simhash_pairs_q, None),
+    # north-star: similarity search
+    "embedding_cosine_topk": (embedding_cosine_topk, _EMB_TOPK_SQL),
+    "embedding_knn_join": (embedding_knn_join_q, _EMB_KNN_SQL),
+    "embedding_near_dup_pairs": (embedding_near_dup_pairs_q, _EMB_NEAR_DUP_SQL),
+    "lsh_ann_pairs": (lsh_ann_pairs_q, None),
+    "ivf_topk": (ivf_topk_q, None),
+    # north-star: multimodal
+    "multimodal_meta": (multimodal_meta, _MULTIMODAL_META_SQL),
+    "multimodal_decode": (multimodal_decode_q, None),
+    "multimodal_frames": (multimodal_frames_q, None),
 }
 
 

@@ -33,6 +33,11 @@ HEADLINE = [
     "envelope_roundtrip",
     "json_props_extract",
     "distinct_users_per_type",
+    "sessionize_events",
+    "doc_text_features",
+    "doc_fingerprint_groups",
+    "minhash_lsh_pairs",
+    "embedding_knn_join",
 ]
 
 

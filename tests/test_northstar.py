@@ -1,0 +1,130 @@
+"""North-star operator tests: recall of the approximate/scale paths
+against exact computations, multimodal plumbing, hash-family sanity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazonmsk_emr_tem_data_spark.operators.dedup import (
+    minhash_signature,
+    ngram_jaccard_pairs,
+    shingled,
+    simhash_pairs,
+    simhash_sketch,
+)
+from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+    decode_images,
+    sample_frames,
+    with_binary_payload,
+)
+from amazonmsk_emr_tem_data_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    ivf_topk,
+    knn_join,
+    lsh_ann_join,
+)
+from amazonmsk_emr_tem_data_spark.sources.files import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_minhash_slots_are_independent(spark, docs):
+    """Regression for the lambda-shadowing bug: the 16 signature slots
+    must use DIFFERENT seeded hash functions (a shadowed seed makes
+    them all identical)."""
+    sh = shingled(docs.limit(5))
+    sig = sh.select(*minhash_signature(F.col("shingles"), 4)).first()
+    vals = {sig[f"mh{i}"] for i in range(4)}
+    assert len(vals) > 1
+
+
+def test_simhash_identical_and_disjoint_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # identical
+            (3, "one two three four five six"),  # disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    sk = {r["doc_id"]: r["sk"] for r in simhash_sketch(df).collect()}
+    assert sk[1] == sk[2]
+    assert sk[1] != sk[3]
+
+
+def test_simhash_finds_planted_near_dups(spark, docs):
+    """Planted near-dups (Jaccard ≥ 0.97 word-3-gram) must be within
+    small Hamming distance; simhash_pairs must recover most of them."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    sim = {(r["doc_a"], r["doc_b"]) for r in simhash_pairs(docs, max_hamming=6).collect()}
+    assert exact, "fixture should contain planted near-dups"
+    recall = len(exact & sim) / len(exact)
+    assert recall >= 0.9, f"simhash recall {recall:.2f} on planted dups"
+
+
+def test_lsh_ann_recall_vs_exact(spark, emb):
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in cosine_near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    approx = {
+        (r["vec_a"], r["vec_b"]) for r in lsh_ann_join(emb, dim=64, threshold=0.45).collect()
+    }
+    assert approx <= set(exact.keys()) | approx  # approx pairs are verified exact ⇒ subset
+    for pair in approx:
+        assert pair in exact
+    if exact:
+        recall = len(set(exact) & approx) / len(exact)
+        assert recall >= 0.85, f"LSH recall {recall:.2f}"
+
+
+def test_ivf_topk_overlaps_exact_knn(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn_join(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    # IVF probes 3/8 k-means cells: self-match must always be found
+    # (the query's own cell is its nearest centroid), plus a solid
+    # share of true neighbors
+    overlap = len(exact_set & approx_set) / len(exact_set)
+    assert overlap >= 0.6, f"IVF overlap {overlap:.2f}"
+    for q in range(5):
+        assert (q, q) in approx_set  # self is in the probed cell
+
+
+def test_multimodal_decode_plumbing(spark, docs):
+    out = decode_images(with_binary_payload(docs), fake=True)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    r0 = rows[0]
+    assert 16 <= r0["width"] < 80 and 16 <= r0["height"] < 80
+    # deterministic: same input → same features
+    rows2 = decode_images(with_binary_payload(docs), fake=True).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_multimodal_decode_real_path_is_gated(spark, docs):
+    out = decode_images(with_binary_payload(docs.limit(1)), fake=False)
+    with pytest.raises(Exception, match="NotImplementedError|image codecs"):
+        out.collect()
+
+
+def test_multimodal_frame_explosion(spark, docs):
+    n_docs = docs.count()
+    out = sample_frames(with_binary_payload(docs), n_frames=4)
+    assert out.count() == 4 * n_docs
+    per_doc = out.groupBy("doc_id").count().select(F.min("count"), F.max("count")).first()
+    assert per_doc[0] == 4 and per_doc[1] == 4
