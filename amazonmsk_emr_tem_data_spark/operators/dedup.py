@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import fingerprint, md5_hash64, tokens
+from ..sources.files import ensure_parallelism
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -87,7 +88,11 @@ def shingle_array(text_col: Column | str = "text", k: int = 3) -> Column:
 
 
 def shingled(df: DataFrame, id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    return df.select(id_col, shingle_array("text", k).alias("shingles"))
+    """Shingling is the CPU-dense map of the dedup stack — spread it
+    across all cores even when the scan under-splits."""
+    return ensure_parallelism(df).select(
+        id_col, shingle_array("text", k).alias("shingles")
+    )
 
 
 def _exploded(df: DataFrame, id_col: str) -> DataFrame:
@@ -143,13 +148,15 @@ def _seeded_hash(seed: int):
     # passes the *array index* as a second lambda arg (shadowing the
     # seed), and 3-arity lambdas are rejected by `aggregate`. A closure
     # factory keeps the seed a true compile-time constant.
-    return lambda s: md5_hash64(F.concat(F.lit(f"{seed}:"), s))
+    return lambda s: F.xxhash64(F.lit(seed), s)
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> list[Column]:
     """K deterministic min-hashes: slot i = min over shingles of
-    md5_hash64(i || ':' || shingle). md5-based so any engine (and the
-    DuckDB oracle) reproduces it exactly."""
+    xxhash64(i, shingle) — native codegen'd hashing, no per-seed string
+    concat or md5. Hash values are engine-internal: correctness of the
+    operator's OUTPUT is oracle-checked against exact Jaccard, so the
+    hash family only has to be uniform, not cross-engine-reproducible."""
     return [
         F.array_min(F.transform(shingles, _seeded_hash(i))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -177,25 +184,49 @@ def minhash_lsh_pairs(
     verify.
     """
     sh = shingled(df, id_col, k).cache()
-    sig = sh.select(id_col, "shingles", *minhash_signature(F.col("shingles"), num_hashes))
-    slots = F.array(
+    # Signatures with ZERO higher-order functions: explode shingles once,
+    # hash each (seed, shingle) with scalar codegen'd xxhash64, take 16
+    # mins in ONE hash aggregate. Partial (map-side) aggregation means the
+    # shuffle carries just 16 longs per doc — at 100 TB this is the
+    # difference between shuffling signatures and shuffling shingles.
+    ex = sh.select(id_col, F.explode("shingles").alias("shingle"))
+    sig = ex.groupBy(id_col).agg(
         *[
-            F.struct(F.lit(i).alias("slot"), F.col(f"mh{i}").alias("val"))
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
     )
-    exploded = sig.select(id_col, F.explode(slots).alias("s")).select(
-        id_col, F.col("s.slot").alias("slot"), F.col("s.val").alias("val")
+    # LSH banding (1-row bands): bucket on (slot, value) via a single
+    # groupBy; emit each bucket's ordered pairs. Bucket membership lists
+    # are bounded in practice by the hash's uniformity (degenerate hot
+    # buckets at corpus scale mean the feature set is degenerate — the
+    # fix is wider bands / stopword-shingle pruning, not a bigger join).
+    melted = sig.select(
+        id_col,
+        F.posexplode(
+            F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
+        ).alias("slot", "val"),
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.slot") == F.col("b.slot"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    buckets = (
+        melted.groupBy("slot", "val")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x: F.filter(
+                F.transform(
+                    F.col("ids"),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+                lambda p: p["a"] < p["b"],
+            ),
         )
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+    )
+    candidates = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
     sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
@@ -240,7 +271,7 @@ def simhash_sketch(
     math) → fold the majority votes into the sketch. Shuffles once on
     doc_id; at 100 TB that is a map-side-combinable agg, not an O(bits)
     array re-scan per row."""
-    ex = df.select(
+    ex = ensure_parallelism(df).select(
         F.col(id_col), F.explode(shingle_array(text_col, k)).alias("token")
     ).select(id_col, md5_hash64(F.col("token")).alias("h"))
     agg = ex.groupBy(id_col).agg(

@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..sources.files import ensure_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision, left-to-right (matches DuckDB's
@@ -54,7 +56,7 @@ def cosine_topk(
     """Exact top-k by cosine against one query vector. One narrow pass
     (no shuffle until the final k-row sort)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = embeddings.select(
+    scored = ensure_parallelism(embeddings).select(
         id_col, cosine(F.col(vec_col), q).alias("cos_sim")
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
@@ -72,7 +74,7 @@ def knn_join(
     """Exact k-NN join: for every query vector, its k nearest corpus
     vectors. The query side is broadcast → the corpus never shuffles;
     ranking windows partition by query."""
-    joined = embeddings.crossJoin(F.broadcast(queries)).select(
+    joined = ensure_parallelism(embeddings).crossJoin(F.broadcast(queries)).select(
         query_id_col,
         id_col,
         cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"),
@@ -96,7 +98,7 @@ def cosine_near_dup_pairs(
     """Embedding-space near-dup pairs: all (a < b) with cosine ≥
     threshold. Exact all-pairs — the verification-tier operator; at
     corpus scale feed it LSH candidates instead (lsh_ann_join)."""
-    a = embeddings.select(
+    a = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a")
     )
     b = embeddings.select(
@@ -164,7 +166,9 @@ def lsh_ann_join(
     then are exact-verified (so precision is 1.0; recall is governed by
     the (p, T) schedule). Candidate generation explodes T rows/vector
     and equi-joins on (table, bucket) — linear in corpus size."""
-    bucketed = with_lsh_buckets(embeddings, dim, n_planes, n_tables, seed, vec_col)
+    bucketed = with_lsh_buckets(
+        ensure_parallelism(embeddings), dim, n_planes, n_tables, seed, vec_col
+    )
     ex = bucketed.select(
         id_col, vec_col, F.explode("buckets").alias("b")
     ).select(id_col, vec_col, F.col("b.t").alias("t"), F.col("b.bk").alias("bk"))
@@ -252,7 +256,7 @@ def ivf_topk(
     cells nearest each query, exact-rank within them. The corpus is
     touched once for assignment and once (pruned) for scoring."""
     centroids = kmeans_centroids(embeddings, k=n_cells, vec_col=vec_col, id_col=id_col)
-    celled = with_ivf_cell(embeddings, centroids, vec_col)
+    celled = with_ivf_cell(ensure_parallelism(embeddings), centroids, vec_col)
 
     cent_rows = [(c, [float(x) for x in vec]) for c, vec in enumerate(centroids)]
     cent_df = embeddings.sparkSession.createDataFrame(

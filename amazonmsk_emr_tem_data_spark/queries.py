@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 from .functions.codec import from_kafka_envelope, to_kafka_envelope
 from .functions.tem import horizontal_mean
 from .schemas import EVENTS_SCHEMA
-from .sources.files import load_table
+from .sources.files import ensure_parallelism, load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -166,7 +166,7 @@ def envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 codec proof: events → Kafka (key,value) JSON envelope →
     decode → typed rows, equal to the source table (oracle = the raw
     table). Exercises F1/F2/P2–P5 end-to-end without a broker."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
     return from_kafka_envelope(to_kafka_envelope(ev, key_col="event_id"), EVENTS_SCHEMA)
 
 
@@ -798,7 +798,7 @@ def doc_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits. Pure codegen'd column expressions — full scan speed."""
     from .functions import text as tx
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
@@ -828,7 +828,7 @@ def doc_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite double score compares bit-exactly."""
     from .functions import text as tx
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         "lang",
@@ -871,7 +871,7 @@ def doc_fingerprint_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the text."""
     from .operators.dedup import fingerprint_groups
 
-    return fingerprint_groups(load_table(spark, sf_dir, "documents"))
+    return fingerprint_groups(ensure_parallelism(load_table(spark, sf_dir, "documents")))
 
 
 _DOC_FINGERPRINT_SQL = f"""
@@ -887,7 +887,7 @@ def doc_exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keep-first: survivors only."""
     from .operators.dedup import exact_dedup_first
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return exact_dedup_first(docs).select("doc_id", "fingerprint")
 
 
@@ -965,7 +965,7 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles."""
     from .functions.text import rolling_hash
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", rolling_hash("text").alias("sketch"))
 
 
@@ -1081,7 +1081,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the opaque-media column contract."""
     from .operators.multimodal import with_binary_payload
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     out = with_binary_payload(docs)
     return out.select(
         "doc_id",
@@ -1105,7 +1105,7 @@ def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the container; rows-only + determinism unit tests)."""
     from .operators.multimodal import decode_images, with_binary_payload
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return decode_images(with_binary_payload(docs), fake=True)
 
 
@@ -1114,7 +1114,7 @@ def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded executor-side (rows-only + unit tests)."""
     from .operators.multimodal import sample_frames, with_binary_payload
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return sample_frames(with_binary_payload(docs), n_frames=4)
 
 

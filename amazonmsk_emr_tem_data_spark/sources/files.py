@@ -56,6 +56,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Raise a compute-bound stage's partition count to cluster
+    parallelism when the upstream scan under-splits (few files / one
+    parquet row group — the local-fixture case).
+
+    No-op whenever the scan already yields >= target splits, so at
+    100 TB (thousands of row groups) this never inserts a shuffle; on a
+    single-file fixture it buys every core for the CPU-heavy map that
+    follows (shingling, regex features, vector math). Uses an explicit
+    numPartitions so AQE's size-based coalescing (64 MB target — huge
+    vs. byte-light but CPU-dense rows like shingle arrays) cannot fold
+    the stage back to one task.
+    """
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every driver fixture table (see /root/repo/TESTDATA.md)."""
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
