@@ -1119,6 +1119,178 @@ def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# time-series joins (as-of / range) + grouping sets / pivot / sketches
+# ---------------------------------------------------------------------------
+
+
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event annotated with the user's latest order at
+    or before the event time (union-merge plan: one shuffle on user_id,
+    no inequality join — see operators/joins.py)."""
+    from .operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+    )
+    out = asof_join(
+        ev,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+
+
+_ASOF_SQL = """
+SELECT e.event_id, e.user_id, e.ts,
+       o.o_orderkey AS last_orderkey,
+       o.o_totalprice AS last_totalprice
+FROM events e LEFT JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+) o ON TRUE
+"""
+
+
+def range_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per order, the user's events within 1 day after
+    placement (bucketized equi-join, see operators/joins.py)."""
+    from .operators.joins import range_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    joined = range_join(
+        ev,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_start=F.col("o_orderdate"),
+        right_end=F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"),
+        bucket="1 day",
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value").alias("sum_value"),
+    )
+
+
+_RANGE_JOIN_SQL = f"""
+SELECT o.o_orderkey,
+       COUNT(*) AS n_events,
+       {_dsum("e.value")} AS sum_value
+FROM orders o
+JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 1 DAY
+GROUP BY o.o_orderkey
+"""
+
+
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((flag, status), (flag), ()) with
+    grouping_id — finer-grained than rollup/cube (which the engine also
+    has: rollup_lineitem_status / cube_order_status)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("l_quantity").alias("sum_qty"),
+    )
+
+
+_GROUPING_SETS_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n,
+       {_dsum("l_quantity")} AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: quantity by returnflag × linestatus as columns (explicit
+    value list ⇒ no extra distinct-values job at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dec_sum("l_quantity"))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    )
+
+
+_PIVOT_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(round(l_quantity*100) AS BIGINT) END) AS DOUBLE) / 100.0
+         AS qty_f,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(round(l_quantity*100) AS BIGINT) END) AS DOUBLE) / 100.0
+         AS qty_o
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches per event_type: HLL++ distinct users and
+    t-digest-style quantiles (rows-only: sketch algorithms are
+    engine-specific by design; accuracy vs exact is unit-tested)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("value_quantiles"),
+    )
+
+
+def exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of order totals per priority
+    (single-pass grouped percentile; both engines use the classic
+    (n-1)·p linear interpolation, so values hash-match)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+    )
+
+
+_EXACT_QUANTILES_SQL = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1171,6 +1343,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_meta": (multimodal_meta, _MULTIMODAL_META_SQL),
     "multimodal_decode": (multimodal_decode_q, None),
     "multimodal_frames": (multimodal_frames_q, None),
+    # time-series joins + olap extensions
+    "asof_latest_order": (asof_latest_order, _ASOF_SQL),
+    "range_join_order_events": (range_join_order_events, _RANGE_JOIN_SQL),
+    "grouping_sets_lineitem": (grouping_sets_lineitem, _GROUPING_SETS_SQL),
+    "pivot_status_by_flag": (pivot_status_by_flag, _PIVOT_SQL),
+    "approx_sketches": (approx_sketches, None),
+    "exact_quantiles": (exact_quantiles, _EXACT_QUANTILES_SQL),
 }
 
 

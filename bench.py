@@ -34,6 +34,8 @@ HEADLINE = [
     "json_props_extract",
     "distinct_users_per_type",
     "sessionize_events",
+    "asof_latest_order",
+    "range_join_order_events",
     "doc_text_features",
     "doc_fingerprint_groups",
     "minhash_lsh_pairs",

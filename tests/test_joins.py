@@ -1,0 +1,90 @@
+"""As-of / range join semantics + sketch accuracy."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from amazonmsk_emr_tem_data_spark.operators.joins import asof_join, range_join
+from amazonmsk_emr_tem_data_spark.queries import approx_sketches
+from amazonmsk_emr_tem_data_spark.sources.files import load_table
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, ts("2024-01-01 09:00:00")),   # before any right row
+            (2, 10, ts("2024-01-01 10:00:00")),   # exactly at right ts (inclusive)
+            (3, 10, ts("2024-01-01 11:30:00")),   # between rights
+            (4, 10, ts("2024-01-02 00:00:00")),   # after all rights
+            (5, 20, ts("2024-01-01 12:00:00")),   # key with no rights
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, ts("2024-01-01 10:00:00"), 100, 1.0),
+            (10, ts("2024-01-01 10:00:00"), 101, 2.0),  # tie: higher key wins
+            (10, ts("2024-01-01 11:00:00"), 102, 3.0),
+        ],
+        "user_id long, rts timestamp, rk long, rv double",
+    )
+    out = {
+        r["event_id"]: (r["rk"], r["rv"])
+        for r in asof_join(
+            left, right, on="user_id", left_ts="ts", right_ts="rts",
+            right_cols=["rk", "rv"], tie_break="rk",
+        ).collect()
+    }
+    assert out[1] == (None, None)
+    assert out[2] == (101, 2.0)   # inclusive + deterministic tie-break
+    assert out[3] == (102, 3.0)
+    assert out[4] == (102, 3.0)
+    assert out[5] == (None, None)
+    assert len(out) == 5          # exactly one output row per left row
+
+
+def test_range_join_interval_bounds(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, ts("2024-01-01 00:00:00")),  # == start: included
+            (2, 10, ts("2024-01-01 23:59:59")),  # inside (crosses bucket)
+            (3, 10, ts("2024-01-02 00:00:00")),  # == end: excluded
+            (4, 11, ts("2024-01-01 12:00:00")),  # wrong key
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, 500, ts("2024-01-01 00:00:00"))],
+        "user_id long, rk long, start timestamp",
+    )
+    out = range_join(
+        left, right, on="user_id", left_ts="ts",
+        right_start=F.col("start"),
+        right_end=F.col("start") + F.expr("INTERVAL 1 DAY"),
+    )
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2]
+
+
+def test_approx_sketches_accuracy(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("nd"),
+            F.percentile("value", 0.5).alias("p50"),
+        )
+        .collect()
+    }
+    approx = {r["event_type"]: r for r in approx_sketches(spark, sf_dir).collect()}
+    assert set(approx) == set(exact)
+    for k, a in approx.items():
+        e = exact[k]
+        assert abs(a["approx_users"] - e["nd"]) / e["nd"] < 0.05
+        med = a["value_quantiles"][0]
+        spread = abs(e["p50"]) + 1e-9
+        assert abs(med - e["p50"]) / spread < 0.05
