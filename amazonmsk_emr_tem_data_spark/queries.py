@@ -1290,6 +1290,39 @@ GROUP BY o_orderpriority
 """
 
 
+def salted_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (explicit skew mitigation): revenue
+    per customer where a hot customer's rows spread over 16 reducers
+    before the tiny partial rows merge. Exact — salting moves partial
+    computation, never results; the oracle is the plain GROUP BY."""
+    from .operators.skew import salted_agg
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = salted_agg(
+        orders,
+        keys=["o_custkey"],
+        sums={
+            "n_orders": F.count(F.lit(1)).cast("long"),
+            "revenue_cents": F.sum(_cents("o_totalprice")),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "o_custkey",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        (F.col("revenue_cents").cast("double") / 100.0).alias("revenue"),
+    )
+
+
+_SALTED_REVENUE_SQL = f"""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       {_dsum("o_totalprice")} AS revenue
+FROM orders
+GROUP BY o_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1350,6 +1383,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pivot_status_by_flag": (pivot_status_by_flag, _PIVOT_SQL),
     "approx_sketches": (approx_sketches, None),
     "exact_quantiles": (exact_quantiles, _EXACT_QUANTILES_SQL),
+    "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
 }
 
 

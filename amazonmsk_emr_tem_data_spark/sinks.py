@@ -46,6 +46,34 @@ def parquet_sink(
     writer.parquet(path)
 
 
+def kafka_stream_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    security: dict[str, str] | None = None,
+    trigger_interval: str | None = None,
+    query_name: str = "kafka_stream_sink",
+):
+    """Streaming Kafka produce — the sink the reference's per-row loop
+    (K2) should have been. Envelope-form input; checkpointed offsets
+    give exactly-once-per-record delivery into an idempotent/
+    transactional topic setup.
+    """
+    writer = (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    for k, v in (security or {}).items():
+        writer = writer.option(k if k.startswith("kafka.") else f"kafka.{k}", v)
+    if trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
 def kafka_batch_sink(
     df: DataFrame,
     bootstrap_servers: str,
