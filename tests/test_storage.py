@@ -1,0 +1,51 @@
+"""Bucketing contract: co-located joins plan with zero Exchange."""
+
+import pytest
+
+from amazonmsk_emr_tem_data_spark.plans.inspect import plan_facts
+from amazonmsk_emr_tem_data_spark.sources.files import load_table
+from amazonmsk_emr_tem_data_spark.storage import bucketed_join, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bucketed")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    write_bucketed(
+        li, "li_bucketed", str(base / "li"), ["l_orderkey"], 8
+    )
+    orders = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey AS l_orderkey", "o_totalprice"
+    )
+    write_bucketed(
+        orders, "orders_bucketed", str(base / "orders"), ["l_orderkey"], 8
+    )
+    yield "li_bucketed", "orders_bucketed"
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    left, right = bucketed_tables
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, left, right, ["l_orderkey"])
+        f = plan_facts(joined)
+        assert f.n_exchanges == 0, (
+            "same-bucketed tables must join without a shuffle:\n" + f.raw
+        )
+        assert "SortMergeJoin" in f.joins
+        # and the result is still correct
+        plain = load_table(
+            spark, "/root/testdata/sf0.001", "lineitem"
+        ).join(
+            load_table(spark, "/root/testdata/sf0.001", "orders").selectExpr(
+                "o_orderkey AS l_orderkey", "o_totalprice"
+            ),
+            "l_orderkey",
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
