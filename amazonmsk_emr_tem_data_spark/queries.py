@@ -1151,15 +1151,17 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.col("o_orderkey").alias("last_orderkey"),
-        F.col("o_totalprice").alias("last_totalprice"),
+        # -1 sentinels for the no-prior-order case (NULL-free numeric
+        # outputs vs the pandas oracle frame, see outer_join_order_coverage)
+        F.coalesce("o_orderkey", F.lit(-1)).alias("last_orderkey"),
+        F.coalesce("o_totalprice", F.lit(-1.0)).alias("last_totalprice"),
     )
 
 
 _ASOF_SQL = """
 SELECT e.event_id, e.user_id, e.ts,
-       o.o_orderkey AS last_orderkey,
-       o.o_totalprice AS last_totalprice
+       COALESCE(o.o_orderkey, -1) AS last_orderkey,
+       COALESCE(o.o_totalprice, -1.0) AS last_totalprice
 FROM events e LEFT JOIN LATERAL (
   SELECT o_orderkey, o_totalprice FROM orders
   WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
@@ -1290,6 +1292,147 @@ GROUP BY o_orderpriority
 """
 
 
+def outer_join_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: orders vs per-order lineitem rollup, keeping
+    unmatched rows from both sides (coverage audit pattern). Shuffles
+    both sides once on the key; dims-side NULLs flagged."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dec_sum("l_extendedprice").alias("line_total"),
+        )
+    )
+    return orders.join(li, "o_orderkey", "full_outer").select(
+        "o_orderkey",
+        # NULL-free numeric outputs: a NULL int/double column round-trips
+        # through the oracle's pandas frame as float64/NaN and can never
+        # hash-match a typed NULL — the unmatched flag carries the NULL
+        # semantics instead.
+        F.coalesce("o_totalprice", F.lit(0.0)).alias("o_totalprice"),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("line_total", F.lit(0.0)).alias("line_total"),
+        (F.col("o_totalprice").isNull() | F.col("n_lines").isNull()).alias(
+            "unmatched"
+        ),
+    )
+
+
+_OUTER_JOIN_SQL = f"""
+SELECT COALESCE(o.o_orderkey, l.o_orderkey) AS o_orderkey,
+       COALESCE(o.o_totalprice, 0.0) AS o_totalprice,
+       COALESCE(l.n_lines, 0) AS n_lines,
+       COALESCE(l.line_total, 0.0) AS line_total,
+       (o.o_totalprice IS NULL OR l.n_lines IS NULL) AS unmatched
+FROM orders o
+FULL OUTER JOIN (
+  SELECT l_orderkey AS o_orderkey,
+         COUNT(*) AS n_lines,
+         {_dsum("l_extendedprice")} AS line_total
+  FROM lineitem GROUP BY l_orderkey
+) l USING (o_orderkey)
+"""
+
+
+def price_lag_lead_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: per-part shipments with lag/lead prices and a
+    trailing-30-day RANGE frame average (event-time range frames — the
+    window feature set the reference imported but never used,
+    temDataRead.py:6)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        "l_extendedprice",
+        F.unix_timestamp("l_shipdate").alias("ship_epoch"),
+    )
+    order_w = Window.partitionBy("l_partkey").orderBy(
+        "ship_epoch", "l_orderkey", "l_linenumber"
+    )
+    range_w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("ship_epoch")
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        # -1.0 sentinel instead of NULL at partition edges (see
+        # outer_join_order_coverage on NULL vs the pandas oracle frame)
+        F.coalesce(F.lag("l_extendedprice").over(order_w), F.lit(-1.0)).alias(
+            "prev_price"
+        ),
+        F.coalesce(F.lead("l_extendedprice").over(order_w), F.lit(-1.0)).alias(
+            "next_price"
+        ),
+        (
+            F.sum(_cents("l_extendedprice")).over(range_w).cast("double")
+            / (100.0 * F.count(F.lit(1)).over(range_w))
+        ).alias("avg_30d"),
+    )
+
+
+_LAG_LEAD_SQL = """
+SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+       COALESCE(LAG(l_extendedprice) OVER w, -1.0) AS prev_price,
+       COALESCE(LEAD(l_extendedprice) OVER w, -1.0) AS next_price,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) OVER r AS DOUBLE)
+         / (100.0 * COUNT(*) OVER r) AS avg_30d
+FROM lineitem
+WINDOW w AS (PARTITION BY l_partkey
+             ORDER BY epoch(l_shipdate), l_orderkey, l_linenumber),
+       r AS (PARTITION BY l_partkey ORDER BY epoch(l_shipdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def sql_interface_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL front-end: TPC-H-Q3-style shipping priority
+    written as a SQL string over registered views — same Catalyst plan
+    as the DataFrame API, proving both entry points share one engine."""
+    from .sources.files import load_tables
+
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(f"sql_{name}")
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
+                    AS DOUBLE) / 10000.0 AS revenue,
+               o.o_orderdate
+        FROM sql_customer c
+        JOIN sql_orders o ON c.c_custkey = o.o_custkey
+        JOIN sql_lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        """
+    )
+
+
+_SQL_Q3_SQL = f"""
+SELECT l.l_orderkey,
+       {_SUM_DISC_PRICE_SQL} AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+"""
+
+
 def salted_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (explicit skew mitigation): revenue
     per customer where a hot customer's rows spread over 16 reducers
@@ -1384,6 +1527,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "approx_sketches": (approx_sketches, None),
     "exact_quantiles": (exact_quantiles, _EXACT_QUANTILES_SQL),
     "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
+    "outer_join_order_coverage": (outer_join_order_coverage, _OUTER_JOIN_SQL),
+    "price_lag_lead_frames": (price_lag_lead_frames, _LAG_LEAD_SQL),
+    "sql_interface_q3": (sql_interface_q3, _SQL_Q3_SQL),
 }
 
 
