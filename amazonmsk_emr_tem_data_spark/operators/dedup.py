@@ -169,6 +169,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     id_col: str = "doc_id",
     k: int = 3,
+    min_collisions: int = 2,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH candidates + exact verification.
 
@@ -224,10 +225,17 @@ def minhash_lsh_pairs(
             ),
         )
     )
+    # Candidate = collides in >= min_collisions of the K slots. One
+    # collision admits ~1% of all random pairs on a small corpus vocab;
+    # two cuts false candidates ~20x while the miss probability for a
+    # true pair at j is 1 - (1-j)^K - K*j*(1-j)^(K-1) complement —
+    # ~1e-5 at j=0.6, K=16, and vanishing for the planted j>=0.97 dups.
     candidates = (
         buckets.select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .count()
+        .filter(F.col("count") >= min_collisions)
+        .drop("count")
     )
     sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
     sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
