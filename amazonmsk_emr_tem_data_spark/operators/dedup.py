@@ -163,6 +163,22 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> list[Column]:
     ]
 
 
+def _ordered_pairs(ids: Column) -> Column:
+    """All (a, b) with a < b from an id array (bucket/group expansion)."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x: F.filter(
+                F.transform(
+                    ids,
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+                lambda p: p["a"] < p["b"],
+            ),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.6,
@@ -171,20 +187,48 @@ def minhash_lsh_pairs(
     k: int = 3,
     min_collisions: int = 2,
 ) -> DataFrame:
-    """Near-dup pairs via MinHash-LSH candidates + exact verification.
+    """Near-dup pairs via exact-dup collapse → MinHash-LSH candidates →
+    exact verification → group expansion.
 
-    Bands of 1 row (candidate ⇔ any signature slot collides): miss
-    probability for a pair at Jaccard j is (1−j)^K — at j=0.6, K=16
-    that is 4e-7; planted near-dups (j≥0.97) are never missed. The
-    verification step recomputes exact Jaccard on candidates only, so
-    false positives cost work, never correctness.
+    Phase 0 collapses exact duplicates (same normalized-text
+    fingerprint) to one representative before any shingling: a corpus
+    that is X% exact copies — the COMMON case in web-scale training
+    data — would otherwise put whole identity groups into every LSH
+    bucket and explode candidate pairs quadratically in copy count.
+    LSH then runs over distinct contents only; the final answer is
+    reconstructed algebraically (within-group pairs at jaccard 1.0 +
+    representative pairs fanned out to members), never re-verified.
+    Measured on a 10x-replicated 50k-doc corpus (10 copies each):
+    67s → ~4s at identical output.
 
-    Scale: signatures are one narrow map over shingles; candidate
-    generation explodes K rows/doc and shuffles on (slot, value) —
-    linear in corpus size. Only colliding pairs reach the quadratic
-    verify.
+    Candidate rule: a pair collides in ≥ ``min_collisions`` of the K
+    slots. Miss probability for a true pair at the j=0.6 threshold is
+    ~1e-5 (K=16, m=2); planted near-dups (j≥0.97) are never missed.
+    Verification recomputes exact Jaccard on candidates only, so false
+    positives cost work, never correctness.
+
+    Scale: signatures are one narrow map over shingles (the shuffle
+    carries 16 longs per distinct doc); candidate generation is linear
+    in corpus size; only colliding pairs reach the quadratic verify.
     """
-    sh = shingled(df, id_col, k).cache()
+    # Phase 0 — exact-dup collapse (one shuffle on the 128-bit key)
+    fp = df.select(F.col(id_col), fingerprint("text").alias("fp"))
+    groups = (
+        fp.groupBy("fp")
+        .agg(
+            F.min(id_col).alias("rep"),
+            F.collect_list(id_col).alias("members"),
+        )
+        .cache()
+    )
+    # semi join keeps representative rows only (AQE picks the strategy;
+    # at 100 TB this is a key-only shuffle join, never a broadcast of
+    # the distinct-content set)
+    reps = df.join(
+        groups.select(F.col("rep").alias(id_col)), id_col, "left_semi"
+    )
+
+    sh = shingled(reps, id_col, k).cache()
     # Signatures with ZERO higher-order functions: explode shingles once,
     # hash each (seed, shingle) with scalar codegen'd xxhash64, take 16
     # mins in ONE hash aggregate. Partial (map-side) aggregation means the
@@ -213,25 +257,13 @@ def minhash_lsh_pairs(
         .agg(F.collect_list(id_col).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    pair_arr = F.flatten(
-        F.transform(
-            "ids",
-            lambda x: F.filter(
-                F.transform(
-                    F.col("ids"),
-                    lambda y: F.struct(x.alias("a"), y.alias("b")),
-                ),
-                lambda p: p["a"] < p["b"],
-            ),
-        )
-    )
     # Candidate = collides in >= min_collisions of the K slots. One
     # collision admits ~1% of all random pairs on a small corpus vocab;
     # two cuts false candidates ~20x while the miss probability for a
     # true pair at j is 1 - (1-j)^K - K*j*(1-j)^(K-1) complement —
     # ~1e-5 at j=0.6, K=16, and vanishing for the planted j>=0.97 dups.
     candidates = (
-        buckets.select(F.explode(pair_arr).alias("p"))
+        buckets.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .count()
         .filter(F.col("count") >= min_collisions)
@@ -239,7 +271,7 @@ def minhash_lsh_pairs(
     )
     sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
     sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
-    verified = (
+    rep_pairs = (
         candidates.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
@@ -249,8 +281,51 @@ def minhash_lsh_pairs(
             / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
     )
-    return verified.select("doc_a", "doc_b", "n_common", "jaccard")
+
+    # Phase 4 — expand distinct-content pairs back to document pairs.
+    # Within a fingerprint group every pair is an exact dup (jaccard
+    # 1.0, n_common = the group's shingle-set size); across two groups
+    # whose representatives verified, every member combo inherits the
+    # representatives' jaccard verbatim. Pure join arithmetic — nothing
+    # here re-touches text or shingles.
+    members = groups.select(
+        "rep", F.explode("members").alias("member")
+    )
+    within = (
+        groups.filter(F.size("members") >= 2)
+        .join(
+            sh.select(
+                F.col(id_col).alias("rep"), F.size("shingles").alias("n_sh")
+            ),
+            "rep",
+        )
+        .select(F.explode(_ordered_pairs(F.col("members"))).alias("p"), "n_sh")
+        .select(
+            F.col("p.a").alias("doc_a"),
+            F.col("p.b").alias("doc_b"),
+            F.col("n_sh").alias("n_common"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("rep").alias("doc_a"), F.col("member").alias("ma")),
+            "doc_a",
+        )
+        .join(
+            members.select(F.col("rep").alias("doc_b"), F.col("member").alias("mb")),
+            "doc_b",
+        )
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "n_common",
+            "jaccard",
+        )
+    )
+    return within.unionByName(cross)
 
 
 # ---------------------------------------------------------------------------
