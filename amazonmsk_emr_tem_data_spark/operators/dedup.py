@@ -100,6 +100,100 @@ def _exploded(df: DataFrame, id_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# exact-dup collapse / expansion (shared by the pair operators)
+# ---------------------------------------------------------------------------
+
+
+def _ordered_pairs(ids: Column) -> Column:
+    """All (a, b) with a < b from an id array (bucket/group expansion)."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x: F.filter(
+                F.transform(
+                    ids,
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+                lambda p: p["a"] < p["b"],
+            ),
+        )
+    )
+
+
+def _collapse_exact(df: DataFrame, id_col: str):
+    """Exact-duplicate collapse: (groups, reps).
+
+    ``groups`` = one row per distinct normalized content (fingerprint,
+    min-id representative, member-id list); ``reps`` = the input
+    restricted to representatives. A corpus that is X% exact copies —
+    the common case in web-scale training data — would otherwise put
+    whole identity groups into every candidate bucket of the pair
+    operators and blow candidates up quadratically in copy count
+    (measured: 67 s vs 4 s on a 10-copies-each corpus, SCALING.md).
+    One shuffle on the 128-bit fingerprint; member lists are bounded by
+    the duplication factor, not corpus size.
+    """
+    fp = df.select(F.col(id_col), fingerprint("text").alias("fp"))
+    groups = (
+        fp.groupBy("fp")
+        .agg(
+            F.min(id_col).alias("rep"),
+            F.collect_list(id_col).alias("members"),
+        )
+        .cache()
+    )
+    reps = df.join(
+        groups.select(F.col("rep").alias(id_col)), id_col, "left_semi"
+    )
+    return groups, reps
+
+
+def _within_pairs(
+    groups: DataFrame,
+    extra_cols: dict[str, Column],
+    per_rep: DataFrame | None = None,
+) -> DataFrame:
+    """Identity-group pairs: every (a < b) inside a fingerprint group,
+    annotated with ``extra_cols`` (which may reference ``per_rep``
+    columns joined on ``rep``)."""
+    g = groups.filter(F.size("members") >= 2)
+    if per_rep is not None:
+        g = g.join(per_rep, "rep")
+    return g.select(
+        F.explode(_ordered_pairs(F.col("members"))).alias("p"),
+        *[c.alias(n) for n, c in extra_cols.items()],
+    ).select(
+        F.col("p.a").alias("doc_a"),
+        F.col("p.b").alias("doc_b"),
+        *extra_cols.keys(),
+    )
+
+
+def _fanout_cross(
+    rep_pairs: DataFrame, groups: DataFrame, carry_cols: list[str]
+) -> DataFrame:
+    """Fan representative-level pairs out to all member combinations,
+    carrying the representatives' metric columns verbatim (members of a
+    group share content, so the metrics transfer exactly)."""
+    members = groups.select("rep", F.explode("members").alias("member"))
+    return (
+        rep_pairs.join(
+            members.select(F.col("rep").alias("doc_a"), F.col("member").alias("ma")),
+            "doc_a",
+        )
+        .join(
+            members.select(F.col("rep").alias("doc_b"), F.col("member").alias("mb")),
+            "doc_b",
+        )
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            *carry_cols,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram Jaccard similarity join
 # ---------------------------------------------------------------------------
 
@@ -107,14 +201,16 @@ def _exploded(df: DataFrame, id_col: str) -> DataFrame:
 def ngram_jaccard_pairs(
     df: DataFrame, threshold: float = 0.6, id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """All document pairs with word-k-gram Jaccard ≥ threshold.
+    """All document pairs with word-k-gram Jaccard ≥ threshold. Exact.
 
-    Plan: explode → self-equi-join on shingle (shuffle co-located on the
-    shingle key) → count common → join per-doc sizes → filter. Exact but
-    quadratic in colliding docs; at 100 TB use minhash_lsh_pairs which
-    funnels only LSH candidates into this verification.
+    Plan: collapse exact dups → explode → self-equi-join on shingle
+    (shuffle co-located on the shingle key) → count common → join
+    per-doc sizes → filter → expand groups back. Quadratic in docs
+    *sharing a shingle*; at 100 TB use minhash_lsh_pairs, which funnels
+    only LSH candidates into this verification.
     """
-    sh = shingled(df, id_col, k).cache()
+    groups, reps = _collapse_exact(df, id_col)
+    sh = shingled(reps, id_col, k).cache()
     sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
     ex = _exploded(sh, id_col)
     a, b = ex.alias("a"), ex.alias("b")
@@ -126,7 +222,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
+    rep_pairs = (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
@@ -135,6 +231,14 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+    within = _within_pairs(
+        groups,
+        {"n_common": F.col("n_sh"), "jaccard": F.lit(1.0)},
+        per_rep=sizes.select(F.col(id_col).alias("rep"), "n_sh"),
+    )
+    return within.unionByName(
+        _fanout_cross(rep_pairs, groups, ["n_common", "jaccard"])
     )
 
 
@@ -161,22 +265,6 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> list[Column]:
         F.array_min(F.transform(shingles, _seeded_hash(i))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-
-
-def _ordered_pairs(ids: Column) -> Column:
-    """All (a, b) with a < b from an id array (bucket/group expansion)."""
-    return F.flatten(
-        F.transform(
-            ids,
-            lambda x: F.filter(
-                F.transform(
-                    ids,
-                    lambda y: F.struct(x.alias("a"), y.alias("b")),
-                ),
-                lambda p: p["a"] < p["b"],
-            ),
-        )
-    )
 
 
 def minhash_lsh_pairs(
@@ -211,23 +299,7 @@ def minhash_lsh_pairs(
     carries 16 longs per distinct doc); candidate generation is linear
     in corpus size; only colliding pairs reach the quadratic verify.
     """
-    # Phase 0 — exact-dup collapse (one shuffle on the 128-bit key)
-    fp = df.select(F.col(id_col), fingerprint("text").alias("fp"))
-    groups = (
-        fp.groupBy("fp")
-        .agg(
-            F.min(id_col).alias("rep"),
-            F.collect_list(id_col).alias("members"),
-        )
-        .cache()
-    )
-    # semi join keeps representative rows only (AQE picks the strategy;
-    # at 100 TB this is a key-only shuffle join, never a broadcast of
-    # the distinct-content set)
-    reps = df.join(
-        groups.select(F.col("rep").alias(id_col)), id_col, "left_semi"
-    )
-
+    groups, reps = _collapse_exact(df, id_col)
     sh = shingled(reps, id_col, k).cache()
     # Signatures with ZERO higher-order functions: explode shingles once,
     # hash each (seed, shingle) with scalar codegen'd xxhash64, take 16
@@ -284,48 +356,19 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
 
-    # Phase 4 — expand distinct-content pairs back to document pairs.
-    # Within a fingerprint group every pair is an exact dup (jaccard
-    # 1.0, n_common = the group's shingle-set size); across two groups
-    # whose representatives verified, every member combo inherits the
-    # representatives' jaccard verbatim. Pure join arithmetic — nothing
-    # here re-touches text or shingles.
-    members = groups.select(
-        "rep", F.explode("members").alias("member")
+    # Expand distinct-content pairs back to document pairs: identity
+    # groups at jaccard 1.0, representative pairs fanned to members —
+    # pure join arithmetic, nothing re-touches text or shingles.
+    within = _within_pairs(
+        groups,
+        {"n_common": F.col("n_sh"), "jaccard": F.lit(1.0)},
+        per_rep=sh.select(
+            F.col(id_col).alias("rep"), F.size("shingles").alias("n_sh")
+        ),
     )
-    within = (
-        groups.filter(F.size("members") >= 2)
-        .join(
-            sh.select(
-                F.col(id_col).alias("rep"), F.size("shingles").alias("n_sh")
-            ),
-            "rep",
-        )
-        .select(F.explode(_ordered_pairs(F.col("members"))).alias("p"), "n_sh")
-        .select(
-            F.col("p.a").alias("doc_a"),
-            F.col("p.b").alias("doc_b"),
-            F.col("n_sh").alias("n_common"),
-            F.lit(1.0).alias("jaccard"),
-        )
+    return within.unionByName(
+        _fanout_cross(rep_pairs, groups, ["n_common", "jaccard"])
     )
-    cross = (
-        rep_pairs.join(
-            members.select(F.col("rep").alias("doc_a"), F.col("member").alias("ma")),
-            "doc_a",
-        )
-        .join(
-            members.select(F.col("rep").alias("doc_b"), F.col("member").alias("mb")),
-            "doc_b",
-        )
-        .select(
-            F.least("ma", "mb").alias("doc_a"),
-            F.greatest("ma", "mb").alias("doc_b"),
-            "n_common",
-            "jaccard",
-        )
-    )
-    return within.unionByName(cross)
 
 
 # ---------------------------------------------------------------------------
@@ -379,8 +422,12 @@ def simhash_pairs(
     60-bit SimHash. Candidate generation: split the sketch into
     ``max_hamming + 1`` chunks — by pigeonhole, any pair within the
     distance budget must share at least one exact chunk, so the join is
-    an equi-join on (chunk_idx, chunk_value), never a cross join."""
-    sk = simhash_sketch(df, id_col)
+    an equi-join on (chunk_idx, chunk_value), never a cross join.
+    Exact duplicates are collapsed first (identical text ⇒ identical
+    sketch ⇒ identity groups would flood every chunk bucket; see
+    _collapse_exact) and re-expanded at hamming 0."""
+    groups, reps = _collapse_exact(df, id_col)
+    sk = simhash_sketch(reps, id_col)
     n_chunks = max_hamming + 1
     base, extra = divmod(60, n_chunks)
     widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
@@ -415,8 +462,10 @@ def simhash_pairs(
         )
         .distinct()
     )
-    return (
+    rep_pairs = (
         cand.withColumn("hamming", F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+    within = _within_pairs(groups, {"hamming": F.lit(0).cast("int")})
+    return within.unionByName(_fanout_cross(rep_pairs, groups, ["hamming"]))
