@@ -97,19 +97,111 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-space near-dup pairs: all (a < b) with cosine ≥
     threshold. Exact all-pairs — the verification-tier operator; at
-    corpus scale feed it LSH candidates instead (lsh_ann_join)."""
-    a = ensure_parallelism(embeddings).select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a")
+    corpus scale feed it LSH candidates instead (lsh_ann_join).
+
+    Exactly-identical vectors are collapsed first (the all-pairs step
+    then runs over distinct vectors only) and re-expanded algebraically,
+    so replicated corpora cost O(distinct²), not O(rows²)."""
+    groups, reps = _collapse_vectors(
+        ensure_parallelism(embeddings), id_col, vec_col
     )
-    b = embeddings.select(
-        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b")
-    )
-    return (
+    a = reps.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a"))
+    b = reps.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b"))
+    rep_pairs = (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_sim", cosine(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
     )
+    return _expand_vector_pairs(rep_pairs, groups, threshold)
+
+
+# ---------------------------------------------------------------------------
+# exact-duplicate collapse for pair operators
+# ---------------------------------------------------------------------------
+
+
+def _collapse_vectors(df: DataFrame, id_col: str, vec_col: str):
+    """Collapse exactly-identical embedding vectors: (groups, reps).
+
+    Same shape as the text-side collapse (operators/dedup._collapse_exact):
+    ``groups`` = one row per distinct vector (fingerprint, min-id
+    representative, member-id list, the vector itself); ``reps`` = the
+    input restricted to representatives. Replicated corpora (re-crawled
+    pages, boilerplate) put identical vectors in every LSH bucket and
+    grow candidate pairs with copies² — collapsing first makes the pair
+    stage's cost track *distinct* vectors. One shuffle on a 128-bit
+    fingerprint of the array bytes; never on the vector itself.
+    """
+    fp = F.md5(F.col(vec_col).cast("string"))
+    groups = (
+        df.select(F.col(id_col), fp.alias("fp"), F.col(vec_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("rep"),
+            F.collect_list(id_col).alias("members"),
+            F.first(vec_col).alias("rep_vec"),
+        )
+        .cache()
+    )
+    reps = df.join(groups.select(F.col("rep").alias(id_col)), id_col, "left_semi")
+    return groups, reps
+
+
+def _expand_vector_pairs(
+    rep_pairs: DataFrame, groups: DataFrame, threshold: float
+) -> DataFrame:
+    """Re-expand representative-level pairs to the full id space.
+
+    Within-group pairs score cosine(v, v) — computed, not a 1.0 literal,
+    so the floating-point result is bit-identical to what a direct
+    all-pairs evaluation (and the oracle) produces. Cross-group pairs
+    carry the representatives' cos_sim verbatim (members share content).
+    """
+    within = (
+        groups.filter(F.size("members") >= 2)
+        .withColumn("cos_self", cosine(F.col("rep_vec"), F.col("rep_vec")))
+        .filter(F.col("cos_self") >= threshold)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("members"),
+                        lambda x: F.filter(
+                            F.transform(
+                                F.col("members"),
+                                lambda y: F.struct(x.alias("a"), y.alias("b")),
+                            ),
+                            lambda p: p["a"] < p["b"],
+                        ),
+                    )
+                )
+            ).alias("p"),
+            F.col("cos_self"),
+        )
+        .select(
+            F.col("p.a").alias("vec_a"),
+            F.col("p.b").alias("vec_b"),
+            F.col("cos_self").alias("cos_sim"),
+        )
+    )
+    members = groups.select("rep", F.explode("members").alias("member"))
+    fanned = (
+        rep_pairs.join(
+            members.select(F.col("rep").alias("vec_a"), F.col("member").alias("ma")),
+            "vec_a",
+        )
+        .join(
+            members.select(F.col("rep").alias("vec_b"), F.col("member").alias("mb")),
+            "vec_b",
+        )
+        .select(
+            F.least("ma", "mb").alias("vec_a"),
+            F.greatest("ma", "mb").alias("vec_b"),
+            "cos_sim",
+        )
+    )
+    return within.unionByName(fanned)
 
 
 # ---------------------------------------------------------------------------
@@ -165,10 +257,17 @@ def lsh_ann_join(
     """Approximate near-dup pairs: candidates collide in ≥1 LSH table,
     then are exact-verified (so precision is 1.0; recall is governed by
     the (p, T) schedule). Candidate generation explodes T rows/vector
-    and equi-joins on (table, bucket) — linear in corpus size."""
-    bucketed = with_lsh_buckets(
-        ensure_parallelism(embeddings), dim, n_planes, n_tables, seed, vec_col
+    and equi-joins on (table, bucket) — linear in corpus size.
+
+    Identical vectors hash to identical buckets in every table, so a
+    corpus with duplication factor d would generate d² candidates per
+    distinct pair; they are collapsed up front and re-expanded after
+    verification (within-group pairs collide by construction — an LSH
+    table cannot separate equal vectors — so expansion loses nothing)."""
+    groups, reps = _collapse_vectors(
+        ensure_parallelism(embeddings), id_col, vec_col
     )
+    bucketed = with_lsh_buckets(reps, dim, n_planes, n_tables, seed, vec_col)
     ex = bucketed.select(
         id_col, vec_col, F.explode("buckets").alias("b")
     ).select(id_col, vec_col, F.col("b.t").alias("t"), F.col("b.bk").alias("bk"))
@@ -184,11 +283,12 @@ def lsh_ann_join(
         .select("vec_a", "vec_b", "emb_a", "emb_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    return (
+    rep_pairs = (
         candidates.withColumn("cos_sim", cosine(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
     )
+    return _expand_vector_pairs(rep_pairs, groups, threshold)
 
 
 def kmeans_centroids(

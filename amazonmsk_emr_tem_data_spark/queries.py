@@ -1467,6 +1467,267 @@ GROUP BY o_custkey
 
 
 # ---------------------------------------------------------------------------
+# subqueries, conditional aggregation, analytics windows, sampling
+# ---------------------------------------------------------------------------
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-style scalar correlated subquery: yearly revenue lost
+    if small-quantity orders (below 20% of the part's average quantity)
+    stopped shipping, for one brand. Decorrelated the way Catalyst
+    itself would: the per-part average becomes a grouped aggregate
+    joined back on the correlation key — one shuffle on l_partkey
+    instead of a per-row subquery. The 0.2·avg comparison is done in
+    integer-cent cross-multiplied form (qty·5·n < Σqty) so the boundary
+    is exact in both engines — no float-threshold flakiness."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_cents("l_quantity")).alias("qty_cents_sum"),
+        F.count("l_quantity").alias("qty_n"),
+    )
+    brand = part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    return (
+        li.join(F.broadcast(brand), li["l_partkey"] == brand["p_partkey"])
+        .join(per_part, "l_partkey")
+        .filter(
+            _cents("l_quantity") * F.lit(5) * F.col("qty_n")
+            < F.col("qty_cents_sum")
+        )
+        .agg(
+            (dec_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("long").alias("n_small"),
+        )
+    )
+
+
+_SMALL_QTY_SQL = f"""
+SELECT {_dsum("l.l_extendedprice")} / 7.0 AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND CAST(round(l.l_quantity*100) AS BIGINT) * 5
+      * (SELECT COUNT(l2.l_quantity) FROM lineitem l2
+         WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT SUM(CAST(round(l2.l_quantity*100) AS BIGINT))
+         FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def exists_high_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL front-end (TPC-H-Q4 shape):
+    orders per priority having at least one near-max-quantity lineitem.
+    Catalyst rewrites the EXISTS into a left-semi hash join — the same
+    physical plan `customers_with_orders` builds via the DataFrame API,
+    proving the two front-ends converge."""
+    from .sources.files import load_tables
+
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(f"sql_{name}")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, COUNT(*) AS n_orders
+        FROM sql_orders o
+        WHERE EXISTS (SELECT 1 FROM sql_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_quantity >= 49)
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+_EXISTS_SQL = """
+SELECT o.o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+GROUP BY o.o_orderpriority
+"""
+
+
+def conditional_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: one pass over orders computing
+    per-priority counts and sums restricted by independent predicates
+    (`count_if`/`sum(CASE …)`). The scale property: N conditional
+    metrics cost one scan + one shuffle, not N queries."""
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_totalprice") > 250000.0
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "F", F.lit(1)))
+        .cast("long")
+        .alias("n_finished"),
+        F.count(F.when(high, F.lit(1))).cast("long").alias("n_high_value"),
+        (F.sum(F.when(high, _cents("o_totalprice"))).cast("double") / 100.0).alias(
+            "high_value_revenue"
+        ),
+    )
+
+
+_CONDITIONAL_AGG_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+       COUNT(CASE WHEN o_totalprice > 250000.0 THEN 1 END) AS n_high_value,
+       CAST(SUM(CASE WHEN o_totalprice > 250000.0
+                THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS DOUBLE)
+           / 100.0 AS high_value_revenue
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def doc_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating projection (`posexplode`): one row per (word,
+    position) for a deterministic document slice — the lateral-view /
+    UNNEST WITH ORDINALITY shape. Narrow (no shuffle): generation
+    happens inside the scan stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(
+            "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+        )
+        .select("doc_id", (F.col("pos") + 1).alias("pos"), "word")
+        .filter(F.col("pos") <= 8)
+    )
+
+
+_WORD_POSITIONS_SQL = """
+SELECT doc_id, pos, word FROM (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+  WHERE doc_id % 20 = 0
+) WHERE pos <= 8
+"""
+
+
+def order_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics in one window pass: quartile bucket
+    (ntile), percent_rank, cume_dist, and positional values
+    (first/last/nth over the full frame) of order price within each
+    priority class. Ordering is (price, orderkey) — a total order, so
+    every function is deterministic under ties."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_totalprice").over(wf).alias("cheapest"),
+        F.last("o_totalprice").over(wf).alias("priciest"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_cheapest"),
+    )
+
+
+_PRICE_DISTRIBUTION_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       first_value(o_totalprice) OVER wf AS cheapest,
+       last_value(o_totalprice) OVER wf AS priciest,
+       nth_value(o_totalprice, 2) OVER wf AS second_cheapest
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+       wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def systematic_sample_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-in-37 systematic sample (key-modulo, reproducible
+    across engines and runs — unlike seeded Bernoulli sampling) with the
+    Horvitz-Thompson scale-up of the sampled revenue. The sampling
+    predicate is pushed into the scan; at 100 TB this is how you cheaply
+    estimate an aggregate before paying for the exact run."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") % 37 == 0)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            dec_sum("l_extendedprice").alias("sampled_revenue"),
+            (dec_sum("l_extendedprice") * F.lit(37.0)).alias("est_total_revenue"),
+        )
+    )
+
+
+_SYSTEMATIC_SAMPLE_SQL = f"""
+SELECT COUNT(*) AS n_sampled,
+       {_dsum("l_extendedprice")} AS sampled_revenue,
+       {_dsum("l_extendedprice")} * 37.0 AS est_total_revenue
+FROM lineitem
+WHERE l_orderkey % 37 = 0
+"""
+
+
+def doc_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar functions over text: first-token extraction
+    (regexp_extract with a capture group) and global substitution
+    (regexp_replace), both JVM-side inside the scan stage — the pattern
+    every log/text-normalization pipeline starts from."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), "([a-z]+)", 1).alias("first_token"),
+        F.substring(
+            F.regexp_replace(F.col("text"), "[aeiou]", "_"), 1, 40
+        ).alias("devoweled_prefix"),
+        F.length(F.regexp_replace(F.col("text"), "[^ ]", "")).alias("n_spaces"),
+    )
+
+
+_REGEX_EXTRACT_SQL = """
+SELECT doc_id,
+       regexp_extract(text, '([a-z]+)', 1) AS first_token,
+       substr(regexp_replace(text, '[aeiou]', '_', 'g'), 1, 40)
+           AS devoweled_prefix,
+       length(regexp_replace(text, '[^ ]', '', 'g')) AS n_spaces
+FROM documents
+"""
+
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar array analytics over the embedding vectors: dimension,
+    component extrema, component sum (left-fold, bit-matched to
+    DuckDB's list_dot_product against a ones vector) and L2 norm — all
+    pure column expressions, zero Python, zero shuffle."""
+    from .operators.similarity import dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ones = F.transform(F.col("embedding"), lambda x: F.lit(1.0))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.array_min("embedding").cast("double").alias("comp_min"),
+        F.array_max("embedding").cast("double").alias("comp_max"),
+        dot(F.col("embedding"), ones).alias("comp_sum"),
+        norm(F.col("embedding")).alias("l2_norm"),
+    )
+
+
+_EMBEDDING_STATS_SQL = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       list_min(embedding)::DOUBLE AS comp_min,
+       list_max(embedding)::DOUBLE AS comp_max,
+       list_dot_product(embedding::DOUBLE[],
+                        list_transform(embedding, x -> 1.0)::DOUBLE[])
+           AS comp_sum,
+       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS l2_norm
+FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1530,6 +1791,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "outer_join_order_coverage": (outer_join_order_coverage, _OUTER_JOIN_SQL),
     "price_lag_lead_frames": (price_lag_lead_frames, _LAG_LEAD_SQL),
     "sql_interface_q3": (sql_interface_q3, _SQL_Q3_SQL),
+    # subqueries, conditional agg, analytics windows, sampling, regex, arrays
+    "small_quantity_revenue": (small_quantity_revenue, _SMALL_QTY_SQL),
+    "exists_high_quantity_orders": (exists_high_quantity_orders, _EXISTS_SQL),
+    "conditional_agg_orders": (conditional_agg_orders, _CONDITIONAL_AGG_SQL),
+    "doc_word_positions": (doc_word_positions, _WORD_POSITIONS_SQL),
+    "order_price_distribution": (order_price_distribution, _PRICE_DISTRIBUTION_SQL),
+    "systematic_sample_revenue": (systematic_sample_revenue, _SYSTEMATIC_SAMPLE_SQL),
+    "doc_regex_extract": (doc_regex_extract, _REGEX_EXTRACT_SQL),
+    "embedding_stats": (embedding_stats, _EMBEDDING_STATS_SQL),
 }
 
 
