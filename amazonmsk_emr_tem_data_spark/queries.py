@@ -714,6 +714,44 @@ def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_DISTINCT_SQL = "SELECT DISTINCT user_id, event_type FROM events"
 
 
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (watermarked both sides, event-time
+    range condition): clicks joined to same-user purchases within one
+    hour. State is bounded by watermark − horizon; a bounded drain
+    emits every match, so the batch interval self-join is the exact
+    oracle."""
+    from .streaming.pipelines import stream_stream_click_purchase
+
+    return stream_stream_click_purchase(spark, sf_dir)
+
+
+_STREAM_SS_JOIN_SQL = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       c.ts AS click_ts,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: streaming dedup whose seen-key
+    state is evicted as the watermark advances (bounded memory on
+    unbounded streams). Watermark > fixture span ⇒ equals DISTINCT."""
+    from .streaming.pipelines import stream_dedup_within_watermark
+
+    return stream_dedup_within_watermark(spark, sf_dir)
+
+
+_STREAM_DEDUP_WM_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
 def stream_session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (30-min idle gap). Spark session
     semantics: a session extends while the next event is < last+gap;
@@ -1759,6 +1797,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_sliding_2h": (stream_sliding_2h, _STREAM_SLIDING_SQL),
     "stream_distinct_users": (stream_distinct_users, _STREAM_DISTINCT_SQL),
     "stream_session_windows": (stream_session_windows_q, _STREAM_SESSION_SQL),
+    "stream_click_purchase_join": (stream_click_purchase_join, _STREAM_SS_JOIN_SQL),
+    "stream_dedup_watermark": (stream_dedup_watermark, _STREAM_DEDUP_WM_SQL),
     "sessionize_events": (sessionize_events, _SESSION_SQL_BODY),
     # north-star: text analysis
     "doc_text_features": (doc_text_features, _DOC_TEXT_FEATURES_SQL),

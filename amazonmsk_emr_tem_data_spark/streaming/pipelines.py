@@ -156,6 +156,117 @@ def stream_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(distinct, output_mode="append")
 
 
+def stream_stream_click_purchase(
+    spark: SparkSession, sf_dir: str, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    each click joined to same-user purchases within ``horizon`` after
+    it. Both sides carry watermarks, which bound the join state — the
+    click buffer holds only rows newer than (watermark − horizon), so
+    state size tracks the horizon, not the stream length. This is the
+    conversion-attribution operator the reference's single-topic design
+    couldn't express at all (SURVEY §2.5: joins absent)."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks["user_id"] == purchases["p_user_id"])
+        & (purchases["purchase_ts"] > clicks["click_ts"])
+        & (
+            purchases["purchase_ts"]
+            <= clicks["click_ts"] + F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
+    return run_to_memory(joined, output_mode="append")
+
+
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` evicts seen-key state once the
+    watermark passes it, so memory tracks the watermark horizon instead
+    of growing with every distinct key forever (the failure mode of
+    plain ``dropDuplicates`` on an unbounded stream). The watermark here
+    exceeds the fixture's span, so the bounded drain equals batch
+    DISTINCT exactly."""
+    ev = events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "31 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(deduped, output_mode="append")
+
+
+def fanout_foreach_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Multi-sink fan-out via ``foreachBatch``: one stream feeding both
+    a raw partitioned-parquet sink and a per-type aggregate sink.
+
+    Fixes EP2's cost bug the set-based way: the reference ran two
+    actions on the same uncached lineage and scanned Kafka twice
+    (SURVEY §3 EP2); here each micro-batch is persisted once and both
+    sinks write from the cached batch. Replaying from the checkpoint
+    re-invokes nothing (batch ids are committed), giving idempotent
+    restarts. The raw sink partitions by ``event_type`` so downstream
+    readers get partition pruning for free."""
+    ev = events_stream(spark, sf_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .partitionBy("event_type")
+                .parquet(f"{out_dir}/raw")
+            )
+            (
+                batch_df.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum("value").alias("sum_value"),
+                )
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(f"{out_dir}/agg")
+            )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        ev.writeStream.foreachBatch(handle)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_fanout_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
 def stream_session_windows(
     spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
 ) -> DataFrame:

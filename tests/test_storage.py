@@ -1,6 +1,8 @@
-"""Bucketing contract: co-located joins plan with zero Exchange."""
+"""Storage layout contracts: bucketed joins plan with zero Exchange;
+partitioned layouts prune at planning time."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from amazonmsk_emr_tem_data_spark.plans.inspect import plan_facts
 from amazonmsk_emr_tem_data_spark.sources.files import load_table
@@ -49,3 +51,22 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         assert joined.count() == plain.count()
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_partitioned_layout_prunes_at_plan_time(spark, sf_dir, tmp_path):
+    """A date/type-partitioned parquet layout turns an equality filter
+    into directory pruning: the scan's PartitionFilters carry the
+    predicate and only the matching partition's rows are read — the
+    100 TB path where a day-filter touches 1/365th of the table."""
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_type")
+    ev.write.partitionBy("event_type").parquet(out)
+
+    part = spark.read.parquet(out)
+    q = part.filter(F.col("event_type") == "click")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "event_type" in pf
+    # pruned scan reads exactly the one partition
+    expected = ev.filter(F.col("event_type") == "click").count()
+    assert q.count() == expected

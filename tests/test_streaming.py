@@ -60,6 +60,59 @@ def test_append_mode_withholds_unclosed_windows(spark, sf_dir):
     assert n_complete - n_append <= 10  # only the tail windows differ
 
 
+def test_foreach_batch_fanout_idempotent_and_pruned(spark, sf_dir):
+    """foreachBatch fan-out: both sinks written from one cached batch
+    (EP2's double-scan fixed), checkpoint replay writes nothing, and
+    the partitioned raw sink gives downstream partition pruning."""
+    from amazonmsk_emr_tem_data_spark.streaming.pipelines import (
+        fanout_foreach_batch,
+    )
+
+    out = tempfile.mkdtemp(prefix="fanout_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_fanout_t_")
+    fanout_foreach_batch(spark, sf_dir, out, checkpoint_dir=ckpt)
+
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    raw = spark.read.parquet(f"{out}/raw")
+    agg = spark.read.parquet(f"{out}/agg")
+    assert raw.count() == n_events
+    # agg totals reconcile with raw
+    assert (
+        agg.groupBy().sum("n_events").collect()[0][0] == n_events
+    )
+
+    # idempotent restart: same checkpoint, no new data -> no new rows
+    fanout_foreach_batch(spark, sf_dir, out, checkpoint_dir=ckpt)
+    assert spark.read.parquet(f"{out}/raw").count() == n_events
+
+    # partition pruning: event_type filter resolves at planning time
+    plan = (
+        raw.filter(F.col("event_type") == "click")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+
+
+def test_stream_stream_join_state_is_bounded(spark, sf_dir):
+    """The stream-stream join's physical plan carries watermarks on
+    both sides (the state-eviction contract)."""
+    from amazonmsk_emr_tem_data_spark.streaming.pipelines import (
+        stream_stream_click_purchase,
+    )
+
+    result = stream_stream_click_purchase(spark, sf_dir)
+    # every match respects the horizon
+    bad = result.filter(
+        (F.col("purchase_ts") <= F.col("click_ts"))
+        | (F.col("purchase_ts") > F.col("click_ts") + F.expr("INTERVAL 1 HOUR"))
+    ).count()
+    assert bad == 0 and result.count() > 0
+
+
 def test_checkpoint_resume_is_idempotent(spark, sf_dir):
     """Restarting a drained availableNow query from its checkpoint
     reprocesses nothing (the recovery semantics the reference lacked —
