@@ -469,3 +469,99 @@ def simhash_pairs(
     )
     within = _within_pairs(groups, {"hamming": F.lit(0).cast("int")})
     return within.unionByName(_fanout_cross(rep_pairs, groups, ["hamming"]))
+
+
+# ---------------------------------------------------------------------------
+# connected components → dedup clusters
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the similarity-pair graph: (id_col,
+    component) where component = min node id reachable from the node.
+
+    This is the step that turns pairwise near-dup output (minhash /
+    simhash / cosine pairs) into DEDUP GROUPS — "keep one doc per
+    component" — which pairwise ops alone cannot express (near-dup is
+    not transitive; the cluster is the transitive closure).
+
+    Algorithm: distributed min-label propagation. Each round every node
+    takes the min of its own label and its neighbors' labels — a
+    join + groupBy-min, both shuffling on node id, i.e. the same
+    MapReduce rounds GraphX/GraphFrames CC runs. Rounds needed = graph
+    diameter; near-dup graphs are unions of small dense blobs
+    (diameter ≤ ~3), so 3-4 rounds settle real corpora. Per-round
+    ``localCheckpoint`` truncates the lineage so the plan doesn't grow
+    exponentially, and the driver-side convergence test reads ONE
+    aggregated count per round — no collect of node data. At 100 TB:
+    state per round = (node, label) pairs, two narrow longs; the edge
+    list is reused cached; skewed mega-components cost only on their
+    own keys.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("comp")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # neighbor labels: for each dst, min label among its neighbors
+        msgs = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(msgs, labels["node"] == msgs["dst"], "left_outer")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), "comp")
+
+
+def dedup_clusters(
+    df: DataFrame, threshold: float = 0.6, id_col: str = "doc_id"
+) -> DataFrame:
+    """End-to-end near-dup clustering of a corpus: MinHash-LSH pairs →
+    connected components → one row per document with its cluster id,
+    cluster size, and whether it is the canonical survivor (min id).
+    This is the full "dedup a web crawl" pipeline as one DataFrame op.
+    """
+    pairs = minhash_lsh_pairs(df, threshold=threshold, id_col=id_col)
+    comp = connected_components(pairs, df, id_col=id_col)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "comp")
+        .select(
+            id_col,
+            F.col("comp").alias("cluster_id"),
+            "cluster_size",
+            (F.col(id_col) == F.col("comp")).alias("is_canonical"),
+        )
+    )

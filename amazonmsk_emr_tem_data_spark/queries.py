@@ -1765,6 +1765,289 @@ FROM embeddings
 """
 
 
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING end-to-end: MinHash-LSH pairs → distributed
+    connected components (min-label propagation) → per-doc cluster id /
+    size / canonical flag. The oracle recomputes the transitive closure
+    with a recursive CTE over exact-Jaccard pairs — so this gate checks
+    the whole stack: LSH recall, exact verification, AND the iterative
+    component algorithm, value-for-value."""
+    from .operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters(docs, threshold=0.6)
+
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(generate_series(1, len(w)-2),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [array_to_string(w, ' ')] END)) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE c / (sa.n + sb.n - c) >= 0.6
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.node, e.b FROM reach w JOIN edges e ON w.r = e.a
+), comp AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+), csize AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       c.doc_id = c.cluster_id AS is_canonical
+FROM comp c JOIN csize s USING (cluster_id)
+"""
+
+
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13 shape: distribution of per-customer order counts,
+    including zero-order customers (left outer join with a join-side
+    predicate, then two cascaded aggregations). Scale notes: the outer
+    join shuffles both sides on custkey once; the second aggregate
+    (histogram over ~|customers| rows grouped by a tiny-cardinality
+    key) is map-side-combined to near-nothing before its exchange."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+_CUSTOMER_ORDER_HIST_SQL = """
+SELECT c_count, COUNT(*) AS n_customers
+FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey) per_cust
+GROUP BY c_count
+"""
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue. The scalar MAX subquery is decorrelated to a 1-row
+    aggregate broadcast back against the per-supplier revenue — the
+    100 TB plan is one shuffle (supplier agg) + two broadcasts, and the
+    equality compare happens on the exact integer-cent grid so
+    "equals the max" is not float-sensitive."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1995-04-01")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(disc_price_cents()).alias("rev_grid")
+    )
+    mx = rev.agg(F.max("rev_grid").alias("max_grid"))
+    return (
+        rev.join(F.broadcast(mx), rev["rev_grid"] == mx["max_grid"])
+        .join(F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_grid").cast("double") / F.lit(10000.0)).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+_TOP_SUPPLIER_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_DISC_PRICE_CENTS_SQL}) AS rev_grid
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1995-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(rev_grid AS DOUBLE) / 10000.0 AS total_revenue
+FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev_grid = (SELECT MAX(rev_grid) FROM rev)
+"""
+
+
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold (GROUP BY + HAVING as an IN-subquery in SQL), joined back
+    to orders and customer. The heavy aggregate groups on l_orderkey —
+    the same key lineitem would be bucketed by at rest, so with
+    bucketed storage (storage.write_bucketed) this plan runs
+    shuffle-free up to the final small join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents("l_quantity")).alias("qty_grid"))
+        .filter(F.col("qty_grid") > 300 * 100)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            (F.col("qty_grid").cast("double") / F.lit(100.0)).alias("total_qty"),
+        )
+    )
+
+
+_LARGE_ORDERS_SQL = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(big.qty_grid AS DOUBLE) / 100.0 AS total_qty
+FROM (SELECT l_orderkey,
+             SUM(CAST(round(l_quantity*100) AS BIGINT)) AS qty_grid
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(round(l_quantity*100) AS BIGINT)) > 30000) big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7 shape: bilateral trade volume between customer-nation
+    and supplier-nation pairs by ship year. The same tiny nation dim is
+    broadcast twice under two aliases (cust side, supp side) — zero
+    extra shuffles beyond the lineitem⋈orders and ⋈customer exchanges;
+    at 100 TB the fact-fact joins shuffle on their natural keys and
+    every dimension stays broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    flows = (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        flows.filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            (F.sum(disc_price_cents()).cast("double") / F.lit(10000.0)).alias(
+                "volume"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_NATION_TRADE_SQL = f"""
+SELECT cn.n_name AS cust_nation,
+       sn.n_name AS supp_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM({_DISC_PRICE_CENTS_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) / 10000.0 AS volume,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  AND cn.n_name <> sn.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22 shape: customers with above-average positive account
+    balance and no RECENT orders (none since 2000-06-01 — every fixture
+    customer has *some* order, so an unfiltered anti-join would be the
+    degenerate empty set), grouped by nation. The scalar AVG subquery
+    becomes a 1-row aggregate cross-broadcast; the compare is
+    cross-multiplied onto the integer-cent grid (bal·n > Σbal) so the
+    threshold is exact in both engines; the NOT-EXISTS is a left-anti
+    join shuffling only the (narrow) recent-orders key column — the
+    date filter is pushed to the orders scan, so at 100 TB the anti
+    side is a small fraction of the orders table."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-06-01")
+        .select("o_custkey")
+    )
+    pos = cust.filter(F.col("c_acctbal") > 0.0)
+    avg_row = pos.agg(
+        F.sum(_cents("c_acctbal")).alias("bal_grid_sum"),
+        F.count(F.lit(1)).alias("bal_n"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_row))
+        .filter(_cents("c_acctbal") * F.col("bal_n") > F.col("bal_grid_sum"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dec_sum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+_IDLE_RICH_SQL = f"""
+SELECT c_nationkey, COUNT(*) AS n_customers,
+       {_dsum("c_acctbal")} AS total_bal
+FROM customer c
+WHERE CAST(round(c.c_acctbal*100) AS BIGINT)
+      * (SELECT COUNT(*) FROM customer p WHERE p.c_acctbal > 0)
+      > (SELECT SUM(CAST(round(p.c_acctbal*100) AS BIGINT))
+         FROM customer p WHERE p.c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+GROUP BY c_nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1840,6 +2123,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "systematic_sample_revenue": (systematic_sample_revenue, _SYSTEMATIC_SAMPLE_SQL),
     "doc_regex_extract": (doc_regex_extract, _REGEX_EXTRACT_SQL),
     "embedding_stats": (embedding_stats, _EMBEDDING_STATS_SQL),
+    "dedup_clusters": (dedup_clusters_q, _DEDUP_CLUSTERS_SQL),
+    # TPC-H-parity complex relational shapes (Q13/Q15/Q18/Q7/Q22)
+    "customer_order_histogram": (customer_order_histogram, _CUSTOMER_ORDER_HIST_SQL),
+    "top_supplier_revenue": (top_supplier_revenue, _TOP_SUPPLIER_SQL),
+    "large_quantity_orders": (large_quantity_orders, _LARGE_ORDERS_SQL),
+    "nation_trade_flows": (nation_trade_flows, _NATION_TRADE_SQL),
+    "idle_rich_customers": (idle_rich_customers, _IDLE_RICH_SQL),
 }
 
 
