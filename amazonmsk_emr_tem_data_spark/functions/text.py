@@ -131,6 +131,30 @@ def quality_score(col: Column | str = "text") -> Column:
     )
 
 
+def dup_ngram_frac(col: Column | str = "text", n: int = 2) -> Column:
+    """Fraction of word n-grams that repeat an earlier n-gram in the
+    same document — the Gopher-rule repetition signal used to filter
+    boilerplate/spam out of training corpora (cf. "duplicate n-gram
+    fraction" quality heuristics). Pure higher-order-function column
+    expression: per-row array ops, no shuffle, whole-stage codegen —
+    at 100 TB this is a map-only pass over the text column. Docs
+    shorter than ``n`` tokens score 0.0."""
+    w = tokens(col)
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
 def rolling_hash(col: Column | str = "text", window: int = 8) -> Column:
     """Deterministic 64-bit rolling-style content hash: min over all
     ``window``-token shingle hashes (winnowing-style document sketch).

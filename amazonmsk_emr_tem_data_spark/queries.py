@@ -2048,6 +2048,85 @@ GROUP BY c_nationkey
 """
 
 
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition quality filter: per-document
+    duplicate-bigram/trigram fraction (higher-order array functions —
+    map-only, no shuffle) joined with token-frequency stats
+    (explode → two-level groupBy, shuffling once on doc_id) and a
+    boolean keep flag at corpus-median thresholds. At 100 TB the HOF
+    features are a codegen'd scan pass; the explode path shuffles
+    (doc_id, token) pairs — cardinality ≈ corpus token count, the
+    natural lower bound for exact term-frequency stats."""
+    from .functions.text import dup_ngram_frac, token_count, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        dup_ngram_frac("text", 2).alias("dup_bigram_frac"),
+        dup_ngram_frac("text", 3).alias("dup_trigram_frac"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+                "top_token_frac"
+            ),
+            (F.count(F.lit(1)).cast("double") / F.sum("c").cast("double")).alias(
+                "distinct_token_frac"
+            ),
+        )
+    )
+    return base.join(tf, "doc_id").withColumn(
+        "keep",
+        (F.col("dup_bigram_frac") <= 0.04) & (F.col("top_token_frac") <= 0.10),
+    )
+
+
+_DOC_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+), grams AS (
+  SELECT doc_id, w,
+    CASE WHEN len(w) >= 2
+         THEN list_transform(generate_series(1, len(w)-1),
+                             i -> w[i] || ' ' || w[i+1])
+         ELSE [] END AS g2,
+    CASE WHEN len(w) >= 3
+         THEN list_transform(generate_series(1, len(w)-2),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [] END AS g3
+  FROM toks
+), feat AS (
+  SELECT doc_id, len(w) AS n_tokens,
+    CASE WHEN len(g2) > 0
+         THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                    / CAST(len(g2) AS DOUBLE)
+         ELSE 0.0 END AS dup_bigram_frac,
+    CASE WHEN len(g3) > 0
+         THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                    / CAST(len(g3) AS DOUBLE)
+         ELSE 0.0 END AS dup_trigram_frac
+  FROM grams
+), tf AS (
+  SELECT doc_id,
+         CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_token_frac,
+         CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS distinct_token_frac
+  FROM (SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+        GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT f.doc_id, f.n_tokens, f.dup_bigram_frac, f.dup_trigram_frac,
+       tf.top_token_frac, tf.distinct_token_frac,
+       (f.dup_bigram_frac <= 0.04 AND tf.top_token_frac <= 0.10) AS keep
+FROM feat f JOIN tf USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2130,6 +2209,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "large_quantity_orders": (large_quantity_orders, _LARGE_ORDERS_SQL),
     "nation_trade_flows": (nation_trade_flows, _NATION_TRADE_SQL),
     "idle_rich_customers": (idle_rich_customers, _IDLE_RICH_SQL),
+    "doc_repetition_filter": (doc_repetition_filter, _DOC_REPETITION_SQL),
 }
 
 
