@@ -128,3 +128,70 @@ def test_multimodal_frame_explosion(spark, docs):
     assert out.count() == 4 * n_docs
     per_doc = out.groupBy("doc_id").count().select(F.min("count"), F.max("count")).first()
     assert per_doc[0] == 4 and per_doc[1] == 4
+
+
+def test_connected_components_known_graph(spark):
+    """CC on a hand-built graph: a 4-node chain (transitive closure —
+    pairwise ops alone cannot produce it), a 2-node blob, and an
+    isolated node. Labels must converge to the min node id reachable,
+    and the isolated node must keep its own label."""
+    from amazonmsk_emr_tem_data_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 99]], ["doc_id"]
+    )
+    # chain 1-2-3-4 (diameter 3 forces >1 propagation round), blob 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["comp"]
+        for r in connected_components(pairs, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_dedup_clusters_canonical_flags(spark):
+    """dedup_clusters marks exactly one canonical doc (the min id) per
+    cluster and reports the right cluster sizes, including size-1
+    clusters for unique docs."""
+    from amazonmsk_emr_tem_data_spark.operators.dedup import dedup_clusters
+
+    rows = [
+        (0, "spark shuffles the data across the cluster nodes quickly"),
+        (1, "spark shuffles the data across the cluster nodes quickly"),
+        (2, "spark shuffles the data across the cluster nodes slowly"),
+        (3, "an entirely different document about ducks and ponds here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup_clusters(df, threshold=0.6).collect()}
+    assert len(out) == 4
+    # 0,1 exact dups; 2 near-dup of both -> one cluster rooted at 0
+    assert out[0]["cluster_id"] == out[1]["cluster_id"] == out[2]["cluster_id"]
+    assert out[0]["cluster_size"] == 3
+    assert out[0]["is_canonical"] and not out[1]["is_canonical"]
+    assert out[3]["cluster_size"] == 1 and out[3]["is_canonical"]
+
+
+def test_dup_ngram_frac_edges(spark):
+    """Repetition signal: 0.0 for docs shorter than n, 0.0 for all-
+    distinct bigrams, and the exact fraction for a known repeat."""
+    from amazonmsk_emr_tem_data_spark.functions.text import dup_ngram_frac
+
+    rows = [
+        (0, "one"),  # shorter than n=2
+        (1, "a b c d"),  # 3 distinct bigrams
+        (2, "a b a b a b"),  # 5 bigrams, 2 distinct -> 0.6
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", dup_ngram_frac("text", 2).alias("f")
+        ).collect()
+    }
+    assert got[0] == 0.0
+    assert got[1] == 0.0
+    assert abs(got[2] - 0.6) < 1e-12
