@@ -2048,6 +2048,48 @@ GROUP BY c_nationkey
 """
 
 
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14 shape: promo revenue share for one ship month as a
+    single global scalar — conditional sum over a fact⋈dim join,
+    divided map-side-aggregated sums. The month filter is pushed to the
+    lineitem scan (at 100 TB with shipdate partitioning this prunes to
+    ~1/80th of the table); part is broadcast so the only exchange is
+    the single-row final aggregate. Sums stay on the integer-cent grid
+    until one final double division, so both engines divide identical
+    integers."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01")
+        & (F.col("l_shipdate") < "1995-10-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", disc_price_cents())
+                    .otherwise(F.lit(0).cast("long"))
+                ).cast("double")
+                * F.lit(100.0)
+                / F.sum(disc_price_cents()).cast("double")
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_PROMO_SHARE_SQL = f"""
+SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN {_DISC_PRICE_CENTS_SQL} ELSE 0 END) AS DOUBLE)
+       * 100.0
+       / CAST(SUM({_DISC_PRICE_CENTS_SQL}) AS DOUBLE) AS promo_share_pct,
+       COUNT(*) AS n_lineitems
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l.l_shipdate < TIMESTAMP '1995-10-01'
+"""
+
+
 def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/RefinedWeb-style repetition quality filter: per-document
     duplicate-bigram/trigram fraction (higher-order array functions —
@@ -2210,6 +2252,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "nation_trade_flows": (nation_trade_flows, _NATION_TRADE_SQL),
     "idle_rich_customers": (idle_rich_customers, _IDLE_RICH_SQL),
     "doc_repetition_filter": (doc_repetition_filter, _DOC_REPETITION_SQL),
+    "promo_revenue_share": (promo_revenue_share, _PROMO_SHARE_SQL),
 }
 
 
