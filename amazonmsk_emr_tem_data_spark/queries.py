@@ -2090,6 +2090,63 @@ WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
 """
 
 
+def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19 shape: revenue under an OR-of-ANDs predicate mixing
+    fact (l_quantity) and dim (p_brand, p_size) columns. Catalyst
+    factors the common conjuncts OUT of the disjunction (CNF
+    conversion), so the p_size/p_brand half pushes to the broadcast
+    part scan and the l_quantity bounds push to the lineitem scan —
+    at 100 TB the disjunction prunes BOTH sides before the join
+    instead of filtering post-join. Quantity bounds compare on the
+    integer-cent grid so the boundary rows agree across engines; the
+    grid expression itself isn't scan-pushable (round+cast), so a
+    WIDENED raw-column range implied by the grid bounds is added
+    redundantly — it reaches PushedFilters and prunes row groups while
+    the exact grid predicate decides the boundary rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 0.99) & (F.col("l_quantity") <= 30.01)
+    )
+    part = load_table(spark, sf_dir, "part")
+    q = _cents("l_quantity")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & (F.col("p_size").between(1, 15))
+        & (q >= 100)
+        & (q <= 1100)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & (F.col("p_size").between(1, 30))
+        & (q >= 1000)
+        & (q <= 2000)
+    ) | (
+        (F.col("p_brand") == "Brand#7")
+        & (F.col("p_size").between(1, 50))
+        & (q >= 2000)
+        & (q <= 3000)
+    )
+    return j.filter(cond).agg(
+        (F.sum(disc_price_cents()).cast("double") / F.lit(10000.0)).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+_DISJUNCTIVE_SQL = f"""
+SELECT CAST(SUM({_DISC_PRICE_CENTS_SQL}) AS DOUBLE) / 10000.0 AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_quantity >= 0.99 AND l.l_quantity <= 30.01
+  AND ((p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND CAST(round(l.l_quantity*100) AS BIGINT) BETWEEN 100 AND 1100)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 30
+       AND CAST(round(l.l_quantity*100) AS BIGINT) BETWEEN 1000 AND 2000)
+   OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 1 AND 50
+       AND CAST(round(l.l_quantity*100) AS BIGINT) BETWEEN 2000 AND 3000))
+"""
+
+
 def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/RefinedWeb-style repetition quality filter: per-document
     duplicate-bigram/trigram fraction (higher-order array functions —
@@ -2253,6 +2310,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "idle_rich_customers": (idle_rich_customers, _IDLE_RICH_SQL),
     "doc_repetition_filter": (doc_repetition_filter, _DOC_REPETITION_SQL),
     "promo_revenue_share": (promo_revenue_share, _PROMO_SHARE_SQL),
+    "disjunctive_predicate_revenue": (
+        disjunctive_predicate_revenue,
+        _DISJUNCTIVE_SQL,
+    ),
 }
 
 
