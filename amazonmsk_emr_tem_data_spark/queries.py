@@ -2147,6 +2147,67 @@ WHERE l.l_quantity >= 0.99 AND l.l_quantity <= 30.01
 """
 
 
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling — the language-rebalancing step of a
+    training-data pipeline: per-language keep rates (en 80%, de/fr/es
+    50%, others 30%) decided by a deterministic content hash
+    (md5→int64 mod 100), never by rand(). Deterministic hashing makes
+    the sample reproducible across runs/retries AND exactly
+    re-computable by the oracle. The filter is a map-only codegen'd
+    pass; the per-language summary shuffles once on the (tiny) lang
+    key. At 100 TB the sample is taken WITHOUT materializing the kept
+    set — downstream operators compose on the filtered plan."""
+    from .functions.text import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(80))
+        .when(F.col("lang").isin("de", "fr", "es"), F.lit(50))
+        .otherwise(F.lit(30))
+    )
+    slot = (
+        md5_hash64(
+            F.concat_ws("|", F.col("lang"), F.col("doc_id").cast("string"))
+        )
+        % 100
+    )
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        docs.filter(slot < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .join(F.broadcast(totals), "lang")
+        .withColumn(
+            "observed_rate",
+            F.col("n_kept").cast("double") / F.col("n_total").cast("double"),
+        )
+    )
+
+
+_STRATIFIED_SAMPLE_SQL = f"""
+WITH kept AS (
+  SELECT * FROM documents
+  WHERE {_HASH64_SQL.format(x="lang || '|' || CAST(doc_id AS VARCHAR)")} % 100
+        < CASE WHEN lang = 'en' THEN 80
+               WHEN lang IN ('de', 'fr', 'es') THEN 50
+               ELSE 30 END
+), tot AS (
+  SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang
+)
+SELECT k.lang, COUNT(*) AS n_kept,
+       COUNT(DISTINCT k.source) AS n_sources,
+       SUM(k.n_chars) AS total_chars,
+       t.n_total,
+       CAST(COUNT(*) AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS observed_rate
+FROM kept k JOIN tot t USING (lang)
+GROUP BY k.lang, t.n_total
+"""
+
+
 def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/RefinedWeb-style repetition quality filter: per-document
     duplicate-bigram/trigram fraction (higher-order array functions —
@@ -2314,6 +2375,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         disjunctive_predicate_revenue,
         _DISJUNCTIVE_SQL,
     ),
+    "stratified_sample_docs": (stratified_sample_docs, _STRATIFIED_SAMPLE_SQL),
 }
 
 
