@@ -2147,6 +2147,62 @@ WHERE l.l_quantity >= 0.99 AND l.l_quantity <= 30.01
 """
 
 
+def supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11 shape: suppliers whose revenue is >2% above the MEAN
+    supplier revenue — a HAVING clause comparing each group's aggregate
+    to a global scalar aggregate. (A fixed share-of-total cutoff would
+    be degenerate here: supplier count scales with SF, so every
+    supplier clears any small fixed share; the mean-relative threshold
+    splits the population at every scale.) The global (total, count)
+    re-aggregates the already-small per-supplier rollup and broadcasts
+    one row; the compare cross-multiplies on the integer-cent grid
+    (rev·n·50 > 51·total) so no division decides membership. The big
+    lineitem scan is aggregated ONCE and reused for both sides —
+    Catalyst's ReuseExchange keeps it a single shuffle at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(disc_price_cents()).alias("rev_grid")
+    )
+    total = rev.agg(
+        F.sum("rev_grid").alias("total_grid"),
+        F.count(F.lit(1)).alias("n_sup"),
+    )
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("rev_grid") * F.col("n_sup") * F.lit(50)
+            > F.lit(51) * F.col("total_grid")
+        )
+        .join(F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_grid").cast("double") / F.lit(10000.0)).alias("revenue"),
+            (
+                F.col("rev_grid").cast("double")
+                / F.col("total_grid").cast("double")
+            ).alias("revenue_share"),
+        )
+    )
+
+
+_SUPPLIER_SHARE_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_DISC_PRICE_CENTS_SQL}) AS rev_grid
+  FROM lineitem GROUP BY l_suppkey
+), tot AS (
+  SELECT SUM(rev_grid) AS total_grid, COUNT(*) AS n_sup FROM rev
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(rev_grid AS DOUBLE) / 10000.0 AS revenue,
+       CAST(rev_grid AS DOUBLE) / CAST(total_grid AS DOUBLE) AS revenue_share
+FROM rev CROSS JOIN tot
+JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev_grid * n_sup * 50 > 51 * total_grid
+"""
+
+
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified corpus sampling — the language-rebalancing step of a
     training-data pipeline: per-language keep rates (en 80%, de/fr/es
@@ -2376,6 +2432,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _DISJUNCTIVE_SQL,
     ),
     "stratified_sample_docs": (stratified_sample_docs, _STRATIFIED_SAMPLE_SQL),
+    "supplier_revenue_share": (supplier_revenue_share, _SUPPLIER_SHARE_SQL),
 }
 
 
