@@ -2156,13 +2156,18 @@ def supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits the population at every scale.) The global (total, count)
     re-aggregates the already-small per-supplier rollup and broadcasts
     one row; the compare cross-multiplies on the integer-cent grid
-    (rev·n·50 > 51·total) so no division decides membership. The big
-    lineitem scan is aggregated ONCE and reused for both sides —
-    Catalyst's ReuseExchange keeps it a single shuffle at 100 TB."""
+    (rev·n·50 > 51·total) so no division decides membership. The
+    per-supplier rollup feeds BOTH the output rows and the global
+    total; measured, neither static planning nor AQE reuses that
+    exchange subtree (two full lineitem scans), so the rollup — tiny:
+    one row per supplier — is explicitly cached, making the 100-TB
+    lineitem scan happen exactly once."""
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
-    rev = li.groupBy("l_suppkey").agg(
-        F.sum(disc_price_cents()).alias("rev_grid")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(disc_price_cents()).alias("rev_grid"))
+        .cache()
     )
     total = rev.agg(
         F.sum("rev_grid").alias("total_grid"),
