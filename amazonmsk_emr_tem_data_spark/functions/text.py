@@ -158,7 +158,7 @@ def dup_ngram_frac(col: Column | str = "text", n: int = 2) -> Column:
 def rolling_hash(col: Column | str = "text", window: int = 8) -> Column:
     """Deterministic 64-bit rolling-style content hash: min over all
     ``window``-token shingle hashes (winnowing-style document sketch).
-    Uses the cross-engine md5→int64 hash (see shingle_hash_expr)."""
+    Uses the cross-engine md5→int64 hash (see md5_hash64)."""
     w = tokens(col)
     shingles = F.when(
         F.size(w) >= window,

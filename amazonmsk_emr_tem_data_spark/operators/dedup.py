@@ -8,12 +8,13 @@ Five families over the ``documents`` table, each designed scale-first:
 - **n-gram Jaccard**: word-3-gram shingles → explode → equi-join on
   shingle → count-intersection / union. Exact, but O(pairs sharing a
   shingle) — the verification step of the near-dup stack.
-- **MinHash + LSH**: K deterministic hash functions (md5-based, so the
-  DuckDB oracle can reproduce them bit-for-bit) → per-doc signature →
-  single-row bands → candidate pairs share ≥1 signature slot → exact
-  Jaccard verification of candidates only. The scale path: candidate
-  generation is linear in corpus size, the quadratic step touches only
-  colliding pairs.
+- **MinHash + LSH**: K seeded xxhash64 min-hashes (engine-internal —
+  the oracle checks the operator's OUTPUT against exact Jaccard, so
+  the hash family only has to be uniform, not cross-engine
+  reproducible) → per-doc signature → single-row bands → candidate
+  pairs share ≥2 signature slots → exact Jaccard verification of
+  candidates only. The scale path: candidate generation is linear in
+  corpus size, the quadratic step touches only colliding pairs.
 - **SimHash**: 64-bit sign-aggregated token-hash sketch; near-dups =
   pairs within Hamming distance d (bucketed by rotating chunks).
 - **embedding cosine**: near-dup by semantic similarity over the
@@ -26,6 +27,8 @@ in queries.py.
 """
 
 from __future__ import annotations
+
+import logging
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -102,6 +105,37 @@ def _exploded(df: DataFrame, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # exact-dup collapse / expansion (shared by the pair operators)
 # ---------------------------------------------------------------------------
+
+
+def capped_buckets(
+    melted: DataFrame,
+    keys: list[str],
+    id_col: str,
+    max_bucket_size: int,
+) -> DataFrame:
+    """Bucket membership lists with a hard size cap.
+
+    Counts membership per bucket FIRST (a map-side-combinable agg whose
+    shuffle carries one long per bucket), drops buckets above
+    ``max_bucket_size``, and only then materializes the id lists via
+    ``collect_list``. At 100 TB one degenerate key (a stopword-like
+    shingle value, an all-zeros simhash chunk) would otherwise build a
+    multi-GB array in a single row and then explode O(n²) pairs out of
+    it; dropping over-full buckets is standard LSH practice — a bucket
+    that hot carries no near-dup signal, only a degenerate feature.
+    The count pass costs one extra shuffle over the melted rows, but
+    both shuffles hash on the same bucket key, and the first one moves
+    only (key, count).
+    """
+    sizes = melted.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    ok = sizes.filter(
+        (F.col("n") >= 2) & (F.col("n") <= max_bucket_size)
+    ).select(*keys)
+    return (
+        melted.join(ok, keys, "left_semi")
+        .groupBy(*keys)
+        .agg(F.collect_list(id_col).alias("ids"))
+    )
 
 
 def _ordered_pairs(ids: Column) -> Column:
@@ -274,6 +308,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     min_collisions: int = 2,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs via exact-dup collapse → MinHash-LSH candidates →
     exact verification → group expansion.
@@ -298,6 +333,11 @@ def minhash_lsh_pairs(
     Scale: signatures are one narrow map over shingles (the shuffle
     carries 16 longs per distinct doc); candidate generation is linear
     in corpus size; only colliding pairs reach the quadratic verify.
+    Buckets larger than ``max_bucket_size`` distinct documents are
+    dropped before their id lists materialize (see capped_buckets) —
+    a bucket that hot means a degenerate hash slot, not near-dup
+    signal; recall for real near-dups is preserved by the other K-1
+    slots.
     """
     groups, reps = _collapse_exact(df, id_col)
     sh = shingled(reps, id_col, k).cache()
@@ -314,21 +354,15 @@ def minhash_lsh_pairs(
         ]
     )
     # LSH banding (1-row bands): bucket on (slot, value) via a single
-    # groupBy; emit each bucket's ordered pairs. Bucket membership lists
-    # are bounded in practice by the hash's uniformity (degenerate hot
-    # buckets at corpus scale mean the feature set is degenerate — the
-    # fix is wider bands / stopword-shingle pruning, not a bigger join).
+    # groupBy; id lists materialize only for buckets whose counted
+    # membership is within [2, max_bucket_size] (capped_buckets).
     melted = sig.select(
         id_col,
         F.posexplode(
             F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
         ).alias("slot", "val"),
     )
-    buckets = (
-        melted.groupBy("slot", "val")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
+    buckets = capped_buckets(melted, ["slot", "val"], id_col, max_bucket_size)
     # Candidate = collides in >= min_collisions of the K slots. One
     # collision admits ~1% of all random pairs on a small corpus vocab;
     # two cuts false candidates ~20x while the miss probability for a
@@ -416,7 +450,10 @@ def simhash_sketch(
 
 
 def simhash_pairs(
-    df: DataFrame, max_hamming: int = 6, id_col: str = "doc_id"
+    df: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs within Hamming distance ``max_hamming`` of the
     60-bit SimHash. Candidate generation: split the sketch into
@@ -425,7 +462,14 @@ def simhash_pairs(
     an equi-join on (chunk_idx, chunk_value), never a cross join.
     Exact duplicates are collapsed first (identical text ⇒ identical
     sketch ⇒ identity groups would flood every chunk bucket; see
-    _collapse_exact) and re-expanded at hamming 0."""
+    _collapse_exact) and re-expanded at hamming 0.
+
+    Chunk values shared by more than ``max_bucket_size`` distinct
+    documents are excluded from the self-join (counted first, one
+    narrow agg): a that-hot chunk value is a degenerate feature (e.g.
+    an all-identical low-entropy bit range) and would blow the join
+    output up quadratically; pairs within the hamming budget still
+    surface through their other max_hamming chunks."""
     groups, reps = _collapse_exact(df, id_col)
     sk = simhash_sketch(reps, id_col)
     n_chunks = max_hamming + 1
@@ -446,6 +490,13 @@ def simhash_pairs(
     ex = sk.select(id_col, "sk", F.explode(chunks).alias("c")).select(
         id_col, "sk", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
     )
+    ok = (
+        ex.groupBy("ci", "cv")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket_size))
+        .select("ci", "cv")
+    )
+    ex = ex.join(ok, ["ci", "cv"], "left_semi")
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
         a.join(
@@ -542,6 +593,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # min-label propagation needs up to (component diameter) rounds;
+        # a similarity chain longer than max_iter docs would otherwise
+        # yield silently split cluster ids.
+        logging.getLogger(__name__).warning(
+            "connected_components did not converge in %d rounds "
+            "(%d labels still changing); component ids may be split — "
+            "raise max_iter for long-diameter graphs",
+            max_iter,
+            changed,
+        )
     return labels.select(F.col("node").alias(id_col), "comp")
 
 

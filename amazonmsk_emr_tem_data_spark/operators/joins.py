@@ -76,6 +76,26 @@ def asof_join(
     return out
 
 
+_BUCKET_UNITS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def _parse_bucket_seconds(bucket: str) -> int:
+    """``"<n> <unit>"`` → stride in seconds (unit may be plural)."""
+    parts = bucket.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"bucket must be '<n> <unit>', got {bucket!r}")
+    n, unit = int(parts[0]), parts[1].lower().rstrip("s")
+    if n <= 0 or unit not in _BUCKET_UNITS:
+        raise ValueError(f"unsupported bucket interval {bucket!r}")
+    return n * _BUCKET_UNITS[unit]
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
@@ -94,20 +114,26 @@ def range_join(
     order of the typical interval width: fan-out stays O(1) per row and
     no shuffle partition ever sees more than one bucket's worth of a
     key (skew = hot (key, bucket), handled by AQE skew-join splitting).
+
+    ``bucket`` is an interval string ``"<n> <unit>"`` (seconds/minutes/
+    hours/days/weeks); both sides bucketize by the same epoch-aligned
+    integer stride, so the equi-join keys line up for any width.
     """
+    step = _parse_bucket_seconds(bucket)
     r = right.withColumn("__start", right_start).withColumn("__end", right_end)
     r_bucketed = r.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                F.unix_timestamp(F.date_trunc("day", F.col("__start"))),
-                F.unix_timestamp(F.date_trunc("day", F.col("__end"))),
-                F.lit(86400),
+                F.floor(F.unix_timestamp(F.col("__start")) / step) * step,
+                F.floor(F.unix_timestamp(F.col("__end")) / step) * step,
+                F.lit(step),
             )
         ),
     )
     l_bucketed = left.withColumn(
-        "__bucket", F.unix_timestamp(F.date_trunc("day", F.col(left_ts)))
+        "__bucket",
+        F.floor(F.unix_timestamp(F.col(left_ts)) / step) * step,
     )
     joined = l_bucketed.join(r_bucketed, [on, "__bucket"]).filter(
         (F.col(left_ts) >= F.col("__start")) & (F.col(left_ts) < F.col("__end"))

@@ -1302,11 +1302,23 @@ GROUP BY l_returnflag
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketches per event_type: HLL++ distinct users and
     t-digest-style quantiles (rows-only: sketch algorithms are
-    engine-specific by design; accuracy vs exact is unit-tested)."""
+    engine-specific by design; accuracy vs exact is unit-tested).
+
+    The quantiles are projected into scalar p50/p90/p99 columns rather
+    than one array column so downstream canonicalization (sort + hash)
+    works on hashable scalars.
+    """
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("value_quantiles"),
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("_q"),
+    )
+    return agg.select(
+        "event_type",
+        "approx_users",
+        F.col("_q")[0].alias("p50"),
+        F.col("_q")[1].alias("p90"),
+        F.col("_q")[2].alias("p99"),
     )
 
 
@@ -2161,7 +2173,13 @@ def supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     total; measured, neither static planning nor AQE reuses that
     exchange subtree (two full lineitem scans), so the rollup — tiny:
     one row per supplier — is explicitly cached, making the 100-TB
-    lineitem scan happen exactly once."""
+    lineitem scan happen exactly once.
+
+    Overflow: the cross-multiply rev·n·50 would exceed int64 around
+    sf≈60 (per-supplier rev_grid ~3e11 × 1e4·SF suppliers × 50), so
+    the membership compare is done in DECIMAL(38,0) on both engines
+    (max operand ~5e24 ≪ 1e38) — exact at any realistic SF, and both
+    engines compare identical integers so the boundary agrees."""
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
     rev = (
@@ -2176,8 +2194,10 @@ def supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(total))
         .filter(
-            F.col("rev_grid") * F.col("n_sup") * F.lit(50)
-            > F.lit(51) * F.col("total_grid")
+            F.col("rev_grid").cast("decimal(38,0)")
+            * F.col("n_sup").cast("decimal(38,0)")
+            * F.lit(50)
+            > F.lit(51) * F.col("total_grid").cast("decimal(38,0)")
         )
         .join(F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"])
         .select(
@@ -2204,7 +2224,8 @@ SELECT s.s_suppkey, s.s_name,
        CAST(rev_grid AS DOUBLE) / CAST(total_grid AS DOUBLE) AS revenue_share
 FROM rev CROSS JOIN tot
 JOIN supplier s ON s.s_suppkey = rev.l_suppkey
-WHERE rev_grid * n_sup * 50 > 51 * total_grid
+WHERE CAST(rev_grid AS DECIMAL(38,0)) * CAST(n_sup AS DECIMAL(38,0)) * 50
+      > 51 * CAST(total_grid AS DECIMAL(38,0))
 """
 
 

@@ -24,12 +24,75 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _apply_common(reader, bootstrap_servers: str, security: dict[str, str] | None):
-    reader = reader.format("kafka").option("kafka.bootstrap.servers", bootstrap_servers)
-    for k, v in (security or {}).items():
-        # e.g. kafka.security.protocol=SASL_SSL, kafka.sasl.mechanism=AWS_MSK_IAM
-        reader = reader.option(k if k.startswith("kafka.") else f"kafka.{k}", v)
-    return reader
+def msk_iam_security(
+    truststore: str = "/tmp/kafka.client.truststore.jks",
+) -> dict[str, str]:
+    """The reference's MSK IAM auth bundle (temReadFromTopic.py:44-54),
+    expressed as a plain security dict for the option builders."""
+    return {
+        "kafka.ssl.truststore.location": truststore,
+        "kafka.security.protocol": "SASL_SSL",
+        "kafka.sasl.mechanism": "AWS_MSK_IAM",
+        "kafka.sasl.jaas.config":
+            "software.amazon.msk.auth.iam.IAMLoginModule required;",
+        "kafka.sasl.client.callback.handler.class":
+            "software.amazon.msk.auth.iam.IAMClientCallbackHandler",
+    }
+
+
+def _security_options(security: dict[str, str] | None) -> dict[str, str]:
+    # e.g. kafka.security.protocol=SASL_SSL, kafka.sasl.mechanism=AWS_MSK_IAM;
+    # bare keys get the kafka. client-config prefix.
+    return {
+        (k if k.startswith("kafka.") else f"kafka.{k}"): v
+        for k, v in (security or {}).items()
+    }
+
+
+def kafka_batch_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    ending_offsets: str = "latest",
+    security: dict[str, str] | None = None,
+    min_partitions: int | None = None,
+) -> dict[str, str]:
+    """The bounded-read option set (temReadFromTopic.py:36-54's
+    ``options_read`` dict, with auth as passthrough). Pure builder so
+    tests can assert parity with the reference broker-free."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "endingOffsets": ending_offsets,
+        **_security_options(security),
+    }
+    if min_partitions:
+        opts["minPartitions"] = str(min_partitions)
+    return opts
+
+
+def kafka_stream_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    security: dict[str, str] | None = None,
+    max_offsets_per_trigger: int | None = None,
+    min_partitions: int | None = None,
+) -> dict[str, str]:
+    """The unbounded-read option set (03_temStreamEveryMin.py:41-57's
+    ``options_read``: same as batch minus endingOffsets)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        **_security_options(security),
+    }
+    if max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if min_partitions:
+        opts["minPartitions"] = str(min_partitions)
+    return opts
 
 
 def kafka_batch_source(
@@ -42,15 +105,11 @@ def kafka_batch_source(
     min_partitions: int | None = None,
 ) -> DataFrame:
     """S2: bounded full-topic read (temReadFromTopic.py:36-59)."""
-    reader = _apply_common(spark.read, bootstrap_servers, security)
-    reader = (
-        reader.option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("endingOffsets", ending_offsets)
+    opts = kafka_batch_options(
+        bootstrap_servers, topic, starting_offsets, ending_offsets,
+        security, min_partitions,
     )
-    if min_partitions:
-        reader = reader.option("minPartitions", str(min_partitions))
-    return reader.load()
+    return spark.read.format("kafka").options(**opts).load()
 
 
 def kafka_stream_source(
@@ -63,10 +122,8 @@ def kafka_stream_source(
     min_partitions: int | None = None,
 ) -> DataFrame:
     """S3: unbounded streaming read (03_temStreamEveryMin.py:41-64)."""
-    reader = _apply_common(spark.readStream, bootstrap_servers, security)
-    reader = reader.option("subscribe", topic).option("startingOffsets", starting_offsets)
-    if max_offsets_per_trigger:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    if min_partitions:
-        reader = reader.option("minPartitions", str(min_partitions))
-    return reader.load()
+    opts = kafka_stream_options(
+        bootstrap_servers, topic, starting_offsets,
+        security, max_offsets_per_trigger, min_partitions,
+    )
+    return spark.readStream.format("kafka").options(**opts).load()

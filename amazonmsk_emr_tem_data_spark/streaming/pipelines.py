@@ -95,7 +95,14 @@ def run_to_memory(
             "checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_")
         )
     q = writer.start()
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        # A partially-drained memory table would silently truncate every
+        # downstream result; fail loudly instead.
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name!r} did not drain within {timeout_sec}s"
+        )
     return result.sparkSession.table(name)
 
 

@@ -69,6 +69,44 @@ def test_range_join_interval_bounds(spark):
     assert sorted(r["event_id"] for r in out.collect()) == [1, 2]
 
 
+def test_range_join_honors_bucket_width(spark):
+    # Sub-hour intervals with an "1 hour" bucket: results must be
+    # identical to the default day bucket, and the finer stride must
+    # actually appear in the plan (3600-second step, not 86400).
+    left = spark.createDataFrame(
+        [
+            (1, 10, ts("2024-01-01 00:10:00")),  # inside
+            (2, 10, ts("2024-01-01 00:40:00")),  # == end: excluded
+            (3, 10, ts("2024-01-01 02:00:00")),  # after
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, 500, ts("2024-01-01 00:05:00"))],
+        "user_id long, rk long, start timestamp",
+    )
+
+    def run(bucket):
+        return range_join(
+            left, right, on="user_id", left_ts="ts",
+            right_start=F.col("start"),
+            right_end=F.col("start") + F.expr("INTERVAL 35 MINUTES"),
+            bucket=bucket,
+        )
+
+    for bucket in ["1 hour", "15 minutes", "1 day"]:
+        assert [r["event_id"] for r in run(bucket).collect()] == [1], bucket
+    hourly_plan = run("1 hour")._jdf.queryExecution().optimizedPlan().toString()
+    assert "3600" in hourly_plan and "86400" not in hourly_plan
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        run("fortnight")
+    with pytest.raises(ValueError):
+        run("0 hours")
+
+
 def test_approx_sketches_accuracy(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     exact = {
@@ -85,6 +123,5 @@ def test_approx_sketches_accuracy(spark, sf_dir):
     for k, a in approx.items():
         e = exact[k]
         assert abs(a["approx_users"] - e["nd"]) / e["nd"] < 0.05
-        med = a["value_quantiles"][0]
         spread = abs(e["p50"]) + 1e-9
-        assert abs(med - e["p50"]) / spread < 0.05
+        assert abs(a["p50"] - e["p50"]) / spread < 0.05

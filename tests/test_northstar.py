@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from amazonmsk_emr_tem_data_spark.operators.dedup import (
+    minhash_lsh_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
     shingled,
@@ -43,6 +44,47 @@ def test_minhash_slots_are_independent(spark, docs):
     sig = sh.select(*minhash_signature(F.col("shingles"), 4)).first()
     vals = {sig[f"mh{i}"] for i in range(4)}
     assert len(vals) > 1
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """A planted degenerate corpus — every doc is one shared stopword
+    shingle plus unique filler — floods LSH buckets. With a cap, the
+    over-full buckets are dropped before their id lists materialize and
+    candidate pairs stay bounded; genuine near-dup pairs planted on top
+    still surface (their collisions come from non-degenerate slots)."""
+    n = 40
+    rows = [(i, f"common shared stopword unique{i} filler{i} tail{i}") for i in range(n)]
+    # plant one true near-dup pair with high overlap
+    rows.append((1000, "the quick brown fox jumps over the lazy dog again and again"))
+    rows.append((1001, "the quick brown fox jumps over the lazy dog again and once"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = minhash_lsh_pairs(df, threshold=0.5, max_bucket_size=10)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (1000, 1001) in got
+    # without the planted pair's bucket, the 40 degenerate docs share
+    # only capped buckets — no quadratic 40*39/2 candidate blowup
+    assert len(got) < 50
+
+    uncapped = minhash_lsh_pairs(df, threshold=0.5, max_bucket_size=10**6)
+    assert (1000, 1001) in {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
+
+
+def test_simhash_hot_chunk_cap(spark):
+    """Same planted-degenerate shape for the SimHash chunk join: chunk
+    values shared by more docs than the cap are excluded from the
+    self-join; the planted identical pair (hamming 0 via exact-dup
+    collapse) still surfaces."""
+    n = 30
+    rows = [(i, f"common shared stopword base unique{i}") for i in range(n)]
+    rows.append((2000, "entirely different content for the planted duplicate pair"))
+    rows.append((2001, "entirely different content for the planted duplicate pair"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_pairs(df, max_bucket_size=5).collect()}
+    assert out[(2000, 2001)] == 0
+    # degenerate docs share hot chunks only → capped out, no n² pairs
+    assert len(out) < 60
 
 
 def test_simhash_identical_and_disjoint_docs(spark):

@@ -1,0 +1,107 @@
+"""Broker-free evidence for the Kafka boundary (S2/S3/K1) and the CSV
+sink (K5).
+
+The sandbox has no Kafka broker, so the reader/writer OPTION SETS are
+asserted to match the reference's literal option dicts
+(/root/reference/pyspark_scripts/temReadFromTopic.py:36-54 and
+03_temStreamEveryMin.py:41-57); the envelope codec that carries the
+actual value semantics is oracle-checked elsewhere. The CSV sink — the
+one sink the reference crashed on (temReadFromTopic.py:98-102 chained
+.mode() after .csv()) — is round-tripped on disk.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from amazonmsk_emr_tem_data_spark.sinks import csv_sink
+from amazonmsk_emr_tem_data_spark.sources.files import load_table
+from amazonmsk_emr_tem_data_spark.sources.kafka import (
+    kafka_batch_options,
+    kafka_stream_options,
+    msk_iam_security,
+)
+
+# temReadFromTopic.py:36-54, verbatim (params resolved).
+_REFERENCE_BATCH_OPTIONS = {
+    "kafka.bootstrap.servers": "b-1.msk:9098,b-2.msk:9098",
+    "subscribe": "exp.tem1.spark.streaming",
+    "startingOffsets": "earliest",
+    "endingOffsets": "latest",
+    "kafka.ssl.truststore.location": "/tmp/kafka.client.truststore.jks",
+    "kafka.security.protocol": "SASL_SSL",
+    "kafka.sasl.mechanism": "AWS_MSK_IAM",
+    "kafka.sasl.jaas.config":
+        "software.amazon.msk.auth.iam.IAMLoginModule required;",
+    "kafka.sasl.client.callback.handler.class":
+        "software.amazon.msk.auth.iam.IAMClientCallbackHandler",
+}
+
+
+def test_kafka_batch_options_match_reference():
+    opts = kafka_batch_options(
+        "b-1.msk:9098,b-2.msk:9098",
+        "exp.tem1.spark.streaming",
+        security=msk_iam_security(),
+    )
+    assert opts == _REFERENCE_BATCH_OPTIONS
+
+
+def test_kafka_stream_options_match_reference():
+    # 03_temStreamEveryMin.py:41-57: identical minus endingOffsets.
+    expected = {
+        k: v for k, v in _REFERENCE_BATCH_OPTIONS.items() if k != "endingOffsets"
+    }
+    opts = kafka_stream_options(
+        "b-1.msk:9098,b-2.msk:9098",
+        "exp.tem1.spark.streaming",
+        security=msk_iam_security(),
+    )
+    assert opts == expected
+
+
+def test_kafka_options_prefix_bare_security_keys():
+    opts = kafka_batch_options(
+        "localhost:9092", "t", security={"security.protocol": "PLAINTEXT"}
+    )
+    assert opts["kafka.security.protocol"] == "PLAINTEXT"
+
+
+def test_kafka_stream_throttles_and_splits():
+    opts = kafka_stream_options(
+        "localhost:9092", "t", max_offsets_per_trigger=10_000, min_partitions=64
+    )
+    assert opts["maxOffsetsPerTrigger"] == "10000"
+    assert opts["minPartitions"] == "64"
+
+
+def test_csv_sink_roundtrip(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "nation").orderBy("n_nationkey")
+    out = str(tmp_path / "nation_csv")
+    csv_sink(src, out)
+    # pipe-delimited with header, like the reference's intended write
+    part = next(p for p in os.listdir(out) if p.startswith("part-"))
+    with open(os.path.join(out, part)) as fh:
+        first = fh.readline()
+    assert "|" in first and "n_nationkey" in first
+
+    back = (
+        spark.read.option("header", True)
+        .option("sep", "|")
+        .schema(src.schema)
+        .csv(out)
+    )
+    assert sorted(back.collect()) == sorted(src.collect())
+    # overwrite mode: a second write must not raise (the reference's
+    # chained-mode bug made this path crash with errorifexists)
+    csv_sink(src.limit(5), out)
+    assert spark.read.option("header", True).option("sep", "|").csv(out).count() == 5
+
+
+def test_csv_sink_respects_explicit_mode(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "region")
+    out = str(tmp_path / "region_csv")
+    csv_sink(src, out, mode="append")
+    csv_sink(src, out, mode="append")
+    n = spark.read.option("header", True).option("sep", "|").csv(out).count()
+    assert n == 2 * src.count()
