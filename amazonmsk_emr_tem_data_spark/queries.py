@@ -990,12 +990,52 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only: the 60-bit bit-vote sketch is
-    impractical to mirror in one SQL statement; recall vs the exact
-    Jaccard pairs is unit-tested in tests/test_northstar.py)."""
+    """SimHash near-dup pairs. The 60-bit sketch is built from the
+    cross-engine md5 hash, so the oracle recomputes the IDENTICAL
+    sketch in SQL and filters all pairs at hamming ≤ 6 brute-force —
+    equality therefore also proves the pigeonhole chunk bucketing and
+    the hot-chunk cap lose no pairs on this corpus."""
     from .operators.dedup import simhash_pairs
 
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+#: DuckDB twin of simhash_sketch + all-pairs hamming filter: same
+#: normalized word-3-gram shingles, same md5→int64 hash, same 60
+#: majority-vote bits, brute-force pair scan (the oracle needs no LSH).
+_SIMHASH_BIT_SUMS = ",\n         ".join(
+    f"SUM((h >> {b}) & 1) AS b{b}" for b in range(60)
+)
+_SIMHASH_SK_TERMS = " + ".join(
+    f"(CASE WHEN b{b}*2 >= n THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+    for b in range(60)
+)
+_SIMHASH_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(generate_series(1, len(w)-2),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [array_to_string(w, ' ')] END)) AS shingle
+  FROM toks
+), hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS h
+  FROM sh
+), bits AS (
+  SELECT doc_id, COUNT(*) AS n,
+         {_SIMHASH_BIT_SUMS}
+  FROM hashed GROUP BY doc_id
+), sk AS (
+  SELECT doc_id, {_SIMHASH_SK_TERMS} AS sk FROM bits
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sk, b.sk)) AS INT) AS hamming
+FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sk, b.sk)) <= 6
+"""
 
 
 def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1092,13 +1132,17 @@ SELECT vec_a, vec_b, cos_sim FROM (
 
 
 def lsh_ann_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table random-hyperplane LSH ANN pairs (rows-only: the
-    numpy-seeded hyperplanes are not SQL-reproducible; recall vs the
-    exact pairs is unit-tested)."""
+    """Multi-table random-hyperplane LSH ANN pairs, checked against the
+    exact brute-force cosine pairs: candidates are exact-verified so
+    precision is 1.0 by construction, and the deterministic (seeded)
+    hyperplane schedule reaches full recall on this corpus — so the
+    correctness gate doubles as the recall gate of the scale path.
+    T=24 tables puts the per-pair miss probability at the 0.45-cosine
+    boundary around 5e-4 ((1-(1-θ/π)³)^24)."""
     from .operators.similarity import lsh_ann_join
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_ann_join(emb, dim=64, threshold=0.45)
+    return lsh_ann_join(emb, dim=64, threshold=0.45, n_tables=24)
 
 
 def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2301,7 +2345,7 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural lower bound for exact term-frequency stats."""
     from .functions.text import dup_ngram_frac, token_count, tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
@@ -2413,12 +2457,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_exact_dedup": (doc_exact_dedup_q, _DOC_EXACT_DEDUP_SQL),
     "ngram_jaccard_pairs": (ngram_jaccard_pairs_q, _JACCARD_PAIRS_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs_q, _JACCARD_PAIRS_SQL),
-    "simhash_pairs": (simhash_pairs_q, None),
+    "simhash_pairs": (simhash_pairs_q, _SIMHASH_PAIRS_SQL),
     # north-star: similarity search
     "embedding_cosine_topk": (embedding_cosine_topk, _EMB_TOPK_SQL),
     "embedding_knn_join": (embedding_knn_join_q, _EMB_KNN_SQL),
     "embedding_near_dup_pairs": (embedding_near_dup_pairs_q, _EMB_NEAR_DUP_SQL),
-    "lsh_ann_pairs": (lsh_ann_pairs_q, None),
+    "lsh_ann_pairs": (lsh_ann_pairs_q, _EMB_NEAR_DUP_SQL),
     "ivf_topk": (ivf_topk_q, None),
     # north-star: multimodal
     "multimodal_meta": (multimodal_meta, _MULTIMODAL_META_SQL),

@@ -40,6 +40,12 @@ HEADLINE = [
     "doc_fingerprint_groups",
     "minhash_lsh_pairs",
     "embedding_knn_join",
+    # round-2 additions: the iterative (connected-components), the
+    # explode-heavy (dup-n-gram repetition filter), and the
+    # scalar-HAVING (two-pass global agg) paths
+    "dedup_clusters",
+    "doc_repetition_filter",
+    "supplier_revenue_share",
 ]
 
 
