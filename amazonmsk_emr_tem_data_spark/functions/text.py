@@ -155,6 +155,38 @@ def dup_ngram_frac(col: Column | str = "text", n: int = 2) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+#: PII patterns, restricted to the regex subset Java's engine and RE2
+#: (DuckDB) interpret identically: no backreferences, no lookaround,
+#: ASCII word boundaries only.
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(col: Column | str = "text") -> Column:
+    """Replace emails, phone-shaped numbers, and IPv4 literals with
+    typed placeholder tokens — the standard scrub step before a corpus
+    ships to training. Chained ``regexp_replace`` (Spark replaces all
+    occurrences by default): pure codegen'd scan work, a free rider on
+    any pass that already reads the text column."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = c
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+def pii_counts(col: Column | str = "text") -> dict[str, Column]:
+    """Per-kind PII match counts (the audit metric next to redaction)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        f"n_{kind}": F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
 def rolling_hash(col: Column | str = "text", window: int = 8) -> Column:
     """Deterministic 64-bit rolling-style content hash: min over all
     ``window``-token shingle hashes (winnowing-style document sketch).

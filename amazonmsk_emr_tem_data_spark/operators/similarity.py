@@ -291,6 +291,28 @@ def lsh_ann_join(
     return _expand_vector_pairs(rep_pairs, groups, threshold)
 
 
+def int8_quantize(
+    vec_col: str = "embedding",
+) -> dict[str, Column]:
+    """Per-vector symmetric int8 scalar quantization — the standard 4×
+    memory reduction for embedding storage/ANN at corpus scale (the
+    vectors, not the ids, dominate a 100 TB embedding table).
+
+    scale = 127 / max|vᵢ| per row; qᵢ = round(vᵢ·scale) ∈ [-127, 127].
+    Pure higher-order column expressions, codegen'd, no Python. Returns
+    named columns: the quantized array plus the scale needed to
+    dequantize (v̂ᵢ = qᵢ/scale).
+    """
+    v = F.col(vec_col)
+    max_abs = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-12),
+    )
+    scale = F.lit(127.0) / max_abs
+    q = F.transform(v, lambda x: F.round(x.cast("double") * scale).cast("int"))
+    return {"scale": scale, "q": q}
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 8,

@@ -2414,6 +2414,524 @@ FROM feat f JOIN tf USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# round-2 additions: TPC-H parity shapes Q2/Q10/Q12/Q16/Q21 (adapted to
+# the fixture's partsupp-less schema) + corpus LM-quality operators
+# ---------------------------------------------------------------------------
+
+
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10 shape: top-20 customers by revenue lost to returned
+    items in one quarter. Orders carry the date filter (pushed to the
+    scan; at 100 TB orderdate partitioning prunes to one quarter),
+    lineitem carries the returnflag filter; nation broadcasts. One
+    shuffle each for the orders⋈lineitem join and the customer rollup;
+    the final top-20 is a 20-row sort. Ties broken by c_custkey so the
+    LIMIT edge is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1993-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1994-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            (F.sum(disc_price_cents()).cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_RETURNED_ITEM_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM({_DISC_PRICE_CENTS_SQL}) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1993-10-01'
+  AND o.o_orderdate <  TIMESTAMP '1994-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def priority_lines_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12 shape: per return-flag, how many lineitems belong to
+    high- vs low-priority orders within one ship year (the fixture has
+    no l_shipmode; returnflag plays its grouping role). The shipdate
+    range is the pushed scan predicate; the join shuffles once on the
+    order key; both conditional counts come out of ONE aggregate pass
+    (no double scan)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+_PRIORITY_LINES_SQL = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1995-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2 shape: for each small part, the supplier(s) with the
+    MINIMUM observed revenue — a correlated min-subquery decorrelated
+    into a grouped aggregate + per-part window min (the rewrite
+    Catalyst itself applies to Q2). The (part, supplier) rollup
+    shuffles once; the window re-shuffles only the rolled-up rows (one
+    per part-supplier pair, not per lineitem). Membership compares the
+    integer-cent grid sums, so boundary ties agree across engines and
+    ALL tied suppliers are returned (as in Q2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    sup = load_table(spark, sf_dir, "supplier")
+    ps = (
+        li.join(F.broadcast(part.select("p_partkey")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(disc_price_cents()).alias("rev_grid"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        ps.withColumn("min_grid", F.min("rev_grid").over(w))
+        .filter(F.col("rev_grid") == F.col("min_grid"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_grid").cast("double") / F.lit(10000.0)).alias(
+                "min_revenue"
+            ),
+        )
+    )
+
+
+_CHEAPEST_SUPPLIER_SQL = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, SUM({_DISC_PRICE_CENTS_SQL}) AS rev_grid
+  FROM lineitem l
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT ps.l_partkey AS p_partkey, s.s_suppkey, s.s_name,
+       CAST(ps.rev_grid AS DOUBLE) / 10000.0 AS min_revenue
+FROM ps JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+WHERE ps.rev_grid = (SELECT MIN(x.rev_grid) FROM ps x
+                     WHERE x.l_partkey = ps.l_partkey)
+"""
+
+
+def supplier_counts_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16 shape: distinct-supplier counts per part attribute
+    combination, excluding a NOT-IN supplier set (negative account
+    balance stands in for the reference's complaints filter). The
+    exclusion is a broadcast anti-join (never a per-row subquery); the
+    distinct count shuffles (brand, type, size, suppkey) once before
+    the final rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45") & (F.col("p_size") <= 20)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_SUPPLIER_COUNTS_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#45' AND p.p_size <= 20
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21 shape: suppliers solely to blame on multi-supplier
+    orders — their line was returned, at least one OTHER supplier was
+    on the order (EXISTS), and no other supplier's line was returned
+    (NOT EXISTS). The fixture has no commit/receipt dates, so
+    l_returnflag='R' plays the 'failed delivery' role. Both correlated
+    quantifiers become distinct-key self-joins: semi for EXISTS, anti
+    for NOT EXISTS — three shuffles on the order key over
+    (orderkey, suppkey) pairs, never a per-row subquery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = pairs.select(
+        F.col("l_orderkey"), F.col("l_suppkey").alias("o_supp")
+    )
+    other_ret = returned.select(
+        F.col("l_orderkey"), F.col("l_suppkey").alias("r_supp")
+    )
+    blamed = (
+        returned.join(
+            other,
+            (returned["l_orderkey"] == other["l_orderkey"])
+            & (returned["l_suppkey"] != other["o_supp"]),
+            "left_semi",
+        )
+        .join(
+            other_ret,
+            (returned["l_orderkey"] == other_ret["l_orderkey"])
+            & (returned["l_suppkey"] != other_ret["r_supp"]),
+            "left_anti",
+        )
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )
+
+
+_SOLE_BLAME_SQL = """
+WITH ret AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+), pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), blamed AS (
+  SELECT r.l_orderkey, r.l_suppkey FROM ret r
+  WHERE EXISTS (SELECT 1 FROM pairs p
+                WHERE p.l_orderkey = r.l_orderkey
+                  AND p.l_suppkey <> r.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM ret r2
+                    WHERE r2.l_orderkey = r.l_orderkey
+                      AND r2.l_suppkey <> r.l_suppkey)
+)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+FROM blamed b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT 20
+"""
+
+
+def doc_dup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/Gopher-style cross-document span duplication: for
+    each document, the fraction of its 8-token shingle POSITIONS whose
+    shingle also occurs in at least one OTHER document. (Documents
+    shorter than 8 tokens contribute their whole text as one span.)
+
+    Scale shape: shingles are hashed to 64-bit ints scan-side (the
+    shuffle carries longs, never text); one shuffle on the hash for
+    the global doc-frequency, one map-side-combinable rollup per doc.
+    This is the signal behind 'remove docs that are mostly boilerplate
+    spans seen elsewhere' — line-level dedup for a corpus without line
+    structure."""
+    from .functions.text import md5_hash64, tokens
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    w = tokens("text")
+    spans = F.when(
+        F.size(w) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(7)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 8)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+    ex = docs.select(
+        "doc_id", F.explode(spans).alias("span")
+    ).select("doc_id", md5_hash64(F.col("span")).alias("h"))
+    # global: which span hashes occur in >= 2 distinct docs
+    df_global = (
+        ex.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    flagged = ex.join(df_global, "h", "left_semi")
+    per_doc = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    per_doc_dup = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup")
+    )
+    return (
+        per_doc.join(per_doc_dup, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup_spans"),
+            (
+                F.coalesce("n_dup", F.lit(0)).cast("double")
+                / F.col("n_spans").cast("double")
+            ).alias("dup_span_frac"),
+        )
+    )
+
+
+_DUP_SPAN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+), spans AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 8
+              THEN list_transform(generate_series(1, len(w)-7),
+                                  i -> array_to_string(w[i:i+7], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS span
+  FROM toks
+), hashed AS (
+  SELECT doc_id, {_HASH64_SQL.format(x='span')} AS h FROM spans
+), dup AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM hashed)
+  GROUP BY h HAVING COUNT(*) >= 2
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_spans,
+         SUM(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END) AS n_dup
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, n_spans, n_dup AS n_dup_spans,
+       CAST(n_dup AS DOUBLE) / CAST(n_spans AS DOUBLE) AS dup_span_frac
+FROM per_doc
+"""
+
+
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring, unigram edition: score each
+    document by the mean log-probability of its tokens under the
+    corpus's own unigram distribution (low score = off-distribution /
+    junk; the cheap stand-in for KenLM perplexity filtering).
+
+    Two passes: token frequencies (one shuffle on the token), then
+    score = Σ log p(tok) / n per doc. Log-probs are snapped to an
+    integer micro-nat grid BEFORE summation so the per-doc sum is an
+    order-independent long — identical in both engines regardless of
+    reduction order (the module-header determinism rule applied to
+    floating logs)."""
+    from .functions.text import tokens
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    scored = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("c").cast("double") / F.col("total").cast("double"))
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("logp_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (
+            F.sum("logp_micro").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1000000.0))
+        ).alias("avg_logprob"),
+    )
+
+
+_UNIGRAM_LOGPROB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+), freq AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT SUM(c) AS total FROM freq
+), scored AS (
+  SELECT t.doc_id,
+         CAST(round(ln(CAST(f.c AS DOUBLE) / CAST(tot.total AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS logp_micro
+  FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(logp_micro) AS DOUBLE) / (COUNT(*) * 1000000.0) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-30 tokens with counts, document
+    frequency, and corpus share. One (map-side-combined) shuffle on
+    the token; the top-30 is a 30-row sort. Share divides two exact
+    longs, so it's identical across engines."""
+    from .functions.text import tokens
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    total = toks.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "n_occurrences",
+            "n_docs",
+            (
+                F.col("n_occurrences").cast("double")
+                / F.col("total").cast("double")
+            ).alias("corpus_share"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("tok").asc())
+        .limit(30)
+    )
+
+
+_VOCAB_STATS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+), tot AS (
+  SELECT COUNT(*) AS total FROM toks
+)
+SELECT tok, COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(COUNT(*) AS DOUBLE) / CAST(MAX(tot.total) AS DOUBLE) AS corpus_share
+FROM toks CROSS JOIN tot
+GROUP BY tok
+ORDER BY n_occurrences DESC, tok ASC
+LIMIT 30
+"""
+
+
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: per-document match counts for email/phone/IP
+    patterns plus the fingerprint of the redacted text. Map-only scan
+    work (chained regexp_replace, codegen'd); the synthetic fixture
+    contains no PII, which the oracle reproduces exactly (zero counts,
+    fingerprint = fingerprint of the original normalized-whitespace
+    text) — the point here is the regex subset chosen to evaluate
+    identically under Java regex and RE2 (functions/text.PII_PATTERNS)
+    and the audit-output shape."""
+    from .functions.text import pii_counts, redact_pii
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    counts = pii_counts("text")
+    return docs.select(
+        "doc_id",
+        *[c.cast("long").alias(n) for n, c in counts.items()],
+        F.md5(redact_pii("text")).alias("redacted_fp"),
+    )
+
+
+_PII_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT)
+         AS n_email,
+       CAST(len(regexp_extract_all(text,
+         '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text,
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+       md5(regexp_replace(regexp_replace(regexpreplace_email,
+         '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_fp
+FROM (
+  SELECT doc_id, text,
+         regexp_replace(text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+           '<EMAIL>', 'g') AS regexpreplace_email
+  FROM documents
+)
+"""
+
+
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization audit: per-vector scale,
+    quantized-value checksum/range, and the cosine between the original
+    and the dequantized vector (reconstruction quality). The 4× memory
+    reduction this buys is what makes a 100 TB embedding corpus fit an
+    ANN serving tier; all math is per-row HOF expressions (left-to-right
+    folds), so both engines produce bit-identical doubles. Output is
+    scalars only — the int8 array itself stays internal."""
+    from .operators.similarity import cosine, int8_quantize
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    parts = int8_quantize("embedding")
+    q = parts["q"]
+    scale = parts["scale"]
+    dequant = F.transform(q, lambda x: x.cast("double") / scale)
+    return emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_sum"
+        ),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+        cosine(F.col("embedding"), dequant).alias("recon_cos"),
+    )
+
+
+_INT8_QUANT_SQL = """
+WITH scaled AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         127.0 / greatest(
+           list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                   x -> abs(x))), 1e-12) AS scale
+  FROM embeddings
+), quant AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(round(x * scale) AS INT)) AS q
+  FROM scaled
+)
+SELECT vec_id, scale,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       list_min(q) AS q_min,
+       list_max(q) AS q_max,
+       list_dot_product(v, list_transform(q, x -> CAST(x AS DOUBLE) / scale))
+         / (sqrt(list_dot_product(v, v))
+            * sqrt(list_dot_product(list_transform(q, x -> CAST(x AS DOUBLE) / scale),
+                                    list_transform(q, x -> CAST(x AS DOUBLE) / scale))))
+         AS recon_cos
+FROM quant
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2503,6 +3021,27 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "stratified_sample_docs": (stratified_sample_docs, _STRATIFIED_SAMPLE_SQL),
     "supplier_revenue_share": (supplier_revenue_share, _SUPPLIER_SHARE_SQL),
+    # TPC-H parity shapes Q10/Q12/Q2/Q16/Q21 (round 2)
+    "returned_item_revenue": (returned_item_revenue, _RETURNED_ITEM_SQL),
+    "priority_lines_by_returnflag": (
+        priority_lines_by_returnflag,
+        _PRIORITY_LINES_SQL,
+    ),
+    "cheapest_supplier_per_part": (
+        cheapest_supplier_per_part,
+        _CHEAPEST_SUPPLIER_SQL,
+    ),
+    "supplier_counts_by_part_attrs": (
+        supplier_counts_by_part_attrs,
+        _SUPPLIER_COUNTS_SQL,
+    ),
+    "sole_blame_suppliers": (sole_blame_suppliers, _SOLE_BLAME_SQL),
+    # north-star: corpus-level LM-quality operators (round 2)
+    "doc_dup_span_frac": (doc_dup_span_frac, _DUP_SPAN_SQL),
+    "doc_unigram_logprob": (doc_unigram_logprob, _UNIGRAM_LOGPROB_SQL),
+    "corpus_vocab_stats": (corpus_vocab_stats, _VOCAB_STATS_SQL),
+    "doc_pii_redaction": (doc_pii_redaction, _PII_SQL),
+    "embedding_int8_quantize": (embedding_int8_quantize, _INT8_QUANT_SQL),
 }
 
 

@@ -217,6 +217,55 @@ def test_dedup_clusters_canonical_flags(spark):
     assert out[3]["cluster_size"] == 1 and out[3]["is_canonical"]
 
 
+def test_pii_redaction_planted(spark):
+    from amazonmsk_emr_tem_data_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or 555-123-4567 now"),
+            (2, "server at 192.168.1.250 and 10.0.0.1, mail root@host.io"),
+            (3, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    counts = pii_counts("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[c.alias(n) for n, c in counts.items()],
+            redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ip"]) == (1, 1, 0)
+    assert (out[2]["n_email"], out[2]["n_phone"], out[2]["n_ip"]) == (1, 0, 2)
+    assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ip"]) == (0, 0, 0)
+    assert out[1]["red"] == "contact <EMAIL> or <PHONE> now"
+    assert out[2]["red"] == "server at <IP> and <IP>, mail <EMAIL>"
+    assert out[3]["red"] == "no pii here at all"
+
+
+def test_int8_quantize_bounds_and_reconstruction(spark, emb):
+    from amazonmsk_emr_tem_data_spark.operators.similarity import int8_quantize
+
+    parts = int8_quantize("embedding")
+    rows = emb.select(
+        F.array_min(parts["q"]).alias("qmin"),
+        F.array_max(parts["q"]).alias("qmax"),
+        parts["scale"].alias("scale"),
+    ).collect()
+    for r in rows:
+        assert -127 <= r["qmin"] <= r["qmax"] <= 127
+        assert r["scale"] > 0
+    # reconstruction cosine must be high for 64-dim int8
+    from amazonmsk_emr_tem_data_spark.queries import embedding_int8_quantize
+
+    recon = embedding_int8_quantize(
+        spark, "/root/testdata/sf0.001"
+    ).agg(F.min("recon_cos")).first()[0]
+    assert recon > 0.999
+
+
 def test_dup_ngram_frac_edges(spark):
     """Repetition signal: 0.0 for docs shorter than n, 0.0 for all-
     distinct bigrams, and the exact fraction for a known repeat."""

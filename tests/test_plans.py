@@ -53,6 +53,35 @@ def test_knn_broadcasts_query_side(spark, sf_dir):
     assert not f.has_cartesian
 
 
+def test_returned_item_revenue_pushes_dates_broadcasts_nation(spark, sf_dir):
+    f = facts(spark, sf_dir, "returned_item_revenue")
+    assert f.pushed_filters, "quarter + returnflag predicates must reach scans"
+    assert "BroadcastHashJoin" in f.joins, "nation must broadcast"
+    assert not f.has_cartesian
+
+
+def test_cheapest_supplier_rollup_before_window(spark, sf_dir):
+    # Q2 shape: the window min must run over the (part, supplier)
+    # rollup — ONE pre-window shuffle for the rollup, one for the
+    # window partitioning, never a window over raw lineitem.
+    f = facts(spark, sf_dir, "cheapest_supplier_per_part")
+    assert f.has_partial_agg, "rollup must partial-aggregate map-side"
+    assert "BroadcastHashJoin" in f.joins, "part filter + supplier broadcast"
+
+
+def test_dup_span_frac_shuffles_hashes_not_text(spark, sf_dir):
+    # the exploded span column must be hashed scan-side: no plan node
+    # may carry the raw span string through an exchange
+    fn, _ = REGISTRY["doc_dup_span_frac"]
+    plan = (
+        fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)", plan):
+        assert "span" not in m.group(1), "shuffle key must be the 64-bit hash"
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_cartesian_product_anywhere(spark, name):
     """No registry query may plan an unbroadcast cartesian product —
