@@ -614,9 +614,26 @@ def dedup_clusters(
     connected components → one row per document with its cluster id,
     cluster size, and whether it is the canonical survivor (min id).
     This is the full "dedup a web crawl" pipeline as one DataFrame op.
+
+    The iterative propagation runs ONLY over documents that appear in
+    at least one pair — an isolated document is trivially its own
+    component, and in a real corpus near-dup pairs touch a few percent
+    of documents, so each CC round's join+agg shuffles orders of
+    magnitude fewer rows than the corpus. Isolated docs rejoin with
+    comp = their own id afterwards (one broadcast-friendly left join).
     """
-    pairs = minhash_lsh_pairs(df, threshold=threshold, id_col=id_col)
-    comp = connected_components(pairs, df, id_col=id_col)
+    pairs = minhash_lsh_pairs(df, threshold=threshold, id_col=id_col).cache()
+    endpoints = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    paired_comp = connected_components(pairs, endpoints, id_col=id_col)
+    comp = df.select(id_col).join(
+        paired_comp, id_col, "left_outer"
+    ).select(
+        id_col, F.coalesce("comp", F.col(id_col)).alias("comp")
+    )
     sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         comp.join(sizes, "comp")
