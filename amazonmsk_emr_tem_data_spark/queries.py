@@ -752,6 +752,15 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_DEDUP_WM_SQL = "SELECT DISTINCT user_id, event_type FROM events"
 
 
+def stream_doc_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingest × north-star text ops: quality/lang-ID
+    scoring per micro-batch (stateless map-only stream ⇒ bounded drain
+    equals the batch oracle row-for-row)."""
+    from .streaming.pipelines import stream_doc_quality
+
+    return stream_doc_quality(spark, sf_dir)
+
+
 def stream_session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (30-min idle gap). Spark session
     semantics: a session extends while the next event is < last+gap;
@@ -2965,6 +2974,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_session_windows": (stream_session_windows_q, _STREAM_SESSION_SQL),
     "stream_click_purchase_join": (stream_click_purchase_join, _STREAM_SS_JOIN_SQL),
     "stream_dedup_watermark": (stream_dedup_watermark, _STREAM_DEDUP_WM_SQL),
+    "stream_doc_quality": (stream_doc_quality_q, _DOC_QUALITY_LANGID_SQL),
     "sessionize_events": (sessionize_events, _SESSION_SQL_BODY),
     # north-star: text analysis
     "doc_text_features": (doc_text_features, _DOC_TEXT_FEATURES_SQL),

@@ -69,6 +69,51 @@ def events_stream(
     )
 
 
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def documents_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Unbounded view of the documents corpus via the parquet file
+    source — the streaming-ingest stand-in for a crawl feed landing in
+    object storage. At 100 TB this IS the production shape: new corpus
+    shards arrive as files; ``maxFilesPerTrigger`` bounds micro-batch
+    size the way maxOffsetsPerTrigger does for Kafka."""
+    reader = spark.readStream.schema(_DOCS_SCHEMA).option(
+        "pathGlobFilter", "documents.parquet"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(sf_dir)
+
+
+def stream_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-ingest quality gate: language-ID + quality
+    scoring applied per micro-batch as documents arrive — the
+    'filter at ingest, never re-scan' pattern of a training-data
+    pipeline. Stateless map-only streaming (no watermark/state), so a
+    bounded drain equals the batch computation row-for-row."""
+    from ..functions import text as tx
+
+    docs = documents_stream(spark, sf_dir)
+    res = docs.select(
+        "doc_id",
+        "lang",
+        tx.predicted_lang("text").alias("pred_lang"),
+        tx.quality_score("text").alias("quality"),
+    )
+    return run_to_memory(res, output_mode="append")
+
+
 def run_to_memory(
     result: DataFrame,
     output_mode: str = "complete",

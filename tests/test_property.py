@@ -1,0 +1,162 @@
+"""Property-based tests: custom operators vs brute-force reference
+implementations on randomized small inputs.
+
+The oracle-parity suite pins each operator to ONE fixture distribution;
+hypothesis explores the edges that distribution misses (empty sides,
+all-equal timestamps, single-key data, interval boundaries). Brute
+force is plain Python over collected rows — authoritative by
+construction. Examples are kept small (Spark per-example overhead) but
+each run samples fresh shapes.
+"""
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from amazonmsk_emr_tem_data_spark.operators.joins import asof_join, range_join
+from amazonmsk_emr_tem_data_spark.operators.skew import salted_agg, salted_join
+
+BASE = datetime(2024, 1, 1)
+
+# (key, ts_offset_minutes, payload)
+left_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),
+        st.integers(0, 120),
+        st.integers(-100, 100),
+    ),
+    min_size=0,
+    max_size=12,
+)
+right_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),
+        st.integers(0, 120),
+        st.integers(0, 50),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+prop = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@prop
+@given(lrows=left_rows, rrows=right_rows)
+def test_asof_join_matches_bruteforce(spark, lrows, rrows):
+    left = spark.createDataFrame(
+        [
+            (i, k, BASE + timedelta(minutes=m), p)
+            for i, (k, m, p) in enumerate(lrows)
+        ],
+        "lid long, k long, ts timestamp, lp long",
+    )
+    right = spark.createDataFrame(
+        [(k, BASE + timedelta(minutes=m), v) for (k, m, v) in rrows],
+        "k long, rts timestamp, rv long",
+    )
+    out = {
+        r["lid"]: r["rv"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_cols=["rv"],
+        ).collect()
+    }
+    assert len(out) == len(lrows)  # exactly one row per left row
+    for i, (k, m, _) in enumerate(lrows):
+        lt = BASE + timedelta(minutes=m)
+        cands = [
+            (BASE + timedelta(minutes=rm), rv)
+            for (rk, rm, rv) in rrows
+            if rk == k and BASE + timedelta(minutes=rm) <= lt
+        ]
+        # operator tie-break: latest ts, then greatest tie_break col (rv)
+        expect = max(cands)[1] if cands else None
+        assert out[i] == expect, (i, lrows, rrows)
+
+
+@prop
+@given(lrows=left_rows, rrows=right_rows, dur=st.integers(1, 90))
+def test_range_join_matches_bruteforce(spark, lrows, rrows, dur):
+    left = spark.createDataFrame(
+        [
+            (i, k, BASE + timedelta(minutes=m))
+            for i, (k, m, _) in enumerate(lrows)
+        ],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (j, k, BASE + timedelta(minutes=m))
+            for j, (k, m, _) in enumerate(rrows)
+        ],
+        "rid long, k long, start timestamp",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in range_join(
+            left, right, on="k", left_ts="ts",
+            right_start=F.col("start"),
+            right_end=F.col("start") + F.expr(f"INTERVAL {dur} MINUTES"),
+            bucket="1 hour",
+        ).collect()
+    }
+    expect = set()
+    for i, (lk, lm, _) in enumerate(lrows):
+        for j, (rk, rm, _) in enumerate(rrows):
+            if lk == rk and rm <= lm < rm + dur:
+                expect.add((i, j))
+    assert got == expect, (lrows, rrows, dur)
+
+
+@prop
+@given(rows=st.lists(st.tuples(st.integers(0, 2), st.integers(-50, 50)),
+                     min_size=0, max_size=20),
+       n_salts=st.integers(1, 5))
+def test_salted_agg_matches_plain(spark, rows, n_salts):
+    df = spark.createDataFrame(rows or [(0, 0)], "k long, v long")
+    if not rows:
+        df = df.limit(0)
+    out = {
+        r["k"]: (r["s"], r["n"])
+        for r in salted_agg(
+            df, ["k"],
+            {"s": F.sum("v"), "n": F.count(F.lit(1))},
+            n_salts=n_salts,
+        ).collect()
+    }
+    expect = {}
+    for k, v in rows:
+        s, n = expect.get(k, (0, 0))
+        expect[k] = (s + v, n + 1)
+    assert out == expect
+
+
+@prop
+@given(rows=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 9)),
+                     min_size=0, max_size=15),
+       dim=st.lists(st.integers(0, 2), min_size=0, max_size=3, unique=True),
+       n_salts=st.integers(1, 4))
+def test_salted_join_matches_plain(spark, rows, dim, n_salts):
+    fact = spark.createDataFrame(rows or [(0, 0)], "k long, v long")
+    if not rows:
+        fact = fact.limit(0)
+    d = spark.createDataFrame([(k, k * 10) for k in dim] or [(0, 0)],
+                              "k long, w long")
+    if not dim:
+        d = d.limit(0)
+    got = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in salted_join(fact, d, on=["k"], n_salts=n_salts).collect()
+    )
+    expect = sorted(
+        (k, v, k * 10) for (k, v) in rows if k in set(dim)
+    )
+    assert got == expect
