@@ -113,8 +113,13 @@ def quality_features(col: Column | str = "text") -> dict[str, Column]:
         # single-spaced ⇒ total token chars = len - (n_tok - 1)
         "avg_token_len": (n_norm_chars - (n_tok - F.lit(1))) / n_tok,
         "stopword_ratio": stopword_count(c) / n_tok,
-        "punct_ratio": punct_count(c) / n_chars,
-        "upper_ratio": upper_count(c) / n_chars,
+        # n_tok is never 0 (splitting "" yields [""]), but n_chars IS 0
+        # for the empty document: try_divide → NULL, matching DuckDB's
+        # x/0 semantics (ANSI division would throw mid-scan); the
+        # composite score stays defined because least() skips NULLs in
+        # both engines.
+        "punct_ratio": F.try_divide(punct_count(c), n_chars),
+        "upper_ratio": F.try_divide(upper_count(c), n_chars),
     }
 
 

@@ -43,7 +43,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero vector yields NULL (matching DuckDB's x/0)
+    # instead of an ANSI divide-by-zero mid-scan; similarity filters
+    # then drop the pair in both engines (NULL >= t is false).
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk(
