@@ -589,9 +589,13 @@ GROUP BY p_brand
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction from the events `props` payload (schema-on-
     read over a semi-structured column — the engine's general pattern
-    for property bags)."""
+    for property bags). Dirty-data contract (edge-corpus harness):
+    malformed/empty/NULL JSON and non-numeric field values all yield
+    NULL (get_json_object is lenient; try_cast absorbs bad numbers the
+    way DuckDB's TRY_CAST does) — a poisoned property bag must never
+    kill a 100 TB scan."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
     return (
         ev.select("event_type", k.alias("k"), "value")
         .withColumn("k_bucket", F.col("k") % 10)
@@ -602,7 +606,9 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_PROPS_SQL = f"""
 SELECT event_type,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                     THEN json_extract_string(props, '$.k') END
+                AS BIGINT) % 10 AS k_bucket,
        COUNT(*) AS n,
        {_dsum("value")} AS sum_value
 FROM events
@@ -775,7 +781,7 @@ _SESSION_SQL_BODY = """
 WITH flagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN LAG(ts) OVER w IS NULL
-                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -799,7 +805,14 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization as a window-function composition (lag →
     gap flag → running sum → group), the classic pattern for engines
     without session_window. Must agree with the streaming variant AND
-    the oracle. One shuffle on user_id; sort within partitions."""
+    the oracle. One shuffle on user_id; sort within partitions.
+
+    Boundary semantics follow Spark's built-in ``session_window``: an
+    event at EXACTLY last_ts + gap still extends the session (windows
+    that touch merge), so a new session starts only when the gap is
+    strictly exceeded (caught by the edge-corpus harness; the three
+    variants — this, the stream, the oracle — all agree on the
+    boundary)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.withColumn(
@@ -808,7 +821,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag("ts").over(w).isNull()
             | (
                 F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
-                >= 1800.0
+                > 1800.0
             ),
             1,
         ).otherwise(0),

@@ -36,6 +36,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 #: File-source schema for events: ``ts`` arrives as long nanos (the
 #: fixtures are parquet TIMESTAMP(NANOS), which Spark 4 only reads via
@@ -265,6 +266,65 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("user_id", "event_type")
     )
     return run_to_memory(deduped, output_mode="append")
+
+
+def incremental_ingest_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Incremental corpus ingest with CROSS-RUN dedup: each micro-batch
+    of arriving documents is first deduplicated within the batch
+    (deterministic keep-first per content fingerprint), then anti-joined
+    against the persistent fingerprint store so a document whose content
+    was accepted by ANY earlier batch/run is dropped; survivors append
+    to the store (corpus + fingerprints together).
+
+    This is the production "never re-ingest what the corpus already
+    has" loop — re-crawls and retries arrive constantly at 100 TB.
+    Mechanics that make it correct and scale:
+    - the store keeps (fingerprint, doc) sorted-on-write by fingerprint;
+      the per-batch anti-join reads ONLY the fingerprint column (column
+      pruning) and joins on the 128-bit key, never text;
+    - the checkpoint commits batch ids, so a crashed-and-restarted run
+      re-invokes nothing (idempotent restart — the reference's missing
+      piece, SURVEY §2.6);
+    - within-batch dedup uses the same deterministic min-id survivor as
+      the batch operator (operators/dedup.exact_dedup_first), so replays
+      pick identical survivors.
+    """
+    from ..functions.text import fingerprint
+
+    docs = documents_stream(spark, sf_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+        batch = (
+            batch_df.withColumn("fp", fingerprint("text"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        sess = batch_df.sparkSession
+        try:
+            seen = sess.read.parquet(store_dir).select("fp")
+        except Exception:
+            seen = None  # first batch: store does not exist yet
+        fresh = batch if seen is None else batch.join(seen, "fp", "left_anti")
+        fresh.write.mode("append").parquet(store_dir)
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_ingest_dedup_")
+    q = (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName("incremental_ingest_dedup")
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("incremental ingest did not drain in 300s")
 
 
 def fanout_foreach_batch(

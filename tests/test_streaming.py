@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from amazonmsk_emr_tem_data_spark.functions.codec import to_kafka_envelope
+from amazonmsk_emr_tem_data_spark.functions.text import fingerprint
 from amazonmsk_emr_tem_data_spark.functions.tem import with_tem_avg
 from amazonmsk_emr_tem_data_spark.schemas import TEM_AVG_COL, tem_schema
 from amazonmsk_emr_tem_data_spark.sources.files import read_tem_csv
@@ -137,3 +138,37 @@ def test_checkpoint_resume_is_idempotent(spark, sf_dir):
     run_once()  # resume: no new files → no new rows
     n2 = spark.read.parquet(out_dir).count()
     assert n1 > 0 and n1 == n2
+
+
+def test_incremental_ingest_dedup_across_runs(spark, sf_dir):
+    """Cross-run content dedup: run 1 ingests the corpus (one survivor
+    per distinct normalized content); run 2 with a FRESH checkpoint
+    reprocesses every document and must add nothing — the store's
+    fingerprint anti-join, not the checkpoint, is what blocks
+    re-ingestion. A restart with the SAME checkpoint is also a no-op
+    (batch ids committed)."""
+    import tempfile
+
+    from amazonmsk_emr_tem_data_spark.sources.files import load_table
+    from amazonmsk_emr_tem_data_spark.streaming.pipelines import (
+        incremental_ingest_dedup,
+    )
+
+    store = tempfile.mkdtemp(prefix="ingest_store_") + "/corpus"
+    docs = load_table(spark, sf_dir, "documents")
+    n_distinct = docs.select(fingerprint("text").alias("fp")).distinct().count()
+
+    ckpt1 = tempfile.mkdtemp(prefix="ckpt_ingest1_")
+    incremental_ingest_dedup(spark, sf_dir, store, checkpoint_dir=ckpt1)
+    got = spark.read.parquet(store)
+    assert got.count() == n_distinct
+    assert got.select("fp").distinct().count() == n_distinct
+
+    # fresh checkpoint: full reprocess, store must not grow
+    ckpt2 = tempfile.mkdtemp(prefix="ckpt_ingest2_")
+    incremental_ingest_dedup(spark, sf_dir, store, checkpoint_dir=ckpt2)
+    assert spark.read.parquet(store).count() == n_distinct
+
+    # same checkpoint: committed batch ids, nothing re-invoked
+    incremental_ingest_dedup(spark, sf_dir, store, checkpoint_dir=ckpt1)
+    assert spark.read.parquet(store).count() == n_distinct
