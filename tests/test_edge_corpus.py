@@ -231,3 +231,158 @@ def test_edge_events_parity(spark, edge_events_dir, edge_events_con, name):
     fn, sql = REGISTRY[name]
     assert sql is not None
     compare(fn(spark, edge_events_dir), edge_events_con, sql)
+
+
+# --- relational tables: rounding edges, filter boundaries, ties ---
+
+EDGE_REGION = [(0, "AMERICA"), (1, "EUROPE")]
+EDGE_NATION = [(0, "BRAZIL", 0), (1, "FRANCE", 1), (2, "GERMANY", 1)]
+EDGE_CUSTOMER = [
+    # acctbal at zero / negative; duplicated mktsegment; name ties
+    (1, "Customer#1", 0, 0.0, "BUILDING"),
+    (2, "Customer#2", 1, -999.99, "BUILDING"),
+    (3, "Customer#3", 2, 9999.995, "AUTOMOBILE"),   # half-cent edge
+    (4, "Customer#4", 1, 100.005, "MACHINERY"),     # half-cent edge
+    (5, "Customer#5", 2, 100.005, "MACHINERY"),     # tie with 4
+    (6, "Customer#6", 0, 50.0, "HOUSEHOLD"),        # no orders
+]
+EDGE_SUPPLIER = [
+    (10, "Supplier#10", 0, -1.0),   # negative acctbal (Q16 exclusion)
+    (11, "Supplier#11", 1, 0.0),
+    (12, "Supplier#12", 2, 500.5),
+]
+EDGE_PART = [
+    # sizes exactly at the Q16/Q2/Q19 filter boundaries; brand/type hits
+    (20, "azure part one", "Brand#12", "PROMO BRUSHED", 1, 10.005),
+    (21, "blue part two", "Brand#23", "PROMO PLATED", 15, 20.0),
+    (22, "green part", "Brand#45", "ECONOMY BURNISHED", 5, 30.0),
+    (23, "red part", "Brand#7", "STANDARD PLATED", 20, 40.995),
+    (24, "white part", "Brand#12", "PROMO ANODIZED", 21, 15.0),
+    (25, "black part", "Brand#23", "ECONOMY BRUSHED", 50, 25.0),
+]
+EDGE_ORDERS = [
+    # dates exactly at every filter boundary used by the queries
+    (30, 1, "F", 100.005, "1993-10-01", "1-URGENT"),    # Q10 window start
+    (31, 2, "O", 200.995, "1993-12-31", "2-HIGH"),      # Q10 last day
+    (32, 3, "F", 300.0, "1994-01-01", "3-MEDIUM"),      # == Q10 end (out)
+    (33, 1, "P", 100.005, "1995-09-01", "4-NOT SPECIFIED"),  # tie totalprice
+    (34, 4, "O", 400.5, "1996-01-01", "5-LOW"),         # window start
+    (35, 5, "F", 400.5, "1997-12-31", "1-URGENT"),      # tie totalprice
+    (36, 2, "O", 0.0, "1994-06-15", "2-HIGH"),          # zero order
+    (37, 3, "O", 500.0, "1998-01-01", "3-MEDIUM"),      # == window end (out)
+]
+EDGE_LINEITEM = [
+    # (okey, pkey, skey, line, qty, extprice, disc, tax, rflag, lstat, shipdate)
+    # quantities on half-cent grid edges; Q19 bounds 1.00/11.00/10.00/20.00/
+    # 20.00/30.00 exact; shipdates at 1994/1995 filter boundaries
+    (30, 20, 10, 1, 1.0, 100.005, 0.0, 0.0, "R", "F", "1994-01-01"),
+    (30, 21, 11, 2, 11.0, 200.995, 0.05, 0.08, "R", "F", "1994-12-31"),
+    (31, 22, 12, 1, 10.0, 300.5, 0.1, 0.0, "A", "F", "1995-01-01"),
+    (31, 23, 10, 2, 20.0, 150.25, 0.0, 0.07, "N", "O", "1995-08-31"),
+    (32, 24, 11, 1, 30.0, 99.995, 0.02, 0.01, "R", "F", "1995-09-01"),
+    (33, 25, 12, 1, 2.115, 49.005, 0.04, 0.02, "N", "O", "1995-09-30"),
+    (33, 20, 10, 2, 45.5, 75.0, 0.06, 0.03, "A", "F", "1995-10-01"),
+    (34, 21, 11, 1, 50.0, 500.0, 0.1, 0.08, "N", "O", "1996-06-15"),
+    (35, 22, 12, 1, 0.0, 0.0, 0.0, 0.0, "R", "O", "1997-01-01"),
+    (35, 23, 10, 2, 1.005, 10.005, 0.05, 0.04, "N", "F", "1997-06-01"),
+    (36, 24, 11, 1, 7.5, 60.5, 0.03, 0.06, "A", "O", "1994-06-16"),
+    (37, 25, 12, 1, 12.25, 80.25, 0.07, 0.05, "R", "F", "1998-01-02"),
+    # second supplier on order 30, NOT returned → sole-blame EXISTS case
+    (30, 22, 12, 3, 3.0, 30.0, 0.01, 0.0, "N", "F", "1994-02-01"),
+    # order 31: two suppliers BOTH returned → NOT-EXISTS kills both
+    (31, 24, 11, 2, 4.0, 40.0, 0.02, 0.01, "A", "F", "1995-02-01"),
+]
+
+TPCH_QUERIES = [
+    "q1_pricing_summary",
+    "filter_project_scan",
+    "revenue_by_segment",
+    "nation_revenue",
+    "topk_orders_per_priority",
+    "running_total_per_customer",
+    "rollup_lineitem_status",
+    "cube_order_status",
+    "grouping_sets_lineitem",
+    "pivot_status_by_flag",
+    "customers_with_orders",
+    "customers_without_orders",
+    "set_ops_customers",
+    "case_bucket_quantity",
+    "orders_by_month",
+    "part_name_stats",
+    "top10_lineitems",
+    "exact_quantiles",
+    "salted_customer_revenue",
+    "outer_join_order_coverage",
+    "price_lag_lead_frames",
+    "small_quantity_revenue",
+    "conditional_agg_orders",
+    "order_price_distribution",
+    "systematic_sample_revenue",
+    "customer_order_histogram",
+    "top_supplier_revenue",
+    "large_quantity_orders",
+    "nation_trade_flows",
+    "idle_rich_customers",
+    "promo_revenue_share",
+    "disjunctive_predicate_revenue",
+    "supplier_revenue_share",
+    "returned_item_revenue",
+    "priority_lines_by_returnflag",
+    "cheapest_supplier_per_part",
+    "supplier_counts_by_part_attrs",
+    "sole_blame_suppliers",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_tpch_dir(tmp_path_factory):
+    import pandas as pd
+
+    d = str(tmp_path_factory.mktemp("edge_tpch"))
+
+    def w(name, rows, cols, ts_cols=()):
+        df = pd.DataFrame(rows, columns=cols)
+        for c in ts_cols:
+            df[c] = pd.to_datetime(df[c])
+        df.to_parquet(f"{d}/{name}.parquet", index=False)
+
+    w("region", EDGE_REGION, ["r_regionkey", "r_name"])
+    w("nation", EDGE_NATION, ["n_nationkey", "n_name", "n_regionkey"])
+    w("customer", EDGE_CUSTOMER,
+      ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"])
+    w("supplier", EDGE_SUPPLIER,
+      ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+    w("part", EDGE_PART,
+      ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"])
+    w("orders", EDGE_ORDERS,
+      ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+       "o_orderdate", "o_orderpriority"], ts_cols=["o_orderdate"])
+    w("lineitem", EDGE_LINEITEM,
+      ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+       "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+       "l_linestatus", "l_shipdate"], ts_cols=["l_shipdate"])
+    return d
+
+
+@pytest.fixture(scope="module")
+def edge_tpch_con(edge_tpch_dir):
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{edge_tpch_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", TPCH_QUERIES)
+def test_edge_tpch_parity(spark, edge_tpch_dir, edge_tpch_con, name):
+    """Half-cent rounding edges, filter-boundary dates, tied
+    aggregates/prices, multi-supplier blame shapes: every relational
+    oracle query must hash-match DuckDB on handcrafted boundary rows."""
+    fn, sql = REGISTRY[name]
+    assert sql is not None
+    compare(fn(spark, edge_tpch_dir), edge_tpch_con, sql)
