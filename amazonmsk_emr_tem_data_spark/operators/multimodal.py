@@ -103,6 +103,77 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -> D
     return df.select(id_col, "payload").mapInPandas(decode_iter, _DECODE_SCHEMA)
 
 
+_EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def embed_media(
+    df: DataFrame, dim: int = 16, id_col: str = "doc_id", fake: bool = True
+) -> DataFrame:
+    """Media → embedding vectors via an Arrow-batched pandas iterator —
+    the feature-extraction stage between decode and similarity search.
+
+    STUB model: an L2-normalized byte-histogram (dim buckets) stands in
+    for a CLIP-style encoder; deterministic, so near-dup results are
+    reproducible and identical payloads embed identically. The real
+    version replaces the histogram with an ONNX/torch forward pass over
+    the SAME batch iterator — the Spark contract (columnar batches in,
+    (id, vector) rows out, no driver round-trip) is what's tested.
+    """
+
+    def embed_iter(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = []
+            for payload in pdf["payload"]:
+                if not fake:
+                    raise NotImplementedError(
+                        "no media models in this environment; plug in an "
+                        "ONNX/torch encoder here"
+                    )
+                data = payload if payload is not None else b""
+                h = np.zeros(dim, dtype=np.float64)
+                if data:
+                    arr = np.frombuffer(data, dtype=np.uint8)
+                    h = np.bincount(arr % dim, minlength=dim).astype(np.float64)
+                    n = np.linalg.norm(h)
+                    if n > 0:
+                        h = h / n
+                vecs.append(h.tolist())
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "embedding": vecs}
+            )
+
+    return df.select(id_col, "payload").mapInPandas(embed_iter, _EMBED_SCHEMA)
+
+
+def media_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.98,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """End-to-end multimodal near-dup: payload → embedding
+    (Arrow-batched stub encoder) → cosine pair join with exact-dup
+    collapse (operators/similarity.cosine_near_dup_pairs). The full
+    'dedup an image corpus' composition: every stage is the same
+    operator a real encoder would feed, so swapping the stub changes
+    recall characteristics, not the plan."""
+    from .similarity import cosine_near_dup_pairs
+
+    emb = embed_media(df, dim=dim, id_col=id_col, fake=fake)
+    return cosine_near_dup_pairs(
+        emb, threshold=threshold, id_col=id_col, vec_col="embedding"
+    ).withColumnRenamed("vec_a", "doc_a").withColumnRenamed("vec_b", "doc_b")
+
+
 _FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

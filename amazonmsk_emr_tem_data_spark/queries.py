@@ -1222,6 +1222,17 @@ def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(with_binary_payload(docs), n_frames=4)
 
 
+def multimodal_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal dedup composition: payload → Arrow-batched
+    stub encoder → embedding cosine near-dup with exact-dup collapse
+    (rows-only: the mapInPandas encoder is not SQL-expressible;
+    determinism + identical-payload recall are unit-tested)."""
+    from .operators.multimodal import media_near_dup_pairs, with_binary_payload
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return media_near_dup_pairs(with_binary_payload(docs), threshold=0.995)
+
+
 # ---------------------------------------------------------------------------
 # time-series joins (as-of / range) + grouping sets / pivot / sketches
 # ---------------------------------------------------------------------------
@@ -3009,6 +3020,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_meta": (multimodal_meta, _MULTIMODAL_META_SQL),
     "multimodal_decode": (multimodal_decode_q, None),
     "multimodal_frames": (multimodal_frames_q, None),
+    "multimodal_near_dup": (multimodal_near_dup_q, None),
     # time-series joins + olap extensions
     "asof_latest_order": (asof_latest_order, _ASOF_SQL),
     "range_join_order_events": (range_join_order_events, _RANGE_JOIN_SQL),

@@ -172,6 +172,37 @@ def test_multimodal_frame_explosion(spark, docs):
     assert per_doc[0] == 4 and per_doc[1] == 4
 
 
+def test_media_near_dup_finds_identical_payloads(spark):
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        media_near_dup_pairs,
+        with_binary_payload,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "identical media payload content"),
+            (2, "identical media payload content"),   # exact dup of 1
+            (3, "identical media payload content!"),  # near (1 extra byte)
+            (4, "completely different bytes here with other chars"),
+        ],
+        ["doc_id", "text"],
+    )
+    src = with_binary_payload(df)
+    out = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in media_near_dup_pairs(src, threshold=0.98).collect()
+    }
+    assert out[(1, 2)] == 1.0  # identical payloads: exact-dup collapse path
+    assert (1, 3) in out and out[(1, 3)] >= 0.98
+    assert not any(4 in p for p in out)
+    # determinism: a second run returns the identical pair set + scores
+    out2 = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in media_near_dup_pairs(src, threshold=0.98).collect()
+    }
+    assert out == out2
+
+
 def test_connected_components_known_graph(spark):
     """CC on a hand-built graph: a 4-node chain (transitive closure —
     pairwise ops alone cannot produce it), a 2-node blob, and an
