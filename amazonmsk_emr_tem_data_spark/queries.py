@@ -1222,6 +1222,18 @@ def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(with_binary_payload(docs), n_frames=4)
 
 
+def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: the first 16 learned merge
+    rules over the documents corpus (rows-only: iterative argmax with
+    one driver row per round is not SQL-expressible; the merge order on
+    a hand-computable corpus is unit-tested against the published BPE
+    walkthrough)."""
+    from .operators.bpe import bpe_merge_table
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return bpe_merge_table(docs, n_merges=16)
+
+
 def multimodal_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal dedup composition: payload → Arrow-batched
     stub encoder → embedding cosine near-dup with exact-dup collapse
@@ -3021,6 +3033,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_decode": (multimodal_decode_q, None),
     "multimodal_frames": (multimodal_frames_q, None),
     "multimodal_near_dup": (multimodal_near_dup_q, None),
+    "bpe_vocab_merges": (bpe_vocab_merges, None),
     # time-series joins + olap extensions
     "asof_latest_order": (asof_latest_order, _ASOF_SQL),
     "range_join_order_events": (range_join_order_events, _RANGE_JOIN_SQL),

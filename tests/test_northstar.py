@@ -172,6 +172,44 @@ def test_multimodal_frame_explosion(spark, docs):
     assert per_doc[0] == 4 and per_doc[1] == 4
 
 
+def test_bpe_learns_textbook_merges(spark):
+    """The classic Sennrich corpus: merges must come out in the
+    published order (es → est → est</w> → lo → low), deterministically."""
+    from amazonmsk_emr_tem_data_spark.operators.bpe import (
+        bpe_segment,
+        learn_bpe_merges,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "low low low low low"),
+            (2, "lower lower"),
+            (3, "newest newest newest newest newest newest"),
+            (4, "widest widest widest"),
+        ],
+        ["doc_id", "text"],
+    )
+    merges = learn_bpe_merges(corpus, n_merges=5)
+    assert [(a, b) for (_, a, b, _n) in merges] == [
+        ("e", "s"),
+        ("es", "t"),
+        ("est", "</w>"),
+        ("l", "o"),
+        ("lo", "w"),
+    ]
+    assert merges[0][3] == 9  # es: newest*6 + widest*3
+
+    seg = {r["doc_id"]: r["bpe_token_count"]
+           for r in bpe_segment(corpus, merges).collect()}
+    # after 5 merges: low -> [low, </w>] = 2 per word
+    assert seg[1] == 10
+    # newest -> [n, e, w, est</w>] = 4 per word (e+w merges only later)
+    assert seg[3] == 24
+
+    # determinism: same corpus, same merges
+    assert learn_bpe_merges(corpus, n_merges=5) == merges
+
+
 def test_media_near_dup_finds_identical_payloads(spark):
     from amazonmsk_emr_tem_data_spark.operators.multimodal import (
         media_near_dup_pairs,
