@@ -376,7 +376,9 @@ def fanout_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("fanout foreachBatch did not drain in 300s")
 
 
 def stream_session_windows(

@@ -172,6 +172,22 @@ def test_multimodal_frame_explosion(spark, docs):
     assert per_doc[0] == 4 and per_doc[1] == 4
 
 
+def test_connected_components_long_chain_converges_fast(spark):
+    """A 60-node chain has diameter 59: plain min-label propagation
+    would need 59 rounds, far beyond max_iter=10 — pointer jumping
+    must settle it (all labels 0) within the budget, without the
+    non-convergence warning path."""
+    from amazonmsk_emr_tem_data_spark.operators.dedup import connected_components
+
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    comp = connected_components(pairs, nodes, max_iter=10)
+    assert {r["comp"] for r in comp.collect()} == {0}
+
+
 def test_bpe_learns_textbook_merges(spark):
     """The classic Sennrich corpus: merges must come out in the
     published order (es → est → est</w> → lo → low), deterministically."""
