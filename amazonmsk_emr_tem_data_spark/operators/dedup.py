@@ -527,6 +527,51 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _cc_union_find_one_partition(
+    pairs: DataFrame, id_col: str, a_col: str, b_col: str
+) -> DataFrame:
+    """Executor-side union-find over a pair graph that fits one task.
+
+    ``coalesce(1)`` + ``mapInPandas``: the whole edge list streams
+    through a single executor task that runs path-compressing
+    union-find rooted at the MIN id (so the emitted component label is
+    exactly the min reachable id, matching the iterative algorithm
+    bit-for-bit). No driver collect — the graph never leaves the
+    executors; output is one (node, comp) row per endpoint node.
+    """
+    id_type = dict(pairs.dtypes)[a_col]
+
+    def run(batches):
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf[a_col].tolist(), pdf[b_col].tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        import pandas as pd
+
+        keys = list(parent)
+        yield pd.DataFrame({"node": keys, "comp": [find(k) for k in keys]})
+
+    return (
+        pairs.select(a_col, b_col)
+        .coalesce(1)
+        .mapInPandas(run, schema=f"node {id_type}, comp {id_type}")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -534,6 +579,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    small_graph_edges: int = 5_000_000,
 ) -> DataFrame:
     """Connected components of the similarity-pair graph: (id_col,
     component) where component = min node id reachable from the node.
@@ -543,20 +589,47 @@ def connected_components(
     component" — which pairwise ops alone cannot express (near-dup is
     not transitive; the cluster is the transitive closure).
 
-    Algorithm: distributed min-label propagation WITH pointer jumping.
-    Each round every node takes the min of (its label, its neighbors'
-    labels, its label's label) — the neighbor step is the same
-    join + groupBy-min MapReduce round GraphX CC runs; the label-of-
-    label step (path halving, cf. the large-star/small-star family of
-    MapReduce CC algorithms) short-circuits long chains so convergence
-    is O(log diameter) rounds, not O(diameter): a 60-node chain
-    settles in ~7 rounds instead of 60. Per-round ``localCheckpoint``
-    truncates the lineage so the plan doesn't grow exponentially, and
-    the driver-side convergence test reads ONE aggregated count per
-    round — no collect of node data. At 100 TB: state per round =
-    (node, label) pairs, two narrow longs; the edge list is reused
-    cached; skewed mega-components cost only on their own keys.
+    Two physical strategies behind one logical op, picked by measured
+    edge count (the dedup analogue of Catalyst's broadcast-vs-shuffle
+    join choice):
+
+    - **Small graph** (≤ ``small_graph_edges`` pairs, the common case —
+      near-dup pairs touch a few percent of even a 100 TB corpus, and
+      upstream LSH already collapsed exact dups): one executor task
+      runs path-compressing union-find over the whole edge list
+      (``coalesce(1)`` + Arrow ``mapInPandas`` — executor-side, never
+      a driver collect). 5M edges ≈ 80 MB of longs: trivially
+      one-task-sized, and O(E α(E)) beats rounds of shuffles.
+    - **Big graph**: distributed min-label propagation WITH pointer
+      jumping. Each round every node takes the min of (its label, its
+      neighbors' labels, its label's label) — the neighbor step is the
+      same join + groupBy-min MapReduce round GraphX CC runs; the
+      label-of-label step (path halving, cf. the large-star/small-star
+      family of MapReduce CC algorithms) short-circuits long chains so
+      convergence is O(log diameter) rounds, not O(diameter): a
+      60-node chain settles in ~7 rounds instead of 60. Per-round
+      ``localCheckpoint`` truncates the lineage so the plan doesn't
+      grow exponentially, and the driver-side convergence test reads
+      ONE aggregated count per round — no collect of node data. At
+      100 TB: state per round = (node, label) pairs, two narrow longs;
+      the edge list is reused cached; skewed mega-components cost only
+      on their own keys.
+
+    Both paths emit identical labels (min reachable id); the unit
+    tests run both.
     """
+    if small_graph_edges and pairs.limit(small_graph_edges + 1).count() <= (
+        small_graph_edges
+    ):
+        endpoint_comp = _cc_union_find_one_partition(pairs, id_col, a_col, b_col)
+        return (
+            nodes.select(F.col(id_col).alias("node"))
+            .join(endpoint_comp, "node", "left_outer")
+            .select(
+                F.col("node").alias(id_col),
+                F.coalesce("comp", F.col("node")).alias("comp"),
+            )
+        )
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -579,6 +652,7 @@ def connected_components(
             msgs, labels["node"] == msgs["dst"], "left_outer"
         ).select(
             "node",
+            F.col("comp").alias("comp0"),
             F.least(
                 F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
             ).alias("comp"),
@@ -589,6 +663,9 @@ def connected_components(
         lol = labels.select(
             F.col("node").alias("comp"), F.col("comp").alias("comp2")
         )
+        # The moved flag rides along into the checkpoint so convergence
+        # is a filter+count over already-materialized partitions — no
+        # extra old-vs-new join (and its shuffle) per round.
         new_labels = (
             stepped.join(lol, "comp", "left_outer")
             .select(
@@ -596,16 +673,14 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce("comp2", F.col("comp"))
                 ).alias("comp"),
+                "comp0",
             )
+            .withColumn("moved", F.col("comp") != F.col("comp0"))
+            .drop("comp0")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("moved").count()
+        labels = new_labels.drop("moved")
         if changed == 0:
             break
     else:

@@ -176,7 +176,8 @@ def test_connected_components_long_chain_converges_fast(spark):
     """A 60-node chain has diameter 59: plain min-label propagation
     would need 59 rounds, far beyond max_iter=10 — pointer jumping
     must settle it (all labels 0) within the budget, without the
-    non-convergence warning path."""
+    non-convergence warning path. small_graph_edges=0 forces the
+    iterative path (the union-find fast path would hide the bug)."""
     from amazonmsk_emr_tem_data_spark.operators.dedup import connected_components
 
     n = 60
@@ -184,8 +185,33 @@ def test_connected_components_long_chain_converges_fast(spark):
         [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
     )
     nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
-    comp = connected_components(pairs, nodes, max_iter=10)
+    comp = connected_components(pairs, nodes, max_iter=10, small_graph_edges=0)
     assert {r["comp"] for r in comp.collect()} == {0}
+
+
+def test_connected_components_both_paths_agree(spark):
+    """The one-task union-find fast path and the iterative propagation
+    must emit identical (node, comp) labels — two blobs, a bridge node,
+    and two isolated nodes."""
+    from amazonmsk_emr_tem_data_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (3, 10), (20, 21)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 12, 20, 21, 99, 100]], ["doc_id"]
+    )
+    fast = {
+        (r["doc_id"], r["comp"])
+        for r in connected_components(pairs, nodes).collect()
+    }
+    slow = {
+        (r["doc_id"], r["comp"])
+        for r in connected_components(
+            pairs, nodes, small_graph_edges=0
+        ).collect()
+    }
+    assert fast == slow
+    assert (99, 99) in fast and (20, 20) in fast and (12, 1) in fast
 
 
 def test_bpe_learns_textbook_merges(spark):
