@@ -2976,6 +2976,270 @@ FROM quant
 """
 
 
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6 shape: the "what if we dropped these discounts" scan —
+    a pure filter + single scalar aggregate, no joins. Every predicate
+    (shipdate year, discount band, quantity cap) pushes to the parquet
+    scan, so at 100 TB with shipdate partitioning this reads one year's
+    partitions, prunes row groups on the min/max stats of discount and
+    quantity, and reduces map-side to ONE row — the cheapest possible
+    physical plan, and the canonical test that pushdown works. The
+    discount band compares on the integer-cent grid (5..7) so boundary
+    rows agree with the oracle; the raw-column bounds are added
+    redundantly because round()+cast isn't scan-pushable but plain
+    range predicates are."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.049)
+        & (F.col("l_discount") <= 0.071)
+        & (F.col("l_quantity") < 24.01)
+        & (_cents("l_discount").between(5, 7))
+        & (_cents("l_quantity") < 2400)
+    )
+    return li.agg(
+        (
+            F.sum(_cents("l_extendedprice") * _cents("l_discount")).cast(
+                "double"
+            )
+            / F.lit(10000.0)
+        ).alias("forecast_revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+_FORECAST_REVENUE_SQL = f"""
+SELECT CAST(SUM({_EP100} * CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS forecast_revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+  AND CAST(round(l_quantity*100) AS BIGINT) < 2400
+"""
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8 shape: one nation's market share of STANDARD-part
+    revenue sold to ASIA customers, per order year — a conditional-sum
+    ratio over a 7-table join. Physical shape at 100 TB: part, customer,
+    supplier, nation (twice) and region are all broadcast (part is the
+    largest and still ~2% of lineitem after the p_type filter), so the
+    ONLY shuffle is lineitem ⋈ orders on orderkey; the orderdate range
+    pushes to the orders scan and prunes years before the join. The
+    share divides two integer-grid sums (supplier-nation-conditional /
+    total) per year, so both engines divide identical integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_cust = nat.alias("n1")
+    n_supp = nat.alias("n2")
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(n_cust),
+            cust["c_nationkey"] == F.col("n1.n_nationkey"),
+        )
+        .join(
+            F.broadcast(reg), F.col("n1.n_regionkey") == reg["r_regionkey"]
+        )
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(
+            F.broadcast(n_supp),
+            supp["s_nationkey"] == F.col("n2.n_nationkey"),
+        )
+    )
+    vol = disc_price_cents()
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("n2.n_name") == "NATION_3", vol).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).cast("double")
+                * F.lit(100.0)
+                / F.sum(vol).cast("double")
+            ).alias("market_share_pct"),
+            (F.sum(vol).cast("double") / F.lit(10000.0)).alias("total_volume"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_NATION_MARKET_SHARE_SQL = f"""
+SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                     THEN {_DISC_PRICE_CENTS_SQL} ELSE 0 END) AS DOUBLE)
+         * 100.0 / CAST(SUM({_DISC_PRICE_CENTS_SQL}) AS DOUBLE)
+         AS market_share_pct,
+       CAST(SUM({_DISC_PRICE_CENTS_SQL}) AS DOUBLE) / 10000.0 AS total_volume,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9 shape: profit on 'widget' parts by supplier nation and
+    order year. The reference schema has no partsupp, so supply cost is
+    modeled as 20% of p_retailprice × quantity — preserving Q9's
+    physical shape exactly: a LIKE-filtered broadcast part dim, the
+    lineitem ⋈ orders shuffle (only to fetch the year), broadcast
+    supplier → nation, then a two-key groupBy. Profit stays on one
+    integer grid — 5 × disc_price(×10⁴) − retail(×10²) × qty(×10²),
+    unit 2·10⁻⁵ dollars — until a single final division, so boundary
+    rows agree with the oracle bit-for-bit. Grid bound: |sum| <
+    5·10⁴ × group revenue in dollars; int64 holds to ~3.7 trillion
+    grid-dollars per (nation, year) group — beyond any real SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    profit_grid = (
+        F.lit(5).cast("long") * disc_price_cents()
+        - _cents("p_retailprice") * _cents("l_quantity")
+    )
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            (F.sum(profit_grid).cast("double") / F.lit(50000.0)).alias(
+                "profit"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_PRODUCT_PROFIT_SQL = f"""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(5 * {_DISC_PRICE_CENTS_SQL}
+                - CAST(round(p.p_retailprice*100) AS BIGINT)
+                  * CAST(round(l.l_quantity*100) AS BIGINT)) AS DOUBLE)
+         / 50000.0 AS profit,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def heavy_shipper_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20 shape: suppliers who shipped MORE than 1.5× the mean
+    per-supplier quantity of 'small' parts in 1997 — a doubly-nested
+    aggregate (per-supplier totals, then the corpus mean over those
+    totals) feeding a LEFT SEMI join into the supplier dim. Physical
+    shape at 100 TB: the part filter broadcasts into the lineitem scan
+    year-partition, the per-supplier rollup is ONE shuffle on suppkey,
+    the mean over ~|suppliers| rows is a broadcastable scalar, and the
+    final semi join broadcasts the qualifying suppkey set — supplier
+    itself is never shuffled. The threshold compare runs in
+    DECIMAL(38,0) (qty_grid × n_sup × 2 vs 3 × total_grid) because the
+    cross-multiply of a corpus-wide grid sum by supplier count is
+    exactly the int64-overflow shape ADVICE flagged on the Q11 twin."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    per_supp = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum(_cents("l_quantity")).alias("qty_grid"))
+    )
+    totals = per_supp.agg(
+        F.sum("qty_grid").alias("total_grid"),
+        F.count(F.lit(1)).alias("n_sup"),
+    )
+    dec = "decimal(38,0)"
+    qualifying = (
+        per_supp.crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("qty_grid").cast(dec)
+            * F.col("n_sup").cast(dec)
+            * F.lit(2).cast(dec)
+            > F.lit(3).cast(dec) * F.col("total_grid").cast(dec)
+        )
+        .select("l_suppkey", "qty_grid")
+    )
+    return (
+        supp.join(
+            qualifying, supp["s_suppkey"] == qualifying["l_suppkey"], "left_semi"
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+        )
+    )
+
+
+_HEAVY_SHIPPER_SQL = """
+WITH per_supp AS (
+  SELECT l.l_suppkey,
+         SUM(CAST(round(l.l_quantity*100) AS BIGINT)) AS qty_grid
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'small%'
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1
+), totals AS (
+  SELECT SUM(qty_grid) AS total_grid, COUNT(*) AS n_sup FROM per_supp
+)
+SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l_suppkey FROM per_supp, totals
+  WHERE CAST(qty_grid AS DECIMAL(38,0)) * CAST(n_sup AS DECIMAL(38,0)) * 2
+        > 3 * CAST(total_grid AS DECIMAL(38,0))
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3084,6 +3348,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _SUPPLIER_COUNTS_SQL,
     ),
     "sole_blame_suppliers": (sole_blame_suppliers, _SOLE_BLAME_SQL),
+    # TPC-H parity shapes Q6/Q8/Q9/Q20 (round 2) — completes all 22
+    "forecast_revenue_change": (forecast_revenue_change, _FORECAST_REVENUE_SQL),
+    "nation_market_share": (nation_market_share, _NATION_MARKET_SHARE_SQL),
+    "product_profit_by_nation_year": (
+        product_profit_by_nation_year,
+        _PRODUCT_PROFIT_SQL,
+    ),
+    "heavy_shipper_suppliers": (heavy_shipper_suppliers, _HEAVY_SHIPPER_SQL),
     # north-star: corpus-level LM-quality operators (round 2)
     "doc_dup_span_frac": (doc_dup_span_frac, _DUP_SPAN_SQL),
     "doc_unigram_logprob": (doc_unigram_logprob, _UNIGRAM_LOGPROB_SQL),
