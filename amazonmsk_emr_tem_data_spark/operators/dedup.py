@@ -276,6 +276,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_overlap_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    flag_num: int = 1,
+    flag_den: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per-document word-k-gram overlap with
+    an eval corpus — (doc_id, n_grams, n_contaminated,
+    contamination_frac, is_contaminated) where is_contaminated ⇔
+    n_contaminated/n_grams ≥ flag_num/flag_den (compared in integers,
+    no float boundary). The n-gram-overlap rule from the GPT-3/PaLM/
+    Llama data cards.
+
+    Scale shape: both sides reduce to DISTINCT (doc, 60-bit gram hash)
+    pairs — the shuffle never carries gram text. The eval gram set
+    (benchmarks: millions of grams) broadcasts into the corpus-side
+    join, so the only corpus-sized shuffle is the per-doc distinct +
+    count. Docs shorter than k tokens contribute their whole token
+    string as one gram, so short eval questions still decontaminate.
+    """
+    from ..functions.text import md5_hash64, tokens as tok_arr
+
+    def per_gram(df: DataFrame) -> DataFrame:
+        w = tok_arr(text_col)
+        grams = F.when(
+            F.size(w) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - k),
+                lambda i: F.array_join(F.slice(w, i + 1, k), " "),
+            ),
+        ).otherwise(F.array(F.array_join(w, " ")))
+        return df.select(
+            id_col, F.explode(F.array_distinct(grams)).alias("gram")
+        ).select(id_col, md5_hash64(F.col("gram")).alias("gh"))
+
+    corpus_grams = per_gram(ensure_parallelism(docs))
+    eval_grams = per_gram(eval_docs).select("gh").distinct()
+    marked = corpus_grams.join(
+        F.broadcast(eval_grams.withColumn("hit", F.lit(1))), "gh", "left_outer"
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_contaminated",
+            (F.col("n_contaminated") / F.col("n_grams")).alias(
+                "contamination_frac"
+            ),
+            (
+                F.col("n_contaminated") * flag_den
+                >= F.col("n_grams") * flag_num
+            ).alias("is_contaminated"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

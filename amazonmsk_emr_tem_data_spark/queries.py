@@ -2976,6 +2976,149 @@ FROM quant
 """
 
 
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose word
+    8-gram overlap with a held-out eval set exceeds a threshold — the
+    standard pre-training step that keeps test questions out of the
+    training corpus (the n-gram-overlap rule used by GPT-3/PaLM/Llama
+    data cards). The eval set here is the deterministic slice
+    doc_id % 97 == 0, standing in for an external benchmark table.
+
+    Scale shape (see operators/dedup.ngram_overlap_decontaminate): each
+    side reduces to DISTINCT (doc, gram-hash) pairs — the md5→int64
+    hash keeps the shuffle narrow, never gram text. The eval gram set
+    is tiny relative to the corpus (benchmarks are millions of grams,
+    the corpus is billions), so the overlap join broadcasts it; the
+    only corpus-sized shuffle is the per-doc distinct+count, the same
+    (doc_id, token) shuffle every text op here pays."""
+    from .operators.dedup import ngram_overlap_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = ngram_overlap_decontaminate(
+        docs, docs.filter(F.col("doc_id") % 97 == 0)
+    )
+    return flagged.withColumn("is_eval", F.col("doc_id") % 97 == 0)
+
+
+_DECONTAMINATION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(w) >= 8
+                THEN list_transform(generate_series(1, len(w)-7),
+                                    i -> array_to_string(w[i:i+7], ' '))
+                ELSE [array_to_string(w, ' ')] END)) AS gram
+  FROM toks
+), hashed AS (
+  SELECT doc_id, {_HASH64_SQL.format(x='gram')} AS gh FROM grams
+), eval_grams AS (
+  SELECT DISTINCT gh FROM hashed WHERE doc_id % 97 = 0
+), marked AS (
+  SELECT h.doc_id, h.gh, e.gh IS NOT NULL AS hit
+  FROM hashed h LEFT JOIN eval_grams e ON h.gh = e.gh
+)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_contaminated,
+       SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+         AS contamination_frac,
+       SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 5 >= COUNT(*)
+         AS is_contaminated,
+       doc_id % 97 = 0 AS is_eval
+FROM marked
+GROUP BY doc_id
+"""
+
+
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign every document a position in the
+    concatenated token stream and the 2048-token training sequence
+    ("pack") it starts in — the concat-then-chunk layout GPT-style
+    pre-training uses to fill fixed-length batches without padding.
+
+    The global prefix-sum is the interesting distributed part: a naive
+    ``Window.orderBy(doc_id)`` with no partition key serializes the
+    whole corpus through one task. Instead the classic two-level scan:
+    (1) fixed-width shards (doc_id // 1000 — deterministic, no
+    sampling-dependent range partitioning, so the output is stable
+    across runs and engines); (2) per-shard token totals — one
+    map-side-combinable agg producing |corpus|/1000 rows — prefix-summed
+    in a single tiny window; (3) shard offsets broadcast back and added
+    to the within-shard running sum, a window PARTITIONED by shard, so
+    every task sees ≤1000 rows. At 100 TB add a third level (shards of
+    shards) — same recurrence, log depth."""
+    from .functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    sharded = docs.withColumn("shard", F.floor(F.col("doc_id") / 1000))
+    shard_tot = sharded.groupBy("shard").agg(
+        F.sum("n_tokens").alias("total")
+    )
+    w_sh = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    shard_off = shard_tot.select(
+        "shard",
+        F.coalesce(F.sum("total").over(w_sh), F.lit(0)).alias("off"),
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = F.lit(2048)
+    pos = (
+        sharded.join(F.broadcast(shard_off), "shard")
+        .withColumn(
+            "start_token",
+            F.col("off") + F.sum("n_tokens").over(w_in) - F.col("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_token",
+            F.floor(F.col("start_token") / seq).alias("pack_id"),
+            (
+                F.floor((F.col("start_token") + F.col("n_tokens") - 1) / seq)
+                > F.floor(F.col("start_token") / seq)
+            ).alias("spans_boundary"),
+        )
+    )
+    return pos
+
+
+_SEQUENCE_PACKING_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+), sh AS (
+  SELECT doc_id, n_tokens, doc_id // 1000 AS shard FROM tk
+), shtot AS (
+  SELECT shard, SUM(n_tokens) AS total FROM sh GROUP BY 1
+), shoff AS (
+  SELECT shard,
+         COALESCE(SUM(total) OVER (ORDER BY shard
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS off
+  FROM shtot
+), pos AS (
+  SELECT s.doc_id, s.n_tokens,
+         o.off + SUM(s.n_tokens) OVER (PARTITION BY s.shard
+                  ORDER BY s.doc_id ROWS UNBOUNDED PRECEDING) - s.n_tokens
+           AS start_token
+  FROM sh s JOIN shoff o USING (shard)
+)
+SELECT doc_id, n_tokens, start_token,
+       start_token // 2048 AS pack_id,
+       (start_token + n_tokens - 1) // 2048 > start_token // 2048
+         AS spans_boundary
+FROM pos
+"""
+
+
 def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q6 shape: the "what if we dropped these discounts" scan —
     a pure filter + single scalar aggregate, no joins. Every predicate
@@ -3362,6 +3505,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_vocab_stats": (corpus_vocab_stats, _VOCAB_STATS_SQL),
     "doc_pii_redaction": (doc_pii_redaction, _PII_SQL),
     "embedding_int8_quantize": (embedding_int8_quantize, _INT8_QUANT_SQL),
+    # north-star: decontamination + sequence packing (round 2)
+    "doc_decontamination": (doc_decontamination, _DECONTAMINATION_SQL),
+    "doc_sequence_packing": (doc_sequence_packing, _SEQUENCE_PACKING_SQL),
 }
 
 

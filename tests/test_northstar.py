@@ -214,6 +214,42 @@ def test_connected_components_both_paths_agree(spark):
     assert (99, 99) in fast and (20, 20) in fast and (12, 1) in fast
 
 
+def test_decontamination_flags_planted_quote(spark):
+    """A training doc quoting >= 8 consecutive tokens of an eval doc
+    must be flagged; an unrelated doc must not; a short (<8 token) doc
+    identical to a short eval doc matches via its whole-string gram."""
+    from amazonmsk_emr_tem_data_spark.operators.dedup import (
+        ngram_overlap_decontaminate,
+    )
+
+    eval_docs = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog today"),
+            (101, "short eval question"),
+        ],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # quotes 9 consecutive eval tokens inside other text
+            (1, "intro words the quick brown fox jumps over the lazy dog and more filler text here to dilute"),
+            (2, "completely unrelated content about spark partitions and shuffles in a long query plan"),
+            (3, "short eval question"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_overlap_decontaminate(train, eval_docs).collect()
+    }
+    assert out[1]["n_contaminated"] == 2  # two 8-grams of the 9-token quote
+    assert out[2]["n_contaminated"] == 0 and not out[2]["is_contaminated"]
+    assert out[3]["is_contaminated"] and out[3]["contamination_frac"] == 1.0
+    assert out[1]["is_contaminated"] == (
+        out[1]["n_contaminated"] * 5 >= out[1]["n_grams"]
+    )
+
+
 def test_bpe_learns_textbook_merges(spark):
     """The classic Sennrich corpus: merges must come out in the
     published order (es → est → est</w> → lo → low), deterministically."""
