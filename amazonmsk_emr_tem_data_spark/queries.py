@@ -3119,6 +3119,168 @@ FROM pos
 """
 
 
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep document chunking: split each document into overlapping
+    fixed-token windows (40-token chunks, 32-token stride) — the
+    standard embedding-index preparation step. Pure built-in array ops:
+    tokenize once, explode a chunk-index sequence, slice the token
+    array per index — no Python, no UDF, 1→N row explosion entirely
+    executor-side. At 100 TB the explosion factor is bounded by
+    doc_len/stride (~2× here); chunk_text carries only the window, so
+    the output is ~(chunk/stride)× corpus size, the expected cost of
+    materializing an overlap index."""
+    from .functions.text import tokens as tok_arr
+
+    chunk, stride = 40, 32
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tok_arr("text").alias("w")
+    )
+    n_chunks = F.when(F.size("w") <= chunk, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.ceil((F.size("w") - F.lit(chunk)) / F.lit(float(stride))).cast(
+            "int"
+        )
+    )
+    return (
+        docs.withColumn(
+            "chunk_idx",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.array_join(
+                F.slice(F.col("w"), F.col("chunk_idx") * stride + 1, chunk),
+                " ",
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(F.col("w"), F.col("chunk_idx") * stride + 1, chunk)
+            ).alias("n_tokens"),
+        )
+    )
+
+
+_DOC_CHUNKING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+), idx AS (
+  SELECT doc_id, w,
+         unnest(generate_series(0,
+           CASE WHEN len(w) <= 40 THEN 0
+                ELSE CAST(ceil((len(w) - 40) / 32.0) AS INT) END))
+           AS chunk_idx
+  FROM toks
+)
+SELECT doc_id, chunk_idx,
+       array_to_string(w[chunk_idx*32 + 1 : chunk_idx*32 + 40], ' ')
+         AS chunk_text,
+       len(w[chunk_idx*32 + 1 : chunk_idx*32 + 40]) AS n_tokens
+FROM idx
+"""
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: how many users did view → click →
+    purchase IN TIME ORDER (each stage strictly after the previous
+    user's first qualifying event). Three per-user conditional
+    min-aggregations chained by time predicates — every stage shuffles
+    on user_id, so AQE reuses one Exchange layout across stages; no
+    window over the raw event stream, no self-join explosion. At
+    100 TB this is the plan you want: events hash to their user's
+    partition once, and each stage is a map-side-combinable min."""
+    ev = load_table(spark, sf_dir, "events")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        t1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(
+            F.broadcast(t2.agg(F.count(F.lit(1)).alias("n_view_click")))
+        )
+        .crossJoin(
+            F.broadcast(
+                t3.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+            )
+        )
+    )
+
+
+_EVENT_FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.t_view
+  GROUP BY 1
+), t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+  GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM t1) AS n_view,
+       (SELECT COUNT(*) FROM t2) AS n_view_click,
+       (SELECT COUNT(*) FROM t3) AS n_view_click_purchase
+"""
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted
+    on each subsequent day they return — the (cohort_day, day_offset,
+    n_users) retention triangle. Two aggregations: per-user first-event
+    day (map-side-combinable min), joined back to events on user_id
+    (same hash layout, AQE-coalesced), then distinct-user counts per
+    cell. distinct is per (cohort, offset, user) — at 100 TB the
+    count-distinct shuffles (cohort_day, offset, user_id) once instead
+    of holding per-cell hash sets."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_RETENTION_COHORTS_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+), first AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1
+)
+SELECT f.cohort_day,
+       date_diff('day', f.cohort_day, e.day) AS day_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM ev e JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q6 shape: the "what if we dropped these discounts" scan —
     a pure filter + single scalar aggregate, no joins. Every predicate
@@ -3508,6 +3670,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # north-star: decontamination + sequence packing (round 2)
     "doc_decontamination": (doc_decontamination, _DECONTAMINATION_SQL),
     "doc_sequence_packing": (doc_sequence_packing, _SEQUENCE_PACKING_SQL),
+    # RAG chunking + product-analytics shapes (round 2)
+    "doc_chunking": (doc_chunking, _DOC_CHUNKING_SQL),
+    "event_funnel": (event_funnel, _EVENT_FUNNEL_SQL),
+    "retention_cohorts": (retention_cohorts, _RETENTION_COHORTS_SQL),
 }
 
 
