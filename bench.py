@@ -46,6 +46,11 @@ HEADLINE = [
     "dedup_clusters",
     "doc_repetition_filter",
     "supplier_revenue_share",
+    # round-2 additions: broadcast n-gram overlap (decontamination),
+    # two-level prefix sum (packing), 7-table broadcast join (Q8 shape)
+    "doc_decontamination",
+    "doc_sequence_packing",
+    "nation_market_share",
 ]
 
 
