@@ -82,6 +82,73 @@ def test_dup_span_frac_shuffles_hashes_not_text(spark, sf_dir):
         assert "span" not in m.group(1), "shuffle key must be the 64-bit hash"
 
 
+def test_forecast_revenue_pure_pushdown(spark, sf_dir):
+    # Q6 shape: the cheapest possible plan — predicates at the scan,
+    # one single-row aggregate exchange, no joins.
+    f = facts(spark, sf_dir, "forecast_revenue_change")
+    assert f.pushed_filters, "shipdate + raw-column bounds must reach the scan"
+    assert not f.joins
+    assert f.n_exchanges == 1, "map-side partial -> one scalar exchange"
+    assert f.has_partial_agg
+
+
+def test_nation_market_share_single_fact_shuffle(spark, sf_dir):
+    # Q8 shape: 7-table join where every dim broadcasts; at most the
+    # lineitem-orders join may shuffle (AQE may even broadcast orders
+    # at tiny SF, hence <=).
+    f = facts(spark, sf_dir, "nation_market_share")
+    non_broadcast = [j for j in f.joins if not j.startswith("Broadcast")]
+    assert len(non_broadcast) <= 1, (
+        f"only the fact-fact join may shuffle, got {f.joins}"
+    )
+    assert not f.has_cartesian
+    assert f.pushed_filters, "orderdate range must reach the orders scan"
+
+
+def test_decontamination_broadcasts_eval_grams_and_hashes_shuffles(
+    spark, sf_dir
+):
+    # the eval gram set must broadcast (never a shuffled join against
+    # the corpus gram stream), and no exchange may carry gram text —
+    # only the 60-bit hash.
+    f = facts(spark, sf_dir, "doc_decontamination")
+    assert f.joins and all(j == "BroadcastHashJoin" for j in f.joins), (
+        f"eval grams must broadcast, got {f.joins}"
+    )
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)", f.raw):
+        assert "gram#" not in m.group(1), (
+            "shuffle key must be the gram hash, never gram text"
+        )
+
+
+def test_sequence_packing_windows_partition_by_shard(spark, sf_dir):
+    # the corpus-sized window must partition by shard; the only
+    # single-partition exchange allowed is the tiny shard-offset table
+    # (|corpus|/1000 rows).
+    f = facts(spark, sf_dir, "doc_sequence_packing")
+    assert "hashpartitioning(shard" in f.raw, (
+        "within-shard running sum must hash-partition on shard"
+    )
+    import re
+
+    singles = re.findall(r"Exchange SinglePartition", f.raw)
+    assert len(singles) <= 1, (
+        "only the shard-offset prefix sum may serialize, got "
+        f"{len(singles)} single-partition exchanges"
+    )
+
+
+def test_heavy_shipper_semi_join_broadcasts(spark, sf_dir):
+    # Q20 shape: qualifying suppkeys reach supplier as a broadcast
+    # LEFT SEMI — supplier itself never shuffles.
+    f = facts(spark, sf_dir, "heavy_shipper_suppliers")
+    assert "LeftSemi" in f.raw, "must plan a semi join"
+    assert not f.has_cartesian
+    assert any(j.startswith("Broadcast") for j in f.joins)
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_cartesian_product_anywhere(spark, name):
     """No registry query may plan an unbroadcast cartesian product —
