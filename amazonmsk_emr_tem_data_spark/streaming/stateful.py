@@ -92,3 +92,84 @@ def ewma_per_user(stream: DataFrame, alpha: float = 0.3) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 Arbitrary State API v2)
+# ---------------------------------------------------------------------------
+
+def has_tws_runtime() -> bool:
+    """The transformWithStateInPandas driver worker speaks protobuf to
+    the JVM state server; without ``google.protobuf`` installed the
+    query crashes at init. Gate, don't crash (same policy as the media
+    codec stubs in operators/multimodal.py)."""
+    import importlib.util
+
+    try:
+        # find_spec on a dotted name imports the parent package, which
+        # itself raises when absent
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+def running_stats_per_user(stream: DataFrame) -> DataFrame:
+    """Per-user running (count, sum, max) over ``value`` via Spark 4's
+    ``transformWithStateInPandas`` — the v2 arbitrary-state API
+    (explicit typed state variables, TTL support, timers) that
+    supersedes ``applyInPandasWithState``'s single state tuple.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``) and a Python runtime with
+    ``google.protobuf`` (check :func:`has_tws_runtime` first; the
+    fully-supported v1 twin of this operator is ``ewma_per_user``).
+
+    After a full ``availableNow`` drain the emitted final state per key
+    equals the batch aggregate ``groupBy(user).agg(count, sum, max)`` —
+    which is what the (runtime-gated) unit test asserts. State size is
+    O(keys); each micro-batch folds Arrow batches executor-side.
+    """
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n LONG, total DOUBLE, vmax DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._state.exists():
+                n, total, vmax = self._state.get()
+            else:
+                n, total, vmax = 0, 0.0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                vmax = max(vmax, float(pdf["value"].max()))
+            self._state.update((n, total, vmax))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_value": [vmax],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _RunningStats(),
+            outputStructType=(
+                "user_id LONG, n_events LONG, "
+                "total_value DOUBLE, max_value DOUBLE"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
