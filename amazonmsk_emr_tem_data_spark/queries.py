@@ -3119,6 +3119,94 @@ FROM pos
 """
 
 
+def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): ``parse_json`` the
+    property bag ONCE into the binary-encoded VARIANT type, then typed
+    ``variant_get`` extractions — the columnar successor to repeated
+    ``get_json_object`` string re-parsing (each get_json_object call
+    re-parses the JSON text; a VARIANT parses once and serves any
+    number of typed path reads). try_parse_json absorbs malformed rows
+    as NULL, same dirty-data contract as the string-path twin
+    ``json_props_extract``. At 100 TB the win compounds with columnar
+    storage: a VARIANT column in parquet is shredded/binary, not
+    re-tokenized text."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(try_parse_json(props), '$.k', 'long')")
+    return (
+        ev.select(
+            "event_type",
+            k.alias("k"),
+            F.expr(
+                "variant_get(try_parse_json(props), '$.missing', 'long')"
+            ).alias("missing"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count("missing").alias("n_missing_path"),
+        )
+    )
+
+
+_PROPS_VARIANT_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT))
+         AS n_missing_path
+FROM events
+GROUP BY event_type
+"""
+
+
+def recursive_cte_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative fixpoint in the SQL front-end (Spark 4 recursive CTE):
+    walk a derived referral hierarchy over customer (parent =
+    c_custkey / 10, a deterministic 10-ary forest) from the roots down,
+    counting customers per depth. The recursion is the UNION ALL
+    fixpoint Spark executes as repeated joins with AQE — the same
+    engine mechanism dedup's connected components hand-rolls; this
+    query pins the declarative SQL surface of it, hash-checked against
+    DuckDB's WITH RECURSIVE."""
+    ev = load_table(spark, sf_dir, "customer")
+    ev.createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(custkey, depth) AS (
+          SELECT c_custkey, 0 FROM customer_v WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, w.depth + 1
+          FROM customer_v c JOIN walk w
+            ON c.c_custkey DIV 10 = w.custkey
+          WHERE c.c_custkey >= 10
+        )
+        SELECT depth, COUNT(*) AS n_customers,
+               MIN(custkey) AS min_key, MAX(custkey) AS max_key
+        FROM walk GROUP BY depth
+        """
+    )
+
+
+_RECURSIVE_DEPTHS_SQL = """
+WITH RECURSIVE walk(custkey, depth) AS (
+  SELECT c_custkey, 0 FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, w.depth + 1
+  FROM customer c JOIN walk w
+    ON c.c_custkey // 10 = w.custkey
+  WHERE c.c_custkey >= 10
+)
+SELECT depth, COUNT(*) AS n_customers,
+       MIN(custkey) AS min_key, MAX(custkey) AS max_key
+FROM walk GROUP BY depth
+"""
+
+
 def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-prep document chunking: split each document into overlapping
     fixed-token windows (40-token chunks, 32-token stride) — the
@@ -3672,6 +3760,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_sequence_packing": (doc_sequence_packing, _SEQUENCE_PACKING_SQL),
     # RAG chunking + product-analytics shapes (round 2)
     "doc_chunking": (doc_chunking, _DOC_CHUNKING_SQL),
+    # Spark 4 surface: VARIANT semi-structured path, recursive CTE
+    "props_variant_extract": (props_variant_extract, _PROPS_VARIANT_SQL),
+    "recursive_cte_depths": (recursive_cte_depths, _RECURSIVE_DEPTHS_SQL),
     "event_funnel": (event_funnel, _EVENT_FUNNEL_SQL),
     "retention_cohorts": (retention_cohorts, _RETENTION_COHORTS_SQL),
 }
