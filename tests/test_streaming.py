@@ -172,3 +172,61 @@ def test_incremental_ingest_dedup_across_runs(spark, sf_dir):
     # same checkpoint: committed batch ids, nothing re-invoked
     incremental_ingest_dedup(spark, sf_dir, store, checkpoint_dir=ckpt1)
     assert spark.read.parquet(store).count() == n_distinct
+
+
+def test_state_store_reader_audits_checkpointed_aggregate(spark, sf_dir):
+    """Spark 4 State Data Source: after draining a grouped aggregate
+    with a checkpoint, the state store read back as a batch DataFrame
+    must equal the same aggregate computed in batch — the restart-audit
+    pattern (inspect state without replaying the stream)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from amazonmsk_emr_tem_data_spark.sources.files import load_table
+    from amazonmsk_emr_tem_data_spark.streaming.observe import (
+        grouped_agg_state,
+        state_metadata,
+        state_size_by_partition,
+    )
+    from amazonmsk_emr_tem_data_spark.streaming.pipelines import events_stream
+
+    ck = tempfile.mkdtemp(prefix="ckpt_observe_")
+    stream = events_stream(spark, sf_dir)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+    name = "observe_agg"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    meta = state_metadata(spark, ck)
+    assert meta.count() >= 1
+    ops = {r["operatorName"] for r in meta.collect()}
+    assert "stateStoreSave" in ops
+
+    got = {
+        r["event_type"]: (r["count"], r["sum"])
+        for r in grouped_agg_state(spark, ck).collect()
+    }
+    exp = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for k, (n, total) in exp.items():
+        gn, gtotal = got[k]
+        assert gn == n and abs(gtotal - total) < 1e-6, k
+
+    sizes = state_size_by_partition(spark, ck)
+    assert sizes.agg(F.sum("n_keys")).first()[0] == len(exp)
