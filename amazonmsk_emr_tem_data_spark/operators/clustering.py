@@ -1,0 +1,158 @@
+"""Distributed embedding clustering + semantic deduplication.
+
+North-star: cluster-based corpus curation. SemDeDup (Abbas et al.,
+2023, arXiv:2303.09540) deduplicates web-scale corpora by k-means
+clustering the embedding space and removing near-identical pairs
+WITHIN clusters — turning an O(n²) all-pairs cosine problem into
+O(Σ cell²), the same bounded-bucket trick LSH plays for text.
+
+Two layers:
+
+- :func:`kmeans_fit` — full-data distributed Lloyd's (spherical):
+  assignment is a scan-side argmax over k broadcast centroid literals
+  (JVM-side column math, no UDF, no shuffle); the update step reduces
+  per-(cell, dimension) means with ONE groupBy over posexploded
+  vector components. Only the model state (k×d floats) ever reaches
+  the driver per round — the canonical "broadcast model, reduce
+  statistics" iteration. Unlike ``similarity.kmeans_centroids`` (the
+  IVF recipe: sample-trained, driver numpy), this trains on ALL
+  vectors and scales with the cluster, not the driver.
+- :func:`semantic_dedup` — SemDeDup: fit/assign cells, score cosine
+  pairs within cells only, connected-components the near-dup graph
+  (reusing dedup.connected_components, fast union-find path), keep
+  the min-id representative per component.
+
+Determinism: init = the k lowest-id vectors, iteration count fixed —
+no RNG anywhere, so results are reproducible run-to-run and testable
+against a sequential numpy reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.files import ensure_parallelism
+from .similarity import cosine, with_ivf_cell
+
+
+def _normalized(vec_col: str):
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.transform(v, lambda x: x / F.greatest(n, F.lit(1e-12)))
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Full-data distributed spherical k-means; returns k unit-norm
+    centroids. Per round: scan-side assignment (broadcast centroids) +
+    one (cell, dim) shuffle of partial sums; k×d floats to the driver."""
+    df = ensure_parallelism(embeddings).select(
+        id_col, _normalized(vec_col).alias("v")
+    ).cache()
+    init = df.orderBy(id_col).limit(k).select("v").collect()
+    centroids = [list(r["v"]) for r in init]
+    try:
+        for _ in range(iters):
+            assigned = with_ivf_cell(df, centroids, vec_col="v")
+            sums = (
+                assigned.select(
+                    "ivf_cell", F.posexplode("v").alias("dim", "x")
+                )
+                .groupBy("ivf_cell", "dim")
+                .agg(F.sum("x").alias("s"))
+                .collect()
+            )
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in sums:
+                by_cell.setdefault(r["ivf_cell"], {})[r["dim"]] = r["s"]
+            new = []
+            for c in range(k):
+                dims = by_cell.get(c)
+                if not dims:
+                    new.append(centroids[c])  # empty cell keeps its seed
+                    continue
+                vec = [dims[i] for i in range(len(dims))]
+                nrm = max(sum(x * x for x in vec) ** 0.5, 1e-12)
+                new.append([x / nrm for x in vec])
+            centroids = new
+    finally:
+        df.unpersist()
+    return centroids
+
+
+def assign_cells(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, unit-norm vector) for every embedding — scan-side
+    argmax over broadcast centroid literals."""
+    df = ensure_parallelism(embeddings).select(
+        id_col, _normalized(vec_col).alias("v")
+    )
+    return with_ivf_cell(df, centroids, vec_col="v").select(
+        id_col, "ivf_cell", "v"
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.95,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: per-vector (cluster id, keep flag) where duplicates
+    (cosine ≥ threshold, same cell) collapse to the min-id survivor.
+
+    Pair scoring joins on ``ivf_cell`` — the shuffle is co-located by
+    cell and the quadratic term is bounded by the largest cell, not
+    the corpus (the SemDeDup paper's core trade: cross-cell near-dups
+    are missed, a documented recall cut that its own evaluation found
+    negligible at k chosen so cells stay small). Components come from
+    the shared CC operator (union-find fast path for the tiny pair
+    graph)."""
+    from .dedup import connected_components
+
+    centroids = kmeans_fit(
+        embeddings, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    celled = assign_cells(embeddings, centroids, id_col, vec_col).cache()
+    a = celled.alias("a")
+    b = celled.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ivf_cell") == F.col("b.ivf_cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("cos", cosine(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+    )
+    nodes = celled.select(id_col)
+    comp = connected_components(pairs, nodes, id_col=id_col)
+    out = (
+        celled.select(id_col, "ivf_cell")
+        .join(comp, id_col)
+        .select(
+            id_col,
+            "ivf_cell",
+            F.col("comp").alias("dup_group"),
+            (F.col(id_col) == F.col("comp")).alias("keep"),
+        )
+    )
+    return out

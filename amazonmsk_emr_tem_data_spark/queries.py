@@ -3369,6 +3369,21 @@ GROUP BY 1, 2
 """
 
 
+def semantic_dedup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    space (full-data distributed Lloyd's, model-state-only driver
+    traffic), score cosine pairs WITHIN cells only, collapse near-dups
+    (>= 0.95) to the min-id survivor via connected components. The
+    O(n^2) all-pairs problem becomes O(sum cell^2) — the embedding
+    twin of LSH bucketing. Non-SQL-expressible (iterative fit), so the
+    driver records rows-only; parity evidence is the numpy-reference
+    fit test + planted-duplicate collapse in tests/test_clustering.py."""
+    from .operators.clustering import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_cells=8, threshold=0.95)
+
+
 def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q6 shape: the "what if we dropped these discounts" scan —
     a pure filter + single scalar aggregate, no joins. Every predicate
@@ -3763,6 +3778,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # Spark 4 surface: VARIANT semi-structured path, recursive CTE
     "props_variant_extract": (props_variant_extract, _PROPS_VARIANT_SQL),
     "recursive_cte_depths": (recursive_cte_depths, _RECURSIVE_DEPTHS_SQL),
+    # SemDeDup semantic dedup (iterative k-means: rows-only by design)
+    "semantic_dedup_vectors": (semantic_dedup_vectors, None),
     "event_funnel": (event_funnel, _EVENT_FUNNEL_SQL),
     "retention_cohorts": (retention_cohorts, _RETENTION_COHORTS_SQL),
 }

@@ -1,0 +1,89 @@
+"""Distributed k-means + SemDeDup semantic dedup: parity against a
+sequential numpy reference, planted-duplicate collapse."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from amazonmsk_emr_tem_data_spark.operators.clustering import (
+    assign_cells,
+    kmeans_fit,
+    semantic_dedup,
+)
+from amazonmsk_emr_tem_data_spark.sources.files import load_table
+
+K, ITERS = 6, 4
+
+
+def numpy_reference_fit(ids, vecs, k=K, iters=ITERS):
+    order = np.argsort(ids)
+    x = np.asarray(vecs, dtype=np.float64)[order]
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cent = x[:k].copy()
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)  # first-max, like the scan
+        new = []
+        for c in range(k):
+            m = x[assign == c]
+            if len(m) == 0:
+                new.append(cent[c])
+                continue
+            s = m.sum(axis=0)
+            new.append(s / max(np.linalg.norm(s), 1e-12))
+        cent = np.array(new)
+    return cent
+
+
+def test_kmeans_fit_matches_numpy_reference(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    exp = numpy_reference_fit(
+        pdf["vec_id"].to_numpy(), [list(v) for v in pdf["embedding"]]
+    )
+    got = np.array(kmeans_fit(emb, k=K, iters=ITERS))
+    assert got.shape == exp.shape
+    assert np.allclose(got, exp, atol=1e-9), np.abs(got - exp).max()
+
+
+def test_assignment_is_exhaustive_and_stable(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_fit(emb, k=K, iters=ITERS)
+    celled = assign_cells(emb, cent)
+    assert celled.count() == emb.count()
+    cells = {r["ivf_cell"] for r in celled.select("ivf_cell").distinct().collect()}
+    assert cells <= set(range(K))
+    # deterministic: a second run assigns identically
+    again = assign_cells(emb, cent)
+    d = (
+        celled.select("vec_id", "ivf_cell")
+        .exceptAll(again.select("vec_id", "ivf_cell"))
+        .count()
+    )
+    assert d == 0
+
+
+def test_semantic_dedup_collapses_planted_duplicates(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    # plant: copies of three existing vectors under fresh ids
+    dup_src = emb.orderBy("vec_id").limit(3)
+    dups = dup_src.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    corpus = emb.unionByName(dups)
+    out = semantic_dedup(corpus, n_cells=K, threshold=0.999).cache()
+    assert out.count() == n + 3
+    by_id = {r["vec_id"]: r for r in out.collect()}
+    for base in [r["vec_id"] for r in dup_src.collect()]:
+        planted = base + 1_000_000
+        assert by_id[planted]["dup_group"] == by_id[base]["dup_group"]
+        assert by_id[base]["keep"] and not by_id[planted]["keep"]
+    # survivors: exactly one keep per dup_group
+    per_group = (
+        out.groupBy("dup_group")
+        .agg(F.sum(F.col("keep").cast("int")).alias("n_keep"))
+        .collect()
+    )
+    assert all(r["n_keep"] == 1 for r in per_group)
