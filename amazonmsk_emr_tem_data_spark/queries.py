@@ -3126,18 +3126,19 @@ def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``get_json_object`` string re-parsing (each get_json_object call
     re-parses the JSON text; a VARIANT parses once and serves any
     number of typed path reads). try_parse_json absorbs malformed rows
-    as NULL, same dirty-data contract as the string-path twin
-    ``json_props_extract``. At 100 TB the win compounds with columnar
+    as NULL and try_variant_get absorbs uncastable values (a string
+    where a long is asked) — same dirty-data contract as the
+    string-path twin ``json_props_extract``. At 100 TB the win compounds with columnar
     storage: a VARIANT column in parquet is shredded/binary, not
     re-tokenized text."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.expr("variant_get(try_parse_json(props), '$.k', 'long')")
+    k = F.expr("try_variant_get(try_parse_json(props), '$.k', 'long')")
     return (
         ev.select(
             "event_type",
             k.alias("k"),
             F.expr(
-                "variant_get(try_parse_json(props), '$.missing', 'long')"
+                "try_variant_get(try_parse_json(props), '$.missing', 'long')"
             ).alias("missing"),
         )
         .groupBy("event_type")
@@ -3152,14 +3153,22 @@ def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PROPS_VARIANT_SQL = """
+WITH safe AS (
+  -- try_parse_json semantics: malformed / NULL props -> NULL variant
+  -- (DuckDB json_extract_string THROWS on invalid JSON, so guard)
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN props END AS p
+  FROM events
+)
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-       MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-       MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-       COUNT(TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT))
+       SUM(TRY_CAST(json_extract_string(p, '$.k') AS BIGINT)) AS sum_k,
+       MIN(TRY_CAST(json_extract_string(p, '$.k') AS BIGINT)) AS min_k,
+       MAX(TRY_CAST(json_extract_string(p, '$.k') AS BIGINT)) AS max_k,
+       COUNT(TRY_CAST(json_extract_string(p, '$.missing') AS BIGINT))
          AS n_missing_path
-FROM events
+FROM safe
 GROUP BY event_type
 """
 

@@ -52,6 +52,9 @@ DOC_QUERIES = [
     "doc_pii_redaction",
     "doc_word_positions",
     "doc_regex_extract",
+    "doc_decontamination",
+    "doc_sequence_packing",
+    "doc_chunking",
 ]
 
 
@@ -184,6 +187,9 @@ EVENTS_QUERIES = [
     "stream_session_windows",
     "stream_click_purchase_join",
     "stream_dedup_watermark",
+    "props_variant_extract",
+    "event_funnel",
+    "retention_cohorts",
 ]
 
 
