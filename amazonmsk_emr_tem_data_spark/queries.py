@@ -3384,13 +3384,87 @@ def semantic_dedup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     traffic), score cosine pairs WITHIN cells only, collapse near-dups
     (>= 0.95) to the min-id survivor via connected components. The
     O(n^2) all-pairs problem becomes O(sum cell^2) — the embedding
-    twin of LSH bucketing. Non-SQL-expressible (iterative fit), so the
-    driver records rows-only; parity evidence is the numpy-reference
-    fit test + planted-duplicate collapse in tests/test_clustering.py."""
+    twin of LSH bucketing. The fit is RNG-free (init = k lowest-id
+    vectors, fixed iteration count), so the whole pipeline is
+    SQL-expressible after all: the oracle unrolls the five Lloyd's
+    iterations into a CTE chain (see _semdedup_sql)."""
     from .operators.clustering import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, n_cells=8, threshold=0.95)
+
+
+def _semdedup_sql(
+    k: int = 8, iters: int = 5, dim: int = 64, threshold: float = 0.95
+) -> str:
+    """DuckDB twin of operators/clustering.semantic_dedup.
+
+    The distributed fit is deterministic (no RNG: init = the k
+    lowest-id vectors, fixed ``iters``), so Lloyd's loop unrolls into a
+    static CTE chain: a{i} = assignment against c{i-1} (argmax inner
+    product, lowest-cell tie-break — same strict-> rule as
+    with_ivf_cell), u{i} = per-cell component sums renormalized
+    (spherical update), c{i} = u{i} with empty cells keeping their
+    previous centroid. Final cells feed the same within-cell cosine
+    pair scoring and min-id connected-components closure the Spark
+    side uses."""
+    unit = (
+        "list_transform(CAST({v} AS DOUBLE[]), x -> x / greatest("
+        "sqrt(list_dot_product(CAST({v} AS DOUBLE[]), CAST({v} AS DOUBLE[]))),"
+        " 1e-12))"
+    )
+    assign = """
+  SELECT vec_id, v, cid FROM (
+    SELECT n.vec_id, n.v, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, c.cvec) DESC, c.cid ASC) AS rn
+    FROM n, {src} c) t
+  WHERE rn = 1
+"""
+    parts = [
+        f"""WITH RECURSIVE n AS (
+  SELECT vec_id, {unit.format(v='embedding')} AS v FROM embeddings
+), c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+  FROM (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts.append(
+            f""", a{it} AS ({assign.format(src=prev)}), u{it} AS (
+  SELECT cid, {unit.format(v='sv')} AS cvec
+  FROM (SELECT cid, list(s ORDER BY d) AS sv
+        FROM (SELECT cid, t.i AS d, sum(v[t.i]) AS s
+              FROM a{it}, range(1, {dim + 1}) t(i) GROUP BY cid, t.i) z
+        GROUP BY cid) g
+), c{it} AS (
+  SELECT p.cid, coalesce(u.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN u{it} u USING (cid)
+)"""
+        )
+    parts.append(
+        f""", af AS ({assign.format(src=f'c{iters}')}), pr AS (
+  SELECT a.vec_id AS pa, b.vec_id AS pb
+  FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= {threshold}
+), edges AS (
+  SELECT pa AS a, pb AS b FROM pr UNION SELECT pb AS a, pa AS b FROM pr
+), reach(node, r) AS (
+  SELECT vec_id, vec_id FROM n
+  UNION
+  SELECT w.node, e.b FROM reach w JOIN edges e ON w.r = e.a
+), comp AS (
+  SELECT node AS vec_id, MIN(r) AS dup_group FROM reach GROUP BY node
+)
+SELECT f.vec_id, f.cid AS ivf_cell, c.dup_group,
+       f.vec_id = c.dup_group AS keep
+FROM af f JOIN comp c USING (vec_id)"""
+    )
+    return "".join(parts)
+
+
+_SEMDEDUP_SQL = _semdedup_sql()
 
 
 def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3662,62 +3736,19 @@ WHERE s.s_suppkey IN (
 # ---------------------------------------------------------------------------
 
 #: name -> (spark builder, oracle SQL or None for rows-only checks)
+#:
+#: ORDER MATTERS: the round driver hash-checks the FIRST 50 entries
+#: against their DuckDB oracles. Rounds 1-3 checked the original first
+#: 50 (anchored by tem_hourly_avg .. range_join_order_events, all green
+#: in CORRECTNESS_r02/r03); round 4 rotates the window so the 49 entries
+#: the driver has never hash-checked come first (one anchor retained for
+#: round-over-round comparability). Every entry in BOTH halves is also
+#: exact-checked locally at sf0.001 by tests/test_oracle_parity.py, so
+#: rotation changes which evidence is driver-stamped, not what is tested.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # anchor (driver-checked every round)
     "tem_hourly_avg": (tem_hourly_avg, _TEM_HOURLY_AVG_SQL),
-    "tem_horizontal_avg": (tem_horizontal_avg, _TEM_HORIZONTAL_AVG_SQL),
-    "envelope_roundtrip": (envelope_roundtrip, _ENVELOPE_ROUNDTRIP_SQL),
-    "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
-    "filter_project_scan": (filter_project_scan, _FILTER_PROJECT_SQL),
-    "revenue_by_segment": (revenue_by_segment, _REVENUE_BY_SEGMENT_SQL),
-    "nation_revenue": (nation_revenue, _NATION_REVENUE_SQL),
-    "topk_orders_per_priority": (topk_orders_per_priority, _TOPK_ORDERS_SQL),
-    "running_total_per_customer": (running_total_per_customer, _RUNNING_TOTAL_SQL),
-    "rollup_lineitem_status": (rollup_lineitem_status, _ROLLUP_SQL),
-    "cube_order_status": (cube_order_status, _CUBE_SQL),
-    "customers_with_orders": (customers_with_orders, _SEMI_JOIN_SQL),
-    "customers_without_orders": (customers_without_orders, _ANTI_JOIN_SQL),
-    "set_ops_customers": (set_ops_customers, _SET_OPS_SQL),
-    "union_event_slices": (union_event_slices, _UNION_SLICES_SQL),
-    "dedup_first_event": (dedup_first_event, _DEDUP_FIRST_SQL),
-    "case_bucket_quantity": (case_bucket_quantity, _CASE_BUCKET_SQL),
-    "orders_by_month": (orders_by_month, _ORDERS_BY_MONTH_SQL),
-    "part_name_stats": (part_name_stats, _PART_NAME_SQL),
-    "json_props_extract": (json_props_extract, _JSON_PROPS_SQL),
-    "distinct_users_per_type": (distinct_users_per_type, _DISTINCT_USERS_SQL),
-    "top10_lineitems": (top10_lineitems, _TOP10_SQL),
-    "stream_tumbling_hourly": (stream_tumbling_hourly, _STREAM_TUMBLING_SQL),
-    "stream_sliding_2h": (stream_sliding_2h, _STREAM_SLIDING_SQL),
-    "stream_distinct_users": (stream_distinct_users, _STREAM_DISTINCT_SQL),
-    "stream_session_windows": (stream_session_windows_q, _STREAM_SESSION_SQL),
-    "stream_click_purchase_join": (stream_click_purchase_join, _STREAM_SS_JOIN_SQL),
-    "stream_dedup_watermark": (stream_dedup_watermark, _STREAM_DEDUP_WM_SQL),
-    "stream_doc_quality": (stream_doc_quality_q, _DOC_QUALITY_LANGID_SQL),
-    "sessionize_events": (sessionize_events, _SESSION_SQL_BODY),
-    # north-star: text analysis
-    "doc_text_features": (doc_text_features, _DOC_TEXT_FEATURES_SQL),
-    "doc_quality_langid": (doc_quality_langid, _DOC_QUALITY_LANGID_SQL),
-    "doc_fingerprint_groups": (doc_fingerprint_groups_q, _DOC_FINGERPRINT_SQL),
-    "doc_rolling_fingerprint": (doc_rolling_fingerprint, _ROLLING_SQL),
-    # north-star: dedup
-    "doc_exact_dedup": (doc_exact_dedup_q, _DOC_EXACT_DEDUP_SQL),
-    "ngram_jaccard_pairs": (ngram_jaccard_pairs_q, _JACCARD_PAIRS_SQL),
-    "minhash_lsh_pairs": (minhash_lsh_pairs_q, _JACCARD_PAIRS_SQL),
-    "simhash_pairs": (simhash_pairs_q, _SIMHASH_PAIRS_SQL),
-    # north-star: similarity search
-    "embedding_cosine_topk": (embedding_cosine_topk, _EMB_TOPK_SQL),
-    "embedding_knn_join": (embedding_knn_join_q, _EMB_KNN_SQL),
-    "embedding_near_dup_pairs": (embedding_near_dup_pairs_q, _EMB_NEAR_DUP_SQL),
-    "lsh_ann_pairs": (lsh_ann_pairs_q, _EMB_NEAR_DUP_SQL),
-    "ivf_topk": (ivf_topk_q, None),
-    # north-star: multimodal
-    "multimodal_meta": (multimodal_meta, _MULTIMODAL_META_SQL),
-    "multimodal_decode": (multimodal_decode_q, None),
-    "multimodal_frames": (multimodal_frames_q, None),
-    "multimodal_near_dup": (multimodal_near_dup_q, None),
-    "bpe_vocab_merges": (bpe_vocab_merges, None),
-    # time-series joins + olap extensions
-    "asof_latest_order": (asof_latest_order, _ASOF_SQL),
-    "range_join_order_events": (range_join_order_events, _RANGE_JOIN_SQL),
+    # --- round-4 window: never driver-checked before ---
     "grouping_sets_lineitem": (grouping_sets_lineitem, _GROUPING_SETS_SQL),
     "pivot_status_by_flag": (pivot_status_by_flag, _PIVOT_SQL),
     "approx_sketches": (approx_sketches, None),
@@ -3787,10 +3818,65 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # Spark 4 surface: VARIANT semi-structured path, recursive CTE
     "props_variant_extract": (props_variant_extract, _PROPS_VARIANT_SQL),
     "recursive_cte_depths": (recursive_cte_depths, _RECURSIVE_DEPTHS_SQL),
-    # SemDeDup semantic dedup (iterative k-means: rows-only by design)
-    "semantic_dedup_vectors": (semantic_dedup_vectors, None),
+    # SemDeDup semantic dedup (deterministic fit -> unrolled-CTE oracle)
+    "semantic_dedup_vectors": (semantic_dedup_vectors, _SEMDEDUP_SQL),
     "event_funnel": (event_funnel, _EVENT_FUNNEL_SQL),
     "retention_cohorts": (retention_cohorts, _RETENTION_COHORTS_SQL),
+    # --- driver-checked in rounds 1-3 (CORRECTNESS_r01-r03, green) ---
+    "tem_horizontal_avg": (tem_horizontal_avg, _TEM_HORIZONTAL_AVG_SQL),
+    "envelope_roundtrip": (envelope_roundtrip, _ENVELOPE_ROUNDTRIP_SQL),
+    "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
+    "filter_project_scan": (filter_project_scan, _FILTER_PROJECT_SQL),
+    "revenue_by_segment": (revenue_by_segment, _REVENUE_BY_SEGMENT_SQL),
+    "nation_revenue": (nation_revenue, _NATION_REVENUE_SQL),
+    "topk_orders_per_priority": (topk_orders_per_priority, _TOPK_ORDERS_SQL),
+    "running_total_per_customer": (running_total_per_customer, _RUNNING_TOTAL_SQL),
+    "rollup_lineitem_status": (rollup_lineitem_status, _ROLLUP_SQL),
+    "cube_order_status": (cube_order_status, _CUBE_SQL),
+    "customers_with_orders": (customers_with_orders, _SEMI_JOIN_SQL),
+    "customers_without_orders": (customers_without_orders, _ANTI_JOIN_SQL),
+    "set_ops_customers": (set_ops_customers, _SET_OPS_SQL),
+    "union_event_slices": (union_event_slices, _UNION_SLICES_SQL),
+    "dedup_first_event": (dedup_first_event, _DEDUP_FIRST_SQL),
+    "case_bucket_quantity": (case_bucket_quantity, _CASE_BUCKET_SQL),
+    "orders_by_month": (orders_by_month, _ORDERS_BY_MONTH_SQL),
+    "part_name_stats": (part_name_stats, _PART_NAME_SQL),
+    "json_props_extract": (json_props_extract, _JSON_PROPS_SQL),
+    "distinct_users_per_type": (distinct_users_per_type, _DISTINCT_USERS_SQL),
+    "top10_lineitems": (top10_lineitems, _TOP10_SQL),
+    "stream_tumbling_hourly": (stream_tumbling_hourly, _STREAM_TUMBLING_SQL),
+    "stream_sliding_2h": (stream_sliding_2h, _STREAM_SLIDING_SQL),
+    "stream_distinct_users": (stream_distinct_users, _STREAM_DISTINCT_SQL),
+    "stream_session_windows": (stream_session_windows_q, _STREAM_SESSION_SQL),
+    "stream_click_purchase_join": (stream_click_purchase_join, _STREAM_SS_JOIN_SQL),
+    "stream_dedup_watermark": (stream_dedup_watermark, _STREAM_DEDUP_WM_SQL),
+    "stream_doc_quality": (stream_doc_quality_q, _DOC_QUALITY_LANGID_SQL),
+    "sessionize_events": (sessionize_events, _SESSION_SQL_BODY),
+    # north-star: text analysis
+    "doc_text_features": (doc_text_features, _DOC_TEXT_FEATURES_SQL),
+    "doc_quality_langid": (doc_quality_langid, _DOC_QUALITY_LANGID_SQL),
+    "doc_fingerprint_groups": (doc_fingerprint_groups_q, _DOC_FINGERPRINT_SQL),
+    "doc_rolling_fingerprint": (doc_rolling_fingerprint, _ROLLING_SQL),
+    # north-star: dedup
+    "doc_exact_dedup": (doc_exact_dedup_q, _DOC_EXACT_DEDUP_SQL),
+    "ngram_jaccard_pairs": (ngram_jaccard_pairs_q, _JACCARD_PAIRS_SQL),
+    "minhash_lsh_pairs": (minhash_lsh_pairs_q, _JACCARD_PAIRS_SQL),
+    "simhash_pairs": (simhash_pairs_q, _SIMHASH_PAIRS_SQL),
+    # north-star: similarity search
+    "embedding_cosine_topk": (embedding_cosine_topk, _EMB_TOPK_SQL),
+    "embedding_knn_join": (embedding_knn_join_q, _EMB_KNN_SQL),
+    "embedding_near_dup_pairs": (embedding_near_dup_pairs_q, _EMB_NEAR_DUP_SQL),
+    "lsh_ann_pairs": (lsh_ann_pairs_q, _EMB_NEAR_DUP_SQL),
+    "ivf_topk": (ivf_topk_q, None),
+    # north-star: multimodal
+    "multimodal_meta": (multimodal_meta, _MULTIMODAL_META_SQL),
+    "multimodal_decode": (multimodal_decode_q, None),
+    "multimodal_frames": (multimodal_frames_q, None),
+    "multimodal_near_dup": (multimodal_near_dup_q, None),
+    "bpe_vocab_merges": (bpe_vocab_merges, None),
+    # time-series joins + olap extensions
+    "asof_latest_order": (asof_latest_order, _ASOF_SQL),
+    "range_join_order_events": (range_join_order_events, _RANGE_JOIN_SQL),
 }
 
 

@@ -35,22 +35,44 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-#: File-source schema for events: ``ts`` arrives as long nanos (the
-#: fixtures are parquet TIMESTAMP(NANOS), which Spark 4 only reads via
-#: the nanosAsLong legacy mode) and is restored to TimestampType below.
-_EVENTS_NS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _stream_parquet_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming file-source read of one fixture table, schema-robust.
+
+    A streaming source needs an explicit schema, but the fixture writer's
+    timestamp physical type is not under our control (rounds have shipped
+    both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)). Hardcoding one unit
+    silently mis-scales event time by 1000× when the other arrives — so
+    the schema is derived from the batch reader against the same file
+    (driver-side footer read, O(1)), and the same restorations the batch
+    loader applies (nanos-as-long → micros, NTZ → session timestamp) are
+    applied here. Streaming and batch therefore can never disagree on
+    the clock."""
+    from ..sources.files import _nanos_timestamp_cols
+
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).option(
+        "pathGlobFilter", f"{name}.parquet"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(sf_dir)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    for f_ in df.schema.fields:
+        if f_.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
+    return df
 
 
 def events_stream(
@@ -58,27 +80,7 @@ def events_stream(
 ) -> DataFrame:
     """Unbounded view of the events table via the parquet file source —
     the broker-free stand-in for the reference's Kafka topic (S3)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = (
-        spark.readStream.schema(_EVENTS_NS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-    )
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.parquet(sf_dir).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
-
-
-_DOCS_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-        T.StructField("source", T.StringType()),
-        T.StructField("n_chars", T.LongType()),
-    ]
-)
+    return _stream_parquet_table(spark, sf_dir, "events", max_files_per_trigger)
 
 
 def documents_stream(
@@ -89,12 +91,7 @@ def documents_stream(
     object storage. At 100 TB this IS the production shape: new corpus
     shards arrive as files; ``maxFilesPerTrigger`` bounds micro-batch
     size the way maxOffsetsPerTrigger does for Kafka."""
-    reader = spark.readStream.schema(_DOCS_SCHEMA).option(
-        "pathGlobFilter", "documents.parquet"
-    )
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.parquet(sf_dir)
+    return _stream_parquet_table(spark, sf_dir, "documents", max_files_per_trigger)
 
 
 def stream_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
