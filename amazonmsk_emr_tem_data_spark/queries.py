@@ -1168,9 +1168,10 @@ def lsh_ann_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style coarse-quantized ANN (rows-only: centroid averages are
-    accumulation-order-dependent; overlap vs exact k-NN is
-    unit-tested)."""
+    """IVF-style coarse-quantized ANN. The quantizer fit is RNG-free
+    (first-4096-by-id sample, first-k init, fixed iterations), so the
+    whole probe-and-rank pipeline has an exact DuckDB twin
+    (_ivf_topk_sql) — hash-checked, not rows-only."""
     from .operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3394,46 +3395,49 @@ def semantic_dedup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, n_cells=8, threshold=0.95)
 
 
-def _semdedup_sql(
-    k: int = 8, iters: int = 5, dim: int = 64, threshold: float = 0.95
-) -> str:
-    """DuckDB twin of operators/clustering.semantic_dedup.
+#: Unit-normalize a DuckDB list column (the _normalized twin).
+_UNIT_SQL = (
+    "list_transform(CAST({v} AS DOUBLE[]), x -> x / greatest("
+    "sqrt(list_dot_product(CAST({v} AS DOUBLE[]), CAST({v} AS DOUBLE[]))),"
+    " 1e-12))"
+)
 
-    The distributed fit is deterministic (no RNG: init = the k
-    lowest-id vectors, fixed ``iters``), so Lloyd's loop unrolls into a
-    static CTE chain: a{i} = assignment against c{i-1} (argmax inner
-    product, lowest-cell tie-break — same strict-> rule as
-    with_ivf_cell), u{i} = per-cell component sums renormalized
-    (spherical update), c{i} = u{i} with empty cells keeping their
-    previous centroid. Final cells feed the same within-cell cosine
-    pair scoring and min-id connected-components closure the Spark
-    side uses."""
-    unit = (
-        "list_transform(CAST({v} AS DOUBLE[]), x -> x / greatest("
-        "sqrt(list_dot_product(CAST({v} AS DOUBLE[]), CAST({v} AS DOUBLE[]))),"
-        " 1e-12))"
-    )
-    assign = """
+#: Argmax-cell assignment of CTE ``n`` against centroid CTE ``{src}``:
+#: highest inner product wins, lowest cell on ties — the same
+#: first-max rule as with_ivf_cell's strict-> chain (and numpy argmax).
+_ASSIGN_SQL = """
   SELECT vec_id, v, cid FROM (
     SELECT n.vec_id, n.v, c.cid,
            row_number() OVER (PARTITION BY n.vec_id
              ORDER BY list_dot_product(n.v, c.cvec) DESC, c.cid ASC) AS rn
-    FROM n, {src} c) t
+    FROM {fit_src} n, {src} c) t
   WHERE rn = 1
 """
+
+
+def _kmeans_cte_chain(fit_src: str, k: int, iters: int, dim: int) -> str:
+    """CTE chain c0..c{iters} unrolling deterministic Lloyd's k-means
+    over ``fit_src`` (a CTE with columns vec_id, v — unit vectors).
+
+    Both fits in this engine are RNG-free (init = the k lowest-id
+    vectors, fixed iteration count), which is what makes the oracle
+    expressible: a{i} = assignment against c{i-1}, u{i} = per-cell
+    component sums renormalized (spherical update — identical direction
+    whether you normalize the sum or the mean, so this one chain twins
+    BOTH clustering.kmeans_fit and similarity.kmeans_centroids), c{i} =
+    u{i} with empty cells keeping their previous centroid."""
     parts = [
-        f"""WITH RECURSIVE n AS (
-  SELECT vec_id, {unit.format(v='embedding')} AS v FROM embeddings
-), c0 AS (
+        f""", c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
-  FROM (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT {k})
+  FROM (SELECT vec_id, v FROM {fit_src} ORDER BY vec_id LIMIT {k})
 )"""
     ]
     for it in range(1, iters + 1):
         prev = f"c{it - 1}"
+        assign = _ASSIGN_SQL.format(fit_src=fit_src, src=prev)
         parts.append(
-            f""", a{it} AS ({assign.format(src=prev)}), u{it} AS (
-  SELECT cid, {unit.format(v='sv')} AS cvec
+            f""", a{it} AS ({assign}), u{it} AS (
+  SELECT cid, {_UNIT_SQL.format(v='sv')} AS cvec
   FROM (SELECT cid, list(s ORDER BY d) AS sv
         FROM (SELECT cid, t.i AS d, sum(v[t.i]) AS s
               FROM a{it}, range(1, {dim + 1}) t(i) GROUP BY cid, t.i) z
@@ -3443,8 +3447,25 @@ def _semdedup_sql(
   FROM {prev} p LEFT JOIN u{it} u USING (cid)
 )"""
         )
+    return "".join(parts)
+
+
+def _semdedup_sql(
+    k: int = 8, iters: int = 5, dim: int = 64, threshold: float = 0.95
+) -> str:
+    """DuckDB twin of operators/clustering.semantic_dedup: unrolled
+    k-means fit over ALL vectors (_kmeans_cte_chain), then the same
+    within-cell cosine pair scoring and min-id connected-components
+    closure the Spark side runs."""
+    parts = [
+        f"""WITH RECURSIVE n AS (
+  SELECT vec_id, {_UNIT_SQL.format(v='embedding')} AS v FROM embeddings
+)""",
+        _kmeans_cte_chain("n", k, iters, dim),
+    ]
+    assign = _ASSIGN_SQL.format(fit_src="n", src=f"c{iters}")
     parts.append(
-        f""", af AS ({assign.format(src=f'c{iters}')}), pr AS (
+        f""", af AS ({assign}), pr AS (
   SELECT a.vec_id AS pa, b.vec_id AS pb
   FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
   WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= {threshold}
@@ -3465,6 +3486,63 @@ FROM af f JOIN comp c USING (vec_id)"""
 
 
 _SEMDEDUP_SQL = _semdedup_sql()
+
+
+def _ivf_topk_sql(
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    iters: int = 5,
+    sample_n: int = 4096,
+    dim: int = 64,
+    n_queries: int = 5,
+) -> str:
+    """DuckDB twin of operators/similarity.ivf_topk as used by
+    ivf_topk_q: quantizer fit on the first ``sample_n`` vectors by id
+    (_kmeans_cte_chain over the sample CTE), full-corpus cell
+    assignment, per-query probe of the ``n_probe`` nearest cells, exact
+    cosine ranking within them (ties on vec_id, same as the Spark
+    window). Cell assignment uses unit vectors (cosine is
+    scale-invariant); the reported cos_sim uses the raw embeddings,
+    exactly like the Spark side."""
+    parts = [
+        f"""WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw,
+         {_UNIT_SQL.format(v='embedding')} AS v
+  FROM embeddings
+), smp AS (
+  SELECT vec_id, v FROM n ORDER BY vec_id LIMIT {sample_n}
+)""",
+        _kmeans_cte_chain("smp", n_cells, iters, dim),
+    ]
+    parts.append(
+        f""", af AS ({_ASSIGN_SQL.format(fit_src='n', src=f'c{iters}')}), qs AS (
+  SELECT vec_id AS query_id, raw AS qraw, v AS qv FROM n WHERE vec_id < {n_queries}
+), qc AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid ASC) AS rn
+    FROM qs q, c{iters} c) t
+  WHERE rn <= {n_probe}
+), cand AS (
+  SELECT q.query_id, f.vec_id,
+         {_COS_SQL.format(a='r.raw', b='q.qraw')} AS cos_sim
+  FROM af f
+  JOIN n r ON r.vec_id = f.vec_id
+  JOIN qc ON f.cid = qc.cid
+  JOIN qs q ON q.query_id = qc.query_id
+)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT cand.*, row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM cand) t
+WHERE rank <= {k}"""
+    )
+    return "".join(parts)
+
+
+_IVF_TOPK_SQL = _ivf_topk_sql()
 
 
 def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3867,7 +3945,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_knn_join": (embedding_knn_join_q, _EMB_KNN_SQL),
     "embedding_near_dup_pairs": (embedding_near_dup_pairs_q, _EMB_NEAR_DUP_SQL),
     "lsh_ann_pairs": (lsh_ann_pairs_q, _EMB_NEAR_DUP_SQL),
-    "ivf_topk": (ivf_topk_q, None),
+    "ivf_topk": (ivf_topk_q, _IVF_TOPK_SQL),
     # north-star: multimodal
     "multimodal_meta": (multimodal_meta, _MULTIMODAL_META_SQL),
     "multimodal_decode": (multimodal_decode_q, None),

@@ -46,6 +46,24 @@ def parquet_sink(
     writer.parquet(path)
 
 
+def kafka_sink_options(
+    bootstrap_servers: str,
+    topic: str,
+    security: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """The exact writer option set for the Kafka sinks (K1), as a pure
+    dict so tests can pin it against the reference's ``options_write``
+    (temDataRead.py:60-75) without a broker. Bare security keys get the
+    ``kafka.`` prefix the DataFrame writer requires."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+    }
+    for k, v in (security or {}).items():
+        opts[k if k.startswith("kafka.") else f"kafka.{k}"] = v
+    return opts
+
+
 def kafka_stream_sink(
     df: DataFrame,
     bootstrap_servers: str,
@@ -62,13 +80,10 @@ def kafka_stream_sink(
     """
     writer = (
         df.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
+        .options(**kafka_sink_options(bootstrap_servers, topic, security))
         .option("checkpointLocation", checkpoint_dir)
         .queryName(query_name)
     )
-    for k, v in (security or {}).items():
-        writer = writer.option(k if k.startswith("kafka.") else f"kafka.{k}", v)
     if trigger_interval:
         writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
@@ -87,11 +102,6 @@ def kafka_batch_sink(
     ``save()``; contrast with the reference's per-row loop (K2), which is
     replaced by sources/replay.replay_stream + a streaming Kafka sink.
     """
-    writer = (
-        df.write.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-    )
-    for k, v in (security or {}).items():
-        writer = writer.option(k if k.startswith("kafka.") else f"kafka.{k}", v)
-    writer.save()
+    df.write.format("kafka").options(
+        **kafka_sink_options(bootstrap_servers, topic, security)
+    ).save()

@@ -27,10 +27,11 @@ from amazonmsk_emr_tem_data_spark.operators.skew import salted_join
 from amazonmsk_emr_tem_data_spark.session import get_spark
 
 
-def main() -> None:
-    n_fact = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
-    n_keys = 100_000
-    spark = get_spark("bench_skew")
+def run_skew_bench(spark, n_fact: int, n_keys: int = 100_000) -> dict[str, float]:
+    """Measure the three plans (importable for the pytest -m scale
+    suite); asserts all three are exact before timing. Leaves
+    autoBroadcastJoinThreshold/-AQE-skew conf restored to defaults."""
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
     # fact: half the rows on key 0, the rest uniform over [1, n_keys)
@@ -72,7 +73,16 @@ def main() -> None:
     assert salted.count() == expected
     results["salted_join_32"] = run(agg(salted))
 
-    for name, sec in results.items():
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    if prev_bcast is not None:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+    return results
+
+
+def main() -> None:
+    n_fact = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+    spark = get_spark("bench_skew")
+    for name, sec in run_skew_bench(spark, n_fact).items():
         print(f"{name}: {sec:.2f} s")
 
 

@@ -33,10 +33,9 @@ FACT_OFFSETS = {
 }
 
 
-def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_scaled"
-    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+def build_scaled(src: str, dst: str, factor: int = 10) -> None:
+    """Materialize the key-offset-replicated copy (importable so the
+    pytest -m scale suite reuses the exact SCALING.md methodology)."""
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
 
@@ -74,6 +73,13 @@ def main() -> None:
             f"SELECT COUNT(*) FROM read_parquet('{dst}/{t}.parquet')"
         ).fetchone()[0]
         print(f"{t}: {n} rows")
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_scaled"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    build_scaled(src, dst, factor)
 
 
 if __name__ == "__main__":

@@ -433,3 +433,30 @@ def test_dup_ngram_frac_edges(spark):
     assert got[0] == 0.0
     assert got[1] == 0.0
     assert abs(got[2] - 0.6) < 1e-12
+
+
+def test_connected_components_node_gate_routes_path_graph_distributed(spark):
+    """The union-find fast path holds a parent-dict entry per DISTINCT
+    NODE, so a path graph (edges ~= nodes) must be gated on node count,
+    not edge count alone: a 5M-edge chain is only ~80 MB of edge longs
+    but ~0.5 GB of Python dict in ONE task. With a node gate below the
+    chain's node count the distributed pointer-jumping path must be
+    taken (observable: >1 partition in the output plan's lineage — the
+    fast path coalesces to exactly 1) and labels must still be exact."""
+    from amazonmsk_emr_tem_data_spark.operators.dedup import connected_components
+
+    n = 512  # chain: 511 edges, 512 nodes — a scaled-down worst case
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    # node gate excludes the graph even though the edge gate admits it
+    comp = connected_components(
+        pairs, nodes, small_graph_edges=100_000, small_graph_nodes=256
+    )
+    assert {r["comp"] for r in comp.collect()} == {0}
+    # same graph under a node gate that admits it: fast path, same labels
+    fast = connected_components(
+        pairs, nodes, small_graph_edges=100_000, small_graph_nodes=100_000
+    )
+    assert {r["comp"] for r in fast.collect()} == {0}

@@ -1,0 +1,109 @@
+"""Scale-regression suite (``pytest -m scale`` — excluded from default
+CI by pytest.ini).
+
+Mechanizes the two SCALING.md experiments so scale regressions are
+caught by a command, not by hand:
+
+- 10x key-offset-replicated fixtures (scripts/make_scaled_fixtures):
+  the heavy dedup queries must scale sub-linearly (bucketing/collapse
+  doing its job) — the round-1 incident this guards against was a
+  single-file scan under-splitting that made doc_repetition_filter 10x
+  slower than it should have been.
+- planted-skew join (scripts/bench_skew): salted_join must stay exact
+  and must not lose badly to the plain sort-merge join it replaces
+  (on a quiet machine it wins ~2.8x; the bound here is loose because
+  CI shares the sandbox).
+
+Time-ratio assertions use generous bounds: these tests exist to catch
+order-of-magnitude regressions (a lost partitioning, an accidental
+cross join), not 20% drift — bench.py medians track the latter.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
+)
+
+pytestmark = pytest.mark.scale
+
+SRC_SF = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+FACTOR = 10
+
+
+@pytest.fixture(scope="module")
+def scaled_dir(tmp_path_factory):
+    from make_scaled_fixtures import build_scaled
+
+    dst = str(tmp_path_factory.mktemp("sf_scaled"))
+    build_scaled(SRC_SF, dst, FACTOR)
+    return dst
+
+
+def _run_noop(fn, spark, sf_dir) -> float:
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    return time.perf_counter() - t0
+
+
+@pytest.mark.parametrize(
+    "qname,max_ratio",
+    [
+        # dedup worst case: every doc in an identity group of 10 —
+        # collapse-first must keep the pair stage SUB-linear
+        ("minhash_lsh_pairs", 6.0),
+        # explode-heavy scan, CPU-bound on saturated cores: near-LINEAR
+        # (~10x) is its exact-stats floor — the bound only catches a
+        # superlinear blowup (accidental O(n^2) pairing / lost split)
+        ("doc_repetition_filter", 13.0),
+        # iterative CC on the maximal pair graph: sub-linear via
+        # endpoint-only propagation
+        ("dedup_clusters", 8.0),
+    ],
+)
+def test_tenx_replication_scales_sublinearly(spark, scaled_dir, qname, max_ratio):
+    from amazonmsk_emr_tem_data_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY[qname]
+    t1 = _run_noop(fn, spark, SRC_SF)
+    t10 = _run_noop(fn, spark, scaled_dir)
+    ratio = t10 / max(t1, 1e-6)
+    assert ratio < max_ratio, (
+        f"{qname}: 10x data took {ratio:.1f}x time (t1={t1:.2f}s "
+        f"t10={t10:.2f}s) — scale regression (bound {max_ratio}x)"
+    )
+
+
+def test_exact_dedup_collapses_identity_groups_at_10x(spark, scaled_dir):
+    """Correctness under replication: 10 exact copies of every document
+    must collapse to single survivors — the 10x survivor count equals
+    the 1x survivor count (replication adds no new distinct content)."""
+    from amazonmsk_emr_tem_data_spark.operators.dedup import exact_dedup_first
+    from amazonmsk_emr_tem_data_spark.sources.files import load_table
+
+    docs1 = load_table(spark, SRC_SF, "documents")
+    docs10 = load_table(spark, scaled_dir, "documents")
+    assert exact_dedup_first(docs10).count() == exact_dedup_first(docs1).count()
+
+
+def test_salted_join_exact_and_competitive_under_skew(spark):
+    from bench_skew import run_skew_bench
+
+    results = run_skew_bench(spark, n_fact=2_000_000)
+    assert set(results) == {
+        "plain_join_aqe_skew_off",
+        "plain_join_aqe_skew_on",
+        "salted_join_32",
+    }
+    # exactness is asserted inside run_skew_bench; here only guard
+    # against salting becoming pathological vs the plan it replaces
+    assert results["salted_join_32"] < results["plain_join_aqe_skew_off"] * 1.5

@@ -105,3 +105,53 @@ def test_csv_sink_respects_explicit_mode(spark, sf_dir, tmp_path):
     csv_sink(src, out, mode="append")
     n = spark.read.option("header", True).option("sep", "|").csv(out).count()
     assert n == 2 * src.count()
+
+
+# --- K1: writer wire format, broker-free (temDataRead.py:60-83) ---
+
+# temDataRead.py:60-75, verbatim (params resolved; topic_output at :12).
+_REFERENCE_WRITER_OPTIONS = {
+    "kafka.bootstrap.servers": "b-1.msk:9098,b-2.msk:9098",
+    "topic": "exp.tem1.spark.streaming",
+    "kafka.ssl.truststore.location": "/tmp/kafka.client.truststore.jks",
+    "kafka.security.protocol": "SASL_SSL",
+    "kafka.sasl.mechanism": "AWS_MSK_IAM",
+    "kafka.sasl.jaas.config":
+        "software.amazon.msk.auth.iam.IAMLoginModule required;",
+    "kafka.sasl.client.callback.handler.class":
+        "software.amazon.msk.auth.iam.IAMClientCallbackHandler",
+}
+
+
+def test_kafka_sink_options_match_reference():
+    from amazonmsk_emr_tem_data_spark.sinks import kafka_sink_options
+
+    opts = kafka_sink_options(
+        "b-1.msk:9098,b-2.msk:9098",
+        "exp.tem1.spark.streaming",
+        security=msk_iam_security(),
+    )
+    assert opts == _REFERENCE_WRITER_OPTIONS
+
+
+def test_envelope_bytes_match_reference_projection(spark):
+    """The bytes K1 would hand the Kafka producer: to_kafka_envelope
+    must be bit-identical to the reference's own projection
+    (``selectExpr("CAST(id AS STRING) AS key", "to_json(struct(*)) AS
+    value")``, temDataRead.py:78-79) over the reference's fixture CSV.
+    Fails if our envelope (column order, JSON field order, number
+    formatting) ever drifts from the wire format the reference ships."""
+    from amazonmsk_emr_tem_data_spark.functions.codec import to_kafka_envelope
+    from amazonmsk_emr_tem_data_spark.sources.files import read_tem_csv
+
+    df = read_tem_csv(spark, "/root/reference/data/csv2.csv", compat=True)
+    ours = to_kafka_envelope(df, key_col="id").collect()
+    ref = df.selectExpr(
+        "CAST(id AS STRING) AS key", "to_json(struct(*)) AS value"
+    ).collect()
+    assert [tuple(r) for r in ours] == [tuple(r) for r in ref]
+    # golden pin: catches drift in BOTH paths (e.g. a Spark to_json
+    # formatting change would silently alter the produced bytes)
+    first = ours[0]
+    assert first["key"] == first["value"][len('{"id":'):].split(",", 1)[0]
+    assert first["value"].startswith('{"id":')
