@@ -1206,8 +1206,10 @@ FROM documents
 
 
 def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched image-decode plumbing (fake decoder — no codecs in
-    the container; rows-only + determinism unit tests)."""
+    """Arrow-batched image-decode plumbing. The fake decoder (no codecs
+    in the container) is a pure byte-level function, so it has an exact
+    DuckDB twin (_MULTIMODAL_DECODE_SQL, hex-nibble byte extraction) —
+    hash-checked, not rows-only."""
     from .operators.multimodal import decode_images, with_binary_payload
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
@@ -1237,9 +1239,9 @@ def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal dedup composition: payload → Arrow-batched
-    stub encoder → embedding cosine near-dup with exact-dup collapse
-    (rows-only: the mapInPandas encoder is not SQL-expressible;
-    determinism + identical-payload recall are unit-tested)."""
+    stub encoder → embedding cosine near-dup with exact-dup collapse.
+    The stub (byte-nibble histogram) is SQL-expressible, so the whole
+    composition is hash-checked against _MULTIMODAL_NEAR_DUP_SQL."""
     from .operators.multimodal import media_near_dup_pairs, with_binary_payload
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
@@ -3544,6 +3546,67 @@ WHERE rank <= {k}"""
 
 _IVF_TOPK_SQL = _ivf_topk_sql()
 
+#: Byte value at 0-based position {i} of hex-encoded blob column {hx}
+#: (DuckDB 1.0 has no get_byte/blob-substring, but hex() + nibble
+#: lookup recovers exact byte values).
+_BYTE_SQL = (
+    "((instr('0123456789ABCDEF', substr({hx}, CAST(2*{i}+1 AS INT), 1)) - 1) * 16"
+    " + (instr('0123456789ABCDEF', substr({hx}, CAST(2*{i}+2 AS INT), 1)) - 1))"
+)
+
+#: Twin of operators/multimodal.decode_images(fake=True) over the
+#: documents payload (UTF-8 bytes of text): pseudo-dimensions from byte
+#: length, mean intensity over the first 256 bytes.
+_MULTIMODAL_DECODE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+         octet_length(encode(coalesce(text, ''))) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(16 + (n % 64) AS INT) AS width,
+       CAST(16 + ((n // 64) % 64) AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       CASE WHEN n = 0 THEN 0.0 ELSE
+         CAST(list_sum(list_transform(range(CAST(least(n, 256) AS INT)),
+                i -> {_BYTE_SQL.format(hx='hx', i='i')})) AS DOUBLE)
+         / least(n, 256) END AS mean_intensity
+FROM h
+"""
+
+#: Twin of operators/multimodal.media_near_dup_pairs(fake=True): the
+#: stub encoder is an L2-normalized 16-bin histogram of (byte % 16) —
+#: and byte % 16 is exactly the LOW NIBBLE, i.e. the second hex char of
+#: each byte — then all-(a<b) cosine pairs at the 0.995 threshold
+#: (within-identical-group pairs score cosine(v, v) computed, matching
+#: _expand_vector_pairs; zero-payload vectors yield NULL cosine and
+#: drop, matching try_divide).
+_MULTIMODAL_NEAR_DUP_SQL = f"""
+WITH h AS (
+  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+         octet_length(encode(coalesce(text, ''))) AS n
+  FROM documents
+), nb AS (
+  SELECT doc_id,
+         unnest(list_transform(range(CAST(n AS INT)),
+           i -> instr('0123456789ABCDEF',
+                      substr(hx, CAST(2*i+2 AS INT), 1)) - 1)) AS k
+  FROM h
+), cnt AS (
+  SELECT doc_id, k, COUNT(*) AS c FROM nb GROUP BY doc_id, k
+), vec AS (
+  SELECT h.doc_id, {_UNIT_SQL.format(v="list(CAST(coalesce(c.c, 0) AS DOUBLE) ORDER BY r.k)")} AS v
+  FROM h CROSS JOIN range(16) r(k)
+  LEFT JOIN cnt c ON c.doc_id = h.doc_id AND c.k = r.k
+  GROUP BY h.doc_id
+)
+SELECT doc_a, doc_b, cos_sim FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         {_COS_SQL.format(a='a.v', b='b.v')} AS cos_sim
+  FROM vec a JOIN vec b ON a.doc_id < b.doc_id) t
+WHERE cos_sim >= 0.995
+"""
+
 
 def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q6 shape: the "what if we dropped these discounts" scan —
@@ -3948,9 +4011,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ivf_topk": (ivf_topk_q, _IVF_TOPK_SQL),
     # north-star: multimodal
     "multimodal_meta": (multimodal_meta, _MULTIMODAL_META_SQL),
-    "multimodal_decode": (multimodal_decode_q, None),
+    "multimodal_decode": (multimodal_decode_q, _MULTIMODAL_DECODE_SQL),
+    # frames stays rows-only: its chunk sha256 needs blob hashing,
+    # which DuckDB 1.0 lacks (sha256 is VARCHAR-only; byte chunks can
+    # split UTF-8 so decode() to VARCHAR is not total)
     "multimodal_frames": (multimodal_frames_q, None),
-    "multimodal_near_dup": (multimodal_near_dup_q, None),
+    "multimodal_near_dup": (multimodal_near_dup_q, _MULTIMODAL_NEAR_DUP_SQL),
     "bpe_vocab_merges": (bpe_vocab_merges, None),
     # time-series joins + olap extensions
     "asof_latest_order": (asof_latest_order, _ASOF_SQL),
