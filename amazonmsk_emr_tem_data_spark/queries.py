@@ -3873,6 +3873,171 @@ WHERE s.s_suppkey IN (
 
 
 # ---------------------------------------------------------------------------
+# corpus curation: split / shuffle-shards / mixture plan / quality select
+# (round 4 — the post-dedup steps that turn a cleaned corpus into
+# training input: reproducible partitioning, ordering, and mixing)
+# ---------------------------------------------------------------------------
+
+
+def doc_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (98/1/1): bucket = 60-bit
+    md5 hash of doc_id, mod 1000. Hash-membership splits are the
+    reproducible way to partition a 100 TB corpus — no shuffle, no
+    global sort, any worker computes membership standalone, and newly
+    ingested data never moves existing docs across splits (the property
+    a random() split lacks). Stratification across sources falls out of
+    hash uniformity."""
+    from .functions.text import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(md5_hash64(F.col("doc_id").cast("string")), F.lit(1000))
+    return docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        bucket.alias("split_bucket"),
+        F.when(bucket < 980, "train")
+        .when(bucket < 990, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+_CORPUS_SPLIT_SQL = f"""
+SELECT doc_id, source, lang, b AS split_bucket,
+       CASE WHEN b < 980 THEN 'train'
+            WHEN b < 990 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, source, lang,
+             {_HASH64_SQL.format(x="CAST(doc_id AS VARCHAR)")} % 1000 AS b
+      FROM documents)
+"""
+
+
+def doc_shuffle_shards(spark: SparkSession, sf_dir: str, n_shards: int = 8) -> DataFrame:
+    """Deterministic global shuffle into training shards: shard =
+    salted-hash(doc_id) mod n_shards; position = rank of the hash
+    within the shard. This is the scalable 'shuffled corpus' recipe —
+    no global sort: shard assignment is map-only, within-shard order is
+    a local sort after the one partition-by-shard shuffle, and the
+    permutation is reproducible (salt-seeded) across reruns and cluster
+    sizes. Downstream, write with partitionBy(shard) and readers stream
+    shards in pos order."""
+    from .functions.text import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_hash64(F.concat(F.lit("shuf1:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+_SHUFFLE_SHARDS_SQL = f"""
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC)
+            AS BIGINT) AS pos
+FROM (SELECT doc_id, h, h % 8 AS shard
+      FROM (SELECT doc_id,
+                   {_HASH64_SQL.format(x="'shuf1:' || CAST(doc_id AS VARCHAR)")} AS h
+            FROM documents))
+"""
+
+
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture planning (The Pile / DoReMi-shape): per-source
+    token mass, natural corpus share, and the repeat factor that
+    rebalances the mixture to uniform across sources
+    (epochs_to_uniform = target_share / natural_share — >1 repeats the
+    source, <1 subsamples it). One map-side-combinable aggregation;
+    the window totals run over the ~|sources| aggregated rows, not the
+    corpus."""
+    from .functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return (
+        per.withColumn(
+            "corpus_share", F.col("n_tokens") / F.sum("n_tokens").over(w)
+        )
+        .withColumn(
+            "epochs_to_uniform",
+            (F.lit(1.0) / F.count(F.lit(1)).over(w)) / F.col("corpus_share"),
+        )
+        .select(
+            "source", "n_docs", "n_tokens", "corpus_share", "epochs_to_uniform"
+        )
+    )
+
+
+_MIXTURE_PLAN_SQL = f"""
+SELECT source, n_docs, n_tokens,
+       n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS corpus_share,
+       (1.0 / count(*) OVER ())
+         / (n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE)) AS epochs_to_uniform
+FROM (SELECT source, count(*) AS n_docs,
+             sum(len({_TOKS_SQL})) AS n_tokens
+      FROM documents GROUP BY source)
+"""
+
+#: quality_score's SQL twin (same weighted sum as functions/text.py).
+_QUALITY_SCORE_SQL = (
+    f"0.4 * least({_QUALITY_SQL_PARTS['stop_ratio']} * 4, 1.0)"
+    f" + 0.3 * least({_QUALITY_SQL_PARTS['avg_tok']} / 8, 1.0)"
+    f" + 0.2 * (1.0 - least({_QUALITY_SQL_PARTS['punct_ratio']} * 10, 1.0))"
+    f" + 0.1 * (1.0 - least({_QUALITY_SQL_PARTS['upper_ratio']} * 10, 1.0))"
+)
+
+
+def doc_quality_selection(
+    spark: SparkSession, sf_dir: str, top_frac: float = 0.2
+) -> DataFrame:
+    """Per-source quality selection: keep the top 20% of documents per
+    source by composite quality score (ties broken deterministically:
+    score desc, doc_id asc) — the FineWeb/DCLM-style 'train on the best
+    slice' curation step. One shuffle on source + a within-partition
+    sort; no global ordering, so the plan is unchanged at 100 TB."""
+    from .functions import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source")
+    wr = w.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    return (
+        docs.select(
+            "doc_id", "source", tx.quality_score("text").alias("quality")
+        )
+        .withColumn("quality_rank", F.row_number().over(wr).cast("long"))
+        .withColumn("n_src", F.count(F.lit(1)).over(w))
+        .filter(
+            F.col("quality_rank") <= F.ceil(F.col("n_src") * F.lit(top_frac))
+        )
+        .select("doc_id", "source", "quality", "quality_rank")
+    )
+
+
+_QUALITY_SELECTION_SQL = f"""
+WITH q AS (
+  SELECT doc_id, source, {_QUALITY_SCORE_SQL} AS quality FROM documents
+), r AS (
+  SELECT doc_id, source, quality,
+         CAST(row_number() OVER (PARTITION BY source
+                ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS quality_rank,
+         count(*) OVER (PARTITION BY source) AS n_src
+  FROM q
+)
+SELECT doc_id, source, quality, quality_rank
+FROM r WHERE quality_rank <= ceil(n_src * 0.2)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4021,6 +4186,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # time-series joins + olap extensions
     "asof_latest_order": (asof_latest_order, _ASOF_SQL),
     "range_join_order_events": (range_join_order_events, _RANGE_JOIN_SQL),
+    # corpus curation (round 4): split / shuffle / mixture / selection —
+    # appended after the driver window so the 49-query backlog keeps its
+    # round-4 slots; rotate these in next round
+    "doc_corpus_split": (doc_corpus_split, _CORPUS_SPLIT_SQL),
+    "doc_shuffle_shards": (doc_shuffle_shards, _SHUFFLE_SHARDS_SQL),
+    "corpus_mixture_plan": (corpus_mixture_plan, _MIXTURE_PLAN_SQL),
+    "doc_quality_selection": (doc_quality_selection, _QUALITY_SELECTION_SQL),
 }
 
 

@@ -55,6 +55,13 @@ DOC_QUERIES = [
     "doc_decontamination",
     "doc_sequence_packing",
     "doc_chunking",
+    # round-4 curation ops: hash split/shard are text-independent
+    # (id-hashed); mixture + selection exercise token counting and the
+    # quality formula on empty/unicode text
+    "doc_corpus_split",
+    "doc_shuffle_shards",
+    "corpus_mixture_plan",
+    "doc_quality_selection",
 ]
 
 
