@@ -156,3 +156,27 @@ def test_no_cartesian_product_anywhere(spark, name):
     fn, _ = REGISTRY[name]
     f = plan_facts(fn(spark, "/root/testdata/sf0.001"))
     assert not f.has_cartesian, name
+
+
+def test_corpus_split_is_map_only(spark, sf_dir):
+    # hash-membership split: any worker computes membership standalone —
+    # a shuffle or join in this plan means the property was lost
+    f = facts(spark, sf_dir, "doc_corpus_split")
+    assert f.n_exchanges == 0, "hash split must be map-only"
+    assert not f.joins and not f.has_cartesian
+
+
+def test_shuffle_shards_single_exchange_no_global_sort(spark, sf_dir):
+    # one partition-by-shard shuffle; ordering is per-shard (window),
+    # never a global ORDER BY (which would serialize the corpus)
+    f = facts(spark, sf_dir, "doc_shuffle_shards")
+    assert f.n_exchanges == 1, "exactly the partition-by-shard shuffle"
+    assert not f.joins
+
+
+def test_quality_selection_partitioned_window(spark, sf_dir):
+    # the ranking window must be partitioned by source — an
+    # unpartitioned window here would move the corpus to one task
+    f = facts(spark, sf_dir, "doc_quality_selection")
+    assert f.n_exchanges == 1, "one shuffle on source for the window"
+    assert not f.has_cartesian
