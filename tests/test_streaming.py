@@ -230,3 +230,60 @@ def test_state_store_reader_audits_checkpointed_aggregate(spark, sf_dir):
 
     sizes = state_size_by_partition(spark, ck)
     assert sizes.agg(F.sum("n_keys")).first()[0] == len(exp)
+
+
+@pytest.mark.parametrize("unit", ["ns", "us"])
+def test_stream_clock_matches_batch_for_any_timestamp_unit(spark, tmp_path, unit):
+    """Round-3 regression guard: the driver regenerated events.parquet
+    with TIMESTAMP(MICROS) where earlier rounds shipped TIMESTAMP(NANOS),
+    and the streaming source's hardcoded nanos schema silently read
+    event time 1000x off — tumbling windows, sessions, and the
+    stream-stream join all diverged while every batch query (footer-
+    probing loader) stayed green. The stream source now derives its
+    schema from the same probe; this test writes the SAME rows in both
+    physical units and asserts the streamed tumbling aggregation is
+    identical to the batch aggregation for each."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from amazonmsk_emr_tem_data_spark.sources.files import load_table
+    from amazonmsk_emr_tem_data_spark.streaming.pipelines import stream_tumbling_agg
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:10:00", "2024-01-01 00:50:00", "2024-01-01 03:10:00"]
+    )
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp(unit)),
+            "user_id": pa.array([7, 7, 8], pa.int64()),
+            "event_type": pa.array(["click"] * 3),
+            "value": pa.array([1.0, 2.0, 4.0], pa.float64()),
+            "props": pa.array(["{}"] * 3),
+        }
+    )
+    d = str(tmp_path / unit)
+    import os
+
+    os.makedirs(d)
+    pq.write_table(tbl, f"{d}/events.parquet")
+
+    streamed = stream_tumbling_agg(spark, d)
+    got = sorted(
+        (r["bucket_ts"].isoformat(), r["event_type"], r["n_events"])
+        for r in streamed.collect()
+    )
+    batch = load_table(spark, d, "events")
+    expected = sorted(
+        (r["b"].isoformat(), r["event_type"], r["n"])
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("b"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got == expected
+    # the 1000x failure mode collapses everything into one bucket —
+    # assert the two distinct hours actually survived
+    assert len({g[0] for g in got}) == 2
