@@ -54,3 +54,56 @@ def bucketed_join(
     matching bucket counts Spark plans this with no Exchange on either
     side (verified by tests/test_storage.py)."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(total_bytes, file_count) for a storage prefix via the Hadoop
+    FileSystem API — works identically on local paths and s3a:// URIs,
+    and costs a listing, not a read."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    s = fs.getContentSummary(p)
+    return int(s.getLength()), int(s.getFileCount())
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> tuple[int, int]:
+    """Small-files compaction: rewrite a parquet prefix into ~target-
+    sized files; returns (files_before, files_after).
+
+    Incremental ingest (one file per micro-batch × partition — see
+    streaming/pipelines.incremental_ingest_dedup) accretes thousands of
+    tiny files; at 100 TB the scan cost becomes LIST calls and per-file
+    opens, not bytes. The rewrite sizes the output file count from the
+    measured input bytes:
+
+    - with ``sort_cols``: ``repartitionByRange`` + within-partition
+      sort, so every output file owns a disjoint key range and carries
+      tight parquet min/max stats — downstream predicates on the sort
+      key prune whole files at plan time (poor man's clustering index);
+    - without: round-robin ``repartition`` — pure size normalization.
+
+    Writes to ``dst`` (never in place): the caller swaps prefixes after
+    validation, keeping the operation atomic-by-rename and retryable.
+    """
+    from pyspark.sql import functions as F  # noqa: F401 (parity with callers)
+
+    total_bytes, files_before = dir_stats(spark, src)
+    n_out = max(1, -(-total_bytes // target_file_bytes))
+    df = spark.read.parquet(src)
+    if sort_cols:
+        out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_out)
+    out.write.mode(mode).parquet(dst)
+    _, files_after = dir_stats(spark, dst)
+    return files_before, files_after

@@ -70,3 +70,58 @@ def test_partitioned_layout_prunes_at_plan_time(spark, sf_dir, tmp_path):
     # pruned scan reads exactly the one partition
     expected = ev.filter(F.col("event_type") == "click").count()
     assert q.count() == expected
+
+
+def test_compact_small_files_reduces_count_preserves_rows(spark, sf_dir, tmp_path):
+    from amazonmsk_emr_tem_data_spark.sources.files import load_table
+    from amazonmsk_emr_tem_data_spark.storage import compact_small_files, dir_stats
+
+    src = str(tmp_path / "tiny_files")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(40).write.parquet(src)  # ingest-shaped: 40 tiny files
+    _, n_src = dir_stats(spark, src)
+    assert n_src >= 40
+
+    dst = str(tmp_path / "compacted")
+    before, after = compact_small_files(
+        spark, src, dst, target_file_bytes=64 * 1024 * 1024
+    )
+    assert before >= 40 and after < before
+    got = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    want = sorted(map(tuple, spark.read.parquet(src).collect()))
+    assert got == want
+
+
+def test_compact_sorted_layout_has_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """With sort_cols, every output file must own a disjoint key range
+    (parquet min/max stats then prune whole files for key predicates)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from amazonmsk_emr_tem_data_spark.sources.files import load_table
+    from amazonmsk_emr_tem_data_spark.storage import compact_small_files
+
+    src = str(tmp_path / "tiny_sorted_src")
+    load_table(spark, sf_dir, "events").repartition(16).write.parquet(src)
+    dst = str(tmp_path / "compacted_sorted")
+    compact_small_files(
+        spark, src, dst, target_file_bytes=8 * 1024, sort_cols=["event_id"]
+    )
+    ranges = []
+    for f in glob.glob(f"{dst}/part-*.parquet"):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "event_id"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1, "target size should have produced several files"
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, f"file key ranges overlap: {ranges}"
