@@ -1227,10 +1227,12 @@ def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training: the first 16 learned merge
-    rules over the documents corpus (rows-only: iterative argmax with
-    one driver row per round is not SQL-expressible; the merge order on
-    a hand-computable corpus is unit-tested against the published BPE
-    walkthrough)."""
+    rules over the documents corpus. The loop is deterministic
+    (lexicographic tie-break, fixed rounds), so even this unrolls into
+    a DuckDB oracle (_bpe_merges_sql: per-round pair-count CTEs +
+    argmax + a VARCHAR-packed greedy rewrite fold); the merge order on
+    a hand-computable corpus is additionally unit-tested against the
+    published BPE walkthrough."""
     from .operators.bpe import bpe_merge_table
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
@@ -3608,6 +3610,82 @@ WHERE cos_sim >= 0.995
 """
 
 
+def _bpe_merges_sql(n_merges: int = 16) -> str:
+    """DuckDB twin of operators/bpe.bpe_merge_table: the merge loop
+    unrolls into one CTE chain per round (pair counts → argmax with the
+    exact tie-break, freq-desc then concat-string-asc → greedy
+    left-to-right rewrite of every word's symbol list).
+
+    The rewrite is the same greedy fold as _merge_pair ('aaa' + (a,a)
+    → ['aa','a']), but DuckDB 1.0's list_reduce mis-evaluates
+    struct-typed accumulators (scalar folds are fine), so the state
+    (symbol list + just-merged flag) is packed into ONE VARCHAR:
+    flag char ('0'/'1'), then the symbols joined by chr(31) — tokens
+    are whitespace-split so the unit separator cannot appear inside a
+    symbol. "last symbol == a" is a suffix test, the merge rewrites the
+    string tail, and the flag char blocks the merged token from
+    immediately re-merging, step-identical to the Spark fold.
+    A round whose best pair has freq < 2 yields an empty top CTE; the
+    LEFT JOIN then passes symbols through unchanged and every later
+    round stays empty — the driver loop's early stop, declaratively.
+    wf CTEs are MATERIALIZED: each is referenced twice (pair counts +
+    rewrite), and DuckDB's default inlining would otherwise duplicate
+    the chain 2^rounds-fold."""
+    merge_fold = """string_split(substr(list_reduce(w.symbols,
+             (st, e) -> CASE WHEN strpos(st, chr(31)) = 0 THEN
+                 CASE WHEN st = t.a AND e = t.b
+                      THEN '1' || chr(31) || t.a || t.b
+                      ELSE '0' || chr(31) || st || chr(31) || e END
+               ELSE CASE WHEN substr(st, 1, 1) = '0'
+                          AND right(st, 1 + length(t.a)) = chr(31) || t.a
+                          AND e = t.b
+                      THEN '1' || substr(st, 2, length(st) - 1 - length(t.a))
+                           || t.a || t.b
+                      ELSE '0' || substr(st, 2) || chr(31) || e END END
+           ), 3), chr(31))"""
+    parts = [
+        f"""WITH wf0 AS MATERIALIZED (
+  SELECT word, count(*) AS freq,
+         CASE WHEN length(word) = 0 THEN ['', '</w>']
+              ELSE list_append(
+                     list_transform(range(length(word)),
+                                    i -> word[CAST(i + 1 AS INT)]),
+                     '</w>') END AS symbols
+  FROM (SELECT unnest({_TOKS_SQL}) AS word FROM documents)
+  GROUP BY word
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"wf{r - 1}"
+        parts.append(
+            f""", pc{r} AS (
+  SELECT p[1] AS a, p[2] AS b, sum(freq) AS n
+  FROM (SELECT freq,
+               unnest(list_transform(range(len(symbols) - 1),
+                 i -> [symbols[CAST(i + 1 AS INT)], symbols[CAST(i + 2 AS INT)]])) AS p
+        FROM {prev})
+  GROUP BY 1, 2
+), top{r} AS (
+  SELECT a, b, n FROM pc{r} WHERE n >= 2
+  ORDER BY n DESC, (a || ' ' || b) ASC LIMIT 1
+), wf{r} AS MATERIALIZED (
+  SELECT w.word, w.freq,
+         CASE WHEN t.a IS NULL THEN w.symbols ELSE {merge_fold} END AS symbols
+  FROM {prev} w LEFT JOIN top{r} t ON TRUE
+)"""
+        )
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({r - 1} AS INT) AS round, a AS \"left\", b AS \"right\","
+        f" a || b AS merged, CAST(n AS BIGINT) AS pair_freq FROM top{r}"
+        for r in range(1, n_merges + 1)
+    )
+    parts.append(f"\n{rows}")
+    return "".join(parts)
+
+
+_BPE_MERGES_SQL = _bpe_merges_sql()
+
+
 def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q6 shape: the "what if we dropped these discounts" scan —
     a pure filter + single scalar aggregate, no joins. Every predicate
@@ -4182,7 +4260,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # split UTF-8 so decode() to VARCHAR is not total)
     "multimodal_frames": (multimodal_frames_q, None),
     "multimodal_near_dup": (multimodal_near_dup_q, _MULTIMODAL_NEAR_DUP_SQL),
-    "bpe_vocab_merges": (bpe_vocab_merges, None),
+    "bpe_vocab_merges": (bpe_vocab_merges, _BPE_MERGES_SQL),
     # time-series joins + olap extensions
     "asof_latest_order": (asof_latest_order, _ASOF_SQL),
     "range_join_order_events": (range_join_order_events, _RANGE_JOIN_SQL),
