@@ -209,12 +209,19 @@ def sample_frames(
                 step = max(1, len(data) // n_frames)
                 for i in range(n_frames):
                     chunk = data[i * step : (i + 1) * step]
+                    # fingerprint the canonical UPPER-hex encoding of
+                    # the chunk (not the raw bytes): same collision
+                    # properties, but text-typed — so the value is
+                    # reproducible by engines whose hash functions
+                    # only take strings (the DuckDB oracle)
                     rows.append(
                         (
                             int(doc_id),
                             i,
                             i * step,
-                            hashlib.sha256(chunk).hexdigest(),
+                            hashlib.sha256(
+                                chunk.hex().upper().encode("ascii")
+                            ).hexdigest(),
                         )
                     )
             yield pd.DataFrame(

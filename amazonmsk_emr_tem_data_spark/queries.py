@@ -1217,8 +1217,10 @@ def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing: 1 payload row → 4 frame rows,
-    exploded executor-side (rows-only + unit tests)."""
+    """Frame-sampling plumbing: 1 payload row → 4 frame rows, exploded
+    executor-side. Chunks are fingerprinted via their canonical hex
+    encoding, so the explosion + offsets + hashes are exact-checked
+    against _MULTIMODAL_FRAMES_SQL."""
     from .operators.multimodal import sample_frames, with_binary_payload
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
@@ -1237,6 +1239,22 @@ def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return bpe_merge_table(docs, n_merges=16)
+
+
+def doc_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployable tokenizer pass: learn the 16-merge BPE table from
+    the corpus, then segment every document with it — per-doc subword
+    counts (the 'length in real tokens' a packing/budgeting step
+    consumes). Training collapses to the word-freq table once; applying
+    the merges is a map-only chain of array folds, no shuffle beyond
+    the final per-doc sum. Oracle: the learned chain's wf16 CTE already
+    carries each word's final symbols, so segmentation is a word join
+    (_bpe_segmentation_sql)."""
+    from .operators.bpe import bpe_segment, learn_bpe_merges
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    merges = learn_bpe_merges(docs, n_merges=16)
+    return bpe_segment(docs, merges)
 
 
 def multimodal_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3610,7 +3628,27 @@ WHERE cos_sim >= 0.995
 """
 
 
-def _bpe_merges_sql(n_merges: int = 16) -> str:
+#: Twin of operators/multimodal.sample_frames(fake=True): byte-range
+#: chunk fingerprints. The stub hashes the canonical UPPER-hex encoding
+#: of each chunk, so the oracle needs only VARCHAR sha256 — hex slicing
+#: (2 chars/byte) reproduces python's clamped byte slicing exactly,
+#: including empty chunks (sha256 of '') for short payloads.
+_MULTIMODAL_FRAMES_SQL = """
+WITH h AS (
+  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+         octet_length(encode(coalesce(text, ''))) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(t.i AS INT) AS frame_idx,
+       CAST(t.i * s AS BIGINT) AS frame_offset_bytes,
+       sha256(substr(hx, CAST(2 * t.i * s + 1 AS INT), CAST(2 * s AS INT)))
+         AS frame_sha256
+FROM (SELECT doc_id, hx, greatest(1, n // 4) AS s FROM h), range(4) t(i)
+"""
+
+
+def _bpe_chain_sql(n_merges: int = 16) -> str:
     """DuckDB twin of operators/bpe.bpe_merge_table: the merge loop
     unrolls into one CTE chain per round (pair counts → argmax with the
     exact tie-break, freq-desc then concat-string-asc → greedy
@@ -3674,16 +3712,35 @@ def _bpe_merges_sql(n_merges: int = 16) -> str:
   FROM {prev} w LEFT JOIN top{r} t ON TRUE
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_merges_sql(n_merges: int = 16) -> str:
+    """Merge-table finalizer over the shared chain: one row per
+    non-empty round."""
     rows = "\nUNION ALL ".join(
         f"SELECT CAST({r - 1} AS INT) AS round, a AS \"left\", b AS \"right\","
         f" a || b AS merged, CAST(n AS BIGINT) AS pair_freq FROM top{r}"
         for r in range(1, n_merges + 1)
     )
-    parts.append(f"\n{rows}")
-    return "".join(parts)
+    return f"{_bpe_chain_sql(n_merges)}\n{rows}"
+
+
+def _bpe_segmentation_sql(n_merges: int = 16) -> str:
+    """Segmentation finalizer: wf{n} already holds every corpus word's
+    final symbol list after all learned merges, so the deployable
+    tokenizer pass is one word join + a per-document sum."""
+    return f"""{_bpe_chain_sql(n_merges)}
+, dw AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+)
+SELECT dw.doc_id, CAST(sum(len(w.symbols)) AS BIGINT) AS bpe_token_count
+FROM dw JOIN wf{n_merges} w USING (word)
+GROUP BY dw.doc_id"""
 
 
 _BPE_MERGES_SQL = _bpe_merges_sql()
+_BPE_SEGMENTATION_SQL = _bpe_segmentation_sql()
 
 
 def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4255,10 +4312,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # north-star: multimodal
     "multimodal_meta": (multimodal_meta, _MULTIMODAL_META_SQL),
     "multimodal_decode": (multimodal_decode_q, _MULTIMODAL_DECODE_SQL),
-    # frames stays rows-only: its chunk sha256 needs blob hashing,
-    # which DuckDB 1.0 lacks (sha256 is VARCHAR-only; byte chunks can
-    # split UTF-8 so decode() to VARCHAR is not total)
-    "multimodal_frames": (multimodal_frames_q, None),
+    "multimodal_frames": (multimodal_frames_q, _MULTIMODAL_FRAMES_SQL),
     "multimodal_near_dup": (multimodal_near_dup_q, _MULTIMODAL_NEAR_DUP_SQL),
     "bpe_vocab_merges": (bpe_vocab_merges, _BPE_MERGES_SQL),
     # time-series joins + olap extensions
@@ -4271,6 +4325,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_shuffle_shards": (doc_shuffle_shards, _SHUFFLE_SHARDS_SQL),
     "corpus_mixture_plan": (corpus_mixture_plan, _MIXTURE_PLAN_SQL),
     "doc_quality_selection": (doc_quality_selection, _QUALITY_SELECTION_SQL),
+    "doc_bpe_segmentation": (doc_bpe_segmentation, _BPE_SEGMENTATION_SQL),
 }
 
 

@@ -62,6 +62,10 @@ DOC_QUERIES = [
     "doc_shuffle_shards",
     "corpus_mixture_plan",
     "doc_quality_selection",
+    # BPE train + segment: unicode chars, empty words, punctuation
+    # symbols all flow through the merge folds of both engines
+    "bpe_vocab_merges",
+    "doc_bpe_segmentation",
 ]
 
 
