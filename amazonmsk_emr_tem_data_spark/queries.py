@@ -4171,6 +4171,127 @@ SELECT doc_id, source, quality, quality_rank
 FROM r WHERE quality_rank <= ceil(n_src * 0.2)
 """
 
+#: Fixed retrieval query for the BM25 demo (terms present in the
+#: word-soup fixtures and in real prose alike).
+_BM25_TERMS = ["spark", "table", "fast"]
+
+
+def doc_bm25_search(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) of a fixed 3-term query
+    over the corpus — the lexical-retrieval half of a RAG stack (and
+    the candidate generator for retrieval-based decontamination).
+
+    Shape at 100 TB: one (term, doc) explode bounded to the query's
+    terms by an early filter (the scan prunes to rows containing any
+    term), df/avgdl are |terms|- and 1-row broadcasts, and the final
+    top-k is a partial-sort limit — no global sort of the corpus.
+    Deterministic ties: score desc, doc_id asc."""
+    from .functions.text import token_count, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_and_avgdl = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(token_count("text")).alias("avgdl"),
+    )
+    tf = (
+        docs.select(
+            "doc_id",
+            token_count("text").alias("dl"),
+            F.explode(tokens("text")).alias("term"),
+        )
+        .filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_and_avgdl))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (F.col("tf") * 2.2)
+            / (
+                F.col("tf")
+                + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("bm25"))
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "bm25", "rank")
+    )
+
+
+_BM25_SQL = f"""
+WITH stats AS (
+  SELECT count(*) AS n_docs, avg(len({_TOKS_SQL})) AS avgdl FROM documents
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, len({_TOKS_SQL}) AS dl, unnest({_TOKS_SQL}) AS term
+        FROM documents)
+  WHERE term IN ('spark', 'table', 'fast')
+  GROUP BY doc_id, dl, term
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS bm25
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, bm25, rank FROM (
+  SELECT doc_id, bm25,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT)
+           AS rank
+  FROM scored) t
+WHERE rank <= 10
+"""
+
+
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry anomaly flagging: per-event-type z-scores of the value
+    reading, emitting only |z| >= 3 outliers — the monitoring pass the
+    reference's averaging pipeline feeds in production. Two aggregation
+    passes over the same partitioning (per-type moments, then the
+    flagging scan); population std (DuckDB stddev_pop twin); zero-
+    variance types yield no rows via try_divide NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.try_divide(F.col("value") - F.col("mu"), F.col("sigma")))
+        .filter(F.abs(F.col("z")) >= 3.0)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+_EVENT_OUTLIERS_SQL = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value, (e.value - s.mu) / s.sigma AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE abs((e.value - s.mu) / s.sigma) >= 3.0
+"""
+
 
 # ---------------------------------------------------------------------------
 # registry
@@ -4326,6 +4447,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_mixture_plan": (corpus_mixture_plan, _MIXTURE_PLAN_SQL),
     "doc_quality_selection": (doc_quality_selection, _QUALITY_SELECTION_SQL),
     "doc_bpe_segmentation": (doc_bpe_segmentation, _BPE_SEGMENTATION_SQL),
+    "doc_bm25_search": (doc_bm25_search, _BM25_SQL),
+    "event_value_outliers": (event_value_outliers, _EVENT_OUTLIERS_SQL),
 }
 
 

@@ -66,6 +66,8 @@ DOC_QUERIES = [
     # symbols all flow through the merge folds of both engines
     "bpe_vocab_merges",
     "doc_bpe_segmentation",
+    # BM25: query terms absent/present on empty + unicode docs
+    "doc_bm25_search",
 ]
 
 
@@ -184,6 +186,9 @@ EDGE_ORDERS = [
 
 EVENTS_QUERIES = [
     "tem_hourly_avg",
+    # z-score outliers: duplicate timestamps, single-event types
+    # (zero variance -> try_divide NULL, no rows) must match DuckDB
+    "event_value_outliers",
     "envelope_roundtrip",
     "union_event_slices",
     "dedup_first_event",
