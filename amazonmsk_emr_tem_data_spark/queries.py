@@ -4293,6 +4293,54 @@ WHERE abs((e.value - s.mu) / s.sigma) >= 3.0
 """
 
 
+def events_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins merge (the lakehouse MERGE INTO shape): a
+    correction batch (every 100th event re-emitted 1 hour later with a
+    doubled value — a deterministic stand-in for late-arriving fixes)
+    is unioned with the base table and collapsed to the newest version
+    per key (ties: higher value wins, making the pick total).
+
+    At 100 TB this is one union + one shuffle on the key — and with
+    both sides bucketed on event_id (storage.write_bucketed) the
+    shuffle disappears; the window never sees more than
+    |versions-per-key| rows per key."""
+    ev = load_table(spark, sf_dir, "events")
+    updates = ev.filter(F.col("event_id") % 100 == 0).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        "user_id",
+        "event_type",
+        (F.col("value") * 2).alias("value"),
+        "props",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("ts").desc(), F.col("value").desc()
+    )
+    return (
+        ev.unionByName(updates)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+_UPSERT_LATEST_SQL = """
+WITH merged AS (
+  SELECT event_id, ts, user_id, event_type, value, props FROM events
+  UNION ALL
+  SELECT event_id, ts + INTERVAL 1 HOUR, user_id, event_type, value * 2,
+         props
+  FROM events WHERE event_id % 100 = 0
+)
+SELECT event_id, ts, user_id, event_type, value, props FROM (
+  SELECT merged.*,
+         row_number() OVER (PARTITION BY event_id
+           ORDER BY ts DESC, value DESC) AS rn
+  FROM merged) t
+WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4449,6 +4497,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_bpe_segmentation": (doc_bpe_segmentation, _BPE_SEGMENTATION_SQL),
     "doc_bm25_search": (doc_bm25_search, _BM25_SQL),
     "event_value_outliers": (event_value_outliers, _EVENT_OUTLIERS_SQL),
+    "events_upsert_latest": (events_upsert_latest, _UPSERT_LATEST_SQL),
 }
 
 

@@ -189,6 +189,8 @@ EVENTS_QUERIES = [
     # z-score outliers: duplicate timestamps, single-event types
     # (zero variance -> try_divide NULL, no rows) must match DuckDB
     "event_value_outliers",
+    # CDC merge: identical-ts version ties resolved by the value key
+    "events_upsert_latest",
     "envelope_roundtrip",
     "union_event_slices",
     "dedup_first_event",
