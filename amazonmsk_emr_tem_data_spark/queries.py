@@ -4185,7 +4185,11 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     terms by an early filter (the scan prunes to rows containing any
     term), df/avgdl are |terms|- and 1-row broadcasts, and the final
     top-k is a partial-sort limit — no global sort of the corpus.
-    Deterministic ties: score desc, doc_id asc."""
+    Deterministic ties: score desc, doc_id asc. Per-term scores land on
+    a micro grid (round(s*1e6) as long) before the per-doc sum, so the
+    accumulation is exact integer math — the same order-invariance rule
+    doc_unigram_logprob uses — and the score reproduces bit-for-bit
+    across engines and partitionings."""
     from .functions.text import token_count, tokens
 
     docs = load_table(spark, sf_dir, "documents")
@@ -4224,7 +4228,11 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
             ),
         )
         .groupBy("doc_id")
-        .agg(F.sum("s").alias("bm25"))
+        .agg(
+            (
+                F.sum(F.round(F.col("s") * 1e6).cast("long")) / F.lit(1e6)
+            ).alias("bm25")
+        )
     )
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
     return (
@@ -4247,9 +4255,10 @@ WITH stats AS (
   SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
 ), scored AS (
   SELECT tf.doc_id,
-         sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         sum(CAST(round((ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
              * (tf.tf * 2.2)
-             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS bm25
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))) * 1e6)
+             AS BIGINT)) / 1000000.0 AS bm25
   FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
   GROUP BY tf.doc_id
 )
