@@ -180,3 +180,26 @@ def test_quality_selection_partitioned_window(spark, sf_dir):
     f = facts(spark, sf_dir, "doc_quality_selection")
     assert f.n_exchanges == 1, "one shuffle on source for the window"
     assert not f.has_cartesian
+
+
+def test_bm25_broadcasts_stats_no_global_corpus_sort(spark, sf_dir):
+    # df/avgdl are tiny aggregates: they must broadcast; the only sort
+    # allowed is the bounded top-k window over scored candidates
+    f = facts(spark, sf_dir, "doc_bm25_search")
+    # (the 1-row stats crossJoin plans as a broadcast nested loop —
+    # bounded by construction, so only the join family is asserted)
+    assert f.joins and all(j.startswith("Broadcast") for j in f.joins), (
+        f"corpus side must never shuffle for stats joins, got {f.joins}"
+    )
+
+
+def test_outliers_broadcast_moments(spark, sf_dir):
+    f = facts(spark, sf_dir, "event_value_outliers")
+    assert "BroadcastHashJoin" in f.joins, "per-type moments must broadcast"
+    assert not f.has_cartesian
+
+
+def test_upsert_single_key_shuffle(spark, sf_dir):
+    f = facts(spark, sf_dir, "events_upsert_latest")
+    assert not f.joins, "upsert is union + window, never a join"
+    assert not f.has_cartesian
