@@ -62,12 +62,22 @@ def kmeans_fit(
     try:
         for _ in range(iters):
             assigned = with_ivf_cell(df, centroids, vec_col="v")
+            # component sums land on a 1e-12 grid as longs so the
+            # reduction is exact integer math: the centroid is then
+            # bit-reproducible across partitionings AND engines (the
+            # DuckDB oracle sums in a different order; a double sum
+            # would drift in the last ulp). Unit-norm components keep
+            # |x| <= 1, so 250M rows/cell stay within long range.
             sums = (
                 assigned.select(
                     "ivf_cell", F.posexplode("v").alias("dim", "x")
                 )
                 .groupBy("ivf_cell", "dim")
-                .agg(F.sum("x").alias("s"))
+                .agg(
+                    (
+                        F.sum(F.round(F.col("x") * 1e12).cast("long")) / F.lit(1e12)
+                    ).alias("s")
+                )
                 .collect()
             )
             by_cell: dict[int, dict[int, float]] = {}

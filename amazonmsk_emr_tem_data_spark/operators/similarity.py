@@ -343,8 +343,13 @@ def kmeans_centroids(
         for c in range(k):
             members = x[assign == c]
             if len(members):
-                m = members.mean(axis=0)
-                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+                # grid components to 1e-12 longs before summing so the
+                # reduction is exact integer math — numpy's pairwise
+                # summation and the DuckDB oracle's sequential sum
+                # would otherwise drift in the last ulp (spherical
+                # update: normalizing the sum == normalizing the mean)
+                s = np.round(members * 1e12).astype(np.int64).sum(axis=0) / 1e12
+                cent[c] = s / max(np.linalg.norm(s), 1e-12)
     return cent.tolist()
 
 

@@ -3461,7 +3461,8 @@ def _kmeans_cte_chain(fit_src: str, k: int, iters: int, dim: int) -> str:
             f""", a{it} AS ({assign}), u{it} AS (
   SELECT cid, {_UNIT_SQL.format(v='sv')} AS cvec
   FROM (SELECT cid, list(s ORDER BY d) AS sv
-        FROM (SELECT cid, t.i AS d, sum(v[t.i]) AS s
+        FROM (SELECT cid, t.i AS d,
+                     sum(CAST(round(v[t.i] * 1e12) AS BIGINT)) / 1e12 AS s
               FROM a{it}, range(1, {dim + 1}) t(i) GROUP BY cid, t.i) z
         GROUP BY cid) g
 ), c{it} AS (
