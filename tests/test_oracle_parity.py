@@ -72,3 +72,36 @@ def test_driver_window_covers_round4_rotation():
     assert not overlap, (
         f"round-4 window slots wasted on already-checked queries: {overlap}"
     )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # float-aggregating queries: the micro-grid rule must make
+        # results identical under any partitioning, not just lucky ones
+        "doc_bm25_search",
+        "doc_unigram_logprob",
+        "semantic_dedup_vectors",
+        "ivf_topk",
+        "corpus_mixture_plan",
+    ],
+)
+def test_partitioning_invariance(spark, sf_dir, name):
+    """Same query, radically different shuffle/input partitioning →
+    bit-identical rows. This is the determinism contract the DuckDB
+    oracles rely on: float accumulation happens on integer grids, so
+    partition order cannot leak into results."""
+    from collections import Counter
+
+    from amazonmsk_emr_tem_data_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = Counter(tuple(r) for r in fn(spark, sf_dir).collect())
+        spark.conf.set("spark.sql.shuffle.partitions", "31")
+        b = Counter(tuple(r) for r in fn(spark, sf_dir).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
