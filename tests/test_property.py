@@ -160,3 +160,65 @@ def test_salted_join_matches_plain(spark, rows, dim, n_salts):
         (k, v, k * 10) for (k, v) in rows if k in set(dim)
     )
     assert got == expect
+
+
+def _py_greedy_merge(symbols, a, b):
+    """Reference greedy left-to-right non-overlapping BPE merge."""
+    out, jm = [], False
+    for x in symbols:
+        if not jm and out and out[-1] == a and x == b:
+            out[-1] = a + b
+            jm = True
+        else:
+            out.append(x)
+            jm = False
+    return out
+
+
+_sym = st.sampled_from(["a", "b", "ab", "aa", "</w>", "x"])
+
+
+@prop
+@given(
+    symbols=st.lists(_sym, min_size=1, max_size=8),
+    a=_sym,
+    b=_sym,
+)
+def test_bpe_merge_fold_three_way_agreement(spark, symbols, a, b):
+    """The Spark array fold (_merge_pair), the DuckDB VARCHAR-packed
+    fold (the oracle's workaround for list_reduce's broken struct
+    accumulators), and a plain-python reference must agree on arbitrary
+    symbol runs — including adjacent self-merges (aa), merged tokens
+    colliding with raw ones (ab vs a+b), and marker symbols."""
+    import duckdb
+
+    from amazonmsk_emr_tem_data_spark.operators.bpe import _merge_pair
+
+    want = _py_greedy_merge(symbols, a, b)
+
+    df = spark.createDataFrame([(symbols,)], "symbols array<string>")
+    got_spark = df.select(
+        _merge_pair(F.col("symbols"), a, b).alias("m")
+    ).first()["m"]
+    assert got_spark == want, f"spark fold: {got_spark} != {want}"
+
+    con = duckdb.connect()
+    syms_sql = "[" + ", ".join("'" + s + "'" for s in symbols) + "]"
+    fold = f"""SELECT string_split(substr(list_reduce({syms_sql},
+      (st, e) -> CASE WHEN strpos(st, chr(31)) = 0 THEN
+          CASE WHEN st = '{a}' AND e = '{b}'
+               THEN '1' || chr(31) || '{a}' || '{b}'
+               ELSE '0' || chr(31) || st || chr(31) || e END
+        ELSE CASE WHEN substr(st, 1, 1) = '0'
+                   AND right(st, 1 + length('{a}')) = chr(31) || '{a}'
+                   AND e = '{b}'
+               THEN '1' || substr(st, 2, length(st) - 1 - length('{a}'))
+                    || '{a}' || '{b}'
+               ELSE '0' || substr(st, 2) || chr(31) || e END END
+    ), 3), chr(31))"""
+    got_duck = con.execute(fold).fetchone()[0]
+    # single-symbol lists never enter the lambda: list_reduce returns
+    # the raw element, which substr/split mangle — normalize that case
+    if len(symbols) == 1:
+        got_duck = symbols
+    assert got_duck == want, f"duckdb fold: {got_duck} != {want}"
