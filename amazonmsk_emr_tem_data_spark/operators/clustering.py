@@ -66,19 +66,30 @@ def kmeans_fit(
             # (no row explosion: a posexplode shuffled d rows per
             # vector; this ships d partial sums per partition instead —
             # measured 1.4x faster locally, and strictly less shuffle
-            # at scale). Component sums land on a 1e-12 grid as longs
+            # at scale). Component sums land on a 1e-9 grid as longs
             # so the reduction is exact integer math: centroids are
             # bit-reproducible across partitionings AND engines (the
             # DuckDB oracle sums in a different order; a double sum
-            # would drift in the last ulp). Unit-norm components keep
-            # |x| <= 1, so 250M rows/cell stay within long range.
+            # would drift in the last ulp). Rounding is floor(x*G + .5)
+            # — ONE convention shared by this Spark fit, the numpy fit
+            # (similarity.kmeans_centroids), and the SQL twin
+            # (queries._kmeans_cte_chain); np.round/F.round/duckdb
+            # round disagree on exact .5 grid points (half-to-even vs
+            # HALF_UP vs half-away-from-zero). Unit-norm keeps |x| <= 1
+            # so each grid value is <= ~1e9: an int64 sum holds ~9e9
+            # rows/cell even at full |x| = 1 magnitude (Spark's
+            # non-ANSI sum(long) wraps silently on overflow while
+            # DuckDB promotes to HUGEINT — the 1e12 grid this replaced
+            # had only ~9.2M rows/cell of true headroom).
             dim = len(centroids[0])
             row_sums = (
                 assigned.groupBy("ivf_cell")
                 .agg(
                     *[
                         F.sum(
-                            F.round(F.element_at("v", i + 1) * 1e12).cast("long")
+                            F.floor(
+                                F.element_at("v", i + 1) * 1e9 + 0.5
+                            ).cast("long")
                         ).alias(f"d{i}")
                         for i in range(dim)
                     ]
@@ -86,7 +97,7 @@ def kmeans_fit(
                 .collect()
             )
             by_cell = {
-                r["ivf_cell"]: [r[f"d{i}"] / 1e12 for i in range(dim)]
+                r["ivf_cell"]: [r[f"d{i}"] / 1e9 for i in range(dim)]
                 for r in row_sums
             }
             new = []

@@ -684,8 +684,11 @@ def connected_components(
       worst-case 5M-edge path graph has 5M+1 nodes ≈ 0.5 GB of dict,
       which must NOT land in one task on a memory-capped executor).
       Node count is estimated with one map-side-partial
-      ``approx_count_distinct`` pass; the a+b sum over-estimates the
-      union, which errs toward the safe (distributed) path.
+      ``approx_count_distinct`` pass. The a+b sum over-estimates the
+      union, but HLL itself carries ~5% rsd either way, so the gate
+      additionally inflates the estimate by 2x that margin (x1.1)
+      before comparing — approximation error alone can never admit an
+      over-budget graph into the single-task path.
     - **Big graph**: distributed min-label propagation WITH pointer
       jumping. Each round every node takes the min of (its label, its
       neighbors' labels, its label's label) — the neighbor step is the
@@ -713,7 +716,9 @@ def connected_components(
         ).first()
         small = (
             stats["n_edges"] <= small_graph_edges
-            and stats["n_nodes_est"] <= small_graph_nodes
+            # inflate by 2x the default ~5% HLL rsd: an underestimate
+            # must not route an over-budget graph into the one-task path
+            and stats["n_nodes_est"] * 1.1 <= small_graph_nodes
         )
     else:
         small = False

@@ -343,12 +343,17 @@ def kmeans_centroids(
         for c in range(k):
             members = x[assign == c]
             if len(members):
-                # grid components to 1e-12 longs before summing so the
+                # grid components to 1e-9 longs before summing so the
                 # reduction is exact integer math — numpy's pairwise
                 # summation and the DuckDB oracle's sequential sum
                 # would otherwise drift in the last ulp (spherical
-                # update: normalizing the sum == normalizing the mean)
-                s = np.round(members * 1e12).astype(np.int64).sum(axis=0) / 1e12
+                # update: normalizing the sum == normalizing the mean).
+                # floor(x*G + .5), NOT np.round: the one rounding
+                # convention shared with clustering.kmeans_fit and the
+                # SQL twin (np.round is half-to-even, F.round HALF_UP,
+                # duckdb round half-away-from-zero — they disagree on
+                # exact .5 grid points)
+                s = np.floor(members * 1e9 + 0.5).astype(np.int64).sum(axis=0) / 1e9
                 cent[c] = s / max(np.linalg.norm(s), 1e-12)
     return cent.tolist()
 
@@ -371,7 +376,11 @@ def with_ivf_cell(
 
     NULL similarities (a zero vector under try_divide cosine) never
     win: array_max skips NULLs, and an all-NULL row falls back to cell
-    0 via coalesce — matching the old strict-> behavior exactly."""
+    0 via coalesce. Equivalent to the old strict-> cascade for no-NULL
+    and all-NULL rows; for PARTIAL-NULL rows (an all-zero centroid
+    among non-zero ones) the old cascade stuck at cell 0 once sim0 was
+    NULL, while this argmax picks the best non-NULL cell — a deliberate
+    improvement that matches the DuckDB oracle's NULLS-LAST ordering."""
     cent = F.array(
         *[F.array(*[F.lit(float(x)) for x in vec]) for vec in centroids]
     )

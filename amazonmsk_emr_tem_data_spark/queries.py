@@ -1322,22 +1322,41 @@ FROM events e LEFT JOIN LATERAL (
 
 def range_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: per order, the user's events within 1 day after
-    placement (bucketized equi-join, see operators/joins.py)."""
+    placement (bucketized equi-join, see operators/joins.py).
+
+    The fixtures put events in a ~1-month epoch disjoint from the
+    1995-2001 order dates, so joining on raw ``o_orderdate`` is
+    structurally empty (it was: 0 rows in every driver round — green
+    but vacuous). Placement is therefore projected into the events
+    epoch deterministically: anchor = min event day (a 1-row broadcast
+    derived from the data, so fixture-regeneration drift can't
+    re-vacuate the query), placed_at = anchor + (o_orderkey % 29)
+    days. The range-join operator under test is unchanged."""
     from .operators.joins import range_join
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
     )
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    anchor = ev.agg(F.date_trunc("day", F.min("ts")).alias("anchor"))
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("user_id"), "o_orderkey")
+        .crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "placed_at",
+            F.expr(
+                "timestampadd(DAY, CAST(o_orderkey % 29 AS INT), anchor)"
+            ),
+        )
+        .drop("anchor")
     )
     joined = range_join(
         ev,
         orders,
         on="user_id",
         left_ts="ts",
-        right_start=F.col("o_orderdate"),
-        right_end=F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"),
+        right_start=F.col("placed_at"),
+        right_end=F.col("placed_at") + F.expr("INTERVAL 1 DAY"),
         bucket="1 day",
     )
     return joined.groupBy("o_orderkey").agg(
@@ -1347,14 +1366,21 @@ def range_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RANGE_JOIN_SQL = f"""
+WITH anchor AS (
+  SELECT date_trunc('day', min(ts)) AS a FROM events
+), placed AS (
+  SELECT o_orderkey, o_custkey,
+         a + (o_orderkey % 29) * INTERVAL 1 DAY AS placed_at
+  FROM orders CROSS JOIN anchor
+)
 SELECT o.o_orderkey,
        COUNT(*) AS n_events,
        {_dsum("e.value")} AS sum_value
-FROM orders o
+FROM placed o
 JOIN events e
   ON e.user_id = o.o_custkey
- AND e.ts >= o.o_orderdate
- AND e.ts < o.o_orderdate + INTERVAL 1 DAY
+ AND e.ts >= o.placed_at
+ AND e.ts < o.placed_at + INTERVAL 1 DAY
 GROUP BY o.o_orderkey
 """
 
@@ -2394,7 +2420,7 @@ WITH kept AS (
 )
 SELECT k.lang, COUNT(*) AS n_kept,
        COUNT(DISTINCT k.source) AS n_sources,
-       SUM(k.n_chars) AS total_chars,
+       CAST(SUM(k.n_chars) AS BIGINT) AS total_chars,
        t.n_total,
        CAST(COUNT(*) AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS observed_rate
 FROM kept k JOIN tot t USING (lang)
@@ -2497,8 +2523,8 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT edge is deterministic."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1993-10-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1994-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     cust = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
@@ -2525,8 +2551,8 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE l.l_returnflag = 'R'
-  AND o.o_orderdate >= TIMESTAMP '1993-10-01'
-  AND o.o_orderdate <  TIMESTAMP '1994-01-01'
+  AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
@@ -2541,8 +2567,8 @@ def priority_lines_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     order key; both conditional counts come out of ONE aggregate pass
     (no double scan)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     orders = load_table(spark, sf_dir, "orders")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -2558,13 +2584,13 @@ def priority_lines_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PRIORITY_LINES_SQL = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-WHERE l.l_shipdate >= TIMESTAMP '1994-01-01'
-  AND l.l_shipdate <  TIMESTAMP '1995-01-01'
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
 GROUP BY l_returnflag
 """
 
@@ -2790,7 +2816,8 @@ WITH toks AS (
   GROUP BY h HAVING COUNT(*) >= 2
 ), per_doc AS (
   SELECT doc_id, COUNT(*) AS n_spans,
-         SUM(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END) AS n_dup
+         CAST(SUM(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dup
   FROM hashed GROUP BY doc_id
 )
 SELECT doc_id, n_spans, n_dup AS n_dup_spans,
@@ -3043,7 +3070,8 @@ WITH toks AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_grams,
-       SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_contaminated,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
        SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
          AS contamination_frac,
        SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 5 >= COUNT(*)
@@ -3120,18 +3148,18 @@ WITH tk AS (
 ), sh AS (
   SELECT doc_id, n_tokens, doc_id // 1000 AS shard FROM tk
 ), shtot AS (
-  SELECT shard, SUM(n_tokens) AS total FROM sh GROUP BY 1
+  SELECT shard, CAST(SUM(n_tokens) AS BIGINT) AS total FROM sh GROUP BY 1
 ), shoff AS (
   SELECT shard,
-         COALESCE(SUM(total) OVER (ORDER BY shard
+         CAST(COALESCE(SUM(total) OVER (ORDER BY shard
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS off
+              AS BIGINT) AS off
   FROM shtot
 ), pos AS (
   SELECT s.doc_id, s.n_tokens,
-         o.off + SUM(s.n_tokens) OVER (PARTITION BY s.shard
+         CAST(o.off + SUM(s.n_tokens) OVER (PARTITION BY s.shard
                   ORDER BY s.doc_id ROWS UNBOUNDED PRECEDING) - s.n_tokens
-           AS start_token
+              AS BIGINT) AS start_token
   FROM sh s JOIN shoff o USING (shard)
 )
 SELECT doc_id, n_tokens, start_token,
@@ -3186,7 +3214,8 @@ WITH safe AS (
 )
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(TRY_CAST(json_extract_string(p, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(TRY_CAST(json_extract_string(p, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
        MIN(TRY_CAST(json_extract_string(p, '$.k') AS BIGINT)) AS min_k,
        MAX(TRY_CAST(json_extract_string(p, '$.k') AS BIGINT)) AS max_k,
        COUNT(TRY_CAST(json_extract_string(p, '$.missing') AS BIGINT))
@@ -3462,7 +3491,8 @@ def _kmeans_cte_chain(fit_src: str, k: int, iters: int, dim: int) -> str:
   SELECT cid, {_UNIT_SQL.format(v='sv')} AS cvec
   FROM (SELECT cid, list(s ORDER BY d) AS sv
         FROM (SELECT cid, t.i AS d,
-                     sum(CAST(round(v[t.i] * 1e12) AS BIGINT)) / 1e12 AS s
+                     CAST(sum(CAST(floor(v[t.i] * 1e9 + 0.5) AS BIGINT))
+                          AS BIGINT) / 1e9 AS s
               FROM a{it}, range(1, {dim + 1}) t(i) GROUP BY cid, t.i) z
         GROUP BY cid) g
 ), c{it} AS (
@@ -4119,7 +4149,7 @@ SELECT source, n_docs, n_tokens,
        (1.0 / count(*) OVER ())
          / (n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE)) AS epochs_to_uniform
 FROM (SELECT source, count(*) AS n_docs,
-             sum(len({_TOKS_SQL})) AS n_tokens
+             CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source)
 """
 
@@ -4185,7 +4215,10 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     Shape at 100 TB: one (term, doc) explode bounded to the query's
     terms by an early filter (the scan prunes to rows containing any
     term), df/avgdl are |terms|- and 1-row broadcasts, and the final
-    top-k is a partial-sort limit — no global sort of the corpus.
+    top-k is TakeOrderedAndProject (orderBy + limit: per-partition
+    heaps, driver merges #partitions*k rows) — no global sort and no
+    single-partition window over the scored corpus; the rank window
+    runs over the <= k rows the limit already selected.
     Deterministic ties: score desc, doc_id asc. Per-term scores land on
     a micro grid (round(s*1e6) as long) before the per-doc sum, so the
     accumulation is exact integer math — the same order-invariance rule
@@ -4235,10 +4268,15 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
             ).alias("bm25")
         )
     )
+    # Distributed partial top-k: orderBy().limit(k) compiles to
+    # TakeOrderedAndProject (per-partition heap of k + driver merge of
+    # #partitions * k rows) — NOT a global sort. The rank window then
+    # runs over the <= k surviving rows only, so its single partition
+    # holds k rows by construction, never the corpus.
+    topk = scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(k)
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("doc_id", "bm25", "rank")
     )
 
@@ -4359,90 +4397,56 @@ WHERE rn = 1
 #:
 #: ORDER MATTERS: the round driver hash-checks the FIRST 50 entries
 #: against their DuckDB oracles. Rounds 1-3 checked the original first
-#: 50 (anchored by tem_hourly_avg .. range_join_order_events, all green
-#: in CORRECTNESS_r02/r03); round 4 rotates the window so the 49 entries
-#: the driver has never hash-checked come first (one anchor retained for
-#: round-over-round comparability). Every entry in BOTH halves is also
-#: exact-checked locally at sf0.001 by tests/test_oracle_parity.py, so
-#: rotation changes which evidence is driver-stamped, not what is tested.
+#: 50; round 4 rotated the window onto the 49 then-never-checked
+#: entries (44 green, 5 HUGEINT-oracle hash-fails, all fixed). The
+#: round-5 window below re-stamps those fixes, covers the 8 entries
+#: added after the r4 window froze, re-stamps the 4 r3-HASHFAIL
+#: streaming fixes and the 5 oracle-upgraded formerly-rows-only
+#: entries, and fills the rest with the longest-unstamped (last green
+#: r3) queries. Rule: nothing whose latest driver row is FAIL may sit
+#: below the window. Every entry in BOTH halves is also exact-checked
+#: locally at sf0.001 by tests/test_oracle_parity.py, so rotation
+#: changes which evidence is driver-stamped, not what is tested.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # anchor (driver-checked every round)
     "tem_hourly_avg": (tem_hourly_avg, _TEM_HOURLY_AVG_SQL),
-    # --- round-4 window: never driver-checked before ---
-    "grouping_sets_lineitem": (grouping_sets_lineitem, _GROUPING_SETS_SQL),
-    "pivot_status_by_flag": (pivot_status_by_flag, _PIVOT_SQL),
-    "approx_sketches": (approx_sketches, None),
-    "exact_quantiles": (exact_quantiles, _EXACT_QUANTILES_SQL),
-    "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
-    "outer_join_order_coverage": (outer_join_order_coverage, _OUTER_JOIN_SQL),
-    "price_lag_lead_frames": (price_lag_lead_frames, _LAG_LEAD_SQL),
-    "sql_interface_q3": (sql_interface_q3, _SQL_Q3_SQL),
-    # subqueries, conditional agg, analytics windows, sampling, regex, arrays
-    "small_quantity_revenue": (small_quantity_revenue, _SMALL_QTY_SQL),
-    "exists_high_quantity_orders": (exists_high_quantity_orders, _EXISTS_SQL),
-    "conditional_agg_orders": (conditional_agg_orders, _CONDITIONAL_AGG_SQL),
-    "doc_word_positions": (doc_word_positions, _WORD_POSITIONS_SQL),
-    "order_price_distribution": (order_price_distribution, _PRICE_DISTRIBUTION_SQL),
-    "systematic_sample_revenue": (systematic_sample_revenue, _SYSTEMATIC_SAMPLE_SQL),
-    "doc_regex_extract": (doc_regex_extract, _REGEX_EXTRACT_SQL),
-    "embedding_stats": (embedding_stats, _EMBEDDING_STATS_SQL),
-    "dedup_clusters": (dedup_clusters_q, _DEDUP_CLUSTERS_SQL),
-    # TPC-H-parity complex relational shapes (Q13/Q15/Q18/Q7/Q22)
-    "customer_order_histogram": (customer_order_histogram, _CUSTOMER_ORDER_HIST_SQL),
-    "top_supplier_revenue": (top_supplier_revenue, _TOP_SUPPLIER_SQL),
-    "large_quantity_orders": (large_quantity_orders, _LARGE_ORDERS_SQL),
-    "nation_trade_flows": (nation_trade_flows, _NATION_TRADE_SQL),
-    "idle_rich_customers": (idle_rich_customers, _IDLE_RICH_SQL),
-    "doc_repetition_filter": (doc_repetition_filter, _DOC_REPETITION_SQL),
-    "promo_revenue_share": (promo_revenue_share, _PROMO_SHARE_SQL),
-    "disjunctive_predicate_revenue": (
-        disjunctive_predicate_revenue,
-        _DISJUNCTIVE_SQL,
-    ),
+    # --- r5 window: re-stamp the r4 HUGEINT-cast oracle fixes ---
     "stratified_sample_docs": (stratified_sample_docs, _STRATIFIED_SAMPLE_SQL),
-    "supplier_revenue_share": (supplier_revenue_share, _SUPPLIER_SHARE_SQL),
-    # TPC-H parity shapes Q10/Q12/Q2/Q16/Q21 (round 2)
-    "returned_item_revenue": (returned_item_revenue, _RETURNED_ITEM_SQL),
+    "doc_dup_span_frac": (doc_dup_span_frac, _DUP_SPAN_SQL),
+    "doc_decontamination": (doc_decontamination, _DECONTAMINATION_SQL),
+    "doc_sequence_packing": (doc_sequence_packing, _SEQUENCE_PACKING_SQL),
+    "props_variant_extract": (props_variant_extract, _PROPS_VARIANT_SQL),
+    # same latent HUGEINT bug + date filters moved into fixture range
+    # (both returned 0 rows in r4 — green but vacuous)
     "priority_lines_by_returnflag": (
         priority_lines_by_returnflag,
         _PRIORITY_LINES_SQL,
     ),
-    "cheapest_supplier_per_part": (
-        cheapest_supplier_per_part,
-        _CHEAPEST_SUPPLIER_SQL,
-    ),
-    "supplier_counts_by_part_attrs": (
-        supplier_counts_by_part_attrs,
-        _SUPPLIER_COUNTS_SQL,
-    ),
-    "sole_blame_suppliers": (sole_blame_suppliers, _SOLE_BLAME_SQL),
-    # TPC-H parity shapes Q6/Q8/Q9/Q20 (round 2) — completes all 22
-    "forecast_revenue_change": (forecast_revenue_change, _FORECAST_REVENUE_SQL),
-    "nation_market_share": (nation_market_share, _NATION_MARKET_SHARE_SQL),
-    "product_profit_by_nation_year": (
-        product_profit_by_nation_year,
-        _PRODUCT_PROFIT_SQL,
-    ),
-    "heavy_shipper_suppliers": (heavy_shipper_suppliers, _HEAVY_SHIPPER_SQL),
-    # north-star: corpus-level LM-quality operators (round 2)
-    "doc_dup_span_frac": (doc_dup_span_frac, _DUP_SPAN_SQL),
-    "doc_unigram_logprob": (doc_unigram_logprob, _UNIGRAM_LOGPROB_SQL),
-    "corpus_vocab_stats": (corpus_vocab_stats, _VOCAB_STATS_SQL),
-    "doc_pii_redaction": (doc_pii_redaction, _PII_SQL),
-    "embedding_int8_quantize": (embedding_int8_quantize, _INT8_QUANT_SQL),
-    # north-star: decontamination + sequence packing (round 2)
-    "doc_decontamination": (doc_decontamination, _DECONTAMINATION_SQL),
-    "doc_sequence_packing": (doc_sequence_packing, _SEQUENCE_PACKING_SQL),
-    # RAG chunking + product-analytics shapes (round 2)
-    "doc_chunking": (doc_chunking, _DOC_CHUNKING_SQL),
-    # Spark 4 surface: VARIANT semi-structured path, recursive CTE
-    "props_variant_extract": (props_variant_extract, _PROPS_VARIANT_SQL),
-    "recursive_cte_depths": (recursive_cte_depths, _RECURSIVE_DEPTHS_SQL),
-    # SemDeDup semantic dedup (deterministic fit -> unrolled-CTE oracle)
-    "semantic_dedup_vectors": (semantic_dedup_vectors, _SEMDEDUP_SQL),
-    "event_funnel": (event_funnel, _EVENT_FUNNEL_SQL),
-    "retention_cohorts": (retention_cohorts, _RETENTION_COHORTS_SQL),
-    # --- driver-checked in rounds 1-3 (CORRECTNESS_r01-r03, green) ---
+    "returned_item_revenue": (returned_item_revenue, _RETURNED_ITEM_SQL),
+    # placement rebased into the events epoch (was structurally 0 rows)
+    "range_join_order_events": (range_join_order_events, _RANGE_JOIN_SQL),
+    # --- r5 window: added after the r4 window froze, never checked ---
+    "doc_corpus_split": (doc_corpus_split, _CORPUS_SPLIT_SQL),
+    "doc_shuffle_shards": (doc_shuffle_shards, _SHUFFLE_SHARDS_SQL),
+    "corpus_mixture_plan": (corpus_mixture_plan, _MIXTURE_PLAN_SQL),
+    "doc_quality_selection": (doc_quality_selection, _QUALITY_SELECTION_SQL),
+    "doc_bpe_segmentation": (doc_bpe_segmentation, _BPE_SEGMENTATION_SQL),
+    "doc_bm25_search": (doc_bm25_search, _BM25_SQL),
+    "event_value_outliers": (event_value_outliers, _EVENT_OUTLIERS_SQL),
+    "events_upsert_latest": (events_upsert_latest, _UPSERT_LATEST_SQL),
+    # --- r5 window: r3-HASHFAIL streaming fixes (fd54420/66410b3)
+    # whose green re-stamp the r4 rotation dropped ---
+    "stream_tumbling_hourly": (stream_tumbling_hourly, _STREAM_TUMBLING_SQL),
+    "stream_sliding_2h": (stream_sliding_2h, _STREAM_SLIDING_SQL),
+    "stream_session_windows": (stream_session_windows_q, _STREAM_SESSION_SQL),
+    "stream_click_purchase_join": (stream_click_purchase_join, _STREAM_SS_JOIN_SQL),
+    # --- r5 window: oracle-upgraded after their r3 rows-only check ---
+    "ivf_topk": (ivf_topk_q, _IVF_TOPK_SQL),
+    "bpe_vocab_merges": (bpe_vocab_merges, _BPE_MERGES_SQL),
+    "multimodal_decode": (multimodal_decode_q, _MULTIMODAL_DECODE_SQL),
+    "multimodal_frames": (multimodal_frames_q, _MULTIMODAL_FRAMES_SQL),
+    "multimodal_near_dup": (multimodal_near_dup_q, _MULTIMODAL_NEAR_DUP_SQL),
+    # --- r5 window: longest-unstamped (last driver-green in r3) ---
     "tem_horizontal_avg": (tem_horizontal_avg, _TEM_HORIZONTAL_AVG_SQL),
     "envelope_roundtrip": (envelope_roundtrip, _ENVELOPE_ROUNDTRIP_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
@@ -4464,50 +4468,84 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "json_props_extract": (json_props_extract, _JSON_PROPS_SQL),
     "distinct_users_per_type": (distinct_users_per_type, _DISTINCT_USERS_SQL),
     "top10_lineitems": (top10_lineitems, _TOP10_SQL),
-    "stream_tumbling_hourly": (stream_tumbling_hourly, _STREAM_TUMBLING_SQL),
-    "stream_sliding_2h": (stream_sliding_2h, _STREAM_SLIDING_SQL),
     "stream_distinct_users": (stream_distinct_users, _STREAM_DISTINCT_SQL),
-    "stream_session_windows": (stream_session_windows_q, _STREAM_SESSION_SQL),
-    "stream_click_purchase_join": (stream_click_purchase_join, _STREAM_SS_JOIN_SQL),
     "stream_dedup_watermark": (stream_dedup_watermark, _STREAM_DEDUP_WM_SQL),
     "stream_doc_quality": (stream_doc_quality_q, _DOC_QUALITY_LANGID_SQL),
-    "sessionize_events": (sessionize_events, _SESSION_SQL_BODY),
-    # north-star: text analysis
+    # ------------------------------------------------------------------
+    # below the window: driver-green in round 4 (CORRECTNESS_r04)
+    # ------------------------------------------------------------------
+    "grouping_sets_lineitem": (grouping_sets_lineitem, _GROUPING_SETS_SQL),
+    "pivot_status_by_flag": (pivot_status_by_flag, _PIVOT_SQL),
+    "approx_sketches": (approx_sketches, None),
+    "exact_quantiles": (exact_quantiles, _EXACT_QUANTILES_SQL),
+    "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
+    "outer_join_order_coverage": (outer_join_order_coverage, _OUTER_JOIN_SQL),
+    "price_lag_lead_frames": (price_lag_lead_frames, _LAG_LEAD_SQL),
+    "sql_interface_q3": (sql_interface_q3, _SQL_Q3_SQL),
+    "small_quantity_revenue": (small_quantity_revenue, _SMALL_QTY_SQL),
+    "exists_high_quantity_orders": (exists_high_quantity_orders, _EXISTS_SQL),
+    "conditional_agg_orders": (conditional_agg_orders, _CONDITIONAL_AGG_SQL),
+    "doc_word_positions": (doc_word_positions, _WORD_POSITIONS_SQL),
+    "order_price_distribution": (order_price_distribution, _PRICE_DISTRIBUTION_SQL),
+    "systematic_sample_revenue": (systematic_sample_revenue, _SYSTEMATIC_SAMPLE_SQL),
+    "doc_regex_extract": (doc_regex_extract, _REGEX_EXTRACT_SQL),
+    "embedding_stats": (embedding_stats, _EMBEDDING_STATS_SQL),
+    "dedup_clusters": (dedup_clusters_q, _DEDUP_CLUSTERS_SQL),
+    "customer_order_histogram": (customer_order_histogram, _CUSTOMER_ORDER_HIST_SQL),
+    "top_supplier_revenue": (top_supplier_revenue, _TOP_SUPPLIER_SQL),
+    "large_quantity_orders": (large_quantity_orders, _LARGE_ORDERS_SQL),
+    "nation_trade_flows": (nation_trade_flows, _NATION_TRADE_SQL),
+    "idle_rich_customers": (idle_rich_customers, _IDLE_RICH_SQL),
+    "doc_repetition_filter": (doc_repetition_filter, _DOC_REPETITION_SQL),
+    "promo_revenue_share": (promo_revenue_share, _PROMO_SHARE_SQL),
+    "disjunctive_predicate_revenue": (
+        disjunctive_predicate_revenue,
+        _DISJUNCTIVE_SQL,
+    ),
+    "supplier_revenue_share": (supplier_revenue_share, _SUPPLIER_SHARE_SQL),
+    "cheapest_supplier_per_part": (
+        cheapest_supplier_per_part,
+        _CHEAPEST_SUPPLIER_SQL,
+    ),
+    "supplier_counts_by_part_attrs": (
+        supplier_counts_by_part_attrs,
+        _SUPPLIER_COUNTS_SQL,
+    ),
+    "sole_blame_suppliers": (sole_blame_suppliers, _SOLE_BLAME_SQL),
+    "forecast_revenue_change": (forecast_revenue_change, _FORECAST_REVENUE_SQL),
+    "nation_market_share": (nation_market_share, _NATION_MARKET_SHARE_SQL),
+    "product_profit_by_nation_year": (
+        product_profit_by_nation_year,
+        _PRODUCT_PROFIT_SQL,
+    ),
+    "heavy_shipper_suppliers": (heavy_shipper_suppliers, _HEAVY_SHIPPER_SQL),
+    "doc_unigram_logprob": (doc_unigram_logprob, _UNIGRAM_LOGPROB_SQL),
+    "corpus_vocab_stats": (corpus_vocab_stats, _VOCAB_STATS_SQL),
+    "doc_pii_redaction": (doc_pii_redaction, _PII_SQL),
+    "embedding_int8_quantize": (embedding_int8_quantize, _INT8_QUANT_SQL),
+    "doc_chunking": (doc_chunking, _DOC_CHUNKING_SQL),
+    "recursive_cte_depths": (recursive_cte_depths, _RECURSIVE_DEPTHS_SQL),
+    "semantic_dedup_vectors": (semantic_dedup_vectors, _SEMDEDUP_SQL),
+    "event_funnel": (event_funnel, _EVENT_FUNNEL_SQL),
+    "retention_cohorts": (retention_cohorts, _RETENTION_COHORTS_SQL),
+    # ------------------------------------------------------------------
+    # below the window: driver-green in round 3, not in the r5 fill
+    # ------------------------------------------------------------------
     "doc_text_features": (doc_text_features, _DOC_TEXT_FEATURES_SQL),
     "doc_quality_langid": (doc_quality_langid, _DOC_QUALITY_LANGID_SQL),
     "doc_fingerprint_groups": (doc_fingerprint_groups_q, _DOC_FINGERPRINT_SQL),
     "doc_rolling_fingerprint": (doc_rolling_fingerprint, _ROLLING_SQL),
-    # north-star: dedup
     "doc_exact_dedup": (doc_exact_dedup_q, _DOC_EXACT_DEDUP_SQL),
     "ngram_jaccard_pairs": (ngram_jaccard_pairs_q, _JACCARD_PAIRS_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs_q, _JACCARD_PAIRS_SQL),
     "simhash_pairs": (simhash_pairs_q, _SIMHASH_PAIRS_SQL),
-    # north-star: similarity search
     "embedding_cosine_topk": (embedding_cosine_topk, _EMB_TOPK_SQL),
     "embedding_knn_join": (embedding_knn_join_q, _EMB_KNN_SQL),
     "embedding_near_dup_pairs": (embedding_near_dup_pairs_q, _EMB_NEAR_DUP_SQL),
     "lsh_ann_pairs": (lsh_ann_pairs_q, _EMB_NEAR_DUP_SQL),
-    "ivf_topk": (ivf_topk_q, _IVF_TOPK_SQL),
-    # north-star: multimodal
     "multimodal_meta": (multimodal_meta, _MULTIMODAL_META_SQL),
-    "multimodal_decode": (multimodal_decode_q, _MULTIMODAL_DECODE_SQL),
-    "multimodal_frames": (multimodal_frames_q, _MULTIMODAL_FRAMES_SQL),
-    "multimodal_near_dup": (multimodal_near_dup_q, _MULTIMODAL_NEAR_DUP_SQL),
-    "bpe_vocab_merges": (bpe_vocab_merges, _BPE_MERGES_SQL),
-    # time-series joins + olap extensions
     "asof_latest_order": (asof_latest_order, _ASOF_SQL),
-    "range_join_order_events": (range_join_order_events, _RANGE_JOIN_SQL),
-    # corpus curation (round 4): split / shuffle / mixture / selection —
-    # appended after the driver window so the 49-query backlog keeps its
-    # round-4 slots; rotate these in next round
-    "doc_corpus_split": (doc_corpus_split, _CORPUS_SPLIT_SQL),
-    "doc_shuffle_shards": (doc_shuffle_shards, _SHUFFLE_SHARDS_SQL),
-    "corpus_mixture_plan": (corpus_mixture_plan, _MIXTURE_PLAN_SQL),
-    "doc_quality_selection": (doc_quality_selection, _QUALITY_SELECTION_SQL),
-    "doc_bpe_segmentation": (doc_bpe_segmentation, _BPE_SEGMENTATION_SQL),
-    "doc_bm25_search": (doc_bm25_search, _BM25_SQL),
-    "event_value_outliers": (event_value_outliers, _EVENT_OUTLIERS_SQL),
-    "events_upsert_latest": (events_upsert_latest, _UPSERT_LATEST_SQL),
+    "sessionize_events": (sessionize_events, _SESSION_SQL_BODY),
 }
 
 

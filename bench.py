@@ -60,6 +60,9 @@ HEADLINE = [
     "ivf_topk",
     "doc_shuffle_shards",
     "doc_quality_selection",
+    # round-5 addition: BM25 after the top-k fix (global-sort window ->
+    # TakeOrderedAndProject) — in the set to lock the improvement in
+    "doc_bm25_search",
 ]
 
 

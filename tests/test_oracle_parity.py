@@ -36,42 +36,55 @@ def test_rows_only_runs(spark, sf_dir, name):
     assert len(df.schema.fields) > 0
 
 
-def test_driver_window_covers_round4_rotation():
+def test_driver_window_covers_round5_rotation():
     """The round driver hash-checks only the FIRST 50 registry entries.
-    Round 4 rotated that window onto the 49 queries rounds 1-3 never
-    checked (plus the tem_hourly_avg anchor); an accidental reorder —
-    an alphabetized dict, an insert in the wrong half — would silently
-    waste the round's correctness slots. Pin the window's composition,
-    not its exact order."""
+    The round-5 window must contain every query whose latest driver
+    evidence is missing or stale-red: the 5 r4 HUGEINT hash-fails (+
+    the 2 vacuous-0-row / latent-bug queries, both re-dated), the 8
+    entries added after the r4 window froze, the 4 r3-HASHFAIL
+    streaming fixes, and the 5 oracle-upgraded formerly-rows-only
+    entries. An accidental reorder — an alphabetized dict, an insert in
+    the wrong half — would silently waste the round's correctness
+    slots. Pin the window's composition, not its exact order."""
     from amazonmsk_emr_tem_data_spark.queries import REGISTRY
 
-    window = list(REGISTRY)[:50]
-    assert window[0] == "tem_hourly_avg"
-    previously_checked = {
-        "tem_horizontal_avg", "envelope_roundtrip", "q1_pricing_summary",
-        "filter_project_scan", "revenue_by_segment", "nation_revenue",
-        "topk_orders_per_priority", "running_total_per_customer",
-        "rollup_lineitem_status", "cube_order_status",
-        "customers_with_orders", "customers_without_orders",
-        "set_ops_customers", "union_event_slices", "dedup_first_event",
-        "case_bucket_quantity", "orders_by_month", "part_name_stats",
-        "json_props_extract", "distinct_users_per_type", "top10_lineitems",
+    window = set(list(REGISTRY)[:50])
+    assert list(REGISTRY)[0] == "tem_hourly_avg"
+    must_check = {
+        # r4 HUGEINT-oracle hash-fails, fixed this round
+        "stratified_sample_docs", "doc_dup_span_frac",
+        "doc_decontamination", "doc_sequence_packing",
+        "props_variant_extract",
+        # latent HUGEINT bug / vacuous 0-row evidence, re-dated or
+        # re-anchored queries
+        "priority_lines_by_returnflag", "returned_item_revenue",
+        "range_join_order_events",
+        # added after the r4 window froze — never driver-checked
+        "doc_corpus_split", "doc_shuffle_shards", "corpus_mixture_plan",
+        "doc_quality_selection", "doc_bpe_segmentation", "doc_bm25_search",
+        "event_value_outliers", "events_upsert_latest",
+        # r3-HASHFAIL streaming queries, fixed but never re-stamped
         "stream_tumbling_hourly", "stream_sliding_2h",
-        "stream_distinct_users", "stream_session_windows",
-        "stream_click_purchase_join", "stream_dedup_watermark",
-        "stream_doc_quality", "sessionize_events", "doc_text_features",
-        "doc_quality_langid", "doc_fingerprint_groups",
-        "doc_rolling_fingerprint", "doc_exact_dedup", "ngram_jaccard_pairs",
-        "minhash_lsh_pairs", "simhash_pairs", "embedding_cosine_topk",
-        "embedding_knn_join", "embedding_near_dup_pairs", "lsh_ann_pairs",
-        "ivf_topk", "multimodal_meta", "multimodal_decode",
-        "multimodal_frames", "multimodal_near_dup", "bpe_vocab_merges",
-        "asof_latest_order", "range_join_order_events",
+        "stream_session_windows", "stream_click_purchase_join",
+        # oracle-upgraded after their r3 rows-only check
+        "ivf_topk", "bpe_vocab_merges", "multimodal_decode",
+        "multimodal_frames", "multimodal_near_dup",
     }
-    overlap = set(window[1:]) & previously_checked
-    assert not overlap, (
-        f"round-4 window slots wasted on already-checked queries: {overlap}"
+    missing = must_check - window
+    assert not missing, (
+        f"round-5 window is missing stale/never-checked queries: {missing}"
     )
+    # r4-green queries must NOT burn window slots (their driver evidence
+    # is current); r3-green fills are allowed.
+    r4_green_outside = {
+        "grouping_sets_lineitem", "pivot_status_by_flag", "exact_quantiles",
+        "salted_customer_revenue", "outer_join_order_coverage",
+        "price_lag_lead_frames", "sql_interface_q3", "dedup_clusters",
+        "doc_repetition_filter", "semantic_dedup_vectors",
+        "recursive_cte_depths", "doc_unigram_logprob", "doc_chunking",
+    }
+    wasted = window & r4_green_outside
+    assert not wasted, f"window slots wasted on r4-green queries: {wasted}"
 
 
 @pytest.mark.parametrize(

@@ -191,6 +191,19 @@ def test_bm25_broadcasts_stats_no_global_corpus_sort(spark, sf_dir):
     assert f.joins and all(j.startswith("Broadcast") for j in f.joins), (
         f"corpus side must never shuffle for stats joins, got {f.joins}"
     )
+    # The top-k must be a distributed partial sort (per-partition heaps
+    # + driver merge), NEVER an unpartitioned row_number window over the
+    # scored corpus (that serializes every scored doc through one task).
+    assert "TakeOrderedAndProject" in f.raw, (
+        "top-k must compile to TakeOrderedAndProject, not a global sort"
+    )
+    # the rank window is allowed only ABOVE the limit (plan prints
+    # root-first), i.e. over the <= k surviving rows
+    if "Window" in f.raw:
+        assert f.raw.index("Window") < f.raw.index("TakeOrderedAndProject"), (
+            "rank window must consume the limited top-k rows, not the "
+            "scored corpus"
+        )
 
 
 def test_outliers_broadcast_moments(spark, sf_dir):
