@@ -4310,6 +4310,89 @@ WHERE rank <= 10
 """
 
 
+def corpus_tfidf_topterms(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword-extraction
+    / document-signature pass (the unsupervised sibling of BM25: same
+    tf/df statistics, document-centric instead of query-centric; feeds
+    tagging, near-dup triage, and topic drift monitors over a corpus).
+
+    Shape at 100 TB: the (doc_id, term) explode + groupBy is the exact
+    term-frequency lower bound (same shuffle doc_repetition_filter
+    pays); df aggregates the already-rolled-up tf rows (one narrow
+    shuffle on term, map-side combinable since (doc,term) rows are
+    distinct); N is a 1-row broadcast; the top-k window partitions by
+    doc_id so no task ever sees more than one document's vocabulary.
+
+    Scores land on a 1e-6 grid via floor(x*1e6 + 0.5) — the engine's
+    one rounding convention — BEFORE ranking, so rank order (and the
+    score itself) is bit-identical across engines despite ln() being
+    libm-dependent in the last ulp; ties break on the term string."""
+    from .functions.text import tokens
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_micro",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (F.col("score_micro") / F.lit(1e6)).alias("tfidf"),
+            "term_rank",
+        )
+    )
+
+
+_TFIDF_TOPTERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), nd AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         CAST(floor(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) * 1e6 + 0.5)
+              AS BIGINT) AS score_micro
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN nd n
+)
+SELECT doc_id, term, tf, score_micro / 1e6 AS tfidf, term_rank
+FROM (
+  SELECT doc_id, term, tf, score_micro,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY score_micro DESC, term ASC) AS BIGINT) AS term_rank
+  FROM scored) r
+WHERE term_rank <= 5
+"""
+
+
 def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Telemetry anomaly flagging: per-event-type z-scores of the value
     reading, emitting only |z| >= 3 outliers — the monitoring pass the
@@ -4446,6 +4529,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_decode": (multimodal_decode_q, _MULTIMODAL_DECODE_SQL),
     "multimodal_frames": (multimodal_frames_q, _MULTIMODAL_FRAMES_SQL),
     "multimodal_near_dup": (multimodal_near_dup_q, _MULTIMODAL_NEAR_DUP_SQL),
+    # --- r5 window: new this round (first driver stamp) ---
+    "corpus_tfidf_topterms": (corpus_tfidf_topterms, _TFIDF_TOPTERMS_SQL),
     # --- r5 window: longest-unstamped (last driver-green in r3) ---
     "tem_horizontal_avg": (tem_horizontal_avg, _TEM_HORIZONTAL_AVG_SQL),
     "envelope_roundtrip": (envelope_roundtrip, _ENVELOPE_ROUNDTRIP_SQL),

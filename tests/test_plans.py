@@ -206,6 +206,17 @@ def test_bm25_broadcasts_stats_no_global_corpus_sort(spark, sf_dir):
         )
 
 
+def test_tfidf_window_partitioned_by_doc(spark, sf_dir):
+    # the top-k ranking window must partition by doc_id — an
+    # unpartitioned window would serialize every (doc, term) score
+    # through one task (the BM25 bug class); N is a 1-row broadcast
+    f = facts(spark, sf_dir, "corpus_tfidf_topterms")
+    assert "hashpartitioning(doc_id" in f.raw, (
+        "tf-idf rank window must hash-partition on doc_id"
+    )
+    assert not f.has_cartesian
+
+
 def test_outliers_broadcast_moments(spark, sf_dir):
     f = facts(spark, sf_dir, "event_value_outliers")
     assert "BroadcastHashJoin" in f.joins, "per-type moments must broadcast"

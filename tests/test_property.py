@@ -222,3 +222,47 @@ def test_bpe_merge_fold_three_way_agreement(spark, symbols, a, b):
     if len(symbols) == 1:
         got_duck = symbols
     assert got_duck == want, f"duckdb fold: {got_duck} != {want}"
+
+
+@prop
+@given(
+    xs=st.lists(
+        st.one_of(
+            st.floats(-1.0, 1.0, allow_nan=False),
+            # exact grid-edge shapes: (k + 0.5) / G lands x*G + 0.5 on
+            # an integer boundary, the one place rounding modes diverge
+            st.integers(-10**9, 10**9).map(lambda k: (k + 0.5) / 1e9),
+            st.integers(-10**9, 10**9).map(lambda k: k / 1e9),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_floor_grid_three_engine_agreement(spark, xs):
+    """The engine's one rounding convention — floor(x*G + 0.5) — must
+    produce the identical long in numpy, Spark, and DuckDB for any
+    double, INCLUDING exact .5 grid points (where np.round's
+    half-to-even, F.round's HALF_UP, and duckdb round's
+    half-away-from-zero all disagree; that three-way divergence is why
+    the k-means fits standardized on floor). All three receive the
+    same IEEE double, so product/add/floor must agree bit-for-bit."""
+    import duckdb
+    import numpy as np
+
+    want = [int(v) for v in np.floor(np.array(xs, dtype=np.float64) * 1e9 + 0.5)]
+
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i int, x double")
+    rows = df.select(
+        "i", F.floor(F.col("x") * 1e9 + F.lit(0.5)).cast("long").alias("g")
+    ).collect()
+    got_spark = [r["g"] for r in sorted(rows, key=lambda r: r["i"])]
+    assert got_spark == want, f"spark floor grid: {got_spark} != {want}"
+
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            "SELECT CAST(floor(? * 1e9 + 0.5) AS BIGINT)", [x]
+        ).fetchone()[0]
+        for x in xs
+    ]
+    assert got_duck == want, f"duckdb floor grid: {got_duck} != {want}"
