@@ -4080,6 +4080,106 @@ FROM (SELECT doc_id, source, lang,
 """
 
 
+def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-aware train/val/test split: the bucket hash runs
+    over the CONTENT fingerprint (md5 of normalized text), not the doc
+    id — every exact duplicate of a document lands in the same split,
+    so eval can never hold a verbatim copy of a training document (the
+    leakage mode a doc_id-hash split permits; web crawls carry ~10%
+    exact copies under distinct ids, and so do these fixtures by
+    construction at 10x). Same virtues as doc_corpus_split otherwise:
+    map-only, shuffle-free, membership computable standalone on any
+    worker, ingest-stable. The near-dup-safe variant is the same plan
+    with the dedup-cluster representative label as the hash input."""
+    from .functions.text import fingerprint, md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = fingerprint("text")
+    bucket = F.pmod(md5_hash64(fp), F.lit(1000))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        bucket.alias("split_bucket"),
+        F.when(bucket < 980, "train")
+        .when(bucket < 990, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+_LEAKAGE_SPLIT_SQL = f"""
+SELECT doc_id, fp AS fingerprint, b AS split_bucket,
+       CASE WHEN b < 980 THEN 'train'
+            WHEN b < 990 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, md5({_NORM_SQL}) AS fp,
+             {_HASH64_SQL.format(x=f"md5({_NORM_SQL})")} % 1000 AS b
+      FROM documents)
+"""
+
+
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram on power-of-2 buckets — the batch-shape
+    planning pass (how much of the corpus fits a 2048 context? what
+    does bucketed batching pay in padding?) that sizes sequence packing
+    and curriculum schedules.
+
+    The bucket is ``length(bin(n)) - 1`` — floor(log2 n) computed as
+    pure integer/string logic, identical in Spark and DuckDB by
+    construction (a libm ``log2`` could straddle a power-of-two
+    boundary differently per engine). One map-side-combinable agg onto
+    ~30 bucket keys; the share window runs over those ~30 rows."""
+    from .functions.text import token_count
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    n = token_count("text")
+    bucket = (
+        F.when(n <= 0, F.lit(-1).cast("long"))
+        .otherwise((F.length(F.bin(n)) - 1).cast("long"))
+    )
+    per = (
+        docs.select(bucket.alias("bucket"), n.alias("n_tokens"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "bucket",
+        F.when(F.col("bucket") < 0, F.lit(0.0))
+        .otherwise(F.pow(F.lit(2.0), F.col("bucket")))
+        .cast("long")
+        .alias("bucket_lo"),
+        "n_docs",
+        "total_tokens",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double")
+        ).alias("doc_share"),
+    )
+
+
+_LENGTH_HISTOGRAM_SQL = f"""
+WITH per AS (
+  SELECT CASE WHEN n <= 0 THEN -1
+              ELSE length(bin(n)) - 1 END AS bucket, n
+  FROM (SELECT CAST(len({_TOKS_SQL}) AS BIGINT) AS n FROM documents)
+), agg AS (
+  SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens
+  FROM per GROUP BY bucket
+)
+SELECT bucket,
+       CAST(CASE WHEN bucket < 0 THEN 0.0 ELSE pow(2.0, bucket) END
+            AS BIGINT) AS bucket_lo,
+       n_docs, total_tokens,
+       CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE)
+         AS doc_share
+FROM agg
+"""
+
+
 def doc_shuffle_shards(spark: SparkSession, sf_dir: str, n_shards: int = 8) -> DataFrame:
     """Deterministic global shuffle into training shards: shard =
     salted-hash(doc_id) mod n_shards; position = rank of the hash
@@ -4531,6 +4631,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_near_dup": (multimodal_near_dup_q, _MULTIMODAL_NEAR_DUP_SQL),
     # --- r5 window: new this round (first driver stamp) ---
     "corpus_tfidf_topterms": (corpus_tfidf_topterms, _TFIDF_TOPTERMS_SQL),
+    "doc_leakage_safe_split": (doc_leakage_safe_split, _LEAKAGE_SPLIT_SQL),
+    "corpus_length_histogram": (corpus_length_histogram, _LENGTH_HISTOGRAM_SQL),
     # --- r5 window: longest-unstamped (last driver-green in r3) ---
     "tem_horizontal_avg": (tem_horizontal_avg, _TEM_HORIZONTAL_AVG_SQL),
     "envelope_roundtrip": (envelope_roundtrip, _ENVELOPE_ROUNDTRIP_SQL),

@@ -68,6 +68,12 @@ DOC_QUERIES = [
     "doc_bpe_segmentation",
     # BM25: query terms absent/present on empty + unicode docs
     "doc_bm25_search",
+    # round-5 additions: tf-idf on empty/unicode vocabularies; the
+    # fingerprint-hash split on identical texts (the leakage case the
+    # operator exists for); bin()-bucket histogram on empty text
+    "corpus_tfidf_topterms",
+    "doc_leakage_safe_split",
+    "corpus_length_histogram",
 ]
 
 

@@ -206,6 +206,25 @@ def test_bm25_broadcasts_stats_no_global_corpus_sort(spark, sf_dir):
         )
 
 
+def test_leakage_safe_split_is_map_only(spark, sf_dir):
+    # like doc_corpus_split: membership is a pure function of the row,
+    # so any shuffle or join in this plan means the property was lost
+    f = facts(spark, sf_dir, "doc_leakage_safe_split")
+    assert f.n_exchanges == 0, "fingerprint-hash split must be map-only"
+    assert not f.joins and not f.has_cartesian
+
+
+def test_length_histogram_partial_agg_bounded_exchanges(spark, sf_dir):
+    # map-side combine onto ~30 bucket keys; the only other exchange is
+    # the share window over those aggregated rows
+    f = facts(spark, sf_dir, "corpus_length_histogram")
+    assert f.has_partial_agg, "bucket rollup must partial-aggregate"
+    # bucket agg + tiny share window (+ ensure_parallelism's scan
+    # repartition, a no-op at real scale where scans split naturally)
+    assert f.n_exchanges <= 3, f"got {f.n_exchanges} exchanges"
+    assert not f.joins
+
+
 def test_tfidf_window_partitioned_by_doc(spark, sf_dir):
     # the top-k ranking window must partition by doc_id — an
     # unpartitioned window would serialize every (doc, term) score
