@@ -87,6 +87,36 @@ def test_driver_window_covers_round5_rotation():
     assert not wasted, f"window slots wasted on r4-green queries: {wasted}"
 
 
+#: Queries allowed to return 0 rows at sf0.001 — each with a reason.
+#: Everything else must produce at least one row: a 0-row result makes
+#: any oracle comparison vacuously green (round 4 shipped THREE queries
+#: whose fixed date predicates could never match the fixtures — green
+#: every round, testing nothing).
+EXPECTED_EMPTY_AT_TINY_SF = {
+    # anti-join: the sf0.001 fixture happens to give every customer at
+    # least one order; non-empty at sf0.01 where the driver checks it
+    "customers_without_orders",
+}
+
+
+def test_no_vacuous_queries(spark, sf_dir):
+    """Every registry query must match >= 1 row on the fixtures it is
+    checked against (minus the documented exemptions). Catches dead
+    predicates (out-of-range date literals, impossible filters,
+    disjoint join epochs) that a value-equality oracle cannot — both
+    engines agree perfectly on an empty result."""
+    empty = []
+    for name, (fn, _) in REGISTRY.items():
+        if name in EXPECTED_EMPTY_AT_TINY_SF:
+            continue
+        if fn(spark, sf_dir).limit(1).count() == 0:
+            empty.append(name)
+    assert not empty, (
+        f"queries returning 0 rows at {sf_dir} — oracle checks on these "
+        f"are vacuous: {empty}"
+    )
+
+
 @pytest.mark.parametrize(
     "name",
     [
