@@ -105,5 +105,10 @@ def test_salted_join_exact_and_competitive_under_skew(spark):
         "salted_join_32",
     }
     # exactness is asserted inside run_skew_bench; here only guard
-    # against salting becoming pathological vs the plan it replaces
-    assert results["salted_join_32"] < results["plain_join_aqe_skew_off"] * 1.5
+    # against salting becoming pathological vs the plan it replaces.
+    # 2x, not 1.5x: single-run wall-clock on a shared machine carries
+    # 1.2-1.5x load noise (SCALING.md "bench trustworthiness"), which
+    # made the tighter bound flake when the full -m scale batch ran
+    # back-to-back; genuine pathology (the double-shuffle regression
+    # this guards) shows up as >>2x.
+    assert results["salted_join_32"] < results["plain_join_aqe_skew_off"] * 2.0
