@@ -127,6 +127,8 @@ def test_no_vacuous_queries(spark, sf_dir):
         "semantic_dedup_vectors",
         "ivf_topk",
         "corpus_mixture_plan",
+        "corpus_tfidf_topterms",
+        "corpus_length_histogram",
     ],
 )
 def test_partitioning_invariance(spark, sf_dir, name):
