@@ -412,18 +412,30 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join = NOT EXISTS."""
+    """Left-anti join = NOT EXISTS: customers with no URGENT order.
+
+    The predicate is deliberately "no 1-URGENT order" rather than "no
+    order at all": the generated fixtures give every customer at least
+    one order at every SF, so the plain variant matched 0 rows in every
+    driver round — a vacuous green (both engines agree perfectly on an
+    empty result). Anti-joining against the URGENT slice leaves real
+    survivors at every scale (18 @ sf0.001, 203 @ sf0.01), so the check
+    actually exercises the anti-join semantics."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_acctbal")
 
 
 _ANTI_JOIN_SQL = """
 SELECT c_custkey, c_name, c_acctbal
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
 """
 
 
@@ -1438,26 +1450,83 @@ GROUP BY l_returnflag
 
 
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate sketches per event_type: HLL++ distinct users and
-    t-digest-style quantiles (rows-only: sketch algorithms are
-    engine-specific by design; accuracy vs exact is unit-tested).
+    """Approximate sketches per event_type — HLL++ distinct users and
+    approximate quantiles — made ORACLE-CHECKABLE: the raw sketch
+    outputs are engine-internal (no other engine reproduces them
+    bit-for-bit), so the query emits the EXACT statistics plus boolean
+    tolerance verdicts instead, and the DuckDB twin recomputes the
+    exact side and asserts the verdicts are all TRUE. A sketch drifting
+    outside its published error bound flips a boolean and hash-fails.
 
-    The quantiles are projected into scalar p50/p90/p99 columns rather
-    than one array column so downstream canonicalization (sort + hash)
-    works on hashable scalars.
-    """
+    Tolerances: HLL++ at rsd=0.02 gets a 4*rsd guard band (P(>4 sigma)
+    ~ 6e-5, so the check is deterministic-in-practice across fixture
+    regenerations; 3*rsd would flake ~0.3% per group per round).
+    percentile_approx at accuracy=10000 guarantees rank error
+    <= n/10000; the check brackets the returned value's true rank with
+    eps = 2/10000 slack (the factor 2 absorbs the floor in the bound
+    plus duplicate-value rank plateaus).
+
+    Scale shape: both passes are map-side-combinable aggs onto ~5
+    keys; the probe join broadcasts the 5-row sketch table back over
+    the scan. Two scans of the fact table are inherent — the rank
+    check is adaptive (probes depend on the sketch values)."""
     ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("_q"),
     )
-    return agg.select(
-        "event_type",
-        "approx_users",
-        F.col("_q")[0].alias("p50"),
-        F.col("_q")[1].alias("p90"),
-        F.col("_q")[2].alias("p99"),
+    probes = ev.join(
+        F.broadcast(agg.select("event_type", "_q")), "event_type"
     )
+    rank_aggs = []
+    for i in range(3):
+        rank_aggs.append(
+            F.sum((F.col("value") < F.col("_q")[i]).cast("long")).alias(f"lt{i}")
+        )
+        rank_aggs.append(
+            F.sum((F.col("value") <= F.col("_q")[i]).cast("long")).alias(f"le{i}")
+        )
+    checks = probes.groupBy("event_type").agg(
+        F.count("value").alias("n_vals"), *rank_aggs
+    )
+    eps = F.lit(2.0 / 10000)
+    out = agg.join(F.broadcast(checks), "event_type")
+    for i, p in enumerate([0.5, 0.9, 0.99]):
+        frac_lt = F.col(f"lt{i}") / F.col("n_vals")
+        frac_le = F.col(f"le{i}") / F.col("n_vals")
+        out = out.withColumn(
+            f"p{int(p * 100)}_ok",
+            (frac_lt <= F.lit(p) + eps) & (frac_le >= F.lit(p) - eps),
+        )
+    return out.select(
+        "event_type",
+        F.col("n_vals").alias("n_rows"),
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.lit(4 * 0.02) * F.col("exact_users")
+        ).alias("users_within_tol"),
+        "p50_ok",
+        "p90_ok",
+        "p99_ok",
+    )
+
+
+#: The oracle recomputes only the exact side and asserts every
+#: tolerance verdict TRUE — a sketch outside its error bound flips a
+#: Spark-side boolean and the value hash diverges.
+_APPROX_SKETCHES_SQL = """
+SELECT event_type,
+       COUNT(value) AS n_rows,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS users_within_tol,
+       TRUE AS p50_ok,
+       TRUE AS p90_ok,
+       TRUE AS p99_ok
+FROM events
+GROUP BY event_type
+"""
 
 
 def exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3108,8 +3177,16 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard_tot = sharded.groupBy("shard").agg(
         F.sum("n_tokens").alias("total")
     )
-    w_sh = Window.orderBy("shard").rowsBetween(
-        Window.unboundedPreceding, -1
+    # Constant partition key = same single-partition plan over the
+    # |corpus|/1000 shard rows, but keeps this benign bounded window
+    # out of the "WindowExec: No Partition Defined" warning channel so
+    # a REAL unpartitioned window can't hide behind an expected
+    # warning. NB pmod(shard, 1) — always 0 — because a literal
+    # partition key gets constant-folded back to an empty spec.
+    w_sh = (
+        Window.partitionBy(F.pmod(F.col("shard"), F.lit(1)))
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     shard_off = shard_tot.select(
         "shard",
@@ -4302,6 +4379,220 @@ SELECT doc_id, source, quality, quality_rank
 FROM r WHERE quality_rank <= ceil(n_src * 0.2)
 """
 
+
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composition a real 100 TB
+    training-data build actually runs, chaining the operators the
+    standalone registry queries verify individually:
+
+      quality-select (top 20% per source) -> exact dedup (keep-first
+      by content fingerprint) -> decontaminate vs the held-out eval
+      slice (doc_id % 97 == 0; eval members leave the pool, then the
+      8-gram overlap rule drops contaminated docs) -> leakage-safe
+      split (bucket on the CONTENT fingerprint so copies can never
+      straddle train/eval) -> deterministic shuffle into 8 shards per
+      split -> sequence packing of each (split, shard) stream into
+      2048-token sequences.
+
+    Being one query proves the per-stage contracts (column names,
+    types, deterministic tie-breaks) hold under composition. Per-stage
+    shuffle budget is unchanged from the standalone queries: one
+    window shuffle on source, one on fingerprint, the (doc, gram-hash)
+    shuffle with a broadcast eval-gram join, a map-only split, one
+    shuffle on (split, shard), and the packing prefix-sum re-uses that
+    same (split, shard) partitioning via the two-level scan (per-task
+    windows <= 1000 rows, sub-shard offsets broadcast back). At 100 TB
+    you would persist the curated set between stages 3 and 5 instead
+    of recomputing lineage — a materialization choice, not a plan
+    change."""
+    from .functions import text as tx
+    from .operators.dedup import ngram_overlap_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. quality selection: top 20% per source, deterministic ties
+    wsrc = Window.partitionBy("source")
+    wr = wsrc.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    selected = (
+        docs.select(
+            "doc_id", "source", "text", tx.quality_score("text").alias("quality")
+        )
+        .withColumn("quality_rank", F.row_number().over(wr).cast("long"))
+        .withColumn("n_src", F.count(F.lit(1)).over(wsrc))
+        .filter(F.col("quality_rank") <= F.ceil(F.col("n_src") * F.lit(0.2)))
+        .drop("n_src", "quality_rank")
+    )
+
+    # 2. exact dedup keep-first among the survivors
+    wfp = Window.partitionBy("fingerprint").orderBy(F.col("doc_id").asc())
+    deduped = (
+        selected.withColumn("fingerprint", tx.fingerprint("text"))
+        .withColumn("rn", F.row_number().over(wfp))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    # 3. decontamination: eval slice leaves the pool; candidates with
+    # >= 20% 8-gram overlap against the full-corpus eval slice drop
+    candidates = deduped.filter(F.col("doc_id") % 97 != 0)
+    flags = ngram_overlap_decontaminate(
+        candidates, docs.filter(F.col("doc_id") % 97 == 0)
+    )
+    clean = candidates.join(
+        flags.filter(~F.col("is_contaminated")).select("doc_id"), "doc_id"
+    )
+
+    # 4. leakage-safe split on the content fingerprint (copies — were
+    # any to survive an upstream change — land in the same split)
+    bucket = F.pmod(tx.md5_hash64(F.col("fingerprint")), F.lit(1000))
+    # 5. deterministic shuffle into 8 shards per split
+    h = tx.md5_hash64(F.concat(F.lit("shuf1:"), F.col("doc_id").cast("string")))
+    wshard = Window.partitionBy("split", "shard").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    )
+    sharded = (
+        clean.withColumn("split_bucket", bucket)
+        .withColumn(
+            "split",
+            F.when(F.col("split_bucket") < 980, "train")
+            .when(F.col("split_bucket") < 990, "val")
+            .otherwise("test"),
+        )
+        .withColumn("h", h)
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(8)))
+        .withColumn("pos", F.row_number().over(wshard).cast("long"))
+        .withColumn("n_tokens", tx.token_count("text"))
+        .withColumn("subshard", F.floor((F.col("pos") - 1) / 1000))
+    )
+
+    # 6. pack each (split, shard) stream: two-level prefix sum so no
+    # task windows more than 1000 rows
+    subtot = sharded.groupBy("split", "shard", "subshard").agg(
+        F.sum("n_tokens").alias("total")
+    )
+    wsub = (
+        Window.partitionBy("split", "shard")
+        .orderBy("subshard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    suboff = subtot.select(
+        "split",
+        "shard",
+        "subshard",
+        F.coalesce(F.sum("total").over(wsub), F.lit(0)).alias("off"),
+    )
+    win = (
+        Window.partitionBy("split", "shard", "subshard")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sharded.join(F.broadcast(suboff), ["split", "shard", "subshard"])
+        .withColumn(
+            "start_token",
+            F.col("off") + F.sum("n_tokens").over(win) - F.col("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            "fingerprint",
+            "split",
+            "shard",
+            "pos",
+            "n_tokens",
+            "start_token",
+            F.floor(F.col("start_token") / 2048).alias("pack_id"),
+        )
+    )
+
+
+#: One oracle chaining the SAME CTE per stage — the cross-engine proof
+#: that the composed pipeline, not just its pieces, is deterministic.
+_CURATION_PIPELINE_SQL = f"""
+WITH q AS (
+  SELECT doc_id, source, text, {_QUALITY_SCORE_SQL} AS quality FROM documents
+), ranked AS (
+  SELECT doc_id, source, text, quality,
+         CAST(row_number() OVER (PARTITION BY source
+                ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS quality_rank,
+         count(*) OVER (PARTITION BY source) AS n_src
+  FROM q
+), selected AS (
+  SELECT doc_id, source, text, quality FROM ranked
+  WHERE quality_rank <= ceil(n_src * 0.2)
+), deduped AS (
+  SELECT doc_id, source, text, quality, fingerprint FROM (
+    SELECT s.*, md5({_NORM_SQL}) AS fingerprint,
+           row_number() OVER (PARTITION BY md5({_NORM_SQL})
+                              ORDER BY doc_id ASC) AS rn
+    FROM selected s) WHERE rn = 1
+), candidates AS (
+  SELECT * FROM deduped WHERE doc_id % 97 <> 0
+), cand_grams AS (
+  SELECT doc_id, {_HASH64_SQL.format(x='gram')} AS gh
+  FROM (SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(w) >= 8
+                THEN list_transform(generate_series(1, len(w)-7),
+                                    i -> array_to_string(w[i:i+7], ' '))
+                ELSE [array_to_string(w, ' ')] END)) AS gram
+        FROM (SELECT doc_id, {_TOKS_SQL} AS w FROM candidates))
+), eval_grams AS (
+  SELECT DISTINCT {_HASH64_SQL.format(x='gram')} AS gh
+  FROM (SELECT unnest(list_distinct(
+           CASE WHEN len(w) >= 8
+                THEN list_transform(generate_series(1, len(w)-7),
+                                    i -> array_to_string(w[i:i+7], ' '))
+                ELSE [array_to_string(w, ' ')] END)) AS gram
+        FROM (SELECT {_TOKS_SQL} AS w FROM documents WHERE doc_id % 97 = 0))
+), contaminated AS (
+  SELECT doc_id FROM (
+    SELECT g.doc_id, count(*) AS n_grams,
+           sum(CASE WHEN e.gh IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+    FROM cand_grams g LEFT JOIN eval_grams e ON g.gh = e.gh
+    GROUP BY g.doc_id)
+  WHERE n_hits * 5 >= n_grams
+), clean AS (
+  SELECT c.* FROM candidates c
+  WHERE NOT EXISTS (SELECT 1 FROM contaminated x WHERE x.doc_id = c.doc_id)
+), splitted AS (
+  SELECT doc_id, source, quality, fingerprint,
+         CASE WHEN b < 980 THEN 'train'
+              WHEN b < 990 THEN 'val'
+              ELSE 'test' END AS split,
+         h, h % 8 AS shard,
+         CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+  FROM (SELECT c.*,
+               {_HASH64_SQL.format(x='fingerprint')} % 1000 AS b,
+               {_HASH64_SQL.format(x="'shuf1:' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM clean c)
+), pos_assigned AS (
+  SELECT doc_id, source, quality, fingerprint, split, shard, n_tokens,
+         CAST(row_number() OVER (PARTITION BY split, shard
+                ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos,
+         (CAST(row_number() OVER (PARTITION BY split, shard
+                ORDER BY h ASC, doc_id ASC) AS BIGINT) - 1) // 1000 AS subshard
+  FROM splitted
+), suboff AS (
+  SELECT split, shard, subshard,
+         CAST(COALESCE(SUM(total) OVER (PARTITION BY split, shard
+                  ORDER BY subshard
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM (SELECT split, shard, subshard, SUM(n_tokens) AS total
+        FROM pos_assigned GROUP BY 1, 2, 3)
+)
+SELECT p.doc_id, p.source, p.quality, p.fingerprint, p.split, p.shard,
+       p.pos, p.n_tokens,
+       CAST(o.off + SUM(p.n_tokens) OVER (PARTITION BY p.split, p.shard,
+                p.subshard ORDER BY p.pos ROWS UNBOUNDED PRECEDING)
+            - p.n_tokens AS BIGINT) AS start_token,
+       CAST((o.off + SUM(p.n_tokens) OVER (PARTITION BY p.split, p.shard,
+                p.subshard ORDER BY p.pos ROWS UNBOUNDED PRECEDING)
+            - p.n_tokens) // 2048 AS BIGINT) AS pack_id
+FROM pos_assigned p JOIN suboff o USING (split, shard, subshard)
+"""
+
 #: Fixed retrieval query for the BM25 demo (terms present in the
 #: word-soup fixtures and in real prose alike).
 _BM25_TERMS = ["spark", "table", "fast"]
@@ -4323,14 +4614,31 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     a micro grid (round(s*1e6) as long) before the per-doc sum, so the
     accumulation is exact integer math — the same order-invariance rule
     doc_unigram_logprob uses — and the score reproduces bit-for-bit
-    across engines and partitionings."""
+    across engines and partitionings.
+
+    Engine-exact idf (r6): ln() is libm-dependent in the last ulp, and
+    a JVM-vs-DuckDB divergence landing exactly on a 1e-6 grid boundary
+    would flip a score bit. So the |terms| idf values are computed ONCE
+    on the driver with Python's math.log — CPython calls the C
+    library's log(), the same libm DuckDB's ln() links on any
+    same-host oracle — and broadcast back as literals. Everything else
+    in the score is +,*,/ over identical expression trees, which are
+    IEEE-deterministic across engines. Residual assumption: driver
+    Python and the oracle share libm (true whenever both run on the
+    same box, as the test harness does); even where they don't, drift
+    is confined to |query terms| precomputed constants, not per-row."""
+    import math
+
     from .functions.text import token_count, tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    n_and_avgdl = docs.agg(
+    # Bounded driver traffic: one (n_docs, avgdl) row + one df row per
+    # query term (<= |query| rows, 3 here) — model state, not data.
+    stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(token_count("text")).alias("avgdl"),
-    )
+    ).collect()[0]
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     tf = (
         docs.select(
             "doc_id",
@@ -4341,24 +4649,25 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df_rows = (
+        tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df")).collect()
+    )
+    idf_df = spark.createDataFrame(
+        [
+            (r["term"], math.log((n_docs - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0))
+            for r in df_rows
+        ],
+        "term string, idf double",
+    )
     scored = (
-        tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(n_and_avgdl))
-        .withColumn(
-            "idf",
-            F.log(
-                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                + F.lit(1.0)
-            ),
-        )
+        tf.join(F.broadcast(idf_df), "term")
         .withColumn(
             "s",
             F.col("idf")
             * (F.col("tf") * 2.2)
             / (
                 F.col("tf")
-                + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.lit(avgdl))
             ),
         )
         .groupBy("doc_id")
@@ -4374,7 +4683,13 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     # runs over the <= k surviving rows only, so its single partition
     # holds k rows by construction, never the corpus.
     topk = scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(k)
-    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    # Constant partition key = same single-partition plan over the <= k
+    # surviving rows, minus the benign no-partition WindowExec warning.
+    # pmod(doc_id, 1) — always 0 — because a literal partition key gets
+    # constant-folded back to an empty spec.
+    w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))).orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
     return (
         topk.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("doc_id", "bm25", "rank")
@@ -4427,28 +4742,45 @@ def corpus_tfidf_topterms(
 
     Scores land on a 1e-6 grid via floor(x*1e6 + 0.5) — the engine's
     one rounding convention — BEFORE ranking, so rank order (and the
-    score itself) is bit-identical across engines despite ln() being
-    libm-dependent in the last ulp; ties break on the term string."""
+    score itself) is bit-identical across engines; ties break on the
+    term string.
+
+    Engine-exact idf (r6): the grid fixes summation order but not
+    transcendental drift — a last-ulp JVM-vs-libm ln() divergence
+    landing exactly on a grid boundary would flip score_micro. So
+    ln(N/df) is computed ONCE per DISTINCT df value on the driver with
+    Python's math.log (CPython calls the C library log(), the same
+    libm DuckDB's ln() links on a same-host oracle) and broadcast back
+    as a (df -> idf) lookup. Driver traffic is the distinct df VALUES
+    — never terms: bounded by the df of the most common term and
+    Zipf-sparse above ~sqrt(N) in practice (hundreds at any corpus
+    size), the same bounded-model-state contract the k-means collect
+    follows. Residual assumption: driver Python and the oracle share
+    libm (true same-host); even where they don't, drift is confined to
+    the per-distinct-df constants, not per (doc, term) row."""
+    import math
+
     from .functions.text import tokens
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs")).collect()[0]["n_docs"]
     tf = (
         docs.select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    df_vals = [r["df"] for r in df_.select("df").distinct().collect()]
+    idf_lookup = spark.createDataFrame(
+        [(d, math.log(n_docs / d)) for d in df_vals], "df long, idf double"
+    )
     scored = (
         tf.join(df_, "term")
-        .crossJoin(F.broadcast(n_docs))
+        .join(F.broadcast(idf_lookup), "df")
         .withColumn(
             "score_micro",
             F.floor(
-                F.col("tf")
-                * F.log(F.col("n_docs").cast("double") / F.col("df"))
-                * F.lit(1e6)
-                + F.lit(0.5)
+                F.col("tf") * F.col("idf") * F.lit(1e6) + F.lit(0.5)
             ).cast("long"),
         )
     )
@@ -4579,91 +4911,61 @@ WHERE rn = 1
 #: name -> (spark builder, oracle SQL or None for rows-only checks)
 #:
 #: ORDER MATTERS: the round driver hash-checks the FIRST 50 entries
-#: against their DuckDB oracles. Rounds 1-3 checked the original first
-#: 50; round 4 rotated the window onto the 49 then-never-checked
-#: entries (44 green, 5 HUGEINT-oracle hash-fails, all fixed). The
-#: round-5 window below re-stamps those fixes, covers the 8 entries
-#: added after the r4 window froze, re-stamps the 4 r3-HASHFAIL
-#: streaming fixes and the 5 oracle-upgraded formerly-rows-only
-#: entries, and fills the rest with the longest-unstamped (last green
-#: r3) queries. Rule: nothing whose latest driver row is FAIL may sit
-#: below the window. Every entry in BOTH halves is also exact-checked
-#: locally at sf0.001 by tests/test_oracle_parity.py, so rotation
-#: changes which evidence is driver-stamped, not what is tested.
+#: (exactly list(REGISTRY)[:50] — the r5 window section accidentally
+#: held 53 names, so its last 3 were never stamped; the rotation test
+#: now pins the marked window to exactly 50). History: r1-r3 checked
+#: the original first 50; r4 rotated onto the 49 then-never-checked
+#: entries; r5 re-stamped the r4 fails + the post-r4 additions and
+#: went 50/50 green. The r6 window below covers (a) everything whose
+#: semantics or oracle changed this round, (b) the 3 entries the r5
+#: overflow silently dropped, (c) the 15 queries whose newest stamp
+#: is round 3, and (d) the longest-unstamped r4-green queries as
+#: fill. Rule: nothing whose latest driver row is FAIL may sit below
+#: the window; any query whose semantics changed needs a fresh stamp.
+#: Every entry in BOTH halves is also exact-checked locally at
+#: sf0.001 by tests/test_oracle_parity.py, so rotation changes which
+#: evidence is driver-stamped, not what is tested.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # anchor (driver-checked every round)
     "tem_hourly_avg": (tem_hourly_avg, _TEM_HOURLY_AVG_SQL),
-    # --- r5 window: re-stamp the r4 HUGEINT-cast oracle fixes ---
-    "stratified_sample_docs": (stratified_sample_docs, _STRATIFIED_SAMPLE_SQL),
-    "doc_dup_span_frac": (doc_dup_span_frac, _DUP_SPAN_SQL),
-    "doc_decontamination": (doc_decontamination, _DECONTAMINATION_SQL),
-    "doc_sequence_packing": (doc_sequence_packing, _SEQUENCE_PACKING_SQL),
-    "props_variant_extract": (props_variant_extract, _PROPS_VARIANT_SQL),
-    # same latent HUGEINT bug + date filters moved into fixture range
-    # (both returned 0 rows in r4 — green but vacuous)
-    "priority_lines_by_returnflag": (
-        priority_lines_by_returnflag,
-        _PRIORITY_LINES_SQL,
-    ),
-    "returned_item_revenue": (returned_item_revenue, _RETURNED_ITEM_SQL),
-    # placement rebased into the events epoch (was structurally 0 rows)
-    "range_join_order_events": (range_join_order_events, _RANGE_JOIN_SQL),
-    # --- r5 window: added after the r4 window froze, never checked ---
-    "doc_corpus_split": (doc_corpus_split, _CORPUS_SPLIT_SQL),
-    "doc_shuffle_shards": (doc_shuffle_shards, _SHUFFLE_SHARDS_SQL),
-    "corpus_mixture_plan": (corpus_mixture_plan, _MIXTURE_PLAN_SQL),
-    "doc_quality_selection": (doc_quality_selection, _QUALITY_SELECTION_SQL),
-    "doc_bpe_segmentation": (doc_bpe_segmentation, _BPE_SEGMENTATION_SQL),
-    "doc_bm25_search": (doc_bm25_search, _BM25_SQL),
-    "event_value_outliers": (event_value_outliers, _EVENT_OUTLIERS_SQL),
-    "events_upsert_latest": (events_upsert_latest, _UPSERT_LATEST_SQL),
-    # --- r5 window: r3-HASHFAIL streaming fixes (fd54420/66410b3)
-    # whose green re-stamp the r4 rotation dropped ---
-    "stream_tumbling_hourly": (stream_tumbling_hourly, _STREAM_TUMBLING_SQL),
-    "stream_sliding_2h": (stream_sliding_2h, _STREAM_SLIDING_SQL),
-    "stream_session_windows": (stream_session_windows_q, _STREAM_SESSION_SQL),
-    "stream_click_purchase_join": (stream_click_purchase_join, _STREAM_SS_JOIN_SQL),
-    # --- r5 window: oracle-upgraded after their r3 rows-only check ---
-    "ivf_topk": (ivf_topk_q, _IVF_TOPK_SQL),
-    "bpe_vocab_merges": (bpe_vocab_merges, _BPE_MERGES_SQL),
-    "multimodal_decode": (multimodal_decode_q, _MULTIMODAL_DECODE_SQL),
-    "multimodal_frames": (multimodal_frames_q, _MULTIMODAL_FRAMES_SQL),
-    "multimodal_near_dup": (multimodal_near_dup_q, _MULTIMODAL_NEAR_DUP_SQL),
-    # --- r5 window: new this round (first driver stamp) ---
-    "corpus_tfidf_topterms": (corpus_tfidf_topterms, _TFIDF_TOPTERMS_SQL),
-    "doc_leakage_safe_split": (doc_leakage_safe_split, _LEAKAGE_SPLIT_SQL),
-    "corpus_length_histogram": (corpus_length_histogram, _LENGTH_HISTOGRAM_SQL),
-    # --- r5 window: longest-unstamped (last driver-green in r3) ---
-    "tem_horizontal_avg": (tem_horizontal_avg, _TEM_HORIZONTAL_AVG_SQL),
-    "envelope_roundtrip": (envelope_roundtrip, _ENVELOPE_ROUNDTRIP_SQL),
-    "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
-    "filter_project_scan": (filter_project_scan, _FILTER_PROJECT_SQL),
-    "revenue_by_segment": (revenue_by_segment, _REVENUE_BY_SEGMENT_SQL),
-    "nation_revenue": (nation_revenue, _NATION_REVENUE_SQL),
-    "topk_orders_per_priority": (topk_orders_per_priority, _TOPK_ORDERS_SQL),
-    "running_total_per_customer": (running_total_per_customer, _RUNNING_TOTAL_SQL),
-    "rollup_lineitem_status": (rollup_lineitem_status, _ROLLUP_SQL),
-    "cube_order_status": (cube_order_status, _CUBE_SQL),
-    "customers_with_orders": (customers_with_orders, _SEMI_JOIN_SQL),
+    # --- r6 window: semantics/oracle changed this round ---
+    # anti-join re-based onto the URGENT slice (0-row vacuous green
+    # in every prior round)
     "customers_without_orders": (customers_without_orders, _ANTI_JOIN_SQL),
-    "set_ops_customers": (set_ops_customers, _SET_OPS_SQL),
-    "union_event_slices": (union_event_slices, _UNION_SLICES_SQL),
-    "dedup_first_event": (dedup_first_event, _DEDUP_FIRST_SQL),
-    "case_bucket_quantity": (case_bucket_quantity, _CASE_BUCKET_SQL),
-    "orders_by_month": (orders_by_month, _ORDERS_BY_MONTH_SQL),
-    "part_name_stats": (part_name_stats, _PART_NAME_SQL),
-    "json_props_extract": (json_props_extract, _JSON_PROPS_SQL),
-    "distinct_users_per_type": (distinct_users_per_type, _DISTINCT_USERS_SQL),
-    "top10_lineitems": (top10_lineitems, _TOP10_SQL),
+    # oracle attached (was rows-only `no_oracle` by design until r6:
+    # now emits exact stats + tolerance booleans the twin can check)
+    "approx_sketches": (approx_sketches, _APPROX_SKETCHES_SQL),
+    # new this round: the composed curation pipeline
+    "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_PIPELINE_SQL),
+    # idf made engine-exact (driver-side ln) — same math, fresh stamp
+    "corpus_tfidf_topterms": (corpus_tfidf_topterms, _TFIDF_TOPTERMS_SQL),
+    "doc_bm25_search": (doc_bm25_search, _BM25_SQL),
+    # --- r6 window: the 3 entries the r5 53-name overflow dropped
+    # (listed in the r5 window section but at positions 51-53, so
+    # never stamped — ADVICE r5) ---
     "stream_distinct_users": (stream_distinct_users, _STREAM_DISTINCT_SQL),
     "stream_dedup_watermark": (stream_dedup_watermark, _STREAM_DEDUP_WM_SQL),
     "stream_doc_quality": (stream_doc_quality_q, _DOC_QUALITY_LANGID_SQL),
-    # ------------------------------------------------------------------
-    # below the window: driver-green in round 4 (CORRECTNESS_r04)
-    # ------------------------------------------------------------------
+    # --- r6 window: newest stamp round 3 (three-rounds-stale) ---
+    "doc_text_features": (doc_text_features, _DOC_TEXT_FEATURES_SQL),
+    "doc_quality_langid": (doc_quality_langid, _DOC_QUALITY_LANGID_SQL),
+    "doc_fingerprint_groups": (doc_fingerprint_groups_q, _DOC_FINGERPRINT_SQL),
+    "doc_rolling_fingerprint": (doc_rolling_fingerprint, _ROLLING_SQL),
+    "doc_exact_dedup": (doc_exact_dedup_q, _DOC_EXACT_DEDUP_SQL),
+    "ngram_jaccard_pairs": (ngram_jaccard_pairs_q, _JACCARD_PAIRS_SQL),
+    "minhash_lsh_pairs": (minhash_lsh_pairs_q, _JACCARD_PAIRS_SQL),
+    "simhash_pairs": (simhash_pairs_q, _SIMHASH_PAIRS_SQL),
+    "embedding_cosine_topk": (embedding_cosine_topk, _EMB_TOPK_SQL),
+    "embedding_knn_join": (embedding_knn_join_q, _EMB_KNN_SQL),
+    "embedding_near_dup_pairs": (embedding_near_dup_pairs_q, _EMB_NEAR_DUP_SQL),
+    "lsh_ann_pairs": (lsh_ann_pairs_q, _EMB_NEAR_DUP_SQL),
+    "multimodal_meta": (multimodal_meta, _MULTIMODAL_META_SQL),
+    "asof_latest_order": (asof_latest_order, _ASOF_SQL),
+    "sessionize_events": (sessionize_events, _SESSION_SQL_BODY),
+    # --- r6 window: longest-unstamped r4-green fill (26 entries;
+    # the remaining 15 r4-green entries rotate in round 7) ---
     "grouping_sets_lineitem": (grouping_sets_lineitem, _GROUPING_SETS_SQL),
     "pivot_status_by_flag": (pivot_status_by_flag, _PIVOT_SQL),
-    "approx_sketches": (approx_sketches, None),
     "exact_quantiles": (exact_quantiles, _EXACT_QUANTILES_SQL),
     "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
     "outer_join_order_coverage": (outer_join_order_coverage, _OUTER_JOIN_SQL),
@@ -4694,6 +4996,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         cheapest_supplier_per_part,
         _CHEAPEST_SUPPLIER_SQL,
     ),
+    # ------------------------------------------------------------------
+    # below the window (entry 51+): driver-green in round 4, next in
+    # the rotation queue for round 7
+    # ------------------------------------------------------------------
     "supplier_counts_by_part_attrs": (
         supplier_counts_by_part_attrs,
         _SUPPLIER_COUNTS_SQL,
@@ -4716,23 +5022,57 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "event_funnel": (event_funnel, _EVENT_FUNNEL_SQL),
     "retention_cohorts": (retention_cohorts, _RETENTION_COHORTS_SQL),
     # ------------------------------------------------------------------
-    # below the window: driver-green in round 3, not in the r5 fill
+    # below the window: driver-green in round 5 (CORRECTNESS_r05)
     # ------------------------------------------------------------------
-    "doc_text_features": (doc_text_features, _DOC_TEXT_FEATURES_SQL),
-    "doc_quality_langid": (doc_quality_langid, _DOC_QUALITY_LANGID_SQL),
-    "doc_fingerprint_groups": (doc_fingerprint_groups_q, _DOC_FINGERPRINT_SQL),
-    "doc_rolling_fingerprint": (doc_rolling_fingerprint, _ROLLING_SQL),
-    "doc_exact_dedup": (doc_exact_dedup_q, _DOC_EXACT_DEDUP_SQL),
-    "ngram_jaccard_pairs": (ngram_jaccard_pairs_q, _JACCARD_PAIRS_SQL),
-    "minhash_lsh_pairs": (minhash_lsh_pairs_q, _JACCARD_PAIRS_SQL),
-    "simhash_pairs": (simhash_pairs_q, _SIMHASH_PAIRS_SQL),
-    "embedding_cosine_topk": (embedding_cosine_topk, _EMB_TOPK_SQL),
-    "embedding_knn_join": (embedding_knn_join_q, _EMB_KNN_SQL),
-    "embedding_near_dup_pairs": (embedding_near_dup_pairs_q, _EMB_NEAR_DUP_SQL),
-    "lsh_ann_pairs": (lsh_ann_pairs_q, _EMB_NEAR_DUP_SQL),
-    "multimodal_meta": (multimodal_meta, _MULTIMODAL_META_SQL),
-    "asof_latest_order": (asof_latest_order, _ASOF_SQL),
-    "sessionize_events": (sessionize_events, _SESSION_SQL_BODY),
+    "stratified_sample_docs": (stratified_sample_docs, _STRATIFIED_SAMPLE_SQL),
+    "doc_dup_span_frac": (doc_dup_span_frac, _DUP_SPAN_SQL),
+    "doc_decontamination": (doc_decontamination, _DECONTAMINATION_SQL),
+    "doc_sequence_packing": (doc_sequence_packing, _SEQUENCE_PACKING_SQL),
+    "props_variant_extract": (props_variant_extract, _PROPS_VARIANT_SQL),
+    "priority_lines_by_returnflag": (
+        priority_lines_by_returnflag,
+        _PRIORITY_LINES_SQL,
+    ),
+    "returned_item_revenue": (returned_item_revenue, _RETURNED_ITEM_SQL),
+    "range_join_order_events": (range_join_order_events, _RANGE_JOIN_SQL),
+    "doc_corpus_split": (doc_corpus_split, _CORPUS_SPLIT_SQL),
+    "doc_shuffle_shards": (doc_shuffle_shards, _SHUFFLE_SHARDS_SQL),
+    "corpus_mixture_plan": (corpus_mixture_plan, _MIXTURE_PLAN_SQL),
+    "doc_quality_selection": (doc_quality_selection, _QUALITY_SELECTION_SQL),
+    "doc_bpe_segmentation": (doc_bpe_segmentation, _BPE_SEGMENTATION_SQL),
+    "event_value_outliers": (event_value_outliers, _EVENT_OUTLIERS_SQL),
+    "events_upsert_latest": (events_upsert_latest, _UPSERT_LATEST_SQL),
+    "stream_tumbling_hourly": (stream_tumbling_hourly, _STREAM_TUMBLING_SQL),
+    "stream_sliding_2h": (stream_sliding_2h, _STREAM_SLIDING_SQL),
+    "stream_session_windows": (stream_session_windows_q, _STREAM_SESSION_SQL),
+    "stream_click_purchase_join": (stream_click_purchase_join, _STREAM_SS_JOIN_SQL),
+    "ivf_topk": (ivf_topk_q, _IVF_TOPK_SQL),
+    "bpe_vocab_merges": (bpe_vocab_merges, _BPE_MERGES_SQL),
+    "multimodal_decode": (multimodal_decode_q, _MULTIMODAL_DECODE_SQL),
+    "multimodal_frames": (multimodal_frames_q, _MULTIMODAL_FRAMES_SQL),
+    "multimodal_near_dup": (multimodal_near_dup_q, _MULTIMODAL_NEAR_DUP_SQL),
+    "doc_leakage_safe_split": (doc_leakage_safe_split, _LEAKAGE_SPLIT_SQL),
+    "corpus_length_histogram": (corpus_length_histogram, _LENGTH_HISTOGRAM_SQL),
+    "tem_horizontal_avg": (tem_horizontal_avg, _TEM_HORIZONTAL_AVG_SQL),
+    "envelope_roundtrip": (envelope_roundtrip, _ENVELOPE_ROUNDTRIP_SQL),
+    "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
+    "filter_project_scan": (filter_project_scan, _FILTER_PROJECT_SQL),
+    "revenue_by_segment": (revenue_by_segment, _REVENUE_BY_SEGMENT_SQL),
+    "nation_revenue": (nation_revenue, _NATION_REVENUE_SQL),
+    "topk_orders_per_priority": (topk_orders_per_priority, _TOPK_ORDERS_SQL),
+    "running_total_per_customer": (running_total_per_customer, _RUNNING_TOTAL_SQL),
+    "rollup_lineitem_status": (rollup_lineitem_status, _ROLLUP_SQL),
+    "cube_order_status": (cube_order_status, _CUBE_SQL),
+    "customers_with_orders": (customers_with_orders, _SEMI_JOIN_SQL),
+    "set_ops_customers": (set_ops_customers, _SET_OPS_SQL),
+    "union_event_slices": (union_event_slices, _UNION_SLICES_SQL),
+    "dedup_first_event": (dedup_first_event, _DEDUP_FIRST_SQL),
+    "case_bucket_quantity": (case_bucket_quantity, _CASE_BUCKET_SQL),
+    "orders_by_month": (orders_by_month, _ORDERS_BY_MONTH_SQL),
+    "part_name_stats": (part_name_stats, _PART_NAME_SQL),
+    "json_props_extract": (json_props_extract, _JSON_PROPS_SQL),
+    "distinct_users_per_type": (distinct_users_per_type, _DISTINCT_USERS_SQL),
+    "top10_lineitems": (top10_lineitems, _TOP10_SQL),
 }
 
 

@@ -63,6 +63,12 @@ HEADLINE = [
     # round-5 addition: BM25 after the top-k fix (global-sort window ->
     # TakeOrderedAndProject) — in the set to lock the improvement in
     "doc_bm25_search",
+    # round-6 additions (the r5 verdict's bench-hygiene ask): the two
+    # curation-tier representatives that went driver-green in r5 —
+    # full-vocab tf-idf (widest (doc,term) shuffle in the registry)
+    # and the map-only content-fingerprint split
+    "corpus_tfidf_topterms",
+    "doc_leakage_safe_split",
 ]
 
 

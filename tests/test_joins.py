@@ -108,20 +108,24 @@ def test_range_join_honors_bucket_width(spark):
 
 
 def test_approx_sketches_accuracy(spark, sf_dir):
+    """The r6 oracle-checkable shape: the query itself emits the exact
+    stats plus tolerance booleans; every boolean must be TRUE (a
+    sketch outside its published error bound flips one) and the exact
+    side must match an independent recomputation."""
     ev = load_table(spark, sf_dir, "events")
     exact = {
         r["event_type"]: r
         for r in ev.groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("nd"),
-            F.percentile("value", 0.5).alias("p50"),
+            F.count("value").alias("n"),
         )
         .collect()
     }
-    approx = {r["event_type"]: r for r in approx_sketches(spark, sf_dir).collect()}
-    assert set(approx) == set(exact)
-    for k, a in approx.items():
-        e = exact[k]
-        assert abs(a["approx_users"] - e["nd"]) / e["nd"] < 0.05
-        spread = abs(e["p50"]) + 1e-9
-        assert abs(a["p50"] - e["p50"]) / spread < 0.05
+    out = {r["event_type"]: r for r in approx_sketches(spark, sf_dir).collect()}
+    assert set(out) == set(exact)
+    for k, a in out.items():
+        assert a["exact_users"] == exact[k]["nd"]
+        assert a["n_rows"] == exact[k]["n"]
+        assert a["users_within_tol"] is True
+        assert a["p50_ok"] is True and a["p90_ok"] is True and a["p99_ok"] is True

@@ -28,87 +28,93 @@ def test_oracle_parity(spark, sf_dir, con, name):
     compare(fn(spark, sf_dir), con, sql)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_runs(spark, sf_dir, name):
-    fn, _ = REGISTRY[name]
-    df = fn(spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_every_query_has_an_oracle():
+    """As of round 6 EVERY registry query has a DuckDB oracle — the
+    last rows-only entry (approx_sketches) was restructured to emit
+    exact stats + tolerance booleans its twin can recompute. Pin that:
+    a new None-oracle entry needs the weaker rows-only check restored
+    (and a documented reason it cannot be SQL-expressed)."""
+    assert ROWS_ONLY_QUERIES == [], (
+        f"queries without oracles appeared: {ROWS_ONLY_QUERIES} — "
+        "restore a rows-only check for them or attach a twin"
+    )
 
 
-def test_driver_window_covers_round5_rotation():
+def test_driver_window_covers_round6_rotation():
     """The round driver hash-checks only the FIRST 50 registry entries.
-    The round-5 window must contain every query whose latest driver
-    evidence is missing or stale-red: the 5 r4 HUGEINT hash-fails (+
-    the 2 vacuous-0-row / latent-bug queries, both re-dated), the 8
-    entries added after the r4 window froze, the 4 r3-HASHFAIL
-    streaming fixes, and the 5 oracle-upgraded formerly-rows-only
-    entries. An accidental reorder — an alphabetized dict, an insert in
-    the wrong half — would silently waste the round's correctness
-    slots. Pin the window's composition, not its exact order."""
+    The round-6 window must contain every query whose driver evidence
+    is missing, stale, or invalidated: the 5 queries whose semantics /
+    oracle / implementation changed this round, the 3 entries the r5
+    window overflow silently dropped (the marked r5 section held 53
+    names, so positions 51-53 were never stamped — r5 ADVICE), and the
+    15 queries whose newest stamp is round 3. An accidental reorder —
+    an alphabetized dict, an insert in the wrong half — would silently
+    waste the round's correctness slots."""
     from amazonmsk_emr_tem_data_spark.queries import REGISTRY
 
     window = set(list(REGISTRY)[:50])
     assert list(REGISTRY)[0] == "tem_hourly_avg"
     must_check = {
-        # r4 HUGEINT-oracle hash-fails, fixed this round
-        "stratified_sample_docs", "doc_dup_span_frac",
-        "doc_decontamination", "doc_sequence_packing",
-        "props_variant_extract",
-        # latent HUGEINT bug / vacuous 0-row evidence, re-dated or
-        # re-anchored queries
-        "priority_lines_by_returnflag", "returned_item_revenue",
-        "range_join_order_events",
-        # added after the r4 window froze — never driver-checked
-        "doc_corpus_split", "doc_shuffle_shards", "corpus_mixture_plan",
-        "doc_quality_selection", "doc_bpe_segmentation", "doc_bm25_search",
-        "event_value_outliers", "events_upsert_latest",
-        # r3-HASHFAIL streaming queries, fixed but never re-stamped
-        "stream_tumbling_hourly", "stream_sliding_2h",
-        "stream_session_windows", "stream_click_purchase_join",
-        # oracle-upgraded after their r3 rows-only check
-        "ivf_topk", "bpe_vocab_merges", "multimodal_decode",
-        "multimodal_frames", "multimodal_near_dup",
+        # semantics/oracle/implementation changed in round 6
+        "customers_without_orders",   # anti-join re-based (was 0-row vacuous)
+        "approx_sketches",            # oracle attached (was rows-only)
+        "corpus_curation_pipeline",   # new composed pipeline
+        "corpus_tfidf_topterms",      # engine-exact idf rework
+        "doc_bm25_search",            # engine-exact idf rework
+        # dropped by the r5 53-name window overflow — never stamped
+        "stream_distinct_users", "stream_dedup_watermark",
+        "stream_doc_quality",
+        # newest driver stamp is round 3 (three-rounds-stale evidence)
+        "doc_text_features", "doc_quality_langid",
+        "doc_fingerprint_groups", "doc_rolling_fingerprint",
+        "doc_exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
+        "simhash_pairs", "embedding_cosine_topk", "embedding_knn_join",
+        "embedding_near_dup_pairs", "lsh_ann_pairs", "multimodal_meta",
+        "asof_latest_order", "sessionize_events",
     }
     missing = must_check - window
     assert not missing, (
-        f"round-5 window is missing stale/never-checked queries: {missing}"
+        f"round-6 window is missing stale/never-checked queries: {missing}"
+    )
+    # The r5 failure mode: the marked window section held 53 names, so
+    # its last 3 were never stamped. Pin the window to EXACTLY the
+    # first 50 by anchoring the entry that must sit at position 51.
+    assert list(REGISTRY)[50] == "supplier_counts_by_part_attrs", (
+        "registry position 51 drifted — the driver stamps exactly "
+        "list(REGISTRY)[:50]; an insert above this line silently pushes "
+        "window entries below the checked range"
     )
     # r4-green queries must NOT burn window slots (their driver evidence
-    # is current); r3-green fills are allowed.
-    r4_green_outside = {
-        "grouping_sets_lineitem", "pivot_status_by_flag", "exact_quantiles",
-        "salted_customer_revenue", "outer_join_order_coverage",
-        "price_lag_lead_frames", "sql_interface_q3", "dedup_clusters",
-        "doc_repetition_filter", "semantic_dedup_vectors",
-        "recursive_cte_depths", "doc_unigram_logprob", "doc_chunking",
+    # is current); stale-r3 and changed-query fills are what the
+    # window is FOR.
+    r5_green_outside = {
+        "stratified_sample_docs", "doc_dup_span_frac",
+        "doc_decontamination", "doc_sequence_packing",
+        "props_variant_extract", "range_join_order_events",
+        "doc_corpus_split", "doc_shuffle_shards", "corpus_mixture_plan",
+        "doc_quality_selection", "doc_bpe_segmentation",
+        "event_value_outliers", "events_upsert_latest", "ivf_topk",
+        "bpe_vocab_merges", "multimodal_decode", "multimodal_frames",
+        "multimodal_near_dup", "doc_leakage_safe_split",
+        "corpus_length_histogram", "tem_horizontal_avg",
+        "envelope_roundtrip", "q1_pricing_summary",
     }
-    wasted = window & r4_green_outside
-    assert not wasted, f"window slots wasted on r4-green queries: {wasted}"
-
-
-#: Queries allowed to return 0 rows at sf0.001 — each with a reason.
-#: Everything else must produce at least one row: a 0-row result makes
-#: any oracle comparison vacuously green (round 4 shipped THREE queries
-#: whose fixed date predicates could never match the fixtures — green
-#: every round, testing nothing).
-EXPECTED_EMPTY_AT_TINY_SF = {
-    # anti-join: the sf0.001 fixture happens to give every customer at
-    # least one order; non-empty at sf0.01 where the driver checks it
-    "customers_without_orders",
-}
+    wasted = window & r5_green_outside
+    assert not wasted, f"window slots wasted on r5-green queries: {wasted}"
 
 
 def test_no_vacuous_queries(spark, sf_dir):
-    """Every registry query must match >= 1 row on the fixtures it is
-    checked against (minus the documented exemptions). Catches dead
+    """Every registry query must match >= 1 row at sf0.001 — NO
+    exemptions. A 0-row result makes any oracle comparison vacuously
+    green (round 4 shipped THREE queries whose fixed date predicates
+    could never match the fixtures, and customers_without_orders rode
+    a false 'non-empty at sf0.01' exemption comment through FIVE
+    rounds of 0-row greens before its r6 re-base). Catches dead
     predicates (out-of-range date literals, impossible filters,
     disjoint join epochs) that a value-equality oracle cannot — both
     engines agree perfectly on an empty result."""
     empty = []
     for name, (fn, _) in REGISTRY.items():
-        if name in EXPECTED_EMPTY_AT_TINY_SF:
-            continue
         if fn(spark, sf_dir).limit(1).count() == 0:
             empty.append(name)
     assert not empty, (
@@ -129,6 +135,13 @@ def test_no_vacuous_queries(spark, sf_dir):
         "corpus_mixture_plan",
         "corpus_tfidf_topterms",
         "corpus_length_histogram",
+        # the composed pipeline: per-row float quality + six chained
+        # stages of windows/joins must stay deterministic under any
+        # partitioning for its oracle to be meaningful
+        "corpus_curation_pipeline",
+        # r6 oracle-checkable sketch verdicts: the rank-bracket
+        # booleans must not depend on partition order
+        "approx_sketches",
     ],
 )
 def test_partitioning_invariance(spark, sf_dir, name):

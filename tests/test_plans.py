@@ -246,3 +246,22 @@ def test_upsert_single_key_shuffle(spark, sf_dir):
     f = facts(spark, sf_dir, "events_upsert_latest")
     assert not f.joins, "upsert is union + window, never a join"
     assert not f.has_cartesian
+
+
+def test_curation_pipeline_no_extra_shuffles(spark, sf_dir):
+    # The composed quality->dedup->decon->split->shard->pack pipeline
+    # must keep each stage's scale contract under composition: no
+    # cartesian, and both the shard-position and the packing windows
+    # stay partitioned (split/shard keys), never corpus-wide. At this
+    # fixture scale every join (eval grams, decon verdicts, sub-shard
+    # offsets) plans as broadcast; at corpus scale the verdict join
+    # would legitimately become one doc_id key shuffle — the assertion
+    # guards the cartesian/nested-loop regression class.
+    f = facts(spark, sf_dir, "corpus_curation_pipeline")
+    assert not f.has_cartesian
+    assert f.joins and all(j.startswith("Broadcast") for j in f.joins), (
+        f"all pipeline joins must broadcast bounded sides, got {f.joins}"
+    )
+    assert "hashpartitioning(split" in f.raw or (
+        "hashpartitioning(shard" in f.raw
+    ), "shard/pack windows must partition by (split, shard)"
