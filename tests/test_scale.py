@@ -68,6 +68,19 @@ def _run_noop(fn, spark, sf_dir) -> float:
         # iterative CC on the maximal pair graph: sub-linear via
         # endpoint-only propagation
         ("dedup_clusters", 8.0),
+        # round-6 additions (SCALING.md "curation/retrieval tier"):
+        # measured 1.9x / 2.3x / 3.6x / 3.0x at 10x — bounds are ~2.5x
+        # the measurement to catch order-of-magnitude regressions only.
+        # full-vocab (doc, term) shuffle, map-side combined both hops
+        ("corpus_tfidf_topterms", 6.0),
+        # six chained stages must not amplify each other's shuffles
+        ("corpus_curation_pipeline", 7.0),
+        # explode + scan, overhead-dominated baseline: near-linear is
+        # the exact-scoring floor; the bound catches a lost top-k
+        # (global-sort window) or lost early term filter
+        ("doc_bm25_search", 9.0),
+        # two-level prefix sum: linear row cost, <= 1000-row windows
+        ("doc_sequence_packing", 8.0),
     ],
 )
 def test_tenx_replication_scales_sublinearly(spark, scaled_dir, qname, max_ratio):
