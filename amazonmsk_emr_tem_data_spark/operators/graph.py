@@ -1,0 +1,119 @@
+"""Iterative graph analytics over edge DataFrames (north-star).
+
+The reference has no graph code at all (its 461 lines are Kafka/S3
+driver scripts — SURVEY §0); this module fills the link-analysis gap a
+training-data pipeline needs: web-graph quality signals (PageRank over
+a page/domain link graph is the classic crawl-quality prior, cf.
+Page et al. 1999 and Common Crawl's harmonic-centrality releases).
+
+Design rules shared with `operators/dedup.connected_components`:
+
+- **Integer micro-unit arithmetic.** Rank mass is carried as a long
+  number of 1e-12 units. Every per-iteration reduction is then a sum
+  of longs — exact, order-independent, bit-identical across engine,
+  partitioning, and reduction order — so a fixed-iteration run has an
+  exact unrolled-CTE SQL twin (float PageRank would drift per
+  partitioning). Division is floor-division on positive longs, which
+  Spark's `div`, DuckDB's `//`, and Python's `//` all agree on.
+- **Driver traffic is model state only**: the node count (one long).
+  Everything else stays in DataFrames.
+- **Per-iteration `localCheckpoint`** truncates lineage, same as the
+  big-graph CC path: state per round is (node, rank) — two longs per
+  node; the normalized edge list is computed once and cached.
+
+Scale shape per iteration: one shuffle of the (edge → contribution)
+stream keyed by dst (map-side combinable), one broadcast of the 1-row
+dangling-mass aggregate, one join back to the node list. At 1000
+executors and a 100 TB edge list that is the same MapReduce round
+GraphX/Pregel runs; skewed high-in-degree pages cost only on their own
+keys (partial aggregation absorbs the fan-in map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Rank mass carried as units of 1e-12 (total mass == SCALE).
+SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "page",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w_edge",
+    damping_pct: int = 85,
+    n_iterations: int = 5,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Weighted PageRank with dangling-mass redistribution, fixed
+    iteration count, exact integer arithmetic.
+
+    Per iteration, with d = damping_pct/100 and N = |nodes|::
+
+        contrib(u→v) = rank[u] * w(u,v) // w_out(u)
+        rank'[v]     = (1-d)*SCALE // N
+                       + d * Σ_in contrib // 1
+                       + d * dangling_mass // N
+
+    (all divisions floor-divisions on longs — the truncation dust is
+    deterministic and identical in the SQL twin). Returns one row per
+    node: ``(id_col, rank_micro: long)``.
+    """
+    n_nodes = nodes.count()  # bounded driver traffic: one scalar
+    if n_nodes == 0:
+        # empty graph (e.g. a filter matched nothing): empty result,
+        # not a divide-by-zero — a poisoned slice must not kill a run
+        return nodes.select(
+            F.col(id_col), F.lit(0).cast("long").alias("rank_micro")
+        )
+    base = (100 - damping_pct) * SCALE // (100 * n_nodes)
+    out_deg = edges.groupBy(src_col).agg(
+        F.sum(weight_col).alias("w_out")
+    )
+    norm_edges = edges.join(out_deg, src_col).cache()
+    ranks = nodes.select(
+        F.col(id_col).alias("node"),
+        F.lit(SCALE // n_nodes).cast("long").alias("rank_micro"),
+    )
+    if checkpoint:
+        ranks = ranks.localCheckpoint(eager=True)
+    for _ in range(n_iterations):
+        contribs = (
+            norm_edges.join(ranks, norm_edges[src_col] == ranks["node"])
+            .select(
+                F.col(dst_col).alias("node"),
+                F.expr(f"rank_micro * {weight_col} div w_out").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inc"))
+        )
+        # dangling mass: rank held by nodes with no out-edges, spread
+        # uniformly. 1-row aggregate → broadcast, never a driver trip.
+        dangling = (
+            ranks.join(
+                out_deg, ranks["node"] == out_deg[src_col], "left_anti"
+            )
+            .agg(F.coalesce(F.sum("rank_micro"), F.lit(0)).alias("dang"))
+        )
+        ranks = (
+            ranks.select("node")
+            .join(contribs, "node", "left_outer")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"{damping_pct} * coalesce(inc, 0L) div 100")
+                    + F.expr(
+                        f"{damping_pct} * dang div (100 * {n_nodes})"
+                    )
+                ).cast("long").alias("rank_micro"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(F.col("node").alias(id_col), "rank_micro")

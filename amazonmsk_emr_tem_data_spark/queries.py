@@ -1997,8 +1997,10 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, threshold=0.6)
 
 
-_DEDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE toks AS (
+#: Shared connected-component CTE chain (exact-Jaccard pairs at 0.6 →
+#: recursive transitive closure → per-doc cluster id + size). Used by
+#: the dedup_clusters oracle and extended by doc_near_dedup_keep_best.
+_CC_CTES = f"""toks AS (
   SELECT doc_id, {_TOKS_SQL} AS w FROM documents
 ), sh AS (
   SELECT doc_id, unnest(list_distinct(
@@ -2031,7 +2033,10 @@ WITH RECURSIVE toks AS (
   SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
 ), csize AS (
   SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
-)
+)"""
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_CC_CTES}
 SELECT c.doc_id, c.cluster_id, s.cluster_size,
        c.doc_id = c.cluster_id AS is_canonical
 FROM comp c JOIN csize s USING (cluster_id)
@@ -4905,6 +4910,403 @@ WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# round-6 additions: link-graph rank, keep-best dedup, bigram LM,
+# semantic decontamination, mixture resampling
+# ---------------------------------------------------------------------------
+
+
+def page_rank_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph quality prior: weighted PageRank over the page
+    transition graph mined from the event stream (page = the `k`
+    property; an edge src→dst for every consecutive same-user event
+    pair that changes page). The crawl-quality signal a web-scale
+    corpus build ranks domains/pages with (the reference has no graph
+    code at all) — and the registry's representative of the iterative
+    Pregel-style algorithm class, alongside connected components.
+
+    Exactness: rank mass is carried in integer 1e-12 units, so every
+    reduction is a long sum (order-independent) and the fixed 5
+    iterations have an exact unrolled-CTE DuckDB twin — the same
+    determinism treatment the IVF quantizer and BPE trainer got.
+    Scale: one map-combinable shuffle per iteration keyed by dst page,
+    a 1-row broadcast for dangling mass, lineage truncated per round;
+    the transition mining is one window shuffle on user_id."""
+    from .operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    page = F.get_json_object(F.col("props"), "$.k").try_cast("long")
+    ps = ev.select(
+        page.alias("page"), "user_id", "ts", "event_id"
+    ).filter(F.col("page").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ps.withColumn("dst", F.lead("page").over(w)).filter(
+        F.col("dst").isNotNull() & (F.col("dst") != F.col("page"))
+    )
+    edges = (
+        trans.groupBy(F.col("page").alias("src"), "dst")
+        .agg(F.count(F.lit(1)).alias("w_edge"))
+    )
+    nodes = ps.select("page").distinct()
+    ranks = pagerank(edges, nodes, id_col="page")
+    out_deg = edges.groupBy("src").agg(F.sum("w_edge").alias("w_out"))
+    return (
+        ranks.join(out_deg, ranks["page"] == out_deg["src"], "left_outer")
+        .select(
+            "page",
+            "rank_micro",
+            (F.col("rank_micro").cast("double") / F.lit(1e12)).alias("rank"),
+            F.coalesce("w_out", F.lit(0)).cast("long").alias("n_out"),
+        )
+    )
+
+
+def _pagerank_iteration_sql(k: int) -> str:
+    """One unrolled PageRank round (exact integer twin of
+    operators/graph.pagerank)."""
+    p = f"r{k - 1}"
+    return f"""
+, i{k} AS (
+  SELECT e.dst AS page,
+         CAST(SUM((r.rank_micro * e.w_edge) // o.w_out) AS BIGINT) AS inc
+  FROM {p} r JOIN edges e ON r.page = e.src JOIN outd o ON e.src = o.src
+  GROUP BY e.dst
+), d{k} AS (
+  SELECT CAST(COALESCE(SUM(r.rank_micro), 0) AS BIGINT) AS dang
+  FROM {p} r LEFT JOIN outd o ON r.page = o.src WHERE o.src IS NULL
+), r{k} AS (
+  SELECT n.page,
+         CAST((15 * 1000000000000) // (100 * nn.n)
+              + (85 * COALESCE(i.inc, 0)) // 100
+              + (85 * d.dang) // (100 * nn.n) AS BIGINT) AS rank_micro
+  FROM nodes n CROSS JOIN nn CROSS JOIN d{k} d LEFT JOIN i{k} i ON n.page = i.page
+)"""
+
+
+_PAGERANK_SQL = f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                       THEN json_extract_string(props, '$.k') END
+                  AS BIGINT) AS page
+  FROM events
+), ps AS (
+  SELECT * FROM seq WHERE page IS NOT NULL
+), tr AS (
+  SELECT page AS src,
+         lead(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ps
+), edges AS (
+  SELECT src, dst, COUNT(*) AS w_edge FROM tr
+  WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2
+), nodes AS (
+  SELECT DISTINCT page FROM ps
+), nn AS (
+  SELECT COUNT(*) AS n FROM nodes
+), outd AS (
+  SELECT src, CAST(SUM(w_edge) AS BIGINT) AS w_out FROM edges GROUP BY src
+), r0 AS (
+  SELECT page, CAST(1000000000000 // nn.n AS BIGINT) AS rank_micro
+  FROM nodes CROSS JOIN nn
+){"".join(_pagerank_iteration_sql(k) for k in range(1, 6))}
+SELECT r.page, r.rank_micro,
+       CAST(r.rank_micro AS DOUBLE) / 1000000000000.0 AS rank,
+       CAST(COALESCE(o.w_out, 0) AS BIGINT) AS n_out
+FROM r5 r LEFT JOIN outd o ON r.page = o.src
+"""
+
+
+def doc_near_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST near-dup canonicalization: what a production corpus
+    build actually runs after clustering — per near-dup cluster keep
+    the highest-QUALITY member, not the min-id one (RefinedWeb/FineWeb
+    keep the longest/cleanest copy; min-id is only the cheapest
+    deterministic choice). Composes the full stack: MinHash-LSH pairs →
+    connected components → quality score → per-cluster argmax (rank
+    window partitioned by cluster, ties broken doc_id asc).
+
+    Scale: the clustering cost is dedup_clusters' (pairs touch a few
+    percent of the corpus); the added work is one map-only quality
+    pass, a join on doc_id, and a window partitioned by cluster_id —
+    bounded by the largest cluster, never a global sort."""
+    from .functions.text import quality_score
+    from .operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(docs, threshold=0.6).drop("is_canonical")
+    quality = docs.select(
+        "doc_id", quality_score("text").alias("quality")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("keep_rank", F.row_number().over(w).cast("long"))
+        .withColumn("is_kept", F.col("keep_rank") == 1)
+        .select(
+            "doc_id", "cluster_id", "cluster_size", "quality",
+            "keep_rank", "is_kept",
+        )
+    )
+
+
+_KEEP_BEST_SQL = f"""
+WITH RECURSIVE {_CC_CTES}, q AS (
+  SELECT doc_id, {_QUALITY_SCORE_SQL} AS quality FROM documents
+)
+SELECT c.doc_id, c.cluster_id, s.cluster_size, q.quality,
+       CAST(row_number() OVER (PARTITION BY c.cluster_id
+              ORDER BY q.quality DESC, c.doc_id ASC) AS BIGINT) AS keep_rank,
+       row_number() OVER (PARTITION BY c.cluster_id
+         ORDER BY q.quality DESC, c.doc_id ASC) = 1 AS is_kept
+FROM comp c JOIN csize s USING (cluster_id) JOIN q USING (doc_id)
+"""
+
+
+def doc_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality scoring — the CCNet/KenLM
+    perplexity filter one rung up from doc_unigram_logprob: score each
+    document by the mean log of p(w₂|w₁) = 0.75·c(w₁w₂)/c(w₁) +
+    0.25·c(w₂)/total under the corpus's own counts (low = unnatural
+    token transitions: boilerplate, word salad, wrong language).
+
+    Plan: bigrams are built MAP-ONLY from the token array (transform
+    over sequence — no self-join, no positional shuffle); the prob
+    table is computed once over DISTINCT bigrams (|vocab²|-bounded,
+    in practice ≪ corpus) and the big (doc, bigram) stream joins it on
+    the bigram key — one count shuffle + one join shuffle at corpus
+    scale. Log-probs snap to the integer micro-nat grid BEFORE the
+    per-doc sum (order-invariant long arithmetic, the module rule).
+    Residual risk shared with doc_unigram_logprob: ln() is libm-
+    dependent in the last ulp; the grid fixes summation order, not
+    transcendental drift (see BM25's engine-exact idf for the
+    mitigation pattern if this ever flakes)."""
+    from .functions.text import tokens
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    arr = docs.select("doc_id", tokens("text").alias("w"))
+    toks = arr.select("doc_id", F.explode("w").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = uni.agg(F.sum("c").alias("total"))
+    bg = arr.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(element_at(w, i) AS w1,"
+                " element_at(w, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    probs = (
+        bi.join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    F.lit(0.75)
+                    * (F.col("c12").cast("double") / F.col("c1").cast("double"))
+                    + F.lit(0.25)
+                    * (F.col("c2").cast("double") / F.col("total").cast("double"))
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("logp_micro"),
+        )
+    )
+    return (
+        bg.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum("logp_micro").cast("double")
+                / (F.count(F.lit(1)) * F.lit(1000000.0))
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+_BIGRAM_LM_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+), toks AS (
+  SELECT doc_id, unnest(w) AS tok FROM t
+), uni AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT COUNT(*) AS total FROM toks
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i])) AS w1,
+         unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i + 1])) AS w2
+  FROM t WHERE len(w) >= 2
+), bi AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+), probs AS (
+  SELECT b.w1, b.w2,
+         CAST(round(ln(0.75 * (CAST(b.c12 AS DOUBLE) / CAST(u1.c AS DOUBLE))
+                       + 0.25 * (CAST(u2.c AS DOUBLE) / CAST(tot.total AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) AS logp_micro
+  FROM bi b JOIN uni u1 ON b.w1 = u1.tok JOIN uni u2 ON b.w2 = u2.tok
+  CROSS JOIN tot
+)
+SELECT g.doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(p.logp_micro) AS DOUBLE) / (COUNT(*) * 1000000.0) AS avg_logprob
+FROM bg g JOIN probs p ON g.w1 = p.w1 AND g.w2 = p.w2
+GROUP BY g.doc_id
+"""
+
+
+def semantic_decontamination(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    complement of the n-gram rule in doc_decontamination: a corpus
+    vector is contaminated if it is cosine-close to ANY held-out eval
+    vector (paraphrased eval leakage that verbatim n-gram overlap
+    misses; the Llama/GPT-4-report style embedding contamination
+    check). Eval membership: vec_id % 50 == 0 (deterministic,
+    ingest-stable), ~2% of the corpus.
+
+    Plan shape at 100 TB: the eval side is small by definition →
+    broadcast; the corpus scans ONCE and never shuffles its vectors —
+    a LEFT broadcast-nested-loop join on the cosine threshold keeps
+    every corpus row (clean rows pair with NULL), so no join-back is
+    needed, and the only exchange carries the narrow (vec_id, label,
+    cos) stream into a map-side-combined aggregate (count + max, both
+    order-independent). Every corpus row is emitted with its verdict
+    (clean rows carry n_eval_hits=0), so the result is the filterable
+    corpus itself — and an EMPTY eval slice degrades to an all-clean
+    verdict, not a dropped corpus (edge-corpus contract)."""
+    from .operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eval_vecs = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("eval_emb")
+    )
+    corpus = ensure_parallelism(emb.filter(F.col("vec_id") % 50 != 0))
+    joined = corpus.join(
+        F.broadcast(eval_vecs),
+        cosine(F.col("embedding"), F.col("eval_emb")) >= F.lit(threshold),
+        "left_outer",
+    )
+    return (
+        joined.select(
+            "vec_id",
+            "label",
+            "eval_id",
+            cosine(F.col("embedding"), F.col("eval_emb")).alias("cos_sim"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.count("eval_id").cast("long").alias("n_eval_hits"),
+            F.max("cos_sim").alias("max_eval_sim"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "n_eval_hits",
+            "max_eval_sim",
+            (F.col("n_eval_hits") > 0).alias("contaminated"),
+        )
+    )
+
+
+_SEMANTIC_DECONTAM_SQL = f"""
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding AS eval_emb FROM embeddings
+  WHERE vec_id % 50 = 0
+), corpus AS (
+  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 50 <> 0
+), scored AS (
+  SELECT c.vec_id,
+         {_COS_SQL.format(a='c.embedding', b='e.eval_emb')} AS cos_sim
+  FROM corpus c CROSS JOIN ev e
+), hits AS (
+  SELECT vec_id, COUNT(*) AS n_eval_hits, MAX(cos_sim) AS max_eval_sim
+  FROM scored WHERE cos_sim >= 0.4 GROUP BY vec_id
+)
+SELECT c.vec_id, c.label,
+       COALESCE(h.n_eval_hits, 0) AS n_eval_hits,
+       h.max_eval_sim,
+       COALESCE(h.n_eval_hits, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN hits h USING (vec_id)
+"""
+
+
+def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the mixture plan corpus_mixture_plan computes: subsample
+    each over-represented source down to the uniform token share
+    (rate = min(1, total/(n_sources·src_tokens))) with a deterministic
+    per-doc hash draw — the downsampling half of data mixing (the
+    repeat-epochs half is a read-time multiplier, not a data motion).
+    Hash draws make the sample ingest-stable (a doc's fate never
+    changes as the corpus grows within a source) and reproducible on
+    any worker standalone — the same virtues as doc_corpus_split.
+
+    Rates are integer ppm computed by long floor-division (no float
+    path, so the kept set is bit-stable across engines). Plan: one
+    map-combinable per-source agg (|sources| rows) → window over those
+    few rows → broadcast join back → map-only filter. The corpus
+    shuffles ZERO times."""
+    from .functions.text import md5_hash64, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(token_count("text")).alias("src_tokens")
+    )
+    w = Window.partitionBy()
+    rates = per.select(
+        "source",
+        "src_tokens",
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.expr(
+                "sum(src_tokens) OVER () * 1000000"
+                " div (count(*) OVER () * src_tokens)"
+            ),
+        ).alias("rate_ppm"),
+    )
+    draw = F.pmod(
+        md5_hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+        F.lit(1000000),
+    )
+    return (
+        docs.join(F.broadcast(rates.drop("src_tokens")), "source")
+        .withColumn("sample_bucket", draw)
+        .filter(F.col("sample_bucket") < F.col("rate_ppm"))
+        .select("doc_id", "source", "rate_ppm", "sample_bucket")
+    )
+
+
+_MIXTURE_RESAMPLE_SQL = f"""
+WITH per AS (
+  SELECT source, CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS src_tokens
+  FROM documents GROUP BY source
+), rates AS (
+  SELECT source,
+         CAST(LEAST(1000000,
+              (CAST(SUM(src_tokens) OVER () AS BIGINT) * 1000000)
+                // (CAST(COUNT(*) OVER () AS BIGINT) * src_tokens))
+           AS BIGINT) AS rate_ppm
+  FROM per
+)
+SELECT d.doc_id, d.source, r.rate_ppm,
+       {_HASH64_SQL.format(x="'mix:' || CAST(d.doc_id AS VARCHAR)")}
+         % 1000000 AS sample_bucket
+FROM documents d JOIN rates r USING (source)
+WHERE {_HASH64_SQL.format(x="'mix:' || CAST(d.doc_id AS VARCHAR)")}
+        % 1000000 < r.rate_ppm
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4937,6 +5339,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "approx_sketches": (approx_sketches, _APPROX_SKETCHES_SQL),
     # new this round: the composed curation pipeline
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_PIPELINE_SQL),
+    # new this round (session 2): graph rank, keep-best dedup, bigram
+    # LM, semantic decontamination, mixture resample — no driver
+    # evidence exists yet, so they outrank refresh fill for slots
+    "page_rank_pages": (page_rank_pages, _PAGERANK_SQL),
+    "doc_near_dedup_keep_best": (doc_near_dedup_keep_best, _KEEP_BEST_SQL),
+    "doc_bigram_lm_quality": (doc_bigram_lm_quality, _BIGRAM_LM_SQL),
+    "semantic_decontamination": (semantic_decontamination, _SEMANTIC_DECONTAM_SQL),
+    "corpus_mixture_resample": (corpus_mixture_resample, _MIXTURE_RESAMPLE_SQL),
     # idf made engine-exact (driver-side ln) — same math, fresh stamp
     "corpus_tfidf_topterms": (corpus_tfidf_topterms, _TFIDF_TOPTERMS_SQL),
     "doc_bm25_search": (doc_bm25_search, _BM25_SQL),
@@ -4962,8 +5372,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_meta": (multimodal_meta, _MULTIMODAL_META_SQL),
     "asof_latest_order": (asof_latest_order, _ASOF_SQL),
     "sessionize_events": (sessionize_events, _SESSION_SQL_BODY),
-    # --- r6 window: longest-unstamped r4-green fill (26 entries;
-    # the remaining 15 r4-green entries rotate in round 7) ---
+    # --- r6 window: longest-unstamped r4-green fill (21 entries
+    # after the session-2 displacement; the remaining r4-green
+    # entries rotate in round 7) ---
     "grouping_sets_lineitem": (grouping_sets_lineitem, _GROUPING_SETS_SQL),
     "pivot_status_by_flag": (pivot_status_by_flag, _PIVOT_SQL),
     "exact_quantiles": (exact_quantiles, _EXACT_QUANTILES_SQL),
@@ -4985,6 +5396,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "large_quantity_orders": (large_quantity_orders, _LARGE_ORDERS_SQL),
     "nation_trade_flows": (nation_trade_flows, _NATION_TRADE_SQL),
     "idle_rich_customers": (idle_rich_customers, _IDLE_RICH_SQL),
+    # ------------------------------------------------------------------
+    # below the window (entry 51+): driver-green in round 4, next in
+    # the rotation queue for round 7. The 5 entries right below were
+    # displaced from the r6 fill by the 5 new session-2 queries (new
+    # queries have NO driver evidence; these are r4-green refresh).
+    # ------------------------------------------------------------------
     "doc_repetition_filter": (doc_repetition_filter, _DOC_REPETITION_SQL),
     "promo_revenue_share": (promo_revenue_share, _PROMO_SHARE_SQL),
     "disjunctive_predicate_revenue": (
@@ -4996,10 +5413,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         cheapest_supplier_per_part,
         _CHEAPEST_SUPPLIER_SQL,
     ),
-    # ------------------------------------------------------------------
-    # below the window (entry 51+): driver-green in round 4, next in
-    # the rotation queue for round 7
-    # ------------------------------------------------------------------
     "supplier_counts_by_part_attrs": (
         supplier_counts_by_part_attrs,
         _SUPPLIER_COUNTS_SQL,

@@ -8,8 +8,11 @@ Same methodology as SCALING.md / bench.py: key-offset 10x fixtures
 run, caches cleared), per-query median of 3, local[32].
 
 Usage:
-    python scripts/bench_round6_scale.py [scaled_dir]
+    python scripts/bench_round6_scale.py [scaled_dir] [query,query,...]
 Prints one JSON line {query: {"sf01": s, "x10": s, "ratio": r}}.
+The optional comma-separated query list overrides the default set
+(used for the session-2 additions: pagerank, keep-best, bigram LM,
+semantic decontamination, mixture resample).
 """
 
 from __future__ import annotations
@@ -56,9 +59,10 @@ def main() -> None:
         from scripts.make_scaled_fixtures import build_scaled
 
         build_scaled(src, scaled, 10)
+    queries = sys.argv[2].split(",") if len(sys.argv) > 2 else QUERIES
     spark = get_spark("bench-scale-r6")
     out = {}
-    for name in QUERIES:
+    for name in queries:
         fn, _ = REGISTRY[name]
         t_small = _median3(fn, spark, src)
         t_big = _median3(fn, spark, scaled)

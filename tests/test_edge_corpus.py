@@ -68,6 +68,13 @@ DOC_QUERIES = [
     "doc_bpe_segmentation",
     # BM25: query terms absent/present on empty + unicode docs
     "doc_bm25_search",
+    # r6 session-2: bigram LM (docs shorter than 2 tokens drop from
+    # the output in BOTH engines), mixture resampling (token counting
+    # + integer rates on empty/unicode text), keep-best dedup (quality
+    # formula + LSH + CC over planted exact dups and empty docs)
+    "doc_bigram_lm_quality",
+    "corpus_mixture_resample",
+    "doc_near_dedup_keep_best",
     # round-5 additions: tf-idf on empty/unicode vocabularies; the
     # fingerprint-hash split on identical texts (the leakage case the
     # operator exists for); bin()-bucket histogram on empty text
@@ -120,6 +127,9 @@ EMB_QUERIES = [
     "embedding_knn_join",
     "embedding_near_dup_pairs",
     "embedding_int8_quantize",
+    # r6 session-2: eval slice (vec_id % 50 == 0) is EMPTY on this
+    # fixture — every corpus row must come back clean, not crash
+    "semantic_decontamination",
 ]
 
 
@@ -214,6 +224,10 @@ EVENTS_QUERIES = [
     "props_variant_extract",
     "event_funnel",
     "retention_cohorts",
+    # r6 session-2: no row carries an integer $.k -> the page graph is
+    # EMPTY; the fixed-point loop must short-circuit to an empty
+    # result (not divide by zero) in both engines
+    "page_rank_pages",
 ]
 
 

@@ -61,6 +61,11 @@ def test_driver_window_covers_round6_rotation():
         "corpus_curation_pipeline",   # new composed pipeline
         "corpus_tfidf_topterms",      # engine-exact idf rework
         "doc_bm25_search",            # engine-exact idf rework
+        # new in round-6 session 2 — zero driver evidence yet, so they
+        # outrank r4-green refresh fill for window slots
+        "page_rank_pages", "doc_near_dedup_keep_best",
+        "doc_bigram_lm_quality", "semantic_decontamination",
+        "corpus_mixture_resample",
         # dropped by the r5 53-name window overflow — never stamped
         "stream_distinct_users", "stream_dedup_watermark",
         "stream_doc_quality",
@@ -79,7 +84,7 @@ def test_driver_window_covers_round6_rotation():
     # The r5 failure mode: the marked window section held 53 names, so
     # its last 3 were never stamped. Pin the window to EXACTLY the
     # first 50 by anchoring the entry that must sit at position 51.
-    assert list(REGISTRY)[50] == "supplier_counts_by_part_attrs", (
+    assert list(REGISTRY)[50] == "doc_repetition_filter", (
         "registry position 51 drifted — the driver stamps exactly "
         "list(REGISTRY)[:50]; an insert above this line silently pushes "
         "window entries below the checked range"
@@ -142,6 +147,12 @@ def test_no_vacuous_queries(spark, sf_dir):
         # r6 oracle-checkable sketch verdicts: the rank-bracket
         # booleans must not depend on partition order
         "approx_sketches",
+        # r6 session-2: integer micro-unit PageRank mass, micro-nat
+        # bigram log-prob sums, and order-independent max/count
+        # decontamination verdicts must all survive repartitioning
+        "page_rank_pages",
+        "doc_bigram_lm_quality",
+        "semantic_decontamination",
     ],
 )
 def test_partitioning_invariance(spark, sf_dir, name):

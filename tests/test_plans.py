@@ -265,3 +265,45 @@ def test_curation_pipeline_no_extra_shuffles(spark, sf_dir):
     assert "hashpartitioning(split" in f.raw or (
         "hashpartitioning(shard" in f.raw
     ), "shard/pack windows must partition by (split, shard)"
+
+
+def test_semantic_decontam_corpus_never_shuffles_vectors(spark, sf_dir):
+    # LEFT broadcast-nested-loop on the cosine threshold: the corpus
+    # embedding column must never cross an exchange — the only shuffle
+    # carries the narrow (vec_id, label, cos) aggregate stream. A
+    # join-back regression (corpus SortMergeJoin against its own hit
+    # aggregate — the shape this query shipped with first) doubles the
+    # corpus shuffle cost at 100 TB.
+    f = facts(spark, sf_dir, "semantic_decontamination")
+    assert f.joins and all(j.startswith("Broadcast") for j in f.joins), (
+        f"eval side must broadcast; corpus must not shuffle, got {f.joins}"
+    )
+    assert not f.has_cartesian
+    assert f.has_partial_agg, "hit counts must partial-aggregate map-side"
+
+
+def test_mixture_resample_docs_side_map_only(spark, sf_dir):
+    # The corpus side must be scan -> broadcast-join(rates) -> filter:
+    # zero shuffles of documents. The only exchanges belong to the
+    # |sources|-row rate derivation (one partial agg + one single-
+    # partition window over the aggregated rows).
+    f = facts(spark, sf_dir, "corpus_mixture_resample")
+    assert set(f.joins) == {"BroadcastHashJoin"}, (
+        f"rates must broadcast onto the docs scan, got {f.joins}"
+    )
+    assert f.n_exchanges <= 2, (
+        f"only the rate derivation may shuffle, got {f.n_exchanges}"
+    )
+    assert f.has_partial_agg
+
+
+def test_pagerank_no_cartesian_broadcast_composition(spark, sf_dir):
+    # Post-checkpoint composition (final ranks x out-degrees): small
+    # model-state joins must broadcast; nothing in the visible plan may
+    # plan a cartesian. (Per-iteration shapes live behind localCheckpoint
+    # truncation — their contract is the integer-arithmetic oracle.)
+    f = facts(spark, sf_dir, "page_rank_pages")
+    assert not f.has_cartesian
+    assert f.joins and all(j.startswith("Broadcast") for j in f.joins), (
+        f"rank/out-degree composition joins must broadcast, got {f.joins}"
+    )
