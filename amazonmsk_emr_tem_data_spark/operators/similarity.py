@@ -439,3 +439,211 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# tier 4: product quantization (IVF's memory-side complement)
+# ---------------------------------------------------------------------------
+
+
+def dist2(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² in double precision, left-to-right — bit-identical to
+    DuckDB's ``list_dot_product(diff, diff)`` over the same elements."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    sample_n: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebook training: split unit-normalized
+    vectors into ``m`` subspaces and run plain-L2 deterministic Lloyd's
+    independently in each (init = first ``ksub`` sampled subvectors in
+    id order, fixed iterations, no RNG). Returns
+    ``codebooks[j][c] = centroid c of subspace j``.
+
+    Same recipe class as :func:`kmeans_centroids` (bounded sample →
+    driver numpy → broadcast literals), with every float reduction made
+    ENGINE-EXACT rather than merely deterministic: normalization and
+    distance sums accumulate dim-by-dim in Python-loop order (numpy's
+    pairwise/BLAS reductions differ from DuckDB's sequential
+    list_dot_product in the last ulp; a sequential loop matches it
+    bit-for-bit), and centroid updates snap components to the 1e-9
+    long grid before the member sum — the clustering.kmeans_fit
+    convention — then divide (sum/1e9)/count in that exact order."""
+    import numpy as np
+
+    sample = (
+        embeddings.orderBy(id_col).limit(sample_n).select(vec_col).toPandas()
+    )
+    x = np.array([list(v) for v in sample[vec_col]], dtype=np.float64)
+    # sequential-per-dim norm: matches _UNIT_SQL / the fold in
+    # _normalized exactly (np.linalg.norm would pairwise-sum)
+    nrm2 = np.zeros(len(x))
+    for t in range(x.shape[1]):
+        nrm2 = nrm2 + x[:, t] * x[:, t]
+    x = x / np.maximum(np.sqrt(nrm2), 1e-12)[:, None]
+    dsub = x.shape[1] // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        xs = x[:, j * dsub:(j + 1) * dsub]
+        cent = xs[:ksub].copy()
+        for _ in range(iters):
+            # assignment score: ‖c‖² − 2·x·c (argmin-equivalent to
+            # ‖x−c‖², ‖x‖² being constant per row) — the EXACT
+            # expression pq_encode unrolls and the SQL twin orders by,
+            # accumulated dim-sequentially in all three engines
+            c2 = np.zeros(ksub)
+            for t in range(dsub):
+                c2 = c2 + cent[:, t] * cent[:, t]
+            xc = np.zeros((len(xs), ksub))
+            for t in range(dsub):
+                xc = xc + xs[:, None, t] * cent[None, :, t]
+            score = c2[None, :] - 2 * xc
+            assign = score.argmin(axis=1)  # first occurrence on ties
+            for c in range(ksub):
+                members = xs[assign == c]
+                if len(members):
+                    s = (
+                        np.floor(members * 1e9 + 0.5).astype(np.int64).sum(axis=0)
+                        / 1e9
+                    )
+                    cent[c] = s / len(members)
+        books.append(cent.tolist())
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` nearest-subspace-centroid ids
+    (columns code1..codem) — scan-side argmin over broadcast centroid
+    literals, no shuffle, no UDF; first occurrence wins ties (lowest
+    centroid id), the with_ivf_cell rule. The encoded corpus is the
+    narrow table ADC scans: m small ints instead of d floats.
+
+    The argmin score is the expanded ``‖c‖² − 2·x·c`` (ranking-
+    equivalent to ‖x−c‖²; ‖x‖² is constant per row) UNROLLED into
+    plain arithmetic: ‖c‖² folds to a driver literal and x·c to an
+    explicit dsub-term sum, so the whole pass stays inside whole-stage
+    codegen — the fold/HOF form ran interpreted per row and was ~50×
+    slower (44 s for 20k×64 at 10×; this form benches sub-second).
+    pq_train's numpy assignment and the SQL twin order by the SAME
+    expression, term order and all, so code selection is bit-identical
+    across the three engines."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    from ..operators.clustering import _normalized
+
+    base = ensure_parallelism(embeddings).select(
+        F.col(id_col), _normalized(vec_col).alias("_v")
+    )
+    cols = [F.col(id_col)]
+    for j in range(m):
+        off = j * dsub
+        scores = []
+        for cent in codebooks[j]:
+            c2 = 0.0
+            for t in range(dsub):  # sequential, like list_dot_product
+                c2 = c2 + cent[t] * cent[t]
+            xc = None
+            for t in range(dsub):
+                term = F.element_at("_v", off + t + 1) * F.lit(float(cent[t]))
+                xc = term if xc is None else xc + term
+            scores.append(F.lit(c2) - F.lit(2.0) * xc)
+        arr = F.array(*scores)
+        code = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        cols.append(code.alias(f"code{j + 1}"))
+    return base.select(*cols)
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    sample_n: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-encoded corpus
+    (Jégou et al. 2011): approximate ‖q−x‖² = Σⱼ ‖qⱼ−cⱼ,code_j(x)‖².
+    On unit vectors L2² = 2−2·cos, so ranking ascending matches the
+    cosine tiers.
+
+    Scale shape: codebooks are model state (m·ksub·dsub floats →
+    broadcast literals); the corpus is scanned as its CODES (m ints,
+    16× narrower than the raw vectors — the memory point of PQ);
+    queries broadcast; the per-query partial top-k is a partitioned
+    rank window, the same pattern as ivf_topk. At 100 TB the encode
+    pass is map-only and the ADC pass never shuffles the corpus."""
+    books = pq_train(
+        embeddings, m=m, ksub=ksub, iters=iters, sample_n=sample_n,
+        id_col=id_col, vec_col=vec_col,
+    )
+    dsub = len(books[0][0])
+    enc = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
+    # The classic ADC LUT (Jégou 2011 §IV): per (query, subspace,
+    # centroid) squared distances — n_queries × m × ksub doubles of
+    # bounded MODEL STATE (like BM25's per-term idf), computed once on
+    # the driver and broadcast. The per-corpus-row ADC cost drops from
+    # m folds over dsub elements to m array lookups + (m−1) adds.
+    # Sequential Python sums keep every value bit-identical to the
+    # fold/list_dot_product the engines would compute inline.
+    q_rows = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    luts = []
+    for r in q_rows:
+        q = [float(x) for x in r[vec_col]]
+        nrm2 = 0.0
+        for x in q:
+            nrm2 = nrm2 + x * x
+        nrm = max(nrm2 ** 0.5, 1e-12)
+        q = [x / nrm for x in q]
+        lut = []
+        for j in range(m):
+            row = []
+            for cent in books[j]:
+                s = 0.0
+                for t in range(dsub):
+                    d = q[j * dsub + t] - cent[t]
+                    s = s + d * d
+                row.append(s)
+            lut.append(row)
+        luts.append((r[id_col], lut))
+    queries = embeddings.sparkSession.createDataFrame(
+        luts, "query_id long, lut array<array<double>>"
+    )
+    joined = enc.crossJoin(F.broadcast(queries))
+    adist = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at(F.col("lut"), j + 1), F.col(f"code{j + 1}") + 1
+        )
+        adist = term if adist is None else adist + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("adist", adist)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "adist", "rank")
+    )

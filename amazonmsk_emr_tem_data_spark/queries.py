@@ -4911,8 +4911,149 @@ WHERE rn = 1
 
 # ---------------------------------------------------------------------------
 # round-6 additions: link-graph rank, keep-best dedup, bigram LM,
-# semantic decontamination, mixture resampling
+# semantic decontamination, mixture resampling, PQ-ADC search
 # ---------------------------------------------------------------------------
+
+
+def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 (Jégou et al. 2011) — the fourth
+    ANN tier after brute-force / LSH / IVF: the corpus is stored as m=8
+    4-bit-ish subspace codes (16 centroids each) and queried through
+    per-subspace distance lookups, the memory-side scale path (16×
+    narrower scans than raw vectors; composes with IVF cell pruning as
+    IVF-PQ at 100 TB). Codebook training is RNG-free (first-4096
+    sample, first-k init, 3 fixed L2 Lloyd's rounds) and ENGINE-EXACT
+    (sequential-per-dim reductions + 1e-9-grid centroid updates; the
+    assignment argmin uses the expanded ``‖c‖² − 2·x·c`` score with
+    identical term order in numpy, unrolled Spark codegen, and SQL),
+    so encode + ADC have an exact unrolled-CTE DuckDB twin —
+    hash-checked like ivf_topk, not recall-tested. ADC distances come
+    from the classic per-query lookup table: n_queries×m×ksub doubles
+    of driver model state, like BM25's idf."""
+    from .operators.similarity import pq_adc_topk
+
+    return pq_adc_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+_PQ_DIST2_SQL = (
+    "list_dot_product("
+    "list_transform(generate_series(1, {n}), i -> {a}[i] - {b}[i]), "
+    "list_transform(generate_series(1, {n}), i -> {a}[i] - {b}[i]))"
+)
+
+
+def _pq_subspace_chain(j: int, dsub: int, ksub: int, iters: int) -> str:
+    """Unrolled plain-L2 Lloyd's for subspace ``j`` (1-based) over the
+    sample CTE ``smp``: twin of the per-subspace fit in
+    operators/similarity.pq_train. p{j}c{iters} holds the final
+    codebook; e{j} encodes the full corpus against it. Assignments
+    order by the expanded score ``‖c‖² − 2·x·c`` (argmin-equivalent to
+    dist², ‖x‖² constant per row; lowest cid on ties — the
+    numpy-argmin/first-occurrence rule) — the exact expression
+    pq_train/pq_encode accumulate, term by term."""
+    off = (j - 1) * dsub
+    d2 = (
+        "(list_dot_product(c.cvec, c.cvec)"
+        " - 2 * list_dot_product(f.sv, c.cvec))"
+    )
+    parts = [
+        f""", s{j}f AS (
+  SELECT vec_id, v[{off + 1}:{off + dsub}] AS sv FROM smp
+), p{j}c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sv AS cvec
+  FROM (SELECT vec_id, sv FROM s{j}f ORDER BY vec_id LIMIT {ksub})
+)"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f""", p{j}a{it} AS (
+  SELECT vec_id, sv, cid FROM (
+    SELECT f.vec_id, f.sv, c.cid,
+           row_number() OVER (PARTITION BY f.vec_id
+             ORDER BY {d2} ASC, c.cid ASC) AS rn
+    FROM s{j}f f, p{j}c{it - 1} c) t
+  WHERE rn = 1
+), p{j}u{it} AS (
+  SELECT cid, list(sm ORDER BY d) AS cvec
+  FROM (SELECT cid, t.i AS d,
+               (CAST(SUM(CAST(floor(sv[t.i] * 1e9 + 0.5) AS BIGINT))
+                     AS BIGINT) / 1e9) / COUNT(*) AS sm
+        FROM p{j}a{it}, range(1, {dsub + 1}) t(i) GROUP BY cid, t.i) z
+  GROUP BY cid
+), p{j}c{it} AS (
+  SELECT p.cid, coalesce(u.cvec, p.cvec) AS cvec
+  FROM p{j}c{it - 1} p LEFT JOIN p{j}u{it} u USING (cid)
+)"""
+        )
+    parts.append(
+        f""", e{j} AS (
+  SELECT vec_id, cid AS code{j} FROM (
+    SELECT f.vec_id, c.cid,
+           row_number() OVER (PARTITION BY f.vec_id
+             ORDER BY {d2} ASC, c.cid ASC) AS rn
+    FROM (SELECT vec_id, v[{off + 1}:{off + dsub}] AS sv FROM n) f,
+         p{j}c{iters} c) t
+  WHERE rn = 1
+)"""
+    )
+    return "".join(parts)
+
+
+def _pq_adc_sql(
+    k: int = 5,
+    n_queries: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    sample_n: int = 4096,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of operators/similarity.pq_adc_topk: m unrolled
+    per-subspace L2 k-means chains, corpus encoding, and the ADC
+    distance as an explicit left-associated m-term sum (the exact
+    order the Spark side adds its fold terms in)."""
+    dsub = dim // m
+    parts = [
+        f"""WITH n AS (
+  SELECT vec_id, {_UNIT_SQL.format(v='embedding')} AS v FROM embeddings
+), smp AS (
+  SELECT vec_id, v FROM n ORDER BY vec_id LIMIT {sample_n}
+)"""
+    ]
+    for j in range(1, m + 1):
+        parts.append(_pq_subspace_chain(j, dsub, ksub, iters))
+    enc_joins = " ".join(
+        f"JOIN e{j} USING (vec_id)" for j in range(2, m + 1)
+    )
+    book_joins = " ".join(
+        f"JOIN p{j}c{iters} b{j} ON e{j}.code{j} = b{j}.cid"
+        for j in range(1, m + 1)
+    )
+    terms = " + ".join(
+        _PQ_DIST2_SQL.format(
+            n=dsub,
+            a=f"q.qv[{(j - 1) * dsub + 1}:{j * dsub}]",
+            b=f"b{j}.cvec",
+        )
+        for j in range(1, m + 1)
+    )
+    parts.append(
+        f""", qs AS (
+  SELECT vec_id AS query_id, v AS qv FROM n WHERE vec_id < {n_queries}
+), cand AS (
+  SELECT q.query_id, e1.vec_id, {terms} AS adist
+  FROM qs q, e1 {enc_joins} {book_joins}
+)
+SELECT query_id, vec_id, adist, CAST(rank AS INT) AS rank FROM (
+  SELECT cand.*, row_number() OVER (PARTITION BY query_id
+           ORDER BY adist ASC, vec_id ASC) AS rank
+  FROM cand) t
+WHERE rank <= {k}"""
+    )
+    return "".join(parts)
+
+
+_PQ_ADC_SQL = _pq_adc_sql()
 
 
 def page_rank_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5171,8 +5312,13 @@ def semantic_decontamination(
     vector is contaminated if it is cosine-close to ANY held-out eval
     vector (paraphrased eval leakage that verbatim n-gram overlap
     misses; the Llama/GPT-4-report style embedding contamination
-    check). Eval membership: vec_id % 50 == 0 (deterministic,
-    ingest-stable), ~2% of the corpus.
+    check). Eval membership: vec_id % 50 == 0 AND vec_id < 1000 —
+    deterministic, ingest-stable, and BOUNDED: a benchmark suite is a
+    fixed artifact that does not grow with the corpus, and the id cap
+    encodes that (without it the 10× scale study measured the
+    |corpus|×|eval| product growing 100× — a fixture artifact, but
+    the unbounded-eval shape it exposed is exactly what the cap
+    forbids; the broadcast stays O(|eval|) at any corpus size).
 
     Plan shape at 100 TB: the eval side is small by definition →
     broadcast; the corpus scans ONCE and never shuffles its vectors —
@@ -5187,10 +5333,11 @@ def semantic_decontamination(
     from .operators.similarity import cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
-    eval_vecs = emb.filter(F.col("vec_id") % 50 == 0).select(
+    is_eval = (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 1000)
+    eval_vecs = emb.filter(is_eval).select(
         F.col("vec_id").alias("eval_id"), F.col("embedding").alias("eval_emb")
     )
-    corpus = ensure_parallelism(emb.filter(F.col("vec_id") % 50 != 0))
+    corpus = ensure_parallelism(emb.filter(~is_eval))
     joined = corpus.join(
         F.broadcast(eval_vecs),
         cosine(F.col("embedding"), F.col("eval_emb")) >= F.lit(threshold),
@@ -5221,9 +5368,10 @@ def semantic_decontamination(
 _SEMANTIC_DECONTAM_SQL = f"""
 WITH ev AS (
   SELECT vec_id AS eval_id, embedding AS eval_emb FROM embeddings
-  WHERE vec_id % 50 = 0
+  WHERE vec_id % 50 = 0 AND vec_id < 1000
 ), corpus AS (
-  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 50 <> 0
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE NOT (vec_id % 50 = 0 AND vec_id < 1000)
 ), scored AS (
   SELECT c.vec_id,
          {_COS_SQL.format(a='c.embedding', b='e.eval_emb')} AS cos_sim
@@ -5347,6 +5495,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_bigram_lm_quality": (doc_bigram_lm_quality, _BIGRAM_LM_SQL),
     "semantic_decontamination": (semantic_decontamination, _SEMANTIC_DECONTAM_SQL),
     "corpus_mixture_resample": (corpus_mixture_resample, _MIXTURE_RESAMPLE_SQL),
+    "embedding_pq_adc_topk": (embedding_pq_adc_topk, _PQ_ADC_SQL),
     # idf made engine-exact (driver-side ln) — same math, fresh stamp
     "corpus_tfidf_topterms": (corpus_tfidf_topterms, _TFIDF_TOPTERMS_SQL),
     "doc_bm25_search": (doc_bm25_search, _BM25_SQL),
@@ -5395,13 +5544,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "top_supplier_revenue": (top_supplier_revenue, _TOP_SUPPLIER_SQL),
     "large_quantity_orders": (large_quantity_orders, _LARGE_ORDERS_SQL),
     "nation_trade_flows": (nation_trade_flows, _NATION_TRADE_SQL),
-    "idle_rich_customers": (idle_rich_customers, _IDLE_RICH_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+): driver-green in round 4, next in
-    # the rotation queue for round 7. The 5 entries right below were
-    # displaced from the r6 fill by the 5 new session-2 queries (new
+    # the rotation queue for round 7. The 6 entries right below were
+    # displaced from the r6 fill by the 6 new session-2 queries (new
     # queries have NO driver evidence; these are r4-green refresh).
     # ------------------------------------------------------------------
+    "idle_rich_customers": (idle_rich_customers, _IDLE_RICH_SQL),
     "doc_repetition_filter": (doc_repetition_filter, _DOC_REPETITION_SQL),
     "promo_revenue_share": (promo_revenue_share, _PROMO_SHARE_SQL),
     "disjunctive_predicate_revenue": (

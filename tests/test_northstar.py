@@ -460,3 +460,56 @@ def test_connected_components_node_gate_routes_path_graph_distributed(spark):
         pairs, nodes, small_graph_edges=100_000, small_graph_nodes=100_000
     )
     assert {r["comp"] for r in fast.collect()} == {0}
+
+
+def test_pq_adc_topk_overlaps_exact_knn(spark, emb):
+    """ADC ranks by Σ‖qⱼ−c_code‖² on unit vectors (= 2−2·cos up to
+    quantization). The synthetic fixtures are ISOTROPIC NOISE — PQ's
+    worst case: the rank-2 exact neighbor sits at cos≈0.33, barely
+    above the corpus noise floor, so 16-way-per-subspace quantization
+    error swamps much of the inter-neighbor signal (real embedding
+    corpora are clustered, where PQ earns its 16× memory win — Jégou
+    et al. 2011 §V). The checks that must hold even here: self-matches
+    rank FIRST (a vector's own codes are its nearest centroids →
+    minimal reconstruction error), and overlap with the exact top-5
+    stays well above chance (5/500 = 1%). Value-level exactness of
+    train/encode/ADC is the oracle hash-check's job, not this floor's."""
+    from amazonmsk_emr_tem_data_spark.operators.similarity import (
+        knn_join, pq_adc_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn_join(emb, queries, k=5).collect()
+    approx = pq_adc_topk(emb, k=5, n_queries=5).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    overlap = len(exact_set & approx_set) / len(exact_set)
+    assert overlap >= 0.15, f"PQ-ADC overlap {overlap:.2f} vs 0.01 chance"
+    by_query = {}
+    for r in approx:
+        by_query.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for q in range(5):
+        assert min(by_query[q])[1] == q, "self-match must rank first"
+
+
+def test_pq_codes_compress_and_reconstruct(spark, emb):
+    """Encoding sanity: every code in [0, ksub); codes are not
+    degenerate (a single cell swallowing the corpus would make ADC
+    distances constant); the encoded table carries only m ints."""
+    from amazonmsk_emr_tem_data_spark.operators.similarity import (
+        pq_encode, pq_train,
+    )
+
+    books = pq_train(emb, m=8, ksub=16, iters=3)
+    enc = pq_encode(emb, books)
+    assert enc.columns == ["vec_id"] + [f"code{j}" for j in range(1, 9)]
+    stats = enc.agg(
+        *[F.min(f"code{j}").alias(f"mn{j}") for j in range(1, 9)],
+        *[F.max(f"code{j}").alias(f"mx{j}") for j in range(1, 9)],
+        *[F.countDistinct(f"code{j}").alias(f"nd{j}") for j in range(1, 9)],
+    ).first()
+    for j in range(1, 9):
+        assert 0 <= stats[f"mn{j}"] and stats[f"mx{j}"] <= 15
+        assert stats[f"nd{j}"] >= 4, f"subspace {j} degenerate"

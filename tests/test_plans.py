@@ -307,3 +307,19 @@ def test_pagerank_no_cartesian_broadcast_composition(spark, sf_dir):
     assert f.joins and all(j.startswith("Broadcast") for j in f.joins), (
         f"rank/out-degree composition joins must broadcast, got {f.joins}"
     )
+
+
+def test_pq_adc_corpus_scans_codes_broadcasts_queries(spark, sf_dir):
+    # The ADC pass must scan the (narrow) encoded corpus once: queries
+    # broadcast (BNLJ, the knn rule), the per-query top-k window is
+    # partitioned by query_id, and nothing plans a cartesian. Codebook
+    # training is bounded driver model state and never appears as a
+    # join side.
+    f = facts(spark, sf_dir, "embedding_pq_adc_topk")
+    assert f.joins and all(j.startswith("Broadcast") for j in f.joins), (
+        f"queries must broadcast over the encoded corpus, got {f.joins}"
+    )
+    assert not f.has_cartesian
+    assert "hashpartitioning(query_id" in f.raw, (
+        "per-query rank window must partition by query_id"
+    )
