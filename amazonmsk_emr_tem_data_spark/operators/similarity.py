@@ -527,6 +527,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode each vector as ``m`` nearest-subspace-centroid ids
     (columns code1..codem) — scan-side argmin over broadcast centroid
@@ -547,10 +548,11 @@ def pq_encode(
     dsub = len(codebooks[0][0])
     from ..operators.clustering import _normalized
 
+    keep = list(keep_cols or [])
     base = ensure_parallelism(embeddings).select(
-        F.col(id_col), _normalized(vec_col).alias("_v")
+        F.col(id_col), *keep, _normalized(vec_col).alias("_v")
     )
-    cols = [F.col(id_col)]
+    cols = [F.col(id_col), *[F.col(c) for c in keep]]
     for j in range(m):
         off = j * dsub
         scores = []
@@ -609,6 +611,35 @@ def pq_adc_topk(
         .select(id_col, vec_col)
         .collect()
     )
+    luts = _adc_luts(q_rows, books, id_col=id_col, vec_col=vec_col)
+    queries = embeddings.sparkSession.createDataFrame(
+        luts, "query_id long, lut array<array<double>>"
+    )
+    joined = enc.crossJoin(F.broadcast(queries))
+    adist = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at(F.col("lut"), j + 1), F.col(f"code{j + 1}") + 1
+        )
+        adist = term if adist is None else adist + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("adist", adist)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "adist", "rank")
+    )
+
+
+def _adc_luts(q_rows, books, id_col="vec_id", vec_col="embedding"):
+    """Per-query ADC lookup tables (query_id, lut[m][ksub] of squared
+    subspace distances) — bounded driver model state. Sequential-loop
+    float arithmetic keeps every entry bit-identical to what the SQL
+    twin computes inline with list_dot_product over the same values."""
+    m = len(books)
+    dsub = len(books[0][0])
     luts = []
     for r in q_rows:
         q = [float(x) for x in r[vec_col]]
@@ -628,10 +659,86 @@ def pq_adc_topk(
                 row.append(s)
             lut.append(row)
         luts.append((r[id_col], lut))
-    queries = embeddings.sparkSession.createDataFrame(
-        luts, "query_id long, lut array<array<double>>"
+    return luts
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 5,
+    n_cells: int = 8,
+    n_probe_cells: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    sample_n: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (IVFADC without residual encoding): the coarse quantizer
+    prunes the corpus to ``n_probe_cells`` cells per query, and PQ
+    codes + per-query lookup tables score only the survivors — the
+    composition every billion-vector ANN deployment runs (Jégou 2011
+    §V; Faiss's IVFx,PQy index family). Codes are computed on the raw
+    unit vectors, not cell residuals: residual-free ADC keeps the
+    whole pipeline oracle-expressible (one shared codebook instead of
+    per-cell ones) at a modest recall cost — documented, deliberate.
+
+    Scale shape: both quantizers are bounded driver model state; the
+    corpus is scanned ONCE to emit (cell, m codes) — one map pass —
+    then only probed-cell rows join the broadcast (query, cell, LUT)
+    table. At 100 TB the scoring pass reads n_probe/n_cells of the
+    encoded (16× narrower) corpus. No corpus shuffle anywhere; the
+    top-k window partitions by query."""
+    coarse = kmeans_centroids(
+        embeddings, k=n_cells, vec_col=vec_col, id_col=id_col,
+        sample_n=sample_n,
     )
-    joined = enc.crossJoin(F.broadcast(queries))
+    books = pq_train(
+        embeddings, m=m, ksub=ksub, iters=iters, sample_n=sample_n,
+        id_col=id_col, vec_col=vec_col,
+    )
+    celled = with_ivf_cell(embeddings, coarse, vec_col)
+    enc = pq_encode(
+        celled, books, id_col=id_col, vec_col=vec_col,
+        keep_cols=["ivf_cell"],
+    )
+    q_rows = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    luts = embeddings.sparkSession.createDataFrame(
+        _adc_luts(q_rows, books, id_col=id_col, vec_col=vec_col),
+        "query_id long, lut array<array<double>>",
+    )
+    cent_df = embeddings.sparkSession.createDataFrame(
+        [(c, [float(x) for x in vec]) for c, vec in enumerate(coarse)],
+        "ivf_cell int, centroid array<double>",
+    )
+    q_vecs = embeddings.sparkSession.createDataFrame(
+        [(r[id_col], [float(x) for x in r[vec_col]]) for r in q_rows],
+        "query_id long, qvec array<double>",
+    )
+    probed = (
+        q_vecs.crossJoin(F.broadcast(cent_df))
+        .withColumn("c_sim", cosine(F.col("qvec"), F.col("centroid")))
+        .withColumn(
+            "c_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("c_sim").desc(), F.col("ivf_cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("c_rank") <= n_probe_cells)
+        .select("query_id", "ivf_cell")
+        # model-state × model-state: without the hint Spark plans a
+        # stats-blind SortMergeJoin for these two tiny local frames
+        .join(F.broadcast(luts), "query_id")
+    )
+    joined = enc.join(F.broadcast(probed), "ivf_cell")
+    dsub = len(books[0][0])
     adist = None
     for j in range(m):
         term = F.element_at(

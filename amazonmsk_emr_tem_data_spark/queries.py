@@ -5056,6 +5056,181 @@ WHERE rank <= {k}"""
 _PQ_ADC_SQL = _pq_adc_sql()
 
 
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 — the full billion-vector ANN composition (Faiss's
+    IVFx,PQy family): the spherical coarse quantizer prunes to 3/8
+    cells per query, and residual-free ADC over the PQ codes scores
+    only the survivors. Both quantizer fits are RNG-free and
+    engine-exact, so the ENTIRE pipeline (coarse fit → cell assign →
+    PQ fit ×8 → encode → probe → LUT scoring → rank) is one
+    hash-checked query against a composed unrolled-CTE oracle — the
+    largest oracle in the registry, and the proof the two quantizer
+    contracts hold under composition."""
+    from .operators.similarity import ivfpq_topk
+
+    return ivfpq_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _ivfpq_sql(
+    k: int = 5,
+    n_queries: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    coarse_iters: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    pq_iters: int = 3,
+    sample_n: int = 4096,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of operators/similarity.ivfpq_topk: the spherical
+    coarse chain (_kmeans_cte_chain, shared with ivf_topk/semdedup)
+    composed with the m per-subspace L2 PQ chains, cell probing, and
+    LUT-exact ADC ranking over probed cells only."""
+    dsub = dim // m
+    parts = [
+        f"""WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw,
+         {_UNIT_SQL.format(v='embedding')} AS v
+  FROM embeddings
+), smp AS (
+  SELECT vec_id, v FROM n ORDER BY vec_id LIMIT {sample_n}
+)""",
+        _kmeans_cte_chain("smp", n_cells, coarse_iters, dim),
+        f""", af AS ({_ASSIGN_SQL.format(fit_src='n', src=f'c{coarse_iters}')})""",
+    ]
+    for j in range(1, m + 1):
+        parts.append(_pq_subspace_chain(j, dsub, ksub, pq_iters))
+    enc_joins = " ".join(
+        f"JOIN e{j} ON e{j}.vec_id = e1.vec_id" for j in range(2, m + 1)
+    )
+    book_joins = " ".join(
+        f"JOIN p{j}c{pq_iters} b{j} ON e{j}.code{j} = b{j}.cid"
+        for j in range(1, m + 1)
+    )
+    terms = " + ".join(
+        _PQ_DIST2_SQL.format(
+            n=dsub,
+            a=f"q.qv[{(j - 1) * dsub + 1}:{j * dsub}]",
+            b=f"b{j}.cvec",
+        )
+        for j in range(1, m + 1)
+    )
+    parts.append(
+        f""", qs AS (
+  SELECT vec_id AS query_id, raw AS qraw, v AS qv FROM n
+  WHERE vec_id < {n_queries}
+), qc AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_COS_SQL.format(a='q.qraw', b='c.cvec')} DESC,
+                      c.cid ASC) AS rn
+    FROM qs q, c{coarse_iters} c) t
+  WHERE rn <= {n_probe}
+), cand AS (
+  SELECT q.query_id, e1.vec_id, {terms} AS adist
+  FROM qs q
+  JOIN qc ON qc.query_id = q.query_id
+  JOIN af ON af.cid = qc.cid
+  JOIN e1 ON e1.vec_id = af.vec_id
+  {enc_joins}
+  {book_joins}
+)
+SELECT query_id, vec_id, adist, CAST(rank AS INT) AS rank FROM (
+  SELECT cand.*, row_number() OVER (PARTITION BY query_id
+           ORDER BY adist ASC, vec_id ASC) AS rank
+  FROM cand) t
+WHERE rank <= {k}"""
+    )
+    return "".join(parts)
+
+
+def doc_quality_sort_shards(
+    spark: SparkSession, sf_dir: str, n_shards: int = 8
+) -> DataFrame:
+    """GLOBAL sort at scale without a global sort: emit each document's
+    sorted-output shard and position for the total order (quality desc,
+    doc_id asc) — the layout step that writes quality-ordered training
+    shards (curriculum schedules, best-first truncation) or sorted
+    columnar files for data skipping.
+
+    A naive orderBy writes through one task chain; ntile(S) is a
+    single-partition window over the corpus. Instead: snap quality to
+    the 1e-6 integer grid, aggregate COUNT per DISTINCT grid value
+    (map-combinable; |values| ≤ 1e6 regardless of corpus size), take a
+    running count over that bounded value table (the only unpartitioned
+    window — bounded rows, constant-key'd), derive each value's shard
+    as floor(preceding_count · S / n) in pure long arithmetic, and
+    broadcast-join the ≤1e6-row (value → shard) map back onto the
+    corpus. Rows never shuffle except into their shard; within-shard
+    positions are a shard-partitioned rank window. Concatenating shards
+    0..S−1, each read in (quality desc, doc_id) order, IS the global
+    order — same two-level trick as sequence packing's prefix sum."""
+    from .functions.text import quality_score
+
+    q = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.floor(quality_score("text") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("quality_micro"),
+    )
+    vals = q.groupBy("quality_micro").agg(F.count(F.lit(1)).alias("c"))
+    # bounded window: ≤1e6 value rows; constant non-foldable partition
+    # key silences the no-partition warning without changing the plan
+    wv = Window.partitionBy(F.pmod(F.col("quality_micro"), F.lit(1))).orderBy(
+        F.col("quality_micro").desc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    n_total = q.agg(F.count(F.lit(1)).alias("n"))
+    shard_map = (
+        vals.withColumn(
+            "before", F.coalesce(F.sum("c").over(wv), F.lit(0)).cast("long")
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "quality_micro",
+            F.expr(f"before * {n_shards} div n").alias("sort_shard"),
+        )
+    )
+    ws = Window.partitionBy("sort_shard").orderBy(
+        F.col("quality_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        q.join(F.broadcast(shard_map), "quality_micro")
+        .select(
+            "doc_id",
+            "quality_micro",
+            "sort_shard",
+            F.row_number().over(ws).cast("long").alias("shard_pos"),
+        )
+    )
+
+
+_QUALITY_SORT_SHARDS_SQL = f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(floor(({_QUALITY_SCORE_SQL}) * 1e6 + 0.5) AS BIGINT)
+           AS quality_micro
+  FROM documents
+), nt AS (
+  SELECT COUNT(*) AS n FROM q
+), vals AS (
+  SELECT quality_micro, COUNT(*) AS c FROM q GROUP BY quality_micro
+), sh AS (
+  SELECT quality_micro,
+         CAST((CAST(COALESCE(SUM(c) OVER (ORDER BY quality_micro DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) * 8) // nt.n AS BIGINT) AS sort_shard
+  FROM vals CROSS JOIN nt
+)
+SELECT q.doc_id, q.quality_micro, s.sort_shard,
+       CAST(row_number() OVER (PARTITION BY s.sort_shard
+              ORDER BY q.quality_micro DESC, q.doc_id ASC) AS BIGINT)
+         AS shard_pos
+FROM q JOIN sh s USING (quality_micro)
+"""
+
+
 def page_rank_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph quality prior: weighted PageRank over the page
     transition graph mined from the event stream (page = the `k`
@@ -5496,6 +5671,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "semantic_decontamination": (semantic_decontamination, _SEMANTIC_DECONTAM_SQL),
     "corpus_mixture_resample": (corpus_mixture_resample, _MIXTURE_RESAMPLE_SQL),
     "embedding_pq_adc_topk": (embedding_pq_adc_topk, _PQ_ADC_SQL),
+    "doc_quality_sort_shards": (doc_quality_sort_shards, _QUALITY_SORT_SHARDS_SQL),
+    "embedding_ivfpq_topk": (embedding_ivfpq_topk, _ivfpq_sql()),
     # idf made engine-exact (driver-side ln) — same math, fresh stamp
     "corpus_tfidf_topterms": (corpus_tfidf_topterms, _TFIDF_TOPTERMS_SQL),
     "doc_bm25_search": (doc_bm25_search, _BM25_SQL),
@@ -5542,14 +5719,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_clusters": (dedup_clusters_q, _DEDUP_CLUSTERS_SQL),
     "customer_order_histogram": (customer_order_histogram, _CUSTOMER_ORDER_HIST_SQL),
     "top_supplier_revenue": (top_supplier_revenue, _TOP_SUPPLIER_SQL),
-    "large_quantity_orders": (large_quantity_orders, _LARGE_ORDERS_SQL),
-    "nation_trade_flows": (nation_trade_flows, _NATION_TRADE_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+): driver-green in round 4, next in
-    # the rotation queue for round 7. The 6 entries right below were
-    # displaced from the r6 fill by the 6 new session-2 queries (new
+    # the rotation queue for round 7. The 9 entries right below were
+    # displaced from the r6 fill by the 9 new session-2 queries (new
     # queries have NO driver evidence; these are r4-green refresh).
     # ------------------------------------------------------------------
+    "large_quantity_orders": (large_quantity_orders, _LARGE_ORDERS_SQL),
+    "nation_trade_flows": (nation_trade_flows, _NATION_TRADE_SQL),
     "idle_rich_customers": (idle_rich_customers, _IDLE_RICH_SQL),
     "doc_repetition_filter": (doc_repetition_filter, _DOC_REPETITION_SQL),
     "promo_revenue_share": (promo_revenue_share, _PROMO_SHARE_SQL),

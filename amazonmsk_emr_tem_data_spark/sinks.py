@@ -46,6 +46,24 @@ def parquet_sink(
     writer.parquet(path)
 
 
+def orc_sink(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink (built-in columnar alternative; Hive-ecosystem
+    interop). Same partition-pruning story as parquet_sink — at scale
+    the choice between the two is ecosystem, not plan shape. (Avro
+    needs the external spark-avro package, absent here by design —
+    gate any future avro_sink behind an import/classpath probe the way
+    the media codecs are gated.)"""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def kafka_sink_options(
     bootstrap_servers: str,
     topic: str,

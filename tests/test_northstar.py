@@ -513,3 +513,51 @@ def test_pq_codes_compress_and_reconstruct(spark, emb):
     for j in range(1, 9):
         assert 0 <= stats[f"mn{j}"] and stats[f"mx{j}"] <= 15
         assert stats[f"nd{j}"] >= 4, f"subspace {j} degenerate"
+
+
+def test_quality_sort_shards_concatenation_is_global_order(spark, sf_dir):
+    """The operator's whole point: reading shard 0..S-1, each in
+    (quality desc, doc_id) order, must reproduce the exact global
+    descending-quality order, with near-balanced shard sizes."""
+    from amazonmsk_emr_tem_data_spark.queries import doc_quality_sort_shards
+
+    rows = sorted(
+        [tuple(r) for r in doc_quality_sort_shards(spark, sf_dir).collect()],
+        key=lambda t: (t[2], t[3]),  # (sort_shard, shard_pos)
+    )
+    keys = [(-t[1], t[0]) for t in rows]  # (quality desc, doc_id asc)
+    assert keys == sorted(keys), "shard concatenation != global order"
+    from collections import Counter
+
+    sizes = Counter(t[2] for t in rows)
+    assert len(sizes) == 8
+    assert max(sizes.values()) - min(sizes.values()) <= max(
+        2, len(rows) // 100
+    ), f"shards unbalanced: {sizes}"
+
+
+def test_ivfpq_topk_self_match_and_overlap(spark, emb):
+    """IVF-PQ: the query's own cell is its nearest coarse centroid, so
+    the self vector is always probed, and its codes carry the minimal
+    reconstruction error → self ranks first. Overlap with exact top-5
+    stays well above chance despite the double quantization (cell
+    pruning ∘ 16-way PQ) on isotropic-noise fixtures (PQ's worst
+    case — see test_pq_adc_topk_overlaps_exact_knn)."""
+    from amazonmsk_emr_tem_data_spark.operators.similarity import (
+        ivfpq_topk, knn_join,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn_join(emb, queries, k=5).collect()
+    approx = ivfpq_topk(emb, k=5, n_queries=5).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    overlap = len(exact_set & approx_set) / len(exact_set)
+    assert overlap >= 0.1, f"IVF-PQ overlap {overlap:.2f} vs 0.01 chance"
+    by_query = {}
+    for r in approx:
+        by_query.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for q in range(5):
+        assert min(by_query[q])[1] == q, "self-match must rank first"

@@ -66,6 +66,7 @@ def test_driver_window_covers_round6_rotation():
         "page_rank_pages", "doc_near_dedup_keep_best",
         "doc_bigram_lm_quality", "semantic_decontamination",
         "corpus_mixture_resample", "embedding_pq_adc_topk",
+        "doc_quality_sort_shards", "embedding_ivfpq_topk",
         # dropped by the r5 53-name window overflow — never stamped
         "stream_distinct_users", "stream_dedup_watermark",
         "stream_doc_quality",
@@ -84,7 +85,7 @@ def test_driver_window_covers_round6_rotation():
     # The r5 failure mode: the marked window section held 53 names, so
     # its last 3 were never stamped. Pin the window to EXACTLY the
     # first 50 by anchoring the entry that must sit at position 51.
-    assert list(REGISTRY)[50] == "idle_rich_customers", (
+    assert list(REGISTRY)[50] == "large_quantity_orders", (
         "registry position 51 drifted — the driver stamps exactly "
         "list(REGISTRY)[:50]; an insert above this line silently pushes "
         "window entries below the checked range"
@@ -156,6 +157,10 @@ def test_no_vacuous_queries(spark, sf_dir):
         # PQ: sample fit (total-ordered), encode argmins, and the ADC
         # fold must be partition-count-blind end to end
         "embedding_pq_adc_topk",
+        # integer value-histogram shard map + within-shard ranks
+        "doc_quality_sort_shards",
+        # the full double-quantizer composition
+        "embedding_ivfpq_topk",
     ],
 )
 def test_partitioning_invariance(spark, sf_dir, name):

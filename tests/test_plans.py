@@ -323,3 +323,32 @@ def test_pq_adc_corpus_scans_codes_broadcasts_queries(spark, sf_dir):
     assert "hashpartitioning(query_id" in f.raw, (
         "per-query rank window must partition by query_id"
     )
+
+
+def test_quality_sort_shards_broadcasts_value_map(spark, sf_dir):
+    # Global ordering without a global sort: the only unpartitioned
+    # window runs over the bounded DISTINCT-value table; the corpus
+    # side takes the (value -> shard) map as a broadcast and the
+    # within-shard rank window partitions by sort_shard. A regression
+    # to orderBy/ntile would plan a corpus-wide single-partition sort.
+    f = facts(spark, sf_dir, "doc_quality_sort_shards")
+    assert f.joins and all(j.startswith("Broadcast") for j in f.joins), (
+        f"value->shard map must broadcast, got {f.joins}"
+    )
+    assert not f.has_cartesian
+    assert "hashpartitioning(sort_shard" in f.raw, (
+        "within-shard ranks must partition by sort_shard"
+    )
+
+
+def test_ivfpq_scans_codes_once_broadcasts_probe_table(spark, sf_dir):
+    # Both quantizers are driver model state; the only corpus pass that
+    # feeds scoring is the encoded (cell, codes) scan joined against the
+    # broadcast (query, probed-cell, LUT) table. No cartesian, no
+    # corpus shuffle, query-partitioned top-k window.
+    f = facts(spark, sf_dir, "embedding_ivfpq_topk")
+    assert f.joins and all(j.startswith("Broadcast") for j in f.joins), (
+        f"probe/LUT table must broadcast over the encoded corpus, got {f.joins}"
+    )
+    assert not f.has_cartesian
+    assert "hashpartitioning(query_id" in f.raw

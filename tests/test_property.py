@@ -266,3 +266,125 @@ def test_floor_grid_three_engine_agreement(spark, xs):
         for x in xs
     ]
     assert got_duck == want, f"duckdb floor grid: {got_duck} != {want}"
+
+
+# (src, dst, w) edges over a small node universe; extra isolated nodes
+pr_edges = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 5), st.integers(1, 3)),
+    min_size=0,
+    max_size=10,
+)
+
+
+@prop
+@given(erows=pr_edges, extra=st.sets(st.integers(6, 8), max_size=2))
+def test_pagerank_matches_integer_reference(spark, erows, extra):
+    """operators/graph.pagerank is integer-exact by construction, so a
+    plain-Python mirror of its spec (same floor-divisions, same
+    per-edge-row contribution semantics) must reproduce it EXACTLY —
+    no tolerance. Explores shapes the events fixture never makes:
+    self-loops, multi-edges, all-dangling graphs, isolated nodes."""
+    from amazonmsk_emr_tem_data_spark.operators.graph import SCALE, pagerank
+
+    node_set = sorted(
+        {s for s, _, _ in erows} | {d for _, d, _ in erows} | extra
+    )
+    edges = spark.createDataFrame(
+        [(s, d, w) for s, d, w in erows] or [(0, 0, 1)],
+        "src long, dst long, w_edge long",
+    )
+    if not erows:
+        edges = edges.filter("src < 0")  # empty frame, kept schema
+    nodes = spark.createDataFrame(
+        [(n,) for n in node_set] or [(0,)], "page long"
+    )
+    if not node_set:
+        nodes = nodes.filter("page < 0")
+    got = {
+        r["page"]: r["rank_micro"]
+        for r in pagerank(edges, nodes, id_col="page").collect()
+    }
+
+    n = len(node_set)
+    if n == 0:
+        assert got == {}
+        return
+    wout: dict[int, int] = {}
+    for s, _, w in erows:
+        wout[s] = wout.get(s, 0) + w
+    rank = {p: SCALE // n for p in node_set}
+    base = 15 * SCALE // (100 * n)
+    for _ in range(5):
+        inc = {p: 0 for p in node_set}
+        for s, d, w in erows:
+            if s in rank and d in inc:
+                inc[d] += rank[s] * w // wout[s]
+        dang = sum(r for p, r in rank.items() if p not in wout)
+        rank = {
+            p: base + 85 * inc[p] // 100 + 85 * dang // (100 * n)
+            for p in node_set
+        }
+    assert got == rank
+
+
+quality_micro_rows = st.lists(
+    st.tuples(st.integers(0, 1000), st.integers(0, 6)),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@prop
+@given(rows=quality_micro_rows)
+def test_sort_shard_map_matches_integer_reference(spark, rows):
+    """The value-histogram shard map is pure long arithmetic, so a
+    Python mirror must agree EXACTLY: shard(v) = floor(count_of_rows_
+    strictly_better_than_v * S / n), and concatenating shards in
+    (value desc, id) order is the global order. Explores heavy ties
+    and skewed value distributions the fixture's quality formula never
+    produces (e.g. one value carrying most of the corpus)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    S = 4
+    data = [
+        (100 * doc + i, qm)
+        for doc, (qm, copies) in enumerate(rows)
+        for i in range(copies + 1)
+    ]
+    df = spark.createDataFrame(data, "doc_id long, quality_micro long")
+    vals = df.groupBy("quality_micro").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.partitionBy(
+        F.pmod(F.col("quality_micro"), F.lit(1))
+    ).orderBy(F.col("quality_micro").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    n_total = df.agg(F.count(F.lit(1)).alias("n"))
+    shard_map = (
+        vals.withColumn(
+            "before", F.coalesce(F.sum("c").over(wv), F.lit(0)).cast("long")
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "quality_micro", F.expr(f"before * {S} div n").alias("sort_shard")
+        )
+    )
+    got = {
+        r["quality_micro"]: r["sort_shard"] for r in shard_map.collect()
+    }
+
+    n = len(data)
+    by_val_desc = sorted({qm for _, qm in data}, reverse=True)
+    counts = {}
+    for _, qm in data:
+        counts[qm] = counts.get(qm, 0) + 1
+    before = 0
+    want = {}
+    for qm in by_val_desc:
+        want[qm] = before * S // n
+        before += counts[qm]
+    assert got == want
+    # shards must be monotone non-decreasing as quality descends
+    shards_in_desc_order = [want[qm] for qm in by_val_desc]
+    assert shards_in_desc_order == sorted(shards_in_desc_order)

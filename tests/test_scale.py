@@ -81,6 +81,17 @@ def _run_noop(fn, spark, sf_dir) -> float:
         ("doc_bm25_search", 9.0),
         # two-level prefix sum: linear row cost, <= 1000-row windows
         ("doc_sequence_packing", 8.0),
+        # round-6 session-2 (SCALING.md): measured 1.1x-5.1x at 10x;
+        # bounds ~2.5x the measurement.
+        # bounded eval broadcast: corpus-linear, NOT |corpus|x|eval|
+        ("semantic_decontamination", 4.0),
+        # double-quantizer: flat (model-state fits + pruned ADC scan)
+        ("embedding_ivfpq_topk", 4.0),
+        # regex-stack quality pass is the linear term; shard machinery
+        # size-independent — bound catches an orderBy/ntile regression
+        ("doc_quality_sort_shards", 11.0),
+        # integer micro-unit iterations, dst-keyed map-combined shuffle
+        ("page_rank_pages", 7.0),
     ],
 )
 def test_tenx_replication_scales_sublinearly(spark, scaled_dir, qname, max_ratio):

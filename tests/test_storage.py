@@ -125,3 +125,33 @@ def test_compact_sorted_layout_has_disjoint_file_ranges(spark, sf_dir, tmp_path)
     ranges.sort()
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo, f"file key ranges overlap: {ranges}"
+
+
+def test_orc_roundtrip_with_partition_pruning(spark, sf_dir, tmp_path):
+    """ORC sink round-trip: values survive exactly, the partitioned
+    layout prunes at plan time like the parquet twin (columnar-format
+    choice must not change plan shape), and predicate pushdown reaches
+    the ORC scan."""
+    from amazonmsk_emr_tem_data_spark.sinks import orc_sink
+    from amazonmsk_emr_tem_data_spark.sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    path = str(tmp_path / "events_orc")
+    orc_sink(ev, path, partition_by=["event_type"])
+    back = spark.read.orc(path)
+    assert back.count() == ev.count()
+    a = sorted(ev.collect(), key=lambda r: r["event_id"])
+    b = sorted(
+        back.select("event_id", "event_type", "user_id", "value").collect(),
+        key=lambda r: r["event_id"],
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    pruned = back.filter(F.col("event_type") == "click")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    n_parts = pruned.select("event_type").distinct().count()
+    assert n_parts == 1
+    assert "PartitionFilters: [isnotnull(event_type" in plan or (
+        "event_type) = click" in plan
+    ), "partition predicate must prune at plan time"
