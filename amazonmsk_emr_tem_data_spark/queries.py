@@ -5146,6 +5146,238 @@ WHERE rank <= {k}"""
     return "".join(parts)
 
 
+def page_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient per page over
+    the undirected transition graph — the second graph-analytics
+    member after PageRank (community structure / spam-farm signals in
+    crawl graphs; Watts-Strogatz clustering).
+
+    Scale: the classic degree-ORIENTED enumeration — each undirected
+    edge points from its (degree, id)-smaller endpoint to the larger,
+    so every triangle is generated exactly once from its smallest
+    vertex and the wedge join costs Σ out-deg² = O(m^1.5) instead of
+    Σ deg² (the hub-explosion killer: a 10⁶-degree hub contributes
+    out-degree ≈ its low-degree neighbors only). Wedge closure is one
+    equi-semi-join back to the id-canonical edge set; the coefficient
+    is pure long arithmetic (micro units, d≥2 guarded NULL)."""
+    trans = _page_transitions(spark, sf_dir)
+    # the canonical undirected edge set is referenced by degree
+    # computation, orientation, AND wedge closure — cache it (2 longs
+    # per edge; the same adjacency GraphX materializes) so the events
+    # scan + window + distinct run once, not once per branch
+    ue = trans.select(
+        F.least(F.col("page"), F.col("dst")).alias("a"),
+        F.greatest(F.col("page"), F.col("dst")).alias("b"),
+    ).distinct().cache()
+    # explode, not a 2-way union: one pass over ue instead of two
+    # copies of its subtree in the plan
+    deg = (
+        ue.select(F.explode(F.array("a", "b")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    o = (
+        ue.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.col("a"),
+            ).otherwise(F.col("b")).alias("u"),
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.col("b"),
+            ).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    o1 = o.select(F.col("u"), F.col("v").alias("x"))
+    o2 = o.select(F.col("u"), F.col("v").alias("y"))
+    wedges = o1.join(o2, "u").filter(F.col("x") < F.col("y"))
+    closure = ue.select(F.col("a").alias("ca"), F.col("b").alias("cb"))
+    tris = wedges.join(
+        closure,
+        (wedges["x"] == closure["ca"]) & (wedges["y"] == closure["cb"]),
+        "left_semi",
+    )
+    # explode the three roles in ONE pass over the triangle stream —
+    # a 3-way union would plan (and at scale, recompute) the wedge
+    # join + closure semi-join three times
+    per_page = (
+        tris.select(F.explode(F.array("u", "x", "y")).alias("page"))
+        .groupBy("page")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.select(F.col("n").alias("page"), F.col("d").alias("degree"))
+        .join(per_page, "page", "left_outer")
+        .select(
+            "page",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "2000000 * coalesce(n_triangles, 0L)"
+                    " div (degree * (degree - 1))"
+                ),
+            ).alias("clustering_micro"),
+        )
+    )
+
+
+_PAGE_CLUSTERING_SQL = """
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                       THEN json_extract_string(props, '$.k') END
+                  AS BIGINT) AS page
+  FROM events
+), ps AS (
+  SELECT * FROM seq WHERE page IS NOT NULL
+), tr AS (
+  SELECT page AS src,
+         lead(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ps
+), ue AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM tr WHERE dst IS NOT NULL AND dst <> src
+), deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT a AS n FROM ue UNION ALL SELECT b AS n FROM ue) z GROUP BY n
+), o AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND a < b)
+              THEN a ELSE b END AS u,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND a < b)
+              THEN b ELSE a END AS v
+  FROM ue JOIN deg da ON ue.a = da.n JOIN deg db ON ue.b = db.n
+), tris AS (
+  SELECT o1.u, o1.v AS x, o2.v AS y
+  FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v
+  WHERE EXISTS (SELECT 1 FROM ue WHERE ue.a = o1.v AND ue.b = o2.v)
+), per_page AS (
+  SELECT page, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT u AS page FROM tris
+    UNION ALL SELECT x AS page FROM tris
+    UNION ALL SELECT y AS page FROM tris) z
+  GROUP BY page
+)
+SELECT deg.n AS page, deg.d AS degree,
+       COALESCE(p.n_triangles, 0) AS n_triangles,
+       CASE WHEN deg.d >= 2
+            THEN CAST((2000000 * COALESCE(p.n_triangles, 0))
+                      // (deg.d * (deg.d - 1)) AS BIGINT)
+       END AS clustering_micro
+FROM deg LEFT JOIN per_page p ON deg.n = p.page
+"""
+
+
+def user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from the event stream: collapse each
+    user's ordered events into validity intervals of their
+    event_type attribute — (valid_from, valid_to, is_current) rows,
+    the lakehouse slowly-changing-dimension layout MERGE pipelines
+    maintain. Same lag→flag→cumsum shape as sessionization: one
+    window shuffle on user_id, no joins; a year of history at 100 TB
+    is one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    seg = flagged.withColumn(
+        "seg",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    grouped = seg.groupBy("user_id", "seg", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("seg")
+    return (
+        grouped.withColumn("valid_to", F.lead("valid_from").over(ws))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(
+            "user_id", "event_type", "valid_from", "valid_to",
+            "n_events", "is_current",
+        )
+    )
+
+
+_SCD2_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), seg AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS seg
+  FROM flagged
+), grouped AS (
+  SELECT user_id, seg, event_type, MIN(ts) AS valid_from,
+         COUNT(*) AS n_events
+  FROM seg GROUP BY user_id, seg, event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg)
+         AS valid_to,
+       n_events,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg) IS NULL
+         AS is_current
+FROM grouped
+"""
+
+
+def stratified_fixed_k_sample(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Exact-k stratified sampling: precisely min(k, |stratum|)
+    documents per language, chosen by deterministic hash order — the
+    fixed-budget complement of stratified_sample_docs' rate sampling
+    (eval-set construction, per-language probes, human-review
+    batches need exact counts, not expected counts). Ingest-stable:
+    a document's hash never changes, so growing a stratum only ever
+    displaces the highest-hash members. One rank window per stratum,
+    no global sort."""
+    from .functions.text import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_hash64(F.concat(F.lit("fix:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", h.alias("draw"))
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+        .select("doc_id", "lang", "draw", "sample_rank")
+    )
+
+
+_FIXED_K_SAMPLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {_HASH64_SQL.format(x="'fix:' || CAST(doc_id AS VARCHAR)")} AS draw
+  FROM documents
+)
+SELECT doc_id, lang, draw, sample_rank FROM (
+  SELECT doc_id, lang, draw,
+         CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY draw ASC, doc_id ASC) AS BIGINT) AS sample_rank
+  FROM h) t
+WHERE sample_rank <= 10
+"""
+
+
 def doc_quality_sort_shards(
     spark: SparkSession, sf_dir: str, n_shards: int = 8
 ) -> DataFrame:
@@ -5231,6 +5463,22 @@ FROM q JOIN sh s USING (quality_micro)
 """
 
 
+def _page_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-transition mining shared by the graph queries: per user,
+    consecutive events (total order ts, event_id) whose `k` property
+    changes page yield one (page, dst) row. One window shuffle on
+    user_id; malformed/missing props drop out via try_cast."""
+    ev = load_table(spark, sf_dir, "events")
+    page = F.get_json_object(F.col("props"), "$.k").try_cast("long")
+    ps = ev.select(
+        page.alias("page"), "user_id", "ts", "event_id"
+    ).filter(F.col("page").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ps.withColumn("dst", F.lead("page").over(w)).filter(
+        F.col("dst").isNotNull() & (F.col("dst") != F.col("page"))
+    )
+
+
 def page_rank_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph quality prior: weighted PageRank over the page
     transition graph mined from the event stream (page = the `k`
@@ -5254,10 +5502,7 @@ def page_rank_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = ev.select(
         page.alias("page"), "user_id", "ts", "event_id"
     ).filter(F.col("page").isNotNull())
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    trans = ps.withColumn("dst", F.lead("page").over(w)).filter(
-        F.col("dst").isNotNull() & (F.col("dst") != F.col("page"))
-    )
+    trans = _page_transitions(spark, sf_dir)
     edges = (
         trans.groupBy(F.col("page").alias("src"), "dst")
         .agg(F.count(F.lit(1)).alias("w_edge"))
@@ -5673,6 +5918,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_pq_adc_topk": (embedding_pq_adc_topk, _PQ_ADC_SQL),
     "doc_quality_sort_shards": (doc_quality_sort_shards, _QUALITY_SORT_SHARDS_SQL),
     "embedding_ivfpq_topk": (embedding_ivfpq_topk, _ivfpq_sql()),
+    "page_graph_clustering": (page_graph_clustering, _PAGE_CLUSTERING_SQL),
+    "user_type_scd2": (user_type_scd2, _SCD2_SQL),
+    "stratified_fixed_k_sample": (stratified_fixed_k_sample, _FIXED_K_SAMPLE_SQL),
     # idf made engine-exact (driver-side ln) — same math, fresh stamp
     "corpus_tfidf_topterms": (corpus_tfidf_topterms, _TFIDF_TOPTERMS_SQL),
     "doc_bm25_search": (doc_bm25_search, _BM25_SQL),
@@ -5716,15 +5964,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "systematic_sample_revenue": (systematic_sample_revenue, _SYSTEMATIC_SAMPLE_SQL),
     "doc_regex_extract": (doc_regex_extract, _REGEX_EXTRACT_SQL),
     "embedding_stats": (embedding_stats, _EMBEDDING_STATS_SQL),
+    # ------------------------------------------------------------------
+    # below the window (entry 51+): driver-green in round 4, next in
+    # the rotation queue for round 7. The 12 entries right below were
+    # displaced from the r6 fill by the 12 new session-2 queries (new
+    # queries have NO driver evidence; these are r4-green refresh).
+    # ------------------------------------------------------------------
     "dedup_clusters": (dedup_clusters_q, _DEDUP_CLUSTERS_SQL),
     "customer_order_histogram": (customer_order_histogram, _CUSTOMER_ORDER_HIST_SQL),
     "top_supplier_revenue": (top_supplier_revenue, _TOP_SUPPLIER_SQL),
-    # ------------------------------------------------------------------
-    # below the window (entry 51+): driver-green in round 4, next in
-    # the rotation queue for round 7. The 9 entries right below were
-    # displaced from the r6 fill by the 9 new session-2 queries (new
-    # queries have NO driver evidence; these are r4-green refresh).
-    # ------------------------------------------------------------------
     "large_quantity_orders": (large_quantity_orders, _LARGE_ORDERS_SQL),
     "nation_trade_flows": (nation_trade_flows, _NATION_TRADE_SQL),
     "idle_rich_customers": (idle_rich_customers, _IDLE_RICH_SQL),

@@ -75,6 +75,8 @@ DOC_QUERIES = [
     "doc_bigram_lm_quality",
     "corpus_mixture_resample",
     "doc_near_dedup_keep_best",
+    # exact-k per stratum: strata smaller than k must emit all members
+    "stratified_fixed_k_sample",
     # round-5 additions: tf-idf on empty/unicode vocabularies; the
     # fingerprint-hash split on identical texts (the leakage case the
     # operator exists for); bin()-bucket histogram on empty text
@@ -228,6 +230,12 @@ EVENTS_QUERIES = [
     # EMPTY; the fixed-point loop must short-circuit to an empty
     # result (not divide by zero) in both engines
     "page_rank_pages",
+    # empty graph -> 0 rows from both engines; degenerate degrees must
+    # not divide by zero in the clustering coefficient
+    "page_graph_clustering",
+    # triplicate-ts ties, single-event users, type flip at the exact
+    # same timestamp -> event_id tie-break decides interval boundaries
+    "user_type_scd2",
 ]
 
 

@@ -352,3 +352,31 @@ def test_ivfpq_scans_codes_once_broadcasts_probe_table(spark, sf_dir):
     )
     assert not f.has_cartesian
     assert "hashpartitioning(query_id" in f.raw
+
+
+def test_scd2_single_window_shuffle(spark, sf_dir):
+    # lag -> flag -> cumsum -> lead all share the user_id partitioning:
+    # exactly one exchange, no joins — a year of history is one pass.
+    f = facts(spark, sf_dir, "user_type_scd2")
+    assert f.n_exchanges == 1, f"SCD2 must shuffle once, got {f.n_exchanges}"
+    assert not f.joins
+
+
+def test_fixed_k_sample_single_stratum_shuffle(spark, sf_dir):
+    f = facts(spark, sf_dir, "stratified_fixed_k_sample")
+    assert f.n_exchanges == 1, (
+        f"per-stratum rank = one lang shuffle, got {f.n_exchanges}"
+    )
+    assert not f.joins
+
+
+def test_page_clustering_bounded_plan(spark, sf_dir):
+    # The explode-not-union rewrite keeps the plan to single-digit
+    # exchanges (the first cut planned 84: every union branch
+    # recomputed the transition mining). The wedge self-join may
+    # legitimately shuffle on u; nothing may plan a cartesian.
+    f = facts(spark, sf_dir, "page_graph_clustering")
+    assert not f.has_cartesian
+    assert f.n_exchanges <= 12, (
+        f"triangle plan re-exploded to {f.n_exchanges} exchanges"
+    )
