@@ -5146,6 +5146,142 @@ WHERE rank <= {k}"""
     return "".join(parts)
 
 
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite audit (Great-Expectations / dbt-test shape):
+    one row per constraint with its violation count — zero means the
+    constraint HOLDS, a verified guarantee, not a vacuous result.
+    Rules span referential integrity (orphan orders), key uniqueness
+    (event_id), range checks (|value| ≤ 400), derived-column
+    consistency (n_chars == length(text)), and content policy (short
+    documents). Scale: each rule is one conditional aggregate or
+    broadcast/shuffle anti-join count over its own table — rules
+    compose as a union of 1-row aggregates, so adding a rule never
+    touches another rule's plan."""
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def rule(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("rule"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_violations"),
+        )
+
+    orphan = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dup_ids = (
+        ev.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out_of_range = ev.agg(
+        F.count(F.when(F.abs(F.col("value")) > 400, 1)).alias("n")
+    )
+    nchars_drift = docs.agg(
+        F.count(
+            F.when(F.col("n_chars") != F.length("text"), 1)
+        ).alias("n")
+    )
+    short_docs = docs.agg(
+        F.count(F.when(F.length("text") < 100, 1)).alias("n")
+    )
+    return (
+        rule("orders_custkey_references_customer", orphan)
+        .unionByName(rule("event_id_unique", dup_ids))
+        .unionByName(rule("event_value_within_range", out_of_range))
+        .unionByName(rule("doc_n_chars_consistent", nchars_drift))
+        .unionByName(rule("doc_min_length_100", short_docs))
+    )
+
+
+_DATA_QUALITY_SQL = """
+SELECT 'orders_custkey_references_customer' AS rule,
+       CAST(COUNT(*) AS BIGINT) AS n_violations
+FROM orders o WHERE NOT EXISTS (
+  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'event_id_unique',
+       CAST(COUNT(*) AS BIGINT) FROM (
+  SELECT event_id FROM events GROUP BY event_id HAVING COUNT(*) > 1) d
+UNION ALL
+SELECT 'event_value_within_range',
+       CAST(COUNT(*) FILTER (abs(value) > 400) AS BIGINT) FROM events
+UNION ALL
+SELECT 'doc_n_chars_consistent',
+       CAST(COUNT(*) FILTER (n_chars <> length(text)) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'doc_min_length_100',
+       CAST(COUNT(*) FILTER (length(text) < 100) AS BIGINT) FROM documents
+"""
+
+
+def events_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profiling pass (the 'describe my table' engine
+    feature): per column — null count, exact distinct count, min/max
+    rendered as strings. One scan; the distinct counts are the only
+    shuffled aggregates. At 100 TB swap exact COUNT(DISTINCT) for
+    approx_count_distinct per column — same plan shape, sketch merge
+    instead of expand (the approx tier is verified in
+    approx_sketches)."""
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    profiles = [
+        ev.agg(
+            F.lit(c).alias("column"),
+            F.count(F.when(F.col(c).isNull(), 1)).cast("long").alias("n_nulls"),
+            F.countDistinct(c).cast("long").alias("n_distinct"),
+            # typed MIN/MAX first, text rendering second — casting
+            # before the aggregate would compare lexicographically
+            # ("9" > "14") and diverge from the oracle's typed MIN/MAX
+            F.min(F.col(c)).cast("string").alias("min_str"),
+            F.max(F.col(c)).cast("string").alias("max_str"),
+        )
+        for c in cols
+    ]
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+#: NB DuckDB renders timestamps without the trailing zero fraction that
+#: Spark's cast-to-string also omits; both cast through the engine's
+#: default text form of the typed MIN/MAX (verified identical for the
+#: fixture's second-resolution timestamps and plain numerics).
+_TABLE_PROFILE_SQL = """
+SELECT 'event_id' AS "column",
+       CAST(COUNT(*) FILTER (event_id IS NULL) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(MIN(event_id) AS VARCHAR) AS min_str,
+       CAST(MAX(event_id) AS VARCHAR) AS max_str
+FROM events
+UNION ALL
+SELECT 'ts', CAST(COUNT(*) FILTER (ts IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT ts) AS BIGINT),
+       CAST(MIN(ts) AS VARCHAR), CAST(MAX(ts) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(COUNT(*) FILTER (user_id IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT user_id) AS BIGINT),
+       CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'event_type', CAST(COUNT(*) FILTER (event_type IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT event_type) AS BIGINT),
+       CAST(MIN(event_type) AS VARCHAR), CAST(MAX(event_type) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'value', CAST(COUNT(*) FILTER (value IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT value) AS BIGINT),
+       CAST(MIN(value) AS VARCHAR), CAST(MAX(value) AS VARCHAR)
+FROM events
+"""
+
+
 def page_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting + local clustering coefficient per page over
     the undirected transition graph — the second graph-analytics
@@ -5921,6 +6057,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "page_graph_clustering": (page_graph_clustering, _PAGE_CLUSTERING_SQL),
     "user_type_scd2": (user_type_scd2, _SCD2_SQL),
     "stratified_fixed_k_sample": (stratified_fixed_k_sample, _FIXED_K_SAMPLE_SQL),
+    "data_quality_audit": (data_quality_audit, _DATA_QUALITY_SQL),
+    "events_table_profile": (events_table_profile, _TABLE_PROFILE_SQL),
     # idf made engine-exact (driver-side ln) — same math, fresh stamp
     "corpus_tfidf_topterms": (corpus_tfidf_topterms, _TFIDF_TOPTERMS_SQL),
     "doc_bm25_search": (doc_bm25_search, _BM25_SQL),
@@ -5962,14 +6100,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_word_positions": (doc_word_positions, _WORD_POSITIONS_SQL),
     "order_price_distribution": (order_price_distribution, _PRICE_DISTRIBUTION_SQL),
     "systematic_sample_revenue": (systematic_sample_revenue, _SYSTEMATIC_SAMPLE_SQL),
-    "doc_regex_extract": (doc_regex_extract, _REGEX_EXTRACT_SQL),
-    "embedding_stats": (embedding_stats, _EMBEDDING_STATS_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+): driver-green in round 4, next in
-    # the rotation queue for round 7. The 12 entries right below were
-    # displaced from the r6 fill by the 12 new session-2 queries (new
+    # the rotation queue for round 7. The 14 entries right below were
+    # displaced from the r6 fill by the 14 new session-2 queries (new
     # queries have NO driver evidence; these are r4-green refresh).
     # ------------------------------------------------------------------
+    "doc_regex_extract": (doc_regex_extract, _REGEX_EXTRACT_SQL),
+    "embedding_stats": (embedding_stats, _EMBEDDING_STATS_SQL),
     "dedup_clusters": (dedup_clusters_q, _DEDUP_CLUSTERS_SQL),
     "customer_order_histogram": (customer_order_histogram, _CUSTOMER_ORDER_HIST_SQL),
     "top_supplier_revenue": (top_supplier_revenue, _TOP_SUPPLIER_SQL),

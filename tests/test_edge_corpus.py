@@ -236,6 +236,9 @@ EVENTS_QUERIES = [
     # triplicate-ts ties, single-event users, type flip at the exact
     # same timestamp -> event_id tie-break decides interval boundaries
     "user_type_scd2",
+    # typed-then-rendered MIN/MAX: microsecond timestamps and negative
+    # doubles must render identically in both engines
+    "events_table_profile",
 ]
 
 
