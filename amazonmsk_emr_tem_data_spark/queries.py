@@ -5146,6 +5146,143 @@ WHERE rank <= {k}"""
     return "".join(parts)
 
 
+def tem_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry gap-filling / resampling — the time-series operator
+    the reference's sensor domain actually needs (its `Tem(Avg)` rows
+    arrive irregularly; training and dashboarding want a regular
+    grid): per user, an hourly grid spanning their history, each grid
+    point linearly interpolated between the nearest readings on
+    either side.
+
+    Exactness: interpolation runs on integer cents × epoch seconds —
+    (prev·(t₂−t) + next·(t−t₁)) div (t₂−t₁) — so results are
+    bit-identical across engines and partitionings (no float in the
+    formula; the module's integer-grid rule). Plan: grid generation is
+    explode(sequence) off a per-user min/max aggregate, then ONE
+    user-keyed shuffle where a single sorted window pass computes both
+    neighbors (last non-NULL reading ≤ t via the preceding frame,
+    first > t via the following frame — same sort order, so one sort,
+    two frames). Events at exactly a grid instant sort before it and
+    become the `prev` bound, collapsing the formula to their value
+    exactly. Overflow envelope: |cents| ≤ ~5e4 × a gap of up to a
+    YEAR in microseconds (3.2e13) ≈ 1.6e18 < 2^63 — longer gaps than
+    that between consecutive readings of one sensor would need the
+    formula rebased to millis."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", _cents("value").alias("cents"), "event_id"
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(t0, t1, interval 1 hour)")
+        ).alias("ts"),
+    ).select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("cents"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(1).alias("is_grid"),
+    )
+    readings = ev.select(
+        "user_id", "ts", "cents", "event_id", F.lit(0).alias("is_grid")
+    )
+    merged = readings.unionByName(grid)
+    # exact microsecond integers: Spark's cast-to-long FLOORS
+    # sub-second timestamps while DuckDB's CAST(epoch() AS BIGINT)
+    # ROUNDS them — unix_micros/epoch_us are exact on both sides
+    epoch = F.unix_micros(F.col("ts"))
+    order = [F.col("ts").asc(), F.col("is_grid").asc(), F.col("event_id").asc()]
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    annotated = merged.select(
+        "user_id",
+        "ts",
+        "is_grid",
+        F.last("cents", ignorenulls=True).over(wp).alias("pc"),
+        F.last(F.when(F.col("cents").isNotNull(), epoch), ignorenulls=True)
+        .over(wp)
+        .alias("pe"),
+        F.first("cents", ignorenulls=True).over(wn).alias("nc"),
+        F.first(F.when(F.col("cents").isNotNull(), epoch), ignorenulls=True)
+        .over(wn)
+        .alias("ne"),
+        epoch.alias("te"),
+    )
+    interp = F.when(F.col("ne") == F.col("pe"), F.col("pc")).otherwise(
+        F.expr("(pc * (ne - te) + nc * (te - pe)) div (ne - pe)")
+    )
+    return (
+        annotated.filter(
+            (F.col("is_grid") == 1)
+            & F.col("pc").isNotNull()
+            & F.col("nc").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("grid_ts"),
+            interp.alias("interp_cents"),
+            (interp.cast("double") / F.lit(100.0)).alias("value_interp"),
+        )
+    )
+
+
+_GAP_FILL_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+         event_id, 0 AS is_grid
+  FROM events
+), spans AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
+         date_trunc('hour', MAX(ts)) AS t1
+  FROM events GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts,
+         CAST(NULL AS BIGINT) AS cents, CAST(NULL AS BIGINT) AS event_id,
+         1 AS is_grid
+  FROM spans
+), merged AS (
+  SELECT * FROM ev UNION ALL BY NAME SELECT * FROM grid
+), annotated AS (
+  SELECT user_id, ts, is_grid,
+         last_value(cents IGNORE NULLS) OVER wp AS pc,
+         last_value(CASE WHEN cents IS NOT NULL
+                         THEN epoch_us(ts) END IGNORE NULLS)
+           OVER wp AS pe,
+         first_value(cents IGNORE NULLS) OVER wn AS nc,
+         first_value(CASE WHEN cents IS NOT NULL
+                          THEN epoch_us(ts) END IGNORE NULLS)
+           OVER wn AS ne,
+         epoch_us(ts) AS te
+  FROM merged
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, is_grid, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY ts, is_grid, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, ts AS grid_ts,
+       CAST(CASE WHEN ne = pe THEN pc
+                 ELSE (pc * (ne - te) + nc * (te - pe)) // (ne - pe)
+            END AS BIGINT) AS interp_cents,
+       CAST(CASE WHEN ne = pe THEN pc
+                 ELSE (pc * (ne - te) + nc * (te - pe)) // (ne - pe)
+            END AS DOUBLE) / 100.0 AS value_interp
+FROM annotated
+WHERE is_grid = 1 AND pc IS NOT NULL AND nc IS NOT NULL
+"""
+
+
 def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expectation-suite audit (Great-Expectations / dbt-test shape):
     one row per constraint with its violation count — zero means the
@@ -6059,6 +6196,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stratified_fixed_k_sample": (stratified_fixed_k_sample, _FIXED_K_SAMPLE_SQL),
     "data_quality_audit": (data_quality_audit, _DATA_QUALITY_SQL),
     "events_table_profile": (events_table_profile, _TABLE_PROFILE_SQL),
+    "tem_gap_fill_hourly": (tem_gap_fill_hourly, _GAP_FILL_SQL),
     # idf made engine-exact (driver-side ln) — same math, fresh stamp
     "corpus_tfidf_topterms": (corpus_tfidf_topterms, _TFIDF_TOPTERMS_SQL),
     "doc_bm25_search": (doc_bm25_search, _BM25_SQL),
@@ -6099,13 +6237,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "conditional_agg_orders": (conditional_agg_orders, _CONDITIONAL_AGG_SQL),
     "doc_word_positions": (doc_word_positions, _WORD_POSITIONS_SQL),
     "order_price_distribution": (order_price_distribution, _PRICE_DISTRIBUTION_SQL),
-    "systematic_sample_revenue": (systematic_sample_revenue, _SYSTEMATIC_SAMPLE_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+): driver-green in round 4, next in
-    # the rotation queue for round 7. The 14 entries right below were
-    # displaced from the r6 fill by the 14 new session-2 queries (new
+    # the rotation queue for round 7. The 15 entries right below were
+    # displaced from the r6 fill by the 15 new session-2 queries (new
     # queries have NO driver evidence; these are r4-green refresh).
     # ------------------------------------------------------------------
+    "systematic_sample_revenue": (systematic_sample_revenue, _SYSTEMATIC_SAMPLE_SQL),
     "doc_regex_extract": (doc_regex_extract, _REGEX_EXTRACT_SQL),
     "embedding_stats": (embedding_stats, _EMBEDDING_STATS_SQL),
     "dedup_clusters": (dedup_clusters_q, _DEDUP_CLUSTERS_SQL),

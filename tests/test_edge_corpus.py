@@ -239,6 +239,10 @@ EVENTS_QUERIES = [
     # typed-then-rendered MIN/MAX: microsecond timestamps and negative
     # doubles must render identically in both engines
     "events_table_profile",
+    # microsecond-offset readings, single-reading users (grid point
+    # collapses to the reading), negative values through the integer
+    # interpolation formula
+    "tem_gap_fill_hourly",
 ]
 
 

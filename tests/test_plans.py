@@ -380,3 +380,16 @@ def test_page_clustering_bounded_plan(spark, sf_dir):
     assert f.n_exchanges <= 12, (
         f"triangle plan re-exploded to {f.n_exchanges} exchanges"
     )
+
+
+def test_gap_fill_two_exchanges_no_joins(spark, sf_dir):
+    # grid generation = one per-user min/max aggregate (map-combined);
+    # neighbor annotation = ONE user-keyed window pass over the merged
+    # stream (both frames share a single sort). No joins: an as-of-join
+    # formulation would shuffle events twice.
+    f = facts(spark, sf_dir, "tem_gap_fill_hourly")
+    assert not f.joins, f"gap-fill must be join-free, got {f.joins}"
+    assert f.n_exchanges <= 2, (
+        f"span agg + one window shuffle expected, got {f.n_exchanges}"
+    )
+    assert f.has_partial_agg
