@@ -446,16 +446,6 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 
-def dist2(a: Column, b: Column) -> Column:
-    """Σ (aᵢ−bᵢ)² in double precision, left-to-right — bit-identical to
-    DuckDB's ``list_dot_product(diff, diff)`` over the same elements."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def pq_train(
     embeddings: DataFrame,
     m: int = 8,
@@ -606,16 +596,38 @@ def pq_adc_topk(
     # m folds over dsub elements to m array lookups + (m−1) adds.
     # Sequential Python sums keep every value bit-identical to the
     # fold/list_dot_product the engines would compute inline.
+    luts = _lut_frame(embeddings, books, n_queries, id_col, vec_col)
+    return _adc_rank(enc.crossJoin(F.broadcast(luts)), m, k, id_col)
+
+
+def _lut_frame(
+    embeddings: DataFrame,
+    books: list[list[list[float]]],
+    n_queries: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, lut) DataFrame for the first ``n_queries`` vectors —
+    the bounded-collect + LUT-build + lift shared by pq_adc_topk and
+    ivfpq_topk."""
     q_rows = (
         embeddings.filter(F.col(id_col) < n_queries)
         .select(id_col, vec_col)
         .collect()
     )
-    luts = _adc_luts(q_rows, books, id_col=id_col, vec_col=vec_col)
-    queries = embeddings.sparkSession.createDataFrame(
-        luts, "query_id long, lut array<array<double>>"
+    return embeddings.sparkSession.createDataFrame(
+        _adc_luts(q_rows, books, id_col=id_col, vec_col=vec_col),
+        "query_id long, lut array<array<double>>",
     )
-    joined = enc.crossJoin(F.broadcast(queries))
+
+
+def _adc_rank(
+    joined: DataFrame, m: int, k: int, id_col: str
+) -> DataFrame:
+    """ADC distance + per-query top-k over a (codes × lut) stream —
+    the left-associated m-term lookup sum and tie-broken rank window
+    shared by pq_adc_topk and ivfpq_topk (the SQL twins mirror this
+    exact term order; a fix here must not fork between the two)."""
     adist = None
     for j in range(m):
         term = F.element_at(
@@ -638,6 +650,8 @@ def _adc_luts(q_rows, books, id_col="vec_id", vec_col="embedding"):
     subspace distances) — bounded driver model state. Sequential-loop
     float arithmetic keeps every entry bit-identical to what the SQL
     twin computes inline with list_dot_product over the same values."""
+    import math
+
     m = len(books)
     dsub = len(books[0][0])
     luts = []
@@ -646,7 +660,12 @@ def _adc_luts(q_rows, books, id_col="vec_id", vec_col="embedding"):
         nrm2 = 0.0
         for x in q:
             nrm2 = nrm2 + x * x
-        nrm = max(nrm2 ** 0.5, 1e-12)
+        # math.sqrt, NOT `** 0.5`: pow(x, 0.5) differs from the
+        # correctly-rounded sqrt in the last ulp on ~0.08% of doubles,
+        # and every other normalization path (np.sqrt in pq_train, the
+        # fold in _normalized, DuckDB's sqrt) is true sqrt — a pow here
+        # would make the LUT a fixture-luck time bomb
+        nrm = max(math.sqrt(nrm2), 1e-12)
         q = [x / nrm for x in q]
         lut = []
         for j in range(m):
@@ -703,22 +722,13 @@ def ivfpq_topk(
         celled, books, id_col=id_col, vec_col=vec_col,
         keep_cols=["ivf_cell"],
     )
-    q_rows = (
-        embeddings.filter(F.col(id_col) < n_queries)
-        .select(id_col, vec_col)
-        .collect()
-    )
-    luts = embeddings.sparkSession.createDataFrame(
-        _adc_luts(q_rows, books, id_col=id_col, vec_col=vec_col),
-        "query_id long, lut array<array<double>>",
-    )
+    luts = _lut_frame(embeddings, books, n_queries, id_col, vec_col)
     cent_df = embeddings.sparkSession.createDataFrame(
         [(c, [float(x) for x in vec]) for c, vec in enumerate(coarse)],
         "ivf_cell int, centroid array<double>",
     )
-    q_vecs = embeddings.sparkSession.createDataFrame(
-        [(r[id_col], [float(x) for x in r[vec_col]]) for r in q_rows],
-        "query_id long, qvec array<double>",
+    q_vecs = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
     probed = (
         q_vecs.crossJoin(F.broadcast(cent_df))
@@ -737,20 +747,4 @@ def ivfpq_topk(
         # stats-blind SortMergeJoin for these two tiny local frames
         .join(F.broadcast(luts), "query_id")
     )
-    joined = enc.join(F.broadcast(probed), "ivf_cell")
-    dsub = len(books[0][0])
-    adist = None
-    for j in range(m):
-        term = F.element_at(
-            F.element_at(F.col("lut"), j + 1), F.col(f"code{j + 1}") + 1
-        )
-        adist = term if adist is None else adist + term
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col(id_col).asc()
-    )
-    return (
-        joined.withColumn("adist", adist)
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "adist", "rank")
-    )
+    return _adc_rank(enc.join(F.broadcast(probed), "ivf_cell"), m, k, id_col)

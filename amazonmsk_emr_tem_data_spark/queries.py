@@ -5164,7 +5164,11 @@ def tem_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     first > t via the following frame — same sort order, so one sort,
     two frames). Events at exactly a grid instant sort before it and
     become the `prev` bound, collapsing the formula to their value
-    exactly. Overflow envelope: |cents| ≤ ~5e4 × a gap of up to a
+    exactly — including a user's LAST reading when it lands on the
+    hour (no `next` exists there; the pe == te branch keeps it). Grid
+    points strictly outside a user's reading span are dropped
+    (nothing to interpolate toward): a user whose only reading is
+    off-hour emits no rows. Overflow envelope: |cents| ≤ ~5e4 × a gap of up to a
     YEAR in microseconds (3.2e13) ≈ 1.6e18 < 2^63 — longer gaps than
     that between consecutive readings of one sensor would need the
     formula rebased to millis."""
@@ -5220,14 +5224,20 @@ def tem_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ne"),
         epoch.alias("te"),
     )
-    interp = F.when(F.col("ne") == F.col("pe"), F.col("pc")).otherwise(
+    # pe == te: a reading sits exactly on the grid instant — emit its
+    # value verbatim, even when it is the user's LAST reading (nc is
+    # NULL there; the plain both-bounds filter would silently drop a
+    # grid point whose value is exactly known). When nc exists the
+    # formula reduces to pc anyway ((pc·(ne−te)) div (ne−te)), so the
+    # branch only changes the NULL-next case.
+    interp = F.when(F.col("pe") == F.col("te"), F.col("pc")).otherwise(
         F.expr("(pc * (ne - te) + nc * (te - pe)) div (ne - pe)")
     )
     return (
         annotated.filter(
             (F.col("is_grid") == 1)
             & F.col("pc").isNotNull()
-            & F.col("nc").isNotNull()
+            & (F.col("nc").isNotNull() | (F.col("pe") == F.col("te")))
         )
         .select(
             "user_id",
@@ -5272,14 +5282,14 @@ WITH ev AS (
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT user_id, ts AS grid_ts,
-       CAST(CASE WHEN ne = pe THEN pc
+       CAST(CASE WHEN pe = te THEN pc
                  ELSE (pc * (ne - te) + nc * (te - pe)) // (ne - pe)
             END AS BIGINT) AS interp_cents,
-       CAST(CASE WHEN ne = pe THEN pc
+       CAST(CASE WHEN pe = te THEN pc
                  ELSE (pc * (ne - te) + nc * (te - pe)) // (ne - pe)
             END AS DOUBLE) / 100.0 AS value_interp
 FROM annotated
-WHERE is_grid = 1 AND pc IS NOT NULL AND nc IS NOT NULL
+WHERE is_grid = 1 AND pc IS NOT NULL AND (nc IS NOT NULL OR pe = te)
 """
 
 
@@ -5736,16 +5746,23 @@ FROM q JOIN sh s USING (quality_micro)
 """
 
 
-def _page_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Page-transition mining shared by the graph queries: per user,
-    consecutive events (total order ts, event_id) whose `k` property
-    changes page yield one (page, dst) row. One window shuffle on
-    user_id; malformed/missing props drop out via try_cast."""
+def _page_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with a valid integer `k` property as (page, user_id, ts,
+    event_id) — the ONE place the page extraction rule lives, so the
+    graph queries' node universe and edge set can never diverge
+    (malformed/missing props drop out via try_cast)."""
     ev = load_table(spark, sf_dir, "events")
     page = F.get_json_object(F.col("props"), "$.k").try_cast("long")
-    ps = ev.select(
+    return ev.select(
         page.alias("page"), "user_id", "ts", "event_id"
     ).filter(F.col("page").isNotNull())
+
+
+def _page_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-transition mining shared by the graph queries: per user,
+    consecutive events (total order ts, event_id) whose page changes
+    yield one (page, dst) row. One window shuffle on user_id."""
+    ps = _page_stream(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ps.withColumn("dst", F.lead("page").over(w)).filter(
         F.col("dst").isNotNull() & (F.col("dst") != F.col("page"))
@@ -5770,11 +5787,7 @@ def page_rank_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     the transition mining is one window shuffle on user_id."""
     from .operators.graph import pagerank
 
-    ev = load_table(spark, sf_dir, "events")
-    page = F.get_json_object(F.col("props"), "$.k").try_cast("long")
-    ps = ev.select(
-        page.alias("page"), "user_id", "ts", "event_id"
-    ).filter(F.col("page").isNotNull())
+    ps = _page_stream(spark, sf_dir)
     trans = _page_transitions(spark, sf_dir)
     edges = (
         trans.groupBy(F.col("page").alias("src"), "dst")
@@ -6102,7 +6115,6 @@ def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = docs.groupBy("source").agg(
         F.sum(token_count("text")).alias("src_tokens")
     )
-    w = Window.partitionBy()
     rates = per.select(
         "source",
         "src_tokens",
@@ -6222,7 +6234,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_meta": (multimodal_meta, _MULTIMODAL_META_SQL),
     "asof_latest_order": (asof_latest_order, _ASOF_SQL),
     "sessionize_events": (sessionize_events, _SESSION_SQL_BODY),
-    # --- r6 window: longest-unstamped r4-green fill (21 entries
+    # --- r6 window: longest-unstamped r4-green fill (12 entries
     # after the session-2 displacement; the remaining r4-green
     # entries rotate in round 7) ---
     "grouping_sets_lineitem": (grouping_sets_lineitem, _GROUPING_SETS_SQL),
@@ -6239,8 +6251,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "order_price_distribution": (order_price_distribution, _PRICE_DISTRIBUTION_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+): driver-green in round 4, next in
-    # the rotation queue for round 7. The 15 entries right below were
-    # displaced from the r6 fill by the 15 new session-2 queries (new
+    # the rotation queue for round 7. The 14 entries right below were
+    # displaced from the r6 fill by the 14 new session-2 queries (new
     # queries have NO driver evidence; these are r4-green refresh).
     # ------------------------------------------------------------------
     "systematic_sample_revenue": (systematic_sample_revenue, _SYSTEMATIC_SAMPLE_SQL),

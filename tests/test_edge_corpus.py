@@ -239,9 +239,9 @@ EVENTS_QUERIES = [
     # typed-then-rendered MIN/MAX: microsecond timestamps and negative
     # doubles must render identically in both engines
     "events_table_profile",
-    # microsecond-offset readings, single-reading users (grid point
-    # collapses to the reading), negative values through the integer
-    # interpolation formula
+    # microsecond-offset readings, single-reading users (emit the
+    # grid point only when the reading lands exactly on the hour),
+    # negative values through the integer interpolation formula
     "tem_gap_fill_hourly",
 ]
 
