@@ -5293,6 +5293,81 @@ WHERE is_grid = 1 AND pc IS NOT NULL AND (nc IS NOT NULL OR pe = te)
 """
 
 
+def event_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) telemetry outlier flagging — the resistant
+    complement to event_value_outliers' z-score: mean/σ are themselves
+    dragged by the outliers they hunt, while median and MAD have a 50%
+    breakdown point (Hampel's rule, |x−med| > 3·1.4826·MAD ≈ 3σ under
+    normality). The standard pick for sensor fault detection where
+    faults corrupt the baseline.
+
+    Exactness: values ride the integer-cents grid; medians interpolate
+    exact-integer doubles ((a+b)/2 is exact in binary), so the per-type
+    (median, MAD) pair is bit-identical across engines, and the
+    robust-z threshold compares identical doubles. mad == 0 types are
+    excluded from flagging in both engines by the same predicate (no
+    engine-specific x/0 → Inf vs NULL divergence). Scale: two grouped
+    exact percentiles over |types| groups (swap percentile_approx at
+    100 TB — approx tier verified in approx_sketches) broadcast back
+    onto one events scan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", _cents("value").alias("cents")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("cents", 0.5).alias("med")
+    )
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.percentile(F.abs(F.col("cents") - F.col("med")), 0.5).alias("mad"))
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(dev), "event_type")
+        .filter(
+            (F.lit(1.4826) * F.col("mad") > 0)
+            & (
+                F.abs(F.col("cents") - F.col("med"))
+                / (F.lit(1.4826) * F.col("mad"))
+                > 3.0
+            )
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (F.col("med") / 100.0).alias("median_value"),
+            (F.col("mad") / 100.0).alias("mad_value"),
+            (
+                F.abs(F.col("cents") - F.col("med"))
+                / (F.lit(1.4826) * F.col("mad"))
+            ).alias("robust_z"),
+        )
+    )
+
+
+_MAD_OUTLIERS_SQL = """
+WITH c AS (
+  SELECT event_id, event_type, value,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), m AS (
+  SELECT event_type, quantile_cont(cents, 0.5) AS med FROM c
+  GROUP BY event_type
+), d AS (
+  SELECT c.event_type, quantile_cont(abs(c.cents - m.med), 0.5) AS mad
+  FROM c JOIN m USING (event_type) GROUP BY c.event_type
+)
+SELECT c.event_id, c.event_type, c.value,
+       m.med / 100.0 AS median_value,
+       d.mad / 100.0 AS mad_value,
+       abs(c.cents - m.med) / (1.4826 * d.mad) AS robust_z
+FROM c JOIN m USING (event_type) JOIN d USING (event_type)
+WHERE 1.4826 * d.mad > 0
+  AND abs(c.cents - m.med) / (1.4826 * d.mad) > 3.0
+"""
+
+
 def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expectation-suite audit (Great-Expectations / dbt-test shape):
     one row per constraint with its violation count — zero means the
@@ -6209,6 +6284,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "data_quality_audit": (data_quality_audit, _DATA_QUALITY_SQL),
     "events_table_profile": (events_table_profile, _TABLE_PROFILE_SQL),
     "tem_gap_fill_hourly": (tem_gap_fill_hourly, _GAP_FILL_SQL),
+    "event_value_outliers_mad": (event_value_outliers_mad, _MAD_OUTLIERS_SQL),
     # idf made engine-exact (driver-side ln) — same math, fresh stamp
     "corpus_tfidf_topterms": (corpus_tfidf_topterms, _TFIDF_TOPTERMS_SQL),
     "doc_bm25_search": (doc_bm25_search, _BM25_SQL),
@@ -6248,13 +6324,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "exists_high_quantity_orders": (exists_high_quantity_orders, _EXISTS_SQL),
     "conditional_agg_orders": (conditional_agg_orders, _CONDITIONAL_AGG_SQL),
     "doc_word_positions": (doc_word_positions, _WORD_POSITIONS_SQL),
-    "order_price_distribution": (order_price_distribution, _PRICE_DISTRIBUTION_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+): driver-green in round 4, next in
-    # the rotation queue for round 7. The 14 entries right below were
-    # displaced from the r6 fill by the 14 new session-2 queries (new
+    # the rotation queue for round 7. The 15 entries right below were
+    # displaced from the r6 fill by the 15 new session-2 queries (new
     # queries have NO driver evidence; these are r4-green refresh).
     # ------------------------------------------------------------------
+    "order_price_distribution": (order_price_distribution, _PRICE_DISTRIBUTION_SQL),
     "systematic_sample_revenue": (systematic_sample_revenue, _SYSTEMATIC_SAMPLE_SQL),
     "doc_regex_extract": (doc_regex_extract, _REGEX_EXTRACT_SQL),
     "embedding_stats": (embedding_stats, _EMBEDDING_STATS_SQL),

@@ -243,6 +243,9 @@ EVENTS_QUERIES = [
     # grid point only when the reading lands exactly on the hour),
     # negative values through the integer interpolation formula
     "tem_gap_fill_hourly",
+    # single-event types: MAD = 0 must exclude the type via the shared
+    # predicate in BOTH engines, never divide by zero (or Inf-vs-NULL)
+    "event_value_outliers_mad",
 ]
 
 

@@ -70,6 +70,7 @@ def test_driver_window_covers_round6_rotation():
         "page_graph_clustering", "user_type_scd2",
         "stratified_fixed_k_sample", "data_quality_audit",
         "events_table_profile", "tem_gap_fill_hourly",
+        "event_value_outliers_mad",
         # dropped by the r5 53-name window overflow — never stamped
         "stream_distinct_users", "stream_dedup_watermark",
         "stream_doc_quality",
@@ -88,7 +89,7 @@ def test_driver_window_covers_round6_rotation():
     # The r5 failure mode: the marked window section held 53 names, so
     # its last 3 were never stamped. Pin the window to EXACTLY the
     # first 50 by anchoring the entry that must sit at position 51.
-    assert list(REGISTRY)[50] == "systematic_sample_revenue", (
+    assert list(REGISTRY)[50] == "order_price_distribution", (
         "registry position 51 drifted — the driver stamps exactly "
         "list(REGISTRY)[:50]; an insert above this line silently pushes "
         "window entries below the checked range"
