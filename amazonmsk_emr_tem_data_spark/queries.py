@@ -4654,6 +4654,11 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # No cache() here deliberately: the df collect below and the final
+    # scoring job share this exact tf lineage, so Spark skips the
+    # already-materialized shuffle stages on the second job (measured
+    # A/B: caching ADDS 20% by paying InMemoryRelation materialization
+    # for stages that were already free to reuse).
     df_rows = (
         tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df")).collect()
     )
@@ -4769,10 +4774,19 @@ def corpus_tfidf_topterms(
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs")).collect()[0]["n_docs"]
+    # cache(): the (doc, term) rollup feeds THREE consumers (df agg,
+    # the distinct-df driver collect, and the scored join). Implicit
+    # shuffle-stage reuse does NOT cover the third: AQE re-plans the
+    # final two-join stage graph so its exchanges differ from the
+    # collect job's (measured A/B: cache is ~20% faster here, while the
+    # same cache on BM25's reused-verbatim lineage is 20% slower).
+    # MEMORY_AND_DISK, so a vocabulary-scale intermediate spills
+    # instead of evicting.
     tf = (
         docs.select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     df_vals = [r["df"] for r in df_.select("df").distinct().collect()]
@@ -6234,6 +6248,272 @@ WHERE {_HASH64_SQL.format(x="'mix:' || CAST(d.doc_id AS VARCHAR)")}
 """
 
 
+def stream_static_segment_spend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the purchase stream joined to the
+    static broadcast `customer` dimension, rolled up per market
+    segment (complete mode ⇒ bounded drain equals the batch oracle).
+    See streaming/pipelines.stream_static_segment_spend."""
+    from .streaming.pipelines import stream_static_segment_spend
+
+    return stream_static_segment_spend(spark, sf_dir)
+
+
+_STREAM_STATIC_SQL = f"""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_purchases,
+       {_dsum("e.value")} AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+#: Fixed range predicates the layout query reports pruning stats for:
+#: p_partkey ∈ [500, 600] (~5% of the part domain) and
+#: l_suppkey ∈ [10, 19] (~10% of the supplier domain).
+_ZORDER_PART_RANGE = (500, 600)
+_ZORDER_SUPP_RANGE = (10, 19)
+
+
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) multidimensional layout audit — the engine's
+    data-layout-management pass (Delta/Iceberg `ZORDER BY` compaction,
+    re-expressed as pure column algebra; operators/layout.py).
+
+    lineitem rows are assigned a 32-bit Morton code interleaving
+    (l_partkey, l_suppkey) — both first order-preservingly scaled onto
+    the full 16-bit domain — and range-sharded on the code's top 6 bits
+    (64 shards ≅ 64 files of a compaction run). Per shard it emits the
+    min/max file statistics a lakehouse format would store, plus
+    whether that shard survives min/max pruning for a fixed range
+    predicate on EACH key. The point the numbers make: after z-order
+    clustering, a selective range filter on EITHER column prunes the
+    large majority of shards — a single-key sort gives that on one
+    column only.
+
+    Scale: one scan + one 64-group aggregation (map-side combinable);
+    the two key maxima are a 1-row driver collect (bounded model
+    state). Every expression is BIGINT mask/shift math — bit-identical
+    in any engine, fully inside whole-stage codegen. At 100 TB the same
+    code is the sort key of a repartitionByRange write; here it feeds
+    the stats audit the writer would report.
+    """
+    from .operators.layout import morton16, scale_to_16bit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # Bounded driver traffic: the two key maxima (one row).
+    mx = li.agg(
+        F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
+    ).collect()[0]
+    # floor over a correctly-rounded IEEE double division of identical
+    # integers — bit-identical across engines (same argument the oracle
+    # relies on; no libm involved).
+    z = morton16(
+        scale_to_16bit(F.col("l_partkey"), mx["mp"]),
+        scale_to_16bit(F.col("l_suppkey"), mx["ms"]),
+    )
+    plo, phi = _ZORDER_PART_RANGE
+    slo, shi = _ZORDER_SUPP_RANGE
+    return (
+        li.select(
+            F.shiftright(z, 26).alias("shard_id"),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").cast("long").alias("min_part"),
+            F.max("l_partkey").cast("long").alias("max_part"),
+            F.min("l_suppkey").cast("long").alias("min_supp"),
+            F.max("l_suppkey").cast("long").alias("max_supp"),
+        )
+        .select(
+            "shard_id",
+            "n_rows",
+            "min_part",
+            "max_part",
+            "min_supp",
+            "max_supp",
+            (
+                (F.col("max_part") >= plo) & (F.col("min_part") <= phi)
+            ).alias("scans_for_part_range"),
+            (
+                (F.col("max_supp") >= slo) & (F.col("min_supp") <= shi)
+            ).alias("scans_for_supp_range"),
+        )
+    )
+
+
+def _zorder_sql() -> str:
+    from .operators.layout import morton16_sql
+
+    plo, phi = _ZORDER_PART_RANGE
+    slo, shi = _ZORDER_SUPP_RANGE
+    scaled_p = (
+        "CAST(floor(CAST(l_partkey AS BIGINT) * 65536"
+        " / (mp + 1.0)) AS BIGINT)"
+    )
+    scaled_s = (
+        "CAST(floor(CAST(l_suppkey AS BIGINT) * 65536"
+        " / (ms + 1.0)) AS BIGINT)"
+    )
+    return f"""
+WITH mx AS (
+  SELECT CAST(MAX(l_partkey) AS BIGINT) AS mp,
+         CAST(MAX(l_suppkey) AS BIGINT) AS ms
+  FROM lineitem
+), coded AS (
+  SELECT ({morton16_sql(scaled_p, scaled_s)} >> 26) AS shard_id,
+         l_partkey, l_suppkey
+  FROM lineitem CROSS JOIN mx
+)
+SELECT shard_id,
+       COUNT(*) AS n_rows,
+       CAST(MIN(l_partkey) AS BIGINT) AS min_part,
+       CAST(MAX(l_partkey) AS BIGINT) AS max_part,
+       CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
+       CAST(MAX(l_suppkey) AS BIGINT) AS max_supp,
+       (MAX(l_partkey) >= {plo} AND MIN(l_partkey) <= {phi})
+         AS scans_for_part_range,
+       (MAX(l_suppkey) >= {slo} AND MIN(l_suppkey) <= {shi})
+         AS scans_for_supp_range
+FROM coded
+GROUP BY shard_id
+"""
+
+
+#: Hashed-feature space size for DSIR importance weights. Small enough
+#: that the per-bucket model is trivially bounded driver state (256
+#: rows), large enough that bucket collisions mostly average out.
+_DSIR_BUCKETS = 256
+
+
+def dsir_importance_select(
+    spark: SparkSession, sf_dir: str, k: int = 100
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023, arXiv:2302.03169): rank raw-corpus documents by how much
+    they look like a target domain, using hashed n-gram features and
+    the log-likelihood ratio of two bag-of-buckets models. Here the
+    target is the English slice (lang='en') and the proposal is the
+    full corpus; the query emits the top-k docs by importance weight —
+    the selection a pretraining pipeline would feed the sampler.
+
+    Mechanics: tokens hash into 256 buckets (cross-engine md5 hash);
+    per-bucket counts under target and proposal are a 256-row driver
+    collect (bounded model state, the k-means/BPE contract); the
+    add-one-smoothed log ratio λ_b = ln p_t(b) − ln p_p(b) is computed
+    ONCE per bucket on the driver (CPython's math.log — the same libm
+    the same-host DuckDB oracle links, the BM25/tf-idf engine-exactness
+    rule), micro-gridded to integers, and broadcast back. A document's
+    weight is then the SUM of integer λ_micro over its tokens — exact
+    integer math, partition- and order-invariant by construction.
+
+    Scale: the explode is the hashed-featurization lower bound; the
+    model is 256 rows regardless of corpus size; the final top-k is
+    TakeOrderedAndProject (per-partition heaps, no global sort), and
+    the rank window runs over the ≤ k surviving rows only.
+    """
+    import math
+
+    from .functions.text import md5_hash64, tokens
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("token")
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(md5_hash64(F.col("token")), F.lit(_DSIR_BUCKETS)).alias(
+            "bucket"
+        ),
+    )
+    counts = (
+        toks.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("p_cnt"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias(
+                "t_cnt"
+            ),
+        )
+        .collect()
+    )
+    p_tot = sum(r["p_cnt"] for r in counts)
+    t_tot = sum(r["t_cnt"] for r in counts)
+    lam = [
+        (
+            r["bucket"],
+            math.floor(
+                (
+                    math.log((r["t_cnt"] + 1.0) / (t_tot + _DSIR_BUCKETS))
+                    - math.log((r["p_cnt"] + 1.0) / (p_tot + _DSIR_BUCKETS))
+                )
+                * 1e6
+                + 0.5
+            ),
+        )
+        for r in counts
+    ]
+    lam_df = spark.createDataFrame(lam, "bucket long, lam_micro long")
+    weights = (
+        toks.join(F.broadcast(lam_df), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("lam_micro").alias("w_micro"))
+    )
+    topk = weights.orderBy(
+        F.col("w_micro").desc(), F.col("doc_id").asc()
+    ).limit(k)
+    # Constant partition key over the <= k surviving rows (see BM25).
+    w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))).orderBy(
+        F.col("w_micro").desc(), F.col("doc_id").asc()
+    )
+    return topk.withColumn(
+        "sel_rank", F.row_number().over(w).cast("long")
+    ).select(
+        "doc_id",
+        (F.col("w_micro") / F.lit(1e6)).alias("weight"),
+        "sel_rank",
+    )
+
+
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({_TOKS_SQL}) AS token FROM documents
+), bt AS (
+  SELECT doc_id, lang,
+         {_HASH64_SQL.format(x='token')} % {_DSIR_BUCKETS} AS bucket
+  FROM toks
+), bc AS (
+  SELECT bucket,
+         COUNT(*) AS p_cnt,
+         COUNT(*) FILTER (WHERE lang = 'en') AS t_cnt
+  FROM bt GROUP BY bucket
+), tot AS (
+  SELECT CAST(SUM(p_cnt) AS BIGINT) AS p_tot,
+         CAST(SUM(t_cnt) AS BIGINT) AS t_tot
+  FROM bc
+), lam AS (
+  SELECT bucket,
+         CAST(floor((ln((t_cnt + 1.0) / (t_tot + {_DSIR_BUCKETS}))
+                     - ln((p_cnt + 1.0) / (p_tot + {_DSIR_BUCKETS})))
+                    * 1e6 + 0.5) AS BIGINT) AS lam_micro
+  FROM bc CROSS JOIN tot
+), w AS (
+  SELECT doc_id, CAST(SUM(lam_micro) AS BIGINT) AS w_micro
+  FROM bt JOIN lam USING (bucket)
+  GROUP BY doc_id
+)
+SELECT doc_id, w_micro / 1e6 AS weight, sel_rank
+FROM (
+  SELECT doc_id, w_micro,
+         CAST(row_number() OVER (ORDER BY w_micro DESC, doc_id ASC)
+              AS BIGINT) AS sel_rank
+  FROM w) r
+WHERE sel_rank <= 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6288,6 +6568,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # idf made engine-exact (driver-side ln) — same math, fresh stamp
     "corpus_tfidf_topterms": (corpus_tfidf_topterms, _TFIDF_TOPTERMS_SQL),
     "doc_bm25_search": (doc_bm25_search, _BM25_SQL),
+    # new this round (session 3): stream-static enrichment join,
+    # z-order layout audit, DSIR importance selection — no driver
+    # evidence yet, so they outrank refresh fill for slots
+    "stream_static_segment_spend": (
+        stream_static_segment_spend_q,
+        _STREAM_STATIC_SQL,
+    ),
+    "zorder_layout_stats": (zorder_layout_stats, _zorder_sql()),
+    "dsir_importance_select": (dsir_importance_select, _DSIR_SQL),
     # --- r6 window: the 3 entries the r5 53-name overflow dropped
     # (listed in the r5 window section but at positions 51-53, so
     # never stamped — ADVICE r5) ---
@@ -6310,9 +6599,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_meta": (multimodal_meta, _MULTIMODAL_META_SQL),
     "asof_latest_order": (asof_latest_order, _ASOF_SQL),
     "sessionize_events": (sessionize_events, _SESSION_SQL_BODY),
-    # --- r6 window: longest-unstamped r4-green fill (12 entries
-    # after the session-2 displacement; the remaining r4-green
-    # entries rotate in round 7) ---
+    # --- r6 window: longest-unstamped r4-green fill (8 entries after
+    # the session-2/3 displacements; the remaining r4-green entries
+    # rotate in round 7) ---
     "grouping_sets_lineitem": (grouping_sets_lineitem, _GROUPING_SETS_SQL),
     "pivot_status_by_flag": (pivot_status_by_flag, _PIVOT_SQL),
     "exact_quantiles": (exact_quantiles, _EXACT_QUANTILES_SQL),
@@ -6321,15 +6610,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "price_lag_lead_frames": (price_lag_lead_frames, _LAG_LEAD_SQL),
     "sql_interface_q3": (sql_interface_q3, _SQL_Q3_SQL),
     "small_quantity_revenue": (small_quantity_revenue, _SMALL_QTY_SQL),
+    # ------------------------------------------------------------------
+    # below the window (entry 51+): driver-green in round 4, next in
+    # the rotation queue for round 7. The entries right below were
+    # displaced from the r6 fill by the new session-2/3 queries (new
+    # queries have NO driver evidence; these are r4-green refresh).
+    # ------------------------------------------------------------------
     "exists_high_quantity_orders": (exists_high_quantity_orders, _EXISTS_SQL),
     "conditional_agg_orders": (conditional_agg_orders, _CONDITIONAL_AGG_SQL),
     "doc_word_positions": (doc_word_positions, _WORD_POSITIONS_SQL),
-    # ------------------------------------------------------------------
-    # below the window (entry 51+): driver-green in round 4, next in
-    # the rotation queue for round 7. The 15 entries right below were
-    # displaced from the r6 fill by the 15 new session-2 queries (new
-    # queries have NO driver evidence; these are r4-green refresh).
-    # ------------------------------------------------------------------
     "order_price_distribution": (order_price_distribution, _PRICE_DISTRIBUTION_SQL),
     "systematic_sample_revenue": (systematic_sample_revenue, _SYSTEMATIC_SAMPLE_SQL),
     "doc_regex_extract": (doc_regex_extract, _REGEX_EXTRACT_SQL),

@@ -248,6 +248,46 @@ def stream_stream_click_purchase(
     return run_to_memory(joined, output_mode="append")
 
 
+def stream_static_segment_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join + aggregation: the purchase stream
+    joined to the static ``customer`` dimension, rolled up to per-
+    market-segment spend. THE canonical streaming-ETL enrichment shape
+    (facts stream in, dimensions sit in the lakehouse) — and the one
+    join the reference's single-topic design had no dimension table for
+    (SURVEY §2.5: joins absent).
+
+    Semantics: a stream-static inner join is stateless — each micro-
+    batch joins against the (re-read) static side, no watermark or join
+    state needed; the ``complete``-mode aggregation then emits every
+    segment on the final batch, which makes a bounded drain bit-equal
+    to the batch join+groupBy the oracle runs.
+
+    Scale: the dimension side is explicitly ``broadcast()`` — at
+    production size the fact stream never shuffles for the join (map-
+    side hash join per micro-batch); only the 5-segment rollup
+    exchanges rows. The cent-grid sum keeps the spend total partition-
+    and batch-order-invariant (the engine's one rounding rule)."""
+    from ..sources.files import load_table
+
+    purchases = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = purchases.join(
+        F.broadcast(cust), purchases["user_id"] == cust["c_custkey"]
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / 100.0
+        ).alias("sum_value"),
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup with bounded state:
     ``dropDuplicatesWithinWatermark`` evicts seen-key state once the

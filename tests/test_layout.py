@@ -1,0 +1,105 @@
+"""Z-order (Morton) layout operator: cross-engine bit-exactness and
+the pruning property the layout exists to provide."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from amazonmsk_emr_tem_data_spark.operators.layout import (
+    morton16,
+    morton16_sql,
+    scale_to_16bit,
+    spread_bits16,
+    spread_bits16_sql,
+)
+
+
+def _py_spread(x: int) -> int:
+    x &= 0xFFFF
+    for sh, m in (
+        (8, 0x00FF00FF),
+        (4, 0x0F0F0F0F),
+        (2, 0x33333333),
+        (1, 0x55555555),
+    ):
+        x = (x | (x << sh)) & m
+    return x
+
+
+def _py_morton(a: int, b: int) -> int:
+    return _py_spread(a) | (_py_spread(b) << 1)
+
+
+SAMPLES = [0, 1, 2, 3, 255, 256, 4095, 12345, 32768, 65535, 70000]
+
+
+def test_spread_bits_reference_and_sql_twin():
+    """Spark column, DuckDB SQL twin, and the bit-by-bit Python
+    reference agree on every sample — including the >16-bit input
+    that must be masked."""
+    for v in SAMPLES:
+        expected = _py_spread(v)
+        got_sql = duckdb.sql(
+            f"SELECT {spread_bits16_sql(str(v))}"
+        ).fetchone()[0]
+        assert got_sql == expected, f"duckdb spread({v})"
+
+
+def test_morton_spark_matches_python_reference(spark):
+    pairs = [(a, b) for a in SAMPLES for b in SAMPLES[:5]]
+    df = spark.createDataFrame(pairs, "a long, b long").select(
+        "a", "b", morton16(F.col("a"), F.col("b")).alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == _py_morton(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_morton_sql_twin_matches_python_reference():
+    for a, b in [(0, 0), (1, 0), (0, 1), (65535, 65535), (123, 456)]:
+        got = duckdb.sql(
+            f"SELECT {morton16_sql(str(a), str(b))}"
+        ).fetchone()[0]
+        assert got == _py_morton(a, b), (a, b)
+
+
+def test_morton_interleave_structure():
+    """a occupies even bit positions, b odd — so z-order locality holds
+    for both dimensions symmetrically."""
+    assert _py_morton(0xFFFF, 0) == 0x55555555
+    assert _py_morton(0, 0xFFFF) == 0xAAAAAAAA
+    assert _py_morton(0xFFFF, 0xFFFF) == 0xFFFFFFFF
+
+
+def test_scale_to_16bit_order_preserving_and_full_range(spark):
+    df = spark.range(0, 2000).select(
+        F.col("id"), scale_to_16bit(F.col("id"), 1999).alias("s")
+    )
+    rows = sorted((r["id"], r["s"]) for r in df.collect())
+    vals = [s for _, s in rows]
+    assert vals == sorted(vals), "scaling must preserve order"
+    assert vals[0] == 0
+    assert 65536 - 64 <= vals[-1] < 65536, "must use the full 16-bit range"
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir):
+    """The layout's reason to exist: after Morton sharding, a selective
+    range predicate on EITHER key prunes a majority of shards. A
+    single-key sort would leave one of the two columns unprunable
+    (every shard spans the full other-key domain)."""
+    from amazonmsk_emr_tem_data_spark.queries import REGISTRY
+
+    rows = REGISTRY["zorder_layout_stats"][0](spark, sf_dir).collect()
+    n = len(rows)
+    part_hits = sum(r["scans_for_part_range"] for r in rows)
+    supp_hits = sum(r["scans_for_supp_range"] for r in rows)
+    assert n >= 16, f"expected a sharded layout, got {n} shards"
+    assert part_hits <= n / 2, (
+        f"part-range predicate should prune >=half the shards "
+        f"({part_hits}/{n} scanned)"
+    )
+    assert supp_hits <= n / 2, (
+        f"supp-range predicate should prune >=half the shards "
+        f"({supp_hits}/{n} scanned)"
+    )

@@ -71,6 +71,9 @@ def test_driver_window_covers_round6_rotation():
         "stratified_fixed_k_sample", "data_quality_audit",
         "events_table_profile", "tem_gap_fill_hourly",
         "event_value_outliers_mad",
+        # new in round-6 session 3 — zero driver evidence yet
+        "stream_static_segment_spend", "zorder_layout_stats",
+        "dsir_importance_select",
         # dropped by the r5 53-name window overflow — never stamped
         "stream_distinct_users", "stream_dedup_watermark",
         "stream_doc_quality",
@@ -89,7 +92,7 @@ def test_driver_window_covers_round6_rotation():
     # The r5 failure mode: the marked window section held 53 names, so
     # its last 3 were never stamped. Pin the window to EXACTLY the
     # first 50 by anchoring the entry that must sit at position 51.
-    assert list(REGISTRY)[50] == "order_price_distribution", (
+    assert list(REGISTRY)[50] == "exists_high_quantity_orders", (
         "registry position 51 drifted — the driver stamps exactly "
         "list(REGISTRY)[:50]; an insert above this line silently pushes "
         "window entries below the checked range"
@@ -165,6 +168,10 @@ def test_no_vacuous_queries(spark, sf_dir):
         "doc_quality_sort_shards",
         # the full double-quantizer composition
         "embedding_ivfpq_topk",
+        # r6 session-3: integer λ_micro sums (DSIR) and pure-integer
+        # Morton shard stats must be partition-blind
+        "dsir_importance_select",
+        "zorder_layout_stats",
     ],
 )
 def test_partitioning_invariance(spark, sf_dir, name):

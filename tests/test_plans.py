@@ -393,3 +393,31 @@ def test_gap_fill_two_exchanges_no_joins(spark, sf_dir):
         f"span agg + one window shuffle expected, got {f.n_exchanges}"
     )
     assert f.has_partial_agg
+
+
+def test_zorder_single_agg_no_joins(spark, sf_dir):
+    # Morton code + shard id are map-side column algebra; the only
+    # exchange is the 64-group stats aggregation (map-combined). The
+    # key-maxima collect happens at build time and is driver model
+    # state, not part of this plan.
+    f = facts(spark, sf_dir, "zorder_layout_stats")
+    assert not f.joins, f"zorder stats must be join-free, got {f.joins}"
+    assert f.n_exchanges == 1, (
+        f"one shard-stats shuffle expected, got {f.n_exchanges}"
+    )
+    assert f.has_partial_agg
+
+
+def test_dsir_broadcast_model_and_partial_topk(spark, sf_dir):
+    # The 256-row lambda model joins back as a broadcast (the corpus
+    # side must never shuffle for it); the final top-k must be
+    # TakeOrderedAndProject (per-partition heaps), not a global sort;
+    # the rank window runs over the <= k surviving rows only.
+    f = facts(spark, sf_dir, "dsir_importance_select")
+    assert f.joins and all(j == "BroadcastHashJoin" for j in f.joins), (
+        f"the lambda model must broadcast-join, got {f.joins}"
+    )
+    assert not f.has_cartesian
+    assert "TakeOrderedAndProject" in f.raw, (
+        "top-k must compile to TakeOrderedAndProject"
+    )
