@@ -748,3 +748,55 @@ def ivfpq_topk(
         .join(F.broadcast(luts), "query_id")
     )
     return _adc_rank(enc.join(F.broadcast(probed), "ivf_cell"), m, k, id_col)
+
+
+def pq_rerank_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    shortlist_k: int = 20,
+    n_queries: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    sample_n: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval: PQ-ADC shortlist → EXACT cosine rerank —
+    the 'refine' stage every production ANN deployment bolts onto a
+    quantized index (Faiss IndexRefineFlat): the cheap code-scan
+    over-fetches ``shortlist_k`` candidates per query, then the full
+    vectors of only those candidates are fetched and exactly
+    re-scored, recovering the recall the quantizer gave up.
+
+    Scale shape: stage 1 inherits pq_adc_topk's (corpus scanned as
+    16×-narrower codes, per-partition heaps); stage 2's gather is the
+    raw-vector scan joined against the BROADCAST shortlist
+    (|queries|·shortlist_k id pairs — model-state-sized), so the
+    corpus never shuffles for the rerank either, and the final window
+    ranks ≤ shortlist_k rows per query. Exact cosine uses the
+    fold-based dot product that is bit-identical to DuckDB's
+    list_dot_product, so the composed pipeline stays hash-checkable
+    end to end."""
+    short = pq_adc_topk(
+        embeddings, k=shortlist_k, n_queries=n_queries, m=m, ksub=ksub,
+        iters=iters, sample_n=sample_n, id_col=id_col, vec_col=vec_col,
+    ).select("query_id", id_col)
+    qv = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    cand = (
+        ensure_parallelism(embeddings)
+        .join(F.broadcast(short), id_col)
+        .join(F.broadcast(qv), "query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("cos_sim", cosine(F.col(vec_col), F.col("qv")))
+        .withColumn("rerank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rerank") <= k)
+        .select("query_id", id_col, "cos_sim", "rerank")
+    )

@@ -6514,6 +6514,42 @@ WHERE sel_rank <= 100
 """
 
 
+def embedding_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC shortlist (k'=20) → exact cosine rerank (k=5) — the
+    refine stage that completes the ANN tier (brute-force / LSH / IVF
+    / PQ / IVF-PQ / refine): quantized scan over-fetches, exact
+    scoring of only the shortlist recovers recall. See
+    operators/similarity.pq_rerank_topk; the oracle composes the full
+    unrolled PQ chain (as a nested-WITH CTE) with the exact-cosine
+    rerank, proving the two contracts hold under composition."""
+    from .operators.similarity import pq_rerank_topk
+
+    return pq_rerank_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _pq_rerank_sql(k: int = 5, shortlist_k: int = 20, n_queries: int = 5) -> str:
+    return f"""
+WITH short AS (
+{_pq_adc_sql(k=shortlist_k)}
+), qv AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id < {n_queries}
+), rer AS (
+  SELECT s.query_id, s.vec_id,
+         {_COS_SQL.format(a='e.embedding', b='q.qvec')} AS cos_sim
+  FROM short s
+  JOIN embeddings e ON s.vec_id = e.vec_id
+  JOIN qv q ON s.query_id = q.query_id
+)
+SELECT query_id, vec_id, cos_sim, rerank FROM (
+  SELECT rer.*,
+         CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rerank
+  FROM rer) t
+WHERE rerank <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6577,6 +6613,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "zorder_layout_stats": (zorder_layout_stats, _zorder_sql()),
     "dsir_importance_select": (dsir_importance_select, _DSIR_SQL),
+    "embedding_pq_rerank_topk": (embedding_pq_rerank_topk, _pq_rerank_sql()),
     # --- r6 window: the 3 entries the r5 53-name overflow dropped
     # (listed in the r5 window section but at positions 51-53, so
     # never stamped — ADVICE r5) ---
@@ -6599,7 +6636,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_meta": (multimodal_meta, _MULTIMODAL_META_SQL),
     "asof_latest_order": (asof_latest_order, _ASOF_SQL),
     "sessionize_events": (sessionize_events, _SESSION_SQL_BODY),
-    # --- r6 window: longest-unstamped r4-green fill (8 entries after
+    # --- r6 window: longest-unstamped r4-green fill (7 entries after
     # the session-2/3 displacements; the remaining r4-green entries
     # rotate in round 7) ---
     "grouping_sets_lineitem": (grouping_sets_lineitem, _GROUPING_SETS_SQL),
@@ -6609,13 +6646,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "outer_join_order_coverage": (outer_join_order_coverage, _OUTER_JOIN_SQL),
     "price_lag_lead_frames": (price_lag_lead_frames, _LAG_LEAD_SQL),
     "sql_interface_q3": (sql_interface_q3, _SQL_Q3_SQL),
-    "small_quantity_revenue": (small_quantity_revenue, _SMALL_QTY_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+): driver-green in round 4, next in
     # the rotation queue for round 7. The entries right below were
     # displaced from the r6 fill by the new session-2/3 queries (new
     # queries have NO driver evidence; these are r4-green refresh).
     # ------------------------------------------------------------------
+    "small_quantity_revenue": (small_quantity_revenue, _SMALL_QTY_SQL),
     "exists_high_quantity_orders": (exists_high_quantity_orders, _EXISTS_SQL),
     "conditional_agg_orders": (conditional_agg_orders, _CONDITIONAL_AGG_SQL),
     "doc_word_positions": (doc_word_positions, _WORD_POSITIONS_SQL),

@@ -561,3 +561,30 @@ def test_ivfpq_topk_self_match_and_overlap(spark, emb):
         by_query.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
     for q in range(5):
         assert min(by_query[q])[1] == q, "self-match must rank first"
+
+
+def test_pq_rerank_recovers_recall_and_self_match(spark, emb):
+    """The refine stage's guarantee, checkable without thresholds: an
+    exact-top-k item that survived into the shortlist MUST appear in
+    the reranked top-k (at most k−1 vectors beat it globally), so
+    rerank overlap with exact k-NN is >= the raw ADC overlap — on the
+    same shortlist, exact re-scoring can only help. Self-matches score
+    cos=1.0 exactly and must rank first."""
+    from amazonmsk_emr_tem_data_spark.operators.similarity import (
+        knn_join, pq_adc_topk, pq_rerank_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in knn_join(emb, queries, k=5).collect()}
+    adc = {(r["query_id"], r["vec_id"])
+           for r in pq_adc_topk(emb, k=5, n_queries=5).collect()}
+    rer = pq_rerank_topk(emb, k=5, shortlist_k=20, n_queries=5).collect()
+    rer_set = {(r["query_id"], r["vec_id"]) for r in rer}
+    assert len(rer_set & exact) >= len(adc & exact), (
+        "exact rerank of a superset shortlist lost recall vs raw ADC"
+    )
+    for q in range(5):
+        top1 = min((r["rerank"], r["vec_id"]) for r in rer if r["query_id"] == q)
+        assert top1[1] == q, "self-match must rerank first"

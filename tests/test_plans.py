@@ -421,3 +421,16 @@ def test_dsir_broadcast_model_and_partial_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in f.raw, (
         "top-k must compile to TakeOrderedAndProject"
     )
+
+
+def test_pq_rerank_gather_broadcasts_shortlist(spark, sf_dir):
+    # Stage 2's gather must join the raw-vector scan against the
+    # BROADCAST shortlist/query frames (corpus never shuffles for the
+    # rerank); nothing may plan a cartesian; the rerank window
+    # partitions by query_id over <= shortlist_k rows.
+    f = facts(spark, sf_dir, "embedding_pq_rerank_topk")
+    assert f.joins and all(j.startswith("Broadcast") for j in f.joins), (
+        f"rerank gather must broadcast, got {f.joins}"
+    )
+    assert not f.has_cartesian
+    assert "hashpartitioning(query_id" in f.raw
