@@ -107,3 +107,53 @@ def compact_small_files(
     out.write.mode(mode).parquet(dst)
     _, files_after = dir_stats(spark, dst)
     return files_before, files_after
+
+
+def zorder_compact(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    zorder_cols: tuple[str, str],
+    n_files: int | None = None,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Z-order compaction: rewrite a parquet prefix clustered on the
+    Morton interleave of TWO keys (Delta/Iceberg ``ZORDER BY``), so
+    every output file carries tight min/max statistics on BOTH columns
+    and a selective range predicate on EITHER prunes most files.
+    Returns the output file count.
+
+    This is the write path of queries.zorder_layout_stats (which
+    audits the same layout as a query): ``repartitionByRange`` on the
+    32-bit Morton code gives each file a disjoint code range — a
+    single-key sort instead leaves the second column spanning its full
+    domain in every file (zero pruning on it; contrast pinned by
+    tests/test_storage.py::test_zorder_compact_prunes_both_columns).
+    The code column is projected away after the range partitioning —
+    the Project preserves the partitioning, so no extra shuffle and
+    nothing extra on disk.
+    """
+    from pyspark.sql import functions as F
+
+    from .operators.layout import morton16, scale_to_16bit
+
+    a, b = zorder_cols
+    df = spark.read.parquet(src)
+    if n_files is None:
+        total_bytes, _ = dir_stats(spark, src)
+        n_files = max(1, -(-total_bytes // target_file_bytes))
+    # Bounded driver traffic: the two key maxima (one row).
+    mx = df.agg(F.max(a).alias("ma"), F.max(b).alias("mb")).collect()[0]
+    z = morton16(
+        scale_to_16bit(F.col(a), mx["ma"]), scale_to_16bit(F.col(b), mx["mb"])
+    )
+    out = (
+        df.withColumn("__zorder", z)
+        .repartitionByRange(n_files, "__zorder")
+        .sortWithinPartitions("__zorder")
+        .drop("__zorder")
+    )
+    out.write.mode(mode).parquet(dst)
+    _, files_after = dir_stats(spark, dst)
+    return files_after
