@@ -2834,17 +2834,23 @@ def doc_dup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import md5_hash64, tokens
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    w = tokens("text")
-    spans = F.when(
-        F.size(w) >= 8,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - F.lit(7)),
-            lambda i: F.concat_ws(" ", F.slice(w, i, 8)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", w)))
-    ex = docs.select(
-        "doc_id", F.explode(spans).alias("span")
-    ).select("doc_id", md5_hash64(F.col("span")).alias("h"))
+    # Positions-explode, not span-array-explode: see
+    # doc_dup_span_removal for why (InferFiltersFromGenerate
+    # re-evaluates a generator child per row; an int sequence is free
+    # to re-evaluate, the span-string array is not).
+    toks = docs.select("doc_id", tokens("text").alias("w"))
+    pos_arr = F.when(
+        F.size("w") >= 8,
+        F.sequence(F.lit(1), (F.size("w") - F.lit(7)).cast("int")),
+    ).otherwise(F.array(F.lit(1)))
+    ex = toks.select(
+        "doc_id", "w", F.explode(pos_arr).alias("p")
+    ).select(
+        "doc_id",
+        md5_hash64(
+            F.concat_ws(" ", F.slice(F.col("w"), F.col("p"), 8))
+        ).alias("h"),
+    )
     # global: which span hashes occur in >= 2 distinct docs
     df_global = (
         ex.select("doc_id", "h")
@@ -6550,6 +6556,134 @@ WHERE rerank <= {k}
 """
 
 
+def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring REMOVAL accounting (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better',
+    ExactSubstr): doc_dup_span_frac detects cross-document 8-token
+    spans; this query computes what actually gets cut — for each
+    document, how many TOKENS are covered by the union of its
+    duplicated spans, and the kept remainder a rewrite pass would
+    retain.
+
+    The union-of-intervals length is computed without materializing
+    per-token rows: duplicated span starts sorted per doc, each start
+    contributes ``min(span_len, pos − prev_pos)`` tokens (full span
+    length when the gap exceeds it, only the non-overlap otherwise) —
+    one lag window over the duplicated positions, exact integer math.
+
+    Scale shape: identical to doc_dup_span_frac up to the dup-hash
+    semi join (shuffles carry 64-bit hashes, never text), then one
+    doc-partitioned lag window over only the DUPLICATED positions
+    (≤ spans per doc) and a map-combinable rollup. keep_frac is a
+    single IEEE division of identical integers — bit-stable."""
+    from .functions.text import md5_hash64, tokens
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # Explode INTEGER positions, not the pre-built span-string array:
+    # InferFiltersFromGenerate pushes a `size(child) > 0 AND
+    # isnotnull(child)` filter under any Generate, re-evaluating the
+    # generator child per input row — with the span-string array as
+    # the child that re-runs tokenize+slice+concat for every span
+    # twice (measured 36 s for a 2.4M-span corpus; with a cheap int
+    # sequence as the child, 0.6 s). Each span string is built ONCE,
+    # after the generate, from the carried token array.
+    base = docs.select("doc_id", tokens("text").alias("w")).select(
+        "doc_id", F.size("w").cast("long").alias("n_tokens"), "w"
+    )
+    pos_arr = F.when(
+        F.col("n_tokens") >= 8,
+        F.sequence(F.lit(1), (F.col("n_tokens") - 7).cast("int")),
+    ).otherwise(F.array(F.lit(1)))
+    ex = base.select(
+        "doc_id", "n_tokens", "w", F.explode(pos_arr).alias("pos")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        md5_hash64(
+            F.concat_ws(" ", F.slice(F.col("w"), F.col("pos"), 8))
+        ).alias("h"),
+    )
+    dup = (
+        ex.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup_pos = ex.join(dup, "h", "left_semi")
+    span_len = F.least(F.lit(8), F.col("n_tokens"))
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    cov = (
+        dup_pos.withColumn(
+            "contrib",
+            F.coalesce(
+                F.least(span_len, F.col("pos") - F.lag("pos").over(wl)),
+                span_len,
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").cast("long").alias("covered_tokens"))
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(cov, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            (
+                F.col("n_tokens") - F.coalesce("covered_tokens", F.lit(0))
+            ).alias("kept_tokens"),
+            (
+                (
+                    F.col("n_tokens") - F.coalesce("covered_tokens", F.lit(0))
+                ).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("keep_frac"),
+        )
+    )
+
+
+_DUP_SPAN_REMOVAL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w FROM toks
+), positions AS (
+  SELECT doc_id, n_tokens, w,
+         unnest(CASE WHEN n_tokens >= 8
+                     THEN generate_series(1, CAST(n_tokens - 7 AS INT))
+                     ELSE [1] END) AS pos
+  FROM base
+), hashed AS (
+  SELECT doc_id, n_tokens, pos,
+         {_HASH64_SQL.format(x="array_to_string(w[pos:pos+7], ' ')")} AS h
+  FROM positions
+), dup AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM hashed)
+  GROUP BY h HAVING COUNT(*) >= 2
+), dp AS (
+  SELECT doc_id, LEAST(8, n_tokens) AS span_len, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM hashed WHERE h IN (SELECT h FROM dup)
+), cov AS (
+  SELECT doc_id,
+         CAST(SUM(COALESCE(LEAST(span_len, pos - prev), span_len))
+              AS BIGINT) AS covered_tokens
+  FROM dp GROUP BY doc_id
+)
+SELECT b.doc_id,
+       b.n_tokens,
+       COALESCE(c.covered_tokens, 0) AS covered_tokens,
+       b.n_tokens - COALESCE(c.covered_tokens, 0) AS kept_tokens,
+       CAST(b.n_tokens - COALESCE(c.covered_tokens, 0) AS DOUBLE)
+         / CAST(b.n_tokens AS DOUBLE) AS keep_frac
+FROM base b LEFT JOIN cov c USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6614,6 +6748,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "zorder_layout_stats": (zorder_layout_stats, _zorder_sql()),
     "dsir_importance_select": (dsir_importance_select, _DSIR_SQL),
     "embedding_pq_rerank_topk": (embedding_pq_rerank_topk, _pq_rerank_sql()),
+    "doc_dup_span_removal": (doc_dup_span_removal, _DUP_SPAN_REMOVAL_SQL),
     # --- r6 window: the 3 entries the r5 53-name overflow dropped
     # (listed in the r5 window section but at positions 51-53, so
     # never stamped — ADVICE r5) ---
@@ -6636,7 +6771,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_meta": (multimodal_meta, _MULTIMODAL_META_SQL),
     "asof_latest_order": (asof_latest_order, _ASOF_SQL),
     "sessionize_events": (sessionize_events, _SESSION_SQL_BODY),
-    # --- r6 window: longest-unstamped r4-green fill (7 entries after
+    # --- r6 window: longest-unstamped r4-green fill (6 entries after
     # the session-2/3 displacements; the remaining r4-green entries
     # rotate in round 7) ---
     "grouping_sets_lineitem": (grouping_sets_lineitem, _GROUPING_SETS_SQL),
@@ -6645,13 +6780,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
     "outer_join_order_coverage": (outer_join_order_coverage, _OUTER_JOIN_SQL),
     "price_lag_lead_frames": (price_lag_lead_frames, _LAG_LEAD_SQL),
-    "sql_interface_q3": (sql_interface_q3, _SQL_Q3_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+): driver-green in round 4, next in
     # the rotation queue for round 7. The entries right below were
     # displaced from the r6 fill by the new session-2/3 queries (new
     # queries have NO driver evidence; these are r4-green refresh).
     # ------------------------------------------------------------------
+    "sql_interface_q3": (sql_interface_q3, _SQL_Q3_SQL),
     "small_quantity_revenue": (small_quantity_revenue, _SMALL_QTY_SQL),
     "exists_high_quantity_orders": (exists_high_quantity_orders, _EXISTS_SQL),
     "conditional_agg_orders": (conditional_agg_orders, _CONDITIONAL_AGG_SQL),

@@ -588,3 +588,50 @@ def test_pq_rerank_recovers_recall_and_self_match(spark, emb):
     for q in range(5):
         top1 = min((r["rerank"], r["vec_id"]) for r in rer if r["query_id"] == q)
         assert top1[1] == q, "self-match must rerank first"
+
+
+def test_dup_span_removal_matches_bruteforce_interval_union(spark, sf_dir):
+    """Independent check of the lag-window interval-union math: a
+    plain Python re-implementation (explicit per-token coverage sets
+    over the same normalization/spans/dup rule) must agree exactly
+    with the distributed min(span_len, gap) formulation on the real
+    fixture corpus."""
+    import re as _re
+    from collections import defaultdict
+
+    import duckdb
+
+    from amazonmsk_emr_tem_data_spark.queries import REGISTRY
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    toks = {
+        d: _re.sub(r"\s+", " ", t).strip().lower().split(" ")
+        for d, t in rows
+    }
+    span_docs = defaultdict(set)
+    doc_spans = {}
+    for d, w in toks.items():
+        n = len(w)
+        starts = range(1, n - 6) if n >= 8 else [1]
+        spans = [
+            (i, " ".join(w[i - 1:i + 7]) if n >= 8 else " ".join(w))
+            for i in starts
+        ]
+        doc_spans[d] = spans
+        for _, s in spans:
+            span_docs[s].add(d)
+    expected = {}
+    for d, w in toks.items():
+        n = len(w)
+        covered = set()
+        for i, s in doc_spans[d]:
+            if len(span_docs[s]) >= 2:
+                covered.update(range(i, min(i + 8, n + 1)))
+        expected[d] = (n, len(covered))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"])
+        for r in REGISTRY["doc_dup_span_removal"][0](spark, sf_dir).collect()
+    }
+    assert got == expected
