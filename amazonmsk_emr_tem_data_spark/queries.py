@@ -6684,6 +6684,144 @@ FROM base b LEFT JOIN cov c USING (doc_id)
 """
 
 
+#: Cutoff splitting the orders table into the "already-materialized"
+#: base and the "newly-arrived" delta for the incremental-refresh demo
+#: (inside every fixture's date span, so both sides are non-empty).
+_INCR_CUTOFF = "1996-01-01"
+
+
+def orders_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: refresh a monthly
+    revenue rollup by MERGING the stored base aggregate with the
+    partial aggregate of only the newly-arrived delta — never
+    re-scanning history. The query executes the refresh algebra
+    end-to-end: base partials (orders < cutoff) ⊎ delta partials
+    (orders ≥ cutoff) → re-aggregate the union of partials per month.
+    The DuckDB twin computes the same months directly over the full
+    table, proving merge(partials) ≡ full recompute — the contract
+    incremental refresh rests on.
+
+    Works because every aggregate here is decomposable: COUNT and the
+    cent-grid SUM merge by addition (the same map-side-combine algebra
+    Spark's partial aggregation uses inside one job, applied ACROSS
+    jobs). AVG is derived from the merged sums, never averaged
+    directly. At 100 TB the base side is a stored table of |months|
+    rows and only the delta scans — refresh cost tracks the delta."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents("o_totalprice")).alias("cents"),
+        )
+
+    base = partials(orders.filter(F.col("o_orderdate") < _INCR_CUTOFF))
+    delta = partials(orders.filter(F.col("o_orderdate") >= _INCR_CUTOFF))
+    return (
+        base.unionAll(delta)
+        .groupBy("order_year", "order_month")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+        .select(
+            "order_year",
+            "order_month",
+            "n_orders",
+            (F.col("cents").cast("double") / 100.0).alias("revenue"),
+            (
+                F.col("cents").cast("double")
+                / F.col("n_orders")
+                / 100.0
+            ).alias("avg_price"),
+        )
+    )
+
+
+_INCR_AGG_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 100.0 AS avg_price
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+def key_skew_report(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Join-key skew diagnostic: per-customer order counts ranked
+    against the uniform expectation — the report that DECIDES whether
+    a downstream join needs salting (operators/skew.py) or AQE skew
+    handling. Emits the top-k heavy keys with their share in ppm and
+    a skew factor (key count ÷ mean count, floored to an integer
+    micro-ratio so the report is bit-stable cross-engine).
+
+    Scale: one map-combinable count per key, a 1-row global broadcast
+    (n_keys, n_rows), and a TakeOrderedAndProject top-k — the
+    diagnostic costs one aggregation over the fact table, which is
+    the cheapest question you can ask before a multi-TB shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    tot = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_orders").alias("n_rows"),
+    )
+    # integer floor-division in BOTH engines (Spark `div` / DuckDB `//`)
+    # — a double-division-then-cast would truncate in Spark but round
+    # in DuckDB
+    scored = per_key.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        "n_orders",
+        F.expr(
+            "(n_orders * CAST(1000000 AS BIGINT)) div n_rows"
+        ).alias("share_ppm"),
+        F.expr(
+            "(n_orders * CAST(1000000 AS BIGINT) * n_keys) div n_rows"
+        ).alias("skew_micro"),
+    )
+    topk = scored.orderBy(
+        F.col("n_orders").desc(), F.col("o_custkey").asc()
+    ).limit(k)
+    w = Window.partitionBy(F.pmod(F.col("o_custkey"), F.lit(1))).orderBy(
+        F.col("n_orders").desc(), F.col("o_custkey").asc()
+    )
+    return topk.withColumn(
+        "heavy_rank", F.row_number().over(w).cast("long")
+    ).select("o_custkey", "n_orders", "share_ppm", "skew_micro", "heavy_rank")
+
+
+_KEY_SKEW_SQL = """
+WITH per_key AS (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(n_orders) AS BIGINT) AS n_rows
+  FROM per_key
+), scored AS (
+  SELECT o_custkey, n_orders,
+         CAST((n_orders * 1000000) // n_rows AS BIGINT) AS share_ppm,
+         CAST((n_orders * 1000000 * n_keys) // n_rows AS BIGINT)
+           AS skew_micro
+  FROM per_key CROSS JOIN tot
+)
+SELECT o_custkey, n_orders, share_ppm, skew_micro, heavy_rank
+FROM (
+  SELECT scored.*,
+         CAST(row_number() OVER (ORDER BY n_orders DESC, o_custkey ASC)
+              AS BIGINT) AS heavy_rank
+  FROM scored) t
+WHERE heavy_rank <= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6749,6 +6887,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dsir_importance_select": (dsir_importance_select, _DSIR_SQL),
     "embedding_pq_rerank_topk": (embedding_pq_rerank_topk, _pq_rerank_sql()),
     "doc_dup_span_removal": (doc_dup_span_removal, _DUP_SPAN_REMOVAL_SQL),
+    "orders_incremental_agg": (orders_incremental_agg, _INCR_AGG_SQL),
+    "key_skew_report": (key_skew_report, _KEY_SKEW_SQL),
     # --- r6 window: the 3 entries the r5 53-name overflow dropped
     # (listed in the r5 window section but at positions 51-53, so
     # never stamped — ADVICE r5) ---
@@ -6771,21 +6911,21 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_meta": (multimodal_meta, _MULTIMODAL_META_SQL),
     "asof_latest_order": (asof_latest_order, _ASOF_SQL),
     "sessionize_events": (sessionize_events, _SESSION_SQL_BODY),
-    # --- r6 window: longest-unstamped r4-green fill (6 entries after
+    # --- r6 window: longest-unstamped r4-green fill (4 entries after
     # the session-2/3 displacements; the remaining r4-green entries
     # rotate in round 7) ---
     "grouping_sets_lineitem": (grouping_sets_lineitem, _GROUPING_SETS_SQL),
     "pivot_status_by_flag": (pivot_status_by_flag, _PIVOT_SQL),
     "exact_quantiles": (exact_quantiles, _EXACT_QUANTILES_SQL),
     "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
-    "outer_join_order_coverage": (outer_join_order_coverage, _OUTER_JOIN_SQL),
-    "price_lag_lead_frames": (price_lag_lead_frames, _LAG_LEAD_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+): driver-green in round 4, next in
     # the rotation queue for round 7. The entries right below were
     # displaced from the r6 fill by the new session-2/3 queries (new
     # queries have NO driver evidence; these are r4-green refresh).
     # ------------------------------------------------------------------
+    "outer_join_order_coverage": (outer_join_order_coverage, _OUTER_JOIN_SQL),
+    "price_lag_lead_frames": (price_lag_lead_frames, _LAG_LEAD_SQL),
     "sql_interface_q3": (sql_interface_q3, _SQL_Q3_SQL),
     "small_quantity_revenue": (small_quantity_revenue, _SMALL_QTY_SQL),
     "exists_high_quantity_orders": (exists_high_quantity_orders, _EXISTS_SQL),

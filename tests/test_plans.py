@@ -434,3 +434,36 @@ def test_pq_rerank_gather_broadcasts_shortlist(spark, sf_dir):
     )
     assert not f.has_cartesian
     assert "hashpartitioning(query_id" in f.raw
+
+
+def test_key_skew_report_broadcast_totals_partial_topk(spark, sf_dir):
+    # the (n_keys, n_rows) totals are a 1-row broadcast; top-k must be
+    # per-partition heaps, not a global sort
+    f = facts(spark, sf_dir, "key_skew_report")
+    assert f.joins and all(j.startswith("Broadcast") for j in f.joins), f.joins
+    assert "TakeOrderedAndProject" in f.raw
+    assert f.has_partial_agg
+
+
+def test_incremental_agg_cutoff_invariance(spark, sf_dir):
+    # The refresh algebra's actual contract: merge(base partials, delta
+    # partials) must be identical for ANY cutoff — including the
+    # degenerate all-base and all-delta splits — because COUNT and the
+    # cent-grid SUM merge by addition exactly.
+    from collections import Counter
+
+    from amazonmsk_emr_tem_data_spark import queries as Q
+
+    ref = None
+    orig = Q._INCR_CUTOFF
+    try:
+        for cutoff in ("1900-01-01", "1996-01-01", "1997-06-15", "2100-01-01"):
+            Q._INCR_CUTOFF = cutoff
+            got = Counter(
+                tuple(r) for r in Q.orders_incremental_agg(spark, sf_dir).collect()
+            )
+            if ref is None:
+                ref = got
+            assert got == ref, f"cutoff {cutoff} changed the merged rollup"
+    finally:
+        Q._INCR_CUTOFF = orig
