@@ -69,6 +69,10 @@ HEADLINE = [
     # and the map-only content-fingerprint split
     "corpus_tfidf_topterms",
     "doc_leakage_safe_split",
+    # round-6 session-3 addition: the span-removal query after the
+    # Generate-filter re-evaluation fix (positions-explode) — in the
+    # set to lock the 4x improvement in, same rationale as BM25 in r5
+    "doc_dup_span_removal",
 ]
 
 

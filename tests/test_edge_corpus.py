@@ -83,6 +83,13 @@ DOC_QUERIES = [
     "corpus_tfidf_topterms",
     "doc_leakage_safe_split",
     "corpus_length_histogram",
+    # r6 session-3: span-removal interval union over empty/short/
+    # identical docs (9+10 are exact copies ⇒ 100% coverage; <8-token
+    # docs collapse to one whole-text span); DSIR weights where the
+    # target slice and several buckets are near-empty (add-one
+    # smoothing keeps every ln argument positive in both engines)
+    "doc_dup_span_removal",
+    "dsir_importance_select",
 ]
 
 
