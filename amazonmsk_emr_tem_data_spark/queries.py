@@ -4712,7 +4712,8 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     )
 
 
-_BM25_SQL = f"""
+def _bm25_sql(k: int = 10) -> str:
+    return f"""
 WITH stats AS (
   SELECT count(*) AS n_docs, avg(len({_TOKS_SQL})) AS avgdl FROM documents
 ), tf AS (
@@ -4737,8 +4738,11 @@ SELECT doc_id, bm25, rank FROM (
          CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT)
            AS rank
   FROM scored) t
-WHERE rank <= 10
+WHERE rank <= {k}
 """
+
+
+_BM25_SQL = _bm25_sql(10)
 
 
 def corpus_tfidf_topterms(
@@ -6822,6 +6826,151 @@ WHERE heavy_rank <= 20
 """
 
 
+def _query_tfidf_ranks(
+    spark: SparkSession, sf_dir: str, k: int
+) -> DataFrame:
+    """Second retrieval signal for the hybrid fusion: query-scoped
+    tf·idf (BM25 without length normalization or saturation — a
+    genuinely different ranking of the same candidate pool). Score is
+    PURE integer math: idf_micro = floor(ln(N/df)·1e6 + 0.5) computed
+    once per query term on the driver (the BM25 engine-exactness
+    rule), then score_micro = Σ tf·idf_micro."""
+    import math
+
+    from .functions.text import tokens
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_rows = (
+        tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df")).collect()
+    )
+    idf_df = spark.createDataFrame(
+        [
+            (r["term"], math.floor(math.log(n_docs / r["df"]) * 1e6 + 0.5))
+            for r in df_rows
+        ],
+        "term string, idf_micro long",
+    )
+    scored = (
+        tf.join(F.broadcast(idf_df), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf_micro")).alias("score_micro"))
+    )
+    topk = scored.orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    ).limit(k)
+    w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))).orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return topk.withColumn(
+        "sem_rank", F.row_number().over(w).cast("long")
+    ).select("doc_id", "sem_rank")
+
+
+def hybrid_rrf_search(
+    spark: SparkSession, sf_dir: str, k: int = 10, pool: int = 20
+) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009, the fusion every production RAG stack runs over its lexical
+    + vector rankers): two independent top-``pool`` rankings of the
+    same fixed query — BM25 and raw query tf·idf — fused by
+    rrf(d) = Σ_systems 1/(60 + rank_system(d)), re-ranked, top-k.
+
+    RRF here is INTEGER: each reciprocal lands on the micro grid as
+    1000000 div (60 + rank) before the sum (floor-div in both
+    engines), so fusion scores and the fused order are bit-identical
+    cross-engine. Ranker membership is preserved in the output
+    (nullable per-system ranks) — the debugging surface a fusion
+    deployment actually needs.
+
+    Scale: each ranker is its own TakeOrderedAndProject top-pool
+    (per-partition heaps over the posting-list-bounded candidates);
+    the fusion's full-outer join and final rank run over ≤ 2·pool
+    rows — model-state-sized no matter the corpus."""
+    lex = doc_bm25_search(spark, sf_dir, k=pool).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    sem = _query_tfidf_ranks(spark, sf_dir, k=pool)
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            (
+                F.coalesce(
+                    F.expr("CAST(1000000 AS BIGINT) div (60 + lex_rank)"),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.expr("CAST(1000000 AS BIGINT) div (60 + sem_rank)"),
+                    F.lit(0),
+                )
+            ).alias("rrf_micro"),
+        )
+    )
+    topk = fused.orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    ).limit(k)
+    w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))).orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    return topk.withColumn(
+        "fused_rank", F.row_number().over(w).cast("long")
+    ).select("doc_id", "lex_rank", "sem_rank", "rrf_micro", "fused_rank")
+
+
+def _hybrid_rrf_sql(k: int = 10, pool: int = 20) -> str:
+    return f"""
+WITH lex AS (
+{_bm25_sql(pool)}
+), sem AS (
+  SELECT doc_id, sem_rank FROM (
+    SELECT doc_id, score_micro,
+           CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)
+                AS BIGINT) AS sem_rank
+    FROM (
+      SELECT t.doc_id,
+             CAST(SUM(t.tf * CAST(floor(ln(CAST(n.n_docs AS DOUBLE) / d.df)
+                  * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro
+      FROM (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+        WHERE term IN ('spark', 'table', 'fast')
+        GROUP BY doc_id, term
+      ) t
+      JOIN (SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+            WHERE term IN ('spark', 'table', 'fast')
+            GROUP BY term) d USING (term)
+      CROSS JOIN (SELECT COUNT(*) AS n_docs FROM documents) n
+      GROUP BY t.doc_id
+    ) s
+  ) r
+  WHERE sem_rank <= {pool}
+), fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.rank AS lex_rank,
+         s.sem_rank,
+         COALESCE(1000000 // (60 + l.rank), 0)
+           + COALESCE(1000000 // (60 + s.sem_rank), 0) AS rrf_micro
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_micro, fused_rank FROM (
+  SELECT fused.*,
+         CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC)
+              AS BIGINT) AS fused_rank
+  FROM fused) t
+WHERE fused_rank <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6889,6 +7038,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_dup_span_removal": (doc_dup_span_removal, _DUP_SPAN_REMOVAL_SQL),
     "orders_incremental_agg": (orders_incremental_agg, _INCR_AGG_SQL),
     "key_skew_report": (key_skew_report, _KEY_SKEW_SQL),
+    "hybrid_rrf_search": (hybrid_rrf_search, _hybrid_rrf_sql()),
     # --- r6 window: the 3 entries the r5 53-name overflow dropped
     # (listed in the r5 window section but at positions 51-53, so
     # never stamped — ADVICE r5) ---
@@ -6911,19 +7061,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_meta": (multimodal_meta, _MULTIMODAL_META_SQL),
     "asof_latest_order": (asof_latest_order, _ASOF_SQL),
     "sessionize_events": (sessionize_events, _SESSION_SQL_BODY),
-    # --- r6 window: longest-unstamped r4-green fill (4 entries after
+    # --- r6 window: longest-unstamped r4-green fill (3 entries after
     # the session-2/3 displacements; the remaining r4-green entries
     # rotate in round 7) ---
     "grouping_sets_lineitem": (grouping_sets_lineitem, _GROUPING_SETS_SQL),
     "pivot_status_by_flag": (pivot_status_by_flag, _PIVOT_SQL),
     "exact_quantiles": (exact_quantiles, _EXACT_QUANTILES_SQL),
-    "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+): driver-green in round 4, next in
     # the rotation queue for round 7. The entries right below were
     # displaced from the r6 fill by the new session-2/3 queries (new
     # queries have NO driver evidence; these are r4-green refresh).
     # ------------------------------------------------------------------
+    "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
     "outer_join_order_coverage": (outer_join_order_coverage, _OUTER_JOIN_SQL),
     "price_lag_lead_frames": (price_lag_lead_frames, _LAG_LEAD_SQL),
     "sql_interface_q3": (sql_interface_q3, _SQL_Q3_SQL),

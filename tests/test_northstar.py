@@ -635,3 +635,31 @@ def test_dup_span_removal_matches_bruteforce_interval_union(spark, sf_dir):
         for r in REGISTRY["doc_dup_span_removal"][0](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_hybrid_rrf_fuses_both_rankers(spark, sf_dir):
+    """The fusion must actually fuse: every fused doc comes from at
+    least one ranker pool, the reciprocal sums check out against the
+    emitted ranks, and (on the real fixtures) the fused order differs
+    from the pure-BM25 order — two signals, not a passthrough."""
+    from amazonmsk_emr_tem_data_spark.queries import REGISTRY
+
+    rows = REGISTRY["hybrid_rrf_search"][0](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["lex_rank"] is not None or r["sem_rank"] is not None
+        expect = 0
+        if r["lex_rank"] is not None:
+            expect += 1000000 // (60 + r["lex_rank"])
+        if r["sem_rank"] is not None:
+            expect += 1000000 // (60 + r["sem_rank"])
+        assert r["rrf_micro"] == expect
+    fused_order = [r["doc_id"] for r in sorted(rows, key=lambda r: r["fused_rank"])]
+    lex_order = [
+        r["doc_id"]
+        for r in sorted(
+            (r for r in rows if r["lex_rank"] is not None),
+            key=lambda r: r["lex_rank"],
+        )
+    ]
+    assert fused_order != lex_order, "fusion degenerated to the BM25 order"

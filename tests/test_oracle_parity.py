@@ -75,7 +75,7 @@ def test_driver_window_covers_round6_rotation():
         "stream_static_segment_spend", "zorder_layout_stats",
         "dsir_importance_select", "embedding_pq_rerank_topk",
         "doc_dup_span_removal", "orders_incremental_agg",
-        "key_skew_report",
+        "key_skew_report", "hybrid_rrf_search",
         # dropped by the r5 53-name window overflow — never stamped
         "stream_distinct_users", "stream_dedup_watermark",
         "stream_doc_quality",
@@ -94,7 +94,7 @@ def test_driver_window_covers_round6_rotation():
     # The r5 failure mode: the marked window section held 53 names, so
     # its last 3 were never stamped. Pin the window to EXACTLY the
     # first 50 by anchoring the entry that must sit at position 51.
-    assert list(REGISTRY)[50] == "outer_join_order_coverage", (
+    assert list(REGISTRY)[50] == "salted_customer_revenue", (
         "registry position 51 drifted — the driver stamps exactly "
         "list(REGISTRY)[:50]; an insert above this line silently pushes "
         "window entries below the checked range"
