@@ -55,13 +55,22 @@ def morton16(a: Column, b: Column) -> Column:
     return spread_bits16(a).bitwiseOR(F.shiftleft(spread_bits16(b), 1))
 
 
-def scale_to_16bit(c: Column, max_val: int) -> Column:
-    """Map a key in [0, max_val] onto the full 16-bit domain while
-    preserving order (so the interleave uses all its bits even when the
-    natural key range is narrow). Integer math: floor(c * 65536 /
-    (max_val + 1))."""
+def scale_to_16bit(c: Column, max_val: int, min_val: int = 0) -> Column:
+    """Map a key in [min_val, max_val] onto the full 16-bit domain
+    while preserving order (so the interleave uses all its bits even
+    when the natural key range is narrow). Integer math:
+    floor((c − min_val) * 65536 / (max_val − min_val + 1)).
+
+    ``min_val`` matters for signed domains: spread_bits16 masks to the
+    low 16 bits, so a NEGATIVE scaled value's two's-complement bits
+    would land at the TOP of the domain and silently destroy locality
+    — shifting by the domain minimum keeps every scaled key in
+    [0, 65535]."""
+    lo = int(min_val)
     return F.floor(
-        c.cast("long") * F.lit(65536) / F.lit(int(max_val) + 1)
+        (c.cast("long") - F.lit(lo))
+        * F.lit(65536)
+        / F.lit(int(max_val) - lo + 1)
     ).cast("long")
 
 

@@ -71,6 +71,21 @@ def dec_avg(col: Column | str) -> Column:
     return (F.sum(_cents(col)).cast("double") / F.count(c)) / F.lit(100.0)
 
 
+def _ranked_topk(
+    df: DataFrame, order: list[Column], id_col: str, k: int, rank_name: str
+) -> DataFrame:
+    """Distributed partial top-k + rank: ``orderBy().limit(k)`` compiles
+    to TakeOrderedAndProject (per-partition heaps of k, driver merge of
+    #partitions × k rows — never a global sort), and the rank window
+    then runs over only the ≤ k survivors. The partition key is
+    ``pmod(id, 1)`` — always 0 — because a literal key would be
+    constant-folded back to an empty spec and re-raise the benign
+    no-partition WindowExec warning."""
+    topk = df.orderBy(*order).limit(k)
+    w = Window.partitionBy(F.pmod(F.col(id_col), F.lit(1))).orderBy(*order)
+    return topk.withColumn(rank_name, F.row_number().over(w).cast("long"))
+
+
 def _dsum(expr: str) -> str:
     return f"(CAST(SUM(CAST(round(({expr})*100) AS BIGINT)) AS DOUBLE) / 100.0)"
 
@@ -2819,6 +2834,65 @@ LIMIT 20
 """
 
 
+def _span_pos_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, pos, h): the 64-bit hash of every 8-token
+    span position (documents shorter than 8 tokens contribute their
+    whole text as the single position-1 span) — the shared front end
+    of doc_dup_span_frac and doc_dup_span_removal.
+
+    Explodes INTEGER positions, not a pre-built span-string array:
+    Catalyst's InferFiltersFromGenerate pushes a `size(child) > 0 AND
+    isnotnull(child)` filter under any Generate, re-evaluating the
+    generator child per input row — with the span-string array as the
+    child that re-ran tokenize+slice+concat for every span twice
+    (measured 36 s for a 2.4M-span corpus; with a cheap int sequence
+    as the child, 0.6 s). Each span string is built ONCE, after the
+    generate, from the carried token array. SQL twin:
+    ``_SPAN_HASH_CTES``."""
+    from .functions.text import md5_hash64, tokens
+
+    base = docs.select("doc_id", tokens("text").alias("w")).select(
+        "doc_id", F.size("w").cast("long").alias("n_tokens"), "w"
+    )
+    pos_arr = F.when(
+        F.col("n_tokens") >= 8,
+        F.sequence(F.lit(1), (F.col("n_tokens") - 7).cast("int")),
+    ).otherwise(F.array(F.lit(1)))
+    return base.select(
+        "doc_id", "n_tokens", "w", F.explode(pos_arr).alias("pos")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        md5_hash64(
+            F.concat_ws(" ", F.slice(F.col("w"), F.col("pos"), 8))
+        ).alias("h"),
+    )
+
+
+#: DuckDB twin of _span_pos_hashes + the >=2-docs dup-hash set, shared
+#: by the two span-duplication oracles. Use as ``WITH {_SPAN_HASH_CTES},
+#: <query-specific CTEs> ...``.
+_SPAN_HASH_CTES = f"""toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w FROM toks
+), positions AS (
+  SELECT doc_id, n_tokens, w,
+         unnest(CASE WHEN n_tokens >= 8
+                     THEN generate_series(1, CAST(n_tokens - 7 AS INT))
+                     ELSE [1] END) AS pos
+  FROM base
+), hashed AS (
+  SELECT doc_id, n_tokens, pos,
+         {_HASH64_SQL.format(x="array_to_string(w[pos:pos+7], ' ')")} AS h
+  FROM positions
+), dup AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM hashed)
+  GROUP BY h HAVING COUNT(*) >= 2
+)"""
+
+
 def doc_dup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb/Gopher-style cross-document span duplication: for
     each document, the fraction of its 8-token shingle POSITIONS whose
@@ -2831,26 +2905,8 @@ def doc_dup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the signal behind 'remove docs that are mostly boilerplate
     spans seen elsewhere' — line-level dedup for a corpus without line
     structure."""
-    from .functions.text import md5_hash64, tokens
-
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    # Positions-explode, not span-array-explode: see
-    # doc_dup_span_removal for why (InferFiltersFromGenerate
-    # re-evaluates a generator child per row; an int sequence is free
-    # to re-evaluate, the span-string array is not).
-    toks = docs.select("doc_id", tokens("text").alias("w"))
-    pos_arr = F.when(
-        F.size("w") >= 8,
-        F.sequence(F.lit(1), (F.size("w") - F.lit(7)).cast("int")),
-    ).otherwise(F.array(F.lit(1)))
-    ex = toks.select(
-        "doc_id", "w", F.explode(pos_arr).alias("p")
-    ).select(
-        "doc_id",
-        md5_hash64(
-            F.concat_ws(" ", F.slice(F.col("w"), F.col("p"), 8))
-        ).alias("h"),
-    )
+    ex = _span_pos_hashes(docs).select("doc_id", "h")
     # global: which span hashes occur in >= 2 distinct docs
     df_global = (
         ex.select("doc_id", "h")
@@ -2880,21 +2936,7 @@ def doc_dup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DUP_SPAN_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
-), spans AS (
-  SELECT doc_id,
-         unnest(CASE WHEN len(w) >= 8
-              THEN list_transform(generate_series(1, len(w)-7),
-                                  i -> array_to_string(w[i:i+7], ' '))
-              ELSE [array_to_string(w, ' ')] END) AS span
-  FROM toks
-), hashed AS (
-  SELECT doc_id, {_HASH64_SQL.format(x='span')} AS h FROM spans
-), dup AS (
-  SELECT h FROM (SELECT DISTINCT doc_id, h FROM hashed)
-  GROUP BY h HAVING COUNT(*) >= 2
-), per_doc AS (
+WITH {_SPAN_HASH_CTES}, per_doc AS (
   SELECT doc_id, COUNT(*) AS n_spans,
          CAST(SUM(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END)
               AS BIGINT) AS n_dup
@@ -4608,6 +4650,10 @@ FROM pos_assigned p JOIN suboff o USING (split, shard, subshard)
 #: word-soup fixtures and in real prose alike).
 _BM25_TERMS = ["spark", "table", "fast"]
 
+#: The same list as a SQL IN-list literal, so every oracle that scopes
+#: to the query terms derives from the ONE _BM25_TERMS definition.
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
 
 def doc_bm25_search(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """BM25 retrieval scoring (k1=1.2, b=0.75) of a fixed 3-term query
@@ -4693,22 +4739,14 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
             ).alias("bm25")
         )
     )
-    # Distributed partial top-k: orderBy().limit(k) compiles to
-    # TakeOrderedAndProject (per-partition heap of k + driver merge of
-    # #partitions * k rows) — NOT a global sort. The rank window then
-    # runs over the <= k surviving rows only, so its single partition
-    # holds k rows by construction, never the corpus.
-    topk = scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(k)
-    # Constant partition key = same single-partition plan over the <= k
-    # surviving rows, minus the benign no-partition WindowExec warning.
-    # pmod(doc_id, 1) — always 0 — because a literal partition key gets
-    # constant-folded back to an empty spec.
-    w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))).orderBy(
-        F.col("bm25").desc(), F.col("doc_id").asc()
-    )
     return (
-        topk.withColumn("rank", F.row_number().over(w).cast("long"))
-        .select("doc_id", "bm25", "rank")
+        _ranked_topk(
+            scored,
+            [F.col("bm25").desc(), F.col("doc_id").asc()],
+            "doc_id",
+            k,
+            "rank",
+        ).select("doc_id", "bm25", "rank")
     )
 
 
@@ -4720,7 +4758,7 @@ WITH stats AS (
   SELECT doc_id, dl, term, count(*) AS tf
   FROM (SELECT doc_id, len({_TOKS_SQL}) AS dl, unnest({_TOKS_SQL}) AS term
         FROM documents)
-  WHERE term IN ('spark', 'table', 'fast')
+  WHERE term IN ({_BM25_TERMS_SQL})
   GROUP BY doc_id, dl, term
 ), dfreq AS (
   SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
@@ -6471,15 +6509,12 @@ def dsir_importance_select(
         .groupBy("doc_id")
         .agg(F.sum("lam_micro").alias("w_micro"))
     )
-    topk = weights.orderBy(
-        F.col("w_micro").desc(), F.col("doc_id").asc()
-    ).limit(k)
-    # Constant partition key over the <= k surviving rows (see BM25).
-    w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))).orderBy(
-        F.col("w_micro").desc(), F.col("doc_id").asc()
-    )
-    return topk.withColumn(
-        "sel_rank", F.row_number().over(w).cast("long")
+    return _ranked_topk(
+        weights,
+        [F.col("w_micro").desc(), F.col("doc_id").asc()],
+        "doc_id",
+        k,
+        "sel_rank",
     ).select(
         "doc_id",
         (F.col("w_micro") / F.lit(1e6)).alias("weight"),
@@ -6487,7 +6522,8 @@ def dsir_importance_select(
     )
 
 
-_DSIR_SQL = f"""
+def _dsir_sql(k: int = 100) -> str:
+    return f"""
 WITH toks AS (
   SELECT doc_id, lang, unnest({_TOKS_SQL}) AS token FROM documents
 ), bt AS (
@@ -6520,7 +6556,7 @@ FROM (
          CAST(row_number() OVER (ORDER BY w_micro DESC, doc_id ASC)
               AS BIGINT) AS sel_rank
   FROM w) r
-WHERE sel_rank <= 100
+WHERE sel_rank <= {k}
 """
 
 
@@ -6580,34 +6616,10 @@ def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-partitioned lag window over only the DUPLICATED positions
     (≤ spans per doc) and a map-combinable rollup. keep_frac is a
     single IEEE division of identical integers — bit-stable."""
-    from .functions.text import md5_hash64, tokens
+    from .functions.text import token_count
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    # Explode INTEGER positions, not the pre-built span-string array:
-    # InferFiltersFromGenerate pushes a `size(child) > 0 AND
-    # isnotnull(child)` filter under any Generate, re-evaluating the
-    # generator child per input row — with the span-string array as
-    # the child that re-runs tokenize+slice+concat for every span
-    # twice (measured 36 s for a 2.4M-span corpus; with a cheap int
-    # sequence as the child, 0.6 s). Each span string is built ONCE,
-    # after the generate, from the carried token array.
-    base = docs.select("doc_id", tokens("text").alias("w")).select(
-        "doc_id", F.size("w").cast("long").alias("n_tokens"), "w"
-    )
-    pos_arr = F.when(
-        F.col("n_tokens") >= 8,
-        F.sequence(F.lit(1), (F.col("n_tokens") - 7).cast("int")),
-    ).otherwise(F.array(F.lit(1)))
-    ex = base.select(
-        "doc_id", "n_tokens", "w", F.explode(pos_arr).alias("pos")
-    ).select(
-        "doc_id",
-        "n_tokens",
-        "pos",
-        md5_hash64(
-            F.concat_ws(" ", F.slice(F.col("w"), F.col("pos"), 8))
-        ).alias("h"),
-    )
+    ex = _span_pos_hashes(docs)
     dup = (
         ex.select("doc_id", "h")
         .distinct()
@@ -6631,7 +6643,7 @@ def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("contrib").cast("long").alias("covered_tokens"))
     )
     return (
-        base.select("doc_id", "n_tokens")
+        docs.select("doc_id", token_count("text").alias("n_tokens"))
         .join(cov, "doc_id", "left_outer")
         .select(
             "doc_id",
@@ -6651,24 +6663,7 @@ def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DUP_SPAN_REMOVAL_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
-), base AS (
-  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w FROM toks
-), positions AS (
-  SELECT doc_id, n_tokens, w,
-         unnest(CASE WHEN n_tokens >= 8
-                     THEN generate_series(1, CAST(n_tokens - 7 AS INT))
-                     ELSE [1] END) AS pos
-  FROM base
-), hashed AS (
-  SELECT doc_id, n_tokens, pos,
-         {_HASH64_SQL.format(x="array_to_string(w[pos:pos+7], ' ')")} AS h
-  FROM positions
-), dup AS (
-  SELECT h FROM (SELECT DISTINCT doc_id, h FROM hashed)
-  GROUP BY h HAVING COUNT(*) >= 2
-), dp AS (
+WITH {_SPAN_HASH_CTES}, dp AS (
   SELECT doc_id, LEAST(8, n_tokens) AS span_len, pos,
          LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
   FROM hashed WHERE h IN (SELECT h FROM dup)
@@ -6722,8 +6717,17 @@ def orders_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_cents("o_totalprice")).alias("cents"),
         )
 
+    # NULL dates route to the delta side explicitly: a bare pair of
+    # `< cutoff` / `>= cutoff` filters drops NULL rows from BOTH sides
+    # (NULL comparisons are NULL), which would silently break the
+    # merge ≡ full-recompute contract on any nullable-date source.
     base = partials(orders.filter(F.col("o_orderdate") < _INCR_CUTOFF))
-    delta = partials(orders.filter(F.col("o_orderdate") >= _INCR_CUTOFF))
+    delta = partials(
+        orders.filter(
+            F.col("o_orderdate").isNull()
+            | (F.col("o_orderdate") >= _INCR_CUTOFF)
+        )
+    )
     return (
         base.unionAll(delta)
         .groupBy("order_year", "order_month")
@@ -6780,7 +6784,12 @@ def key_skew_report(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     )
     # integer floor-division in BOTH engines (Spark `div` / DuckDB `//`)
     # — a double-division-then-cast would truncate in Spark but round
-    # in DuckDB
+    # in DuckDB. skew_micro derives from the already-floored share_ppm
+    # (share × n_keys), NOT (n_orders·1e6·n_keys) div n_rows: the
+    # latter's numerator overflows int64 at production key counts
+    # (2e6 orders × 1e6 × 5e9 keys ≈ 1e22 ≫ 2^63 — Spark would wrap
+    # silently, DuckDB would error); share_ppm ≤ 1e6 keeps the product
+    # ≤ 1e6·|keys|, in-range for any plausible corpus.
     scored = per_key.crossJoin(F.broadcast(tot)).select(
         "o_custkey",
         "n_orders",
@@ -6788,21 +6797,20 @@ def key_skew_report(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
             "(n_orders * CAST(1000000 AS BIGINT)) div n_rows"
         ).alias("share_ppm"),
         F.expr(
-            "(n_orders * CAST(1000000 AS BIGINT) * n_keys) div n_rows"
+            "((n_orders * CAST(1000000 AS BIGINT)) div n_rows) * n_keys"
         ).alias("skew_micro"),
     )
-    topk = scored.orderBy(
-        F.col("n_orders").desc(), F.col("o_custkey").asc()
-    ).limit(k)
-    w = Window.partitionBy(F.pmod(F.col("o_custkey"), F.lit(1))).orderBy(
-        F.col("n_orders").desc(), F.col("o_custkey").asc()
-    )
-    return topk.withColumn(
-        "heavy_rank", F.row_number().over(w).cast("long")
+    return _ranked_topk(
+        scored,
+        [F.col("n_orders").desc(), F.col("o_custkey").asc()],
+        "o_custkey",
+        k,
+        "heavy_rank",
     ).select("o_custkey", "n_orders", "share_ppm", "skew_micro", "heavy_rank")
 
 
-_KEY_SKEW_SQL = """
+def _key_skew_sql(k: int = 20) -> str:
+    return f"""
 WITH per_key AS (
   SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
 ), tot AS (
@@ -6812,7 +6820,7 @@ WITH per_key AS (
 ), scored AS (
   SELECT o_custkey, n_orders,
          CAST((n_orders * 1000000) // n_rows AS BIGINT) AS share_ppm,
-         CAST((n_orders * 1000000 * n_keys) // n_rows AS BIGINT)
+         CAST(((n_orders * 1000000) // n_rows) * n_keys AS BIGINT)
            AS skew_micro
   FROM per_key CROSS JOIN tot
 )
@@ -6822,7 +6830,7 @@ FROM (
          CAST(row_number() OVER (ORDER BY n_orders DESC, o_custkey ASC)
               AS BIGINT) AS heavy_rank
   FROM scored) t
-WHERE heavy_rank <= 20
+WHERE heavy_rank <= {k}
 """
 
 
@@ -6862,14 +6870,12 @@ def _query_tfidf_ranks(
         .groupBy("doc_id")
         .agg(F.sum(F.col("tf") * F.col("idf_micro")).alias("score_micro"))
     )
-    topk = scored.orderBy(
-        F.col("score_micro").desc(), F.col("doc_id").asc()
-    ).limit(k)
-    w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))).orderBy(
-        F.col("score_micro").desc(), F.col("doc_id").asc()
-    )
-    return topk.withColumn(
-        "sem_rank", F.row_number().over(w).cast("long")
+    return _ranked_topk(
+        scored,
+        [F.col("score_micro").desc(), F.col("doc_id").asc()],
+        "doc_id",
+        k,
+        "sem_rank",
     ).select("doc_id", "sem_rank")
 
 
@@ -6915,14 +6921,12 @@ def hybrid_rrf_search(
             ).alias("rrf_micro"),
         )
     )
-    topk = fused.orderBy(
-        F.col("rrf_micro").desc(), F.col("doc_id").asc()
-    ).limit(k)
-    w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))).orderBy(
-        F.col("rrf_micro").desc(), F.col("doc_id").asc()
-    )
-    return topk.withColumn(
-        "fused_rank", F.row_number().over(w).cast("long")
+    return _ranked_topk(
+        fused,
+        [F.col("rrf_micro").desc(), F.col("doc_id").asc()],
+        "doc_id",
+        k,
+        "fused_rank",
     ).select("doc_id", "lex_rank", "sem_rank", "rrf_micro", "fused_rank")
 
 
@@ -6942,12 +6946,12 @@ WITH lex AS (
       FROM (
         SELECT doc_id, term, COUNT(*) AS tf
         FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
-        WHERE term IN ('spark', 'table', 'fast')
+        WHERE term IN ({_BM25_TERMS_SQL})
         GROUP BY doc_id, term
       ) t
       JOIN (SELECT term, COUNT(DISTINCT doc_id) AS df
             FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
-            WHERE term IN ('spark', 'table', 'fast')
+            WHERE term IN ({_BM25_TERMS_SQL})
             GROUP BY term) d USING (term)
       CROSS JOIN (SELECT COUNT(*) AS n_docs FROM documents) n
       GROUP BY t.doc_id
@@ -7033,11 +7037,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _STREAM_STATIC_SQL,
     ),
     "zorder_layout_stats": (zorder_layout_stats, _zorder_sql()),
-    "dsir_importance_select": (dsir_importance_select, _DSIR_SQL),
+    "dsir_importance_select": (dsir_importance_select, _dsir_sql()),
     "embedding_pq_rerank_topk": (embedding_pq_rerank_topk, _pq_rerank_sql()),
     "doc_dup_span_removal": (doc_dup_span_removal, _DUP_SPAN_REMOVAL_SQL),
     "orders_incremental_agg": (orders_incremental_agg, _INCR_AGG_SQL),
-    "key_skew_report": (key_skew_report, _KEY_SKEW_SQL),
+    "key_skew_report": (key_skew_report, _key_skew_sql()),
     "hybrid_rrf_search": (hybrid_rrf_search, _hybrid_rrf_sql()),
     # --- r6 window: the 3 entries the r5 53-name overflow dropped
     # (listed in the r5 window section but at positions 51-53, so

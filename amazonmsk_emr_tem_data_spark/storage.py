@@ -143,10 +143,25 @@ def zorder_compact(
     if n_files is None:
         total_bytes, _ = dir_stats(spark, src)
         n_files = max(1, -(-total_bytes // target_file_bytes))
-    # Bounded driver traffic: the two key maxima (one row).
-    mx = df.agg(F.max(a).alias("ma"), F.max(b).alias("mb")).collect()[0]
+    # Bounded driver traffic: the key extrema (one row). Minima matter
+    # for signed key domains (scale_to_16bit shifts by them — negative
+    # scaled values would otherwise mask to the TOP of the 16-bit
+    # domain and destroy the layout's locality).
+    mx = df.agg(
+        F.max(a).alias("ma"),
+        F.max(b).alias("mb"),
+        F.min(a).alias("na"),
+        F.min(b).alias("nb"),
+    ).collect()[0]
+    if mx["ma"] is None or mx["mb"] is None:
+        # zero-row source: nothing to cluster — write the empty frame
+        # through unchanged (the sibling compact_small_files behavior)
+        df.repartition(1).write.mode(mode).parquet(dst)
+        _, files_after = dir_stats(spark, dst)
+        return files_after
     z = morton16(
-        scale_to_16bit(F.col(a), mx["ma"]), scale_to_16bit(F.col(b), mx["mb"])
+        scale_to_16bit(F.col(a), mx["ma"], mx["na"]),
+        scale_to_16bit(F.col(b), mx["mb"], mx["nb"]),
     )
     out = (
         df.withColumn("__zorder", z)

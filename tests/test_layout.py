@@ -103,3 +103,16 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir):
         f"supp-range predicate should prune >=half the shards "
         f"({supp_hits}/{n} scanned)"
     )
+
+
+def test_scale_to_16bit_signed_domain(spark):
+    """Negative keys shift by the domain minimum: scaled values stay in
+    [0, 65536) and order is preserved — without the shift the mask in
+    spread_bits16 would send negatives to the TOP of the domain."""
+    df = spark.range(-1000, 1000).select(
+        F.col("id"), scale_to_16bit(F.col("id"), 999, -1000).alias("s")
+    )
+    rows = sorted((r["id"], r["s"]) for r in df.collect())
+    vals = [s for _, s in rows]
+    assert vals == sorted(vals)
+    assert vals[0] == 0 and 65536 - 64 <= vals[-1] < 65536

@@ -237,3 +237,49 @@ def test_zorder_compact_prunes_both_columns(spark, sf_dir, tmp_path):
     assert scanned(sr, "l_suppkey", slo, shi) == len(sr)
     # and across the two predicates z-order reads strictly fewer files
     assert zp + zs < sp + len(sr)
+
+
+def test_zorder_compact_signed_keys_and_empty_source(spark, tmp_path):
+    """Write-path guards: a signed key domain still yields a clustered
+    layout (per-file ranges far narrower than the domain), and a
+    zero-row source passes through instead of crashing on None maxima."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from amazonmsk_emr_tem_data_spark.storage import zorder_compact
+
+    src = str(tmp_path / "signed_src")
+    spark.range(0, 20000).select(
+        (F.col("id") % 2000 - 1000).alias("a"),
+        (F.pmod(F.col("id") * 37, F.lit(100)) - 50).alias("b"),
+    ).write.parquet(src)
+    dst = str(tmp_path / "signed_z")
+    n = zorder_compact(spark, src, dst, ("a", "b"), n_files=16)
+    assert n >= 8
+    narrow = 0
+    for f in glob.glob(f"{dst}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema != "a":
+                    continue
+                st = col.statistics
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+        if mx - mn < 1000:  # half the 2000-wide domain
+            narrow += 1
+    assert narrow >= n / 2, (
+        f"only {narrow}/{n} files have a narrow 'a' range — negative "
+        "keys broke the clustering"
+    )
+    esrc = str(tmp_path / "empty_src")
+    spark.range(0).select(
+        F.col("id").alias("a"), F.col("id").alias("b")
+    ).write.parquet(esrc)
+    edst = str(tmp_path / "empty_z")
+    zorder_compact(spark, esrc, edst, ("a", "b"), n_files=4)
+    assert spark.read.parquet(edst).count() == 0
