@@ -401,6 +401,12 @@ TPCH_QUERIES = [
     "cheapest_supplier_per_part",
     "supplier_counts_by_part_attrs",
     "sole_blame_suppliers",
+    # r6 session-3: half-cent prices hit the incremental rollup's cent
+    # grid; tied order counts exercise the skew report's deterministic
+    # tie-break; tiny key domains stress the 16-bit Morton scaling
+    "orders_incremental_agg",
+    "key_skew_report",
+    "zorder_layout_stats",
 ]
 
 

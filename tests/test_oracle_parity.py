@@ -170,10 +170,15 @@ def test_no_vacuous_queries(spark, sf_dir):
         "doc_quality_sort_shards",
         # the full double-quantizer composition
         "embedding_ivfpq_topk",
-        # r6 session-3: integer λ_micro sums (DSIR) and pure-integer
-        # Morton shard stats must be partition-blind
+        # r6 session-3: integer λ_micro sums (DSIR), pure-integer
+        # Morton shard stats, integer RRF reciprocals, cent-grid
+        # partial-merge, and floor-div skew shares must all be
+        # partition-blind
         "dsir_importance_select",
         "zorder_layout_stats",
+        "hybrid_rrf_search",
+        "orders_incremental_agg",
+        "key_skew_report",
     ],
 )
 def test_partitioning_invariance(spark, sf_dir, name):
