@@ -283,6 +283,103 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact set-similarity self-join via prefix filtering — all pairs
+    with word-k-gram Jaccard ≥ threshold_num/threshold_den, same output
+    contract as ``ngram_jaccard_pairs`` but the physical strategy you
+    run at 100 TB when exactness (recall 1.0) is required.
+
+    The scale difference from ``ngram_jaccard_pairs``: that operator
+    equi-joins on EVERY shared shingle, so one globally hot shingle
+    (a boilerplate sentence fragment across m docs) generates m²
+    candidate rows. Prefix filtering (the SSJoin/PPJoin family:
+    Chaudhuri et al. ICDE'06, Xiao et al. WWW'08) joins only on each
+    document's *prefix* — its (n − ⌈t·n⌉ + 1) globally RAREST shingles
+    under a total order by (document frequency asc, shingle asc). Any
+    true pair must share a prefix shingle on both sides, so recall
+    stays 1.0 while hot shingles — by definition high-df, therefore
+    sorted to the suffix — never generate candidates.
+
+    All threshold math is integer (t = num/den as a rational):
+    prefix length n − ⌊(num·n + den − 1)/den⌋ + 1 and the length and
+    final filters compare den·x vs num·y, so no float boundary exists
+    anywhere on the candidate or the result path.
+
+    Stages, one shuffle each: exact-dup collapse (fingerprint) →
+    shingle df count → per-doc rank window (doc-partitioned) → prefix
+    self-equi-join on shingle → candidate-bounded verification join →
+    group fan-out. The DuckDB oracle is the brute-force all-pairs
+    Jaccard, so driver equality doubles as the recall-1.0 proof.
+    """
+    groups, reps = _collapse_exact(df, id_col)
+    sh = shingled(reps, id_col, k).cache()
+    sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
+    ex = _exploded(sh, id_col)
+    sdf = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    worder = Window.partitionBy(id_col).orderBy(
+        F.col("sdf").asc(), F.col("shingle").asc()
+    )
+    ranked = (
+        ex.join(sdf, "shingle")
+        .withColumn("pos", F.row_number().over(worder))
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    # ⌈t·n⌉ = ⌊(num·n + den − 1)/den⌋ exactly (num·n + den − 1 < 2^53,
+    # and x/den at that magnitude floors exactly; see queries.py grid
+    # rules). Prefix keeps positions 1 .. n − ⌈t·n⌉ + 1.
+    ceil_tn = F.floor(
+        (F.col("n_sh") * threshold_num + threshold_den - 1) / threshold_den
+    )
+    prefix = ranked.filter(F.col("pos") <= F.col("n_sh") - ceil_tn + 1)
+    a = prefix.select(
+        F.col(id_col).alias("doc_a"), "shingle", F.col("n_sh").alias("n_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("doc_b"), "shingle", F.col("n_sh").alias("n_b")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: J ≥ t ⟹ den·min(n_a,n_b) ≥ num·max(n_a,n_b)
+            & (
+                F.least("n_a", "n_b") * threshold_den
+                >= F.greatest("n_a", "n_b") * threshold_num
+            )
+        )
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .distinct()
+    )
+    ta = ex.select(F.col(id_col).alias("doc_a"), "shingle")
+    tb = ex.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    union_size = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    rep_pairs = (
+        common.filter(F.col("n_common") * threshold_den >= union_size * threshold_num)
+        .withColumn("jaccard", F.col("n_common") / union_size)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+    within = _within_pairs(
+        groups,
+        {"n_common": F.col("n_sh"), "jaccard": F.lit(1.0)},
+        per_rep=sizes.select(F.col(id_col).alias("rep"), "n_sh"),
+    )
+    return within.unionByName(
+        _fanout_cross(rep_pairs, groups, ["n_common", "jaccard"])
+    )
+
+
 def ngram_overlap_decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,

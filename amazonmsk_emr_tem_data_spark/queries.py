@@ -1038,6 +1038,51 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("n_common", F.col("n_common").cast("long"))
 
 
+def prefix_filter_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join via prefix filtering (SSJoin/
+    PPJoin) at Jaccard ≥ 7/10. Same exactness contract as
+    ngram_jaccard_pairs but candidates are generated ONLY from each
+    document's rarest (df-ordered) shingles, so a globally hot shingle
+    never explodes m² candidate rows — the physical strategy for exact
+    (non-LSH) near-dup at 100 TB. The brute-force oracle doubles as
+    the recall-1.0 proof of the prefix bound."""
+    from .operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = prefix_filter_jaccard_pairs(docs, threshold_num=7, threshold_den=10)
+    return out.withColumn("n_common", F.col("n_common").cast("long"))
+
+
+#: Brute-force word-3-gram Jaccard ≥ 7/10 twin — integer threshold
+#: compare (10·c ≥ 7·union), so no float boundary can disagree with the
+#: Spark side's identical integer filter.
+_PREFIX_JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(generate_series(1, len(w)-2),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [array_to_string(w, ' ')] END)) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(c AS BIGINT) AS n_common,
+       c / (sa.n + sb.n - c) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE 10 * c >= 7 * (sa.n + sb.n - c)
+"""
+
+
 def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs. The 60-bit sketch is built from the
     cross-engine md5 hash, so the oracle recomputes the IDENTICAL
@@ -3051,6 +3096,143 @@ FROM toks CROSS JOIN tot
 GROUP BY tok
 ORDER BY n_occurrences DESC, tok ASC
 LIMIT 30
+"""
+
+
+def token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 co-occurring token pairs by lift — the association-
+    mining / collocation-extraction primitive (PMI without the log:
+    lift = P(a,b)/(P(a)·P(b)) = n_ab·N / (n_a·n_b), which orders pairs
+    identically to PMI and keeps the whole score inside exact integer
+    products plus ONE IEEE long/long division, so no transcendental-
+    function ulp risk exists cross-engine — the lesson of the BM25 idf
+    rework applied preemptively).
+
+    Scale shape: the quadratic pair explode is bounded by a
+    deterministic per-document cap — each doc contributes only its 24
+    RAREST distinct tokens (global df asc, token asc), so pairs/doc ≤
+    C(24,2) = 276 regardless of document length, and stopword-like
+    tokens (high df) self-select OUT of the pair universe. The df join
+    shuffles on token; the per-doc rank window, the collect_list, and
+    the pair explode all share the ONE doc_id exchange (same
+    partitioning-reuse trick as capped_buckets); pair counting is a
+    map-side-combined shuffle on (token_a, token_b); marginals join by
+    hash (the capped marginal table is vocab-sized at crawl scale, so
+    no explicit broadcast — AQE may still pick one) and the 1-row N
+    broadcasts; top-100 is TakeOrderedAndProject. Overflow: n_ab·N < 2^63 up to ~3e9 docs —
+    beyond that, shift to the micro-grid double path.
+    """
+    from .functions.text import tokens
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token")
+    )
+    tdf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tdf"))
+    wrank = Window.partitionBy("doc_id").orderBy(
+        F.col("tdf").asc(), F.col("token").asc()
+    )
+    capped = (
+        toks.join(tdf, "token")
+        .withColumn("pos", F.row_number().over(wrank))
+        .filter(F.col("pos") <= 24)
+    )
+    marg = capped.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        capped.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("token")).alias("ts"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ts"),
+                        lambda x: F.filter(
+                            F.transform(
+                                F.col("ts"),
+                                lambda y: F.struct(
+                                    x.alias("a"), y.alias("b")
+                                ),
+                            ),
+                            lambda p: p["a"] < p["b"],
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("token_a"), F.col("p.b").alias("token_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 10)
+    )
+    lifted = (
+        # marginals join by hash, NOT an explicit broadcast: the capped
+        # marginal table is vocab-sized (1e8 tokens at crawl scale) —
+        # AQE still broadcasts it when it measures small.
+        pairs.join(
+            marg.select(F.col("token").alias("token_a"), F.col("c").alias("c_a")),
+            "token_a",
+        )
+        .join(
+            marg.select(F.col("token").alias("token_b"), F.col("c").alias("c_b")),
+            "token_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token_a",
+            "token_b",
+            "n_ab",
+            "c_a",
+            "c_b",
+            ((F.col("n_ab") * F.col("n_docs")) / (F.col("c_a") * F.col("c_b"))).alias(
+                "lift"
+            ),
+        )
+    )
+    return _ranked_topk(
+        lifted,
+        [F.col("lift").desc(), F.col("token_a").asc(), F.col("token_b").asc()],
+        "n_ab",
+        100,
+        "rank",
+    ).select("token_a", "token_b", "n_ab", "c_a", "c_b", "lift", "rank")
+
+
+#: DuckDB twin: identical 24-rarest cap, pair counting over the capped
+#: sets, and the same integer-product / single-division lift.
+_COOCCURRENCE_LIFT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS token FROM documents
+), tdf AS (
+  SELECT token, COUNT(*) AS tdf FROM toks GROUP BY token
+), capped AS (
+  SELECT doc_id, token FROM (
+    SELECT t.doc_id, t.token,
+           row_number() OVER (PARTITION BY t.doc_id
+                              ORDER BY d.tdf ASC, t.token ASC) AS pos
+    FROM toks t JOIN tdf d USING (token))
+  WHERE pos <= 24
+), marg AS (
+  SELECT token, COUNT(*) AS c FROM capped GROUP BY token
+), pairs AS (
+  SELECT a.token AS token_a, b.token AS token_b, COUNT(*) AS n_ab
+  FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 10
+), total AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+)
+SELECT token_a, token_b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(ma.c AS BIGINT) AS c_a, CAST(mb.c AS BIGINT) AS c_b,
+       (n_ab * n_docs) / (ma.c * mb.c) AS lift,
+       CAST(row_number() OVER (
+            ORDER BY (n_ab * n_docs) / (ma.c * mb.c) DESC,
+                     token_a ASC, token_b ASC) AS BIGINT) AS rank
+FROM pairs
+JOIN marg ma ON token_a = ma.token
+JOIN marg mb ON token_b = mb.token
+CROSS JOIN total
+ORDER BY rank
+LIMIT 100
 """
 
 
@@ -7179,6 +7361,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "json_props_extract": (json_props_extract, _JSON_PROPS_SQL),
     "distinct_users_per_type": (distinct_users_per_type, _DISTINCT_USERS_SQL),
     "top10_lineitems": (top10_lineitems, _TOP10_SQL),
+    # ------------------------------------------------------------------
+    # below the window: added in round-6 session 4 — no driver evidence
+    # yet (local parity + edge-corpus green); top candidates for the r7
+    # window alongside whatever r7 changes
+    # ------------------------------------------------------------------
+    "prefix_filter_jaccard_pairs": (
+        prefix_filter_jaccard_pairs_q,
+        _PREFIX_JACCARD_SQL,
+    ),
+    "token_cooccurrence_lift": (token_cooccurrence_lift, _COOCCURRENCE_LIFT_SQL),
 }
 
 

@@ -90,6 +90,12 @@ DOC_QUERIES = [
     # smoothing keeps every ln argument positive in both engines)
     "doc_dup_span_removal",
     "dsir_importance_select",
+    # r6 session-4: prefix filtering over <3-token docs (whole-text
+    # shingle, prefix length 1) and exact copies (9+10 collapse to one
+    # rep, jaccard 1.0); co-occurrence cap where docs have far fewer
+    # than 24 distinct tokens and "" tokenizes from empty text
+    "prefix_filter_jaccard_pairs",
+    "token_cooccurrence_lift",
 ]
 
 

@@ -179,6 +179,10 @@ def test_no_vacuous_queries(spark, sf_dir):
         "hybrid_rrf_search",
         "orders_incremental_agg",
         "key_skew_report",
+        # r6 session-4: integer-rational jaccard/lift divisions and
+        # df-ordered rank windows must not see partition order
+        "prefix_filter_jaccard_pairs",
+        "token_cooccurrence_lift",
     ],
 )
 def test_partitioning_invariance(spark, sf_dir, name):

@@ -467,3 +467,25 @@ def test_incremental_agg_cutoff_invariance(spark, sf_dir):
             assert got == ref, f"cutoff {cutoff} changed the merged rollup"
     finally:
         Q._INCR_CUTOFF = orig
+
+
+def test_prefix_filter_verification_is_candidate_bounded(spark, sf_dir):
+    # Exactness comes from the verification join, but candidates must be
+    # generated ONLY from prefix shingles — no cartesian anywhere, and
+    # the per-doc rank window must partition by doc_id (never a global
+    # unpartitioned window over the exploded shingles).
+    f = facts(spark, sf_dir, "prefix_filter_jaccard_pairs")
+    assert not f.has_cartesian
+    assert "hashpartitioning(doc_id" in f.raw, (
+        "df-rank window must partition by doc_id"
+    )
+
+
+def test_cooccurrence_lift_partial_topk_no_explicit_marg_broadcast(spark, sf_dir):
+    # pair counts combine map-side; the final top-100 must be
+    # per-partition heaps + driver merge, never a global sort of the
+    # full pair universe
+    f = facts(spark, sf_dir, "token_cooccurrence_lift")
+    assert f.has_partial_agg
+    assert "TakeOrderedAndProject" in f.raw
+    assert not f.has_cartesian
