@@ -388,3 +388,53 @@ def test_sort_shard_map_matches_integer_reference(spark, rows):
     # shards must be monotone non-decreasing as quality descends
     shards_in_desc_order = [want[qm] for qm in by_val_desc]
     assert shards_in_desc_order == sorted(shards_in_desc_order)
+
+
+# documents as word lists over a 4-word vocab: tiny vocab forces heavy
+# shingle sharing, duplicate docs (identity-group fan-out), and
+# boundary Jaccards right at the 7/10 threshold
+_pf_docs = st.lists(
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+             min_size=0, max_size=8),
+    min_size=2,
+    max_size=9,
+)
+
+
+@prop
+@given(docs=_pf_docs)
+def test_prefix_filter_jaccard_matches_bruteforce(spark, docs):
+    """prefix_filter_jaccard_pairs must equal all-pairs brute force on
+    arbitrary corpora — the prefix bound (share a df-rarest shingle on
+    both sides), the integer length filter, and the identity-group
+    fan-out all have to lose zero pairs and invent none."""
+    from amazonmsk_emr_tem_data_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in prefix_filter_jaccard_pairs(
+            df, threshold_num=7, threshold_den=10
+        ).collect()
+    }
+
+    def sh(text):
+        toks = text.split(" ")  # "" -> [""], matching F.split semantics
+        if len(toks) >= 3:
+            return {" ".join(toks[i: i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    sets = [sh(t) for t in texts]
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            c = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - c
+            if 10 * c >= 7 * union:
+                want[(a, b)] = (c, c / union)
+    assert out == want
