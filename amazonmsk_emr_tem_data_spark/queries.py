@@ -909,6 +909,49 @@ FROM documents
 """
 
 
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report per language: BPE-ish sub-word count
+    over whitespace-word count — the budget-planning metric that tells
+    you how many training tokens a corpus slice really costs (fertility
+    ≫ 1 flags languages a tokenizer splinters). One map-side-combined
+    hash-agg on lang; per-row counts are codegen'd array folds; the
+    ratio divides two exact long sums (one IEEE division, identical
+    cross-engine)."""
+    from .functions import text as tx
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tx.token_count("text")).alias("ws_tokens"),
+            F.sum(tx.bpeish_token_count("text")).alias("bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            (F.col("bpe_tokens") / F.col("ws_tokens")).alias("fertility"),
+        )
+    )
+
+
+_FERTILITY_SQL = f"""
+WITH t AS (
+  SELECT lang, CAST(len(w) AS BIGINT) AS ws,
+         CAST(list_sum(list_transform(w,
+              x -> CAST(ceil(length(x)/4.0) AS BIGINT))) AS BIGINT) AS bpe
+  FROM (SELECT lang, {_TOKS_SQL} AS w FROM documents)
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(bpe) AS BIGINT) / CAST(SUM(ws) AS BIGINT) AS fertility
+FROM t GROUP BY lang
+"""
+
+
 def doc_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + language-ID heuristic (north-star text
     analysis). Identical expression trees on both engines ⇒ the
@@ -7371,6 +7414,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _PREFIX_JACCARD_SQL,
     ),
     "token_cooccurrence_lift": (token_cooccurrence_lift, _COOCCURRENCE_LIFT_SQL),
+    "tokenizer_fertility_by_lang": (tokenizer_fertility_by_lang, _FERTILITY_SQL),
 }
 
 

@@ -96,6 +96,9 @@ DOC_QUERIES = [
     # than 24 distinct tokens and "" tokenizes from empty text
     "prefix_filter_jaccard_pairs",
     "token_cooccurrence_lift",
+    # per-lang fertility: empty/punct-only docs still contribute one
+    # whitespace token and zero-length words contribute zero pieces
+    "tokenizer_fertility_by_lang",
 ]
 
 
