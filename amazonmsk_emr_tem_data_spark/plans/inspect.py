@@ -74,12 +74,23 @@ def plan_facts(df: DataFrame) -> PlanFacts:
     return facts
 
 
-def registry_plan_report(spark, sf_dir: str) -> dict[str, PlanFacts]:
-    """Plan facts for every registry query (used by tests and for
-    eyeballing `.explain` output en masse while tuning)."""
+def registry_plan_report(
+    spark, sf_dir: str, tolerate_errors: bool = False
+) -> dict[str, "PlanFacts | Exception"]:
+    """Plan facts for every registry query (used by tests, by
+    scripts/plan_report.py for PLANS.md, and for eyeballing `.explain`
+    output en masse while tuning). With ``tolerate_errors`` a query
+    whose plan construction raises maps to the exception instead of
+    aborting the sweep — the single registry-walk implementation both
+    consumers share."""
     from ..queries import REGISTRY
 
-    out: dict[str, PlanFacts] = {}
+    out: dict[str, PlanFacts | Exception] = {}
     for name, (fn, _) in REGISTRY.items():
-        out[name] = plan_facts(fn(spark, sf_dir))
+        try:
+            out[name] = plan_facts(fn(spark, sf_dir))
+        except Exception as e:
+            if not tolerate_errors:
+                raise
+            out[name] = e
     return out

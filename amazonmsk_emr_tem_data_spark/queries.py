@@ -3176,10 +3176,18 @@ def token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrank = Window.partitionBy("doc_id").orderBy(
         F.col("tdf").asc(), F.col("token").asc()
     )
+    # cache(): the capped (doc, token) set feeds THREE consumers — the
+    # marginals (joined twice into the scoring) and the per-doc pair
+    # explode. Same rationale as corpus_tfidf_topterms' rollup cache:
+    # AQE re-plans the final multi-join stage graph, so implicit
+    # shuffle-stage reuse does not reliably cover the re-entrant
+    # consumers, and without the cache the token-explode + df-join +
+    # rank-window lineage can execute twice.
     capped = (
         toks.join(tdf, "token")
         .withColumn("pos", F.row_number().over(wrank))
         .filter(F.col("pos") <= 24)
+        .cache()
     )
     marg = capped.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     pairs = (

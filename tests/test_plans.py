@@ -6,6 +6,8 @@ broadcast into a shuffle, or introduces a cartesian product, these fail
 before any benchmark does.
 """
 
+import re
+
 import pytest
 
 from amazonmsk_emr_tem_data_spark.plans.inspect import plan_facts
@@ -478,6 +480,14 @@ def test_prefix_filter_verification_is_candidate_bounded(spark, sf_dir):
     assert not f.has_cartesian
     assert "hashpartitioning(doc_id" in f.raw, (
         "df-rank window must partition by doc_id"
+    )
+    # the property in the test name: the prefix-length condition
+    # pos <= n_sh - ceil(7*n/10) + 1 must survive into the physical
+    # plan on BOTH join sides (its ceil renders as FLOOR((n*7+10-1)/10);
+    # dropping the prefix filter degenerates candidates to the full
+    # shingle self-join and deletes these Filter conditions)
+    assert len(re.findall(r"\* 7\) \+ 10\) - 1\)", f.raw)) >= 2, (
+        "prefix-length filter missing from the candidate path"
     )
 
 
