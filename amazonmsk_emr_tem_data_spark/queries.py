@@ -868,6 +868,61 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("sid")
 
 
+def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams — the sequence-modeling primitive behind next-action
+    prediction and funnel diagnostics: for every (from_type, to_type)
+    pair, the transition count and probability.
+
+    Scale shape: ONE shuffle on user_id for the lead() window (total
+    order (ts, event_id) — event_id breaks timestamp ties so the
+    sequence is deterministic), then a map-side-combined count shuffle
+    whose cardinality is |event types|² — tiny at any corpus size; the
+    row-count window runs over those |types|² rows. Probability is one
+    IEEE long/long division, identical cross-engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    trans = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wfrom = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.sum("n").over(wfrom).alias("n_from"),
+        (F.col("n") / F.sum("n").over(wfrom)).alias("prob"),
+    )
+
+
+_MARKOV_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS next_type
+  FROM events
+), trans AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+       n / CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob
+FROM trans
+"""
+
+
 # ---------------------------------------------------------------------------
 # north-star operators (M4): text analysis, dedup, similarity, multimodal
 # ---------------------------------------------------------------------------
@@ -7423,6 +7478,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "token_cooccurrence_lift": (token_cooccurrence_lift, _COOCCURRENCE_LIFT_SQL),
     "tokenizer_fertility_by_lang": (tokenizer_fertility_by_lang, _FERTILITY_SQL),
+    "event_markov_transitions": (event_markov_transitions, _MARKOV_SQL),
 }
 
 
