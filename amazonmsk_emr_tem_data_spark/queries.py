@@ -7469,8 +7469,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "top10_lineitems": (top10_lineitems, _TOP10_SQL),
     # ------------------------------------------------------------------
     # below the window: added in round-6 session 4 — no driver evidence
-    # yet (local parity + edge-corpus green); top candidates for the r7
-    # window alongside whatever r7 changes
+    # yet (local sf0.001+sf0.01 parity green; edge-corpus green for the
+    # documents-shaped ones); top candidates for the r7 window
+    # alongside whatever r7 changes
     # ------------------------------------------------------------------
     "prefix_filter_jaccard_pairs": (
         prefix_filter_jaccard_pairs_q,
