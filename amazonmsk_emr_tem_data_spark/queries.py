@@ -4943,18 +4943,62 @@ _BM25_TERMS = ["spark", "table", "fast"]
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 
+def _bm25_per_doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-once per-doc term-frequency relation for the fixed
+    query: ``(doc_id, dl, tf_0 .. tf_{|terms|-1})`` — 2+|terms| longs
+    per doc, each ``tf_i`` counted straight off the token array
+    (``size(filter(toks, = term_i))``), so NO explode and NO
+    (doc, term) shuffle ever happens. The token array is aliased in
+    its own projection so CollapseProject keeps one tokenization per
+    row instead of inlining the regex split into every consumer.
+
+    Persisted MEMORY_AND_DISK: the relation is scanned by the stats
+    job, the scoring job, and (inside hybrid_rrf_search) the tf-idf
+    ranker. The plan is deterministic and identical across callers, so
+    Spark's CacheManager dedupes every persist() of it to ONE session
+    entry of ~(2+|terms|)·8 bytes/doc — bounded model-adjacent state,
+    3 orders smaller than the text column it replaces. This per-term
+    column layout is the 100 TB shape for short queries (|terms| <=
+    a few dozen); a thousand-term query would switch back to a
+    (doc, term) explode + broadcast-idf join."""
+    from pyspark import StorageLevel
+
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    return (
+        docs.select("doc_id", tokens("text").alias("_toks"))
+        .select(
+            "doc_id",
+            F.size("_toks").cast("long").alias("dl"),
+            *[
+                F.size(F.filter("_toks", _eq(t))).cast("long").alias(f"tf_{i}")
+                for i, t in enumerate(_BM25_TERMS)
+            ],
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def doc_bm25_search(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """BM25 retrieval scoring (k1=1.2, b=0.75) of a fixed 3-term query
     over the corpus — the lexical-retrieval half of a RAG stack (and
     the candidate generator for retrieval-based decontamination).
 
-    Shape at 100 TB: one (term, doc) explode bounded to the query's
-    terms by an early filter (the scan prunes to rows containing any
-    term), df/avgdl are |terms|- and 1-row broadcasts, and the final
-    top-k is TakeOrderedAndProject (orderBy + limit: per-partition
-    heaps, driver merges #partitions*k rows) — no global sort and no
-    single-partition window over the scored corpus; the rank window
-    runs over the <= k rows the limit already selected.
+    Shape at 100 TB (r7 rework — zero wide shuffles): per-doc tf for
+    each query term comes straight off the token array in one map pass
+    (`_bm25_per_doc_tf`), (n_docs, avgdl, df_0..df_n) return as ONE
+    map-side-combined 1-row aggregate (one driver action — r6 paid two
+    collect jobs here, a measured 1.73x regression), and the score is
+    a pure per-row expression over the cached tf columns, so the final
+    plan is scan → project → TakeOrderedAndProject (per-partition
+    heaps, driver merges #partitions*k rows) — no explode, no
+    (doc, term) shuffle, no join, no global sort; the rank window runs
+    over the <= k rows the limit already selected.
     Deterministic ties: score desc, doc_id asc. Per-term scores land on
     a micro grid (round(s*1e6) as long) before the per-doc sum, so the
     accumulation is exact integer math — the same order-invariance rule
@@ -4966,66 +5010,49 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     would flip a score bit. So the |terms| idf values are computed ONCE
     on the driver with Python's math.log — CPython calls the C
     library's log(), the same libm DuckDB's ln() links on any
-    same-host oracle — and broadcast back as literals. Everything else
-    in the score is +,*,/ over identical expression trees, which are
-    IEEE-deterministic across engines. Residual assumption: driver
-    Python and the oracle share libm (true whenever both run on the
-    same box, as the test harness does); even where they don't, drift
-    is confined to |query terms| precomputed constants, not per-row."""
+    same-host oracle — and folded into the score expression as
+    literals. Everything else in the score is +,*,/ over identical
+    expression trees, which are IEEE-deterministic across engines."""
     import math
 
-    from .functions.text import token_count, tokens
-
-    docs = load_table(spark, sf_dir, "documents")
-    # Bounded driver traffic: one (n_docs, avgdl) row + one df row per
-    # query term (<= |query| rows, 3 here) — model state, not data.
-    stats = docs.agg(
+    per_doc = _bm25_per_doc_tf(spark, sf_dir)
+    n = len(_BM25_TERMS)
+    # ONE bounded driver action: 1 row of corpus stats + per-term df.
+    st = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg(token_count("text")).alias("avgdl"),
-    ).collect()[0]
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
-    tf = (
-        docs.select(
-            "doc_id",
-            token_count("text").alias("dl"),
-            F.explode(tokens("text")).alias("term"),
-        )
-        .filter(F.col("term").isin(_BM25_TERMS))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    # No cache() here deliberately: the df collect below and the final
-    # scoring job share this exact tf lineage, so Spark skips the
-    # already-materialized shuffle stages on the second job (measured
-    # A/B: caching ADDS 20% by paying InMemoryRelation materialization
-    # for stages that were already free to reuse).
-    df_rows = (
-        tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df")).collect()
-    )
-    idf_df = spark.createDataFrame(
-        [
-            (r["term"], math.log((n_docs - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0))
-            for r in df_rows
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(n)
         ],
-        "term string, idf double",
-    )
-    scored = (
-        tf.join(F.broadcast(idf_df), "term")
-        .withColumn(
-            "s",
-            F.col("idf")
-            * (F.col("tf") * 2.2)
+    ).collect()[0]
+    n_docs, avgdl = st["n_docs"], st["avgdl"]
+    idf = [
+        math.log((n_docs - st[f"df_{i}"] + 0.5) / (st[f"df_{i}"] + 0.5) + 1.0)
+        for i in range(n)
+    ]
+    # Same per-(doc, term) expression tree as the join formulation:
+    # s_i = idf_i * (tf*2.2) / (tf + 1.2*(1-0.75+0.75*dl/avgdl)),
+    # micro-rounded per term, integer-summed per doc (tf=0 rounds to
+    # an exact 0, matching the rows the explode+join version dropped).
+    score_micro = None
+    for i in range(n):
+        s = (
+            F.lit(idf[i])
+            * (F.col(f"tf_{i}") * 2.2)
             / (
-                F.col("tf")
+                F.col(f"tf_{i}")
                 + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.lit(avgdl))
-            ),
+            )
         )
-        .groupBy("doc_id")
-        .agg(
-            (
-                F.sum(F.round(F.col("s") * 1e6).cast("long")) / F.lit(1e6)
-            ).alias("bm25")
-        )
+        term_micro = F.round(s * 1e6).cast("long")
+        score_micro = term_micro if score_micro is None else score_micro + term_micro
+    any_match = None
+    for i in range(n):
+        m = F.col(f"tf_{i}") > 0
+        any_match = m if any_match is None else any_match | m
+    scored = per_doc.filter(any_match).select(
+        "doc_id", (score_micro / F.lit(1e6)).alias("bm25")
     )
     return (
         _ranked_topk(
@@ -7130,33 +7157,40 @@ def _query_tfidf_ranks(
     genuinely different ranking of the same candidate pool). Score is
     PURE integer math: idf_micro = floor(ln(N/df)·1e6 + 0.5) computed
     once per query term on the driver (the BM25 engine-exactness
-    rule), then score_micro = Σ tf·idf_micro."""
+    rule), then score_micro = Σ tf·idf_micro.
+
+    Scale/cost shape (r7): reuses the SAME cached per-doc tf relation
+    as doc_bm25_search (`_bm25_per_doc_tf` — identical plan, so the
+    CacheManager dedupes the two persists to one entry and
+    hybrid_rrf_search tokenizes the corpus once, not three times); the
+    stats collect is ONE map-side-combined 1-row aggregate, and the
+    score is a pure per-row integer expression feeding
+    TakeOrderedAndProject — no explode, no join, no wide shuffle."""
     import math
 
-    from .functions.text import tokens
-
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
-    tf = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-        .filter(F.col("term").isin(_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_rows = (
-        tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df")).collect()
-    )
-    idf_df = spark.createDataFrame(
-        [
-            (r["term"], math.floor(math.log(n_docs / r["df"]) * 1e6 + 0.5))
-            for r in df_rows
+    per_doc = _bm25_per_doc_tf(spark, sf_dir)
+    n = len(_BM25_TERMS)
+    st = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(n)
         ],
-        "term string, idf_micro long",
-    )
-    scored = (
-        tf.join(F.broadcast(idf_df), "term")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("tf") * F.col("idf_micro")).alias("score_micro"))
+    ).collect()[0]
+    n_docs = st["n_docs"]
+    idf_micro = [
+        math.floor(math.log(n_docs / st[f"df_{i}"]) * 1e6 + 0.5) for i in range(n)
+    ]
+    score_micro = None
+    for i in range(n):
+        term_s = F.col(f"tf_{i}") * F.lit(idf_micro[i])
+        score_micro = term_s if score_micro is None else score_micro + term_s
+    any_match = None
+    for i in range(n):
+        m = F.col(f"tf_{i}") > 0
+        any_match = m if any_match is None else any_match | m
+    scored = per_doc.filter(any_match).select(
+        "doc_id", score_micro.alias("score_micro")
     )
     return _ranked_topk(
         scored,
@@ -7287,85 +7321,34 @@ WHERE fused_rank <= {k}
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # anchor (driver-checked every round)
     "tem_hourly_avg": (tem_hourly_avg, _TEM_HOURLY_AVG_SQL),
-    # --- r6 window: semantics/oracle changed this round ---
-    # anti-join re-based onto the URGENT slice (0-row vacuous green
-    # in every prior round)
-    "customers_without_orders": (customers_without_orders, _ANTI_JOIN_SQL),
-    # oracle attached (was rows-only `no_oracle` by design until r6:
-    # now emits exact stats + tolerance booleans the twin can check)
-    "approx_sketches": (approx_sketches, _APPROX_SKETCHES_SQL),
-    # new this round: the composed curation pipeline
-    "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_PIPELINE_SQL),
-    # new this round (session 2): graph rank, keep-best dedup, bigram
-    # LM, semantic decontamination, mixture resample — no driver
-    # evidence exists yet, so they outrank refresh fill for slots
-    "page_rank_pages": (page_rank_pages, _PAGERANK_SQL),
-    "doc_near_dedup_keep_best": (doc_near_dedup_keep_best, _KEEP_BEST_SQL),
-    "doc_bigram_lm_quality": (doc_bigram_lm_quality, _BIGRAM_LM_SQL),
-    "semantic_decontamination": (semantic_decontamination, _SEMANTIC_DECONTAM_SQL),
-    "corpus_mixture_resample": (corpus_mixture_resample, _MIXTURE_RESAMPLE_SQL),
-    "embedding_pq_adc_topk": (embedding_pq_adc_topk, _PQ_ADC_SQL),
-    "doc_quality_sort_shards": (doc_quality_sort_shards, _QUALITY_SORT_SHARDS_SQL),
-    "embedding_ivfpq_topk": (embedding_ivfpq_topk, _ivfpq_sql()),
-    "page_graph_clustering": (page_graph_clustering, _PAGE_CLUSTERING_SQL),
-    "user_type_scd2": (user_type_scd2, _SCD2_SQL),
-    "stratified_fixed_k_sample": (stratified_fixed_k_sample, _FIXED_K_SAMPLE_SQL),
-    "data_quality_audit": (data_quality_audit, _DATA_QUALITY_SQL),
-    "events_table_profile": (events_table_profile, _TABLE_PROFILE_SQL),
-    "tem_gap_fill_hourly": (tem_gap_fill_hourly, _GAP_FILL_SQL),
-    "event_value_outliers_mad": (event_value_outliers_mad, _MAD_OUTLIERS_SQL),
-    # idf made engine-exact (driver-side ln) — same math, fresh stamp
-    "corpus_tfidf_topterms": (corpus_tfidf_topterms, _TFIDF_TOPTERMS_SQL),
-    "doc_bm25_search": (doc_bm25_search, _BM25_SQL),
-    # new this round (session 3): stream-static enrichment join,
-    # z-order layout audit, DSIR importance selection — no driver
-    # evidence yet, so they outrank refresh fill for slots
-    "stream_static_segment_spend": (
-        stream_static_segment_spend_q,
-        _STREAM_STATIC_SQL,
+    # --- r7 window: the four round-6-session-4 queries — the ONLY
+    # registry entries that have never carried a driver stamp (judge
+    # r6 ran them locally 4/4 green; these head the window so that
+    # evidence becomes durable) ---
+    "prefix_filter_jaccard_pairs": (
+        prefix_filter_jaccard_pairs_q,
+        _PREFIX_JACCARD_SQL,
     ),
-    "zorder_layout_stats": (zorder_layout_stats, _zorder_sql()),
-    "dsir_importance_select": (dsir_importance_select, _dsir_sql()),
-    "embedding_pq_rerank_topk": (embedding_pq_rerank_topk, _pq_rerank_sql()),
-    "doc_dup_span_removal": (doc_dup_span_removal, _DUP_SPAN_REMOVAL_SQL),
-    "orders_incremental_agg": (orders_incremental_agg, _INCR_AGG_SQL),
-    "key_skew_report": (key_skew_report, _key_skew_sql()),
+    "token_cooccurrence_lift": (
+        token_cooccurrence_lift,
+        _COOCCURRENCE_LIFT_SQL,
+    ),
+    "tokenizer_fertility_by_lang": (
+        tokenizer_fertility_by_lang,
+        _FERTILITY_SQL,
+    ),
+    "event_markov_transitions": (event_markov_transitions, _MARKOV_SQL),
+    # --- r7 window: implementation changed this round ---
+    # BM25/RRF reworked map-side (per-term tf off the token array,
+    # driver-literal idf, ONE stats collect, zero wide shuffles — the
+    # r6 two-collect regression fix); multimodal_decode gained a real
+    # pure-NumPy BMP/PPM decode branch beside the fake= stub
+    "doc_bm25_search": (doc_bm25_search, _BM25_SQL),
     "hybrid_rrf_search": (hybrid_rrf_search, _hybrid_rrf_sql()),
-    # --- r6 window: the 3 entries the r5 53-name overflow dropped
-    # (listed in the r5 window section but at positions 51-53, so
-    # never stamped — ADVICE r5) ---
-    "stream_distinct_users": (stream_distinct_users, _STREAM_DISTINCT_SQL),
-    "stream_dedup_watermark": (stream_dedup_watermark, _STREAM_DEDUP_WM_SQL),
-    "stream_doc_quality": (stream_doc_quality_q, _DOC_QUALITY_LANGID_SQL),
-    # --- r6 window: newest stamp round 3 (three-rounds-stale) ---
-    "doc_text_features": (doc_text_features, _DOC_TEXT_FEATURES_SQL),
-    "doc_quality_langid": (doc_quality_langid, _DOC_QUALITY_LANGID_SQL),
-    "doc_fingerprint_groups": (doc_fingerprint_groups_q, _DOC_FINGERPRINT_SQL),
-    "doc_rolling_fingerprint": (doc_rolling_fingerprint, _ROLLING_SQL),
-    "doc_exact_dedup": (doc_exact_dedup_q, _DOC_EXACT_DEDUP_SQL),
-    "ngram_jaccard_pairs": (ngram_jaccard_pairs_q, _JACCARD_PAIRS_SQL),
-    "minhash_lsh_pairs": (minhash_lsh_pairs_q, _JACCARD_PAIRS_SQL),
-    "simhash_pairs": (simhash_pairs_q, _SIMHASH_PAIRS_SQL),
-    "embedding_cosine_topk": (embedding_cosine_topk, _EMB_TOPK_SQL),
-    "embedding_knn_join": (embedding_knn_join_q, _EMB_KNN_SQL),
-    "embedding_near_dup_pairs": (embedding_near_dup_pairs_q, _EMB_NEAR_DUP_SQL),
-    "lsh_ann_pairs": (lsh_ann_pairs_q, _EMB_NEAR_DUP_SQL),
-    "multimodal_meta": (multimodal_meta, _MULTIMODAL_META_SQL),
-    "asof_latest_order": (asof_latest_order, _ASOF_SQL),
-    "sessionize_events": (sessionize_events, _SESSION_SQL_BODY),
-    # --- r6 window: longest-unstamped r4-green fill (3 entries after
-    # the session-2/3 displacements; the remaining r4-green entries
-    # rotate in round 7) ---
-    "grouping_sets_lineitem": (grouping_sets_lineitem, _GROUPING_SETS_SQL),
-    "pivot_status_by_flag": (pivot_status_by_flag, _PIVOT_SQL),
-    "exact_quantiles": (exact_quantiles, _EXACT_QUANTILES_SQL),
-    # ------------------------------------------------------------------
-    # below the window (entry 51+): driver-green in round 4, next in
-    # the rotation queue for round 7. The entries right below were
-    # displaced from the r6 fill by the new session-2/3 queries (new
-    # queries have NO driver evidence; these are r4-green refresh).
-    # ------------------------------------------------------------------
-    "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
+    "multimodal_decode": (multimodal_decode_q, _MULTIMODAL_DECODE_SQL),
+    # --- r7 window: refresh fill — the entire r4-green queue (newest
+    # driver stamp round 4, the longest-unstamped evidence in the
+    # registry), in their r6 queue order ---
     "outer_join_order_coverage": (outer_join_order_coverage, _OUTER_JOIN_SQL),
     "price_lag_lead_frames": (price_lag_lead_frames, _LAG_LEAD_SQL),
     "sql_interface_q3": (sql_interface_q3, _SQL_Q3_SQL),
@@ -7373,12 +7356,21 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "exists_high_quantity_orders": (exists_high_quantity_orders, _EXISTS_SQL),
     "conditional_agg_orders": (conditional_agg_orders, _CONDITIONAL_AGG_SQL),
     "doc_word_positions": (doc_word_positions, _WORD_POSITIONS_SQL),
-    "order_price_distribution": (order_price_distribution, _PRICE_DISTRIBUTION_SQL),
-    "systematic_sample_revenue": (systematic_sample_revenue, _SYSTEMATIC_SAMPLE_SQL),
+    "order_price_distribution": (
+        order_price_distribution,
+        _PRICE_DISTRIBUTION_SQL,
+    ),
+    "systematic_sample_revenue": (
+        systematic_sample_revenue,
+        _SYSTEMATIC_SAMPLE_SQL,
+    ),
     "doc_regex_extract": (doc_regex_extract, _REGEX_EXTRACT_SQL),
     "embedding_stats": (embedding_stats, _EMBEDDING_STATS_SQL),
     "dedup_clusters": (dedup_clusters_q, _DEDUP_CLUSTERS_SQL),
-    "customer_order_histogram": (customer_order_histogram, _CUSTOMER_ORDER_HIST_SQL),
+    "customer_order_histogram": (
+        customer_order_histogram,
+        _CUSTOMER_ORDER_HIST_SQL,
+    ),
     "top_supplier_revenue": (top_supplier_revenue, _TOP_SUPPLIER_SQL),
     "large_quantity_orders": (large_quantity_orders, _LARGE_ORDERS_SQL),
     "nation_trade_flows": (nation_trade_flows, _NATION_TRADE_SQL),
@@ -7399,7 +7391,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _SUPPLIER_COUNTS_SQL,
     ),
     "sole_blame_suppliers": (sole_blame_suppliers, _SOLE_BLAME_SQL),
-    "forecast_revenue_change": (forecast_revenue_change, _FORECAST_REVENUE_SQL),
+    "forecast_revenue_change": (
+        forecast_revenue_change,
+        _FORECAST_REVENUE_SQL,
+    ),
     "nation_market_share": (nation_market_share, _NATION_MARKET_SHARE_SQL),
     "product_profit_by_nation_year": (
         product_profit_by_nation_year,
@@ -7415,14 +7410,22 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "semantic_dedup_vectors": (semantic_dedup_vectors, _SEMDEDUP_SQL),
     "event_funnel": (event_funnel, _EVENT_FUNNEL_SQL),
     "retention_cohorts": (retention_cohorts, _RETENTION_COHORTS_SQL),
-    # ------------------------------------------------------------------
-    # below the window: driver-green in round 5 (CORRECTNESS_r05)
-    # ------------------------------------------------------------------
+    # --- r7 window: r5-green head of the refresh queue ---
     "stratified_sample_docs": (stratified_sample_docs, _STRATIFIED_SAMPLE_SQL),
     "doc_dup_span_frac": (doc_dup_span_frac, _DUP_SPAN_SQL),
     "doc_decontamination": (doc_decontamination, _DECONTAMINATION_SQL),
     "doc_sequence_packing": (doc_sequence_packing, _SEQUENCE_PACKING_SQL),
     "props_variant_extract": (props_variant_extract, _PROPS_VARIANT_SQL),
+    # ------------------------------------------------------------------
+    # below the window (entry 51+). salted_customer_revenue stays
+    # pinned at position 51: the window test anchors it to pin the
+    # stamped range to EXACTLY the first 50 (the r5 overflow bug
+    # class); it rotates into the r8 window. Then the rest of the
+    # r5-green refresh queue, then everything stamped green in
+    # CORRECTNESS_r06 (the freshest evidence, so lowest rotation
+    # priority).
+    # ------------------------------------------------------------------
+    "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
     "priority_lines_by_returnflag": (
         priority_lines_by_returnflag,
         _PRIORITY_LINES_SQL,
@@ -7439,14 +7442,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_tumbling_hourly": (stream_tumbling_hourly, _STREAM_TUMBLING_SQL),
     "stream_sliding_2h": (stream_sliding_2h, _STREAM_SLIDING_SQL),
     "stream_session_windows": (stream_session_windows_q, _STREAM_SESSION_SQL),
-    "stream_click_purchase_join": (stream_click_purchase_join, _STREAM_SS_JOIN_SQL),
+    "stream_click_purchase_join": (
+        stream_click_purchase_join,
+        _STREAM_SS_JOIN_SQL,
+    ),
     "ivf_topk": (ivf_topk_q, _IVF_TOPK_SQL),
     "bpe_vocab_merges": (bpe_vocab_merges, _BPE_MERGES_SQL),
-    "multimodal_decode": (multimodal_decode_q, _MULTIMODAL_DECODE_SQL),
     "multimodal_frames": (multimodal_frames_q, _MULTIMODAL_FRAMES_SQL),
     "multimodal_near_dup": (multimodal_near_dup_q, _MULTIMODAL_NEAR_DUP_SQL),
     "doc_leakage_safe_split": (doc_leakage_safe_split, _LEAKAGE_SPLIT_SQL),
-    "corpus_length_histogram": (corpus_length_histogram, _LENGTH_HISTOGRAM_SQL),
+    "corpus_length_histogram": (
+        corpus_length_histogram,
+        _LENGTH_HISTOGRAM_SQL,
+    ),
     "tem_horizontal_avg": (tem_horizontal_avg, _TEM_HORIZONTAL_AVG_SQL),
     "envelope_roundtrip": (envelope_roundtrip, _ENVELOPE_ROUNDTRIP_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
@@ -7454,7 +7462,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "revenue_by_segment": (revenue_by_segment, _REVENUE_BY_SEGMENT_SQL),
     "nation_revenue": (nation_revenue, _NATION_REVENUE_SQL),
     "topk_orders_per_priority": (topk_orders_per_priority, _TOPK_ORDERS_SQL),
-    "running_total_per_customer": (running_total_per_customer, _RUNNING_TOTAL_SQL),
+    "running_total_per_customer": (
+        running_total_per_customer,
+        _RUNNING_TOTAL_SQL,
+    ),
     "rollup_lineitem_status": (rollup_lineitem_status, _ROLLUP_SQL),
     "cube_order_status": (cube_order_status, _CUBE_SQL),
     "customers_with_orders": (customers_with_orders, _SEMI_JOIN_SQL),
@@ -7467,19 +7478,74 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "json_props_extract": (json_props_extract, _JSON_PROPS_SQL),
     "distinct_users_per_type": (distinct_users_per_type, _DISTINCT_USERS_SQL),
     "top10_lineitems": (top10_lineitems, _TOP10_SQL),
-    # ------------------------------------------------------------------
-    # below the window: added in round-6 session 4 — no driver evidence
-    # yet (local sf0.001+sf0.01 parity green; edge-corpus green for the
-    # documents-shaped ones); top candidates for the r7 window
-    # alongside whatever r7 changes
-    # ------------------------------------------------------------------
-    "prefix_filter_jaccard_pairs": (
-        prefix_filter_jaccard_pairs_q,
-        _PREFIX_JACCARD_SQL,
+    "customers_without_orders": (customers_without_orders, _ANTI_JOIN_SQL),
+    "approx_sketches": (approx_sketches, _APPROX_SKETCHES_SQL),
+    "corpus_curation_pipeline": (
+        corpus_curation_pipeline,
+        _CURATION_PIPELINE_SQL,
     ),
-    "token_cooccurrence_lift": (token_cooccurrence_lift, _COOCCURRENCE_LIFT_SQL),
-    "tokenizer_fertility_by_lang": (tokenizer_fertility_by_lang, _FERTILITY_SQL),
-    "event_markov_transitions": (event_markov_transitions, _MARKOV_SQL),
+    "page_rank_pages": (page_rank_pages, _PAGERANK_SQL),
+    "doc_near_dedup_keep_best": (doc_near_dedup_keep_best, _KEEP_BEST_SQL),
+    "doc_bigram_lm_quality": (doc_bigram_lm_quality, _BIGRAM_LM_SQL),
+    "semantic_decontamination": (
+        semantic_decontamination,
+        _SEMANTIC_DECONTAM_SQL,
+    ),
+    "corpus_mixture_resample": (
+        corpus_mixture_resample,
+        _MIXTURE_RESAMPLE_SQL,
+    ),
+    "embedding_pq_adc_topk": (embedding_pq_adc_topk, _PQ_ADC_SQL),
+    "doc_quality_sort_shards": (
+        doc_quality_sort_shards,
+        _QUALITY_SORT_SHARDS_SQL,
+    ),
+    "embedding_ivfpq_topk": (embedding_ivfpq_topk, _ivfpq_sql()),
+    "page_graph_clustering": (page_graph_clustering, _PAGE_CLUSTERING_SQL),
+    "user_type_scd2": (user_type_scd2, _SCD2_SQL),
+    "stratified_fixed_k_sample": (
+        stratified_fixed_k_sample,
+        _FIXED_K_SAMPLE_SQL,
+    ),
+    "data_quality_audit": (data_quality_audit, _DATA_QUALITY_SQL),
+    "events_table_profile": (events_table_profile, _TABLE_PROFILE_SQL),
+    "tem_gap_fill_hourly": (tem_gap_fill_hourly, _GAP_FILL_SQL),
+    "event_value_outliers_mad": (event_value_outliers_mad, _MAD_OUTLIERS_SQL),
+    "corpus_tfidf_topterms": (corpus_tfidf_topterms, _TFIDF_TOPTERMS_SQL),
+    "stream_static_segment_spend": (
+        stream_static_segment_spend_q,
+        _STREAM_STATIC_SQL,
+    ),
+    "zorder_layout_stats": (zorder_layout_stats, _zorder_sql()),
+    "dsir_importance_select": (dsir_importance_select, _dsir_sql()),
+    "embedding_pq_rerank_topk": (embedding_pq_rerank_topk, _pq_rerank_sql()),
+    "doc_dup_span_removal": (doc_dup_span_removal, _DUP_SPAN_REMOVAL_SQL),
+    "orders_incremental_agg": (orders_incremental_agg, _INCR_AGG_SQL),
+    "key_skew_report": (key_skew_report, _key_skew_sql()),
+    "stream_distinct_users": (stream_distinct_users, _STREAM_DISTINCT_SQL),
+    "stream_dedup_watermark": (stream_dedup_watermark, _STREAM_DEDUP_WM_SQL),
+    "stream_doc_quality": (stream_doc_quality_q, _DOC_QUALITY_LANGID_SQL),
+    "doc_text_features": (doc_text_features, _DOC_TEXT_FEATURES_SQL),
+    "doc_quality_langid": (doc_quality_langid, _DOC_QUALITY_LANGID_SQL),
+    "doc_fingerprint_groups": (doc_fingerprint_groups_q, _DOC_FINGERPRINT_SQL),
+    "doc_rolling_fingerprint": (doc_rolling_fingerprint, _ROLLING_SQL),
+    "doc_exact_dedup": (doc_exact_dedup_q, _DOC_EXACT_DEDUP_SQL),
+    "ngram_jaccard_pairs": (ngram_jaccard_pairs_q, _JACCARD_PAIRS_SQL),
+    "minhash_lsh_pairs": (minhash_lsh_pairs_q, _JACCARD_PAIRS_SQL),
+    "simhash_pairs": (simhash_pairs_q, _SIMHASH_PAIRS_SQL),
+    "embedding_cosine_topk": (embedding_cosine_topk, _EMB_TOPK_SQL),
+    "embedding_knn_join": (embedding_knn_join_q, _EMB_KNN_SQL),
+    "embedding_near_dup_pairs": (
+        embedding_near_dup_pairs_q,
+        _EMB_NEAR_DUP_SQL,
+    ),
+    "lsh_ann_pairs": (lsh_ann_pairs_q, _EMB_NEAR_DUP_SQL),
+    "multimodal_meta": (multimodal_meta, _MULTIMODAL_META_SQL),
+    "asof_latest_order": (asof_latest_order, _ASOF_SQL),
+    "sessionize_events": (sessionize_events, _SESSION_SQL_BODY),
+    "grouping_sets_lineitem": (grouping_sets_lineitem, _GROUPING_SETS_SQL),
+    "pivot_status_by_flag": (pivot_status_by_flag, _PIVOT_SQL),
+    "exact_quantiles": (exact_quantiles, _EXACT_QUANTILES_SQL),
 }
 
 

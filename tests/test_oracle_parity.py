@@ -40,82 +40,94 @@ def test_every_query_has_an_oracle():
     )
 
 
-def test_driver_window_covers_round6_rotation():
+def test_driver_window_covers_round7_rotation():
     """The round driver hash-checks only the FIRST 50 registry entries.
-    The round-6 window must contain every query whose driver evidence
-    is missing, stale, or invalidated: the 5 queries whose semantics /
-    oracle / implementation changed this round, the 3 entries the r5
-    window overflow silently dropped (the marked r5 section held 53
-    names, so positions 51-53 were never stamped — r5 ADVICE), and the
-    15 queries whose newest stamp is round 3. An accidental reorder —
-    an alphabetized dict, an insert in the wrong half — would silently
+    The round-7 window must contain every query whose driver evidence
+    is missing, stale, or invalidated: the four round-6-session-4
+    queries (the only entries that have NEVER carried a driver stamp —
+    the r6 judge ran them locally, but driver stamps are the durable
+    record), the queries whose implementation changed in round 7
+    (BM25/RRF map-side rework, multimodal_decode's real BMP/PPM
+    branch), and the entire r4-green refresh queue (newest stamp round
+    4 — the longest-unstamped evidence). An accidental reorder — an
+    alphabetized dict, an insert in the wrong half — would silently
     waste the round's correctness slots."""
     from amazonmsk_emr_tem_data_spark.queries import REGISTRY
 
     window = set(list(REGISTRY)[:50])
     assert list(REGISTRY)[0] == "tem_hourly_avg"
     must_check = {
-        # semantics/oracle/implementation changed in round 6
-        "customers_without_orders",   # anti-join re-based (was 0-row vacuous)
-        "approx_sketches",            # oracle attached (was rows-only)
-        "corpus_curation_pipeline",   # new composed pipeline
-        "corpus_tfidf_topterms",      # engine-exact idf rework
-        "doc_bm25_search",            # engine-exact idf rework
-        # new in round-6 session 2 — zero driver evidence yet, so they
-        # outrank r4-green refresh fill for window slots
-        "page_rank_pages", "doc_near_dedup_keep_best",
-        "doc_bigram_lm_quality", "semantic_decontamination",
-        "corpus_mixture_resample", "embedding_pq_adc_topk",
-        "doc_quality_sort_shards", "embedding_ivfpq_topk",
-        "page_graph_clustering", "user_type_scd2",
-        "stratified_fixed_k_sample", "data_quality_audit",
-        "events_table_profile", "tem_gap_fill_hourly",
-        "event_value_outliers_mad",
-        # new in round-6 session 3 — zero driver evidence yet
-        "stream_static_segment_spend", "zorder_layout_stats",
-        "dsir_importance_select", "embedding_pq_rerank_topk",
-        "doc_dup_span_removal", "orders_incremental_agg",
-        "key_skew_report", "hybrid_rrf_search",
-        # dropped by the r5 53-name window overflow — never stamped
-        "stream_distinct_users", "stream_dedup_watermark",
-        "stream_doc_quality",
-        # newest driver stamp is round 3 (three-rounds-stale evidence)
-        "doc_text_features", "doc_quality_langid",
-        "doc_fingerprint_groups", "doc_rolling_fingerprint",
-        "doc_exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
-        "simhash_pairs", "embedding_cosine_topk", "embedding_knn_join",
-        "embedding_near_dup_pairs", "lsh_ann_pairs", "multimodal_meta",
-        "asof_latest_order", "sessionize_events",
+        # round-6-session-4: zero driver evidence ever (r6 VERDICT #1)
+        "prefix_filter_jaccard_pairs", "token_cooccurrence_lift",
+        "tokenizer_fertility_by_lang", "event_markov_transitions",
+        # implementation changed in round 7 — fresh stamp required
+        "doc_bm25_search",     # map-side tf + single stats collect
+        "hybrid_rrf_search",   # shares the reworked tf relation
+        "multimodal_decode",   # real BMP/PPM decode branch added
+        # the whole r4-green refresh queue (stamped round 4, nothing
+        # newer): 37 queries
+        "outer_join_order_coverage", "price_lag_lead_frames",
+        "sql_interface_q3", "small_quantity_revenue",
+        "exists_high_quantity_orders", "conditional_agg_orders",
+        "doc_word_positions", "order_price_distribution",
+        "systematic_sample_revenue", "doc_regex_extract",
+        "embedding_stats", "dedup_clusters", "customer_order_histogram",
+        "top_supplier_revenue", "large_quantity_orders",
+        "nation_trade_flows", "idle_rich_customers",
+        "doc_repetition_filter", "promo_revenue_share",
+        "disjunctive_predicate_revenue", "supplier_revenue_share",
+        "cheapest_supplier_per_part", "supplier_counts_by_part_attrs",
+        "sole_blame_suppliers", "forecast_revenue_change",
+        "nation_market_share", "product_profit_by_nation_year",
+        "heavy_shipper_suppliers", "doc_unigram_logprob",
+        "corpus_vocab_stats", "doc_pii_redaction",
+        "embedding_int8_quantize", "doc_chunking",
+        "recursive_cte_depths", "semantic_dedup_vectors",
+        "event_funnel", "retention_cohorts",
     }
     missing = must_check - window
     assert not missing, (
-        f"round-6 window is missing stale/never-checked queries: {missing}"
+        f"round-7 window is missing stale/never-checked queries: {missing}"
     )
     # The r5 failure mode: the marked window section held 53 names, so
     # its last 3 were never stamped. Pin the window to EXACTLY the
     # first 50 by anchoring the entry that must sit at position 51.
+    # (salted_customer_revenue is r4-green and rotates into the r8
+    # window; holding it at 51 is the price of the exact-50 pin.)
     assert list(REGISTRY)[50] == "salted_customer_revenue", (
         "registry position 51 drifted — the driver stamps exactly "
         "list(REGISTRY)[:50]; an insert above this line silently pushes "
         "window entries below the checked range"
     )
-    # r4-green queries must NOT burn window slots (their driver evidence
-    # is current); stale-r3 and changed-query fills are what the
-    # window is FOR.
-    r5_green_outside = {
-        "stratified_sample_docs", "doc_dup_span_frac",
-        "doc_decontamination", "doc_sequence_packing",
-        "props_variant_extract", "range_join_order_events",
-        "doc_corpus_split", "doc_shuffle_shards", "corpus_mixture_plan",
-        "doc_quality_selection", "doc_bpe_segmentation",
-        "event_value_outliers", "events_upsert_latest", "ivf_topk",
-        "bpe_vocab_merges", "multimodal_decode", "multimodal_frames",
-        "multimodal_near_dup", "doc_leakage_safe_split",
-        "corpus_length_histogram", "tem_horizontal_avg",
-        "envelope_roundtrip", "q1_pricing_summary",
+    # r6-green queries must NOT burn window slots (their driver stamps
+    # are one round old — the freshest evidence in the registry);
+    # never-stamped and r4-stale queries are what the window is FOR.
+    r6_green_outside = {
+        "customers_without_orders", "approx_sketches",
+        "corpus_curation_pipeline", "page_rank_pages",
+        "doc_near_dedup_keep_best", "doc_bigram_lm_quality",
+        "semantic_decontamination", "corpus_mixture_resample",
+        "embedding_pq_adc_topk", "doc_quality_sort_shards",
+        "embedding_ivfpq_topk", "page_graph_clustering",
+        "user_type_scd2", "stratified_fixed_k_sample",
+        "data_quality_audit", "events_table_profile",
+        "tem_gap_fill_hourly", "event_value_outliers_mad",
+        "corpus_tfidf_topterms", "stream_static_segment_spend",
+        "zorder_layout_stats", "dsir_importance_select",
+        "embedding_pq_rerank_topk", "doc_dup_span_removal",
+        "orders_incremental_agg", "key_skew_report",
+        "stream_distinct_users", "stream_dedup_watermark",
+        "stream_doc_quality", "doc_text_features", "doc_quality_langid",
+        "doc_fingerprint_groups", "doc_rolling_fingerprint",
+        "doc_exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
+        "simhash_pairs", "embedding_cosine_topk", "embedding_knn_join",
+        "embedding_near_dup_pairs", "lsh_ann_pairs", "multimodal_meta",
+        "asof_latest_order", "sessionize_events",
+        "grouping_sets_lineitem", "pivot_status_by_flag",
+        "exact_quantiles",
     }
-    wasted = window & r5_green_outside
-    assert not wasted, f"window slots wasted on r5-green queries: {wasted}"
+    wasted = window & r6_green_outside
+    assert not wasted, f"window slots wasted on r6-green queries: {wasted}"
 
 
 def test_no_vacuous_queries(spark, sf_dir):

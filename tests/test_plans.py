@@ -185,13 +185,16 @@ def test_quality_selection_partitioned_window(spark, sf_dir):
 
 
 def test_bm25_broadcasts_stats_no_global_corpus_sort(spark, sf_dir):
-    # df/avgdl are tiny aggregates: they must broadcast; the only sort
-    # allowed is the bounded top-k window over scored candidates
+    # r7 shape: per-term tf comes straight off the token array and idf
+    # folds in as driver literals, so the scoring plan is scan →
+    # project → TakeOrderedAndProject — NO join and NO wide shuffle at
+    # all (r6's broadcast-join formulation is the fallback only for
+    # queries with too many terms to columnize)
     f = facts(spark, sf_dir, "doc_bm25_search")
-    # (the 1-row stats crossJoin plans as a broadcast nested loop —
-    # bounded by construction, so only the join family is asserted)
-    assert f.joins and all(j.startswith("Broadcast") for j in f.joins), (
-        f"corpus side must never shuffle for stats joins, got {f.joins}"
+    assert not f.joins, f"scoring must be join-free, got {f.joins}"
+    assert f.n_exchanges == 0, (
+        f"scoring must be shuffle-free (tf off the token array), "
+        f"got {f.n_exchanges} exchanges"
     )
     # The top-k must be a distributed partial sort (per-partition heaps
     # + driver merge), NEVER an unpartitioned row_number window over the
