@@ -5,11 +5,15 @@ columns (or object-store URIs) beside a typed metadata struct; decode /
 feature-extract / frame-sample run as Arrow-batched pandas iterators
 (``mapInPandas``) so bytes never round-trip through Python row by row.
 
-The container has no image/audio codecs, so the actual decode is a
-clearly-marked stub (`NotImplementedError` unless ``fake=True``); the
-Spark-side contract — schemas, batch iteration, partitioning, output
-explosion — is real and tested. Swapping the stub for PIL/ffmpeg is a
-pure function replacement.
+``decode_images(fake=False)`` is a REAL pure-NumPy decoder for
+uncompressed formats (BMP BI_RGB, binary PPM/PGM) — no native codecs
+needed. The container lacks image/audio codec libraries, so decode of
+COMPRESSED formats (JPEG/PNG/...), ``embed_media``'s encoder forward
+pass, and video frame extraction remain clearly-marked stubs
+(`NotImplementedError` unless ``fake=True``); the Spark-side contract —
+schemas, batch iteration, partitioning, output explosion — is real and
+tested. Swapping those stubs for PIL/ffmpeg/ONNX is a pure function
+replacement.
 """
 
 from __future__ import annotations
@@ -63,6 +67,15 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -> D
     pandas iterator. Each batch stays columnar driver→executor; Python
     touches bytes only inside the vectorized iterator.
 
+    ``fake=False`` is a REAL decoder for the uncompressed formats a
+    pure-NumPy implementation can handle with zero native codecs:
+    BMP (BITMAPINFOHEADER, BI_RGB 8/24/32-bit, bottom-up or top-down,
+    4-byte row padding) and binary PPM/PGM (P6/P5, maxval <= 255,
+    ``#`` comments). Compressed formats (JPEG/PNG/WebP/...) still
+    raise NotImplementedError — that branch is where PIL/libvips plugs
+    in. ``fake=True`` keeps the deterministic pseudo-decode for
+    fixtures whose payloads aren't images at all.
+
     The closure is deliberately self-contained (no references to this
     module): executor Python workers unpickle it by value, so the
     operator works even when the package isn't importable on the
@@ -71,17 +84,82 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -> D
     """
 
     def decode_iter(batches) -> Iterator:
+        import struct
+
+        import numpy as np
         import pandas as pd
 
-        def decode_one(payload: bytes) -> tuple[int, int, int, float]:
-            # STUB: the real implementation is PIL/libvips; fake=True
-            # derives deterministic pseudo-dimensions from the bytes so
-            # the distributed plumbing is testable without codecs.
-            if not fake:
+        def decode_bmp(data: bytes) -> tuple[int, int, int, float]:
+            # BITMAPFILEHEADER (14B): magic, file size, reserved,
+            # pixel-array offset; then BITMAPINFOHEADER.
+            if len(data) < 54:
+                raise ValueError("truncated BMP header")
+            pix_off = struct.unpack_from("<I", data, 10)[0]
+            width, height = struct.unpack_from("<ii", data, 18)
+            bpp = struct.unpack_from("<H", data, 28)[0]
+            compression = struct.unpack_from("<I", data, 30)[0]
+            if compression != 0 or bpp not in (8, 24, 32):
                 raise NotImplementedError(
-                    "image codecs are not available in this environment; "
-                    "pass fake=True or plug in PIL.Image.open here"
+                    f"only BI_RGB 8/24/32-bit BMP is supported natively "
+                    f"(got compression={compression}, bpp={bpp})"
                 )
+            n_ch = bpp // 8
+            abs_h = abs(height)  # negative height = top-down row order
+            row_bytes = (width * n_ch + 3) // 4 * 4  # 4-byte padded
+            need = pix_off + row_bytes * abs_h
+            if width <= 0 or abs_h == 0 or len(data) < need:
+                raise ValueError("inconsistent BMP dimensions")
+            rows = np.frombuffer(
+                data, dtype=np.uint8, count=row_bytes * abs_h, offset=pix_off
+            ).reshape(abs_h, row_bytes)[:, : width * n_ch]
+            # row order (bottom-up vs top-down) doesn't affect the
+            # orientation-invariant features we emit
+            return width, abs_h, n_ch, float(rows.mean())
+
+        def decode_pnm(data: bytes) -> tuple[int, int, int, float]:
+            # P6 (RGB) / P5 (gray), binary, '#' comments, maxval<=255
+            n_ch = 3 if data[:2] == b"P6" else 1
+            pos, fields = 2, []
+            while len(fields) < 3:
+                if pos >= len(data):
+                    raise ValueError("truncated PNM header")
+                c = data[pos : pos + 1]
+                if c == b"#":
+                    pos = data.index(b"\n", pos) + 1
+                elif c.isspace():
+                    pos += 1
+                elif c.isdigit():
+                    end = pos
+                    while data[end : end + 1].isdigit():
+                        end += 1
+                    fields.append(int(data[pos:end]))
+                    pos = end
+                else:
+                    raise ValueError(f"bad PNM header byte {c!r}")
+            width, height, maxval = fields
+            if maxval > 255:
+                raise NotImplementedError("16-bit PNM not supported natively")
+            pos += 1  # single whitespace after maxval, then raster
+            n = width * height * n_ch
+            if width <= 0 or height <= 0 or len(data) < pos + n:
+                raise ValueError("inconsistent PNM dimensions")
+            pix = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
+            return width, height, n_ch, float(pix.mean())
+
+        def decode_one(payload: bytes) -> tuple[int, int, int, float]:
+            if not fake:
+                # real pure-NumPy path for uncompressed formats
+                if payload[:2] == b"BM":
+                    return decode_bmp(payload)
+                if payload[:2] in (b"P6", b"P5"):
+                    return decode_pnm(payload)
+                raise NotImplementedError(
+                    "only uncompressed BMP and binary PPM/PGM decode "
+                    "natively; compressed formats need PIL/libvips here"
+                )
+            # fake=True: deterministic pseudo-dimensions from the bytes
+            # so the distributed plumbing is testable on non-image
+            # fixture payloads.
             n = len(payload)
             width = 16 + (n % 64)
             height = 16 + ((n // 64) % 64)

@@ -5,6 +5,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Execution is measured with the `noop` sink (full plan executes, nothing
 is collected to the driver) — the honest cost of the distributed work.
+
+Cross-round comparison rule: compare per-query MEDIANS between runs
+taken under comparable ambient load (the JSON records loadavg before /
+after and a timestamp) — never bare totals. On a shared sandbox,
+unchanged plans swing 1.2-1.5x with host load; the r6 headline total
+read as a 55% regression that a controlled re-run showed was flat.
 """
 
 from __future__ import annotations
@@ -73,6 +79,9 @@ HEADLINE = [
     # Generate-filter re-evaluation fix (positions-explode) — in the
     # set to lock the 4x improvement in, same rationale as BM25 in r5
     "doc_dup_span_removal",
+    # round-7 addition: hybrid BM25+tf-idf RRF fusion after the
+    # map-side tf rework (3.1x) — locks the shared-tf-relation shape in
+    "hybrid_rrf_search",
 ]
 
 
@@ -86,6 +95,13 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Ambient-load context (r6 verdict: a 25% total swing on unchanged
+    # plans traced to host load the artifact didn't record). Snapshot
+    # loadavg before AND after so a cross-round comparison can tell
+    # "regression" from "busy box"; compare per-query MEDIANS under
+    # comparable load, never bare totals.
+    load_before = os.getloadavg()
+    started_at = time.strftime("%Y-%m-%dT%H:%M:%S%z")
     spark = get_spark("bench")
 
     results: dict[str, float] = {}
@@ -136,6 +152,9 @@ def main() -> None:
                 "spread": spread,
                 "reps": reps,
                 "sf": _sf_from_dir(sf_dir),
+                "started_at": started_at,
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

@@ -164,6 +164,86 @@ def test_multimodal_decode_real_path_is_gated(spark, docs):
         out.collect()
 
 
+def _bmp_bytes(arr, top_down=False):
+    """Minimal BI_RGB BMP encoder (BITMAPINFOHEADER) for fixtures:
+    arr is H×W×C uint8 with C in (1, 3, 4); rows 4-byte padded,
+    bottom-up unless top_down."""
+    import struct
+
+    import numpy as np
+
+    h, w, c = arr.shape
+    bpp = c * 8
+    row_bytes = (w * c + 3) // 4 * 4
+    pix_off = 14 + 40
+    rows = arr if top_down else arr[::-1]
+    raster = b"".join(
+        row.tobytes() + b"\x00" * (row_bytes - w * c)
+        for row in rows.reshape(h, w * c)
+    )
+    header = struct.pack("<2sIHHI", b"BM", pix_off + len(raster), 0, 0, pix_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, 0,
+        len(raster), 2835, 2835, 0, 0,
+    )
+    assert isinstance(arr, np.ndarray) and arr.dtype == np.uint8
+    return header + dib + raster
+
+
+def _pnm_bytes(arr, comment=False):
+    """Binary PPM (C=3) / PGM (C=1) encoder for fixtures."""
+    h, w, c = arr.shape
+    magic = b"P6" if c == 3 else b"P5"
+    head = magic + (b"\n# fixture\n" if comment else b"\n")
+    head += f"{w} {h}\n255\n".encode("ascii")
+    return head + arr.tobytes()
+
+
+def test_multimodal_real_decode_bmp_ppm(spark):
+    """fake=False is a REAL pure-NumPy decoder for uncompressed
+    BMP/PPM/PGM: dimensions, channel count, and mean intensity must
+    match the numpy reference for encoded images of known shape —
+    including odd-width BMP row padding, top-down (negative height)
+    BMP, 32-bit BMP, and a PPM with a header comment."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import decode_images
+
+    rng = np.random.default_rng(7)
+    images = {
+        1: ("bmp", rng.integers(0, 256, (3, 5, 3), dtype=np.uint8), {}),
+        2: ("bmp", rng.integers(0, 256, (4, 7, 3), dtype=np.uint8), {"top_down": True}),
+        3: ("bmp", rng.integers(0, 256, (2, 2, 4), dtype=np.uint8), {}),
+        4: ("ppm", rng.integers(0, 256, (6, 5, 3), dtype=np.uint8), {"comment": True}),
+        5: ("ppm", rng.integers(0, 256, (3, 3, 1), dtype=np.uint8), {}),
+    }
+    payloads = []
+    for doc_id, (kind, arr, kw) in images.items():
+        data = _bmp_bytes(arr, **kw) if kind == "bmp" else _pnm_bytes(arr, **kw)
+        payloads.append((doc_id, bytearray(data)))
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_images(df, fake=False).collect()}
+    assert len(out) == len(images)
+    for doc_id, (kind, arr, kw) in images.items():
+        r = out[doc_id]
+        h, w, c = arr.shape
+        assert (r["width"], r["height"], r["n_channels"]) == (w, h, c), doc_id
+        assert r["mean_intensity"] == pytest.approx(float(arr.mean()), abs=1e-9)
+
+
+def test_multimodal_real_decode_rejects_compressed(spark):
+    """Compressed formats stay behind the explicit stub: a JPEG-magic
+    payload must raise, not silently pseudo-decode."""
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import decode_images
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 64))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|BMP"):
+        decode_images(df, fake=False).collect()
+
+
 def test_multimodal_frame_explosion(spark, docs):
     n_docs = docs.count()
     out = sample_frames(with_binary_payload(docs), n_frames=4)
