@@ -71,3 +71,70 @@ def salted_join(
         SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return s.join(o, [*on, SALT], how).drop(SALT)
+
+
+def choose_n_salts(
+    top_key_rows: int,
+    n_rows: int,
+    shuffle_partitions: int,
+    max_salts: int = 64,
+) -> int:
+    """Pure decision rule connecting the skew DIAGNOSTIC to the salting
+    FIX: spread the hottest key's final-reduce work down to roughly the
+    mean reducer's share. ``ceil(top_key_rows / mean_task_rows)``,
+    clamped to [1, max_salts]; 1 means "don't salt" (the hot key
+    already fits an average task, and salting pays a second tiny
+    shuffle for nothing)."""
+    import math
+
+    if n_rows <= 0 or top_key_rows <= 0 or shuffle_partitions <= 0:
+        return 1
+    mean_task_rows = max(1, n_rows // shuffle_partitions)
+    return max(1, min(max_salts, math.ceil(top_key_rows / mean_task_rows)))
+
+
+def auto_salt_agg(
+    df: DataFrame,
+    keys: list[str],
+    sums: dict[str, Column],
+    max_salts: int = 64,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Measured-skew-driven salted aggregation: runs the cheap skew
+    diagnostic (the key_skew_report shape — ONE map-side-combined
+    per-key count folded to a single (hottest-key rows, total rows)
+    row on the driver), picks ``n_salts`` with `choose_n_salts`, and
+    returns the salted two-phase plan only when the measurement says
+    the hot key actually overflows a mean-sized reduce task —
+    otherwise the plain single-shuffle groupBy.
+
+    Exactness is inherited from `salted_agg` (salting moves partial
+    computation, never results), so the result is always equal to
+    ``df.groupBy(keys).agg(sums)``.
+
+    Scale shape: the diagnostic costs one extra aggregation pass over
+    ``df`` — map-side combine means the shuffle carries one partial
+    count per (task, key), and the driver sees exactly ONE row. That
+    is the cheapest question you can ask before committing a multi-TB
+    shuffle to a layout that serializes the hot key through one task;
+    at 100 TB you run it on the same scan the aggregate reads (or on a
+    cached upstream), not a second source read."""
+    spark = df.sparkSession
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    st = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("top_n"), F.sum("__n").alias("n_rows"))
+        .collect()[0]
+    )
+    n_salts = choose_n_salts(
+        st["top_n"] or 0, st["n_rows"] or 0, shuffle_partitions, max_salts
+    )
+    if n_salts <= 1:
+        return df.groupBy(*keys).agg(
+            *[expr.alias(name) for name, expr in sums.items()]
+        )
+    return salted_agg(df, keys, sums, n_salts=n_salts)

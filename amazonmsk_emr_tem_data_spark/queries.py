@@ -1881,6 +1881,45 @@ GROUP BY o_custkey
 """
 
 
+def auto_salted_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-salted aggregation (r7): per-event-type stats where
+    ``n_salts`` is CHOSEN from the measured hot-key share
+    (`operators.skew.auto_salt_agg` → `choose_n_salts`) instead of
+    hard-coded — the wiring between the skew diagnostic
+    (key_skew_report's shape) and the salting fix (salted_agg).
+    ``events`` has ~5 event types over the whole table, so the hottest
+    type genuinely overflows a mean reduce task and the decision rule
+    fires (the uniform-key case, where it must NOT fire, is pinned by
+    tests/test_skew.py). Exact: salting moves partial computation,
+    never results — the oracle is the plain GROUP BY; cents-grid sum
+    keeps the two-phase double addition order-exact."""
+    from .operators.skew import auto_salt_agg
+
+    events = load_table(spark, sf_dir, "events")
+    out = auto_salt_agg(
+        events.select("event_type", "value"),
+        keys=["event_type"],
+        sums={
+            "n_events": F.count(F.lit(1)).cast("long"),
+            "value_cents": F.sum(_cents("value")),
+        },
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.col("value_cents").cast("double") / 100.0).alias("value_sum"),
+    )
+
+
+_AUTO_SALTED_SQL = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {_dsum("value")} AS value_sum
+FROM events
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # subqueries, conditional aggregation, analytics windows, sampling
 # ---------------------------------------------------------------------------
@@ -7346,6 +7385,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_bm25_search": (doc_bm25_search, _BM25_SQL),
     "hybrid_rrf_search": (hybrid_rrf_search, _hybrid_rrf_sql()),
     "multimodal_decode": (multimodal_decode_q, _MULTIMODAL_DECODE_SQL),
+    # new in round 7 — zero driver evidence, outranks refresh fill
+    "auto_salted_event_value": (auto_salted_event_value, _AUTO_SALTED_SQL),
     # --- r7 window: refresh fill — the entire r4-green queue (newest
     # driver stamp round 4, the longest-unstamped evidence in the
     # registry), in their r6 queue order ---
@@ -7415,7 +7456,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_dup_span_frac": (doc_dup_span_frac, _DUP_SPAN_SQL),
     "doc_decontamination": (doc_decontamination, _DECONTAMINATION_SQL),
     "doc_sequence_packing": (doc_sequence_packing, _SEQUENCE_PACKING_SQL),
-    "props_variant_extract": (props_variant_extract, _PROPS_VARIANT_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+). salted_customer_revenue stays
     # pinned at position 51: the window test anchors it to pin the
@@ -7426,6 +7466,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # priority).
     # ------------------------------------------------------------------
     "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
+    "props_variant_extract": (props_variant_extract, _PROPS_VARIANT_SQL),
     "priority_lines_by_returnflag": (
         priority_lines_by_returnflag,
         _PRIORITY_LINES_SQL,

@@ -37,3 +37,75 @@ def test_salted_join_equals_plain(spark, sf_dir):
     assert rows(salted.select("l_orderkey", "l_quantity", "o_orderstatus")) == rows(
         plain.select("l_orderkey", "l_quantity", "o_orderstatus")
     )
+
+
+def test_choose_n_salts_decision_rule():
+    from amazonmsk_emr_tem_data_spark.operators.skew import choose_n_salts
+
+    # hot key = 10x a mean task -> 10 salts
+    assert choose_n_salts(10_000, 32_000, shuffle_partitions=32) == 10
+    # hot key fits a mean task -> don't salt
+    assert choose_n_salts(1_000, 32_000, shuffle_partitions=32) == 1
+    # clamped at max_salts
+    assert choose_n_salts(10**9, 10**9, 1000, max_salts=64) == 64
+    # degenerate inputs never salt
+    assert choose_n_salts(0, 0, 32) == 1
+    assert choose_n_salts(5, 100, 0) == 1
+
+
+def test_auto_salt_agg_salts_planted_hot_key(spark):
+    """A planted 80%-share key must trigger salting (two exchanges: the
+    (key, salt) partials then the tiny merge), and the result must
+    still equal the plain groupBy."""
+    from amazonmsk_emr_tem_data_spark.operators.skew import SALT, auto_salt_agg
+
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 5 < 4, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 97).cast("string"))
+        ).alias("k"),
+        (F.col("id") % 13).cast("long").alias("v"),
+    )
+    out = auto_salt_agg(df, keys=["k"], sums={"n": F.count(F.lit(1)), "s": F.sum("v")})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert SALT in plan, "planted hot key must produce the salted two-phase plan"
+    got = {r["k"]: (r["n"], r["s"]) for r in out.collect()}
+    want = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_auto_salt_agg_skips_uniform_keys(spark):
+    """Uniform keys (every key ~ a mean task or smaller) must come back
+    as the PLAIN single-shuffle groupBy — salting there pays a second
+    shuffle for nothing."""
+    from amazonmsk_emr_tem_data_spark.operators.skew import SALT, auto_salt_agg
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 1000).cast("string").alias("k"),
+        F.lit(1).cast("long").alias("v"),
+    )
+    out = auto_salt_agg(df, keys=["k"], sums={"n": F.count(F.lit(1))})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert SALT not in plan, "uniform keys must not be salted"
+    assert out.count() == 1000
+
+
+def test_auto_salt_agg_equals_plain_on_orders(spark, sf_dir):
+    from amazonmsk_emr_tem_data_spark.operators.skew import auto_salt_agg
+
+    orders = load_table(spark, sf_dir, "orders")
+    auto = auto_salt_agg(
+        orders,
+        keys=["o_orderstatus"],
+        sums={"n": F.count(F.lit(1)), "qty": F.sum(F.col("o_totalprice"))},
+    )
+    plain = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("qty")
+    )
+    a = {r["o_orderstatus"]: (r["n"], round(r["qty"], 4)) for r in auto.collect()}
+    p = {r["o_orderstatus"]: (r["n"], round(r["qty"], 4)) for r in plain.collect()}
+    assert a == p
