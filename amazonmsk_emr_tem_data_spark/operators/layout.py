@@ -67,11 +67,19 @@ def scale_to_16bit(c: Column, max_val: int, min_val: int = 0) -> Column:
     — shifting by the domain minimum keeps every scaled key in
     [0, 65535]."""
     lo = int(min_val)
-    return F.floor(
-        (c.cast("long") - F.lit(lo))
-        * F.lit(65536)
-        / F.lit(int(max_val) - lo + 1)
-    ).cast("long")
+    # least(): the double intermediate loses integer precision past
+    # 2^53, where (c-lo)*65536/(range+1) can round UP to exactly
+    # 65536.0 for the domain max — spread_bits16's mask would then send
+    # that key to 0, the wrong END of the layout. One extra codegen op
+    # removes the edge entirely.
+    return F.least(
+        F.lit(65535),
+        F.floor(
+            (c.cast("long") - F.lit(lo))
+            * F.lit(65536)
+            / F.lit(int(max_val) - lo + 1)
+        ).cast("long"),
+    )
 
 
 def spread_bits16_sql(expr: str) -> str:

@@ -19,6 +19,17 @@ Cross-engine determinism rules (applied uniformly):
   running windows, dedup): append the primary key to the ORDER BY.
 - **UTC session timezone** (set in session.py) so timestamps compare
   bit-identically.
+
+Cache ownership: builders that persist()/cache() an intermediate (the
+BM25 per-doc tf relation, co-occurrence's capped token set, tf-idf's
+(doc, term) rollup) deliberately do NOT unpersist it — the returned
+DataFrame is lazy, so dropping the cache before the caller's action
+would silently recompute the lineage and lose the benefit. Every such
+plan is deterministic, so Spark's CacheManager dedupes repeat
+invocations onto ONE entry per query shape (verified: re-persisting an
+identical plan logs "already cached"), and MEMORY_AND_DISK storage
+bounds pressure to spill, not OOM. Callers that need the memory back
+own `spark.catalog.clearCache()` (bench.py does this between reps).
 """
 
 from __future__ import annotations

@@ -470,3 +470,17 @@ def test_edge_tpch_parity(spark, edge_tpch_dir, edge_tpch_con, name):
     fn, sql = REGISTRY[name]
     assert sql is not None
     compare(fn(spark, edge_tpch_dir), edge_tpch_con, sql)
+
+
+def test_edge_anti_join_is_non_vacuous(spark, edge_tpch_dir):
+    """customers_without_orders rode a 0-row vacuous green through five
+    rounds before its r6 re-base (both engines agree perfectly on an
+    empty result). Pin that the edge corpus keeps BOTH anti-join
+    sub-cases populated, so a fixture edit can't silently re-vacuate
+    the parity check above:
+      - customer 6: no orders at all (the pure NOT-EXISTS case)
+      - customers 2/3/4: have orders, none 1-URGENT (the predicate case)
+      - customers 1/5: hold a 1-URGENT order and must be excluded."""
+    fn, _ = REGISTRY["customers_without_orders"]
+    got = sorted(r["c_custkey"] for r in fn(spark, edge_tpch_dir).collect())
+    assert got == [2, 3, 4, 6]

@@ -485,11 +485,17 @@ def test_prefix_filter_verification_is_candidate_bounded(spark, sf_dir):
         "df-rank window must partition by doc_id"
     )
     # the property in the test name: the prefix-length condition
-    # pos <= n_sh - ceil(7*n/10) + 1 must survive into the physical
-    # plan on BOTH join sides (its ceil renders as FLOOR((n*7+10-1)/10);
-    # dropping the prefix filter degenerates candidates to the full
-    # shingle self-join and deletes these Filter conditions)
-    assert len(re.findall(r"\* 7\) \+ 10\) - 1\)", f.raw)) >= 2, (
+    # pos <= n_sh - ceil(num*n/den) + 1 must survive into the physical
+    # plan on BOTH join sides (its ceil renders via integer FLOOR math
+    # carrying the num/den literals; dropping the prefix filter
+    # degenerates candidates to the full shingle self-join and deletes
+    # these Filter conditions). The pattern derives from the query's
+    # actual threshold and tolerates renderer whitespace/paren drift —
+    # it only requires num and (den - 1) to appear multiplied/added in
+    # one expression, which is the ceil idiom's invariant shape.
+    num, den = 7, 10  # prefix_filter_jaccard_pairs_q's threshold
+    ceil_idiom = rf"\*\s*{num}\)\s*\+\s*{den}\)\s*-\s*1\)"
+    assert len(re.findall(ceil_idiom, f.raw)) >= 2, (
         "prefix-length filter missing from the candidate path"
     )
 
