@@ -305,6 +305,36 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_to_memory(deduped, output_mode="append")
 
 
+def ingest_batch_dedup(batch_df: DataFrame, store_dir: str) -> None:
+    """The IDEMPOTENT dedup-on-write sink used by
+    `incremental_ingest_dedup`'s foreachBatch (factored out so the
+    crash-replay test can wrap it with fault injection): within-batch
+    deterministic keep-first per content fingerprint, anti-join against
+    the persistent store's fingerprints, append survivors.
+
+    Idempotency is the exactly-once SINK contract: foreachBatch
+    delivery is at-least-once (a batch whose side effect completed but
+    whose checkpoint commit didn't is re-invoked on restart), so a
+    replayed batch must find its own earlier output in the store and
+    write nothing."""
+    from ..functions.text import fingerprint
+
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    batch = (
+        batch_df.withColumn("fp", fingerprint("text"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    sess = batch_df.sparkSession
+    try:
+        seen = sess.read.parquet(store_dir).select("fp")
+    except Exception:
+        seen = None  # first batch: store does not exist yet
+    fresh = batch if seen is None else batch.join(seen, "fp", "left_anti")
+    fresh.write.mode("append").parquet(store_dir)
+
+
 def incremental_ingest_dedup(
     spark: SparkSession,
     sf_dir: str,
@@ -331,25 +361,10 @@ def incremental_ingest_dedup(
       the batch operator (operators/dedup.exact_dedup_first), so replays
       pick identical survivors.
     """
-    from ..functions.text import fingerprint
-
     docs = documents_stream(spark, sf_dir)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
-        batch = (
-            batch_df.withColumn("fp", fingerprint("text"))
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        sess = batch_df.sparkSession
-        try:
-            seen = sess.read.parquet(store_dir).select("fp")
-        except Exception:
-            seen = None  # first batch: store does not exist yet
-        fresh = batch if seen is None else batch.join(seen, "fp", "left_anti")
-        fresh.write.mode("append").parquet(store_dir)
+        ingest_batch_dedup(batch_df, store_dir)
 
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_ingest_dedup_")
     q = (

@@ -287,3 +287,71 @@ def test_stream_clock_matches_batch_for_any_timestamp_unit(spark, tmp_path, unit
     # the 1000x failure mode collapses everything into one bucket —
     # assert the two distinct hours actually survived
     assert len({g[0] for g in got}) == 2
+
+
+def test_foreach_batch_replay_after_midstream_crash(spark, sf_dir, tmp_path):
+    """The exactly-once SINK half (the pyds restart test covers the
+    source half): foreachBatch delivery is at-least-once — a batch
+    whose parquet write completed but whose checkpoint commit didn't
+    is RE-INVOKED on restart. Inject exactly that crash (raise after
+    the side effect of batch 0, before Spark commits it); the restart
+    with the same checkpoint re-delivers batch 0, and the idempotent
+    dedup-on-write sink must find its own earlier output and add
+    nothing — no duplicates, no losses."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from amazonmsk_emr_tem_data_spark.sources.files import load_table
+    from amazonmsk_emr_tem_data_spark.streaming.pipelines import (
+        ingest_batch_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_distinct = docs.select(fingerprint("text").alias("fp")).distinct().count()
+    # two source files + maxFilesPerTrigger=1 => two micro-batches
+    src = str(tmp_path / "docs_src")
+    docs.repartition(2).write.mode("overwrite").parquet(src)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(src).schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    crashed = {"done": False}
+
+    def crashing_handle(batch_df, batch_id):
+        ingest_batch_dedup(batch_df, store)  # side effect lands
+        if not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash after write, before commit")
+
+    q = (
+        stream()
+        .writeStream.foreachBatch(crashing_handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination(300)
+    n_after_crash = spark.read.parquet(store).count()
+    assert n_after_crash > 0, "the crash must land AFTER the side effect"
+
+    def clean_handle(batch_df, batch_id):
+        ingest_batch_dedup(batch_df, store)
+
+    q2 = (
+        stream()
+        .writeStream.foreachBatch(clean_handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(300), "restarted stream did not drain"
+    got = spark.read.parquet(store)
+    assert got.count() == n_distinct, "replayed batch must dedup, not double"
+    assert got.select("fp").distinct().count() == n_distinct
