@@ -472,6 +472,30 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> list[Column]:
     ]
 
 
+def _melted_signatures(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """(id, slot, val) MinHash band rows from a shingled relation.
+    Zero higher-order functions: shingles explode once, each string
+    hashes ONCE (xxhash64), the K slot hashes derive from the 8-byte
+    long (4.3x cheaper than re-hashing the string per slot), and the K
+    mins aggregate in one map-side-combined pass — the shuffle carries
+    K longs per doc, never shingles."""
+    ex = sh.select(id_col, F.explode("shingles").alias("shingle")).select(
+        id_col, F.xxhash64(F.col("shingle")).alias("sh_hash")
+    )
+    sig = ex.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("sh_hash"))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return sig.select(
+        id_col,
+        F.posexplode(
+            F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
+        ).alias("slot", "val"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.6,
@@ -512,31 +536,11 @@ def minhash_lsh_pairs(
     """
     groups, reps = _collapse_exact(df, id_col)
     sh = shingled(reps, id_col, k).cache()
-    # Signatures with ZERO higher-order functions: explode shingles once,
-    # hash the string ONCE (xxhash64), derive the 16 slot hashes from
-    # the resulting 8-byte long (4.3× cheaper than re-hashing the
-    # string per slot), take 16 mins in ONE hash aggregate. Partial
-    # (map-side) aggregation means the shuffle carries just 16 longs
-    # per doc — at 100 TB this is the difference between shuffling
-    # signatures and shuffling shingles.
-    ex = sh.select(id_col, F.explode("shingles").alias("shingle")).select(
-        id_col, F.xxhash64(F.col("shingle")).alias("sh_hash")
-    )
-    sig = ex.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("sh_hash"))).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    # LSH banding (1-row bands): bucket on (slot, value) via a single
-    # groupBy; id lists materialize only for buckets whose counted
-    # membership is within [2, max_bucket_size] (capped_buckets).
-    melted = sig.select(
-        id_col,
-        F.posexplode(
-            F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
-        ).alias("slot", "val"),
-    )
+    # LSH banding (1-row bands) over _melted_signatures: bucket on
+    # (slot, value) via a single groupBy; id lists materialize only for
+    # buckets whose counted membership is within [2, max_bucket_size]
+    # (capped_buckets).
+    melted = _melted_signatures(sh, id_col, num_hashes)
     buckets = capped_buckets(melted, ["slot", "val"], id_col, max_bucket_size)
     # Candidate = collides in >= min_collisions of the K slots. One
     # collision admits ~1% of all random pairs on a small corpus vocab;
@@ -577,6 +581,130 @@ def minhash_lsh_pairs(
     )
     return within.unionByName(
         _fanout_cross(rep_pairs, groups, ["n_common", "jaccard"])
+    )
+
+
+def cross_corpus_near_dup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float = 0.6,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_collisions: int = 2,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Best-match near-dup FILTER of a new batch against an existing
+    corpus: for every NEW document whose k-shingle Jaccard with some
+    CORPUS document is >= threshold, emit its best match — max jaccard,
+    ties to the smallest corpus doc id. Output: (doc_id,
+    corpus_doc_id, n_common, jaccard), one row per contaminated new
+    doc. This is the incremental-ingest counterpart of
+    minhash_lsh_pairs ("is this crawl page already in the training
+    set?") — the question a production pipeline asks of every arriving
+    batch, where the corpus side is the 100 TB relation.
+
+    Scale shape:
+    - both sides collapse exact duplicates first (_collapse_exact), so
+      LSH runs over distinct contents and identity groups never
+      multiply candidates;
+    - corpus signatures are the narrow (id, slot, val) relation of
+      _melted_signatures — K longs per distinct content. A production
+      deployment PRECOMPUTES and stores them bucketed by (slot, val),
+      so each incremental batch joins band rows against band rows and
+      never touches corpus text;
+    - hot corpus buckets (> max_bucket_size distinct contents sharing
+      one slot value — a degenerate hash feature, not near-dup signal)
+      are dropped by an anti-join BEFORE the band join can fan out;
+    - identical contents short-cut through a fingerprint equi-join
+      (jaccard 1.0 tier, no shingle intersection); the LSH path finds
+      them too (16/16 collisions), and the duplicate candidate rows
+      carry identical metrics, so the final argmax is unaffected;
+    - exactness: every candidate is verified by exact shingle
+      intersection; group members inherit their representative's best
+      match algebraically. The per-new-doc argmax tie-break (min
+      corpus id) is correct through the collapse because
+      _collapse_exact's representative IS its group's min id.
+    """
+    groups_n, reps_n = _collapse_exact(new_df, id_col)
+    groups_c, reps_c = _collapse_exact(corpus_df, id_col)
+    sh_n = shingled(reps_n, id_col, k).cache()
+    sh_c = shingled(reps_c, id_col, k).cache()
+
+    # exact-content tier: same fingerprint => identical shingle sets
+    exact = (
+        groups_n.select(F.col("rep").alias("new_rep"), "fp")
+        .join(groups_c.select(F.col("rep").alias("corp_rep"), "fp"), "fp")
+        .join(
+            sh_c.select(
+                F.col(id_col).alias("corp_rep"),
+                F.size("shingles").alias("n_common"),
+            ),
+            "corp_rep",
+        )
+        .select("new_rep", "corp_rep", "n_common", F.lit(1.0).alias("jaccard"))
+    )
+
+    melt_n = _melted_signatures(sh_n, id_col, num_hashes).withColumnRenamed(
+        id_col, "new_rep"
+    )
+    melt_c = _melted_signatures(sh_c, id_col, num_hashes).withColumnRenamed(
+        id_col, "corp_rep"
+    )
+    hot = (
+        melt_c.groupBy("slot", "val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket_size)
+        .select("slot", "val")
+    )
+    cand = (
+        melt_n.join(melt_c, ["slot", "val"])
+        .join(hot, ["slot", "val"], "left_anti")
+        .groupBy("new_rep", "corp_rep")
+        .agg(F.count(F.lit(1)).alias("n_coll"))
+        .filter(F.col("n_coll") >= min_collisions)
+        .select("new_rep", "corp_rep")
+    )
+    verified = (
+        cand.join(
+            sh_n.select(
+                F.col(id_col).alias("new_rep"), F.col("shingles").alias("sh_a")
+            ),
+            "new_rep",
+        )
+        .join(
+            sh_c.select(
+                F.col(id_col).alias("corp_rep"), F.col("shingles").alias("sh_b")
+            ),
+            "corp_rep",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_rep", "corp_rep", "n_common", "jaccard")
+    )
+
+    w = Window.partitionBy("new_rep").orderBy(
+        F.col("jaccard").desc(), F.col("corp_rep").asc()
+    )
+    best = (
+        exact.unionByName(verified)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    members_n = groups_n.select(
+        F.col("rep").alias("new_rep"), F.explode("members").alias(id_col)
+    )
+    return best.join(members_n, "new_rep").select(
+        F.col(id_col),
+        F.col("corp_rep").alias("corpus_doc_id"),
+        "n_common",
+        "jaccard",
     )
 
 

@@ -1147,6 +1147,59 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("n_common", F.col("n_common").cast("long"))
 
 
+def cross_corpus_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup filter (r7): the odd-doc_id half of the
+    corpus plays the arriving batch, the even half the existing
+    training set; each "new" doc reports its best corpus match at
+    shingle-Jaccard >= 0.6 (max jaccard, ties to the smallest corpus
+    id). The brute-force A-vs-B oracle doubles as the recall-1.0 proof
+    of the banded cross join — same contract as minhash_lsh_pairs'
+    self-join oracle."""
+    from .operators.dedup import cross_corpus_near_dup
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    out = cross_corpus_near_dup(new, corpus, threshold=0.6)
+    return out.withColumn("n_common", F.col("n_common").cast("long"))
+
+
+_CROSS_CORPUS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(generate_series(1, len(w)-2),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [array_to_string(w, ' ')] END)) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+  SELECT n.doc_id AS doc_id, c.doc_id AS corpus_doc_id, COUNT(*) AS cnt
+  FROM sh n JOIN sh c ON n.shingle = c.shingle
+  WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+  GROUP BY 1, 2
+), scored AS (
+  SELECT common.doc_id AS doc_id, common.corpus_doc_id AS corpus_doc_id,
+         CAST(cnt AS BIGINT) AS n_common,
+         cnt / (sa.n + sb.n - cnt) AS jaccard
+  FROM common
+  JOIN sizes sa ON common.doc_id = sa.doc_id
+  JOIN sizes sb ON common.corpus_doc_id = sb.doc_id
+  WHERE cnt / (sa.n + sb.n - cnt) >= 0.6
+)
+SELECT doc_id, corpus_doc_id, n_common, jaccard
+FROM (
+  SELECT scored.*,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY jaccard DESC, corpus_doc_id ASC) AS rn
+  FROM scored) t
+WHERE rn = 1
+"""
+
+
 def prefix_filter_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact set-similarity self-join via prefix filtering (SSJoin/
     PPJoin) at Jaccard ≥ 7/10. Same exactness contract as
@@ -7398,6 +7451,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_decode": (multimodal_decode_q, _MULTIMODAL_DECODE_SQL),
     # new in round 7 — zero driver evidence, outranks refresh fill
     "auto_salted_event_value": (auto_salted_event_value, _AUTO_SALTED_SQL),
+    "cross_corpus_near_dup": (cross_corpus_near_dup_q, _CROSS_CORPUS_SQL),
     # --- r7 window: refresh fill — the entire r4-green queue (newest
     # driver stamp round 4, the longest-unstamped evidence in the
     # registry), in their r6 queue order ---
@@ -7466,7 +7520,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stratified_sample_docs": (stratified_sample_docs, _STRATIFIED_SAMPLE_SQL),
     "doc_dup_span_frac": (doc_dup_span_frac, _DUP_SPAN_SQL),
     "doc_decontamination": (doc_decontamination, _DECONTAMINATION_SQL),
-    "doc_sequence_packing": (doc_sequence_packing, _SEQUENCE_PACKING_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+). salted_customer_revenue stays
     # pinned at position 51: the window test anchors it to pin the
@@ -7478,6 +7531,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ------------------------------------------------------------------
     "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
     "props_variant_extract": (props_variant_extract, _PROPS_VARIANT_SQL),
+    "doc_sequence_packing": (doc_sequence_packing, _SEQUENCE_PACKING_SQL),
     "priority_lines_by_returnflag": (
         priority_lines_by_returnflag,
         _PRIORITY_LINES_SQL,

@@ -99,6 +99,11 @@ DOC_QUERIES = [
     # per-lang fertility: empty/punct-only docs still contribute one
     # whitespace token and zero-length words contribute zero pieces
     "tokenizer_fertility_by_lang",
+    # r7: cross-corpus best-match filter — empty docs on BOTH sides of
+    # the parity split collapse to whole-text shingles; identical
+    # empties across the split must match at jaccard 1.0 with the
+    # min-corpus-id tie-break
+    "cross_corpus_near_dup",
 ]
 
 

@@ -743,3 +743,40 @@ def test_hybrid_rrf_fuses_both_rankers(spark, sf_dir):
         )
     ]
     assert fused_order != lex_order, "fusion degenerated to the BM25 order"
+
+
+def test_cross_corpus_near_dup_best_match_semantics(spark):
+    """Hand-built corpus: the new doc pairs with BOTH corpus docs at
+    jaccard 1.0 (one exact copy, one same-shingle-set reorder... kept
+    simple: two exact copies) — the argmax must pick the SMALLEST
+    corpus id; a new doc below threshold must not appear; a new doc
+    that exactly copies another NEW doc inherits its group rep's
+    match."""
+    from amazonmsk_emr_tem_data_spark.operators.dedup import (
+        cross_corpus_near_dup,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (12, "the quick brown fox jumps over the lazy dog"),  # copy, larger id
+            (14, "completely unrelated corpus text about spark tables"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),   # exact vs 10+12
+            (3, "the quick brown fox jumps over the lazy dog"),   # exact copy of 1
+            (5, "nothing in common with anything here at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in cross_corpus_near_dup(new, corpus, threshold=0.6).collect()
+    }
+    assert set(rows) == {1, 3}, "below-threshold doc 5 must not match"
+    for d in (1, 3):
+        assert rows[d]["corpus_doc_id"] == 10, "ties must break to min corpus id"
+        assert rows[d]["jaccard"] == 1.0
