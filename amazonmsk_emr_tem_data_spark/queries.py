@@ -188,6 +188,50 @@ FROM lineitem
 """
 
 
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (UNPIVOT/melt — the inverse of
+    pivot_status_by_flag, r7): the four lineitem measures melt to
+    (measure, value) rows and roll up to per-measure distribution
+    stats. The long layout is what a metrics store or a per-sensor
+    monitor consumes — the reference's 26-column tem frame is exactly
+    this wide shape (SURVEY §2.1).
+
+    Scale: unpivot compiles to a map-side Expand (4 output rows per
+    input row, zero shuffle, no join), and the rollup is one
+    map-side-combined aggregate onto 4 keys. Cents-grid sum keeps the
+    double totals order-exact cross-engine; min/max are exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+_UNPIVOT_SQL = f"""
+WITH long AS (
+  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT measure,
+       COUNT(*) AS n,
+       {_dsum("value")} AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM long
+GROUP BY measure
+"""
+
+
 def envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 codec proof: events → Kafka (key,value) JSON envelope →
     decode → typed rows, equal to the source table (oracle = the raw
@@ -7452,6 +7496,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # new in round 7 — zero driver evidence, outranks refresh fill
     "auto_salted_event_value": (auto_salted_event_value, _AUTO_SALTED_SQL),
     "cross_corpus_near_dup": (cross_corpus_near_dup_q, _CROSS_CORPUS_SQL),
+    "lineitem_measures_unpivot": (lineitem_measures_unpivot, _UNPIVOT_SQL),
     # --- r7 window: refresh fill — the entire r4-green queue (newest
     # driver stamp round 4, the longest-unstamped evidence in the
     # registry), in their r6 queue order ---
@@ -7519,7 +7564,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- r7 window: r5-green head of the refresh queue ---
     "stratified_sample_docs": (stratified_sample_docs, _STRATIFIED_SAMPLE_SQL),
     "doc_dup_span_frac": (doc_dup_span_frac, _DUP_SPAN_SQL),
-    "doc_decontamination": (doc_decontamination, _DECONTAMINATION_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+). salted_customer_revenue stays
     # pinned at position 51: the window test anchors it to pin the
@@ -7532,6 +7576,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
     "props_variant_extract": (props_variant_extract, _PROPS_VARIANT_SQL),
     "doc_sequence_packing": (doc_sequence_packing, _SEQUENCE_PACKING_SQL),
+    "doc_decontamination": (doc_decontamination, _DECONTAMINATION_SQL),
     "priority_lines_by_returnflag": (
         priority_lines_by_returnflag,
         _PRIORITY_LINES_SQL,

@@ -508,3 +508,14 @@ def test_cooccurrence_lift_partial_topk_no_explicit_marg_broadcast(spark, sf_dir
     assert f.has_partial_agg
     assert "TakeOrderedAndProject" in f.raw
     assert not f.has_cartesian
+
+
+def test_unpivot_is_map_side_expand(spark, sf_dir):
+    # wide->long must compile to a map-side Expand (4 rows out per
+    # input row, no join, no extra shuffle) + ONE map-combined agg
+    # exchange onto the 4 measure keys
+    f = facts(spark, sf_dir, "lineitem_measures_unpivot")
+    assert "Expand" in f.raw, "unpivot must plan as Expand"
+    assert not f.joins and not f.has_cartesian
+    assert f.has_partial_agg, "per-measure rollup must partial-aggregate"
+    assert f.n_exchanges == 1, f"got {f.n_exchanges} exchanges"
