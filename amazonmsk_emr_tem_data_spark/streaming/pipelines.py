@@ -379,6 +379,79 @@ def incremental_ingest_dedup(
         raise TimeoutError("incremental ingest did not drain in 300s")
 
 
+def near_ingest_batch(
+    batch_df: DataFrame, store_dir: str, threshold: float = 0.6
+) -> None:
+    """Idempotent NEAR-dedup-on-write sink — the full production ingest
+    filter (exact tier included, since exact dups are jaccard-1.0 near
+    dups): within-batch near-dup clustering keeps one canonical doc per
+    cluster (min id, `dedup_clusters`), then canonicals that match
+    anything ALREADY ACCEPTED at shingle-Jaccard >= threshold are
+    dropped (`cross_corpus_near_dup` best-match filter); survivors
+    append to the store.
+
+    Replay safety is inherited rather than bolted on: a re-delivered
+    batch's canonicals match their own earlier store rows at jaccard
+    1.0 and drop — so the at-least-once foreachBatch contract holds
+    with NO separate bookkeeping. At 100 TB the store side of the
+    filter runs off precomputed band signatures (see
+    cross_corpus_near_dup's scale notes), not raw text."""
+    from ..operators.dedup import cross_corpus_near_dup, dedup_clusters
+
+    sess = batch_df.sparkSession
+    canon = batch_df.join(
+        dedup_clusters(batch_df, threshold=threshold)
+        .filter("is_canonical")
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    try:
+        store = sess.read.parquet(store_dir)
+    except Exception:
+        store = None  # first batch: store does not exist yet
+    if store is not None:
+        dup = cross_corpus_near_dup(canon, store, threshold=threshold).select(
+            "doc_id"
+        )
+        canon = canon.join(dup, "doc_id", "left_anti")
+    canon.write.mode("append").parquet(store_dir)
+
+
+def incremental_ingest_near_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    store_dir: str,
+    checkpoint_dir: str | None = None,
+    threshold: float = 0.6,
+) -> None:
+    """Streaming corpus ingest with cross-run NEAR-dedup: the
+    near-duplicate upgrade of `incremental_ingest_dedup`. ``src_dir``
+    is a parquet directory of arriving documents, drained one file per
+    micro-batch so multi-file drops replay deterministically."""
+    schema = spark.read.parquet(src_dir).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        near_ingest_batch(batch_df, store_dir, threshold=threshold)
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_ingest_near_")
+    q = (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName("incremental_ingest_near_dedup")
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("near-dedup ingest did not drain in 300s")
+
+
 def fanout_foreach_batch(
     spark: SparkSession,
     sf_dir: str,

@@ -355,3 +355,65 @@ def test_foreach_batch_replay_after_midstream_crash(spark, sf_dir, tmp_path):
     got = spark.read.parquet(store)
     assert got.count() == n_distinct, "replayed batch must dedup, not double"
     assert got.select("fp").distinct().count() == n_distinct
+
+
+def test_incremental_near_dedup_ingest_matches_batch_composition(
+    spark, sf_dir, tmp_path
+):
+    """Streaming NEAR-dedup ingest == the same operators composed in
+    batch, batch by batch: file 1's canonicals land first; file 2 keeps
+    only canonicals that are not near-dups (jaccard >= 0.6) of the
+    store. A re-run with a fresh checkpoint must add NOTHING — every
+    replayed canonical matches its own store copy at jaccard 1.0."""
+    import time as _time
+
+    from amazonmsk_emr_tem_data_spark.operators.dedup import (
+        cross_corpus_near_dup,
+        dedup_clusters,
+    )
+    from amazonmsk_emr_tem_data_spark.sources.files import load_table
+    from amazonmsk_emr_tem_data_spark.streaming.pipelines import (
+        incremental_ingest_near_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    # two files with controlled content, written in mtime order so the
+    # one-file-per-trigger drain processes them deterministically
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _time.sleep(1.1)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    store = str(tmp_path / "store")
+    incremental_ingest_near_dedup(spark, src, store, str(tmp_path / "ck1"))
+    got = {r["doc_id"] for r in spark.read.parquet(store).select("doc_id").collect()}
+
+    # batch-composed expectation, in the same two steps
+    def canonicals(df):
+        return df.join(
+            dedup_clusters(df).filter("is_canonical").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    c1 = canonicals(b1)
+    c2 = canonicals(b2)
+    dup2 = cross_corpus_near_dup(c2, c1).select("doc_id")
+    want = {
+        r["doc_id"]
+        for r in c1.select("doc_id")
+        .unionByName(c2.join(dup2, "doc_id", "left_anti").select("doc_id"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+    # replay with a fresh checkpoint: full reprocess, store must not grow
+    incremental_ingest_near_dedup(spark, src, store, str(tmp_path / "ck2"))
+    assert spark.read.parquet(store).count() == len(got)
