@@ -775,8 +775,35 @@ def simhash_pairs(
     surface through their other max_hamming chunks."""
     groups, reps = _collapse_exact(df, id_col)
     sk = simhash_sketch(reps, id_col)
+    rep_pairs = hamming_chunk_pairs(
+        sk, id_col, "sk", bits=60, max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
+    within = _within_pairs(groups, {"hamming": F.lit(0).cast("int")})
+    return within.unionByName(_fanout_cross(rep_pairs, groups, ["hamming"]))
+
+
+def hamming_chunk_pairs(
+    sk_df: DataFrame,
+    id_col: str,
+    sketch_col: str,
+    bits: int,
+    max_hamming: int = 6,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Generic Hamming-distance pair join over any ``bits``-wide long
+    sketch column (SimHash text sketches, aHash perceptual image
+    hashes, ...): split each sketch into ``max_hamming + 1`` chunks —
+    by pigeonhole any pair within the distance budget shares at least
+    one exact chunk — equi-join on (chunk_idx, chunk_value), verify
+    with bit_count(xor). Chunk values shared by more than
+    ``max_bucket_size`` sketches are excluded (degenerate low-entropy
+    bit ranges would blow the join up quadratically; real pairs still
+    surface through their other chunks). Returns
+    (doc_a, doc_b, hamming) with doc_a < doc_b."""
+    sk = sk_df.select(id_col, F.col(sketch_col).alias("sk"))
     n_chunks = max_hamming + 1
-    base, extra = divmod(60, n_chunks)
+    base, extra = divmod(bits, n_chunks)
     widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
     chunks = F.array(
@@ -816,13 +843,13 @@ def simhash_pairs(
         )
         .distinct()
     )
-    rep_pairs = (
-        cand.withColumn("hamming", F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b"))))
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b")))
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
-    within = _within_pairs(groups, {"hamming": F.lit(0).cast("int")})
-    return within.unionByName(_fanout_cross(rep_pairs, groups, ["hamming"]))
 
 
 # ---------------------------------------------------------------------------

@@ -252,6 +252,141 @@ def media_near_dup_pairs(
     ).withColumnRenamed("vec_a", "doc_a").withColumnRenamed("vec_b", "doc_b")
 
 
+_AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def ahash_images(
+    df: DataFrame, id_col: str = "doc_id", fake: bool = True, hash_size: int = 8
+) -> DataFrame:
+    """64-bit average-hash (aHash) perceptual fingerprint per image:
+    decode → channel-mean grayscale → nearest-neighbor 8×8 downsample →
+    bit i = pixel_i > mean. The standard cheap perceptual feature for
+    image near-dup — robust to re-encoding and small pixel noise,
+    unlike the byte-level sha/byte-histogram tiers.
+
+    ``fake=False`` consumes REAL decoded pixels via the same pure-NumPy
+    BMP/PPM/PGM parsing as decode_images; ``fake=True`` hashes a
+    deterministic byte grid so the distributed plumbing runs on
+    non-image fixture payloads. The hash lands as a signed int64
+    (two's-complement wrap) so downstream bit_count/xor stay in Spark
+    long math. The decode helpers are nested for the same
+    pickle-by-value isolation decode_images documents."""
+
+    def ahash_iter(batches):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def bmp_array(data: bytes):
+            pix_off = struct.unpack_from("<I", data, 10)[0]
+            width, height = struct.unpack_from("<ii", data, 18)
+            bpp = struct.unpack_from("<H", data, 28)[0]
+            compression = struct.unpack_from("<I", data, 30)[0]
+            if compression != 0 or bpp not in (8, 24, 32):
+                raise NotImplementedError("only BI_RGB 8/24/32-bit BMP")
+            n_ch = bpp // 8
+            abs_h = abs(height)
+            row_bytes = (width * n_ch + 3) // 4 * 4
+            rows = np.frombuffer(
+                data, dtype=np.uint8, count=row_bytes * abs_h, offset=pix_off
+            ).reshape(abs_h, row_bytes)[:, : width * n_ch]
+            arr = rows.reshape(abs_h, width, n_ch)
+            return arr if height < 0 else arr[::-1]
+
+        def pnm_array(data: bytes):
+            n_ch = 3 if data[:2] == b"P6" else 1
+            pos, fields = 2, []
+            while len(fields) < 3:
+                c = data[pos : pos + 1]
+                if c == b"#":
+                    pos = data.index(b"\n", pos) + 1
+                elif c.isspace():
+                    pos += 1
+                else:
+                    end = pos
+                    while data[end : end + 1].isdigit():
+                        end += 1
+                    fields.append(int(data[pos:end]))
+                    pos = end
+            width, height, _maxval = fields
+            pos += 1
+            n = width * height * n_ch
+            return np.frombuffer(data, dtype=np.uint8, count=n, offset=pos).reshape(
+                height, width, n_ch
+            )
+
+        def ahash_one(payload: bytes) -> int:
+            if fake:
+                data = (payload or b"\x00") * (
+                    1 + (hash_size * hash_size) // max(1, len(payload or b"\x00"))
+                )
+                gray = (
+                    np.frombuffer(
+                        data[: hash_size * hash_size], dtype=np.uint8
+                    )
+                    .reshape(hash_size, hash_size)
+                    .astype(np.float64)
+                )
+            else:
+                if payload[:2] == b"BM":
+                    arr = bmp_array(payload)
+                elif payload[:2] in (b"P6", b"P5"):
+                    arr = pnm_array(payload)
+                else:
+                    raise NotImplementedError(
+                        "only uncompressed BMP and binary PPM/PGM decode "
+                        "natively; compressed formats need PIL here"
+                    )
+                full = arr.astype(np.float64).mean(axis=2)
+                h, w = full.shape
+                ys = np.minimum((np.arange(hash_size) * h) // hash_size, h - 1)
+                xs = np.minimum((np.arange(hash_size) * w) // hash_size, w - 1)
+                gray = full[np.ix_(ys, xs)]
+            bits = (gray.reshape(-1) > gray.mean()).astype(np.uint64)
+            val = np.uint64(0)
+            for b in bits:
+                val = (val << np.uint64(1)) | b
+            return int(val.astype(np.int64))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "ahash": [
+                        ahash_one(p if p is not None else b"")
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(ahash_iter, _AHASH_SCHEMA)
+
+
+def media_phash_near_dup(
+    df: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Perceptual near-dup pairs over image payloads: aHash fingerprint
+    → pigeonhole chunk-bucketed Hamming join (the SimHash machinery,
+    reused via operators/dedup.hamming_chunk_pairs). The image
+    counterpart of text SimHash: candidates equi-join on exact hash
+    chunks — never a cross join — and verify with one bit_count(xor)."""
+    from .dedup import hamming_chunk_pairs
+
+    sk = ahash_images(df, id_col=id_col, fake=fake)
+    return hamming_chunk_pairs(
+        sk, id_col, "ahash", bits=64, max_hamming=max_hamming
+    )
+
+
 _FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -780,3 +780,58 @@ def test_cross_corpus_near_dup_best_match_semantics(spark):
     for d in (1, 3):
         assert rows[d]["corpus_doc_id"] == 10, "ties must break to min corpus id"
         assert rows[d]["jaccard"] == 1.0
+
+
+def test_ahash_perceptual_near_dup_on_real_images(spark):
+    """aHash over REAL decoded pixels: a lightly-noised copy of an
+    image must land within a small Hamming distance of the original
+    (that's the point of a perceptual hash — byte-level hashes differ
+    completely), an unrelated image must not pair at max_hamming=6,
+    and identical payloads must hash identically."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        ahash_images,
+        media_phash_near_dup,
+    )
+
+    rng = np.random.default_rng(11)
+    # structured base image (gradient + blocks) so aHash bits carry
+    # signal; pure noise images have unstable per-pixel comparisons
+    base = np.zeros((32, 32, 3), dtype=np.uint8)
+    base[:, :16] = 40
+    base[:, 16:] = 200
+    base[8:24, 8:24] = 120
+    noisy = base.copy()
+    idx = rng.integers(0, 32, size=(10, 2))
+    for y, x in idx:
+        noisy[y, x] = rng.integers(0, 256, 3)
+    unrelated = np.zeros((32, 32, 3), dtype=np.uint8)
+    unrelated[::2] = 230  # horizontal stripes — different structure
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_bmp_bytes(base))),
+            (2, bytearray(_bmp_bytes(noisy))),
+            (3, bytearray(_bmp_bytes(unrelated))),
+            (4, bytearray(_pnm_bytes(base))),  # same image, PPM container
+        ],
+        "doc_id long, payload binary",
+    )
+    hashes = {r["doc_id"]: r["ahash"] for r in ahash_images(df, fake=False).collect()}
+    assert hashes[1] == hashes[4], "same pixels => same aHash across containers"
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in media_phash_near_dup(df, max_hamming=6, fake=False).collect()
+    }
+    assert (1, 2) in pairs, "noised copy must pair with the original"
+    assert pairs[(1, 4)] == 0
+    assert not any(3 in p for p in pairs), "unrelated image must not pair"
+
+
+def test_ahash_fake_path_is_deterministic(spark, docs):
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import ahash_images
+
+    payloads = with_binary_payload(docs.limit(50))
+    a = sorted(map(tuple, ahash_images(payloads, fake=True).collect()))
+    b = sorted(map(tuple, ahash_images(payloads, fake=True).collect()))
+    assert a == b and len(a) == 50
