@@ -438,3 +438,48 @@ def test_prefix_filter_jaccard_matches_bruteforce(spark, docs):
             if 10 * c >= 7 * union:
                 want[(a, b)] = (c, c / union)
     assert out == want
+
+
+@prop
+@given(docs=_pf_docs)
+def test_cross_corpus_near_dup_matches_bruteforce(spark, docs):
+    """cross_corpus_near_dup must equal the brute-force best-match on
+    arbitrary corpora split into new/corpus halves: the two-sided
+    exact collapse, the fingerprint 1.0 fast path, the banded
+    candidates, and the min-corpus-id tie-break through group fan-out
+    all have to pick exactly the argmax the all-pairs scan picks."""
+    from amazonmsk_emr_tem_data_spark.operators.dedup import (
+        cross_corpus_near_dup,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    corpus = df.filter("doc_id % 2 = 0")
+    new = df.filter("doc_id % 2 = 1")
+    out = {
+        r["doc_id"]: (r["corpus_doc_id"], r["n_common"], r["jaccard"])
+        for r in cross_corpus_near_dup(new, corpus, threshold=0.6).collect()
+    }
+
+    def sh(text):
+        toks = text.split(" ")
+        if len(toks) >= 3:
+            return {" ".join(toks[i: i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    sets = [sh(t) for t in texts]
+    want = {}
+    for n_id in range(1, len(texts), 2):
+        best = None
+        for c_id in range(0, len(texts), 2):
+            c = len(sets[n_id] & sets[c_id])
+            union = len(sets[n_id]) + len(sets[c_id]) - c
+            j = c / union
+            if j >= 0.6 and (best is None or j > best[2] or
+                             (j == best[2] and c_id < best[0])):
+                best = (c_id, c, j)
+        if best is not None:
+            want[n_id] = best
+    assert out == want
