@@ -5283,7 +5283,6 @@ def corpus_tfidf_topterms(
     from .functions.text import tokens
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs")).collect()[0]["n_docs"]
     # cache(): the (doc, term) rollup feeds THREE consumers (df agg,
     # the distinct-df driver collect, and the scored join). Implicit
     # shuffle-stage reuse does NOT cover the third: AQE re-plans the
@@ -5299,9 +5298,26 @@ def corpus_tfidf_topterms(
         .cache()
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    df_vals = [r["df"] for r in df_.select("df").distinct().collect()]
+    # ONE driver action for both bounded stats (r7 job fold, the BM25
+    # shape): the 1-row corpus count ∪ the distinct df VALUES.
+    rows = (
+        docs.agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(None).cast("long").alias("df"), "n")
+        .unionByName(
+            df_.select("df")
+            .distinct()
+            .select("df", F.lit(None).cast("long").alias("n"))
+        )
+        .collect()
+    )
+    n_docs = next(r["n"] for r in rows if r["df"] is None)
     idf_lookup = spark.createDataFrame(
-        [(d, math.log(n_docs / d)) for d in df_vals], "df long, idf double"
+        [
+            (r["df"], math.log(n_docs / r["df"]))
+            for r in rows
+            if r["df"] is not None
+        ],
+        "df long, idf double",
     )
     scored = (
         tf.join(df_, "term")
