@@ -138,3 +138,45 @@ def auto_salt_agg(
             *[expr.alias(name) for name, expr in sums.items()]
         )
     return salted_agg(df, keys, sums, n_salts=n_salts)
+
+
+def auto_salt_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    max_salts: int = 64,
+    shuffle_partitions: int | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Measured-skew-driven salted join — the join-side twin of
+    `auto_salt_agg`: ONE bounded driver action measures the hottest
+    join key's row count on the skewed side, `choose_n_salts` decides,
+    and the plan is the replicated salted join only when the hot key
+    actually overflows a mean-sized task — otherwise the plain
+    equi-join (where AQE's skew-join splitting and broadcast
+    thresholds keep doing their job).
+
+    The fan-out cost the decision is weighing: salting replicates
+    ``other`` n_salts times, so an unnecessary salt multiplies the
+    small side for nothing — that is why the measurement, not a
+    hard-coded n, should pick it. Exact for how='inner' (salting only
+    moves WHERE pairs are computed); the replicated-side trick does
+    not extend to outer joins, so any other ``how`` falls back to the
+    plain join."""
+    spark = skewed.sparkSession
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    st = (
+        skewed.groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("top_n"), F.sum("__n").alias("n_rows"))
+        .collect()[0]
+    )
+    n_salts = choose_n_salts(
+        st["top_n"] or 0, st["n_rows"] or 0, shuffle_partitions, max_salts
+    )
+    if how != "inner" or n_salts <= 1:
+        return skewed.join(other, on, how)
+    return salted_join(skewed, other, on, n_salts=n_salts, how=how)

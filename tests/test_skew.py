@@ -109,3 +109,41 @@ def test_auto_salt_agg_equals_plain_on_orders(spark, sf_dir):
     a = {r["o_orderstatus"]: (r["n"], round(r["qty"], 4)) for r in auto.collect()}
     p = {r["o_orderstatus"]: (r["n"], round(r["qty"], 4)) for r in plain.collect()}
     assert a == p
+
+
+def test_auto_salt_join_salts_planted_hot_key(spark):
+    from amazonmsk_emr_tem_data_spark.operators.skew import SALT, auto_salt_join
+
+    skewed = spark.range(10_000).select(
+        F.when(F.col("id") % 5 < 4, F.lit(7)).otherwise(F.col("id") % 97)
+        .cast("long").alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    out = auto_salt_join(skewed, dim, on=["k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert SALT in plan, "planted hot key must produce the salted join"
+    plain = skewed.join(dim, "k")
+    assert out.count() == plain.count()
+    assert sorted(map(tuple, out.select("k", "v", "w").collect())) == sorted(
+        map(tuple, plain.select("k", "v", "w").collect())
+    )
+
+
+def test_auto_salt_join_skips_uniform_and_outer(spark):
+    from amazonmsk_emr_tem_data_spark.operators.skew import SALT, auto_salt_join
+
+    skewed = spark.range(10_000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(1000).select(F.col("id").alias("k"))
+    out = auto_salt_join(skewed, dim, on=["k"])
+    assert SALT not in out._jdf.queryExecution().executedPlan().toString()
+    # outer joins must always take the plain path (replication trick
+    # does not preserve outer semantics)
+    hot = spark.range(10_000).select(F.lit(1).cast("long").alias("k"), F.col("id").alias("v"))
+    outer = auto_salt_join(hot, dim, on=["k"], how="left")
+    assert SALT not in outer._jdf.queryExecution().executedPlan().toString()
+    assert outer.count() == 10_000
