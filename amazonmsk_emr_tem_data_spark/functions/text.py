@@ -207,6 +207,37 @@ def rolling_hash(col: Column | str = "text", window: int = 8) -> Column:
     return F.array_min(F.transform(shingles, md5_hash64))
 
 
+def winnowing_fingerprints(
+    col: Column | str = "text", k: int = 8, w: int = 4
+) -> Column:
+    """TRUE winnowing (Schleimer/Wilkerson/Aiken, the MOSS algorithm):
+    hash every k-token shingle, then keep the MINIMUM hash of each
+    sliding window of ``w`` consecutive shingle hashes. Guarantees any
+    shared token run of length >= w + k - 1 yields at least one shared
+    fingerprint, at expected density 2/(w+1) — the selective sketch
+    SET that enables local span matching, where rolling_hash keeps one
+    global min per document. Documents shorter than k tokens collapse
+    to one whole-text fingerprint. Returns the distinct fingerprint
+    array; pure array algebra, zero explode."""
+    toks = tokens(col)
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    hashes = F.transform(grams, md5_hash64)
+    wins = F.when(
+        F.size(hashes) >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size(hashes) - w),
+            lambda j: F.array_min(F.slice(hashes, j + 1, w)),
+        ),
+    ).otherwise(F.array(F.array_min(hashes)))
+    return F.array_distinct(wins)
+
+
 def md5_hash64(c: Column) -> Column:
     """Cross-engine deterministic 60-bit integer hash: first 15 hex
     digits of md5 as a bigint. DuckDB twin:

@@ -1358,6 +1358,52 @@ SELECT doc_id,
 FROM (SELECT doc_id, {_TOKS_SQL} AS w FROM documents)
 """
 
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True winnowing fingerprint SETS (r7): per-window minimum shingle
+    hashes at guaranteed-detection density — the MOSS-style local span
+    sketch (any shared run of >= w+k-1 = 11 tokens shares a
+    fingerprint), vs doc_rolling_fingerprint's single global min.
+
+    Scale: the selection is pure per-row array algebra (no explode
+    until the final fingerprint rows emit, and those are ~2/(w+1) of
+    the shingle count), so the plan is scan → project → generate —
+    zero shuffles; dedup of (doc, fp) happens inside the array
+    (array_distinct) rather than with a distinct exchange."""
+    from .functions.text import winnowing_fingerprints
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.explode(winnowing_fingerprints("text", k=8, w=4)).alias("fp"),
+    )
+
+
+_WINNOWING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {{toks}} AS w FROM documents
+), hashes AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 8
+              THEN list_transform(generate_series(1, len(w)-7),
+                                  i -> {{h}})
+              ELSE [{{h_whole}}] END AS hs
+  FROM toks
+), wins AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4
+              THEN list_transform(generate_series(1, len(hs)-3),
+                                  j -> list_min(hs[j:j+3]))
+              ELSE [list_min(hs)] END AS fps
+  FROM hashes
+)
+SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins
+""".format(
+    toks=_TOKS_SQL,
+    h=_HASH64_SQL.format(x="array_to_string(w[i:i+7], ' ')"),
+    h_whole=_HASH64_SQL.format(x="array_to_string(w, ' ')"),
+)
+
+
 _COS_SQL = (
     "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
     " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
@@ -7513,6 +7559,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "auto_salted_event_value": (auto_salted_event_value, _AUTO_SALTED_SQL),
     "cross_corpus_near_dup": (cross_corpus_near_dup_q, _CROSS_CORPUS_SQL),
     "lineitem_measures_unpivot": (lineitem_measures_unpivot, _UNPIVOT_SQL),
+    "doc_winnowing_fingerprints": (
+        doc_winnowing_fingerprints,
+        _WINNOWING_SQL,
+    ),
     # --- r7 window: refresh fill — the entire r4-green queue (newest
     # driver stamp round 4, the longest-unstamped evidence in the
     # registry), in their r6 queue order ---
@@ -7579,7 +7629,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "retention_cohorts": (retention_cohorts, _RETENTION_COHORTS_SQL),
     # --- r7 window: r5-green head of the refresh queue ---
     "stratified_sample_docs": (stratified_sample_docs, _STRATIFIED_SAMPLE_SQL),
-    "doc_dup_span_frac": (doc_dup_span_frac, _DUP_SPAN_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+). salted_customer_revenue stays
     # pinned at position 51: the window test anchors it to pin the
@@ -7593,6 +7642,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "props_variant_extract": (props_variant_extract, _PROPS_VARIANT_SQL),
     "doc_sequence_packing": (doc_sequence_packing, _SEQUENCE_PACKING_SQL),
     "doc_decontamination": (doc_decontamination, _DECONTAMINATION_SQL),
+    "doc_dup_span_frac": (doc_dup_span_frac, _DUP_SPAN_SQL),
     "priority_lines_by_returnflag": (
         priority_lines_by_returnflag,
         _PRIORITY_LINES_SQL,

@@ -104,6 +104,9 @@ DOC_QUERIES = [
     # empties across the split must match at jaccard 1.0 with the
     # min-corpus-id tie-break
     "cross_corpus_near_dup",
+    # r7: winnowing — docs shorter than k tokens collapse to one
+    # whole-text fingerprint; shorter than w shingles to one window
+    "doc_winnowing_fingerprints",
 ]
 
 

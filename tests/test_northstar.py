@@ -835,3 +835,31 @@ def test_ahash_fake_path_is_deterministic(spark, docs):
     a = sorted(map(tuple, ahash_images(payloads, fake=True).collect()))
     b = sorted(map(tuple, ahash_images(payloads, fake=True).collect()))
     assert a == b and len(a) == 50
+
+
+def test_winnowing_detection_guarantee(spark):
+    """The defining winnowing property: ANY shared token run of length
+    >= w + k - 1 (= 11 at k=8, w=4) produces at least one shared
+    fingerprint, no matter the surrounding context — while two
+    unrelated texts share none."""
+    from amazonmsk_emr_tem_data_spark.functions.text import (
+        winnowing_fingerprints,
+    )
+
+    shared = "zero one two three four five six seven eight nine ten"  # 11 tokens
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, "completely different prefix words " + shared),
+            (3, "no overlap here just some other words entirely present"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id", winnowing_fingerprints("text", k=8, w=4).alias("fps")
+        ).collect()
+    }
+    assert fps[1] & fps[2], "shared 11-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
