@@ -1358,6 +1358,91 @@ SELECT doc_id,
 FROM (SELECT doc_id, {_TOKS_SQL} AS w FROM documents)
 """
 
+def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram diversity monitor (r7): distinct-trigram ratio
+    and type-token ratio in integer ppm — the cheap corpus-health
+    metric that catches template spam and boilerplate floods (diversity
+    collapses) before the dedup tier pays to prove it pair by pair.
+
+    Scale: trigrams and tokens explode once each and shuffle as
+    (source, 60-bit hash) — never text; each branch is one
+    map-side-combined count-distinct agg onto |sources| keys, and the
+    final join is |sources| rows. Integer ppm division (div in both
+    engines) keeps the ratios bit-exact."""
+    from .functions.text import md5_hash64, tokens
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    g = (
+        docs.select("source", F.explode(grams).alias("gram"))
+        .select("source", md5_hash64(F.col("gram")).alias("gh"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.countDistinct("gh").alias("n_distinct_grams"),
+        )
+    )
+    t = (
+        docs.select("source", F.explode(toks).alias("tok"))
+        .select("source", md5_hash64(F.col("tok")).alias("th"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("th").alias("n_distinct_tokens"),
+        )
+    )
+    return g.join(t, "source").select(
+        "source",
+        "n_grams",
+        "n_distinct_grams",
+        F.expr(
+            "(n_distinct_grams * CAST(1000000 AS BIGINT)) div n_grams"
+        ).alias("gram_diversity_ppm"),
+        "n_tokens",
+        "n_distinct_tokens",
+        F.expr(
+            "(n_distinct_tokens * CAST(1000000 AS BIGINT)) div n_tokens"
+        ).alias("ttr_ppm"),
+    )
+
+
+_NGRAM_DIVERSITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS_SQL} AS w FROM documents
+), grams AS (
+  SELECT source, unnest(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(generate_series(1, len(w)-2),
+                                    i -> array_to_string(w[i:i+2], ' '))
+                ELSE [array_to_string(w, ' ')] END) AS gram
+  FROM toks
+), g AS (
+  SELECT source, COUNT(*) AS n_grams,
+         COUNT(DISTINCT {_HASH64_SQL.format(x='gram')}) AS n_distinct_grams
+  FROM grams GROUP BY source
+), tok AS (
+  SELECT source, unnest(w) AS tokn FROM toks
+), t AS (
+  SELECT source, COUNT(*) AS n_tokens,
+         COUNT(DISTINCT {_HASH64_SQL.format(x='tokn')}) AS n_distinct_tokens
+  FROM tok GROUP BY source
+)
+SELECT g.source AS source,
+       n_grams, n_distinct_grams,
+       (n_distinct_grams * 1000000) // n_grams AS gram_diversity_ppm,
+       n_tokens, n_distinct_tokens,
+       (n_distinct_tokens * 1000000) // n_tokens AS ttr_ppm
+FROM g JOIN t ON g.source = t.source
+"""
+
+
 def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True winnowing fingerprint SETS (r7): per-window minimum shingle
     hashes at guaranteed-detection density — the MOSS-style local span
@@ -7563,6 +7648,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         doc_winnowing_fingerprints,
         _WINNOWING_SQL,
     ),
+    "corpus_ngram_diversity": (corpus_ngram_diversity, _NGRAM_DIVERSITY_SQL),
     # --- r7 window: refresh fill — the entire r4-green queue (newest
     # driver stamp round 4, the longest-unstamped evidence in the
     # registry), in their r6 queue order ---
@@ -7628,7 +7714,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "event_funnel": (event_funnel, _EVENT_FUNNEL_SQL),
     "retention_cohorts": (retention_cohorts, _RETENTION_COHORTS_SQL),
     # --- r7 window: r5-green head of the refresh queue ---
-    "stratified_sample_docs": (stratified_sample_docs, _STRATIFIED_SAMPLE_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+). salted_customer_revenue stays
     # pinned at position 51: the window test anchors it to pin the
@@ -7643,6 +7728,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_sequence_packing": (doc_sequence_packing, _SEQUENCE_PACKING_SQL),
     "doc_decontamination": (doc_decontamination, _DECONTAMINATION_SQL),
     "doc_dup_span_frac": (doc_dup_span_frac, _DUP_SPAN_SQL),
+    "stratified_sample_docs": (stratified_sample_docs, _STRATIFIED_SAMPLE_SQL),
     "priority_lines_by_returnflag": (
         priority_lines_by_returnflag,
         _PRIORITY_LINES_SQL,

@@ -107,6 +107,8 @@ DOC_QUERIES = [
     # r7: winnowing — docs shorter than k tokens collapse to one
     # whole-text fingerprint; shorter than w shingles to one window
     "doc_winnowing_fingerprints",
+    # r7: diversity ppm on empty/short docs (whole-text gram fallback)
+    "corpus_ngram_diversity",
 ]
 
 

@@ -67,6 +67,7 @@ def test_driver_window_covers_round7_rotation():
         # new in round 7 — zero driver evidence yet
         "auto_salted_event_value", "cross_corpus_near_dup",
         "lineitem_measures_unpivot", "doc_winnowing_fingerprints",
+        "corpus_ngram_diversity",
         # the whole r4-green refresh queue (stamped round 4, nothing
         # newer): 37 queries
         "outer_join_order_coverage", "price_lag_lead_frames",
