@@ -1443,6 +1443,271 @@ FROM g JOIN t ON g.source = t.source
 """
 
 
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document filter (r7): the published heuristic gate
+    (word-count bounds, mean-word-length bounds, minimum stopword
+    evidence, duplicate-bigram ceiling) as per-rule boolean flags plus
+    the combined keep decision — the audit-friendly form, where each
+    rule's rejection rate is one aggregation away.
+
+    Scale: every feature is a codegen'd column expression over the text
+    column (array folds, regexp_count — zero explode, zero shuffle), so
+    at 100 TB this is a map-only scan pass; mean word length divides
+    two exact longs once (single IEEE op, identical cross-engine)."""
+    from .functions.text import dup_ngram_frac, norm_text, stopword_count, token_count
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    n_tok = token_count("text")
+    # normalized text is single-spaced ⇒ token chars = len - (n_tok - 1)
+    mean_wl = (F.length(norm_text("text")).cast("long") - (n_tok - F.lit(1))) / n_tok
+    base = docs.select(
+        "doc_id",
+        n_tok.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        stopword_count("text").alias("n_stopwords"),
+        dup_ngram_frac("text", 2).alias("dup_bigram_frac"),
+    )
+    flags = base.select(
+        "*",
+        ((F.col("n_words") >= 50) & (F.col("n_words") <= 100000)).alias(
+            "ok_word_count"
+        ),
+        ((F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)).alias(
+            "ok_mean_word_len"
+        ),
+        (F.col("n_stopwords") >= 2).alias("ok_stopwords"),
+        (F.col("dup_bigram_frac") <= 0.2).alias("ok_repetition"),
+    )
+    return flags.withColumn(
+        "keep",
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_stopwords")
+        & F.col("ok_repetition"),
+    )
+
+
+_GOPHER_FILTER_SQL = rf"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(len({_TOKS_SQL}) AS BIGINT) AS n_words,
+         (CAST(length({_NORM_SQL}) AS BIGINT)
+          - (CAST(len({_TOKS_SQL}) AS BIGINT) - 1))
+           / CAST(len({_TOKS_SQL}) AS BIGINT) AS mean_word_len,
+         CAST(len(regexp_extract_all({_NORM_SQL},
+              '\b(the|a|of|and|to|in|is|for|on|with)\b')) AS BIGINT)
+           AS n_stopwords,
+         CASE WHEN len({_TOKS_SQL}) >= 2 THEN
+           1.0 - CAST(len(list_distinct(list_transform(
+                     generate_series(1, len({_TOKS_SQL})-1),
+                     i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1]))) AS DOUBLE)
+                 / CAST(len({_TOKS_SQL}) - 1 AS DOUBLE)
+         ELSE 0.0 END AS dup_bigram_frac
+  FROM documents
+)
+SELECT doc_id, n_words, mean_word_len, n_stopwords, dup_bigram_frac,
+       n_words BETWEEN 50 AND 100000 AS ok_word_count,
+       mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
+       n_stopwords >= 2 AS ok_stopwords,
+       dup_bigram_frac <= 0.2 AS ok_repetition,
+       (n_words BETWEEN 50 AND 100000)
+         AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         AND n_stopwords >= 2
+         AND dup_bigram_frac <= 0.2 AS keep
+FROM f
+"""
+
+
+def corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift vs the whole corpus: total
+    variation distance in integer ppm — the mixture-monitoring metric
+    that flags a source whose unigram distribution has wandered from
+    the corpus it's being blended into (new crawl snapshot, changed
+    extractor) before it pollutes a training mix.
+
+    Exact integer math both sides: per-token probabilities are
+    truncated ppm (x*1e6 div total); the L1 distance over tokens the
+    source HAS is summed directly, and the mass of tokens the source
+    LACKS is reconstructed as (global ppm mass) - (ppm mass of present
+    tokens) — no |sources| x |vocab| dense outer join.
+
+    Scale: tokens explode once and immediately collapse to (source,
+    hash) counts with map-side combine — the shuffle carries vocab-level
+    cardinality, not corpus-level; everything downstream joins
+    vocab-sized relations, and the two corpus scalars ride along as
+    broadcast single-row aggregates (zero driver actions)."""
+    from .functions.text import md5_hash64, tokens
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    c = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .select("source", md5_hash64(F.col("tok")).alias("th"))
+        .groupBy("source", "th")
+        .agg(F.count(F.lit(1)).alias("n_st"))
+        .cache()
+    )
+    g = c.groupBy("th").agg(F.sum("n_st").alias("n_t"))
+    total = g.agg(F.sum("n_t").alias("n_total"))
+    g_ppm = g.crossJoin(F.broadcast(total)).select(
+        "th",
+        F.expr("(n_t * CAST(1000000 AS BIGINT)) div n_total").alias("ppm_g"),
+    )
+    g_mass = g_ppm.agg(F.sum("ppm_g").alias("ppm_g_total"))
+    s_tot = c.groupBy("source").agg(F.sum("n_st").alias("n_tokens"))
+    per_src = (
+        c.join(g_ppm, "th")
+        .join(s_tot, "source")
+        .select(
+            "source",
+            F.abs(
+                F.expr("(n_st * CAST(1000000 AS BIGINT)) div n_tokens")
+                - F.col("ppm_g")
+            ).alias("l1"),
+            "ppm_g",
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("l1").alias("l1_present"),
+            F.sum("ppm_g").alias("ppm_g_present"),
+        )
+    )
+    return (
+        per_src.join(s_tot, "source")
+        .crossJoin(F.broadcast(g_mass))
+        .select(
+            "source",
+            "n_tokens",
+            F.expr(
+                "(l1_present + (ppm_g_total - ppm_g_present)) div 2"
+            ).alias("tvd_ppm"),
+        )
+    )
+
+
+_SOURCE_DRIFT_SQL = f"""
+WITH c AS (
+  SELECT source, {_HASH64_SQL.format(x='tok')} AS th,
+         CAST(COUNT(*) AS BIGINT) AS n_st
+  FROM (SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents)
+  GROUP BY 1, 2
+), g AS (
+  SELECT th, SUM(n_st) AS n_t FROM c GROUP BY th
+), g_ppm AS (
+  SELECT th, (n_t * 1000000) // (SELECT SUM(n_t) FROM g) AS ppm_g FROM g
+), s_tot AS (
+  SELECT source, SUM(n_st) AS n_tokens FROM c GROUP BY source
+), per_src AS (
+  SELECT c.source,
+         SUM(abs((n_st * 1000000) // n_tokens - ppm_g)) AS l1_present,
+         SUM(ppm_g) AS ppm_g_present
+  FROM c JOIN g_ppm USING (th) JOIN s_tot ON c.source = s_tot.source
+  GROUP BY c.source
+)
+SELECT per_src.source AS source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((l1_present + ((SELECT SUM(ppm_g) FROM g_ppm) - ppm_g_present))
+            // 2 AS BIGINT) AS tvd_ppm
+FROM per_src JOIN s_tot ON per_src.source = s_tot.source
+"""
+
+
+def token_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (r7): estimate the corpus's top
+    tokens through a fixed 4 x 1024 CMS and report the estimate next to
+    the exact count — the mergeable-sketch pattern that answers "what
+    dominates this 100 TB corpus?" with kilobytes of state instead of a
+    vocab-sized exact aggregation.
+
+    Determinism: row hashes are md5(row_idx || '|' || token) folded to
+    60-bit ints (non-negative, so plain % is identical cross-engine);
+    the sketch is therefore bit-reproducible and the DuckDB twin
+    recomputes it exactly. CMS never underestimates: est >= exact, and
+    the overestimate column is the measured collision error.
+
+    Scale: bucket sums are an algebraic aggregate over (row, bucket) —
+    4096 cells with map-side combine, mergeable across any partitioning
+    (the streaming/shard-parallel form is the same agg); the exact
+    top-20 is one vocab-level TakeOrderedAndProject, and the estimate
+    join broadcasts 20 candidates against 4096 sketch cells."""
+    from .functions.text import md5_hash64, tokens
+
+    _d, _w = 4, 1024
+
+    def _probe_cells(tok):
+        """The d (row, bucket) cells a token hashes into — 60-bit md5
+        ints are non-negative, so pmod == plain % in the DuckDB twin."""
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(_d - 1)),
+            lambda i: F.struct(
+                i.alias("r"),
+                F.pmod(
+                    md5_hash64(F.concat_ws("|", i.cast("string"), tok)),
+                    F.lit(_w),
+                ).alias("b"),
+            ),
+        )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    cell = (
+        toks.select(F.explode(_probe_cells(F.col("tok"))).alias("cell"))
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = _ranked_topk(
+        exact.withColumn("tid", F.crc32(F.col("tok")).cast("long")),
+        [F.col("exact_n").desc(), F.col("tok").asc()],
+        "tid",
+        20,
+        "rnk",
+    ).select("tok", "exact_n", "rnk")
+    probes = top.select(
+        "tok", "exact_n", "rnk", F.explode(_probe_cells(F.col("tok"))).alias("probe")
+    )
+    return (
+        cell.join(
+            F.broadcast(probes),
+            (F.col("r") == F.col("probe.r")) & (F.col("b") == F.col("probe.b")),
+        )
+        .groupBy("tok", "exact_n", "rnk")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "tok",
+            "rnk",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overestimate"),
+        )
+    )
+
+
+_CMS_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+), cell AS (
+  SELECT r, {_HASH64_SQL.format(x="CAST(r AS VARCHAR) || '|' || tok")} % 1024 AS b,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks, generate_series(0, 3) AS gs(r)
+  GROUP BY 1, 2
+), exact AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n FROM toks GROUP BY tok
+), top AS (
+  SELECT tok, exact_n,
+         CAST(row_number() OVER (ORDER BY exact_n DESC, tok ASC) AS BIGINT) AS rnk
+  FROM exact QUALIFY rnk <= 20
+), probes AS (
+  SELECT tok, exact_n, rnk, r,
+         {_HASH64_SQL.format(x="CAST(r AS VARCHAR) || '|' || tok")} % 1024 AS b
+  FROM top, generate_series(0, 3) AS gs(r)
+)
+SELECT tok, rnk, exact_n, MIN(cnt) AS cms_est,
+       MIN(cnt) - exact_n AS overestimate
+FROM probes JOIN cell USING (r, b)
+GROUP BY tok, rnk, exact_n
+"""
+
+
 def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True winnowing fingerprint SETS (r7): per-window minimum shingle
     hashes at guaranteed-detection density — the MOSS-style local span
@@ -7649,9 +7914,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _WINNOWING_SQL,
     ),
     "corpus_ngram_diversity": (corpus_ngram_diversity, _NGRAM_DIVERSITY_SQL),
-    # --- r7 window: refresh fill — the entire r4-green queue (newest
-    # driver stamp round 4, the longest-unstamped evidence in the
-    # registry), in their r6 queue order ---
+    "gopher_quality_filter": (gopher_quality_filter, _GOPHER_FILTER_SQL),
+    "corpus_source_drift": (corpus_source_drift, _SOURCE_DRIFT_SQL),
+    "token_heavy_hitters_cms": (token_heavy_hitters_cms, _CMS_SQL),
+    # --- r7 window: refresh fill — the r4-green queue (newest driver
+    # stamp round 4, the longest-unstamped evidence in the registry),
+    # in their r6 queue order; its last three entries were displaced
+    # below the window by the never-stamped r7 queries above and
+    # rotate into the r8 window ---
     "outer_join_order_coverage": (outer_join_order_coverage, _OUTER_JOIN_SQL),
     "price_lag_lead_frames": (price_lag_lead_frames, _LAG_LEAD_SQL),
     "sql_interface_q3": (sql_interface_q3, _SQL_Q3_SQL),
@@ -7710,20 +7980,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_int8_quantize": (embedding_int8_quantize, _INT8_QUANT_SQL),
     "doc_chunking": (doc_chunking, _DOC_CHUNKING_SQL),
     "recursive_cte_depths": (recursive_cte_depths, _RECURSIVE_DEPTHS_SQL),
-    "semantic_dedup_vectors": (semantic_dedup_vectors, _SEMDEDUP_SQL),
-    "event_funnel": (event_funnel, _EVENT_FUNNEL_SQL),
-    "retention_cohorts": (retention_cohorts, _RETENTION_COHORTS_SQL),
-    # --- r7 window: r5-green head of the refresh queue ---
     # ------------------------------------------------------------------
     # below the window (entry 51+). salted_customer_revenue stays
     # pinned at position 51: the window test anchors it to pin the
     # stamped range to EXACTLY the first 50 (the r5 overflow bug
-    # class); it rotates into the r8 window. Then the rest of the
-    # r5-green refresh queue, then everything stamped green in
-    # CORRECTNESS_r06 (the freshest evidence, so lowest rotation
-    # priority).
+    # class); it rotates into the r8 window. Then the r4-queue tail
+    # displaced by round 7's new queries, the rest of the r5-green
+    # refresh queue, then everything stamped green in CORRECTNESS_r06
+    # (the freshest evidence, so lowest rotation priority).
     # ------------------------------------------------------------------
     "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
+    "semantic_dedup_vectors": (semantic_dedup_vectors, _SEMDEDUP_SQL),
+    "event_funnel": (event_funnel, _EVENT_FUNNEL_SQL),
+    "retention_cohorts": (retention_cohorts, _RETENTION_COHORTS_SQL),
     "props_variant_extract": (props_variant_extract, _PROPS_VARIANT_SQL),
     "doc_sequence_packing": (doc_sequence_packing, _SEQUENCE_PACKING_SQL),
     "doc_decontamination": (doc_decontamination, _DECONTAMINATION_SQL),

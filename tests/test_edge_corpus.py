@@ -109,6 +109,12 @@ DOC_QUERIES = [
     "doc_winnowing_fingerprints",
     # r7: diversity ppm on empty/short docs (whole-text gram fallback)
     "corpus_ngram_diversity",
+    # r7: Gopher rules on empty/short docs (mean_word_len 0, stopword 0)
+    "gopher_quality_filter",
+    # r7: drift ppm when a source holds only degenerate docs
+    "corpus_source_drift",
+    # r7: CMS sketch over the edge vocabulary (incl. the '' token)
+    "token_heavy_hitters_cms",
 ]
 
 
