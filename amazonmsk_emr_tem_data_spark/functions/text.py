@@ -136,15 +136,14 @@ def quality_score(col: Column | str = "text") -> Column:
     )
 
 
-def dup_ngram_frac(col: Column | str = "text", n: int = 2) -> Column:
-    """Fraction of word n-grams that repeat an earlier n-gram in the
-    same document — the Gopher-rule repetition signal used to filter
-    boilerplate/spam out of training corpora (cf. "duplicate n-gram
-    fraction" quality heuristics). Pure higher-order-function column
-    expression: per-row array ops, no shuffle, whole-stage codegen —
-    at 100 TB this is a map-only pass over the text column. Docs
-    shorter than ``n`` tokens score 0.0."""
-    w = tokens(col)
+def dup_ngram_frac_arr(toks: Column | str, n: int = 2) -> Column:
+    """``dup_ngram_frac`` over an ALREADY-MATERIALIZED token-array
+    column (an attribute from a previous projection). Prefer this in
+    per-document hot paths: codegen cannot hoist a subtree referenced
+    inside a higher-order-function lambda, so the text-column form
+    re-tokenizes at every gram position — O(tokens x positions) per
+    document. Stage ``tokens(...)`` through its own select() first."""
+    w = F.col(toks) if isinstance(toks, str) else toks
     grams = F.when(
         F.size(w) >= n,
         F.transform(
@@ -158,6 +157,14 @@ def dup_ngram_frac(col: Column | str = "text", n: int = 2) -> Column:
         F.lit(1.0)
         - F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
     ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_frac(col: Column | str = "text", n: int = 2) -> Column:
+    """Duplicate word-n-gram fraction straight off the text column —
+    the Gopher-rule repetition signal. Convenient single-expression
+    form; in a hot path stage the tokens and use dup_ngram_frac_arr
+    (this form re-evaluates the tokenize subtree per gram position)."""
+    return dup_ngram_frac_arr(tokens(col), n)
 
 
 #: PII patterns, restricted to the regex subset Java's engine and RE2
@@ -192,11 +199,10 @@ def pii_counts(col: Column | str = "text") -> dict[str, Column]:
     }
 
 
-def rolling_hash(col: Column | str = "text", window: int = 8) -> Column:
-    """Deterministic 64-bit rolling-style content hash: min over all
-    ``window``-token shingle hashes (winnowing-style document sketch).
-    Uses the cross-engine md5→int64 hash (see md5_hash64)."""
-    w = tokens(col)
+def rolling_hash_arr(toks: Column | str, window: int = 8) -> Column:
+    """``rolling_hash`` over an already-materialized token-array column
+    (see dup_ngram_frac_arr for why staging matters in hot paths)."""
+    w = F.col(toks) if isinstance(toks, str) else toks
     shingles = F.when(
         F.size(w) >= window,
         F.transform(
@@ -205,6 +211,14 @@ def rolling_hash(col: Column | str = "text", window: int = 8) -> Column:
         ),
     ).otherwise(F.array(F.concat_ws(" ", w)))
     return F.array_min(F.transform(shingles, md5_hash64))
+
+
+def rolling_hash(col: Column | str = "text", window: int = 8) -> Column:
+    """Deterministic 64-bit rolling-style content hash: min over all
+    ``window``-token shingle hashes (winnowing-style document sketch).
+    Uses the cross-engine md5→int64 hash (see md5_hash64). Convenience
+    form; hot paths should stage tokens and use rolling_hash_arr."""
+    return rolling_hash_arr(tokens(col), window)
 
 
 def winnowing_fingerprints(
@@ -218,7 +232,14 @@ def winnowing_fingerprints(
     SET that enables local span matching, where rolling_hash keeps one
     global min per document. Documents shorter than k tokens collapse
     to one whole-text fingerprint. Returns the distinct fingerprint
-    array; pure array algebra, zero explode."""
+    array; pure array algebra, zero explode.
+
+    NB: single-expression form — the window pass re-evaluates the full
+    shingle-hash array per window position (codegen cannot hoist a
+    lambda-referenced subtree), O(shingles x windows) per doc. The
+    doc_winnowing_fingerprints query stages each array through its own
+    projection instead (measured 17x faster); use that shape in hot
+    paths."""
     toks = tokens(col)
     grams = F.when(
         F.size(toks) >= k,

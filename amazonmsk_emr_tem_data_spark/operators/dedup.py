@@ -76,25 +76,47 @@ def fingerprint_groups(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def shingle_array(text_col: Column | str = "text", k: int = 3) -> Column:
-    """Distinct word-k-gram shingles of normalized text. Documents with
-    fewer than k tokens contribute their whole text as one shingle."""
-    w = tokens(text_col)
-    grams = F.when(
+def gram_array(toks: Column | str, k: int = 3) -> Column:
+    """Word-k-gram array from an ALREADY-MATERIALIZED token-array
+    column. Documents with fewer than k tokens contribute their whole
+    token string as one gram.
+
+    The argument must be a plain attribute (a column produced by a
+    previous projection), NOT the ``tokens(...)`` expression tree:
+    codegen cannot hoist a subtree referenced inside a
+    higher-order-function lambda, so passing the expression recomputes
+    the full normalize+split work at EVERY gram position —
+    O(tokens x positions) per document (measured 17x slower on the
+    winnowing sketch). Stage the tokens through their own select()
+    first; the extra projection is free, and CollapseProject keeps it
+    because the token array is referenced more than once here."""
+    w = F.col(toks) if isinstance(toks, str) else toks
+    return F.when(
         F.size(w) >= k,
         F.transform(
             F.sequence(F.lit(0), F.size(w) - k),
             lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", w)))
-    return F.array_distinct(grams)
+
+
+def shingle_array(text_col: Column | str = "text", k: int = 3) -> Column:
+    """Distinct word-k-gram shingles of normalized text, as a single
+    column expression. Convenient for one-off use, but the gram lambda
+    re-evaluates the tokenize subtree per position (see gram_array) —
+    inside a per-document hot path, stage the tokens and use
+    gram_array instead."""
+    return F.array_distinct(gram_array(tokens(text_col), k))
 
 
 def shingled(df: DataFrame, id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """Shingling is the CPU-dense map of the dedup stack — spread it
-    across all cores even when the scan under-splits."""
-    return ensure_parallelism(df).select(
-        id_col, shingle_array("text", k).alias("shingles")
+    across all cores even when the scan under-splits, and stage the
+    token array through its own projection so the gram pass reads a
+    materialized array instead of re-tokenizing per position."""
+    staged = ensure_parallelism(df).select(id_col, tokens("text").alias("__toks"))
+    return staged.select(
+        id_col, F.array_distinct(gram_array("__toks", k)).alias("shingles")
     )
 
 
@@ -406,7 +428,10 @@ def ngram_overlap_decontaminate(
     from ..functions.text import md5_hash64, tokens as tok_arr
 
     def per_gram(df: DataFrame) -> DataFrame:
-        w = tok_arr(text_col)
+        # stage the token array so the gram lambda reads a materialized
+        # attribute instead of re-tokenizing per position (gram_array)
+        staged = df.select(id_col, tok_arr(text_col).alias("__toks"))
+        w = F.col("__toks")
         grams = F.when(
             F.size(w) >= k,
             F.transform(
@@ -414,7 +439,7 @@ def ngram_overlap_decontaminate(
                 lambda i: F.array_join(F.slice(w, i + 1, k), " "),
             ),
         ).otherwise(F.array(F.array_join(w, " ")))
-        return df.select(
+        return staged.select(
             id_col, F.explode(F.array_distinct(grams)).alias("gram")
         ).select(id_col, md5_hash64(F.col("gram")).alias("gh"))
 
@@ -734,9 +759,15 @@ def simhash_sketch(
     math) → fold the majority votes into the sketch. Shuffles once on
     doc_id; at 100 TB that is a map-side-combinable agg, not an O(bits)
     array re-scan per row."""
-    ex = ensure_parallelism(df).select(
-        F.col(id_col), F.explode(shingle_array(text_col, k)).alias("token")
-    ).select(id_col, md5_hash64(F.col("token")).alias("h"))
+    ex = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(gram_array("__toks", k))).alias("token"),
+        )
+        .select(id_col, md5_hash64(F.col("token")).alias("h"))
+    )
     agg = ex.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n"),
         *[

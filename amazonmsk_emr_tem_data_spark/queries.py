@@ -1341,10 +1341,12 @@ WHERE bit_count(xor(a.sk, b.sk)) <= 6
 def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style content sketch: min hash over 8-token rolling
     shingles."""
-    from .functions.text import rolling_hash
+    from .functions.text import rolling_hash_arr, tokens
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    return docs.select("doc_id", rolling_hash("text").alias("sketch"))
+    return docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", rolling_hash_arr("toks").alias("sketch")
+    )
 
 
 _ROLLING_SQL = f"""
@@ -1370,18 +1372,12 @@ def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     final join is |sources| rows. Integer ppm division (div in both
     engines) keeps the ratios bit-exact."""
     from .functions.text import md5_hash64, tokens
+    from .operators.dedup import gram_array
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    toks = tokens("text")
-    grams = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    staged = docs.select("source", tokens("text").alias("toks"))
     g = (
-        docs.select("source", F.explode(grams).alias("gram"))
+        staged.select("source", F.explode(gram_array("toks", 3)).alias("gram"))
         .select("source", md5_hash64(F.col("gram")).alias("gh"))
         .groupBy("source")
         .agg(
@@ -1390,7 +1386,7 @@ def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     t = (
-        docs.select("source", F.explode(toks).alias("tok"))
+        staged.select("source", F.explode("toks").alias("tok"))
         .select("source", md5_hash64(F.col("tok")).alias("th"))
         .groupBy("source")
         .agg(
@@ -1452,20 +1448,30 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: every feature is a codegen'd column expression over the text
     column (array folds, regexp_count — zero explode, zero shuffle), so
-    at 100 TB this is a map-only scan pass; mean word length divides
-    two exact longs once (single IEEE op, identical cross-engine)."""
-    from .functions.text import dup_ngram_frac, norm_text, stopword_count, token_count
+    at 100 TB this is a map-only scan pass; the token array is staged
+    through its own projection so the dup-bigram lambda reads a
+    materialized array (see dup_ngram_frac_arr); mean word length
+    divides two exact longs once (single IEEE op, identical
+    cross-engine)."""
+    from .functions.text import QUALITY_STOPWORDS, dup_ngram_frac_arr, norm_text
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    n_tok = token_count("text")
-    # normalized text is single-spaced ⇒ token chars = len - (n_tok - 1)
-    mean_wl = (F.length(norm_text("text")).cast("long") - (n_tok - F.lit(1))) / n_tok
-    base = docs.select(
+    staged = docs.select("doc_id", norm_text("text").alias("nt")).select(
+        "doc_id",
+        F.split("nt", " ").alias("toks"),
+        F.regexp_count("nt", F.lit(QUALITY_STOPWORDS)).cast("long").alias(
+            "n_stopwords"
+        ),
+        F.length("nt").cast("long").alias("n_norm"),
+    )
+    n_tok = F.size("toks").cast("long")
+    base = staged.select(
         "doc_id",
         n_tok.alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        stopword_count("text").alias("n_stopwords"),
-        dup_ngram_frac("text", 2).alias("dup_bigram_frac"),
+        # normalized text is single-spaced ⇒ token chars = len - (n_tok-1)
+        ((F.col("n_norm") - (n_tok - F.lit(1))) / n_tok).alias("mean_word_len"),
+        "n_stopwords",
+        dup_ngram_frac_arr("toks", 2).alias("dup_bigram_frac"),
     )
     flags = base.select(
         "*",
@@ -1718,13 +1724,51 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     until the final fingerprint rows emit, and those are ~2/(w+1) of
     the shingle count), so the plan is scan → project → generate —
     zero shuffles; dedup of (doc, fp) happens inside the array
-    (array_distinct) rather than with a distinct exchange."""
-    from .functions.text import winnowing_fingerprints
+    (array_distinct) rather than with a distinct exchange.
 
+    The token/shingle-hash arrays are STAGED through separate
+    projections (not one nested column expression like
+    functions.text.winnowing_fingerprints): codegen cannot hoist an
+    array subtree referenced inside a higher-order-function lambda, so
+    the single-expression form recomputes the full md5 shingle array
+    at EVERY window position — O(shingles x windows) per doc, measured
+    10x slower at sf0.1. Each stage's output is referenced more than
+    once downstream, which keeps CollapseProject from inlining it back
+    into the lambda."""
+    from .functions.text import md5_hash64, tokens
+
+    k, w = 8, 4
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    return docs.select(
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    grams = toks.select(
         "doc_id",
-        F.explode(winnowing_fingerprints("text", k=8, w=4)).alias("fp"),
+        F.when(
+            F.size("toks") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - k),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)),
+            ),
+        )
+        .otherwise(F.array(F.concat_ws(" ", F.col("toks"))))
+        .alias("grams"),
+    )
+    hashes = grams.select(
+        "doc_id", F.transform("grams", md5_hash64).alias("hs")
+    )
+    wins = hashes.select(
+        "doc_id",
+        F.when(
+            F.size("hs") >= w,
+            F.transform(
+                F.sequence(F.lit(0), F.size("hs") - w),
+                lambda j: F.array_min(F.slice("hs", j + 1, w)),
+            ),
+        )
+        .otherwise(F.array(F.array_min("hs")))
+        .alias("wins"),
+    )
+    return wins.select(
+        "doc_id", F.explode(F.array_distinct("wins")).alias("fp")
     )
 
 
@@ -3212,14 +3256,14 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     features are a codegen'd scan pass; the explode path shuffles
     (doc_id, token) pairs — cardinality ≈ corpus token count, the
     natural lower bound for exact term-frequency stats."""
-    from .functions.text import dup_ngram_frac, token_count, tokens
+    from .functions.text import dup_ngram_frac_arr, tokens
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    base = docs.select(
+    base = docs.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
-        dup_ngram_frac("text", 2).alias("dup_bigram_frac"),
-        dup_ngram_frac("text", 3).alias("dup_trigram_frac"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        dup_ngram_frac_arr("toks", 2).alias("dup_bigram_frac"),
+        dup_ngram_frac_arr("toks", 3).alias("dup_trigram_frac"),
     )
     tf = (
         docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
