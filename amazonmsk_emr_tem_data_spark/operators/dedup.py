@@ -402,6 +402,129 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def containment_prefix_pairs(
+    df: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """DIRECTED containment similarity join: all ordered pairs
+    (doc_a, doc_b) with |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥
+    threshold_num/threshold_den — "A is mostly contained in B". The
+    asymmetric complement of the Jaccard joins: a short boilerplate
+    block, license header, or quoted document buried inside a longer
+    one scores near-zero Jaccard (the union is dominated by B) but
+    containment ~1, so this is the operator that catches
+    sub-document inclusion in training corpora.
+
+    Candidate generation is the asymmetric prefix filter: if A's
+    containment in ANY doc reaches t, at most n_a − ⌈t·n_a⌉ of A's
+    shingles are missing, so A's (n_a − ⌈t·n_a⌉ + 1) globally RAREST
+    shingles (df asc, shingle asc — the same total order as the
+    Jaccard prefix join) must hit every true container. Only A's
+    prefix probes the full shingle index; recall stays 1.0. Unlike the
+    symmetric join there is no both-sides prefix or near-equal-length
+    filter — the only extra prune is |B| ≥ ⌈t·n_a⌉ (B needs at least
+    that many common shingles). All threshold math is integer.
+
+    Scale: exact-dup collapse first (the copies² guard), then one df
+    count, one per-doc rank window, the prefix→index equi-join on the
+    shingle hash, and a candidate-bounded verification join. The index
+    side carries every (doc, shingle) posting — the honest cost of
+    exact asymmetric recall; at 100 TB cap df on the PROBE side only
+    via a higher threshold, never the index side.
+    """
+    groups, reps = _collapse_exact(df, id_col)
+    sh = shingled(reps, id_col, k).cache()
+    sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
+    ex = _exploded(sh, id_col)
+    sdf = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    worder = Window.partitionBy(id_col).orderBy(
+        F.col("sdf").asc(), F.col("shingle").asc()
+    )
+    ranked = (
+        ex.join(sdf, "shingle")
+        .withColumn("pos", F.row_number().over(worder))
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    ceil_tn = F.floor(
+        (F.col("n_sh") * threshold_num + threshold_den - 1) / threshold_den
+    )
+    prefix = ranked.filter(F.col("pos") <= F.col("n_sh") - ceil_tn + 1)
+    a = prefix.select(
+        F.col(id_col).alias("doc_a"),
+        "shingle",
+        F.col("n_sh").alias("n_a"),
+        ceil_tn.alias("min_common"),
+    )
+    b = ex.select(F.col(id_col).alias("doc_b"), "shingle")
+    b_sizes = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "n_a", "min_common")
+        .distinct()
+        .join(b_sizes, "doc_b")
+        .filter(F.col("n_b") >= F.col("min_common"))
+        .select("doc_a", "doc_b", "n_a")
+    )
+    ta = ex.select(F.col(id_col).alias("doc_a"), "shingle")
+    tb = ex.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "n_a")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    rep_pairs = common.filter(
+        F.col("n_common") * threshold_den >= F.col("n_a") * threshold_num
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        "n_a",
+        (F.col("n_common") / F.col("n_a")).alias("containment"),
+    )
+    # identity groups: every ORDERED pair of members (containment is
+    # directed, and identical contents contain each other both ways)
+    g = groups.filter(F.size("members") >= 2).join(
+        sizes.select(F.col(id_col).alias("rep"), "n_sh"), "rep"
+    )
+    within = (
+        g.select(F.explode("members").alias("ma"), "members", "n_sh")
+        .select(F.col("ma"), F.explode("members").alias("mb"), "n_sh")
+        .filter(F.col("ma") != F.col("mb"))
+        .select(
+            F.col("ma").alias("doc_a"),
+            F.col("mb").alias("doc_b"),
+            F.col("n_sh").alias("n_common"),
+            F.col("n_sh").alias("n_a"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    # direction-preserving fan-out of rep-level pairs to group members
+    members = groups.select("rep", F.explode("members").alias("member"))
+    fan = (
+        rep_pairs.join(
+            members.select(F.col("rep").alias("doc_a"), F.col("member").alias("ma")),
+            "doc_a",
+        )
+        .join(
+            members.select(F.col("rep").alias("doc_b"), F.col("member").alias("mb")),
+            "doc_b",
+        )
+        .select(
+            F.col("ma").alias("doc_a"),
+            F.col("mb").alias("doc_b"),
+            "n_common",
+            "n_a",
+            "containment",
+        )
+    )
+    return within.unionByName(fan)
+
+
 def ngram_overlap_decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,

@@ -1259,6 +1259,58 @@ def prefix_filter_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.withColumn("n_common", F.col("n_common").cast("long"))
 
 
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment join at ≥ 4/5: (doc_a, doc_b) where at
+    least 80% of A's distinct word-3-gram shingles appear in B — the
+    asymmetric near-dup that catches a document (license header,
+    quoted doc, boilerplate block) buried inside a LONGER one, which
+    symmetric Jaccard misses because the union is dominated by the
+    container. Candidates come only from A's rarest (df-ordered)
+    shingles — recall 1.0 with no hot-shingle blowup on the probe
+    side; the brute-force oracle doubles as the recall proof."""
+    from .operators.dedup import containment_prefix_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = containment_prefix_pairs(docs, threshold_num=4, threshold_den=5)
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("n_a").cast("long").alias("n_a"),
+        "containment",
+    )
+
+
+#: Brute-force directed containment ≥ 4/5 twin (shared-shingle join,
+#: never all-pairs): same distinct word-3-gram shingles, integer
+#: threshold compare, c/n_a division as the only float op.
+_CONTAINMENT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(generate_series(1, len(w)-2),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [array_to_string(w, ' ')] END)) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(c AS BIGINT) AS n_common,
+       CAST(sa.n AS BIGINT) AS n_a,
+       c / sa.n AS containment
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+WHERE 5 * c >= 4 * sa.n
+"""
+
+
 #: Brute-force word-3-gram Jaccard ≥ 7/10 twin — integer threshold
 #: compare (10·c ≥ 7·union), so no float boundary can disagree with the
 #: Spark side's identical integer filter.
@@ -7961,6 +8013,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "gopher_quality_filter": (gopher_quality_filter, _GOPHER_FILTER_SQL),
     "corpus_source_drift": (corpus_source_drift, _SOURCE_DRIFT_SQL),
     "token_heavy_hitters_cms": (token_heavy_hitters_cms, _CMS_SQL),
+    "containment_dup_pairs": (containment_dup_pairs, _CONTAINMENT_SQL),
     # --- r7 window: refresh fill — the r4-green queue (newest driver
     # stamp round 4, the longest-unstamped evidence in the registry),
     # in their r6 queue order; its last three entries were displaced
@@ -8023,7 +8076,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_pii_redaction": (doc_pii_redaction, _PII_SQL),
     "embedding_int8_quantize": (embedding_int8_quantize, _INT8_QUANT_SQL),
     "doc_chunking": (doc_chunking, _DOC_CHUNKING_SQL),
-    "recursive_cte_depths": (recursive_cte_depths, _RECURSIVE_DEPTHS_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+). salted_customer_revenue stays
     # pinned at position 51: the window test anchors it to pin the
@@ -8034,6 +8086,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # (the freshest evidence, so lowest rotation priority).
     # ------------------------------------------------------------------
     "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
+    "recursive_cte_depths": (recursive_cte_depths, _RECURSIVE_DEPTHS_SQL),
     "semantic_dedup_vectors": (semantic_dedup_vectors, _SEMDEDUP_SQL),
     "event_funnel": (event_funnel, _EVENT_FUNNEL_SQL),
     "retention_cohorts": (retention_cohorts, _RETENTION_COHORTS_SQL),

@@ -115,6 +115,9 @@ DOC_QUERIES = [
     "corpus_source_drift",
     # r7: CMS sketch over the edge vocabulary (incl. the '' token)
     "token_heavy_hitters_cms",
+    # r7: directed containment — empty/whitespace docs collapse to one
+    # shingle, identical docs contain each other both ways
+    "containment_dup_pairs",
 ]
 
 
