@@ -483,3 +483,44 @@ def test_cross_corpus_near_dup_matches_bruteforce(spark, docs):
         if best is not None:
             want[n_id] = best
     assert out == want
+
+
+@prop
+@given(docs=_pf_docs)
+def test_containment_pairs_match_bruteforce(spark, docs):
+    """containment_prefix_pairs must equal the all-pairs DIRECTED
+    brute force on arbitrary corpora — the asymmetric prefix bound
+    (A's df-rarest shingles must hit every container), the |B| ≥
+    ⌈t·n_a⌉ prune, and the direction-preserving identity-group
+    fan-out all have to lose zero ordered pairs and invent none."""
+    from amazonmsk_emr_tem_data_spark.operators.dedup import (
+        containment_prefix_pairs,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["n_a"], r["containment"])
+        for r in containment_prefix_pairs(
+            df, threshold_num=4, threshold_den=5
+        ).collect()
+    }
+
+    def sh(text):
+        toks = text.split(" ")  # "" -> [""], matching F.split semantics
+        if len(toks) >= 3:
+            return {" ".join(toks[i: i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    sets = [sh(t) for t in texts]
+    want = {}
+    for a in range(len(texts)):
+        for b in range(len(texts)):
+            if a == b:
+                continue
+            c = len(sets[a] & sets[b])
+            if 5 * c >= 4 * len(sets[a]):
+                want[(a, b)] = (c, len(sets[a]), c / len(sets[a]))
+    assert out == want
