@@ -2781,6 +2781,94 @@ FROM embeddings
 """
 
 
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier report: each vector's cosine to its
+    label's mean direction, ranked so the 5 farthest-from-centroid
+    vectors per label are flagged — the embedding-space mislabeled-
+    sample / contamination probe (a vector pointing away from its
+    class centroid is a labeling error or an off-distribution doc).
+
+    Exactness: per-label centroid sums ride the 1e-9 integer grid
+    (the kmeans_fit convention — order-independent long sums, so the
+    centroid is bit-reproducible across partitionings AND engines),
+    then ONE division sequence (sum/1e9)/n per component and the
+    shared left-fold dot product. Ranking orders ASC NULLS FIRST in
+    both engines (a zero vector's cosine is NULL and outranks every
+    real outlier).
+
+    Scale: one map-side-combined 64-long-accumulator agg to |labels|
+    rows, centroids broadcast back (labels are bounded), cosine is a
+    codegen'd fold per row, and the per-label rank window shuffles on
+    label — no all-pairs anything."""
+    from .operators.similarity import cosine
+
+    dim = 64  # embeddings fixture dimension (TESTDATA.md)
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    sums = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        *[
+            F.sum(
+                F.floor(
+                    F.element_at("embedding", i + 1).cast("double") * 1e9 + 0.5
+                ).cast("long")
+            ).alias(f"s{i}")
+            for i in range(dim)
+        ],
+    )
+    centroid = sums.select(
+        "label",
+        "n_vecs",
+        F.array(
+            *[(F.col(f"s{i}") / F.lit(1e9)) / F.col("n_vecs") for i in range(dim)]
+        ).alias("cvec"),
+    )
+    scored = emb.join(F.broadcast(centroid), "label").select(
+        "vec_id",
+        "label",
+        cosine(F.col("embedding"), F.col("cvec")).alias("cos_centroid"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("cos_centroid").asc_nulls_first(), F.col("vec_id").asc()
+    )
+    return scored.withColumn(
+        "outlier_rank", F.row_number().over(w).cast("long")
+    ).withColumn("is_outlier", F.col("outlier_rank") <= 5)
+
+
+_LABEL_OUTLIERS_SQL = f"""
+WITH s AS (
+  SELECT label, COUNT(*) AS n_vecs,
+         {", ".join(
+             f"SUM(CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE)"
+             f" * 1000000000.0 + 0.5) AS BIGINT)) AS s{i}"
+             for i in range(64)
+         )}
+  FROM embeddings GROUP BY label
+), c AS (
+  SELECT label,
+         [{", ".join(
+             f"(CAST(s{i} AS DOUBLE) / 1000000000.0) / n_vecs"
+             for i in range(64)
+         )}] AS cvec
+  FROM s
+), scored AS (
+  SELECT e.vec_id, e.label,
+         {_COS_SQL.format(a='e.embedding', b='c.cvec')} AS cos_centroid
+  FROM embeddings e JOIN c USING (label)
+)
+SELECT vec_id, label, cos_centroid,
+       CAST(row_number() OVER (
+         PARTITION BY label
+         ORDER BY cos_centroid ASC NULLS FIRST, vec_id ASC
+       ) AS BIGINT) AS outlier_rank,
+       row_number() OVER (
+         PARTITION BY label
+         ORDER BY cos_centroid ASC NULLS FIRST, vec_id ASC
+       ) <= 5 AS is_outlier
+FROM scored
+"""
+
+
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING end-to-end: MinHash-LSH pairs → distributed
     connected components (min-label propagation) → per-doc cluster id /
@@ -8014,6 +8102,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_source_drift": (corpus_source_drift, _SOURCE_DRIFT_SQL),
     "token_heavy_hitters_cms": (token_heavy_hitters_cms, _CMS_SQL),
     "containment_dup_pairs": (containment_dup_pairs, _CONTAINMENT_SQL),
+    "embedding_label_outliers": (embedding_label_outliers, _LABEL_OUTLIERS_SQL),
     # --- r7 window: refresh fill — the r4-green queue (newest driver
     # stamp round 4, the longest-unstamped evidence in the registry),
     # in their r6 queue order; its last three entries were displaced
@@ -8075,7 +8164,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_vocab_stats": (corpus_vocab_stats, _VOCAB_STATS_SQL),
     "doc_pii_redaction": (doc_pii_redaction, _PII_SQL),
     "embedding_int8_quantize": (embedding_int8_quantize, _INT8_QUANT_SQL),
-    "doc_chunking": (doc_chunking, _DOC_CHUNKING_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+). salted_customer_revenue stays
     # pinned at position 51: the window test anchors it to pin the
@@ -8086,6 +8174,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # (the freshest evidence, so lowest rotation priority).
     # ------------------------------------------------------------------
     "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
+    "doc_chunking": (doc_chunking, _DOC_CHUNKING_SQL),
     "recursive_cte_depths": (recursive_cte_depths, _RECURSIVE_DEPTHS_SQL),
     "semantic_dedup_vectors": (semantic_dedup_vectors, _SEMDEDUP_SQL),
     "event_funnel": (event_funnel, _EVENT_FUNNEL_SQL),
