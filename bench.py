@@ -82,6 +82,13 @@ HEADLINE = [
     # round-7 addition: hybrid BM25+tf-idf RRF fusion after the
     # map-side tf rework (3.1x) — locks the shared-tf-relation shape in
     "hybrid_rrf_search",
+    # round-7 additions: winnowing after the lambda-staging fix
+    # (17x — in the set to lock it in), the directed containment
+    # join (the new exact pair operator), and the Gopher-rule filter
+    # (pure map-pass representative of the r7 corpus-monitor tier)
+    "doc_winnowing_fingerprints",
+    "containment_dup_pairs",
+    "gopher_quality_filter",
 ]
 
 
