@@ -264,3 +264,23 @@ def md5_hash64(c: Column) -> Column:
     digits of md5 as a bigint. DuckDB twin:
     ``CAST(('0x' || substring(md5(x),1,15)) AS BIGINT)``."""
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def cms_probe_cells(tok: Column, depth: int = 4, width: int = 1024) -> Column:
+    """The ``depth`` (row, bucket) count-min-sketch cells a token
+    hashes into: row r's bucket is md5(r || '|' || token) folded to a
+    60-bit int mod ``width`` (non-negative, so pmod == plain % in the
+    DuckDB twin). Shared by the batch heavy-hitters query and the
+    streaming sketch — the sketch is deterministic, mergeable across
+    any partitioning OR micro-batching (bucket sums are algebraic),
+    and bit-reproducible by the SQL oracle."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(depth - 1)),
+        lambda i: F.struct(
+            i.alias("r"),
+            F.pmod(
+                md5_hash64(F.concat_ws("|", i.cast("string"), tok)),
+                F.lit(width),
+            ).alias("b"),
+        ),
+    )

@@ -849,6 +849,21 @@ def stream_doc_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_doc_quality(spark, sf_dir)
 
 
+def stream_token_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch over the document ingest feed: the
+    drained 4×1024 bucket-sum state equals the batch-computed sketch
+    bit-for-bit (complete-mode agg state merges micro-batch partials
+    algebraically), so the batch oracle doubles as the
+    micro-batching-invariance proof. See
+    streaming/pipelines.stream_token_heavy_hitters."""
+    from .streaming.pipelines import stream_token_heavy_hitters
+
+    out = stream_token_heavy_hitters(spark, sf_dir)
+    return out.select(
+        F.col("r").cast("long").alias("r"), "b", "cnt"
+    )
+
+
 def stream_session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (30-min idle gap). Spark session
     semantics: a session extends while the next event is < last+gap;
@@ -1687,28 +1702,12 @@ def token_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the streaming/shard-parallel form is the same agg); the exact
     top-20 is one vocab-level TakeOrderedAndProject, and the estimate
     join broadcasts 20 candidates against 4096 sketch cells."""
-    from .functions.text import md5_hash64, tokens
-
-    _d, _w = 4, 1024
-
-    def _probe_cells(tok):
-        """The d (row, bucket) cells a token hashes into — 60-bit md5
-        ints are non-negative, so pmod == plain % in the DuckDB twin."""
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(_d - 1)),
-            lambda i: F.struct(
-                i.alias("r"),
-                F.pmod(
-                    md5_hash64(F.concat_ws("|", i.cast("string"), tok)),
-                    F.lit(_w),
-                ).alias("b"),
-            ),
-        )
+    from .functions.text import cms_probe_cells, tokens
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(tokens("text")).alias("tok"))
     cell = (
-        toks.select(F.explode(_probe_cells(F.col("tok"))).alias("cell"))
+        toks.select(F.explode(cms_probe_cells(F.col("tok"))).alias("cell"))
         .groupBy(F.col("cell.r").alias("r"), F.col("cell.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -1721,7 +1720,10 @@ def token_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnk",
     ).select("tok", "exact_n", "rnk")
     probes = top.select(
-        "tok", "exact_n", "rnk", F.explode(_probe_cells(F.col("tok"))).alias("probe")
+        "tok",
+        "exact_n",
+        "rnk",
+        F.explode(cms_probe_cells(F.col("tok"))).alias("probe"),
     )
     return (
         cell.join(
@@ -1764,6 +1766,22 @@ SELECT tok, rnk, exact_n, MIN(cnt) AS cms_est,
 FROM probes JOIN cell USING (r, b)
 GROUP BY tok, rnk, exact_n
 """
+
+
+#: Batch twin of the STREAMING sketch: the drained complete-mode state
+#: must equal these batch cell sums bit-for-bit (micro-batching
+#: invariance of an algebraic aggregate).
+_STREAM_CMS_SQL = """
+WITH toks AS (
+  SELECT unnest({toks}) AS tok FROM documents
+)
+SELECT r, {h} % 1024 AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks, generate_series(0, 3) AS gs(r)
+GROUP BY 1, 2
+""".format(
+    toks=_TOKS_SQL,
+    h=_HASH64_SQL.format(x="CAST(r AS VARCHAR) || '|' || tok"),
+)
 
 
 def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8103,6 +8121,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "token_heavy_hitters_cms": (token_heavy_hitters_cms, _CMS_SQL),
     "containment_dup_pairs": (containment_dup_pairs, _CONTAINMENT_SQL),
     "embedding_label_outliers": (embedding_label_outliers, _LABEL_OUTLIERS_SQL),
+    "stream_token_heavy_hitters": (
+        stream_token_heavy_hitters_q,
+        _STREAM_CMS_SQL,
+    ),
     # --- r7 window: refresh fill — the r4-green queue (newest driver
     # stamp round 4, the longest-unstamped evidence in the registry),
     # in their r6 queue order; its last three entries were displaced
@@ -8163,7 +8185,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_unigram_logprob": (doc_unigram_logprob, _UNIGRAM_LOGPROB_SQL),
     "corpus_vocab_stats": (corpus_vocab_stats, _VOCAB_STATS_SQL),
     "doc_pii_redaction": (doc_pii_redaction, _PII_SQL),
-    "embedding_int8_quantize": (embedding_int8_quantize, _INT8_QUANT_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+). salted_customer_revenue stays
     # pinned at position 51: the window test anchors it to pin the
@@ -8174,6 +8195,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # (the freshest evidence, so lowest rotation priority).
     # ------------------------------------------------------------------
     "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
+    "embedding_int8_quantize": (embedding_int8_quantize, _INT8_QUANT_SQL),
     "doc_chunking": (doc_chunking, _DOC_CHUNKING_SQL),
     "recursive_cte_depths": (recursive_cte_depths, _RECURSIVE_DEPTHS_SQL),
     "semantic_dedup_vectors": (semantic_dedup_vectors, _SEMDEDUP_SQL),

@@ -53,7 +53,15 @@ def _stream_parquet_table(
     (driver-side footer read, O(1)), and the same restorations the batch
     loader applies (nanos-as-long → micros, NTZ → session timestamp) are
     applied here. Streaming and batch therefore can never disagree on
-    the clock."""
+    the clock.
+
+    Layout-robust: ``{name}.parquet`` may be a single FILE (the fixture
+    writer's shape — stream roots at sf_dir with a name glob) or a
+    DIRECTORY of shard part-files (the production shape: new corpus
+    shards land as files; the stream roots at the directory itself, so
+    every arriving shard is a micro-batch candidate)."""
+    import os
+
     from ..sources.files import _nanos_timestamp_cols
 
     path = f"{sf_dir}/{name}.parquet"
@@ -61,12 +69,12 @@ def _stream_parquet_table(
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    reader = spark.readStream.schema(schema).option(
-        "pathGlobFilter", f"{name}.parquet"
-    )
+    reader = spark.readStream.schema(schema)
+    if not os.path.isdir(path):
+        reader = reader.option("pathGlobFilter", f"{name}.parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    df = reader.parquet(sf_dir)
+    df = reader.parquet(path if os.path.isdir(path) else sf_dir)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
     for f_ in df.schema.fields:
@@ -110,6 +118,31 @@ def stream_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.quality_score("text").alias("quality"),
     )
     return run_to_memory(res, output_mode="append")
+
+
+def stream_token_heavy_hitters(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming count-min sketch over the document ingest: the 4×1024
+    bucket-sum state IS the query output — the kilobytes-of-state
+    answer to "what dominates this feed?" maintained incrementally as
+    corpus shards arrive. Complete-mode streaming aggregation: the
+    state store merges each micro-batch's partial cell counts
+    (algebraic, map-side combinable), so the drained sketch is
+    IDENTICAL to the batch-computed sketch regardless of how ingest
+    was micro-batched — which is exactly what the batch oracle (and
+    the multi-batch merge test) checks. Heavy-hitter estimates are a
+    20-row lookup against this state (token_heavy_hitters_cms)."""
+    from ..functions.text import cms_probe_cells, tokens
+
+    docs = documents_stream(spark, sf_dir, max_files_per_trigger)
+    cell = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .select(F.explode(cms_probe_cells(F.col("tok"))).alias("cell"))
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return run_to_memory(cell, output_mode="complete")
 
 
 def run_to_memory(

@@ -417,3 +417,43 @@ def test_incremental_near_dedup_ingest_matches_batch_composition(
     # replay with a fresh checkpoint: full reprocess, store must not grow
     incremental_ingest_near_dedup(spark, src, store, str(tmp_path / "ck2"))
     assert spark.read.parquet(store).count() == len(got)
+
+
+def test_stream_cms_sketch_merges_across_microbatches(spark, sf_dir, tmp_path):
+    """The streaming count-min sketch must equal the batch-computed
+    sketch REGARDLESS of micro-batching: splitting the corpus into 4
+    shard files and draining with maxFilesPerTrigger=1 forces >= 4
+    state-store merges of partial cell counts, and the drained
+    complete-mode state must still match the single-pass batch cells
+    exactly (algebraic aggregate ⇒ merge order cannot matter)."""
+    from amazonmsk_emr_tem_data_spark.functions.text import (
+        cms_probe_cells,
+        tokens,
+    )
+    from amazonmsk_emr_tem_data_spark.sources.files import load_table
+    from amazonmsk_emr_tem_data_spark.streaming.pipelines import (
+        stream_token_heavy_hitters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard_dir = str(tmp_path / "sharded")
+    docs.repartition(4).write.mode("overwrite").parquet(
+        f"{shard_dir}/documents.parquet"
+    )
+
+    got = {
+        (r["r"], r["b"]): r["cnt"]
+        for r in stream_token_heavy_hitters(
+            spark, shard_dir, max_files_per_trigger=1
+        ).collect()
+    }
+    want = {
+        (r["r"], r["b"]): r["cnt"]
+        for r in docs.select(F.explode(tokens("text")).alias("tok"))
+        .select(F.explode(cms_probe_cells(F.col("tok"))).alias("cell"))
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
