@@ -519,3 +519,32 @@ def test_unpivot_is_map_side_expand(spark, sf_dir):
     assert not f.joins and not f.has_cartesian
     assert f.has_partial_agg, "per-measure rollup must partial-aggregate"
     assert f.n_exchanges == 1, f"got {f.n_exchanges} exchanges"
+
+
+def test_lambda_staging_survives_optimizer(spark, sf_dir):
+    """The r7 lambda-staging fix, pinned: codegen cannot hoist a
+    subtree referenced inside a higher-order-function lambda, so if
+    CollapseProject ever re-fuses the staged projections (a Spark
+    upgrade loosening its duplicate-expensive-expression guard), the
+    tokenize/md5 trees get re-evaluated at EVERY array position —
+    measured 17x slower on winnowing. Staged, each tree renders ONCE
+    in the physical plan; re-fused, it is duplicated into the when-
+    condition, the lambda body, and the otherwise branch."""
+    from amazonmsk_emr_tem_data_spark.plans.inspect import explain_str
+    from amazonmsk_emr_tem_data_spark.operators.dedup import shingled
+    from amazonmsk_emr_tem_data_spark.sources.files import load_table
+
+    win = explain_str(
+        REGISTRY["doc_winnowing_fingerprints"][0](spark, sf_dir), "simple"
+    )
+    assert win.count("md5(") <= 1, (
+        "winnowing shingle-hash tree duplicated — staging collapsed"
+    )
+    assert win.count("split(") <= 1, (
+        "winnowing tokenize tree duplicated — staging collapsed"
+    )
+
+    sh = explain_str(load_table(spark, sf_dir, "documents").transform(shingled), "simple")
+    assert sh.count("split(") <= 1, (
+        "shingled() tokenize tree duplicated — staging collapsed"
+    )
