@@ -928,7 +928,12 @@ def simhash_pairs(
     output up quadratically; pairs within the hamming budget still
     surface through their other max_hamming chunks."""
     groups, reps = _collapse_exact(df, id_col)
-    sk = simhash_sketch(reps, id_col)
+    # cache: the chunk join consumes the sketch THREE times (bucket
+    # counts + both self-join sides); uncached, the explode+61-column
+    # agg pipeline re-runs for each — measured 2.3x slower at sf0.1.
+    # One (id, long) row per doc, MEMORY_AND_DISK via cache(); session
+    # CacheManager dedupes repeats (see module cache-ownership note).
+    sk = simhash_sketch(reps, id_col).cache()
     rep_pairs = hamming_chunk_pairs(
         sk, id_col, "sk", bits=60, max_hamming=max_hamming,
         max_bucket_size=max_bucket_size,

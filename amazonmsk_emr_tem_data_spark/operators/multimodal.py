@@ -381,7 +381,10 @@ def media_phash_near_dup(
     chunks — never a cross join — and verify with one bit_count(xor)."""
     from .dedup import hamming_chunk_pairs
 
-    sk = ahash_images(df, id_col=id_col, fake=fake)
+    # cache: the chunk join consumes the hash relation three times
+    # (bucket counts + both self-join sides) — uncached, the Arrow
+    # decode+hash pipeline would re-run for each (see simhash_pairs)
+    sk = ahash_images(df, id_col=id_col, fake=fake).cache()
     return hamming_chunk_pairs(
         sk, id_col, "ahash", bits=64, max_hamming=max_hamming
     )
