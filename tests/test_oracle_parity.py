@@ -206,6 +206,17 @@ def test_no_vacuous_queries(spark, sf_dir):
         # the lead() sequence must be identical under any partitioning
         # (total order (ts, event_id) per user)
         "event_markov_transitions",
+        # r7: integer ppm ratios (diversity, TVD drift), the 1e-9-grid
+        # centroids + NULLS FIRST ranks, mergeable CMS bucket sums,
+        # and the directed prefix-filter candidates must all be
+        # partition-blind
+        "corpus_ngram_diversity",
+        "corpus_source_drift",
+        "token_heavy_hitters_cms",
+        "embedding_label_outliers",
+        "containment_dup_pairs",
+        "gopher_quality_filter",
+        "doc_winnowing_fingerprints",
     ],
 )
 def test_partitioning_invariance(spark, sf_dir, name):
