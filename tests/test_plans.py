@@ -548,3 +548,67 @@ def test_lambda_staging_survives_optimizer(spark, sf_dir):
     assert sh.count("split(") <= 1, (
         "shingled() tokenize tree duplicated — staging collapsed"
     )
+
+
+def test_aqe_skew_join_fires_on_planted_skew(spark):
+    """The session claims AQE skew-join splitting as the first line of
+    defense for hot join keys (operators/skew.py docs; session.py conf)
+    — this pins that it actually FIRES, not just that the flag is set.
+    A planted 50%-hot-key large-large join under test-scaled skew
+    thresholds must finalize with SortMergeJoin(skew=true), i.e. AQE
+    split the oversized shuffle partition at runtime. If a Spark
+    upgrade or a session-conf edit silently disables the mechanism,
+    the salting tier becomes the ONLY skew defense and this fails."""
+    from pyspark.sql import functions as F
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.shuffle.partitions",
+    ]
+    old = {k: spark.conf.get(k) for k in keys}
+    try:
+        # 32 initial shuffle partitions: under ~16, AQE's internal
+        # median-size guard stops the split on this data size (the
+        # test session runs 8 CPUs / 8 partitions by default)
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "16KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        left = spark.range(100_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(2000).select(
+            F.col("id").alias("k"), F.lit(1).alias("m")
+        )
+        # no downstream partitioning requirement: a global agg above
+        # the join demands SinglePartition, and AQE declines to split
+        # a skewed join whose split would force an extra shuffle
+        # (unless forceOptimizeSkewedJoin) — keep the join output free
+        j = left.join(right, "k").select("k", "m")
+        # collect() finalizes THIS DataFrame's adaptive plan (a write
+        # sink would execute a separate QueryExecution and leave this
+        # one isFinalPlan=false)
+        assert len(j.collect()) == 51_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, (
+            "AQE did not split the planted skewed partition:\n"
+            + plan[:2000]
+        )
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
