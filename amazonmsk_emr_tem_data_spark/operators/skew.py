@@ -7,6 +7,16 @@ re-plan — a single grouping key receiving a large share of all rows
 that key still lands on one task), or a shuffle join where one key's
 rows exceed an executor.
 
+Two measured limits of the AQE path (tests/test_plans.py
+test_aqe_skew_join_fires_on_planted_skew pins that it DOES fire when
+eligible): (1) AQE declines to split a skewed join whose output
+partitioning is required downstream — e.g. a join feeding a global or
+same-key aggregate — because the split would force an extra shuffle
+(spark.sql.adaptive.forceOptimizeSkewedJoin overrides, at that extra
+cost); (2) with very few initial shuffle partitions the median-size
+guard can mask the hot partition. Both are exactly the shapes where
+the explicit salting here remains the right tool.
+
 Both transforms are exact: salting only changes WHERE partial results
 are computed, never what they are.
 
