@@ -139,3 +139,72 @@ def range_join(
         (F.col(left_ts) >= F.col("__start")) & (F.col(left_ts) < F.col("__end"))
     )
     return joined.drop("__bucket", "__start", "__end")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Interval×interval OVERLAP join: all (left, right) pairs sharing
+    key ``on`` whose half-open intervals [start, end) intersect —
+    the two-sided generalization of ``range_join`` (sessions × incident
+    windows, span annotations × span annotations, ...).
+
+    Physical strategy: both sides explode into the epoch-aligned
+    ``bucket``-width buckets their interval covers, equi-join on
+    (key, bucket), then keep each true pair EXACTLY ONCE with zero
+    dedup exchange via a canonical-bucket predicate: an overlapping
+    pair's later start max(ls, rs) lies inside both intervals, so its
+    bucket is covered by both sides — the join keeps only the match in
+    that one bucket (``bucket == floor(max(ls, rs)/step)``). A
+    distinct() here would shuffle the full pair output; the predicate
+    is free.
+
+    Choose ``bucket`` near the typical interval width: per-row fan-out
+    stays O(interval/bucket), and hot (key, bucket) cells are split by
+    AQE at runtime. Exact overlap test is integer epoch-second math."""
+    step = _parse_bucket_seconds(bucket)
+
+    def bucketize(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col(start)) / step) * step,
+                    F.floor(F.unix_timestamp(F.col(end)) / step) * step,
+                    F.lit(step),
+                )
+            ),
+        )
+
+    lb = bucketize(left, left_start, left_end).alias("l")
+    rb = bucketize(right, right_start, right_end).alias("r")
+    ls, le = F.col(f"l.{left_start}"), F.col(f"l.{left_end}")
+    rs, re_ = F.col(f"r.{right_start}"), F.col(f"r.{right_end}")
+    canonical = (
+        F.floor(F.unix_timestamp(F.greatest(ls, rs)) / step) * step
+    )
+    joined = lb.join(
+        rb,
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col("l.__bucket") == F.col("r.__bucket"))
+        & (ls < re_)
+        & (rs < le)
+        & (F.col("l.__bucket") == canonical),
+    )
+    return joined.select(
+        F.col(f"l.{on}").alias(on),
+        *[F.col(f"l.{c}") for c in left.columns if c != on],
+        *[F.col(f"r.{c}") for c in right.columns if c != on],
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.unix_timestamp(F.least(le, re_))
+            - F.unix_timestamp(F.greatest(ls, rs)),
+        ).alias("overlap_seconds"),
+    )

@@ -938,6 +938,75 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("sid")
 
 
+def session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join (r7): user sessions intersecting
+    the 2-hour window after each of that user's error events — "which
+    sessions were exposed to an incident", the two-sided
+    generalization range_join (point-in-interval) cannot express.
+
+    Physical strategy (operators/joins.interval_overlap_join): both
+    interval sets explode into day buckets, equi-join on (user,
+    bucket), and each true pair is kept exactly once by the
+    canonical-bucket predicate (the bucket containing the later start
+    — inside both intervals whenever they overlap), so there is NO
+    distinct exchange over the pair output. Overlap length is exact
+    integer epoch-second math."""
+    from .operators.joins import interval_overlap_join
+
+    sessions = sessionize_events(spark, sf_dir)
+    errors = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("err_start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("err_end"),
+        )
+    )
+    out = interval_overlap_join(
+        sessions,
+        errors,
+        on="user_id",
+        left_start="session_start",
+        left_end="session_end",
+        right_start="err_start",
+        right_end="err_end",
+        bucket="1 day",
+    )
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "event_id",
+        "err_start",
+        "overlap_seconds",
+    )
+
+
+_SESSION_OVERLAP_SQL = f"""
+WITH sessions AS (
+{_SESSION_SQL_BODY}
+), errors AS (
+  SELECT user_id, event_id, ts AS err_start,
+         ts + INTERVAL 2 HOUR AS err_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT s.user_id AS user_id, session_start, session_end,
+       event_id, err_start,
+       greatest(CAST(0 AS BIGINT),
+         -- floor, not CAST: Spark's unix_timestamp TRUNCATES the
+         -- sub-second part while DuckDB CAST(double AS BIGINT) rounds
+         CAST(floor(epoch(least(session_end, err_end))) AS BIGINT)
+         - CAST(floor(epoch(greatest(session_start, err_start))) AS BIGINT)
+       ) AS overlap_seconds
+FROM sessions s JOIN errors e
+  ON s.user_id = e.user_id
+ AND session_start < err_end
+ AND err_start < session_end
+"""
+
+
 def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     streams — the sequence-modeling primitive behind next-action
@@ -8125,6 +8194,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         stream_token_heavy_hitters_q,
         _STREAM_CMS_SQL,
     ),
+    "session_incident_overlap": (
+        session_incident_overlap,
+        _SESSION_OVERLAP_SQL,
+    ),
     # --- r7 window: refresh fill — the r4-green queue (newest driver
     # stamp round 4, the longest-unstamped evidence in the registry),
     # in their r6 queue order; its last three entries were displaced
@@ -8184,7 +8257,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "heavy_shipper_suppliers": (heavy_shipper_suppliers, _HEAVY_SHIPPER_SQL),
     "doc_unigram_logprob": (doc_unigram_logprob, _UNIGRAM_LOGPROB_SQL),
     "corpus_vocab_stats": (corpus_vocab_stats, _VOCAB_STATS_SQL),
-    "doc_pii_redaction": (doc_pii_redaction, _PII_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+). salted_customer_revenue stays
     # pinned at position 51: the window test anchors it to pin the
@@ -8195,6 +8267,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # (the freshest evidence, so lowest rotation priority).
     # ------------------------------------------------------------------
     "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
+    "doc_pii_redaction": (doc_pii_redaction, _PII_SQL),
     "embedding_int8_quantize": (embedding_int8_quantize, _INT8_QUANT_SQL),
     "doc_chunking": (doc_chunking, _DOC_CHUNKING_SQL),
     "recursive_cte_depths": (recursive_cte_depths, _RECURSIVE_DEPTHS_SQL),

@@ -252,6 +252,9 @@ EVENTS_QUERIES = [
     "sessionize_events",
     "asof_latest_order",
     "range_join_order_events",
+    # r7: interval-overlap pairs under duplicate-ts sessions and
+    # boundary-touching windows (half-open: touch is NOT overlap)
+    "session_incident_overlap",
     "stream_tumbling_hourly",
     "stream_sliding_2h",
     "stream_distinct_users",

@@ -524,3 +524,64 @@ def test_containment_pairs_match_bruteforce(spark, docs):
             if 5 * c >= 4 * len(sets[a]):
                 want[(a, b)] = (c, len(sets[a]), c / len(sets[a]))
     assert out == want
+
+
+_iv = st.tuples(
+    st.integers(min_value=0, max_value=9),          # key
+    st.integers(min_value=0, max_value=500_000),    # start offset sec
+    st.integers(min_value=0, max_value=300_000),    # duration sec
+)
+
+
+@prop
+@given(
+    lefts=st.lists(_iv, min_size=1, max_size=8),
+    rights=st.lists(_iv, min_size=1, max_size=8),
+)
+def test_interval_overlap_join_matches_bruteforce(spark, lefts, rights):
+    """interval_overlap_join must equal the all-pairs overlap scan on
+    arbitrary interval sets — the day-bucket expansion plus the
+    canonical-bucket predicate (keep the match only in the bucket of
+    the later start) must emit every overlapping pair EXACTLY once,
+    including intervals spanning many buckets, zero-length intervals,
+    and pairs touching at a boundary (half-open: no overlap)."""
+    import datetime
+
+    from amazonmsk_emr_tem_data_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def mk(rows, sname, ename, idname):
+        data = [
+            (
+                k,
+                i,
+                base + datetime.timedelta(seconds=s),
+                base + datetime.timedelta(seconds=s + d),
+            )
+            for i, (k, s, d) in enumerate(rows)
+        ]
+        return spark.createDataFrame(
+            data, f"k long, {idname} long, {sname} timestamp, {ename} timestamp"
+        )
+
+    ldf = mk(lefts, "ls", "le", "lid")
+    rdf = mk(rights, "rs", "re", "rid")
+    out = {
+        (r["lid"], r["rid"]): r["overlap_seconds"]
+        for r in interval_overlap_join(
+            ldf, rdf, "k", "ls", "le", "rs", "re", bucket="1 day"
+        ).collect()
+    }
+    want = {}
+    for i, (lk, lsec, ld) in enumerate(lefts):
+        for j, (rk, rsec, rd) in enumerate(rights):
+            if lk != rk:
+                continue
+            if lsec < rsec + rd and rsec < lsec + ld:
+                want[(i, j)] = max(
+                    0, min(lsec + ld, rsec + rd) - max(lsec, rsec)
+                )
+    assert out == want
