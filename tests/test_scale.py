@@ -92,6 +92,17 @@ def _run_noop(fn, spark, sf_dir) -> float:
         ("doc_quality_sort_shards", 11.0),
         # integer micro-unit iterations, dst-keyed map-combined shuffle
         ("page_rank_pages", 7.0),
+        # round-7 (SCALING.md r7 tables): measured 1.1x-3.0x at 10x;
+        # bounds ~2.5x the measurement.
+        # staged-lambda winnowing: scan-linear map pass — the bound
+        # catches the O(shingles x windows) recompute coming back
+        ("doc_winnowing_fingerprints", 8.0),
+        # vocab-level relations after the first collapse: near-flat
+        ("corpus_source_drift", 3.0),
+        # directed prefix filter, collapse-first: near-flat pair work
+        ("containment_dup_pairs", 5.0),
+        # canonical-bucket interval join: no dedup exchange, near-flat
+        ("session_incident_overlap", 4.0),
     ],
 )
 def test_tenx_replication_scales_sublinearly(spark, scaled_dir, qname, max_ratio):
