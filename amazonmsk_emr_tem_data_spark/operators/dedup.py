@@ -215,15 +215,33 @@ def _within_pairs(
     groups: DataFrame,
     extra_cols: dict[str, Column],
     per_rep: DataFrame | None = None,
+    directed: bool = False,
 ) -> DataFrame:
-    """Identity-group pairs: every (a < b) inside a fingerprint group,
-    annotated with ``extra_cols`` (which may reference ``per_rep``
-    columns joined on ``rep``)."""
+    """Identity-group pairs, annotated with ``extra_cols`` (which may
+    reference ``per_rep`` columns joined on ``rep``). Undirected
+    (default): every (a < b). ``directed=True``: every ORDERED (a, b)
+    with a != b — for asymmetric metrics like containment, where
+    identical contents relate both ways."""
     g = groups.filter(F.size("members") >= 2)
     if per_rep is not None:
         g = g.join(per_rep, "rep")
+    if directed:
+        pairs = F.filter(
+            F.flatten(
+                F.transform(
+                    F.col("members"),
+                    lambda x: F.transform(
+                        F.col("members"),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            ),
+            lambda p: p["a"] != p["b"],
+        )
+    else:
+        pairs = _ordered_pairs(F.col("members"))
     return g.select(
-        F.explode(_ordered_pairs(F.col("members"))).alias("p"),
+        F.explode(pairs).alias("p"),
         *[c.alias(n) for n, c in extra_cols.items()],
     ).select(
         F.col("p.a").alias("doc_a"),
@@ -233,26 +251,33 @@ def _within_pairs(
 
 
 def _fanout_cross(
-    rep_pairs: DataFrame, groups: DataFrame, carry_cols: list[str]
+    rep_pairs: DataFrame,
+    groups: DataFrame,
+    carry_cols: list[str],
+    directed: bool = False,
 ) -> DataFrame:
     """Fan representative-level pairs out to all member combinations,
     carrying the representatives' metric columns verbatim (members of a
-    group share content, so the metrics transfer exactly)."""
+    group share content, so the metrics transfer exactly). Undirected
+    (default) canonicalizes each member pair to (min, max);
+    ``directed=True`` preserves the rep pair's orientation (asymmetric
+    metrics: doc_a's side stays doc_a's)."""
     members = groups.select("rep", F.explode("members").alias("member"))
-    return (
-        rep_pairs.join(
-            members.select(F.col("rep").alias("doc_a"), F.col("member").alias("ma")),
-            "doc_a",
+    fanned = rep_pairs.join(
+        members.select(F.col("rep").alias("doc_a"), F.col("member").alias("ma")),
+        "doc_a",
+    ).join(
+        members.select(F.col("rep").alias("doc_b"), F.col("member").alias("mb")),
+        "doc_b",
+    )
+    if directed:
+        return fanned.select(
+            F.col("ma").alias("doc_a"), F.col("mb").alias("doc_b"), *carry_cols
         )
-        .join(
-            members.select(F.col("rep").alias("doc_b"), F.col("member").alias("mb")),
-            "doc_b",
-        )
-        .select(
-            F.least("ma", "mb").alias("doc_a"),
-            F.greatest("ma", "mb").alias("doc_b"),
-            *carry_cols,
-        )
+    return fanned.select(
+        F.least("ma", "mb").alias("doc_a"),
+        F.greatest("ma", "mb").alias("doc_b"),
+        *carry_cols,
     )
 
 
@@ -486,41 +511,21 @@ def containment_prefix_pairs(
         "n_a",
         (F.col("n_common") / F.col("n_a")).alias("containment"),
     )
-    # identity groups: every ORDERED pair of members (containment is
-    # directed, and identical contents contain each other both ways)
-    g = groups.filter(F.size("members") >= 2).join(
-        sizes.select(F.col(id_col).alias("rep"), "n_sh"), "rep"
+    # identity groups relate both ways (containment is directed and
+    # identical contents contain each other), so both helpers run in
+    # their direction-preserving mode
+    within = _within_pairs(
+        groups,
+        {
+            "n_common": F.col("n_sh"),
+            "n_a": F.col("n_sh"),
+            "containment": F.lit(1.0),
+        },
+        per_rep=sizes.select(F.col(id_col).alias("rep"), "n_sh"),
+        directed=True,
     )
-    within = (
-        g.select(F.explode("members").alias("ma"), "members", "n_sh")
-        .select(F.col("ma"), F.explode("members").alias("mb"), "n_sh")
-        .filter(F.col("ma") != F.col("mb"))
-        .select(
-            F.col("ma").alias("doc_a"),
-            F.col("mb").alias("doc_b"),
-            F.col("n_sh").alias("n_common"),
-            F.col("n_sh").alias("n_a"),
-            F.lit(1.0).alias("containment"),
-        )
-    )
-    # direction-preserving fan-out of rep-level pairs to group members
-    members = groups.select("rep", F.explode("members").alias("member"))
-    fan = (
-        rep_pairs.join(
-            members.select(F.col("rep").alias("doc_a"), F.col("member").alias("ma")),
-            "doc_a",
-        )
-        .join(
-            members.select(F.col("rep").alias("doc_b"), F.col("member").alias("mb")),
-            "doc_b",
-        )
-        .select(
-            F.col("ma").alias("doc_a"),
-            F.col("mb").alias("doc_b"),
-            "n_common",
-            "n_a",
-            "containment",
-        )
+    fan = _fanout_cross(
+        rep_pairs, groups, ["n_common", "n_a", "containment"], directed=True
     )
     return within.unionByName(fan)
 

@@ -198,13 +198,30 @@ def interval_overlap_join(
         & (rs < le)
         & (F.col("l.__bucket") == canonical),
     )
+    # collision-safe projection: a right column sharing a left column's
+    # name (incl. the self-join case) comes out as r_<name>, and the
+    # computed overlap column never shadows an input
+    left_out = [c for c in left.columns if c != on]
+    taken = {on, *left_out}
+    right_names = {}
+    for c in right.columns:
+        if c == on:
+            continue
+        name = c if c not in taken else f"r_{c}"
+        while name in taken:
+            name = f"r_{name}"
+        taken.add(name)
+        right_names[c] = name
+    overlap_name = "overlap_seconds"
+    while overlap_name in taken:
+        overlap_name = f"{overlap_name}_"
     return joined.select(
         F.col(f"l.{on}").alias(on),
-        *[F.col(f"l.{c}") for c in left.columns if c != on],
-        *[F.col(f"r.{c}") for c in right.columns if c != on],
+        *[F.col(f"l.{c}").alias(c) for c in left_out],
+        *[F.col(f"r.{c}").alias(n) for c, n in right_names.items()],
         F.greatest(
             F.lit(0).cast("long"),
             F.unix_timestamp(F.least(le, re_))
             - F.unix_timestamp(F.greatest(ls, rs)),
-        ).alias("overlap_seconds"),
+        ).alias(overlap_name),
     )

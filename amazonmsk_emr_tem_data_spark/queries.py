@@ -1875,22 +1875,12 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     once downstream, which keeps CollapseProject from inlining it back
     into the lambda."""
     from .functions.text import md5_hash64, tokens
+    from .operators.dedup import gram_array
 
     k, w = 8, 4
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", tokens("text").alias("toks"))
-    grams = toks.select(
-        "doc_id",
-        F.when(
-            F.size("toks") >= k,
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - k),
-                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)),
-            ),
-        )
-        .otherwise(F.array(F.concat_ws(" ", F.col("toks"))))
-        .alias("grams"),
-    )
+    grams = toks.select("doc_id", gram_array("toks", k).alias("grams"))
     hashes = grams.select(
         "doc_id", F.transform("grams", md5_hash64).alias("hs")
     )

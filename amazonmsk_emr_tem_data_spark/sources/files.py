@@ -22,11 +22,26 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark 4 rejects the
     physical type outright ([PARQUET_TYPE_ILLEGAL]), so reads go through
     the ``nanosAsLong`` legacy mode and these columns are restored to
-    TimestampType below. Footer-only metadata read: O(1), driver-side."""
+    TimestampType below. Footer-only metadata read: O(1), driver-side.
+    A directory of shard part-files is probed via its first part file
+    (pyarrow's read_schema wants a file, and all shards of one write
+    share a schema)."""
     try:
+        import glob
+        import os
+
         import pyarrow.parquet as pq
         import pyarrow as pa
 
+        if os.path.isdir(path):
+            parts = sorted(
+                p
+                for p in glob.glob(os.path.join(path, "*.parquet"))
+                if not os.path.basename(p).startswith((".", "_"))
+            )
+            if not parts:
+                return []
+            path = parts[0]
         schema = pq.read_schema(path)
         return [
             f.name

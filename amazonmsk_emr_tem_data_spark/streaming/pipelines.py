@@ -59,7 +59,10 @@ def _stream_parquet_table(
     writer's shape — stream roots at sf_dir with a name glob) or a
     DIRECTORY of shard part-files (the production shape: new corpus
     shards land as files; the stream roots at the directory itself, so
-    every arriving shard is a micro-batch candidate)."""
+    every arriving shard is a micro-batch candidate). The layout probe
+    is os.path.isdir — local-filesystem only; an object-store
+    deployment (s3:// paths) should root the stream at the shard
+    directory explicitly rather than rely on this probe."""
     import os
 
     from ..sources.files import _nanos_timestamp_cols

@@ -501,11 +501,19 @@ def test_containment_pairs_match_bruteforce(spark, docs):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
+    from collections import Counter
+
+    rows = containment_prefix_pairs(
+        df, threshold_num=4, threshold_den=5
+    ).collect()
+    # Counter, not dict: the exactly-once claim includes MULTIPLICITY —
+    # a regression double-emitting pairs must fail, not be masked
+    out_counts = Counter((r["doc_a"], r["doc_b"]) for r in rows)
+    dupes = {k: v for k, v in out_counts.items() if v > 1}
+    assert not dupes, f"pairs emitted more than once: {dupes}"
     out = {
         (r["doc_a"], r["doc_b"]): (r["n_common"], r["n_a"], r["containment"])
-        for r in containment_prefix_pairs(
-            df, threshold_num=4, threshold_den=5
-        ).collect()
+        for r in rows
     }
 
     def sh(text):
@@ -569,12 +577,17 @@ def test_interval_overlap_join_matches_bruteforce(spark, lefts, rights):
 
     ldf = mk(lefts, "ls", "le", "lid")
     rdf = mk(rights, "rs", "re", "rid")
-    out = {
-        (r["lid"], r["rid"]): r["overlap_seconds"]
-        for r in interval_overlap_join(
-            ldf, rdf, "k", "ls", "le", "rs", "re", bucket="1 day"
-        ).collect()
-    }
+    from collections import Counter
+
+    rows = interval_overlap_join(
+        ldf, rdf, "k", "ls", "le", "rs", "re", bucket="1 day"
+    ).collect()
+    # Counter first: the canonical-bucket predicate's whole claim is
+    # EXACTLY-once emission — a duplicate must fail, not be masked
+    out_counts = Counter((r["lid"], r["rid"]) for r in rows)
+    dupes = {k: v for k, v in out_counts.items() if v > 1}
+    assert not dupes, f"pairs emitted more than once: {dupes}"
+    out = {(r["lid"], r["rid"]): r["overlap_seconds"] for r in rows}
     want = {}
     for i, (lk, lsec, ld) in enumerate(lefts):
         for j, (rk, rsec, rd) in enumerate(rights):
