@@ -598,3 +598,35 @@ def test_interval_overlap_join_matches_bruteforce(spark, lefts, rights):
                     0, min(lsec + ld, rsec + rd) - max(lsec, rsec)
                 )
     assert out == want
+
+
+def test_interval_overlap_join_self_join_names_are_unambiguous(spark):
+    """The docstring advertises span×span self-joins — the projection
+    must rename colliding right-side columns (r_<name>) so every
+    output column is addressable by name (a duplicate-name output
+    fails on any downstream select/write)."""
+    import datetime
+
+    from amazonmsk_emr_tem_data_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    spans = spark.createDataFrame(
+        [
+            (0, 1, base, base + datetime.timedelta(hours=3)),
+            (0, 2, base + datetime.timedelta(hours=1),
+             base + datetime.timedelta(hours=4)),
+        ],
+        "k long, sid long, s timestamp, e timestamp",
+    )
+    out = interval_overlap_join(spans, spans, "k", "s", "e", "s", "e")
+    assert len(out.columns) == len(set(out.columns)), out.columns
+    assert {"sid", "r_sid", "s", "r_s", "e", "r_e"} <= set(out.columns)
+    rows = out.select("sid", "r_sid", "overlap_seconds").collect()
+    got = {(r["sid"], r["r_sid"]): r["overlap_seconds"] for r in rows}
+    # all 4 ordered combinations overlap (incl. self-overlap)
+    assert got == {
+        (1, 1): 3 * 3600, (2, 2): 3 * 3600,
+        (1, 2): 2 * 3600, (2, 1): 2 * 3600,
+    }
