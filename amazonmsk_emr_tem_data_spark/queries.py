@@ -1575,6 +1575,67 @@ FROM g JOIN t ON g.source = t.source
 """
 
 
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff (r7): per-document
+    added/removed/changed/unchanged status between two crawl
+    snapshots, decided by CONTENT fingerprint (not mtime) — the audit
+    that runs before an incremental re-train to bound how much of the
+    corpus actually moved. Snapshots are derived deterministically
+    from the fixture: the old snapshot lacks doc_id % 20 == 0 (those
+    become 'added'), the new lacks doc_id % 19 == 0 ('removed'), and
+    the new edits every doc_id % 7 == 0 ('changed').
+
+    Scale: each side reduces to (doc_id, 128-bit fingerprint) before
+    the join — the shuffle never carries text — and the full-outer
+    join on doc_id is one co-partitioned exchange; at 100 TB this is
+    the standard mergeable diff (and bucketing both snapshots on
+    doc_id would remove the shuffle entirely)."""
+    from .functions.text import fingerprint
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    old = docs.filter(F.col("doc_id") % 20 != 0).select(
+        "doc_id", fingerprint("text").alias("old_fp")
+    )
+    new = (
+        docs.filter(F.col("doc_id") % 19 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" edited"))
+            ).otherwise(F.col("text")),
+        )
+        .select("doc_id", fingerprint("text").alias("new_fp"))
+    )
+    return old.join(new, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("old_fp").isNull(), "added")
+        .when(F.col("new_fp").isNull(), "removed")
+        .when(F.col("old_fp") == F.col("new_fp"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+    )
+
+
+_SNAPSHOT_DIFF_SQL = rf"""
+WITH old AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS old_fp
+  FROM documents WHERE doc_id % 20 <> 0
+), new AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(
+           CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END,
+           '\s+', ' ', 'g')))) AS new_fp
+  FROM documents WHERE doc_id % 19 <> 0
+)
+SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old_fp IS NULL THEN 'added'
+            WHEN new_fp IS NULL THEN 'removed'
+            WHEN old_fp = new_fp THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+"""
+
+
 def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule document filter (r7): the published heuristic gate
     (word-count bounds, mean-word-length bounds, minimum stopword
@@ -8188,6 +8249,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         session_incident_overlap,
         _SESSION_OVERLAP_SQL,
     ),
+    "corpus_snapshot_diff": (corpus_snapshot_diff, _SNAPSHOT_DIFF_SQL),
     # --- r7 window: refresh fill — the r4-green queue (newest driver
     # stamp round 4, the longest-unstamped evidence in the registry),
     # in their r6 queue order; its last three entries were displaced
@@ -8246,7 +8308,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "heavy_shipper_suppliers": (heavy_shipper_suppliers, _HEAVY_SHIPPER_SQL),
     "doc_unigram_logprob": (doc_unigram_logprob, _UNIGRAM_LOGPROB_SQL),
-    "corpus_vocab_stats": (corpus_vocab_stats, _VOCAB_STATS_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+). salted_customer_revenue stays
     # pinned at position 51: the window test anchors it to pin the
@@ -8257,6 +8318,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # (the freshest evidence, so lowest rotation priority).
     # ------------------------------------------------------------------
     "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
+    "corpus_vocab_stats": (corpus_vocab_stats, _VOCAB_STATS_SQL),
     "doc_pii_redaction": (doc_pii_redaction, _PII_SQL),
     "embedding_int8_quantize": (embedding_int8_quantize, _INT8_QUANT_SQL),
     "doc_chunking": (doc_chunking, _DOC_CHUNKING_SQL),

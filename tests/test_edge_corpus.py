@@ -118,6 +118,9 @@ DOC_QUERIES = [
     # r7: directed containment — empty/whitespace docs collapse to one
     # shingle, identical docs contain each other both ways
     "containment_dup_pairs",
+    # r7: snapshot diff under whitespace-only edits (normalization
+    # means a whitespace-only change is 'unchanged', both engines)
+    "corpus_snapshot_diff",
 ]
 
 

@@ -71,12 +71,13 @@ def test_driver_window_covers_round7_rotation():
         "corpus_source_drift", "token_heavy_hitters_cms",
         "containment_dup_pairs", "embedding_label_outliers",
         "stream_token_heavy_hitters", "session_incident_overlap",
+        "corpus_snapshot_diff",
         # the r4-green refresh queue (stamped round 4, nothing newer);
         # never-stamped r7 queries outrank refresh fill, so the queue's
-        # tail (doc_pii_redaction, embedding_int8_quantize,
-        # doc_chunking, recursive_cte_depths, semantic_dedup_vectors,
-        # event_funnel, retention_cohorts) was displaced below the
-        # window and rotates into r8
+        # tail (corpus_vocab_stats, doc_pii_redaction,
+        # embedding_int8_quantize, doc_chunking, recursive_cte_depths,
+        # semantic_dedup_vectors, event_funnel, retention_cohorts) was
+        # displaced below the window and rotates into r8
         "outer_join_order_coverage", "price_lag_lead_frames",
         "sql_interface_q3", "small_quantity_revenue",
         "exists_high_quantity_orders", "conditional_agg_orders",
@@ -91,7 +92,6 @@ def test_driver_window_covers_round7_rotation():
         "sole_blame_suppliers", "forecast_revenue_change",
         "nation_market_share", "product_profit_by_nation_year",
         "heavy_shipper_suppliers", "doc_unigram_logprob",
-        "corpus_vocab_stats",
     }
     missing = must_check - window
     assert not missing, (
