@@ -283,3 +283,36 @@ def test_zorder_compact_signed_keys_and_empty_source(spark, tmp_path):
     edst = str(tmp_path / "empty_z")
     zorder_compact(spark, esrc, edst, ("a", "b"), n_files=4)
     assert spark.read.parquet(edst).count() == 0
+
+
+def test_bucketed_aggregate_has_no_exchange(spark, bucketed_tables):
+    """Bucketing pays twice: joins AND aggregations on the bucket key
+    plan without an Exchange (the scan's output partitioning already
+    satisfies the agg's distribution requirement). At 100 TB this is
+    the difference between a full shuffle of the fact table and a
+    purely map-side rollup — pin it alongside the join contract."""
+    left, _ = bucketed_tables
+    agg = (
+        spark.table(left)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("q"),
+            F.sum("l_extendedprice").alias("p"),
+        )
+    )
+    f = plan_facts(agg)
+    assert f.n_exchanges == 0, (
+        "aggregation on the bucket key must not shuffle:\n" + f.raw
+    )
+    # correctness: matches the plain (shuffling) aggregate
+    plain = (
+        load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("q"),
+            F.sum("l_extendedprice").alias("p"),
+        )
+    )
+    got = {r["l_orderkey"]: (r["q"], r["p"]) for r in agg.collect()}
+    want = {r["l_orderkey"]: (r["q"], r["p"]) for r in plain.collect()}
+    assert got == want
