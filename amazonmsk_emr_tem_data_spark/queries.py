@@ -1742,49 +1742,106 @@ def corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import md5_hash64, tokens
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    obs = docs.select("source", F.explode(tokens("text")).alias("tok")).select(
+        "source", md5_hash64(F.col("tok")).alias("th")
+    )
+    return _tvd_ppm(obs, "source", "th", "n_tokens")
+
+
+def _tvd_ppm(
+    obs: DataFrame, group_col: str, item_col: str, total_name: str
+) -> DataFrame:
+    """(group, {total_name}, tvd_ppm): total variation distance of each
+    group's item distribution vs the whole population, exact integer
+    ppm (see corpus_source_drift's docstring for the math and the
+    absent-item mass reconstruction). ``obs`` is one row per
+    observation."""
     c = (
-        docs.select("source", F.explode(tokens("text")).alias("tok"))
-        .select("source", md5_hash64(F.col("tok")).alias("th"))
-        .groupBy("source", "th")
+        obs.groupBy(group_col, item_col)
         .agg(F.count(F.lit(1)).alias("n_st"))
         .cache()
     )
-    g = c.groupBy("th").agg(F.sum("n_st").alias("n_t"))
+    g = c.groupBy(item_col).agg(F.sum("n_st").alias("n_t"))
     total = g.agg(F.sum("n_t").alias("n_total"))
     g_ppm = g.crossJoin(F.broadcast(total)).select(
-        "th",
+        item_col,
         F.expr("(n_t * CAST(1000000 AS BIGINT)) div n_total").alias("ppm_g"),
     )
     g_mass = g_ppm.agg(F.sum("ppm_g").alias("ppm_g_total"))
-    s_tot = c.groupBy("source").agg(F.sum("n_st").alias("n_tokens"))
-    per_src = (
-        c.join(g_ppm, "th")
-        .join(s_tot, "source")
+    s_tot = c.groupBy(group_col).agg(F.sum("n_st").alias(total_name))
+    per_grp = (
+        c.join(g_ppm, item_col)
+        .join(s_tot, group_col)
         .select(
-            "source",
+            group_col,
             F.abs(
-                F.expr("(n_st * CAST(1000000 AS BIGINT)) div n_tokens")
+                F.expr(f"(n_st * CAST(1000000 AS BIGINT)) div {total_name}")
                 - F.col("ppm_g")
             ).alias("l1"),
             "ppm_g",
         )
-        .groupBy("source")
+        .groupBy(group_col)
         .agg(
             F.sum("l1").alias("l1_present"),
             F.sum("ppm_g").alias("ppm_g_present"),
         )
     )
     return (
-        per_src.join(s_tot, "source")
+        per_grp.join(s_tot, group_col)
         .crossJoin(F.broadcast(g_mass))
         .select(
-            "source",
-            "n_tokens",
+            group_col,
+            total_name,
             F.expr(
                 "(l1_present + (ppm_g_total - ppm_g_present)) div 2"
             ).alias("tvd_ppm"),
         )
     )
+
+
+def event_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric distribution drift per event type: total variation
+    distance of each type's value distribution vs all events, over a
+    FIXED integer binning (width-10 bins — grid-stable, so two runs or
+    two engines can never disagree on bin edges). The numeric twin of
+    corpus_source_drift: the data-quality monitor that flags an event
+    type whose value distribution shifted (schema change, unit change,
+    upstream bug) before it poisons downstream aggregates. NULL values
+    are excluded (no bin). Same exact-ppm machinery, same
+    vocab(=bins)-level shuffles."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    obs = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value") / F.lit(10.0)).cast("long").alias("bin"),
+    )
+    return _tvd_ppm(obs, "event_type", "bin", "n_events")
+
+
+_EVENT_VALUE_DRIFT_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_st
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), g AS (
+  SELECT bin, SUM(n_st) AS n_t FROM c GROUP BY bin
+), g_ppm AS (
+  SELECT bin, (n_t * 1000000) // (SELECT SUM(n_t) FROM g) AS ppm_g FROM g
+), s_tot AS (
+  SELECT event_type, SUM(n_st) AS n_events FROM c GROUP BY event_type
+), per_grp AS (
+  SELECT c.event_type,
+         SUM(abs((n_st * 1000000) // n_events - ppm_g)) AS l1_present,
+         SUM(ppm_g) AS ppm_g_present
+  FROM c JOIN g_ppm USING (bin) JOIN s_tot ON c.event_type = s_tot.event_type
+  GROUP BY c.event_type
+)
+SELECT per_grp.event_type AS event_type,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST((l1_present + ((SELECT SUM(ppm_g) FROM g_ppm) - ppm_g_present))
+            // 2 AS BIGINT) AS tvd_ppm
+FROM per_grp JOIN s_tot ON per_grp.event_type = s_tot.event_type
+"""
 
 
 _SOURCE_DRIFT_SQL = f"""
@@ -8250,6 +8307,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _SESSION_OVERLAP_SQL,
     ),
     "corpus_snapshot_diff": (corpus_snapshot_diff, _SNAPSHOT_DIFF_SQL),
+    "event_value_drift": (event_value_drift, _EVENT_VALUE_DRIFT_SQL),
     # --- r7 window: refresh fill — the r4-green queue (newest driver
     # stamp round 4, the longest-unstamped evidence in the registry),
     # in their r6 queue order; its last three entries were displaced
@@ -8307,7 +8365,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _PRODUCT_PROFIT_SQL,
     ),
     "heavy_shipper_suppliers": (heavy_shipper_suppliers, _HEAVY_SHIPPER_SQL),
-    "doc_unigram_logprob": (doc_unigram_logprob, _UNIGRAM_LOGPROB_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+). salted_customer_revenue stays
     # pinned at position 51: the window test anchors it to pin the
@@ -8318,6 +8375,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # (the freshest evidence, so lowest rotation priority).
     # ------------------------------------------------------------------
     "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
+    "doc_unigram_logprob": (doc_unigram_logprob, _UNIGRAM_LOGPROB_SQL),
     "corpus_vocab_stats": (corpus_vocab_stats, _VOCAB_STATS_SQL),
     "doc_pii_redaction": (doc_pii_redaction, _PII_SQL),
     "embedding_int8_quantize": (embedding_int8_quantize, _INT8_QUANT_SQL),

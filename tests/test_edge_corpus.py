@@ -258,6 +258,8 @@ EVENTS_QUERIES = [
     # r7: interval-overlap pairs under duplicate-ts sessions and
     # boundary-touching windows (half-open: touch is NOT overlap)
     "session_incident_overlap",
+    # r7: numeric drift with NULL values excluded and single-type bins
+    "event_value_drift",
     "stream_tumbling_hourly",
     "stream_sliding_2h",
     "stream_distinct_users",
