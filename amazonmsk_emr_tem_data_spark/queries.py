@@ -3123,6 +3123,53 @@ FROM comp c JOIN csize s USING (cluster_id)
 """
 
 
+def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup-safe train/val/test split (r7): the split hash runs
+    over the near-dup CLUSTER id, not the content fingerprint — so not
+    just verbatim copies but paraphrases/near-duplicates (Jaccard ≥
+    0.6 under MinHash-LSH + exact verify + connected components) can
+    never straddle train and eval. This is the variant
+    doc_leakage_safe_split's docstring promises: fingerprint-hash
+    splitting stops exact-copy leakage; cluster-hash splitting stops
+    the near-dup leakage that actually inflates eval scores.
+
+    Scale: inherits dedup_clusters' bucketed shape (collapse → LSH →
+    verify → CC over paired docs only); the split itself adds one
+    codegen'd hash per row — no new shuffle. Same 98/1/1 bucket split
+    as the fingerprint variant."""
+    from .operators.dedup import dedup_clusters
+    from .functions.text import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    cl = dedup_clusters(docs, threshold=0.6).select("doc_id", "cluster_id")
+    bucket = F.pmod(
+        md5_hash64(F.col("cluster_id").cast("string")), F.lit(1000)
+    )
+    return cl.select(
+        "doc_id",
+        "cluster_id",
+        bucket.alias("split_bucket"),
+        F.when(bucket < 980, "train")
+        .when(bucket < 990, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+_CLUSTER_SPLIT_SQL = f"""
+WITH RECURSIVE {_CC_CTES}
+SELECT doc_id, cluster_id,
+       {_HASH64_SQL.format(x="CAST(cluster_id AS VARCHAR)")} % 1000
+         AS split_bucket,
+       CASE WHEN {_HASH64_SQL.format(x="CAST(cluster_id AS VARCHAR)")}
+                 % 1000 < 980 THEN 'train'
+            WHEN {_HASH64_SQL.format(x="CAST(cluster_id AS VARCHAR)")}
+                 % 1000 < 990 THEN 'val'
+            ELSE 'test' END AS split
+FROM comp
+"""
+
+
 def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q13 shape: distribution of per-customer order counts,
     including zero-order customers (left outer join with a join-side
@@ -8308,6 +8355,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "corpus_snapshot_diff": (corpus_snapshot_diff, _SNAPSHOT_DIFF_SQL),
     "event_value_drift": (event_value_drift, _EVENT_VALUE_DRIFT_SQL),
+    "cluster_safe_split": (cluster_safe_split, _CLUSTER_SPLIT_SQL),
     # --- r7 window: refresh fill — the r4-green queue (newest driver
     # stamp round 4, the longest-unstamped evidence in the registry),
     # in their r6 queue order; its last three entries were displaced
@@ -8364,7 +8412,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         product_profit_by_nation_year,
         _PRODUCT_PROFIT_SQL,
     ),
-    "heavy_shipper_suppliers": (heavy_shipper_suppliers, _HEAVY_SHIPPER_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+). salted_customer_revenue stays
     # pinned at position 51: the window test anchors it to pin the
@@ -8375,6 +8422,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # (the freshest evidence, so lowest rotation priority).
     # ------------------------------------------------------------------
     "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
+    "heavy_shipper_suppliers": (heavy_shipper_suppliers, _HEAVY_SHIPPER_SQL),
     "doc_unigram_logprob": (doc_unigram_logprob, _UNIGRAM_LOGPROB_SQL),
     "corpus_vocab_stats": (corpus_vocab_stats, _VOCAB_STATS_SQL),
     "doc_pii_redaction": (doc_pii_redaction, _PII_SQL),

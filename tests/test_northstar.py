@@ -863,3 +863,33 @@ def test_winnowing_detection_guarantee(spark):
     }
     assert fps[1] & fps[2], "shared 11-token run must share a fingerprint"
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_cluster_safe_split_never_straddles_near_dups(spark, sf_dir):
+    """The leakage guarantee, asserted independently of construction:
+    every near-dup PAIR the LSH join finds (Jaccard >= 0.6) must land
+    in the same split — i.e. no eval document has a near-duplicate in
+    train. (A fingerprint-hash split only guarantees this for verbatim
+    copies; the cluster-hash split must extend it to paraphrases.)"""
+    from amazonmsk_emr_tem_data_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from amazonmsk_emr_tem_data_spark.queries import cluster_safe_split
+    from amazonmsk_emr_tem_data_spark.sources.files import load_table
+
+    split = {
+        r["doc_id"]: r["split"]
+        for r in cluster_safe_split(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.6).collect()
+    assert pairs, "fixture must contain near-dup pairs for this to bite"
+    straddling = [
+        (r["doc_a"], r["doc_b"])
+        for r in pairs
+        if split[r["doc_a"]] != split[r["doc_b"]]
+    ]
+    assert not straddling, (
+        f"near-dup pairs straddle splits: {straddling[:5]}"
+    )
+    assert set(split.values()) >= {"train"}, "split must be populated"
