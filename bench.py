@@ -11,6 +11,8 @@ taken under comparable ambient load (the JSON records loadavg before /
 after and a timestamp) — never bare totals. On a shared sandbox,
 unchanged plans swing 1.2-1.5x with host load; the r6 headline total
 read as a 55% regression that a controlled re-run showed was flat.
+``scripts/bench_compare.py OLD.json NEW.json`` applies this rule
+mechanically (per-query ratios, median, load context, added/dropped).
 """
 
 from __future__ import annotations

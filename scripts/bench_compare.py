@@ -1,0 +1,66 @@
+"""Compare two bench JSON artifacts per-query, the way cross-round
+comparison is supposed to be done (BENCH totals are ambient-load-
+sensitive; the r6 verdict burned a controlled re-run discovering a
+"55% regression" that was load noise).
+
+Usage:
+    python scripts/bench_compare.py BENCH_r06.json BENCH_r07.json
+
+Accepts either the driver's wrapper JSON ({"parsed": {...}}) or
+bench.py's raw one-line JSON. Prints per-query ratios (new/old) for
+the shared query set, the MEDIAN ratio (the headline number), queries
+only in one side, and each run's recorded load context if present.
+Exits 1 if the median ratio exceeds 1.5 — a real, spread-surviving
+regression signal, not a total-seconds artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        d = json.load(f)
+    return d.get("parsed", d)
+
+
+def main() -> int:
+    if len(sys.argv) != 3:
+        print(__doc__)
+        return 2
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    qo, qn = old.get("queries", {}), new.get("queries", {})
+    shared = sorted(set(qo) & set(qn))
+    if not shared:
+        print("no shared queries")
+        return 2
+    ratios = []
+    print(f"{'query':<34} {'old':>7} {'new':>7} {'ratio':>6}")
+    for q in shared:
+        r = qn[q] / qo[q] if qo[q] else float("inf")
+        ratios.append(r)
+        flag = "  <-- check" if r > 1.5 else ""
+        print(f"{q:<34} {qo[q]:>7.3f} {qn[q]:>7.3f} {r:>6.2f}{flag}")
+    ratios.sort()
+    med = ratios[len(ratios) // 2]
+    print(f"\nshared: {len(shared)}  median ratio: {med:.2f}  "
+          f"sum old: {sum(qo[q] for q in shared):.2f}s  "
+          f"sum new: {sum(qn[q] for q in shared):.2f}s")
+    only_old = sorted(set(qo) - set(qn))
+    only_new = sorted(set(qn) - set(qo))
+    if only_old:
+        print(f"dropped: {', '.join(only_old)}")
+    if only_new:
+        print(f"added:   {', '.join(only_new)} "
+              f"(+{sum(qn[q] for q in only_new):.2f}s)")
+    for label, d in (("old", old), ("new", new)):
+        if "loadavg_before" in d:
+            print(f"{label} load before/after: {d['loadavg_before']} / "
+                  f"{d.get('loadavg_after')}")
+    return 1 if med > 1.5 else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
