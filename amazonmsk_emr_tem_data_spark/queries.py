@@ -1582,8 +1582,16 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     that runs before an incremental re-train to bound how much of the
     corpus actually moved. Snapshots are derived deterministically
     from the fixture: the old snapshot lacks doc_id % 20 == 0 (those
-    become 'added'), the new lacks doc_id % 19 == 0 ('removed'), and
-    the new edits every doc_id % 7 == 0 ('changed').
+    become 'added'), the new lacks doc_id % 19 == 0 ('removed'), the
+    new edits every doc_id % 7 == 0 ('changed'), and every
+    doc_id % 11 == 0 gains trailing whitespace — a NON-change under
+    fingerprint normalization, pinning that cosmetic edits read as
+    'unchanged' in both engines.
+
+    Presence is judged by explicit membership markers, NOT fingerprint
+    nullability — a NULL-text document (fingerprint NULL) still
+    diffs correctly (null-safe fingerprint compare), where a
+    fp-IS-NULL test would misread it as absent.
 
     Scale: each side reduces to (doc_id, 128-bit fingerprint) before
     the join — the shuffle never carries text — and the full-outer
@@ -1594,7 +1602,7 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     old = docs.filter(F.col("doc_id") % 20 != 0).select(
-        "doc_id", fingerprint("text").alias("old_fp")
+        "doc_id", fingerprint("text").alias("old_fp"), F.lit(True).alias("in_old")
     )
     new = (
         docs.filter(F.col("doc_id") % 19 != 0)
@@ -1602,15 +1610,19 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
             F.when(
                 F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" edited"))
-            ).otherwise(F.col("text")),
+            )
+            .when(F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit("  ")))
+            .otherwise(F.col("text")),
         )
-        .select("doc_id", fingerprint("text").alias("new_fp"))
+        .select(
+            "doc_id", fingerprint("text").alias("new_fp"), F.lit(True).alias("in_new")
+        )
     )
     return old.join(new, "doc_id", "full_outer").select(
         "doc_id",
-        F.when(F.col("old_fp").isNull(), "added")
-        .when(F.col("new_fp").isNull(), "removed")
-        .when(F.col("old_fp") == F.col("new_fp"), "unchanged")
+        F.when(F.col("in_old").isNull(), "added")
+        .when(F.col("in_new").isNull(), "removed")
+        .when(F.col("old_fp").eqNullSafe(F.col("new_fp")), "unchanged")
         .otherwise("changed")
         .alias("status"),
     )
@@ -1623,14 +1635,16 @@ WITH old AS (
 ), new AS (
   SELECT doc_id,
          md5(lower(trim(regexp_replace(
-           CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' edited'
+                WHEN doc_id % 11 = 0 THEN text || '  '
+                ELSE text END,
            '\s+', ' ', 'g')))) AS new_fp
   FROM documents WHERE doc_id % 19 <> 0
 )
 SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
-       CASE WHEN old_fp IS NULL THEN 'added'
-            WHEN new_fp IS NULL THEN 'removed'
-            WHEN old_fp = new_fp THEN 'unchanged'
+       CASE WHEN old.doc_id IS NULL THEN 'added'
+            WHEN new.doc_id IS NULL THEN 'removed'
+            WHEN old_fp IS NOT DISTINCT FROM new_fp THEN 'unchanged'
             ELSE 'changed' END AS status
 FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
 """
@@ -3123,6 +3137,17 @@ FROM comp c JOIN csize s USING (cluster_id)
 """
 
 
+def _bucket_split(bucket: Column) -> Column:
+    """The shared 98/1/1 bucket→split rule (train < 980 ≤ val < 990 ≤
+    test over a 0..999 bucket) used by BOTH leakage-safe splits —
+    one definition so the thresholds cannot drift apart."""
+    return (
+        F.when(bucket < 980, "train")
+        .when(bucket < 990, "val")
+        .otherwise("test")
+    )
+
+
 def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-dup-safe train/val/test split (r7): the split hash runs
     over the near-dup CLUSTER id, not the content fingerprint — so not
@@ -3149,24 +3174,19 @@ def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "cluster_id",
         bucket.alias("split_bucket"),
-        F.when(bucket < 980, "train")
-        .when(bucket < 990, "val")
-        .otherwise("test")
-        .alias("split"),
+        _bucket_split(bucket).alias("split"),
     )
 
 
 _CLUSTER_SPLIT_SQL = f"""
 WITH RECURSIVE {_CC_CTES}
-SELECT doc_id, cluster_id,
-       {_HASH64_SQL.format(x="CAST(cluster_id AS VARCHAR)")} % 1000
-         AS split_bucket,
-       CASE WHEN {_HASH64_SQL.format(x="CAST(cluster_id AS VARCHAR)")}
-                 % 1000 < 980 THEN 'train'
-            WHEN {_HASH64_SQL.format(x="CAST(cluster_id AS VARCHAR)")}
-                 % 1000 < 990 THEN 'val'
+SELECT doc_id, cluster_id, b AS split_bucket,
+       CASE WHEN b < 980 THEN 'train'
+            WHEN b < 990 THEN 'val'
             ELSE 'test' END AS split
-FROM comp
+FROM (SELECT doc_id, cluster_id,
+             {_HASH64_SQL.format(x="CAST(cluster_id AS VARCHAR)")} % 1000 AS b
+      FROM comp)
 """
 
 
@@ -5487,10 +5507,7 @@ def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fp.alias("fingerprint"),
         bucket.alias("split_bucket"),
-        F.when(bucket < 980, "train")
-        .when(bucket < 990, "val")
-        .otherwise("test")
-        .alias("split"),
+        _bucket_split(bucket).alias("split"),
     )
 
 

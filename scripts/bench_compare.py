@@ -36,15 +36,24 @@ def main() -> int:
     if not shared:
         print("no shared queries")
         return 2
+    import statistics
+
     ratios = []
     print(f"{'query':<34} {'old':>7} {'new':>7} {'ratio':>6}")
     for q in shared:
-        r = qn[q] / qo[q] if qo[q] else float("inf")
-        ratios.append(r)
-        flag = "  <-- check" if r > 1.5 else ""
-        print(f"{q:<34} {qo[q]:>7.3f} {qn[q]:>7.3f} {r:>6.2f}{flag}")
-    ratios.sort()
-    med = ratios[len(ratios) // 2]
+        # a 0.000 old timing (3-decimal rounding) carries no ratio
+        # information: 0/0 is "unchanged", new>0 is excluded rather
+        # than letting an inf poison the median
+        if qo[q] == 0:
+            r = 1.0 if qn[q] == 0 else None
+        else:
+            r = qn[q] / qo[q]
+        if r is not None:
+            ratios.append(r)
+        flag = "  <-- check" if r is not None and r > 1.5 else ""
+        shown = f"{r:>6.2f}" if r is not None else "   n/a"
+        print(f"{q:<34} {qo[q]:>7.3f} {qn[q]:>7.3f} {shown}{flag}")
+    med = statistics.median(ratios)
     print(f"\nshared: {len(shared)}  median ratio: {med:.2f}  "
           f"sum old: {sum(qo[q] for q in shared):.2f}s  "
           f"sum new: {sum(qn[q] for q in shared):.2f}s")

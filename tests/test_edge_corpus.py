@@ -118,8 +118,9 @@ DOC_QUERIES = [
     # r7: directed containment — empty/whitespace docs collapse to one
     # shingle, identical docs contain each other both ways
     "containment_dup_pairs",
-    # r7: snapshot diff under whitespace-only edits (normalization
-    # means a whitespace-only change is 'unchanged', both engines)
+    # r7: snapshot diff — the query's own % 11 branch plants
+    # whitespace-only edits (normalization ⇒ 'unchanged') and the
+    # presence markers keep NULL-text docs correctly classified
     "corpus_snapshot_diff",
 ]
 
@@ -226,6 +227,9 @@ EDGE_EVENTS = [
     (11, "2024-01-02 01:00:00.000001", 2, "purchase", 30.0, "{}"),
     # lone event, negative value ending on a .5-cent rounding edge
     (12, "2024-01-03 23:59:59", 3, "view", -100.125, '{"deep": {"x": [1]}}'),
+    # NULL value: the numeric-drift monitor must EXCLUDE it (no bin)
+    # in both engines, and value aggs must skip it identically
+    (13, "2024-01-03 23:59:59.500000", 3, "view", None, "{}"),
 ]
 
 EDGE_ORDERS = [

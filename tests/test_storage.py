@@ -285,7 +285,7 @@ def test_zorder_compact_signed_keys_and_empty_source(spark, tmp_path):
     assert spark.read.parquet(edst).count() == 0
 
 
-def test_bucketed_aggregate_has_no_exchange(spark, bucketed_tables):
+def test_bucketed_aggregate_has_no_exchange(spark, sf_dir, bucketed_tables):
     """Bucketing pays twice: joins AND aggregations on the bucket key
     plan without an Exchange (the scan's output partitioning already
     satisfies the agg's distribution requirement). At 100 TB this is
@@ -306,7 +306,7 @@ def test_bucketed_aggregate_has_no_exchange(spark, bucketed_tables):
     )
     # correctness: matches the plain (shuffling) aggregate
     plain = (
-        load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(
             F.sum("l_quantity").alias("q"),
