@@ -530,6 +530,78 @@ def containment_prefix_pairs(
     return within.unionByName(fan)
 
 
+def winnowed(
+    df: DataFrame, id_col: str = "doc_id", k: int = 8, w: int = 4
+) -> DataFrame:
+    """(id, fp) rows of each document's TRUE winnowing fingerprint set
+    (Schleimer/Wilkerson/Aiken): min hash of each sliding window of
+    ``w`` consecutive k-token shingle hashes, distinct per doc. Every
+    array is staged through its own projection (see gram_array — the
+    single-expression form re-evaluates the shingle-hash tree per
+    window position, measured 17x slower)."""
+    from ..functions.text import md5_hash64, tokens
+
+    toks = ensure_parallelism(df).select(id_col, tokens("text").alias("__toks"))
+    grams = toks.select(id_col, gram_array("__toks", k).alias("__grams"))
+    hashes = grams.select(
+        id_col, F.transform("__grams", md5_hash64).alias("__hs")
+    )
+    wins = hashes.select(
+        id_col,
+        F.when(
+            F.size("__hs") >= w,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__hs") - w),
+                lambda j: F.array_min(F.slice("__hs", j + 1, w)),
+            ),
+        )
+        .otherwise(F.array(F.array_min("__hs")))
+        .alias("__wins"),
+    )
+    return wins.select(
+        id_col, F.explode(F.array_distinct("__wins")).alias("fp")
+    )
+
+
+def winnowing_match_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """MOSS-style local-span match pairs: documents sharing at least
+    ``min_shared`` winnowing fingerprints — the detector built on the
+    winnowing guarantee (any shared run of >= w+k-1 tokens contributes
+    a shared fingerprint), so it surfaces pairs with COPIED SPANS that
+    whole-document Jaccard dilutes below its threshold. ``n_shared``
+    counts distinct shared fingerprints (≈ distinct copied regions).
+
+    Scale shape = the dedup stack's: exact-dup collapse first, bucket
+    by fingerprint with the hard cap (a boilerplate span shared by m
+    docs otherwise explodes m² pair rows), pair fan-in via one
+    (doc_a, doc_b) count agg, identity groups re-expanded at full
+    overlap. The brute-force oracle equality doubles as proof the cap
+    dropped nothing on the corpus under test."""
+    groups, reps = _collapse_exact(df, id_col)
+    fps = winnowed(reps, id_col, k, w).cache()
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    buckets = capped_buckets(fps, ["fp"], id_col, max_bucket_size)
+    rep_pairs = (
+        buckets.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    within = _within_pairs(
+        groups,
+        {"n_shared": F.col("n_fp").cast("long")},
+        per_rep=sizes.select(F.col(id_col).alias("rep"), "n_fp"),
+    )
+    return within.unionByName(_fanout_cross(rep_pairs, groups, ["n_shared"]))
+
+
 def ngram_overlap_decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,

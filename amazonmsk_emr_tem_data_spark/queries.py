@@ -2005,43 +2005,33 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     at EVERY window position — O(shingles x windows) per doc, measured
     10x slower at sf0.1. Each stage's output is referenced more than
     once downstream, which keeps CollapseProject from inlining it back
-    into the lambda."""
-    from .functions.text import md5_hash64, tokens
-    from .operators.dedup import gram_array
+    into the lambda (implementation: operators/dedup.winnowed)."""
+    from .operators.dedup import winnowed
 
-    k, w = 8, 4
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", tokens("text").alias("toks"))
-    grams = toks.select("doc_id", gram_array("toks", k).alias("grams"))
-    hashes = grams.select(
-        "doc_id", F.transform("grams", md5_hash64).alias("hs")
-    )
-    wins = hashes.select(
-        "doc_id",
-        F.when(
-            F.size("hs") >= w,
-            F.transform(
-                F.sequence(F.lit(0), F.size("hs") - w),
-                lambda j: F.array_min(F.slice("hs", j + 1, w)),
-            ),
-        )
-        .otherwise(F.array(F.array_min("hs")))
-        .alias("wins"),
-    )
-    return wins.select(
-        "doc_id", F.explode(F.array_distinct("wins")).alias("fp")
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowed(docs, "doc_id", k=8, w=4)
 
 
-_WINNOWING_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, {{toks}} AS w FROM documents
+def winnowing_match_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style local-span match pairs (r7): docs sharing >= 2
+    winnowing fingerprints — copied-SPAN detection that whole-document
+    Jaccard dilutes away on long documents. Brute-force shared-
+    fingerprint oracle = proof the capped buckets dropped nothing."""
+    from .operators.dedup import winnowing_match_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_match_pairs(docs, min_shared=2)
+
+
+_WINNOWING_CTES = """
+toks AS (
+  SELECT doc_id, {toks} AS w FROM documents
 ), hashes AS (
   SELECT doc_id,
          CASE WHEN len(w) >= 8
               THEN list_transform(generate_series(1, len(w)-7),
-                                  i -> {{h}})
-              ELSE [{{h_whole}}] END AS hs
+                                  i -> {h})
+              ELSE [{h_whole}] END AS hs
   FROM toks
 ), wins AS (
   SELECT doc_id,
@@ -2050,13 +2040,31 @@ WITH toks AS (
                                   j -> list_min(hs[j:j+3]))
               ELSE [list_min(hs)] END AS fps
   FROM hashes
+), fp_rows AS (
+  SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins
 )
-SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wins
 """.format(
     toks=_TOKS_SQL,
     h=_HASH64_SQL.format(x="array_to_string(w[i:i+7], ' ')"),
     h_whole=_HASH64_SQL.format(x="array_to_string(w, ' ')"),
 )
+
+
+_WINNOWING_PAIRS_SQL = f"""
+WITH {_WINNOWING_CTES}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fp_rows a JOIN fp_rows b
+  ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
+_WINNOWING_SQL = f"""
+WITH {_WINNOWING_CTES}
+SELECT doc_id, fp FROM fp_rows
+"""
 
 
 _COS_SQL = (
@@ -8373,6 +8381,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_snapshot_diff": (corpus_snapshot_diff, _SNAPSHOT_DIFF_SQL),
     "event_value_drift": (event_value_drift, _EVENT_VALUE_DRIFT_SQL),
     "cluster_safe_split": (cluster_safe_split, _CLUSTER_SPLIT_SQL),
+    "winnowing_match_pairs": (winnowing_match_pairs_q, _WINNOWING_PAIRS_SQL),
     # --- r7 window: refresh fill — the r4-green queue (newest driver
     # stamp round 4, the longest-unstamped evidence in the registry),
     # in their r6 queue order; its last three entries were displaced
@@ -8425,10 +8434,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _FORECAST_REVENUE_SQL,
     ),
     "nation_market_share": (nation_market_share, _NATION_MARKET_SHARE_SQL),
-    "product_profit_by_nation_year": (
-        product_profit_by_nation_year,
-        _PRODUCT_PROFIT_SQL,
-    ),
     # ------------------------------------------------------------------
     # below the window (entry 51+). salted_customer_revenue stays
     # pinned at position 51: the window test anchors it to pin the
@@ -8439,6 +8444,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # (the freshest evidence, so lowest rotation priority).
     # ------------------------------------------------------------------
     "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
+    "product_profit_by_nation_year": (
+        product_profit_by_nation_year,
+        _PRODUCT_PROFIT_SQL,
+    ),
     "heavy_shipper_suppliers": (heavy_shipper_suppliers, _HEAVY_SHIPPER_SQL),
     "doc_unigram_logprob": (doc_unigram_logprob, _UNIGRAM_LOGPROB_SQL),
     "corpus_vocab_stats": (corpus_vocab_stats, _VOCAB_STATS_SQL),

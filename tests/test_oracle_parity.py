@@ -72,11 +72,11 @@ def test_driver_window_covers_round7_rotation():
         "containment_dup_pairs", "embedding_label_outliers",
         "stream_token_heavy_hitters", "session_incident_overlap",
         "corpus_snapshot_diff", "event_value_drift",
-        "cluster_safe_split",
+        "cluster_safe_split", "winnowing_match_pairs",
         # the r4-green refresh queue (stamped round 4, nothing newer);
         # never-stamped r7 queries outrank refresh fill, so the queue's
-        # tail (heavy_shipper_suppliers, doc_unigram_logprob,
-        # corpus_vocab_stats, doc_pii_redaction,
+        # tail (product_profit_by_nation_year, heavy_shipper_suppliers,
+        # doc_unigram_logprob, corpus_vocab_stats, doc_pii_redaction,
         # embedding_int8_quantize, doc_chunking, recursive_cte_depths,
         # semantic_dedup_vectors, event_funnel, retention_cohorts) was
         # displaced below the window and rotates into r8
@@ -92,7 +92,7 @@ def test_driver_window_covers_round7_rotation():
         "disjunctive_predicate_revenue", "supplier_revenue_share",
         "cheapest_supplier_per_part", "supplier_counts_by_part_attrs",
         "sole_blame_suppliers", "forecast_revenue_change",
-        "nation_market_share", "product_profit_by_nation_year",
+        "nation_market_share",
     }
     missing = must_check - window
     assert not missing, (
