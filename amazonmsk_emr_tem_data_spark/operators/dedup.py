@@ -594,11 +594,14 @@ def winnowing_match_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+    # identity pairs share ALL their fingerprints — but the threshold
+    # still applies: a degenerate doc with a single fingerprint (short/
+    # empty text) must not pair below min_shared, matching the oracle
     within = _within_pairs(
         groups,
         {"n_shared": F.col("n_fp").cast("long")},
         per_rep=sizes.select(F.col(id_col).alias("rep"), "n_fp"),
-    )
+    ).filter(F.col("n_shared") >= min_shared)
     return within.unionByName(_fanout_cross(rep_pairs, groups, ["n_shared"]))
 
 

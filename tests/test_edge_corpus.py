@@ -122,6 +122,9 @@ DOC_QUERIES = [
     # whitespace-only edits (normalization ⇒ 'unchanged') and the
     # presence markers keep NULL-text docs correctly classified
     "corpus_snapshot_diff",
+    # r7: winnowing pair matcher — degenerate docs collapse to one
+    # fingerprint (min_shared=2 excludes them unless identical)
+    "winnowing_match_pairs",
 ]
 
 
