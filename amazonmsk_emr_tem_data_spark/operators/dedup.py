@@ -605,6 +605,82 @@ def winnowing_match_pairs(
     return within.unionByName(_fanout_cross(rep_pairs, groups, ["n_shared"]))
 
 
+def fuzzy_edit_verify_pairs(
+    df: DataFrame,
+    max_dist: int = 40,
+    id_col: str = "doc_id",
+    prefix_tokens: int = 8,
+    verify_chars: int = 200,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Edit-distance-verified near-dup pairs: block on the first
+    ``prefix_tokens`` normalized tokens, then verify each candidate
+    pair with Levenshtein distance over the first ``verify_chars``
+    normalized characters — the classic record-linkage shape
+    (block → bounded-cost verify) for catching lightly-edited copies
+    whose mutations sit past the opening tokens. Output:
+    (doc_a, doc_b, edit_dist) for every pair with edit_dist ≤
+    ``max_dist``; exact-duplicate pairs carry edit_dist = 0.
+
+    Recall contract: a pair is surfaced iff its first
+    ``prefix_tokens`` normalized tokens match EXACTLY — edits inside
+    the opening tokens route around this detector by design (that
+    recall belongs to minhash_lsh_pairs; this operator contributes
+    the cheap high-precision tier and an exact distance).
+
+    Scale shape = the dedup stack's: exact-dup collapse first (a
+    corpus that is X% exact copies must not re-verify per copy),
+    one bucket shuffle on a 60-bit prefix hash with the standard
+    hard cap (a boilerplate opening shared by m docs otherwise
+    explodes m² verifications), Levenshtein bounded at
+    ``verify_chars``² per pair (never whole-document), computed with
+    Spark's thresholded form (early-exits past ``max_dist``), and
+    identity groups re-expanded at distance 0. The verify prefix
+    never rides the bucket shuffle — it joins back on doc id after
+    pair fan-in."""
+    groups, reps = _collapse_exact(df, id_col)
+    from ..functions.text import norm_text
+
+    staged = (
+        reps.select(id_col, norm_text("text").alias("__norm"))
+        .select(
+            F.col(id_col),
+            md5_hash64(
+                F.array_join(
+                    F.slice(F.split(F.col("__norm"), " "), 1, prefix_tokens),
+                    " ",
+                )
+            ).alias("bh"),
+            F.substring("__norm", 1, verify_chars).alias("pfx"),
+        )
+        .cache()
+    )
+    buckets = capped_buckets(
+        staged.select(id_col, "bh"), ["bh"], id_col, max_bucket_size
+    )
+    pfx = staged.select(id_col, "pfx")
+    rep_pairs = (
+        buckets.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .join(
+            pfx.select(F.col(id_col).alias("doc_a"), F.col("pfx").alias("pa")),
+            "doc_a",
+        )
+        .join(
+            pfx.select(F.col(id_col).alias("doc_b"), F.col("pfx").alias("pb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb", max_dist).cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") >= 0)
+    )
+    within = _within_pairs(groups, {"edit_dist": F.lit(0).cast("long")})
+    return within.unionByName(_fanout_cross(rep_pairs, groups, ["edit_dist"]))
+
+
 def ngram_overlap_decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,

@@ -1885,6 +1885,294 @@ FROM per_src JOIN s_tot ON per_src.source = s_tot.source
 """
 
 
+def _dense_hourly_counts(ev: DataFrame) -> DataFrame:
+    """(event_type, h, cnt) on a DENSE hourly grid spanning the global
+    event time range, zero-filled — the regular series the rate
+    monitors need (autocorrelation and trailing baselines are wrong on
+    gappy series: a missing hour is a zero-count observation, not an
+    absent row). Grid = distinct types × explode(sequence) off a
+    single-row min/max aggregate that rides along broadcast (zero
+    driver actions); per-(type, hour) counts map-side combine before
+    the one grid-sized shuffle. Grid cardinality is |types| × hours —
+    bounded by the calendar, not the corpus (10 years ≈ 88k rows per
+    type), so every window downstream is scale-safe. The corpus-sized
+    table is scanned ONCE: span and the type set both derive from the
+    cached grid-sized counts relation, not from re-reads of events."""
+    counts = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
+    )
+    span = counts.agg(F.min("h").alias("t0"), F.max("h").alias("t1"))
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(t0, t1, interval 1 hour)")).alias("h"),
+        )
+    )
+    return grid.join(counts, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+    )
+
+
+_DENSE_HOURLY_CTES = """
+ev AS (
+  SELECT event_type, date_trunc('hour', ts) AS h
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+), counts AS (
+  SELECT event_type, h, CAST(count(*) AS BIGINT) AS cnt
+  FROM ev GROUP BY 1, 2
+), span AS (
+  SELECT min(h) AS t0, max(h) AS t1 FROM counts
+), grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM counts) t
+  CROSS JOIN (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h
+              FROM span) g
+), dense AS (
+  SELECT grid.event_type, grid.h, COALESCE(counts.cnt, 0) AS cnt
+  FROM grid LEFT JOIN counts
+    ON grid.event_type = counts.event_type AND grid.h = counts.h
+)
+"""
+
+
+def event_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of each event type's hourly arrival-count series
+    at lags 1–3 — the seasonality/burstiness fingerprint (lag-1 ≈
+    short-term clumping; a strong lag-24 would be daily rhythm) that a
+    pipeline health monitor trends to catch ingestion-cadence changes.
+
+    Exactness: Pearson r from six exact BIGINT sums (n, Σx, Σy, Σxy,
+    Σx², Σy²) over the zero-filled dense series; the only float math is
+    the final num/√(d1·d2) — identical IEEE op sequence both engines,
+    reported as corr_ppm (round(1e6·r)). Constant series (zero
+    variance) report NULL. Sums stay exact as longs through ~2e5
+    events/hour-of-type over a decade; past that the n·Σxy products
+    pass 2^53 and the ppm keeps only double precision (both engines
+    identically).
+
+    Scale: one grid-sized shuffle for the dense series, ONE sort per
+    type computes all three lag columns (single window), stack unpivots
+    map-side, and the final agg is |types|×3 rows."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events")).filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = _dense_hourly_counts(ev).select(
+        "event_type",
+        "cnt",
+        *[F.lag("cnt", L).over(w).alias(f"lag{L}") for L in (1, 2, 3)],
+    )
+    stacked = lagged.select(
+        "event_type",
+        "cnt",
+        F.expr(
+            "stack(3, CAST(1 AS BIGINT), lag1, CAST(2 AS BIGINT), lag2,"
+            " CAST(3 AS BIGINT), lag3) AS (lag, prev)"
+        ),
+    ).filter(F.col("prev").isNotNull())
+    agg = stacked.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("cnt").alias("sx"),
+        F.sum("prev").alias("sy"),
+        F.sum(F.col("cnt") * F.col("prev")).alias("sxy"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sx2"),
+        F.sum(F.col("prev") * F.col("prev")).alias("sy2"),
+    )
+    num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = F.col("n_pairs") * F.col("sx2") - F.col("sx") * F.col("sx")
+    d2 = F.col("n_pairs") * F.col("sy2") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        F.when(
+            (d1 > 0) & (d2 > 0),
+            F.round(
+                F.lit(1000000.0)
+                * num
+                / F.sqrt(d1.cast("double") * d2.cast("double"))
+            ).cast("long"),
+        ).alias("corr_ppm"),
+    )
+
+
+_AUTOCORR_SQL = f"""
+WITH {_DENSE_HOURLY_CTES}, lagged AS (
+  SELECT event_type, cnt,
+         lag(cnt, 1) OVER w AS lag1,
+         lag(cnt, 2) OVER w AS lag2,
+         lag(cnt, 3) OVER w AS lag3
+  FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY h)
+), stacked AS (
+  SELECT event_type, CAST(1 AS BIGINT) AS lag, cnt, lag1 AS prev FROM lagged
+  UNION ALL
+  SELECT event_type, CAST(2 AS BIGINT), cnt, lag2 FROM lagged
+  UNION ALL
+  SELECT event_type, CAST(3 AS BIGINT), cnt, lag3 FROM lagged
+), agg AS (
+  SELECT event_type, lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(cnt) AS BIGINT) AS sx,
+         CAST(SUM(prev) AS BIGINT) AS sy,
+         CAST(SUM(cnt * prev) AS BIGINT) AS sxy,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS sx2,
+         CAST(SUM(prev * prev) AS BIGINT) AS sy2
+  FROM stacked WHERE prev IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, lag, n_pairs,
+       CASE WHEN (n_pairs * sx2 - sx * sx) > 0
+             AND (n_pairs * sy2 - sy * sy) > 0 THEN
+         CAST(round(
+           CAST(1000000 AS DOUBLE) * (n_pairs * sxy - sx * sy)
+           / sqrt(CAST(n_pairs * sx2 - sx * sx AS DOUBLE)
+                  * CAST(n_pairs * sy2 - sy * sy AS DOUBLE))
+         ) AS BIGINT)
+       END AS corr_ppm
+FROM agg
+"""
+
+
+def event_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-rate anomaly monitor: each (event type, hour) against
+    its trailing-24h baseline — hourly count, the baseline's row count
+    and total, the rate ratio in truncated ppm, and an is_spike flag
+    (full 24h baseline present AND count > 2.5× the baseline mean,
+    compared in integers: 2·cnt·n > 5·total — calibrated to flag ~2%
+    of hours on the test corpus, above its daily-rhythm swing). All
+    rows are emitted so
+    the output doubles as the monitor's time-series panel; flagged
+    rows are the page-worthy ones.
+
+    Exact integer math throughout (div, no float ratio); the dense
+    zero-filled grid means a silent source ALSO shows up (ratio 0 —
+    the dual alert). One sort per type computes count and sum on the
+    same trailing frame; window partitions are calendar-bounded
+    (_dense_hourly_counts' contract), so no skew at any corpus size."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events")).filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    out = _dense_hourly_counts(ev).select(
+        "event_type",
+        "h",
+        "cnt",
+        F.count(F.lit(1)).over(w).cast("long").alias("baseline_n"),
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long").alias(
+            "baseline_total"
+        ),
+    )
+    return out.select(
+        "event_type",
+        "h",
+        "cnt",
+        "baseline_n",
+        "baseline_total",
+        F.when(
+            F.col("baseline_total") > 0,
+            F.expr("(cnt * baseline_n * CAST(1000000 AS BIGINT))"
+                   " div baseline_total"),
+        ).alias("ratio_ppm"),
+        (
+            (F.col("baseline_n") == 24)
+            & (F.lit(2) * F.col("cnt") * F.col("baseline_n")
+               > F.lit(5) * F.col("baseline_total"))
+        ).alias("is_spike"),
+    )
+
+
+_RATE_SPIKES_SQL = f"""
+WITH {_DENSE_HOURLY_CTES}, based AS (
+  SELECT event_type, h, cnt,
+         CAST(count(*) OVER w AS BIGINT) AS baseline_n,
+         CAST(COALESCE(SUM(cnt) OVER w, 0) AS BIGINT) AS baseline_total
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, h, cnt, baseline_n, baseline_total,
+       CASE WHEN baseline_total > 0 THEN
+         CAST((cnt * baseline_n * 1000000) // baseline_total AS BIGINT)
+       END AS ratio_ppm,
+       baseline_n = 24 AND 2 * cnt * baseline_n > 5 * baseline_total
+         AS is_spike
+FROM based
+"""
+
+
+def token_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head profile: the corpus's top-4096 tokens by frequency,
+    collapsed into power-of-two rank buckets (bucket b = ranks
+    [2^b, 2^(b+1))) with exact count/total/max/min frequencies per
+    bucket — the corpus-health fingerprint (a healthy natural corpus
+    halves total_freq per bucket; a flat profile means boilerplate, a
+    cliff means template spam) without shipping a vocab-sized result.
+
+    Exactness: ranks tie-break on the 60-bit token hash, and the
+    bucket is length(bin(rank))-1 — integer bit-length, never
+    floor(log2()) (libm-exactness at powers of two is not a contract).
+    Scale: token counts map-side combine into a vocab-sized relation;
+    the top-4096 head is TakeOrderedAndProject (never a vocab sort),
+    and the only unpartitioned window ranks exactly those 4096 rows."""
+    from .functions.text import md5_hash64, tokens
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    freqs = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .select(md5_hash64(F.col("tok")).alias("th"))
+        .groupBy("th")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = freqs.orderBy(F.col("freq").desc(), F.col("th").asc()).limit(4096)
+    w = Window.orderBy(F.col("freq").desc(), F.col("th").asc())
+    ranked = top.select(
+        "freq", F.row_number().over(w).cast("long").alias("rank")
+    )
+    bucket = (F.length(F.bin(F.col("rank"))) - 1).cast("long")
+    return (
+        ranked.groupBy(bucket.alias("rank_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ranks"),
+            F.sum("freq").alias("total_freq"),
+            F.max("freq").alias("max_freq"),
+            F.min("freq").alias("min_freq"),
+        )
+    )
+
+
+_ZIPF_SQL = f"""
+WITH freqs AS (
+  SELECT {_HASH64_SQL.format(x='tok')} AS th, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_TOKS_SQL}) AS tok FROM documents)
+  GROUP BY 1
+), ranked AS (
+  SELECT freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, th ASC) AS BIGINT)
+           AS rank
+  FROM freqs
+  QUALIFY rank <= 4096
+)
+SELECT CAST(length(printf('%b', rank)) - 1 AS BIGINT) AS rank_bucket,
+       CAST(count(*) AS BIGINT) AS n_ranks,
+       CAST(SUM(freq) AS BIGINT) AS total_freq,
+       MAX(freq) AS max_freq,
+       MIN(freq) AS min_freq
+FROM ranked
+GROUP BY 1
+"""
+
+
 def token_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters (r7): estimate the corpus's top
     tokens through a fixed 4 x 1024 CMS and report the estimate next to
@@ -2064,6 +2352,36 @@ HAVING COUNT(*) >= 2
 _WINNOWING_SQL = f"""
 WITH {_WINNOWING_CTES}
 SELECT doc_id, fp FROM fp_rows
+"""
+
+
+def fuzzy_dup_verify_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-verified near-dup pairs (r7): block on the first
+    8 normalized tokens, verify candidates with Levenshtein over the
+    first 200 normalized chars, keep pairs within distance 40 — the
+    record-linkage block→verify tier of the dedup stack (exact
+    distances for lightly-edited copies; opening-token edits are
+    minhash_lsh_pairs' recall). Brute-force within-block oracle =
+    proof the bucket cap and identity-group fan-out dropped nothing.
+    See operators/dedup.fuzzy_edit_verify_pairs for the 100 TB shape."""
+    from .operators.dedup import fuzzy_edit_verify_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy_edit_verify_pairs(docs, max_dist=40)
+
+
+_FUZZY_PAIRS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_HASH64_SQL.format(x=f"array_to_string(({_TOKS_SQL})[1:8], ' ')")}
+           AS bh,
+         substring({_NORM_SQL}, 1, 200) AS pfx
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
+FROM t a JOIN t b ON a.bh = b.bh AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= 40
 """
 
 
@@ -8382,6 +8700,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "event_value_drift": (event_value_drift, _EVENT_VALUE_DRIFT_SQL),
     "cluster_safe_split": (cluster_safe_split, _CLUSTER_SPLIT_SQL),
     "winnowing_match_pairs": (winnowing_match_pairs_q, _WINNOWING_PAIRS_SQL),
+    "fuzzy_dup_verify_pairs": (fuzzy_dup_verify_pairs, _FUZZY_PAIRS_SQL),
+    "event_hourly_autocorr": (event_hourly_autocorr, _AUTOCORR_SQL),
+    "event_rate_spikes": (event_rate_spikes, _RATE_SPIKES_SQL),
+    "token_zipf_profile": (token_zipf_profile, _ZIPF_SQL),
     # --- r7 window: refresh fill — the r4-green queue (newest driver
     # stamp round 4, the longest-unstamped evidence in the registry),
     # in their r6 queue order; its last three entries were displaced
@@ -8424,16 +8746,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         cheapest_supplier_per_part,
         _CHEAPEST_SUPPLIER_SQL,
     ),
-    "supplier_counts_by_part_attrs": (
-        supplier_counts_by_part_attrs,
-        _SUPPLIER_COUNTS_SQL,
-    ),
-    "sole_blame_suppliers": (sole_blame_suppliers, _SOLE_BLAME_SQL),
-    "forecast_revenue_change": (
-        forecast_revenue_change,
-        _FORECAST_REVENUE_SQL,
-    ),
-    "nation_market_share": (nation_market_share, _NATION_MARKET_SHARE_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+). salted_customer_revenue stays
     # pinned at position 51: the window test anchors it to pin the
@@ -8444,6 +8756,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # (the freshest evidence, so lowest rotation priority).
     # ------------------------------------------------------------------
     "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
+    # r4-queue tail displaced below the window by the four operators
+    # added late in round 7 (fuzzy/autocorr/spikes/zipf) — first in
+    # line for the r8 window
+    "supplier_counts_by_part_attrs": (
+        supplier_counts_by_part_attrs,
+        _SUPPLIER_COUNTS_SQL,
+    ),
+    "sole_blame_suppliers": (sole_blame_suppliers, _SOLE_BLAME_SQL),
+    "forecast_revenue_change": (
+        forecast_revenue_change,
+        _FORECAST_REVENUE_SQL,
+    ),
+    "nation_market_share": (nation_market_share, _NATION_MARKET_SHARE_SQL),
     "product_profit_by_nation_year": (
         product_profit_by_nation_year,
         _PRODUCT_PROFIT_SQL,

@@ -125,6 +125,13 @@ DOC_QUERIES = [
     # r7: winnowing pair matcher — degenerate docs collapse to one
     # fingerprint (min_shared=2 excludes them unless identical)
     "winnowing_match_pairs",
+    # r7: edit-distance verify — empty and whitespace-only docs
+    # normalize to the SAME block ("" prefix, lev 0 ⇒ a pair), <8-token
+    # docs block on their whole prefix, 9+10 are an identity pair
+    "fuzzy_dup_verify_pairs",
+    # r7: Zipf head buckets over a tiny vocabulary (every rank in the
+    # head; bit-length bucketing on ranks 1..n)
+    "token_zipf_profile",
 ]
 
 
@@ -296,6 +303,11 @@ EVENTS_QUERIES = [
     # single-event types: MAD = 0 must exclude the type via the shared
     # predicate in BOTH engines, never divide by zero (or Inf-vs-NULL)
     "event_value_outliers_mad",
+    # r7: autocorrelation over a mostly-zero dense grid (sparse types
+    # still have variance; the zero-fill IS the series) and spike
+    # baselines where the trailing frame is partially filled
+    "event_hourly_autocorr",
+    "event_rate_spikes",
 ]
 
 

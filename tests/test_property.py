@@ -630,3 +630,231 @@ def test_interval_overlap_join_self_join_names_are_unambiguous(spark):
         (1, 1): 3 * 3600, (2, 2): 3 * 3600,
         (1, 2): 2 * 3600, (2, 1): 2 * 3600,
     }
+
+
+def _lev(a: str, b: str) -> int:
+    """Plain-DP Levenshtein (reference)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@prop
+@given(docs=_pf_docs, max_dist=st.integers(0, 4))
+def test_fuzzy_edit_verify_matches_bruteforce(spark, docs, max_dist):
+    """fuzzy_edit_verify_pairs must equal the all-pairs reference on
+    arbitrary corpora: identical block prefix AND bounded-prefix
+    Levenshtein ≤ max_dist — the exact-dup collapse, the capped
+    buckets, the thresholded levenshtein() early-exit, and the
+    identity-group fan-out must lose zero pairs and invent none.
+    Small prefix_tokens/verify_chars make the blocking and the
+    verify-window truncation both bite on 8-token docs."""
+    from amazonmsk_emr_tem_data_spark.operators.dedup import (
+        fuzzy_edit_verify_pairs,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = fuzzy_edit_verify_pairs(
+        df, max_dist=max_dist, prefix_tokens=2, verify_chars=12
+    ).collect()
+    out = {}
+    for r in rows:
+        key = (r["doc_a"], r["doc_b"])
+        assert key not in out, f"pair {key} emitted twice"
+        out[key] = r["edit_dist"]
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            # texts are pre-normalized (single spaces); "" splits to [""]
+            pa = " ".join(texts[a].split(" ")[:2])
+            pb = " ".join(texts[b].split(" ")[:2])
+            if pa != pb:
+                continue
+            d = _lev(texts[a][:12], texts[b][:12])
+            if d <= max_dist:
+                want[(a, b)] = d
+    assert out == want
+
+
+# (type_id ∈ {0,1}, hour_offset, events_in_that_hour)
+_rate_cells = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 10), st.integers(1, 3)),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _dense_reference(cells):
+    """Python reference for _dense_hourly_counts: dense per-type hourly
+    series over the GLOBAL [min, max] hour span."""
+    hours = [h for (_, h, _) in cells]
+    lo, hi = min(hours), max(hours)
+    types = sorted({t for (t, _, _) in cells})
+    counts = {}
+    for t, h, n in cells:
+        counts[(t, h)] = counts.get((t, h), 0) + n
+    return {
+        t: [counts.get((t, h), 0) for h in range(lo, hi + 1)] for t in types
+    }
+
+
+def _write_events(cells, d):
+    """Write a pandas-style single-file events.parquet (ns timestamps,
+    like the driver fixtures) from (type, hour, n) cells."""
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    for t, h, n in cells:
+        for k in range(n):
+            rows.append(
+                (eid, BASE + timedelta(hours=h, minutes=k), 1,
+                 f"type{t}", 1.0, "{}")
+            )
+            eid += 1
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"],
+    ).to_parquet(f"{d}/events.parquet", index=False)
+
+
+@prop
+@given(cells=_rate_cells)
+def test_hourly_autocorr_matches_reference(spark, cells, tmp_path_factory):
+    """event_hourly_autocorr must equal the exact-integer Python
+    reference on arbitrary sparse series: the dense zero-fill, the
+    single-window lag stack, and the six-sum Pearson formula (incl.
+    the zero-variance → NULL guard) under any type/hour layout."""
+    import math
+
+    from amazonmsk_emr_tem_data_spark.queries import event_hourly_autocorr
+
+    d = str(tmp_path_factory.mktemp("autocorr"))
+    _write_events(cells, d)
+    got = {
+        (r["event_type"], r["lag"]): (r["n_pairs"], r["corr_ppm"])
+        for r in event_hourly_autocorr(spark, d).collect()
+    }
+    want = {}
+    for t, series in _dense_reference(cells).items():
+        for lag in (1, 2, 3):
+            pairs = [
+                (series[i], series[i - lag])
+                for i in range(lag, len(series))
+            ]
+            if not pairs:
+                continue
+            n = len(pairs)
+            sx = sum(x for x, _ in pairs)
+            sy = sum(y for _, y in pairs)
+            sxy = sum(x * y for x, y in pairs)
+            sx2 = sum(x * x for x, _ in pairs)
+            sy2 = sum(y * y for _, y in pairs)
+            d1, d2 = n * sx2 - sx * sx, n * sy2 - sy * sy
+            ppm = (
+                None
+                if d1 <= 0 or d2 <= 0
+                else round(  # noqa: B909 — banker's vs half-up can't
+                    # differ here: num/sqrt is irrational off-boundary
+                    1000000.0 * (n * sxy - sx * sy)
+                    / math.sqrt(float(d1) * float(d2))
+                )
+            )
+            # Python round() is half-even, Spark's is half-away; only
+            # exact .5 boundaries differ — tolerate by recomputing
+            if ppm is not None:
+                raw = (1000000.0 * (n * sxy - sx * sy)
+                       / math.sqrt(float(d1) * float(d2)))
+                if abs(raw - int(raw) - 0.5) < 1e-12 or \
+                   abs(raw - int(raw) + 0.5) < 1e-12:
+                    ppm = int(math.floor(raw + 0.5)) if raw >= 0 else \
+                        int(math.ceil(raw - 0.5))
+            want[(f"type{t}", lag)] = (n, ppm)
+    assert got == want
+
+
+@prop
+@given(cells=_rate_cells)
+def test_rate_spikes_match_reference(spark, cells, tmp_path_factory):
+    """event_rate_spikes must equal the integer Python reference:
+    trailing-24-row baselines over the dense grid (partial baselines
+    in the first day), the truncated-ppm ratio, and the 2.5× flag."""
+    from amazonmsk_emr_tem_data_spark.queries import event_rate_spikes
+
+    d = str(tmp_path_factory.mktemp("spikes"))
+    _write_events(cells, d)
+    got = {
+        (r["event_type"], r["h"]): (
+            r["cnt"], r["baseline_n"], r["baseline_total"],
+            r["ratio_ppm"], r["is_spike"],
+        )
+        for r in event_rate_spikes(spark, d).collect()
+    }
+    lo = min(h for (_, h, _) in cells)
+    want = {}
+    for t, series in _dense_reference(cells).items():
+        for i, cnt in enumerate(series):
+            window = series[max(0, i - 24): i]
+            bn, bt = len(window), sum(window)
+            ratio = (cnt * bn * 1000000) // bt if bt > 0 else None
+            spike = bn == 24 and 2 * cnt * bn > 5 * bt
+            want[(f"type{t}", BASE + timedelta(hours=lo + i))] = (
+                cnt, bn, bt, ratio, spike,
+            )
+    assert got == want
+
+
+@prop
+@given(
+    toks=st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_zipf_profile_matches_reference(spark, toks, tmp_path_factory):
+    """token_zipf_profile must equal the Python reference: md5-hash
+    tie-broken ranks, bit-length buckets, exact per-bucket sums."""
+    from hashlib import md5
+
+    from amazonmsk_emr_tem_data_spark.queries import token_zipf_profile
+
+    d = str(tmp_path_factory.mktemp("zipf"))
+    spark.createDataFrame(
+        [(0, " ".join(toks), "en", "s", len(" ".join(toks)))],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        r["rank_bucket"]: (
+            r["n_ranks"], r["total_freq"], r["max_freq"], r["min_freq"]
+        )
+        for r in token_zipf_profile(spark, d).collect()
+    }
+    freqs = {}
+    for t in toks:
+        freqs[t] = freqs.get(t, 0) + 1
+    hashed = {
+        t: int(md5(t.encode()).hexdigest()[:15], 16) for t in freqs
+    }
+    ranked = sorted(freqs, key=lambda t: (-freqs[t], hashed[t]))[:4096]
+    want = {}
+    for rank, t in enumerate(ranked, 1):
+        b = rank.bit_length() - 1
+        n, tot, mx, mn = want.get(b, (0, 0, 0, None))
+        want[b] = (
+            n + 1, tot + freqs[t], max(mx, freqs[t]),
+            freqs[t] if mn is None else min(mn, freqs[t]),
+        )
+    assert got == want
