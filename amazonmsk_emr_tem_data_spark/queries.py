@@ -8625,6 +8625,112 @@ WHERE fused_rank <= {k}
 """
 
 
+def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (r7): revenue of orders placed
+    by high-balance BUILDING-segment customers, with the orders scan
+    pruned by an explicit broadcast Bloom bitset BEFORE any join — the
+    hand-built form of Spark's runtime-filter rule, for the 100 TB case
+    where the qualifying dimension is too big to broadcast as rows but
+    its key MEMBERSHIP fits in kilobytes.
+
+    Plan shape: (1) one tiny shuffle builds the 2^16-bit bitset
+    distributed (`bit_or` word aggregation, <=1024 rows collected —
+    bounded model state, key-count independent); (2) the fact side
+    filters through pure codegen'd integer probes UNDER its exchange,
+    so only the matching sliver (~9% here) shuffles; (3) the exact
+    left-semi join against the key set removes Bloom false positives,
+    making the result bit-identical to the un-pruned join — verified by
+    the oracle, which is the PLAIN semi-join (the Bloom stage must be
+    invisible in the output). `tests/test_property.py` pins the
+    no-false-negative guarantee; `tests/test_joins.py` pins
+    prune == exact on the fixture."""
+    from .operators.bloom import bloom_might_contain, build_bloom_words
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000.0)
+    )
+    keys = cust.select("c_custkey")
+    words = build_bloom_words(keys, "c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    pruned = orders.filter(bloom_might_contain(words, F.col("o_custkey")))
+    survivors = pruned.join(
+        F.broadcast(keys),
+        pruned["o_custkey"] == keys["c_custkey"],
+        "left_semi",
+    )
+    return survivors.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice").alias("revenue"),
+    )
+
+
+_BLOOM_PRUNE_SQL = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {_dsum("o_totalprice")} AS revenue
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000.0)
+GROUP BY o_orderpriority
+"""
+
+
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (r7): parts not dominated on
+    (cheaper price, larger size) — dominance = price <= AND size >=
+    with at least one strict. The naive formulation is the O(n²)
+    NOT-EXISTS self-join (the oracle runs exactly that at sf0.01); the
+    Spark plan is the O(n log n) two-phase decomposition that survives
+    100 TB:
+
+    1. Band the price axis ($10 bands on the integer-cent grid, so
+       equal prices never straddle a band) and compute each band's max
+       size — a bounded aggregate (#bands rows, not data rows).
+    2. Running max over STRICTLY-CHEAPER bands via a window over that
+       tiny band table (single-partition is fine: it sorts #bands
+       rows), broadcast back.
+    3. Within each band — windows partitioned by band, never a global
+       single-partition sort over the data — a RANGE frame to
+       (current-1) gives the max size among strictly-cheaper same-band
+       parts, and the price-peer frame (RANGE 0..0) catches equal-price
+       larger-size dominators.
+
+    A part survives iff no strictly-cheaper part (either source) has
+    size >= mine and no equal-price part has size > mine. Exact — the
+    banding is a partitioning of the sort order, not an approximation
+    (operators/frontier.py; property-tested vs brute-force dominance in
+    tests/test_property.py)."""
+    from .operators.frontier import pareto_frontier_2d
+
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        "p_name",
+        _cents("p_retailprice").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    return pareto_frontier_2d(p, "price_cents", "size").select(
+        "p_partkey", "p_name", "price_cents", "size"
+    )
+
+
+_PART_SKYLINE_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_name,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+)
+SELECT p_partkey, p_name, price_cents, size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_cents <= a.price_cents AND b.size >= a.size
+    AND (b.price_cents < a.price_cents OR b.size > a.size)
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8704,6 +8810,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "event_hourly_autocorr": (event_hourly_autocorr, _AUTOCORR_SQL),
     "event_rate_spikes": (event_rate_spikes, _RATE_SPIKES_SQL),
     "token_zipf_profile": (token_zipf_profile, _ZIPF_SQL),
+    "bloom_prune_join": (bloom_prune_join, _BLOOM_PRUNE_SQL),
+    "part_skyline": (part_skyline, _PART_SKYLINE_SQL),
     # --- r7 window: refresh fill — the r4-green queue (newest driver
     # stamp round 4, the longest-unstamped evidence in the registry),
     # in their r6 queue order; its last three entries were displaced
@@ -8741,11 +8849,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         disjunctive_predicate_revenue,
         _DISJUNCTIVE_SQL,
     ),
-    "supplier_revenue_share": (supplier_revenue_share, _SUPPLIER_SHARE_SQL),
-    "cheapest_supplier_per_part": (
-        cheapest_supplier_per_part,
-        _CHEAPEST_SUPPLIER_SQL,
-    ),
     # ------------------------------------------------------------------
     # below the window (entry 51+). salted_customer_revenue stays
     # pinned at position 51: the window test anchors it to pin the
@@ -8756,9 +8859,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # (the freshest evidence, so lowest rotation priority).
     # ------------------------------------------------------------------
     "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
-    # r4-queue tail displaced below the window by the four operators
-    # added late in round 7 (fuzzy/autocorr/spikes/zipf) — first in
-    # line for the r8 window
+    # r4-queue tail displaced below the window by the operators added
+    # late in round 7 (fuzzy/autocorr/spikes/zipf, then the bloom-prune
+    # and skyline session-5 additions) — first in line for the r8
+    # window
+    "supplier_revenue_share": (supplier_revenue_share, _SUPPLIER_SHARE_SQL),
+    "cheapest_supplier_per_part": (
+        cheapest_supplier_per_part,
+        _CHEAPEST_SUPPLIER_SQL,
+    ),
     "supplier_counts_by_part_attrs": (
         supplier_counts_by_part_attrs,
         _SUPPLIER_COUNTS_SQL,

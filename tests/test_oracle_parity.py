@@ -75,9 +75,11 @@ def test_driver_window_covers_round7_rotation():
         "cluster_safe_split", "winnowing_match_pairs",
         "fuzzy_dup_verify_pairs", "event_hourly_autocorr",
         "event_rate_spikes", "token_zipf_profile",
+        "bloom_prune_join", "part_skyline",
         # the r4-green refresh queue (stamped round 4, nothing newer);
         # never-stamped r7 queries outrank refresh fill, so the queue's
-        # tail (supplier_counts_by_part_attrs, sole_blame_suppliers,
+        # tail (supplier_revenue_share, cheapest_supplier_per_part,
+        # supplier_counts_by_part_attrs, sole_blame_suppliers,
         # forecast_revenue_change, nation_market_share,
         # product_profit_by_nation_year, heavy_shipper_suppliers,
         # doc_unigram_logprob, corpus_vocab_stats, doc_pii_redaction,
@@ -93,8 +95,7 @@ def test_driver_window_covers_round7_rotation():
         "top_supplier_revenue", "large_quantity_orders",
         "nation_trade_flows", "idle_rich_customers",
         "doc_repetition_filter", "promo_revenue_share",
-        "disjunctive_predicate_revenue", "supplier_revenue_share",
-        "cheapest_supplier_per_part",
+        "disjunctive_predicate_revenue",
     }
     missing = must_check - window
     assert not missing, (

@@ -858,3 +858,99 @@ def test_zipf_profile_matches_reference(spark, toks, tmp_path_factory):
             freqs[t] if mn is None else min(mn, freqs[t]),
         )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction (operators/bloom.py)
+# ---------------------------------------------------------------------------
+
+
+@prop
+@given(
+    keys=st.lists(st.integers(-(10**6), 10**6), min_size=0, max_size=30),
+    probes=st.lists(st.integers(-(10**6), 10**6), min_size=0, max_size=30),
+)
+def test_bloom_never_false_negative(spark, keys, probes):
+    """The Bloom contract that makes the prune a pure physical
+    optimization: every inserted key MUST pass membership (false
+    positives are allowed — the exact join removes them; a false
+    negative would silently drop matching fact rows)."""
+    from amazonmsk_emr_tem_data_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom_words,
+    )
+
+    kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+    words = build_bloom_words(kdf, "k", m_bits=1 << 10, k=3)
+    assert len(words) == (1 << 10) // 64
+    universe = sorted(set(keys) | set(probes))
+    if not universe:
+        return
+    pdf = spark.createDataFrame([(p,) for p in universe], "p long")
+    got = {
+        r["p"]
+        for r in pdf.filter(
+            bloom_might_contain(words, F.col("p"), k=3)
+        ).collect()
+    }
+    assert set(keys) <= got  # zero false negatives, always
+
+
+def test_bloom_rejects_bad_sizes(spark):
+    from amazonmsk_emr_tem_data_spark.operators.bloom import (
+        build_bloom_words,
+    )
+
+    kdf = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        build_bloom_words(kdf, "k", m_bits=100)
+    with pytest.raises(ValueError):
+        build_bloom_words(kdf, "k", m_bits=0)
+
+
+# ---------------------------------------------------------------------------
+# 2-D Pareto frontier (operators/frontier.py)
+# ---------------------------------------------------------------------------
+
+
+@prop
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(0, 20)),
+        min_size=0,
+        max_size=40,
+    ),
+    band_width=st.sampled_from([1, 7, 1000, 10**6]),
+)
+def test_pareto_frontier_matches_bruteforce(spark, rows, band_width):
+    """Banded two-phase skyline == quadratic dominance scan, for band
+    widths from degenerate (every cost its own band) through one-band
+    (the whole axis). Duplicate points must BOTH survive (no strict
+    coordinate), which the brute force checks by identity-exclusion on
+    row id, not value equality."""
+    from amazonmsk_emr_tem_data_spark.operators.frontier import (
+        pareto_frontier_2d,
+    )
+
+    df = spark.createDataFrame(
+        [(i, c, g) for i, (c, g) in enumerate(rows)],
+        "rid long, cost long, gain long",
+    )
+    got = {
+        r["rid"]
+        for r in pareto_frontier_2d(
+            df, "cost", "gain", band_width=band_width
+        ).collect()
+    }
+    want = {
+        i
+        for i, (c, g) in enumerate(rows)
+        if not any(
+            j != i
+            and bc <= c
+            and bg >= g
+            and (bc < c or bg > g)
+            for j, (bc, bg) in enumerate(rows)
+        )
+    }
+    assert got == want
