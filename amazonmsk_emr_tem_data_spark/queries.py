@@ -8731,6 +8731,150 @@ WHERE NOT EXISTS (
 """
 
 
+def user_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FM/HLL register-sketch cardinality (r7): distinct users per
+    event type estimated through 64 max-rho registers, reported next to
+    the exact count and the measured error — the kilobytes-of-state
+    answer to COUNT(DISTINCT) that merges across shards, days, and
+    micro-batches (registers combine by MAX — the streaming twin drains
+    to the identical state).
+
+    Determinism: registers derive from the 60-bit md5 fold; rho =
+    lowest-set-bit position via log2(w & -w) — IEEE-exact on powers of
+    two, so both engines compute bit-identical registers
+    (functions/sketch.py). The estimator is alpha·m²·2^40 / S with S an
+    exact BIGINT (empty registers contribute 2^40 via the zero-filled
+    grid); no libm transcendental feeds the hash.
+
+    Scale: the register agg is map-side combinable to <= |types|·64
+    rows; the dense grid is |types|×64; the exact COUNT(DISTINCT) here
+    is the sf0.01-affordable ground truth column — at 100 TB you ship
+    ONLY the sketch and drop the exact branch."""
+    from .functions.sketch import (
+        M_REGISTERS,
+        fm_register,
+        register_estimate,
+        register_term,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    regs = (
+        ev.select("event_type", fm_register(F.col("user_id")).alias("c"))
+        .groupBy("event_type", F.col("c.j").alias("j"))
+        .agg(F.max("c.rho").alias("rho"))
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(M_REGISTERS - 1))).alias(
+                "j"
+            ),
+        )
+    )
+    dense = grid.join(regs, ["event_type", "j"], "left").select(
+        "event_type", "j", F.coalesce(F.col("rho"), F.lit(0)).alias("rho")
+    )
+    sketch = dense.groupBy("event_type").agg(
+        F.sum(register_term(F.col("rho"))).alias("s_terms"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_regs"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    est = register_estimate(F.col("s_terms"))
+    return (
+        sketch.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            est.alias("est"),
+            F.round(
+                F.lit(1000000.0)
+                * (est - F.col("n_exact")).cast("double")
+                / F.col("n_exact")
+            )
+            .cast("long")
+            .alias("err_ppm"),
+            "n_zero_regs",
+        )
+    )
+
+
+_SKETCH_H_SQL = _HASH64_SQL.format(
+    x="('dsk1' || '|' || CAST(user_id AS VARCHAR))"
+)
+
+#: registers CTE shared by the batch sketch and its streaming twin —
+#: must mirror functions/sketch.fm_register exactly.
+_SKETCH_REGS_CTES = f"""ev AS (
+  SELECT event_type, user_id FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+), hashed AS (
+  SELECT event_type, {_SKETCH_H_SQL} AS h FROM ev
+), regs AS (
+  SELECT event_type,
+         h % 64 AS j,
+         MAX(CASE WHEN h // 64 = 0 THEN 55
+             ELSE CAST(log2((h // 64) & -(h // 64)) AS BIGINT) + 1
+             END) AS rho
+  FROM hashed GROUP BY 1, 2
+)"""
+
+_DISTINCT_SKETCH_SQL = f"""
+WITH {_SKETCH_REGS_CTES}, grid AS (
+  SELECT event_type, j
+  FROM (SELECT DISTINCT event_type FROM ev)
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+), dense AS (
+  SELECT g.event_type, g.j, COALESCE(r.rho, 0) AS rho
+  FROM grid g LEFT JOIN regs r ON g.event_type = r.event_type AND g.j = r.j
+), sketch AS (
+  SELECT event_type,
+         SUM(CAST(power(2, 40 - least(rho, 40)) AS BIGINT)) AS s_terms,
+         CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_regs
+  FROM dense GROUP BY 1
+), exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM ev GROUP BY 1
+)
+SELECT event_type, n_exact,
+       CAST(round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(1099511627776 AS DOUBLE)
+                  / CAST(s_terms AS DOUBLE)) AS BIGINT) AS est,
+       CAST(round(1000000.0
+                  * CAST(CAST(round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(1099511627776 AS DOUBLE)
+                               / CAST(s_terms AS DOUBLE)) AS BIGINT)
+                         - n_exact AS DOUBLE)
+                  / n_exact) AS BIGINT) AS err_ppm,
+       n_zero_regs
+FROM sketch JOIN exact USING (event_type)
+"""
+
+
+def stream_user_distinct_sketch_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming FM/HLL register state == the batch registers bit-for-
+    bit (complete-mode MAX agg merges micro-batch partials) — the
+    batch-side SQL twin doubles as the micro-batching-invariance proof.
+    See streaming/pipelines.stream_user_distinct_sketch."""
+    from .streaming.pipelines import stream_user_distinct_sketch
+
+    out = stream_user_distinct_sketch(spark, sf_dir)
+    return out.select("event_type", F.col("j").cast("long").alias("j"), "rho")
+
+
+_STREAM_SKETCH_SQL = f"""
+WITH {_SKETCH_REGS_CTES}
+SELECT event_type, j, rho FROM regs
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8812,6 +8956,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "token_zipf_profile": (token_zipf_profile, _ZIPF_SQL),
     "bloom_prune_join": (bloom_prune_join, _BLOOM_PRUNE_SQL),
     "part_skyline": (part_skyline, _PART_SKYLINE_SQL),
+    "user_distinct_sketch": (user_distinct_sketch, _DISTINCT_SKETCH_SQL),
+    "stream_user_distinct_sketch": (
+        stream_user_distinct_sketch_q,
+        _STREAM_SKETCH_SQL,
+    ),
     # --- r7 window: refresh fill — the r4-green queue (newest driver
     # stamp round 4, the longest-unstamped evidence in the registry),
     # in their r6 queue order; its last three entries were displaced
@@ -8844,11 +8993,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "nation_trade_flows": (nation_trade_flows, _NATION_TRADE_SQL),
     "idle_rich_customers": (idle_rich_customers, _IDLE_RICH_SQL),
     "doc_repetition_filter": (doc_repetition_filter, _DOC_REPETITION_SQL),
-    "promo_revenue_share": (promo_revenue_share, _PROMO_SHARE_SQL),
-    "disjunctive_predicate_revenue": (
-        disjunctive_predicate_revenue,
-        _DISJUNCTIVE_SQL,
-    ),
     # ------------------------------------------------------------------
     # below the window (entry 51+). salted_customer_revenue stays
     # pinned at position 51: the window test anchors it to pin the
@@ -8863,6 +9007,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # late in round 7 (fuzzy/autocorr/spikes/zipf, then the bloom-prune
     # and skyline session-5 additions) — first in line for the r8
     # window
+    "promo_revenue_share": (promo_revenue_share, _PROMO_SHARE_SQL),
+    "disjunctive_predicate_revenue": (
+        disjunctive_predicate_revenue,
+        _DISJUNCTIVE_SQL,
+    ),
     "supplier_revenue_share": (supplier_revenue_share, _SUPPLIER_SHARE_SQL),
     "cheapest_supplier_per_part": (
         cheapest_supplier_per_part,

@@ -19,19 +19,26 @@ from ..schemas import TESTDATA_TABLES, tem_schema
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
-    """Columns stored as parquet TIMESTAMP(NANOS) — Spark 4 rejects the
-    physical type outright ([PARQUET_TYPE_ILLEGAL]), so reads go through
-    the ``nanosAsLong`` legacy mode and these columns are restored to
-    TimestampType below. Footer-only metadata read: O(1), driver-side.
-    A directory of shard part-files is probed via its first part file
-    (pyarrow's read_schema wants a file, and all shards of one write
-    share a schema)."""
+    """Columns stored as parquet INT64 TIMESTAMP(NANOS) — Spark 4
+    rejects that logical type outright ([PARQUET_TYPE_ILLEGAL]), so
+    reads go through the ``nanosAsLong`` legacy mode and these columns
+    are restored to TimestampType below. Footer-only metadata read:
+    O(1), driver-side. A directory of shard part-files is probed via
+    its first part file (all shards of one write share a schema).
+
+    The probe checks the parquet PHYSICAL type, not the arrow-level
+    schema: Spark's own default timestamp encoding is INT96, which
+    pyarrow also surfaces as ``timestamp[ns]`` — but Spark reads INT96
+    natively, and flagging it here would mis-apply the DIV-1000
+    restoration to an already-correct TimestampType column (the bug
+    class: any Spark-written events shard re-read through this loader).
+    Only INT64 + a nanoseconds TIMESTAMP annotation needs the legacy
+    path."""
     try:
         import glob
         import os
 
         import pyarrow.parquet as pq
-        import pyarrow as pa
 
         if os.path.isdir(path):
             parts = sorted(
@@ -42,12 +49,15 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
             if not parts:
                 return []
             path = parts[0]
-        schema = pq.read_schema(path)
-        return [
-            f.name
-            for f in schema
-            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-        ]
+        schema = pq.ParquetFile(path).schema
+        out = []
+        for i in range(len(schema)):
+            col = schema.column(i)
+            if col.physical_type == "INT64" and "nanos" in str(
+                col.logical_type
+            ).lower().replace(" ", ""):
+                out.append(col.name)
+        return out
     except Exception:
         return []
 

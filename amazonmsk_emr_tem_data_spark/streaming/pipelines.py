@@ -148,6 +148,30 @@ def stream_token_heavy_hitters(
     return run_to_memory(cell, output_mode="complete")
 
 
+def stream_user_distinct_sketch(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming FM/HLL register sketch over the event feed: per
+    (event_type, register) the max rho observed so far — 64 bytes of
+    state per event type answering "how many distinct users?" on an
+    unbounded stream. Complete-mode MAX aggregation: register maxima
+    merge algebraically across micro-batches, so the drained state is
+    IDENTICAL to the batch-computed registers however ingest was
+    chopped (the batch oracle + the merge test in
+    tests/test_streaming.py pin exactly that invariance)."""
+    from ..functions.sketch import fm_register
+
+    ev = events_stream(spark, sf_dir, max_files_per_trigger).filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    regs = (
+        ev.select("event_type", fm_register(F.col("user_id")).alias("c"))
+        .groupBy("event_type", F.col("c.j").alias("j"))
+        .agg(F.max("c.rho").alias("rho"))
+    )
+    return run_to_memory(regs, output_mode="complete")
+
+
 def run_to_memory(
     result: DataFrame,
     output_mode: str = "complete",

@@ -954,3 +954,48 @@ def test_pareto_frontier_matches_bruteforce(spark, rows, band_width):
         )
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# FM/HLL register sketch (functions/sketch.py)
+# ---------------------------------------------------------------------------
+
+
+@prop
+@given(keys=st.lists(st.integers(-(10**9), 10**9), min_size=1, max_size=25))
+def test_fm_register_matches_python_reference(spark, keys):
+    """Spark's codegen'd register expression == a pure-Python md5
+    reference (the same reference the DuckDB oracle mirrors): j from
+    the low 6 bits, rho = 1-based lowest-set-bit position of the high
+    54 bits, 55 when they are all zero. Also pins mergeability: the
+    max-register state of the union equals the elementwise max of each
+    half's state."""
+    from hashlib import md5
+
+    from amazonmsk_emr_tem_data_spark.functions.sketch import fm_register
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        (r["c"]["j"], r["k"]): r["c"]["rho"]
+        for r in df.select("k", fm_register(F.col("k")).alias("c")).collect()
+    }
+    for k in keys:
+        h = int(md5(f"dsk1|{k}".encode()).hexdigest()[:15], 16)
+        j, w = h % 64, h >> 6
+        rho = 55 if w == 0 else (w & -w).bit_length()
+        assert got[(j, k)] == rho
+
+    # merge identity: max over union == max of per-half maxima
+    half = len(keys) // 2
+    def regs(sub):
+        state = {}
+        for k in sub:
+            h = int(md5(f"dsk1|{k}".encode()).hexdigest()[:15], 16)
+            j, w = h % 64, h >> 6
+            rho = 55 if w == 0 else (w & -w).bit_length()
+            state[j] = max(state.get(j, 0), rho)
+        return state
+    merged = regs(keys[:half])
+    for j, r in regs(keys[half:]).items():
+        merged[j] = max(merged.get(j, 0), r)
+    assert merged == regs(keys)

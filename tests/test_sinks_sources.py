@@ -155,3 +155,52 @@ def test_envelope_bytes_match_reference_projection(spark):
     first = ours[0]
     assert first["key"] == first["value"][len('{"id":'):].split(",", 1)[0]
     assert first["value"].startswith('{"id":')
+
+def test_nanos_probe_ignores_int96_but_catches_int64_nanos(
+    spark, sf_dir, tmp_path
+):
+    """Spark's default parquet timestamp encoding is INT96, which
+    pyarrow ALSO surfaces as timestamp[ns] — an arrow-level probe
+    would flag it and mis-apply the DIV-1000 nanos restoration to an
+    already-correct column (analysis error on every Spark-written
+    events shard re-read through load_table / the streaming source).
+    The probe must read the parquet PHYSICAL type: INT96 → leave
+    alone; INT64 + TIMESTAMP(NANOS) → legacy nanosAsLong path."""
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from amazonmsk_emr_tem_data_spark.sources.files import (
+        _nanos_timestamp_cols,
+        load_table,
+    )
+
+    # Spark-written INT96 roundtrip: probe empty, reload bit-identical
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(2).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    assert _nanos_timestamp_cols(str(tmp_path / "events.parquet")) == []
+    back = load_table(spark, str(tmp_path), "events")
+    assert back.schema["ts"].dataType.typeName() == "timestamp"
+    assert (
+        back.selectExpr("min(ts)", "max(ts)", "count(*)").first()
+        == ev.selectExpr("min(ts)", "max(ts)", "count(*)").first()
+    )
+
+    # genuine INT64-nanos file: probe fires, loader restores to the
+    # micros-truncated TIMESTAMP
+    ns_val = 1_500_000_000_123_456_789
+    pq.write_table(
+        pa.table({"ts": pa.array([ns_val], pa.timestamp("ns"))}),
+        str(tmp_path / "t.parquet"),
+        store_schema=False,
+    )
+    assert _nanos_timestamp_cols(str(tmp_path / "t.parquet")) == ["ts"]
+    got = load_table(spark, str(tmp_path), "t")
+    assert got.schema["ts"].dataType.typeName() == "timestamp"
+    want = datetime.fromtimestamp(
+        (ns_val // 1000) / 1_000_000, tz=timezone.utc
+    ).replace(tzinfo=None)
+    assert got.first()["ts"] == want

@@ -457,3 +457,45 @@ def test_stream_cms_sketch_merges_across_microbatches(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_register_sketch_merges_across_microbatches(
+    spark, sf_dir, tmp_path
+):
+    """The streaming FM/HLL register state must equal the batch
+    registers REGARDLESS of micro-batching: 4 shard files drained with
+    maxFilesPerTrigger=1 force repeated state-store MAX-merges of
+    partial registers, and the drained complete-mode state must match
+    the single-pass batch registers exactly (max is commutative,
+    associative, idempotent — merge order and even replayed overlap
+    cannot change it)."""
+    from amazonmsk_emr_tem_data_spark.functions.sketch import fm_register
+    from amazonmsk_emr_tem_data_spark.sources.files import load_table
+    from amazonmsk_emr_tem_data_spark.streaming.pipelines import (
+        stream_user_distinct_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    shard_dir = str(tmp_path / "sharded")
+    ev.repartition(4).write.mode("overwrite").parquet(
+        f"{shard_dir}/events.parquet"
+    )
+
+    got = {
+        (r["event_type"], r["j"]): r["rho"]
+        for r in stream_user_distinct_sketch(
+            spark, shard_dir, max_files_per_trigger=1
+        ).collect()
+    }
+    want = {
+        (r["event_type"], r["j"]): r["rho"]
+        for r in ev.filter(
+            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .select("event_type", fm_register(F.col("user_id")).alias("c"))
+        .groupBy("event_type", F.col("c.j").alias("j"))
+        .agg(F.max("c.rho").alias("rho"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
