@@ -8875,6 +8875,177 @@ SELECT event_type, j, rho FROM regs
 """
 
 
+def value_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable binned-quantile sketch (r7): p50/p90/p99 upper bounds
+    of event value per type from a fixed-width $5 histogram — the
+    sketch family that completes CMS (count-merge) and the FM registers
+    (max-merge) with the bounded-bin form every monitoring stack ships:
+    bin counts SUM across shards/micro-batches, and the quantile read
+    is a tiny post-pass over <=100 bins per type.
+
+    Guarantee (pinned by a property test): the true q-quantile lies in
+    [ub - width, ub) — bins are floor-division half-open intervals, so
+    the error is bounded by the bin width by construction, at any
+    scale, with |types|·|bins| state.
+
+    Exactness: all integer — cents grid, integer bin ids, and the rank
+    threshold compares 100·cum >= q·n instead of ceil(q·n/100). One
+    (type, bin) shuffle with map-side combine, one per-type window over
+    bin counts (<=100 rows per partition), one final agg."""
+    width = 500  # cents
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    # floor (not truncating) division so negative values bin into
+    # (ub - width, ub] like everything else — DuckDB's integer // and
+    # a plain cast both truncate toward zero, which would silently
+    # widen bin 0 to 2·width-1 cents around the origin.
+    hist = (
+        ev.select(
+            "event_type",
+            F.floor(_cents("value") / width).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_all = Window.partitionBy("event_type")
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "event_type",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w_all).alias("n"),
+        F.sum("cnt").over(w_cum).alias("cum"),
+    )
+    ub = (F.col("bin") + 1) * width
+
+    def q_ub(q: int) -> Column:
+        return F.min(
+            F.when(F.col("cum") * 100 >= F.col("n") * q, ub)
+        ).alias(f"p{q}_ub_cents")
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n_values"),
+        q_ub(50),
+        q_ub(90),
+        q_ub(99),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+
+
+_QUANTILE_HIST_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), hist AS (
+  SELECT event_type, CAST(floor(vc / 500.0) AS BIGINT) AS bin, COUNT(*) AS cnt
+  FROM ev GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_values,
+       MIN(CASE WHEN cum * 100 >= n * 50 THEN (bin + 1) * 500 END)
+         AS p50_ub_cents,
+       MIN(CASE WHEN cum * 100 >= n * 90 THEN (bin + 1) * 500 END)
+         AS p90_ub_cents,
+       MIN(CASE WHEN cum * 100 >= n * 99 THEN (bin + 1) * 500 END)
+         AS p99_ub_cents,
+       COUNT(*) AS n_bins
+FROM cum GROUP BY 1
+"""
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (r7): every purchase credited to the
+    user's most recent non-purchase event at-or-before purchase time —
+    the point-in-time-correct enrichment (no future leakage) that
+    feature pipelines and marketing attribution both need, composed
+    from the union-merge as-of join (operators/joins.py): ONE shuffle
+    of purchases+touches on user_id, one sort per user, no inequality
+    join and no per-user fan-out.
+
+    Tie semantics (pinned by the oracle): a touch at exactly the
+    purchase timestamp counts; among equal-timestamp touches the
+    greatest event_id wins. Purchases with no prior touch land in the
+    'none' bucket with a zero gap sum."""
+    from .operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_type").alias("touch_type"),
+        F.unix_micros("ts").alias("touch_us"),
+        F.col("event_id").alias("touch_eid"),
+    )
+    enriched = asof_join(
+        purchases,
+        touches,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["touch_type", "touch_us", "touch_eid"],
+        tie_break="touch_eid",
+    )
+    return enriched.groupBy(
+        F.coalesce(F.col("touch_type"), F.lit("none")).alias("touch_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dec_sum("value").alias("attributed_revenue"),
+        F.coalesce(
+            F.sum(F.unix_micros("ts") - F.col("touch_us")), F.lit(0)
+        )
+        .cast("long")
+        .alias("total_gap_us"),
+    )
+
+
+_ATTRIBUTION_SQL = f"""
+WITH ev AS (
+  SELECT * FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+), purchases AS (
+  SELECT user_id, ts, event_id, value FROM ev
+  WHERE event_type = 'purchase'
+), touches AS (
+  SELECT user_id, ts, event_id, event_type FROM ev
+  WHERE event_type <> 'purchase'
+), ranked AS (
+  SELECT p.event_id AS pid, t.event_type AS touch_type, t.ts AS tts,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY t.ts DESC, t.event_id DESC) AS rn
+  FROM purchases p
+  JOIN touches t ON t.user_id = p.user_id AND t.ts <= p.ts
+), picked AS (
+  SELECT p.value, p.ts AS pts, r.touch_type, r.tts
+  FROM purchases p
+  LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON r.pid = p.event_id
+)
+SELECT COALESCE(touch_type, 'none') AS touch_type,
+       COUNT(*) AS n_purchases,
+       {_dsum("value")} AS attributed_revenue,
+       CAST(COALESCE(SUM(epoch_us(pts) - epoch_us(tts)), 0) AS BIGINT)
+         AS total_gap_us
+FROM picked GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8961,6 +9132,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         stream_user_distinct_sketch_q,
         _STREAM_SKETCH_SQL,
     ),
+    "value_quantile_histogram": (
+        value_quantile_histogram,
+        _QUANTILE_HIST_SQL,
+    ),
+    "purchase_attribution": (purchase_attribution, _ATTRIBUTION_SQL),
     # --- r7 window: refresh fill — the r4-green queue (newest driver
     # stamp round 4, the longest-unstamped evidence in the registry),
     # in their r6 queue order; its last three entries were displaced
@@ -8991,8 +9167,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "top_supplier_revenue": (top_supplier_revenue, _TOP_SUPPLIER_SQL),
     "large_quantity_orders": (large_quantity_orders, _LARGE_ORDERS_SQL),
     "nation_trade_flows": (nation_trade_flows, _NATION_TRADE_SQL),
-    "idle_rich_customers": (idle_rich_customers, _IDLE_RICH_SQL),
-    "doc_repetition_filter": (doc_repetition_filter, _DOC_REPETITION_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+). salted_customer_revenue stays
     # pinned at position 51: the window test anchors it to pin the
@@ -9007,6 +9181,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # late in round 7 (fuzzy/autocorr/spikes/zipf, then the bloom-prune
     # and skyline session-5 additions) — first in line for the r8
     # window
+    "idle_rich_customers": (idle_rich_customers, _IDLE_RICH_SQL),
+    "doc_repetition_filter": (doc_repetition_filter, _DOC_REPETITION_SQL),
     "promo_revenue_share": (promo_revenue_share, _PROMO_SHARE_SQL),
     "disjunctive_predicate_revenue": (
         disjunctive_predicate_revenue,

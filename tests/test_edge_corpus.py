@@ -240,6 +240,16 @@ EDGE_EVENTS = [
     # NULL value: the numeric-drift monitor must EXCLUDE it (no bin)
     # in both engines, and value aggs must skip it identically
     (13, "2024-01-03 23:59:59.500000", 3, "view", None, "{}"),
+    # r7 attribution edges: user 4 purchases with NO prior touch ever
+    # (the 'none' bucket; one with NULL value — revenue sum must skip
+    # it while the purchase still counts)
+    (14, "2024-01-04 00:00:00", 4, "purchase", 40.0, "{}"),
+    (17, "2024-01-04 00:00:01", 4, "purchase", None, "{}"),
+    # touches at EXACTLY the purchase-10 timestamp: equal-ts touches
+    # count (inclusive as-of), and among them the greatest event_id
+    # (16, the click) must win the tie in both engines
+    (15, "2024-01-02 01:00:00", 2, "view", 5.0, "{}"),
+    (16, "2024-01-02 01:00:00", 2, "click", 6.0, "{}"),
 ]
 
 EDGE_ORDERS = [
@@ -308,6 +318,15 @@ EVENTS_QUERIES = [
     # baselines where the trailing frame is partially filled
     "event_hourly_autocorr",
     "event_rate_spikes",
+    # r7 session-5: FM registers on a 4-user corpus (most registers
+    # empty -> the zero-filled grid and small-range behavior), binned
+    # quantiles over negative values (negative cents floor-divide to
+    # negative bins) and single-value types, last-touch attribution
+    # ('none' bucket, NULL-value purchase, equal-ts tie on event_id)
+    "user_distinct_sketch",
+    "stream_user_distinct_sketch",
+    "value_quantile_histogram",
+    "purchase_attribution",
 ]
 
 

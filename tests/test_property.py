@@ -999,3 +999,48 @@ def test_fm_register_matches_python_reference(spark, keys):
     for j, r in regs(keys[half:]).items():
         merged[j] = max(merged.get(j, 0), r)
     assert merged == regs(keys)
+
+
+@prop
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-900.0,
+            max_value=900.0,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_quantile_histogram_bound_holds(spark, vals, tmp_path_factory):
+    """The binned sketch's contract: for each q, the reported upper
+    bound ub satisfies  true_quantile ∈ [ub - width, ub)  (bins are
+    half-open floor-division intervals) where the true q-quantile is
+    the value at 1-based rank ceil(q·n/100) of the sorted values —
+    bin-width-bounded error by construction, including negative values
+    (floor-division bins, not truncation)."""
+    import math
+
+    from amazonmsk_emr_tem_data_spark.queries import (
+        value_quantile_histogram,
+    )
+
+    d = str(tmp_path_factory.mktemp("qhist"))
+    spark.createDataFrame(
+        [
+            (i, datetime(2024, 1, 1, 0, 0, i % 60), 1, "t", float(v), "{}")
+            for i, v in enumerate(vals)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    row = value_quantile_histogram(spark, d).collect()[0]
+    cents = sorted(round(v * 100) for v in vals)
+    n = len(cents)
+    assert row["n_values"] == n
+    for q in (50, 90, 99):
+        ub = row[f"p{q}_ub_cents"]
+        true_q = cents[math.ceil(q * n / 100) - 1]
+        assert ub - 500 <= true_q < ub, (q, ub, true_q, cents)
