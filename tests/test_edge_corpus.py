@@ -327,6 +327,12 @@ EVENTS_QUERIES = [
     "stream_user_distinct_sketch",
     "value_quantile_histogram",
     "purchase_attribution",
+    # CUSUM over a tiny dense grid (argmax ties resolved to the
+    # earliest hour; all-zero types; post-level NULL when the argmax
+    # is the final hour) and association rules across exact-boundary
+    # session gaps and single-type sessions
+    "event_cusum_changepoint",
+    "session_association_rules",
 ]
 
 

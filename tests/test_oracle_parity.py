@@ -76,9 +76,17 @@ def test_driver_window_covers_round7_rotation():
         "fuzzy_dup_verify_pairs", "event_hourly_autocorr",
         "event_rate_spikes", "token_zipf_profile",
         "bloom_prune_join", "part_skyline",
+        "user_distinct_sketch", "stream_user_distinct_sketch",
+        "value_quantile_histogram", "purchase_attribution",
+        "nation_revenue_trend", "event_cusum_changepoint",
+        "session_association_rules",
         # the r4-green refresh queue (stamped round 4, nothing newer);
         # never-stamped r7 queries outrank refresh fill, so the queue's
-        # tail (supplier_revenue_share, cheapest_supplier_per_part,
+        # tail (top_supplier_revenue, large_quantity_orders,
+        # nation_trade_flows, idle_rich_customers,
+        # doc_repetition_filter,
+        # promo_revenue_share, disjunctive_predicate_revenue,
+        # supplier_revenue_share, cheapest_supplier_per_part,
         # supplier_counts_by_part_attrs, sole_blame_suppliers,
         # forecast_revenue_change, nation_market_share,
         # product_profit_by_nation_year, heavy_shipper_suppliers,
@@ -92,10 +100,6 @@ def test_driver_window_covers_round7_rotation():
         "doc_word_positions", "order_price_distribution",
         "systematic_sample_revenue", "doc_regex_extract",
         "embedding_stats", "dedup_clusters", "customer_order_histogram",
-        "top_supplier_revenue", "large_quantity_orders",
-        "nation_trade_flows", "idle_rich_customers",
-        "doc_repetition_filter", "promo_revenue_share",
-        "disjunctive_predicate_revenue",
     }
     missing = must_check - window
     assert not missing, (

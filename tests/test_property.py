@@ -1044,3 +1044,143 @@ def test_quantile_histogram_bound_holds(spark, vals, tmp_path_factory):
         ub = row[f"p{q}_ub_cents"]
         true_q = cents[math.ceil(q * n / 100) - 1]
         assert ub - 500 <= true_q < ub, (q, ub, true_q, cents)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point + session association rules
+# ---------------------------------------------------------------------------
+
+
+@prop
+@given(
+    cells=st.lists(
+        st.tuples(st.integers(0, 48), st.integers(1, 4)),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_cusum_changepoint_matches_reference(spark, cells, tmp_path_factory):
+    """argmax-|CUSUM| localization == exact-integer Python reference on
+    arbitrary sparse hourly layouts: dense zero-filled span, earliest
+    hour on tied |cusum|, HALF-UP level rounding, NULL post level when
+    the argmax is the final hour (n == i)."""
+    import math
+
+    from amazonmsk_emr_tem_data_spark.queries import event_cusum_changepoint
+
+    d = str(tmp_path_factory.mktemp("cusum"))
+    rows, eid = [], 0
+    for h, c in cells:
+        for _ in range(c):
+            rows.append(
+                (eid, BASE + timedelta(hours=h, minutes=eid % 60), 1, "t",
+                 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = event_cusum_changepoint(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+
+    counts = {}
+    for h, c in cells:
+        counts[h] = counts.get(h, 0) + c
+    h_lo, h_hi = min(counts), max(counts)
+    series = [counts.get(h, 0) for h in range(h_lo, h_hi + 1)]
+    n, total = len(series), sum(series)
+    cum, best = 0, None
+    for i, c in enumerate(series, start=1):
+        cum += c
+        cs = abs(n * cum - i * total)
+        if best is None or cs > best[0]:
+            best = (cs, i, cum)
+    cs, i, cum_at = best
+    assert r["n_hours"] == n
+    assert r["total"] == total
+    assert r["max_abs_cusum_scaled"] == cs
+    assert r["change_hour"] == BASE + timedelta(hours=h_lo + i - 1)
+    assert r["pre_level_milli"] == math.floor(1000 * cum_at / i + 0.5)
+    if n > i:
+        want_post = math.floor(1000 * (total - cum_at) / (n - i) + 0.5)
+        assert r["post_level_milli"] == want_post
+    else:
+        assert r["post_level_milli"] is None
+
+
+@prop
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),          # user
+            st.integers(0, 200),        # minute offset
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_association_rules_match_bruteforce(spark, rows, tmp_path_factory):
+    """Support/confidence/lift == brute-force session-set mining:
+    Python sessionizes with the same strictly-greater-than 30-min gap,
+    builds per-session type sets, and checks every ordered pair's
+    truncated-ppm metrics."""
+    from amazonmsk_emr_tem_data_spark.queries import (
+        session_association_rules,
+    )
+
+    d = str(tmp_path_factory.mktemp("assoc"))
+    spark.createDataFrame(
+        [
+            (i, BASE + timedelta(minutes=m), u, t, 1.0, "{}")
+            for i, (u, m, t) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["n_ab"], r["support_ppm"], r["confidence_ppm"], r["lift_ppm"]
+        )
+        for r in session_association_rules(spark, d).collect()
+    }
+
+    sessions = []
+    by_user = {}
+    for i, (u, m, t) in enumerate(rows):
+        by_user.setdefault(u, []).append((m, i, t))
+    for u, evs in by_user.items():
+        evs.sort()
+        cur = None
+        for m, _i, t in evs:
+            if cur is None or m - cur[0] > 30:
+                sessions.append({t})
+                cur = (m, len(sessions) - 1)
+            else:
+                sessions[cur[1]].add(t)
+            cur = (m, cur[1] if cur else len(sessions) - 1)
+    n_sessions = len(sessions)
+    n_t = {}
+    for s in sessions:
+        for t in s:
+            n_t[t] = n_t.get(t, 0) + 1
+    want = {}
+    for a in "abc":
+        for b in "abc":
+            if a == b:
+                continue
+            n_ab = sum(1 for s in sessions if a in s and b in s)
+            if n_ab == 0:
+                continue
+            want[(a, b)] = (
+                n_ab,
+                1000000 * n_ab // n_sessions,
+                1000000 * n_ab // n_t[a],
+                (1000000 * n_ab * n_sessions) // (n_t[a] * n_t[b]),
+            )
+    assert got == want, (rows, sessions)
