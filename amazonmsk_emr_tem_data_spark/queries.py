@@ -9406,6 +9406,269 @@ CROSS JOIN totals
 """
 
 
+def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (r7): the materialization step of lexical
+    retrieval — per term, document frequency, collection frequency,
+    and the posting list as a sorted array of zero-padded
+    ``doc_id:tf`` entries (padded so lexicographic array order IS
+    numeric doc order in both engines; real systems delta-encode this
+    — the padded-string form keeps the oracle bit-comparable).
+
+    BM25/tf-idf QUERY this structure implicitly per search; building
+    it once and sharding by term is how a 100 TB corpus serves many
+    queries. Plan: one (term, doc) map-side-combined rollup, one term
+    shuffle for the collect_list — the same two exchanges as any
+    grouped agg. Posting arrays are capped at 1000 entries (df keeps
+    the true count; heavy-term lists are the known cost center of any
+    inverted index and get their own sharding in production — the cap
+    bounds row width here, pinned by the oracle applying the same
+    slice)."""
+    from .functions.text import tokens
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    posting = F.concat(
+        F.lpad(F.col("doc_id").cast("string"), 9, "0"),
+        F.lit(":"),
+        F.col("tf").cast("string"),
+    )
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.slice(
+            F.sort_array(F.collect_list(posting)), 1, 1000
+        ).alias("postings"),
+    )
+
+
+_INVERTED_INDEX_SQL = f"""
+WITH tf AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+  GROUP BY 1, 2
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS cf,
+       (list(lpad(CAST(doc_id AS VARCHAR), 9, '0') || ':'
+             || CAST(tf AS VARCHAR)
+             ORDER BY doc_id))[1:1000] AS postings
+FROM tf GROUP BY 1
+"""
+
+
+def event_value_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (5%-trimmed) mean per event type (r7): drop the lowest
+    and highest floor(n/20) values by deterministic rank (cent value,
+    then event_id) and average the rest — the outlier-insensitive
+    level estimate, reported next to the plain mean so the gap IS the
+    tail influence. One sort per type; everything on the integer cent
+    grid, the two means rounded once to milli-cents (identical IEEE
+    both engines)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy("vc", "event_id")
+    w_all = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "event_id", _cents("value").alias("vc")
+    ).select(
+        "event_type",
+        "vc",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    k = (F.col("n") / 20).cast("long")
+    kept = ranked.filter((F.col("rn") > k) & (F.col("rn") <= F.col("n") - k))
+    return kept.groupBy("event_type").agg(
+        F.max("n").alias("n_values"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(
+            F.lit(1000.0) * F.sum("vc") / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("trimmed_mean_milli_cents"),
+    )
+
+
+_TRIMMED_STATS_SQL = """
+WITH ranked AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY CAST(round(value * 100) AS BIGINT),
+                                          event_id) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), kept AS (
+  SELECT * FROM ranked
+  WHERE rn > n // 20 AND rn <= n - n // 20
+)
+SELECT event_type,
+       MAX(n) AS n_values,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(round(1000.0 * SUM(vc) / COUNT(*)) AS BIGINT)
+         AS trimmed_mean_milli_cents
+FROM kept GROUP BY 1
+"""
+
+
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-spend deciles (r7) via NTILE — the remaining
+    ranking-window family member (row_number/rank/dense_rank/
+    percent_rank/cume_dist are covered elsewhere): decile cut on total
+    order spend with a total deterministic order (spend desc, custkey
+    asc — NTILE splits ties across buckets, so the tie-break IS the
+    semantics), then per-decile count, revenue share, and the spend
+    boundaries. Two exchanges: the customer rollup and the 10-row
+    final agg; the NTILE window is a single sort over |customers|
+    rollup rows, not order rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).alias("spend_cents")
+    )
+    # pmod(custkey, 1) == constant 0 partition key (the _ranked_topk
+    # trick): NTILE needs the total order, and the window input is the
+    # |customers| rollup, not order rows. At true 100 TB dimension
+    # cardinality the decile cut moves to broadcast quantile
+    # boundaries; NTILE's tie-splitting semantics are the point here.
+    w = Window.partitionBy(F.pmod(F.col("o_custkey"), F.lit(1))).orderBy(
+        F.col("spend_cents").desc(), F.col("o_custkey").asc()
+    )
+    tiled = spend.select(
+        "o_custkey",
+        "spend_cents",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("spend_cents").alias("decile_spend_cents"),
+        F.max("spend_cents").alias("max_spend_cents"),
+        F.min("spend_cents").alias("min_spend_cents"),
+    )
+
+
+_SPEND_DECILES_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_cents
+  FROM orders GROUP BY 1
+), tiled AS (
+  SELECT o_custkey, spend_cents,
+         CAST(ntile(10) OVER (ORDER BY spend_cents DESC, o_custkey ASC)
+              AS BIGINT) AS decile
+  FROM spend
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(spend_cents) AS BIGINT) AS decile_spend_cents,
+       MAX(spend_cents) AS max_spend_cents,
+       MIN(spend_cents) AS min_spend_cents
+FROM tiled GROUP BY 1
+"""
+
+
+def hilbert_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout audit (r7): the same 64-shard min/max
+    statistics report as `zorder_layout_stats`, with the Morton code
+    swapped for the Hilbert index (operators/hilbert.py — the 4-state
+    FSM form, pure BIGINT lookups in codegen). Identical shard count,
+    scaling, and range predicates, so the two queries' pruning columns
+    are directly comparable: the Hilbert curve's adjacent-cell walk
+    has no Morton seam-jumps, so per-shard bounding boxes are tighter
+    and at least as many shards prune (measured in
+    tests/test_layout.py).
+
+    Scale identical to the Z-order audit: one scan, one 64-group
+    map-side-combined aggregate, a 1-row bounded driver collect for
+    the key maxima; at 100 TB the code is a repartitionByRange sort
+    key."""
+    from .operators.hilbert import hilbert16
+    from .operators.layout import scale_to_16bit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    mx = li.agg(
+        F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
+    ).collect()[0]
+    hd = hilbert16(
+        scale_to_16bit(F.col("l_partkey"), mx["mp"]),
+        scale_to_16bit(F.col("l_suppkey"), mx["ms"]),
+    )
+    plo, phi = _ZORDER_PART_RANGE
+    slo, shi = _ZORDER_SUPP_RANGE
+    return (
+        li.select(
+            F.shiftright(hd, 26).alias("shard_id"),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").cast("long").alias("min_part"),
+            F.max("l_partkey").cast("long").alias("max_part"),
+            F.min("l_suppkey").cast("long").alias("min_supp"),
+            F.max("l_suppkey").cast("long").alias("max_supp"),
+        )
+        .select(
+            "shard_id",
+            "n_rows",
+            "min_part",
+            "max_part",
+            "min_supp",
+            "max_supp",
+            (
+                (F.col("max_part") >= plo) & (F.col("min_part") <= phi)
+            ).alias("scans_for_part_range"),
+            (
+                (F.col("max_supp") >= slo) & (F.col("min_supp") <= shi)
+            ).alias("scans_for_supp_range"),
+        )
+    )
+
+
+def _hilbert_sql() -> str:
+    from .operators.hilbert import hilbert16_sql
+
+    plo, phi = _ZORDER_PART_RANGE
+    slo, shi = _ZORDER_SUPP_RANGE
+    scaled_p = (
+        "CAST(floor(CAST(l_partkey AS BIGINT) * 65536"
+        " / (mp + 1.0)) AS BIGINT)"
+    )
+    scaled_s = (
+        "CAST(floor(CAST(l_suppkey AS BIGINT) * 65536"
+        " / (ms + 1.0)) AS BIGINT)"
+    )
+    steps = hilbert16_sql(scaled_p, scaled_s, "lineitem CROSS JOIN mx")
+    return f"""
+WITH mx AS (
+  SELECT CAST(MAX(l_partkey) AS BIGINT) AS mp,
+         CAST(MAX(l_suppkey) AS BIGINT) AS ms
+  FROM lineitem
+),
+{steps}
+SELECT shard_id,
+       COUNT(*) AS n_rows,
+       CAST(MIN(l_partkey) AS BIGINT) AS min_part,
+       CAST(MAX(l_partkey) AS BIGINT) AS max_part,
+       CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
+       CAST(MAX(l_suppkey) AS BIGINT) AS max_supp,
+       (MAX(l_partkey) >= {plo} AND MIN(l_partkey) <= {phi})
+         AS scans_for_part_range,
+       (MAX(l_suppkey) >= {slo} AND MIN(l_suppkey) <= {shi})
+         AS scans_for_supp_range
+FROM (SELECT (hd >> 26) AS shard_id, l_partkey, l_suppkey
+      FROM hilbert_coded)
+GROUP BY shard_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9503,6 +9766,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         session_association_rules,
         _ASSOC_RULES_SQL,
     ),
+    "corpus_inverted_index": (corpus_inverted_index, _INVERTED_INDEX_SQL),
+    "event_value_trimmed_stats": (
+        event_value_trimmed_stats,
+        _TRIMMED_STATS_SQL,
+    ),
+    "customer_spend_deciles": (customer_spend_deciles, _SPEND_DECILES_SQL),
+    "hilbert_layout_stats": (hilbert_layout_stats, _hilbert_sql()),
     # --- r7 window: refresh fill — the r4-green queue (newest driver
     # stamp round 4, the longest-unstamped evidence in the registry),
     # in their r6 queue order; its last three entries were displaced
@@ -9523,13 +9793,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         systematic_sample_revenue,
         _SYSTEMATIC_SAMPLE_SQL,
     ),
-    "doc_regex_extract": (doc_regex_extract, _REGEX_EXTRACT_SQL),
-    "embedding_stats": (embedding_stats, _EMBEDDING_STATS_SQL),
-    "dedup_clusters": (dedup_clusters_q, _DEDUP_CLUSTERS_SQL),
-    "customer_order_histogram": (
-        customer_order_histogram,
-        _CUSTOMER_ORDER_HIST_SQL,
-    ),
     # ------------------------------------------------------------------
     # below the window (entry 51+). salted_customer_revenue stays
     # pinned at position 51: the window test anchors it to pin the
@@ -9544,6 +9807,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # late in round 7 (fuzzy/autocorr/spikes/zipf, then the bloom-prune
     # and skyline session-5 additions) — first in line for the r8
     # window
+    "doc_regex_extract": (doc_regex_extract, _REGEX_EXTRACT_SQL),
+    "embedding_stats": (embedding_stats, _EMBEDDING_STATS_SQL),
+    "dedup_clusters": (dedup_clusters_q, _DEDUP_CLUSTERS_SQL),
+    "customer_order_histogram": (
+        customer_order_histogram,
+        _CUSTOMER_ORDER_HIST_SQL,
+    ),
     "top_supplier_revenue": (top_supplier_revenue, _TOP_SUPPLIER_SQL),
     "large_quantity_orders": (large_quantity_orders, _LARGE_ORDERS_SQL),
     "nation_trade_flows": (nation_trade_flows, _NATION_TRADE_SQL),

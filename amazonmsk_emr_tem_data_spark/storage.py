@@ -134,11 +134,49 @@ def zorder_compact(
     the Project preserves the partitioning, so no extra shuffle and
     nothing extra on disk.
     """
+    from .operators.layout import morton16
+
+    return _curve_compact(
+        spark, src, dst, zorder_cols, morton16, n_files,
+        target_file_bytes, mode,
+    )
+
+
+def hilbert_compact(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    cluster_cols: tuple[str, str],
+    n_files: int | None = None,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Hilbert-curve compaction: `zorder_compact` with the Morton
+    interleave swapped for the Hilbert index (operators/hilbert.py).
+    The curve walks adjacent cells only — no Morton seam-jumps — so
+    per-file bounding boxes on the two keys are at least as tight at
+    the same file count (Delta's "liquid clustering" switch, measured
+    by tests/test_storage.py against the Z-order layout)."""
+    from .operators.hilbert import hilbert16
+
+    return _curve_compact(
+        spark, src, dst, cluster_cols, hilbert16, n_files,
+        target_file_bytes, mode,
+    )
+
+
+def _curve_compact(
+    spark, src, dst, cols, code_fn, n_files, target_file_bytes, mode
+) -> int:
+    """Shared space-filling-curve rewrite: scale both keys onto the
+    16-bit domain, compute the curve code, range-shard + sort on it,
+    drop the code column (the Project preserves the partitioning — no
+    extra shuffle, nothing extra on disk)."""
     from pyspark.sql import functions as F
 
-    from .operators.layout import morton16, scale_to_16bit
+    from .operators.layout import scale_to_16bit
 
-    a, b = zorder_cols
+    a, b = cols
     df = spark.read.parquet(src)
     if n_files is None:
         total_bytes, _ = dir_stats(spark, src)
@@ -159,15 +197,15 @@ def zorder_compact(
         df.repartition(1).write.mode(mode).parquet(dst)
         _, files_after = dir_stats(spark, dst)
         return files_after
-    z = morton16(
+    code = code_fn(
         scale_to_16bit(F.col(a), mx["ma"], mx["na"]),
         scale_to_16bit(F.col(b), mx["mb"], mx["nb"]),
     )
     out = (
-        df.withColumn("__zorder", z)
-        .repartitionByRange(n_files, "__zorder")
-        .sortWithinPartitions("__zorder")
-        .drop("__zorder")
+        df.withColumn("__curve", code)
+        .repartitionByRange(n_files, "__curve")
+        .sortWithinPartitions("__curve")
+        .drop("__curve")
     )
     out.write.mode(mode).parquet(dst)
     _, files_after = dir_stats(spark, dst)

@@ -68,6 +68,9 @@ DOC_QUERIES = [
     "doc_bpe_segmentation",
     # BM25: query terms absent/present on empty + unicode docs
     "doc_bm25_search",
+    # inverted index: empty/whitespace docs contribute no postings;
+    # unicode terms; padded posting order == numeric doc order
+    "corpus_inverted_index",
     # r6 session-2: bigram LM (docs shorter than 2 tokens drop from
     # the output in BOTH engines), mixture resampling (token counting
     # + integer rates on empty/unicode text), keep-best dedup (quality
@@ -333,6 +336,10 @@ EVENTS_QUERIES = [
     # session gaps and single-type sessions
     "event_cusum_changepoint",
     "session_association_rules",
+    # trimmed stats over NULL/negative/tied values; deciles with
+    # fewer customers than buckets (ntile gives short buckets 1..n)
+    "event_value_trimmed_stats",
+    "customer_spend_deciles",
 ]
 
 

@@ -116,3 +116,108 @@ def test_scale_to_16bit_signed_domain(spark):
     vals = [s for _, s in rows]
     assert vals == sorted(vals)
     assert vals[0] == 0 and 65536 - 64 <= vals[-1] < 65536
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout (operators/hilbert.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hilbert_fsm_tables_match_reference_exhaustively():
+    """The 4-state FSM tables must reproduce the classic rotate/
+    reflect xy2d algorithm for EVERY point of the full 256x256 grid —
+    a mechanical re-derivation of the equivalence the tables were
+    built from (any typo in either 16-entry table fails hundreds of
+    cells)."""
+    from amazonmsk_emr_tem_data_spark.operators.hilbert import (
+        NEXT_TABLE,
+        OUT_TABLE,
+        xy2d_reference,
+    )
+
+    def fsm_d(p, x, y):
+        st, d = 0, 0
+        for lvl in range(p - 1, -1, -1):
+            idx = st * 4 + ((x >> lvl) & 1) * 2 + ((y >> lvl) & 1)
+            d = (d << 2) | OUT_TABLE[idx]
+            st = NEXT_TABLE[idx]
+        return d
+
+    for x in range(256):
+        for y in range(256):
+            assert fsm_d(8, x, y) == xy2d_reference(256, x, y), (x, y)
+
+
+def test_hilbert_spark_matches_python_reference(spark):
+    """The unrolled 16-step column expression == the pure-Python
+    reference at full 16-bit depth, on a key sample crossing every
+    state transition (corners, diagonals, adjacent cells, high bits)."""
+    from amazonmsk_emr_tem_data_spark.operators.hilbert import (
+        hilbert16,
+        xy2d_reference,
+    )
+
+    pts = [
+        (0, 0), (0, 65535), (65535, 0), (65535, 65535),
+        (1, 0), (0, 1), (32768, 32767), (32767, 32768),
+        (12345, 54321), (40000, 2), (257, 65280), (21845, 43690),
+    ]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["hd"]
+        for r in df.select(
+            "x", "y", hilbert16(F.col("x"), F.col("y")).alias("hd")
+        ).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == xy2d_reference(1 << 16, x, y), (x, y)
+
+
+def test_hilbert_adjacency_no_seams():
+    """The property Z-order lacks: consecutive Hilbert positions are
+    ADJACENT grid cells (|dx|+|dy| == 1), so range-sharding the index
+    gives contiguous rectangles-ish regions and tighter per-shard
+    bounding boxes. Checked over a full 64x64 walk via the reference
+    (d2xy inverse derived by sorting)."""
+    from amazonmsk_emr_tem_data_spark.operators.hilbert import (
+        xy2d_reference,
+    )
+
+    n = 64
+    by_d = {}
+    for x in range(n):
+        for y in range(n):
+            by_d[xy2d_reference(n, x, y)] = (x, y)
+    assert len(by_d) == n * n  # bijection
+    for d in range(n * n - 1):
+        x0, y0 = by_d[d]
+        x1, y1 = by_d[d + 1]
+        assert abs(x1 - x0) + abs(y1 - y0) == 1, (d, (x0, y0), (x1, y1))
+
+
+def test_hilbert_prunes_both_dimensions_at_least_as_well_as_zorder(
+    spark, sf_dir
+):
+    """Same shards, same predicates, same scaling as the Z-order audit
+    — the Hilbert layout must ALSO prune a majority of shards on each
+    key, and in total scan no more shards than Morton (the
+    adjacent-walk locality argument, measured)."""
+    from amazonmsk_emr_tem_data_spark.queries import REGISTRY
+
+    def hits(name):
+        rows = REGISTRY[name][0](spark, sf_dir).collect()
+        return (
+            len(rows),
+            sum(r["scans_for_part_range"] for r in rows),
+            sum(r["scans_for_supp_range"] for r in rows),
+        )
+
+    n_h, part_h, supp_h = hits("hilbert_layout_stats")
+    n_z, part_z, supp_z = hits("zorder_layout_stats")
+    assert n_h >= 16
+    assert part_h <= n_h / 2
+    assert supp_h <= n_h / 2
+    assert part_h + supp_h <= part_z + supp_z, (
+        f"hilbert scanned {part_h}+{supp_h} shards vs zorder "
+        f"{part_z}+{supp_z}"
+    )

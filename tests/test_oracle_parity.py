@@ -79,10 +79,14 @@ def test_driver_window_covers_round7_rotation():
         "user_distinct_sketch", "stream_user_distinct_sketch",
         "value_quantile_histogram", "purchase_attribution",
         "nation_revenue_trend", "event_cusum_changepoint",
-        "session_association_rules",
+        "session_association_rules", "corpus_inverted_index",
+        "event_value_trimmed_stats", "customer_spend_deciles",
+        "hilbert_layout_stats",
         # the r4-green refresh queue (stamped round 4, nothing newer);
         # never-stamped r7 queries outrank refresh fill, so the queue's
-        # tail (top_supplier_revenue, large_quantity_orders,
+        # tail (doc_regex_extract, embedding_stats, dedup_clusters,
+        # customer_order_histogram,
+        # top_supplier_revenue, large_quantity_orders,
         # nation_trade_flows, idle_rich_customers,
         # doc_repetition_filter,
         # promo_revenue_share, disjunctive_predicate_revenue,
@@ -98,8 +102,7 @@ def test_driver_window_covers_round7_rotation():
         "sql_interface_q3", "small_quantity_revenue",
         "exists_high_quantity_orders", "conditional_agg_orders",
         "doc_word_positions", "order_price_distribution",
-        "systematic_sample_revenue", "doc_regex_extract",
-        "embedding_stats", "dedup_clusters", "customer_order_histogram",
+        "systematic_sample_revenue",
     }
     missing = must_check - window
     assert not missing, (

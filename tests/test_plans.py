@@ -612,3 +612,69 @@ def test_aqe_skew_join_fires_on_planted_skew(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# round-7 session-5 operators
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_prune_filter_sits_under_the_join(spark, sf_dir):
+    """The Bloom stage's whole value: the membership predicate is a
+    plain Filter over the orders scan (below any exchange/join), the
+    exact join is a broadcast left-semi, and nothing plans a
+    cartesian or an extra shuffle beyond the final aggregate's."""
+    f = facts(spark, sf_dir, "bloom_prune_join")
+    assert set(f.joins) == {"BroadcastHashJoin"}, f.joins
+    assert not f.has_cartesian
+    # one exchange for the groupBy; the probe filter adds none
+    assert f.n_exchanges == 1, f.n_exchanges
+    assert "xxhash64" in f.raw, "probe filter must appear in the plan"
+
+
+def test_skyline_windows_partition_by_band(spark, sf_dir):
+    """The banded skyline's scale contract: every window over the DATA
+    is partitioned (by band) — the only unpartitioned sort the plan
+    may contain is over the #bands-row aggregate feeding the
+    broadcast. A global single-partition window over part rows would
+    be the O(n log n)-on-one-task failure mode."""
+    f = facts(spark, sf_dir, "part_skyline")
+    assert set(f.joins) == {"BroadcastHashJoin"}, (
+        "band prefix-max table must broadcast, got " + str(f.joins)
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", f.raw)
+    assert specs, "expected window specs in the plan"
+    data_specs = [s for s in specs if "band" in s and "pmod" not in s]
+    assert data_specs, "data windows must be partitioned by band"
+
+
+def test_register_sketch_single_wide_shuffle(spark, sf_dir):
+    """The FM sketch aggregates map-side to <= |types|*64 rows before
+    its shuffle; the dense grid + exact-distinct join happen at
+    sketch-size, so the plan carries partial aggregation and no
+    cartesian."""
+    f = facts(spark, sf_dir, "user_distinct_sketch")
+    assert f.has_partial_agg
+    assert not f.has_cartesian
+
+
+def test_attribution_is_one_user_shuffle_no_join(spark, sf_dir):
+    """Last-touch attribution composes the union-merge as-of join:
+    exactly the user_id exchange plus the final group-by exchange —
+    and NO planned join (an inequality join here would be the O(n*m)
+    trap the operator exists to avoid)."""
+    f = facts(spark, sf_dir, "purchase_attribution")
+    assert not f.joins, f.joins
+    assert f.n_exchanges == 2, f.n_exchanges
+
+
+def test_hilbert_audit_matches_zorder_plan_shape(spark, sf_dir):
+    """The Hilbert audit must keep the Z-order audit's physical shape:
+    one map-side-combined 64-group aggregate, no joins, the FSM
+    entirely in projection expressions (no UDF, no extra exchange)."""
+    fh = facts(spark, sf_dir, "hilbert_layout_stats")
+    fz = facts(spark, sf_dir, "zorder_layout_stats")
+    assert fh.n_exchanges == fz.n_exchanges == 1
+    assert not fh.joins and not fz.joins
+    assert fh.has_partial_agg
+    assert "pythonudf" not in fh.raw.lower()

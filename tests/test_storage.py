@@ -316,3 +316,76 @@ def test_bucketed_aggregate_has_no_exchange(spark, sf_dir, bucketed_tables):
     got = {r["l_orderkey"]: (r["q"], r["p"]) for r in agg.collect()}
     want = {r["l_orderkey"]: (r["q"], r["p"]) for r in plain.collect()}
     assert got == want
+
+
+def test_hilbert_compact_prunes_at_least_as_well_as_zorder(
+    spark, sf_dir, tmp_path
+):
+    """Hilbert compaction on real written files: same keys, same file
+    count, same mid-slice predicates as the Z-order test — per-file
+    min/max stats must prune a majority of files on each key, and the
+    two-predicate total must scan no MORE files than the Morton
+    layout (the adjacent-walk locality claim, measured on parquet
+    footers)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from amazonmsk_emr_tem_data_spark.storage import (
+        hilbert_compact,
+        zorder_compact,
+    )
+
+    src = f"{sf_dir}/lineitem.parquet"
+    hdst = str(tmp_path / "li_hilbert")
+    zdst = str(tmp_path / "li_zorder")
+    nh = hilbert_compact(
+        spark, src, hdst, ("l_partkey", "l_suppkey"), n_files=16
+    )
+    nz = zorder_compact(
+        spark, src, zdst, ("l_partkey", "l_suppkey"), n_files=16
+    )
+    assert nh >= 8 and nz >= 8
+
+    def file_ranges(d):
+        out = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = {}, {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name not in ("l_partkey", "l_suppkey"):
+                        continue
+                    st = col.statistics
+                    mins[name] = min(mins.get(name, st.min), st.min)
+                    maxs[name] = max(maxs.get(name, st.max), st.max)
+            if mins:
+                out.append((mins, maxs))
+        return out
+
+    def scanned(ranges, col, lo, hi):
+        return sum(
+            1 for mn, mx in ranges if mx[col] >= lo and mn[col] <= hi
+        )
+
+    mx = (
+        spark.read.parquet(src)
+        .agg(F.max("l_partkey").alias("p"), F.max("l_suppkey").alias("s"))
+        .collect()[0]
+    )
+    plo, phi = int(mx["p"] * 0.10), int(mx["p"] * 0.20)
+    slo, shi = int(mx["s"] * 0.10), int(mx["s"] * 0.20)
+    hr = file_ranges(hdst)
+    zr = file_ranges(zdst)
+    hp = scanned(hr, "l_partkey", plo, phi)
+    hs = scanned(hr, "l_suppkey", slo, shi)
+    zp = scanned(zr, "l_partkey", plo, phi)
+    zs = scanned(zr, "l_suppkey", slo, shi)
+    assert hp <= len(hr) * 5 / 8, f"hilbert part pruning lost: {hp}/{len(hr)}"
+    assert hs <= len(hr) / 2, f"hilbert supp pruning lost: {hs}/{len(hr)}"
+    assert hp + hs <= zp + zs, (
+        f"hilbert scanned {hp}+{hs} files vs zorder {zp}+{zs}"
+    )
