@@ -71,6 +71,10 @@ DOC_QUERIES = [
     # inverted index: empty/whitespace docs contribute no postings;
     # unicode terms; padded posting order == numeric doc order
     "corpus_inverted_index",
+    # confusion matrix over the mixed-label edge corpus (empty and
+    # punctuation-only docs score 0 on every language -> the en
+    # tie-break fires identically in both engines)
+    "langid_confusion_matrix",
     # r6 session-2: bigram LM (docs shorter than 2 tokens drop from
     # the output in BOTH engines), mixture resampling (token counting
     # + integer rates on empty/unicode text), keep-best dedup (quality
@@ -184,6 +188,10 @@ EMB_QUERIES = [
     # r6 session-2: eval slice (vec_id % 50 == 0) is EMPTY on this
     # fixture — every corpus row must come back clean, not crash
     "semantic_decontamination",
+    # r7: truncation slice longer than the 4-dim edge vectors (slice
+    # past the end == whole array in both engines), zero-vector query
+    # -> all-NULL ordering resolved by the vec_id tie-break
+    "matryoshka_recall_audit",
 ]
 
 
@@ -253,6 +261,10 @@ EDGE_EVENTS = [
     # (16, the click) must win the tie in both engines
     (15, "2024-01-02 01:00:00", 2, "view", 5.0, "{}"),
     (16, "2024-01-02 01:00:00", 2, "click", 6.0, "{}"),
+    # 30-min gap crossed by 400ms only (prior user-4 event at
+    # 00:00:01): second-truncated timestamp math would merge the
+    # session the micros-exact compare splits
+    (19, "2024-01-04 00:30:01.400000", 4, "view", 1.0, "{}"),
 ]
 
 EDGE_ORDERS = [
@@ -450,6 +462,9 @@ EDGE_LINEITEM = [
 ]
 
 TPCH_QUERIES = [
+    # Benford over a tiny order set with boundary prices (half-cent
+    # totals land on their integer-cent first digit identically)
+    "orders_benford_profile",
     "q1_pricing_summary",
     "filter_project_scan",
     "revenue_by_segment",

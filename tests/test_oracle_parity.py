@@ -81,10 +81,13 @@ def test_driver_window_covers_round7_rotation():
         "nation_revenue_trend", "event_cusum_changepoint",
         "session_association_rules", "corpus_inverted_index",
         "event_value_trimmed_stats", "customer_spend_deciles",
-        "hilbert_layout_stats",
+        "hilbert_layout_stats", "orders_benford_profile",
+        "langid_confusion_matrix", "matryoshka_recall_audit",
         # the r4-green refresh queue (stamped round 4, nothing newer);
         # never-stamped r7 queries outrank refresh fill, so the queue's
-        # tail (doc_regex_extract, embedding_stats, dedup_clusters,
+        # tail (doc_word_positions, order_price_distribution,
+        # systematic_sample_revenue,
+        # doc_regex_extract, embedding_stats, dedup_clusters,
         # customer_order_histogram,
         # top_supplier_revenue, large_quantity_orders,
         # nation_trade_flows, idle_rich_customers,
@@ -101,8 +104,6 @@ def test_driver_window_covers_round7_rotation():
         "outer_join_order_coverage", "price_lag_lead_frames",
         "sql_interface_q3", "small_quantity_revenue",
         "exists_high_quantity_orders", "conditional_agg_orders",
-        "doc_word_positions", "order_price_distribution",
-        "systematic_sample_revenue",
     }
     missing = must_check - window
     assert not missing, (
