@@ -117,3 +117,60 @@ def pagerank(
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("node").alias(id_col), "rank_micro")
+
+
+def kcore(
+    undirected_edges: DataFrame,
+    k: int = 2,
+    rounds: int = 8,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Bounded-round k-core peeling over a canonical undirected edge
+    set (distinct rows with ``a < b``): repeat ``rounds`` times
+    {degree in the induced subgraph → drop nodes with degree < k},
+    then report every surviving node with its induced degree.
+
+    The classic dense-community/spam-farm filter (a node is in the
+    k-core iff it survives full peeling). Rounds are FIXED, not
+    run-to-fixpoint, for the same reason PageRank's iterations are:
+    a fixed unroll has an exact CTE-chain SQL twin, and the peel
+    removes at least one node per non-converged round, so ``rounds``
+    bounds convergence depth — the fixture converges well inside 8
+    (pinned by the fixpoint test). At 100 TB: each round is one
+    explode-degree aggregation plus two semi-joins against the node
+    set — the Pregel round shape — with ``localCheckpoint`` truncating
+    lineage (the node set is referenced twice per round; without
+    materialization the recompute tree doubles each round).
+
+    Returns (n, core_degree): nodes alive after ``rounds`` and their
+    degree in the final induced subgraph.
+    """
+    edges = undirected_edges.select(a, b).distinct().cache()
+    nodes = (
+        edges.select(F.explode(F.array(a, b)).alias("n"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        cur = edges.join(
+            nodes, edges[a] == nodes["n"], "left_semi"
+        ).join(nodes, edges[b] == nodes["n"], "left_semi")
+        deg = (
+            cur.select(F.explode(F.array(a, b)).alias("n"))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        nodes = (
+            deg.filter(F.col("d") >= k)
+            .select("n")
+            .localCheckpoint(eager=True)
+        )
+    final = edges.join(
+        nodes, edges[a] == nodes["n"], "left_semi"
+    ).join(nodes, edges[b] == nodes["n"], "left_semi")
+    return (
+        final.select(F.explode(F.array(a, b)).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )

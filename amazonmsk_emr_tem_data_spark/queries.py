@@ -9877,6 +9877,97 @@ GROUP BY qid
 """
 
 
+def part_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the repeat-co-purchase graph (r7): parts co-ordered
+    in >= 2 distinct orders form an edge; nodes surviving 8 rounds of
+    degree-< 2 peeling remain, with their induced degree — the third
+    graph-analytics member after PageRank and triangle clustering
+    (k-core is the classic dense-region / fringe filter: leaves and
+    chains peel away, cyclic cores remain; at sf0.1 the peel removes
+    >99% of nodes, so the survivors ARE the signal).
+
+    The repeat-count threshold makes the graph sparse enough to have a
+    genuine fringe (the raw one-co-order graph is near-complete on the
+    synthetic fixture — every node trivially in every core). Fixed
+    rounds for an exact unrolled-CTE oracle, same treatment as
+    PageRank's iterations; full peel converges in <= 5 rounds at every
+    fixture SF (fixpoint pinned in tests/test_clustering.py).
+
+    Scale: the co-occurrence pair build is the per-order self-join
+    (fan-out bounded by lines-per-order²); each peel round is one
+    explode-degree aggregate + two semi-joins — the Pregel round
+    shape, lineage truncated per round (operators/graph.kcore)."""
+    from .operators.graph import kcore
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    r = lp.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        lp.join(
+            r,
+            (lp["l_orderkey"] == r["o2"]) & (lp["l_partkey"] < r["p2"]),
+        )
+        .groupBy(
+            F.col("l_partkey").alias("a"), F.col("p2").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ue = pairs.filter(F.col("w") >= 2).select("a", "b")
+    return kcore(ue, k=2, rounds=8).select(
+        F.col("n").alias("part"), "core_degree"
+    )
+
+
+def _kcore_round_sql(i: int, k: int) -> str:
+    p = f"n{i - 1}"
+    # AS MATERIALIZED: DuckDB inlines CTEs by default, and each round
+    # references the previous one several times — un-materialized, the
+    # chain re-expands the base scan exponentially (observed as fd
+    # exhaustion at 8 rounds).
+    return f"""
+, e{i} AS MATERIALIZED (
+  SELECT a, b FROM ue
+  WHERE a IN (SELECT n FROM {p}) AND b IN (SELECT n FROM {p})
+), d{i} AS (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT a AS n FROM e{i} UNION ALL SELECT b FROM e{i})
+  GROUP BY 1
+), n{i} AS MATERIALIZED (
+  SELECT n FROM d{i} WHERE d >= {k}
+)"""
+
+
+def _kcore_sql(k: int = 2, rounds: int = 8) -> str:
+    return f"""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT least(a.l_partkey, b.l_partkey) AS a,
+         greatest(a.l_partkey, b.l_partkey) AS b,
+         COUNT(*) AS w
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), ue AS MATERIALIZED (
+  SELECT a, b FROM pairs WHERE w >= 2
+), n0 AS MATERIALIZED (
+  SELECT DISTINCT n
+  FROM (SELECT a AS n FROM ue UNION ALL SELECT b FROM ue)
+){"".join(_kcore_round_sql(i, k) for i in range(1, rounds + 1))}
+SELECT n AS part, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (
+  SELECT a AS n FROM ue
+  WHERE a IN (SELECT n FROM n{rounds}) AND b IN (SELECT n FROM n{rounds})
+  UNION ALL
+  SELECT b FROM ue
+  WHERE a IN (SELECT n FROM n{rounds}) AND b IN (SELECT n FROM n{rounds})
+)
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9987,6 +10078,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _LANGID_CONFUSION_SQL,
     ),
     "matryoshka_recall_audit": (matryoshka_recall_audit, _MATRYOSHKA_SQL),
+    "part_kcore_members": (part_kcore_members, _kcore_sql()),
     # --- r7 window: refresh fill — the r4-green queue (newest driver
     # stamp round 4, the longest-unstamped evidence in the registry),
     # in their r6 queue order; its last three entries were displaced
@@ -9997,7 +10089,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sql_interface_q3": (sql_interface_q3, _SQL_Q3_SQL),
     "small_quantity_revenue": (small_quantity_revenue, _SMALL_QTY_SQL),
     "exists_high_quantity_orders": (exists_high_quantity_orders, _EXISTS_SQL),
-    "conditional_agg_orders": (conditional_agg_orders, _CONDITIONAL_AGG_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+). salted_customer_revenue stays
     # pinned at position 51: the window test anchors it to pin the
@@ -10012,6 +10103,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # late in round 7 (fuzzy/autocorr/spikes/zipf, then the bloom-prune
     # and skyline session-5 additions) — first in line for the r8
     # window
+    "conditional_agg_orders": (conditional_agg_orders, _CONDITIONAL_AGG_SQL),
     "doc_word_positions": (doc_word_positions, _WORD_POSITIONS_SQL),
     "order_price_distribution": (
         order_price_distribution,

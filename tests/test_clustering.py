@@ -87,3 +87,93 @@ def test_semantic_dedup_collapses_planted_duplicates(spark, sf_dir):
         .collect()
     )
     assert all(r["n_keep"] == 1 for r in per_group)
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (operators/graph.kcore)
+# ---------------------------------------------------------------------------
+
+
+def _py_kcore(edges, k):
+    """Full-convergence reference peel: surviving nodes + induced
+    degree."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    nodes = set(adj)
+    while True:
+        drop = {
+            n for n in nodes if sum(1 for m in adj[n] if m in nodes) < k
+        }
+        if not drop:
+            break
+        nodes -= drop
+    return {
+        n: sum(1 for m in adj[n] if m in nodes)
+        for n in nodes
+        if sum(1 for m in adj[n] if m in nodes) > 0
+    }
+
+
+def test_kcore_matches_python_reference(spark):
+    """Bounded-round peel with rounds >= |nodes| == full-convergence
+    reference, across shapes that exercise the cascade: a chain (peels
+    entirely), a cycle (survives intact), a clique with pendant leaves
+    (leaves peel, triggering no cascade into the clique), and a
+    lollipop (chain peels INTO the cycle boundary node, which still
+    survives)."""
+    from amazonmsk_emr_tem_data_spark.operators.graph import kcore
+
+    cases = [
+        [(1, 2), (2, 3), (3, 4)],                       # chain: empty 2-core
+        [(1, 2), (2, 3), (1, 3)],                       # triangle: survives
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)],       # lollipop
+        [(1, 2), (2, 3), (1, 3), (1, 4), (2, 5), (3, 6)],  # clique+leaves
+        [(1, 2)],                                       # single edge
+        [(1, 2), (3, 4), (4, 5), (3, 5)],               # two components
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            r["n"]: r["core_degree"]
+            for r in kcore(df, k=2, rounds=12).collect()
+        }
+        assert got == _py_kcore(edges, 2), edges
+
+
+def test_part_kcore_fixture_converges_within_rounds(spark, sf_dir):
+    """The registry query's fixed 8 rounds must reach the fixpoint on
+    the fixture (measured full-peel depth <= 5 at every SF): running
+    4 extra rounds changes nothing. If fixture regeneration ever
+    produces a deeper cascade, this fails before a half-peeled result
+    ships as green."""
+    from amazonmsk_emr_tem_data_spark.operators.graph import kcore
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    r = lp.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+    )
+    ue = (
+        lp.join(
+            r,
+            (lp["l_orderkey"] == r["o2"]) & (lp["l_partkey"] < r["p2"]),
+        )
+        .groupBy(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("a", "b")
+        .cache()
+    )
+    r8 = {
+        (x["n"], x["core_degree"]) for x in kcore(ue, 2, rounds=8).collect()
+    }
+    r12 = {
+        (x["n"], x["core_degree"]) for x in kcore(ue, 2, rounds=12).collect()
+    }
+    assert r8 == r12
+    assert len(r8) > 0
