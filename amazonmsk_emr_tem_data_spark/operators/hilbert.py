@@ -40,51 +40,81 @@ OUT_TABLE: list[int] = [0, 1, 3, 2, 0, 3, 1, 2, 2, 1, 3, 0, 2, 3, 1, 0]
 BITS = 16
 
 
+def _compose_two_level() -> tuple[list[int], list[int]]:
+    """Square the one-bit FSM: tables over (state, bx1, by1, bx2, by2)
+    — two curve levels per lookup, flattened as state*16 + bx1*8 +
+    by1*4 + bx2*2 + by2. Halves the expression chain (8 steps instead
+    of 16), which matters because each step's state feeds TWO
+    consumers and the tree grows with the square of the step count."""
+    nxt2, out2 = [], []
+    for s in range(4):
+        for bits in range(16):
+            bx1, by1 = (bits >> 3) & 1, (bits >> 2) & 1
+            bx2, by2 = (bits >> 1) & 1, bits & 1
+            i1 = s * 4 + bx1 * 2 + by1
+            q1, s1 = OUT_TABLE[i1], NEXT_TABLE[i1]
+            i2 = s1 * 4 + bx2 * 2 + by2
+            q2, s2 = OUT_TABLE[i2], NEXT_TABLE[i2]
+            out2.append(q1 * 4 + q2)
+            nxt2.append(s2)
+    return nxt2, out2
+
+
+NEXT2_TABLE, OUT2_TABLE = _compose_two_level()
+
+
 def hilbert16(a: Column, b: Column) -> Column:
     """32-bit Hilbert index of two 16-bit keys (``a`` = x, ``b`` = y):
-    16 FSM steps, each consuming one bit of each key MSB-first and
-    emitting the 2-bit quadrant position along the curve."""
+    8 two-level FSM steps, each consuming two bits of each key
+    MSB-first and emitting the 4-bit curve position (the squared
+    tables of the canonical 1-bit FSM — bit-identical output, half
+    the expression chain)."""
     x = a.cast("long").bitwiseAND(F.lit(65535))
     y = b.cast("long").bitwiseAND(F.lit(65535))
-    nxt = F.lit(NEXT_TABLE)
-    out = F.lit(OUT_TABLE)
+    nxt = F.lit(NEXT2_TABLE)
+    out = F.lit(OUT2_TABLE)
     st: Column = F.lit(0).cast("long")
     d: Column = F.lit(0).cast("long")
-    for lvl in range(BITS - 1, -1, -1):
-        bx = F.shiftright(x, lvl).bitwiseAND(F.lit(1))
-        by = F.shiftright(y, lvl).bitwiseAND(F.lit(1))
-        idx = (st * 4 + bx * 2 + by + 1).cast("int")
-        d = d * 4 + F.element_at(out, idx)
+    for lvl in range(BITS - 2, -1, -2):
+        bx = F.shiftright(x, lvl).bitwiseAND(F.lit(3))
+        by = F.shiftright(y, lvl).bitwiseAND(F.lit(3))
+        # interleave the two bits of bx/by into bx1 by1 bx2 by2
+        hi = F.shiftright(bx, 1) * 8 + F.shiftright(by, 1) * 4
+        lo = bx.bitwiseAND(F.lit(1)) * 2 + by.bitwiseAND(F.lit(1))
+        idx = (st * 16 + hi + lo + 1).cast("int")
+        d = d * 16 + F.element_at(out, idx)
         st = F.element_at(nxt, idx)
     return d
 
 
 def hilbert16_sql(a_expr: str, b_expr: str, base_from: str) -> str:
-    """DuckDB twin of :func:`hilbert16` as a chain of 16 CTE steps
-    (``hstep0`` … ``hstep15`` over ``base_from``), ending with a CTE
-    ``hilbert_coded`` exposing the base columns plus ``hd``. Chained
-    CTEs keep the SQL text linear in the step count — a single nested
-    expression would textually duplicate the state subtree
+    """DuckDB twin of :func:`hilbert16` as a chain of 8 two-level CTE
+    steps (``hstep0`` … ``hstep8`` over ``base_from``), ending with a
+    CTE ``hilbert_coded`` exposing the base columns plus ``hd``.
+    Chained CTEs keep the SQL text linear in the step count — a single
+    nested expression would textually duplicate the state subtree
     exponentially."""
-    nxt = "[" + ", ".join(str(v) for v in NEXT_TABLE) + "]"
-    out = "[" + ", ".join(str(v) for v in OUT_TABLE) + "]"
+    nxt = "[" + ", ".join(str(v) for v in NEXT2_TABLE) + "]"
+    out = "[" + ", ".join(str(v) for v in OUT2_TABLE) + "]"
     ctes = [
         f"hstep0 AS (SELECT *, CAST({a_expr} AS BIGINT) & 65535 AS hx,"
         f" CAST({b_expr} AS BIGINT) & 65535 AS hy,"
         f" CAST(0 AS BIGINT) AS st, CAST(0 AS BIGINT) AS hd"
         f" FROM {base_from})"
     ]
-    for i, lvl in enumerate(range(BITS - 1, -1, -1)):
+    for i, lvl in enumerate(range(BITS - 2, -1, -2)):
         idx = (
-            f"(st * 4 + ((hx >> {lvl}) & 1) * 2 + ((hy >> {lvl}) & 1) + 1)"
+            f"(st * 16"
+            f" + ((hx >> {lvl + 1}) & 1) * 8 + ((hy >> {lvl + 1}) & 1) * 4"
+            f" + ((hx >> {lvl}) & 1) * 2 + ((hy >> {lvl}) & 1) + 1)"
         )
         ctes.append(
             f"hstep{i + 1} AS (SELECT * REPLACE ("
-            f"hd * 4 + ({out})[{idx}] AS hd,"
+            f"hd * 16 + ({out})[{idx}] AS hd,"
             f" CAST(({nxt})[{idx}] AS BIGINT) AS st)"
             f" FROM hstep{i})"
         )
-    ctes.append(f"hilbert_coded AS (SELECT * FROM hstep{BITS})")
+    ctes.append(f"hilbert_coded AS (SELECT * FROM hstep{BITS // 2})")
     return ",\n".join(ctes)
 
 
