@@ -9968,6 +9968,86 @@ GROUP BY 1
 """
 
 
+def segment_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment Gini concentration of customer spend (r7): the
+    inequality coefficient over each market segment's customer-spend
+    distribution — the concentration monitor that says whether a
+    segment's revenue rides on a few whales (G→1) or a broad base
+    (G→0), from the classic rank formula
+    G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over ascending spend.
+
+    Exact integer rank sums on the cent grid (Σ i·xᵢ stays BIGINT to
+    ~10⁹ customers × $10⁶ spends); ties ordered (spend, custkey) so
+    ranks are total in both engines; the two final divisions are the
+    only float ops, identical IEEE sequence. Windows partition by
+    segment — the rank pass is dimension-rollup-sized, never order
+    rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).alias("spend_cents"))
+        .join(
+            customer.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("spend_cents").asc(), F.col("o_custkey").asc()
+    )
+    ranked = spend.select(
+        "c_mktsegment",
+        "spend_cents",
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("spend_cents").alias("total_cents"),
+        F.sum(F.col("i") * F.col("spend_cents")).alias("rank_sum"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("rank_sum").cast("double")
+        / (F.col("n_customers").cast("double") * F.col("total_cents"))
+        - (F.col("n_customers") + 1).cast("double") / F.col("n_customers")
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        "total_cents",
+        F.round(F.lit(1000000.0) * gini).cast("long").alias("gini_ppm"),
+    )
+
+
+_SPEND_GINI_SQL = """
+WITH spend AS (
+  SELECT o_custkey, c_mktsegment,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT c_mktsegment, spend_cents,
+         CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY spend_cents ASC, o_custkey ASC)
+              AS BIGINT) AS i
+  FROM spend
+), agg AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(spend_cents) AS BIGINT) AS total_cents,
+         CAST(SUM(i * spend_cents) AS BIGINT) AS rank_sum
+  FROM ranked GROUP BY 1
+)
+SELECT c_mktsegment, n_customers, total_cents,
+       CAST(round(1000000.0 * (
+         2.0 * CAST(rank_sum AS DOUBLE)
+           / (CAST(n_customers AS DOUBLE) * total_cents)
+         - CAST(n_customers + 1 AS DOUBLE) / n_customers
+       )) AS BIGINT) AS gini_ppm
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10079,6 +10159,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "matryoshka_recall_audit": (matryoshka_recall_audit, _MATRYOSHKA_SQL),
     "part_kcore_members": (part_kcore_members, _kcore_sql()),
+    "segment_spend_gini": (segment_spend_gini, _SPEND_GINI_SQL),
     # --- r7 window: refresh fill — the r4-green queue (newest driver
     # stamp round 4, the longest-unstamped evidence in the registry),
     # in their r6 queue order; its last three entries were displaced
@@ -10088,7 +10169,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "price_lag_lead_frames": (price_lag_lead_frames, _LAG_LEAD_SQL),
     "sql_interface_q3": (sql_interface_q3, _SQL_Q3_SQL),
     "small_quantity_revenue": (small_quantity_revenue, _SMALL_QTY_SQL),
-    "exists_high_quantity_orders": (exists_high_quantity_orders, _EXISTS_SQL),
     # ------------------------------------------------------------------
     # below the window (entry 51+). salted_customer_revenue stays
     # pinned at position 51: the window test anchors it to pin the
@@ -10103,6 +10183,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # late in round 7 (fuzzy/autocorr/spikes/zipf, then the bloom-prune
     # and skyline session-5 additions) — first in line for the r8
     # window
+    "exists_high_quantity_orders": (exists_high_quantity_orders, _EXISTS_SQL),
     "conditional_agg_orders": (conditional_agg_orders, _CONDITIONAL_AGG_SQL),
     "doc_word_positions": (doc_word_positions, _WORD_POSITIONS_SQL),
     "order_price_distribution": (

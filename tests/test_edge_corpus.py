@@ -465,6 +465,9 @@ TPCH_QUERIES = [
     # Benford over a tiny order set with boundary prices (half-cent
     # totals land on their integer-cent first digit identically)
     "orders_benford_profile",
+    # Gini with single-customer segments (n=1 -> exactly 0), tied
+    # spends (rank tie-break on custkey), half-cent totals
+    "segment_spend_gini",
     "q1_pricing_summary",
     "filter_project_scan",
     "revenue_by_segment",

@@ -83,10 +83,11 @@ def test_driver_window_covers_round7_rotation():
         "event_value_trimmed_stats", "customer_spend_deciles",
         "hilbert_layout_stats", "orders_benford_profile",
         "langid_confusion_matrix", "matryoshka_recall_audit",
-        "part_kcore_members",
+        "part_kcore_members", "segment_spend_gini",
         # the r4-green refresh queue (stamped round 4, nothing newer);
         # never-stamped r7 queries outrank refresh fill, so the queue's
-        # tail (conditional_agg_orders, doc_word_positions,
+        # tail (exists_high_quantity_orders, conditional_agg_orders,
+        # doc_word_positions,
         # order_price_distribution,
         # systematic_sample_revenue,
         # doc_regex_extract, embedding_stats, dedup_clusters,
@@ -105,7 +106,6 @@ def test_driver_window_covers_round7_rotation():
         # displaced below the window and rotates into r8
         "outer_join_order_coverage", "price_lag_lead_frames",
         "sql_interface_q3", "small_quantity_revenue",
-        "exists_high_quantity_orders",
     }
     missing = must_check - window
     assert not missing, (
