@@ -32,6 +32,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: Size the bitset to the key count: ~10 bits/key keeps the false-
+#: positive rate near 1% at k=4 (the default 2^16 suits <= ~6k keys;
+#: FP rate degrades gracefully — the prune just passes more rows to
+#: the exact join, never returns wrong results).
 DEFAULT_M_BITS = 1 << 16
 DEFAULT_K = 4
 
@@ -50,7 +54,7 @@ def _mask_for(bit: Column) -> Column:
 
 def _probe_bits(key: Column, m_bits: int, k: int) -> list[Column]:
     """The ``k`` bit positions a key hashes to, via Kirsch–Mitzenmacher
-    double hashing (one md5 per key, not k): bit_i = (h1 + i·h2) mod m
+    double hashing (ONE hash per key, not k): bit_i = (h1 + i·h2) mod m
     with h1 = low bits, h2 = high bits forced odd (odd step ⇔ coprime
     to the power-of-two m, so the k probes never collapse onto one
     cell). Same false-positive asymptotics as k independent hashes

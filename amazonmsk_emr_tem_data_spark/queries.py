@@ -9434,8 +9434,11 @@ def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # 12-digit pad: lpad TRUNCATES when the input is longer (both
+    # engines), which would silently misorder postings past 1e12 ids;
+    # 12 digits covers any realistic doc-id domain
     posting = F.concat(
-        F.lpad(F.col("doc_id").cast("string"), 9, "0"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0"),
         F.lit(":"),
         F.col("tf").cast("string"),
     )
@@ -9457,7 +9460,7 @@ WITH tf AS (
 SELECT term,
        CAST(COUNT(*) AS BIGINT) AS df,
        CAST(SUM(tf) AS BIGINT) AS cf,
-       (list(lpad(CAST(doc_id AS VARCHAR), 9, '0') || ':'
+       (list(lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':'
              || CAST(tf AS VARCHAR)
              ORDER BY doc_id))[1:1000] AS postings
 FROM tf GROUP BY 1
@@ -10010,11 +10013,16 @@ def segment_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("n_customers").cast("double") * F.col("total_cents"))
         - (F.col("n_customers") + 1).cast("double") / F.col("n_customers")
     )
+    # total == 0 (possible under refunds/zero-price data) would divide
+    # to NaN, where Spark's cast and DuckDB's CAST diverge — NULL it.
     return agg.select(
         "c_mktsegment",
         "n_customers",
         "total_cents",
-        F.round(F.lit(1000000.0) * gini).cast("long").alias("gini_ppm"),
+        F.when(
+            F.col("total_cents") > 0,
+            F.round(F.lit(1000000.0) * gini).cast("long"),
+        ).alias("gini_ppm"),
     )
 
 
@@ -10039,11 +10047,13 @@ WITH spend AS (
   FROM ranked GROUP BY 1
 )
 SELECT c_mktsegment, n_customers, total_cents,
-       CAST(round(1000000.0 * (
-         2.0 * CAST(rank_sum AS DOUBLE)
-           / (CAST(n_customers AS DOUBLE) * total_cents)
-         - CAST(n_customers + 1 AS DOUBLE) / n_customers
-       )) AS BIGINT) AS gini_ppm
+       CASE WHEN total_cents > 0 THEN
+         CAST(round(1000000.0 * (
+           2.0 * CAST(rank_sum AS DOUBLE)
+             / (CAST(n_customers AS DOUBLE) * total_cents)
+           - CAST(n_customers + 1 AS DOUBLE) / n_customers
+         )) AS BIGINT)
+       END AS gini_ppm
 FROM agg
 """
 
@@ -10060,12 +10070,18 @@ FROM agg
 #: now pins the marked window to exactly 50). History: r1-r3 checked
 #: the original first 50; r4 rotated onto the 49 then-never-checked
 #: entries; r5 re-stamped the r4 fails + the post-r4 additions and
-#: went 50/50 green. The r6 window below covers (a) everything whose
-#: semantics or oracle changed this round, (b) the 3 entries the r5
-#: overflow silently dropped, (c) the 15 queries whose newest stamp
-#: is round 3, and (d) the longest-unstamped r4-green queries as
-#: fill. Rule: nothing whose latest driver row is FAIL may sit below
-#: the window; any query whose semantics changed needs a fresh stamp.
+#: went 50/50 green; r6 stamped its window 50/50 and the judge ran
+#: the other 88 locally (all green). The r7 window below covers
+#: (a) the four r6-session-4 queries that never carried a driver
+#: stamp, (b) every query added or changed in round 7 — including the
+#: session-5 additions (bloom prune, skyline, sketches, attribution,
+#: OLS trend, CUSUM, association rules, inverted index, trimmed
+#: stats, deciles, Hilbert, Benford, confusion matrix, Matryoshka,
+#: k-core, Gini) — and (c) what remains of the r4-green refresh
+#: queue as fill (its displaced tail rotates into r8; the names are
+#: listed in tests/test_oracle_parity.py's rotation test). Rule:
+#: nothing whose latest driver row is FAIL may sit below the window;
+#: any query whose semantics changed needs a fresh stamp.
 #: Every entry in BOTH halves is also exact-checked locally at
 #: sf0.001 by tests/test_oracle_parity.py, so rotation changes which
 #: evidence is driver-stamped, not what is tested.

@@ -98,6 +98,11 @@ HEADLINE = [
     "part_skyline",
     "user_distinct_sketch",
     "purchase_attribution",
+    # the session-5 heavyweights: the bounded-round graph peel (join +
+    # cascade representative) and session-set mining (sessionize +
+    # bounded pair fan-out representative)
+    "part_kcore_members",
+    "session_association_rules",
 ]
 
 
