@@ -174,3 +174,50 @@ def kcore(
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+
+
+def bfs_hops(
+    undirected_edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Bounded-round multi-source BFS over a canonical undirected edge
+    set: every node reachable from ``seeds`` (a one-column ``n``
+    DataFrame) within ``rounds`` hops, labelled with its minimum hop
+    distance (seeds get 0). Rounds are FIXED, not run-to-frontier-
+    empty, for the same exact-unrolled-CTE-twin reason as kcore/
+    pagerank; an empty frontier makes the remaining rounds no-ops.
+
+    Per round: one left-semi join of the frontier onto the bidirected
+    edge list (neighbors), one distinct, one anti-join against the
+    visited set — the Pregel frontier shape. State per round is a
+    (node, dist) pair; ``localCheckpoint`` truncates the union-chain
+    lineage (the visited set is referenced twice per round). At
+    100 TB the frontier semi-join shuffles node IDs only, never edge
+    payloads, and the visited set stays a fraction of the node list.
+    """
+    edges = undirected_edges.select(a, b).distinct()
+    bidir = edges.unionByName(
+        edges.select(F.col(b).alias(a), F.col(a).alias(b))
+    ).cache()
+    dist = (
+        seeds.select("n", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("n")
+    for i in range(1, rounds + 1):
+        nbrs = (
+            bidir.join(frontier, bidir[a] == frontier["n"], "left_semi")
+            .select(F.col(b).alias("n"))
+            .distinct()
+        )
+        new = (
+            nbrs.join(dist, "n", "left_anti")
+            .select("n", F.lit(i).cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("n")
+    return dist

@@ -9903,21 +9903,7 @@ def part_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import kcore
 
     li = load_table(spark, sf_dir, "lineitem")
-    lp = li.select("l_orderkey", "l_partkey").distinct()
-    r = lp.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
-    )
-    pairs = (
-        lp.join(
-            r,
-            (lp["l_orderkey"] == r["o2"]) & (lp["l_partkey"] < r["p2"]),
-        )
-        .groupBy(
-            F.col("l_partkey").alias("a"), F.col("p2").alias("b")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    ue = pairs.filter(F.col("w") >= 2).select("a", "b")
+    ue = _repeat_copurchase_edges(li)
     return kcore(ue, k=2, rounds=8).select(
         F.col("n").alias("part"), "core_degree"
     )
@@ -10059,6 +10045,555 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# round-7 session-6: KMV overlap sketch, join-view IVM, multi-source
+# BFS, seasonal anomaly, RAKE keyword extraction
+# ---------------------------------------------------------------------------
+
+#: KMV sketch size (bottom-k). Estimator constant (k−1)·2⁶⁰ is a
+#: 6-significant-bit integer times a power of two — exactly
+#: representable as a double, so both engines divide identical
+#: numerators (single correctly-rounded IEEE op ⇒ bit-equal).
+_KMV_K = 64
+_KMV_DOMAIN = 1 << 60
+
+
+def activity_overlap_kmv(
+    spark: SparkSession, sf_dir: str, k: int = _KMV_K
+) -> DataFrame:
+    """Pairwise audience overlap across event types via KMV
+    (bottom-k / Theta) distinct sketches (r7 session-6): each type
+    keeps only the k smallest 60-bit hashes of its distinct
+    (user, day) activity pairs; for a pair of types the k smallest of
+    the merged hash sets estimate |A∪B| ≈ (k−1)·D / h₍ₖ₎ (Bar-Yossef
+    et al. 2002), and the fraction of those union-sketch members
+    present in BOTH input sketches estimates the intersection — the
+    Theta-sketch set algebra (Dasgupta et al. 2016). This is the
+    kilobytes-per-segment answer to "how much do my segments overlap"
+    that COUNT(DISTINCT) pairwise self-joins cannot give at 100 TB.
+
+    Determinism: hashes are the cross-engine md5 fold; the estimator
+    divides two exactly-representable doubles once, and the
+    intersection path multiplies two correctly-rounded quotients in a
+    fixed order — bit-identical in the DuckDB twin. Sketches smaller
+    than k switch to the exact branch (the sketch IS the set).
+
+    Scale: the per-type bottom-k is a rank window that Spark 3.5+
+    executes as WindowGroupLimit — every map task pre-trims to its
+    local k before the one |types|-key shuffle (pinned by plan
+    contract); the pairwise stage joins |types| sketch ROWS (k longs
+    each), never data. Reference scope: the reference has no sketch
+    tier at all (SURVEY §0); this extends §2.5's approx-sketch row."""
+    from .functions.text import md5_hash64
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    items = ev.select(
+        "event_type",
+        md5_hash64(
+            F.concat_ws(
+                "|",
+                F.lit("kmv1"),
+                F.col("user_id").cast("string"),
+                F.date_format("ts", "yyyy-MM-dd"),
+            )
+        ).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    sk_rows = items.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    sketches = sk_rows.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("h")).alias("sk"),
+        F.count(F.lit(1)).cast("long").alias("sz"),
+    )
+    a = sketches.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("sz").alias("sz_a"),
+        F.lit(1).alias("one"),
+    )
+    b = sketches.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("sz").alias("sz_b"),
+        F.lit(1).alias("one"),
+    )
+    pairs = a.join(b, "one").filter(F.col("type_a") < F.col("type_b"))
+    merged = F.array_sort(F.array_union(F.col("sk_a"), F.col("sk_b")))
+    staged = pairs.select(
+        "type_a",
+        "type_b",
+        "sk_a",
+        "sk_b",
+        "sz_a",
+        "sz_b",
+        merged.alias("merged"),
+    ).select(
+        "*",
+        F.least(F.lit(k), F.size("merged")).cast("long").alias("kk"),
+        F.size(
+            F.array_intersect(
+                F.array_intersect(
+                    F.slice(F.col("merged"), 1, k), F.col("sk_a")
+                ),
+                F.col("sk_b"),
+            )
+        )
+        .cast("long")
+        .alias("j_common"),
+    )
+    exact = F.size("merged") < k
+    numer = F.lit(float((k - 1) * _KMV_DOMAIN))
+    est_union = F.when(
+        exact, F.size("merged").cast("double")
+    ).otherwise(
+        numer / F.element_at(F.col("merged"), F.col("kk").cast("int")).cast("double")
+    )
+    est_inter = F.when(exact, F.col("j_common").cast("double")).otherwise(
+        (F.col("j_common").cast("double") / F.col("kk").cast("double"))
+        * (
+            numer
+            / F.element_at(
+                F.col("merged"), F.col("kk").cast("int")
+            ).cast("double")
+        )
+    )
+    return staged.select(
+        "type_a",
+        "type_b",
+        "sz_a",
+        "sz_b",
+        "kk",
+        "j_common",
+        est_union.alias("est_union"),
+        est_inter.alias("est_inter"),
+    )
+
+
+_KMV_H_SQL = _HASH64_SQL.format(
+    x="('kmv1' || '|' || CAST(user_id AS VARCHAR) || '|' "
+    "|| strftime(ts, '%Y-%m-%d'))"
+)
+
+_KMV_EST_UNION_SQL = (
+    "(CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)"
+    " / CAST(list_extract(merged, kk) AS DOUBLE))"
+)
+
+_ACTIVITY_KMV_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT event_type, {_KMV_H_SQL} AS h
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+  FROM items
+), sk AS (
+  SELECT event_type, list(h ORDER BY h ASC) AS sk,
+         CAST(count(*) AS BIGINT) AS sz
+  FROM ranked WHERE rn <= 64 GROUP BY 1
+), pr AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.sk AS sk_a, b.sk AS sk_b, a.sz AS sz_a, b.sz AS sz_b
+  FROM sk a JOIN sk b ON a.event_type < b.event_type
+), m AS (
+  SELECT *, list_sort(list_distinct(sk_a || sk_b)) AS merged FROM pr
+), c AS (
+  SELECT *, CAST(least(64, len(merged)) AS BIGINT) AS kk,
+         CAST(len(list_intersect(
+                list_intersect(merged[1:64], sk_a), sk_b)) AS BIGINT)
+           AS j_common
+  FROM m
+)
+SELECT type_a, type_b, sz_a, sz_b, kk, j_common,
+       CASE WHEN len(merged) < 64 THEN CAST(len(merged) AS DOUBLE)
+            ELSE {_KMV_EST_UNION_SQL} END AS est_union,
+       CASE WHEN len(merged) < 64 THEN CAST(j_common AS DOUBLE)
+            ELSE (CAST(j_common AS DOUBLE) / CAST(kk AS DOUBLE))
+                 * {_KMV_EST_UNION_SQL} END AS est_inter
+FROM c
+"""
+
+
+def order_lineitem_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a join-aggregate view (r7
+    session-6): the per-order revenue view γ(O ⋈ L) maintained by the
+    classic delta algebra Δ(O⋈L) = ΔO⋈L₀ ∪ O₀⋈ΔL ∪ ΔO⋈ΔL (Gupta &
+    Mumick's change-propagation rules) — orders arriving late (every
+    7th orderkey) and lineitems arriving late (line numbers ≥ 4) are
+    folded into the base view WITHOUT recomputing the base join. The
+    oracle recomputes the view from scratch; green means the delta
+    algebra loses and double-counts nothing.
+
+    Exactness: revenue partials are the ×10⁴ integer grid
+    (disc_price_cents), so re-aggregating partial aggregates is an
+    exact long sum — associative under any grouping of deltas.
+
+    Scale: all four joins share the orderkey shuffle key, so one
+    co-partitioning serves the whole maintenance pass; at 100 TB the
+    base view is a stored table and ONLY the three delta joins run
+    per batch — each bounded by |Δ|, with the delta side broadcast
+    when a batch is small. This is the batch twin of the streaming
+    upsert tier (events_upsert_latest, orders_incremental_agg)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    is_do = F.col("o_orderkey") % 7 == 0
+    is_dl = F.col("l_linenumber") >= 4
+    o_old, o_new = orders.filter(~is_do), orders.filter(is_do)
+    l_old, l_new = li.filter(~is_dl), li.filter(is_dl)
+
+    def partial(o: DataFrame, lines: DataFrame) -> DataFrame:
+        j = o.select("o_orderkey", "o_orderpriority").join(
+            lines.select(
+                "l_orderkey", disc_price_cents().alias("rev_units")
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        return j.groupBy("o_orderkey", "o_orderpriority").agg(
+            F.sum("rev_units").alias("rev_units"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+
+    deltas = (
+        partial(o_old, l_old)
+        .unionByName(partial(o_new, l_old))
+        .unionByName(partial(o_old, l_new))
+        .unionByName(partial(o_new, l_new))
+    )
+    return deltas.groupBy("o_orderkey", "o_orderpriority").agg(
+        (F.sum("rev_units").cast("double") / F.lit(10000.0)).alias(
+            "revenue"
+        ),
+        F.sum("n_lines").cast("long").alias("n_lines"),
+    )
+
+
+_ORDER_IVM_SQL = f"""
+SELECT o_orderkey, o_orderpriority,
+       CAST(SUM({_DISC_PRICE_CENTS_SQL}) AS DOUBLE) / 10000.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1, 2
+"""
+
+
+def part_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance over the repeat-co-purchase part
+    graph (r7 session-6): from the seed set {parts ≡ 0 mod 53} the
+    frontier expands 4 rounds; each part reached gets its minimum hop
+    count — the "distance to a known-good seed" feature (spam-farm
+    distance, catalog neighborhoods) that complements PageRank
+    (global mass), k-core (density), and triangles (local closure).
+
+    Same graph as part_kcore_members (co-ordered in ≥ 2 distinct
+    orders). Fixed rounds for the exact unrolled-CTE oracle, with the
+    same AS MATERIALIZED guard (DuckDB re-inlines each round's CTE
+    exponentially otherwise).
+
+    Scale: each round is one semi-join (frontier onto the bidirected
+    edge list) + distinct + anti-join against the visited set — the
+    Pregel frontier shape, lineage truncated per round; frontier and
+    visited sets are (node) singletons, never edges."""
+    from .operators.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ue = _repeat_copurchase_edges(li)
+    nodes = ue.select(
+        F.explode(F.array(F.col("a"), F.col("b"))).alias("n")
+    ).distinct()
+    seeds = nodes.filter(F.col("n") % 53 == 0)
+    return bfs_hops(ue, seeds, rounds=4).select(
+        F.col("n").alias("part"), "dist"
+    )
+
+
+def _repeat_copurchase_edges(li: DataFrame) -> DataFrame:
+    """Canonical (a < b) edges between parts co-ordered in ≥ 2
+    distinct orders — the graph shared by part_kcore_members and
+    part_bfs_hops. Pair fan-out is bounded by lines-per-order²."""
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    r = lp.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+    )
+    return (
+        lp.join(
+            r,
+            (lp["l_orderkey"] == r["o2"]) & (lp["l_partkey"] < r["p2"]),
+        )
+        .groupBy(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("a", "b")
+    )
+
+
+_BFS_EDGES_CTES = """lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS w
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), ue AS MATERIALIZED (
+  SELECT a, b FROM pairs WHERE w >= 2
+), bidir AS MATERIALIZED (
+  SELECT a, b FROM ue UNION ALL SELECT b AS a, a AS b FROM ue
+)"""
+
+
+def _bfs_round_sql(i: int) -> str:
+    p = f"f{i - 1}"
+    v = f"v{i - 1}"
+    return f"""
+, nb{i} AS MATERIALIZED (
+  SELECT DISTINCT b AS n FROM bidir WHERE a IN (SELECT n FROM {p})
+), f{i} AS MATERIALIZED (
+  SELECT n FROM nb{i} WHERE n NOT IN (SELECT n FROM {v})
+), v{i} AS MATERIALIZED (
+  SELECT n FROM {v} UNION SELECT n FROM f{i}
+)"""
+
+
+def _bfs_sql(rounds: int = 4) -> str:
+    hops = "\nUNION ALL\n".join(
+        f"SELECT n, {i} AS d FROM f{i}" for i in range(rounds + 1)
+    )
+    return f"""
+WITH {_BFS_EDGES_CTES}, f0 AS MATERIALIZED (
+  SELECT DISTINCT n FROM (
+    SELECT a AS n FROM bidir
+  ) WHERE n % 53 = 0
+), v0 AS MATERIALIZED (
+  SELECT n FROM f0
+){"".join(_bfs_round_sql(i) for i in range(1, rounds + 1))}
+SELECT n AS part, CAST(d AS BIGINT) AS dist FROM ({hops})
+"""
+
+
+def event_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly detection (r7 session-6): events
+    whose value deviates > 3σ from their (event_type, hour-of-day)
+    baseline — the deseasonalized z-score monitor that a raw global
+    threshold gets wrong twice (flags every busy-hour peak, misses a
+    3 a.m. spike that is huge FOR 3 a.m.). Complements the trend
+    (CUSUM, drift) and rate (spike) monitors with a seasonal one.
+
+    Exactness: moments accumulate on the integer cent grid (sum and
+    sum-of-squares as longs — order-independent), and mean/variance/z
+    are a fixed sequence of correctly-rounded double ops, identical
+    in the SQL twin. Sample variance (n−1); groups need n ≥ 2 and
+    positive variance. The ×10⁴-grid square sum overflows a long past
+    ~10⁹ rows per (type, hour) cell; the production variant at that
+    scale switches to double partials (same caveat as the repo-wide
+    _cents convention).
+
+    Scale: one map-side-combinable agg to ≤ |types|·24 baseline rows,
+    broadcast back onto the event scan — no event-side shuffle at
+    all."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    e = ev.select(
+        "event_id",
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        _cents("value").alias("v_cents"),
+    )
+    stats = (
+        e.groupBy("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_cents").alias("s"),
+            F.sum(F.col("v_cents") * F.col("v_cents")).alias("ss"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double")
+        * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    ) / (F.col("n") - 1).cast("double")
+    joined = e.join(
+        F.broadcast(stats), ["event_type", "hod"]
+    ).withColumns(
+        {
+            "mu": mu,
+            "var": var,
+        }
+    )
+    z = (F.col("v_cents").cast("double") - F.col("mu")) / F.sqrt(
+        F.col("var")
+    )
+    return (
+        joined.filter((F.col("var") > 0) & (F.abs(z) > 3.0))
+        .select(
+            "event_id",
+            "event_type",
+            "hod",
+            "v_cents",
+            F.round(F.lit(1000000.0) * z).cast("long").alias("z_micro"),
+        )
+    )
+
+
+_SEASONAL_ANOMALY_SQL = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+         CAST(round(value * 100) AS BIGINT) AS v_cents
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), st AS (
+  SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v_cents) AS BIGINT) AS s,
+         CAST(SUM(v_cents * v_cents) AS BIGINT) AS ss
+  FROM e GROUP BY 1, 2
+), st2 AS (
+  SELECT event_type, hod,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         (CAST(ss AS DOUBLE)
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           / CAST(n - 1 AS DOUBLE) AS var
+  FROM st WHERE n >= 2
+)
+SELECT e.event_id, e.event_type, e.hod, e.v_cents,
+       CAST(round(1000000.0
+                  * ((CAST(v_cents AS DOUBLE) - mu) / sqrt(var)))
+            AS BIGINT) AS z_micro
+FROM e JOIN st2 USING (event_type, hod)
+WHERE var > 0
+  AND abs((CAST(v_cents AS DOUBLE) - mu) / sqrt(var)) > 3.0
+"""
+
+
+def rake_keyword_phrases(
+    spark: SparkSession, sf_dir: str, top_n: int = 50
+) -> DataFrame:
+    """RAKE keyword extraction over the corpus (r7 session-6): token
+    runs between stopword delimiters are candidate phrases; each
+    word scores degree/frequency (degree = summed length of the
+    phrases it appears in — RAKE's co-occurrence weighting, Rose et
+    al. 2010), and a phrase scores the sum of its member words — the
+    classic unsupervised keyword extractor, here producing the
+    corpus-level top-50 phrase list.
+
+    Determinism: word scores are floor-divided micro-units
+    (degree·10⁶ div freq — exact integer both engines), so phrase
+    scores are exact long sums and the top-50 ordering
+    (score, occurrences, phrase) is total. Phrase assembly orders
+    tokens by position (array_sort on (pos, word) / ORDER BY inside
+    string_agg) rather than trusting collection order.
+
+    Scale: one posexplode + one running-count window per doc
+    partition (the same shape as doc_word_positions), two
+    map-side-combinable aggs over (phrase) and (word), and a global
+    top-50 that compiles to TakeOrderedAndProject. The word-score
+    join broadcasts |vocab| rows. Stopword set matches the fixture
+    vocabulary's function words."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    stop = F.col("w").isin("a", "the")
+    wseq = toks.withColumn(
+        "sid",
+        F.sum(stop.cast("long")).over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    members = wseq.filter(~stop).select("doc_id", "sid", "pos", "w")
+    phrase_rows = members.groupBy("doc_id", "sid").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda x: x["w"],
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    )
+    scored_members = members.join(
+        phrase_rows.select("doc_id", "sid", "plen"), ["doc_id", "sid"]
+    )
+    wstats = scored_members.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freqw"),
+        F.sum("plen").alias("deg"),
+    )
+    wscore = wstats.select(
+        "w", F.expr("deg * 1000000 div freqw").alias("wscore_micro")
+    )
+    phrase_scores = (
+        scored_members.join(F.broadcast(wscore), "w")
+        .groupBy("doc_id", "sid")
+        .agg(F.sum("wscore_micro").alias("score_micro"))
+    )
+    per_phrase = (
+        phrase_rows.join(phrase_scores, ["doc_id", "sid"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("score_micro").cast("long").alias("score_micro"),
+        )
+    )
+    return (
+        per_phrase.orderBy(
+            F.col("score_micro").desc(),
+            F.col("n_occurrences").desc(),
+            F.col("phrase").asc(),
+        )
+        .limit(top_n)
+    )
+
+
+_RAKE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+), toks2 AS (
+  SELECT * FROM toks WHERE w <> ''
+), wseq AS (
+  SELECT doc_id, pos, w,
+         SUM(CASE WHEN w IN ('a', 'the') THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM toks2
+), members AS (
+  SELECT doc_id, sid, pos, w FROM wseq WHERE w NOT IN ('a', 'the')
+), phrase_rows AS (
+  SELECT doc_id, sid, string_agg(w, ' ' ORDER BY pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS plen
+  FROM members GROUP BY 1, 2
+), scored_members AS (
+  SELECT m.doc_id, m.sid, m.w, p.plen
+  FROM members m JOIN phrase_rows p USING (doc_id, sid)
+), wscore AS (
+  SELECT w, (SUM(plen) * 1000000) // COUNT(*) AS wscore_micro
+  FROM scored_members GROUP BY 1
+), phrase_scores AS (
+  SELECT s.doc_id, s.sid, SUM(ws.wscore_micro) AS score_micro
+  FROM scored_members s JOIN wscore ws USING (w)
+  GROUP BY 1, 2
+)
+SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MAX(score_micro) AS BIGINT) AS score_micro
+FROM phrase_rows p JOIN phrase_scores USING (doc_id, sid)
+GROUP BY 1
+ORDER BY score_micro DESC, n_occurrences DESC, phrase ASC
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -10181,10 +10716,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # in their r6 queue order; its last three entries were displaced
     # below the window by the never-stamped r7 queries above and
     # rotate into the r8 window ---
-    "outer_join_order_coverage": (outer_join_order_coverage, _OUTER_JOIN_SQL),
-    "price_lag_lead_frames": (price_lag_lead_frames, _LAG_LEAD_SQL),
-    "sql_interface_q3": (sql_interface_q3, _SQL_Q3_SQL),
-    "small_quantity_revenue": (small_quantity_revenue, _SMALL_QTY_SQL),
+    # new in round 7 session 6 — zero driver evidence, outranks the
+    # r4-refresh fill that previously held these four slots
+    # (outer_join_order_coverage, price_lag_lead_frames,
+    # sql_interface_q3, small_quantity_revenue — moved below the
+    # window, first in line for r8)
+    "activity_overlap_kmv": (activity_overlap_kmv, _ACTIVITY_KMV_SQL),
+    "order_lineitem_ivm": (order_lineitem_ivm, _ORDER_IVM_SQL),
+    "part_bfs_hops": (part_bfs_hops, _bfs_sql()),
+    "event_seasonal_anomaly": (
+        event_seasonal_anomaly,
+        _SEASONAL_ANOMALY_SQL,
+    ),
     # ------------------------------------------------------------------
     # below the window (entry 51+). salted_customer_revenue stays
     # pinned at position 51: the window test anchors it to pin the
@@ -10195,6 +10738,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # (the freshest evidence, so lowest rotation priority).
     # ------------------------------------------------------------------
     "salted_customer_revenue": (salted_customer_revenue, _SALTED_REVENUE_SQL),
+    # session-6 overflow: rake_keyword_phrases is never-stamped but
+    # the window is full of equally-never-stamped r7 entries — heads
+    # the r8 window together with the displaced refresh fill below
+    "rake_keyword_phrases": (rake_keyword_phrases, _RAKE_SQL),
+    # r4-refresh fill displaced from the window by the session-6
+    # additions — first refresh candidates for the r8 window
+    "outer_join_order_coverage": (outer_join_order_coverage, _OUTER_JOIN_SQL),
+    "price_lag_lead_frames": (price_lag_lead_frames, _LAG_LEAD_SQL),
+    "sql_interface_q3": (sql_interface_q3, _SQL_Q3_SQL),
+    "small_quantity_revenue": (small_quantity_revenue, _SMALL_QTY_SQL),
     # r4-queue tail displaced below the window by the operators added
     # late in round 7 (fuzzy/autocorr/spikes/zipf, then the bloom-prune
     # and skyline session-5 additions) — first in line for the r8

@@ -177,3 +177,58 @@ def test_part_kcore_fixture_converges_within_rounds(spark, sf_dir):
     }
     assert r8 == r12
     assert len(r8) > 0
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS (operators/graph.bfs_hops)
+# ---------------------------------------------------------------------------
+
+
+def _py_bfs(edges, seeds, rounds):
+    """Reference multi-source BFS: min hop distance within `rounds`."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for i in range(1, rounds + 1):
+        nxt = {
+            m for n in frontier for m in adj[n] if m not in dist
+        }
+        for m in nxt:
+            dist[m] = i
+        frontier = nxt
+    return dist
+
+
+def test_bfs_hops_matches_python_reference(spark):
+    """Frontier BFS vs the reference across the shapes that break
+    naive implementations: a chain longer than the round budget
+    (truncation IS the semantics), a cycle reached from two seeds
+    (min-hop must win, not last-writer), a diamond (two equal-length
+    paths to one node — single label), disconnected components (the
+    unseeded one stays unlabelled), and an EMPTY seed set (all rounds
+    no-op, zero rows, no crash)."""
+    from amazonmsk_emr_tem_data_spark.operators.graph import bfs_hops
+
+    cases = [
+        ([(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7)], [1], 4),
+        ([(1, 2), (2, 3), (3, 4), (4, 1)], [1, 3], 4),
+        ([(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)], [1], 4),
+        ([(1, 2), (3, 4)], [1], 4),
+        ([(1, 2), (2, 3)], [], 4),
+        ([(1, 2), (2, 3), (3, 1), (3, 4)], [4], 1),
+    ]
+    for edges, seeds, rounds in cases:
+        df = spark.createDataFrame(edges, "a long, b long")
+        sdf = spark.createDataFrame(
+            [(s,) for s in seeds], "n long"
+        ) if seeds else spark.createDataFrame([], "n long")
+        got = {
+            r["n"]: r["dist"]
+            for r in bfs_hops(df, sdf, rounds=rounds).collect()
+        }
+        assert got == _py_bfs(edges, seeds, rounds), (edges, seeds)

@@ -139,6 +139,10 @@ DOC_QUERIES = [
     # r7: Zipf head buckets over a tiny vocabulary (every rank in the
     # head; bit-length bucketing on ranks 1..n)
     "token_zipf_profile",
+    # r7 session-6: RAKE — doc 4 is ALL stopwords (zero phrases), doc 8
+    # opens with the 'a' delimiter, empty/whitespace docs contribute
+    # nothing, identical docs 9+10 double a phrase's occurrence count
+    "rake_keyword_phrases",
 ]
 
 
@@ -352,6 +356,14 @@ EVENTS_QUERIES = [
     # fewer customers than buckets (ntile gives short buckets 1..n)
     "event_value_trimmed_stats",
     "customer_spend_deciles",
+    # r7 session-6: KMV sketches far smaller than k=64 — every pair
+    # takes the exact branch (the sketch IS the set), and the estimate
+    # must equal the true distinct counts in both engines
+    "activity_overlap_kmv",
+    # seasonal z-scores where no (type, hour) cell can reach |z|>3
+    # (max |z| over n samples is (n-1)/sqrt(n)): the n>=2 / var>0
+    # guards must agree on an EMPTY result, never divide by zero
+    "event_seasonal_anomaly",
 ]
 
 
@@ -512,6 +524,13 @@ TPCH_QUERIES = [
     "orders_incremental_agg",
     "key_skew_report",
     "zorder_layout_stats",
+    # r7 session-6: the IVM delta split puts order 35 in ΔO while ΔL is
+    # EMPTY (no linenumber >= 4 here) — the four-way delta union must
+    # still equal the from-scratch view; BFS sees a one-edge graph
+    # (22—23, co-ordered in orders 31+35) with NO seed (% 53 misses) —
+    # the empty-frontier rounds must no-op identically in both engines
+    "order_lineitem_ivm",
+    "part_bfs_hops",
 ]
 
 

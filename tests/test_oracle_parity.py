@@ -84,6 +84,15 @@ def test_driver_window_covers_round7_rotation():
         "hilbert_layout_stats", "orders_benford_profile",
         "langid_confusion_matrix", "matryoshka_recall_audit",
         "part_kcore_members", "segment_spend_gini",
+        # round-7 session-6 — never-stamped, outrank the refresh fill
+        # whose four slots they took (outer_join_order_coverage,
+        # price_lag_lead_frames, sql_interface_q3,
+        # small_quantity_revenue — now below the window, first refresh
+        # candidates for r8; rake_keyword_phrases is also never-stamped
+        # but the window is full of never-stamped r7 entries, so it
+        # waits just below position 51 for the r8 window)
+        "activity_overlap_kmv", "order_lineitem_ivm",
+        "part_bfs_hops", "event_seasonal_anomaly",
         # the r4-green refresh queue (stamped round 4, nothing newer);
         # never-stamped r7 queries outrank refresh fill, so the queue's
         # tail (exists_high_quantity_orders, conditional_agg_orders,
@@ -104,8 +113,6 @@ def test_driver_window_covers_round7_rotation():
         # embedding_int8_quantize, doc_chunking, recursive_cte_depths,
         # semantic_dedup_vectors, event_funnel, retention_cohorts) was
         # displaced below the window and rotates into r8
-        "outer_join_order_coverage", "price_lag_lead_frames",
-        "sql_interface_q3", "small_quantity_revenue",
     }
     missing = must_check - window
     assert not missing, (
@@ -232,6 +239,16 @@ def test_no_vacuous_queries(spark, sf_dir):
         "containment_dup_pairs",
         "gopher_quality_filter",
         "doc_winnowing_fingerprints",
+        # r7 session-6: bottom-k rank windows over unique md5 hashes
+        # (KMV), long-sum delta re-aggregation (IVM), min-hop frontier
+        # unions (BFS), integer-moment z-scores, and floor-div RAKE
+        # micro-scores with a total top-50 tiebreak must all be
+        # partition-blind
+        "activity_overlap_kmv",
+        "order_lineitem_ivm",
+        "part_bfs_hops",
+        "event_seasonal_anomaly",
+        "rake_keyword_phrases",
     ],
 )
 def test_partitioning_invariance(spark, sf_dir, name):

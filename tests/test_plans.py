@@ -678,3 +678,55 @@ def test_hilbert_audit_matches_zorder_plan_shape(spark, sf_dir):
     assert not fh.joins and not fz.joins
     assert fh.has_partial_agg
     assert "pythonudf" not in fh.raw.lower()
+
+
+def test_kmv_bottom_k_prunes_map_side(spark, sf_dir):
+    """The KMV sketch's scale contract: the per-type bottom-64 rank
+    filter must compile to WindowGroupLimit (Spark 3.5+), so every map
+    task pre-trims to its local k BEFORE the |types|-key shuffle — the
+    difference between shuffling k longs per type and shuffling every
+    distinct (user, day) hash. The pairwise stage may nested-loop:
+    its inputs are the post-aggregate sketch ROWS (k longs per type),
+    never event data."""
+    f = facts(spark, sf_dir, "activity_overlap_kmv")
+    assert "WindowGroupLimit" in f.raw, (
+        "bottom-k must pre-trim map-side via WindowGroupLimit"
+    )
+    assert not f.has_cartesian
+    assert "SortMergeJoin" not in f.joins, (
+        "sketch pairing must never shuffle-sort (inputs are |types| rows)"
+    )
+
+
+def test_ivm_delta_joins_share_the_orderkey_key(spark, sf_dir):
+    """The four delta joins of the IVM maintenance pass all key on
+    orderkey and re-aggregate exact integer partials — partial
+    aggregation must survive, and no delta combination may degenerate
+    into a nested-loop/cartesian (the filters are disjoint slices of
+    the same tables, joined equi on orderkey only)."""
+    f = facts(spark, sf_dir, "order_lineitem_ivm")
+    assert f.has_partial_agg
+    assert not f.has_cartesian
+    assert "BroadcastNestedLoopJoin" not in f.joins
+
+
+def test_seasonal_anomaly_broadcasts_baseline_no_event_shuffle(spark, sf_dir):
+    """The seasonal monitor's scale contract: the <= |types|*24
+    baseline table broadcasts back onto the event scan — exactly ONE
+    exchange in the whole plan (the baseline aggregate's), and the
+    event side is never shuffled."""
+    f = facts(spark, sf_dir, "event_seasonal_anomaly")
+    assert set(f.joins) == {"BroadcastHashJoin"}, f.joins
+    assert f.n_exchanges == 1, f.n_exchanges
+    assert f.has_partial_agg
+
+
+def test_rake_topk_is_partial_no_global_sort(spark, sf_dir):
+    """RAKE's corpus-level top-50 must compile to
+    TakeOrderedAndProject (per-partition heaps), not a global sort,
+    and the |vocab|-row word-score table must broadcast onto the
+    member stream."""
+    f = facts(spark, sf_dir, "rake_keyword_phrases")
+    assert "TakeOrderedAndProject" in f.raw
+    assert "BroadcastHashJoin" in f.joins
+    assert not f.has_cartesian
