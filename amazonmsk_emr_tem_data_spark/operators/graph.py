@@ -221,3 +221,57 @@ def bfs_hops(
         dist = dist.unionByName(new).localCheckpoint(eager=True)
         frontier = new.select("n")
     return dist
+
+
+def label_propagation(
+    undirected_edges: DataFrame,
+    rounds: int = 4,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007,
+    deterministic variant): labels start as node IDs; each round every
+    node adopts the most frequent label among its NEIGHBORS, ties
+    broken to the smallest label. Fixed rounds (not run-to-stability)
+    keep the exact unrolled-CTE oracle twin, same as kcore/bfs_hops;
+    synchronous updates make the result independent of partitioning
+    and visit order (the async variant is famously order-dependent).
+
+    Per round: one join of the (node, label) table onto the
+    bidirected edge list keyed on the source endpoint, one
+    map-side-combinable (node, label) vote count (bounded by |edges|),
+    and one per-node argmax window (bounded by a node's distinct
+    neighbor labels). ``localCheckpoint`` truncates the per-round
+    lineage. At 100 TB each round is the same dst-keyed MapReduce
+    shape as a PageRank iteration — votes combine map-side, so
+    high-degree hubs cost only on their own keys.
+    """
+    from pyspark.sql import Window
+
+    edges = undirected_edges.select(a, b).distinct()
+    bidir = edges.unionByName(
+        edges.select(F.col(b).alias(a), F.col(a).alias(b))
+    ).cache()
+    labels = (
+        bidir.select(F.col(a).alias("n"))
+        .distinct()
+        .select("n", F.col("n").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("n").orderBy(
+        F.col("c").desc(), F.col("lab").asc()
+    )
+    for _ in range(rounds):
+        votes = (
+            bidir.join(labels, bidir[a] == labels["n"])
+            .select(F.col(b).alias("n"), "lab")
+            .groupBy("n", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("n", "lab")
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -10594,6 +10594,409 @@ LIMIT 50
 
 
 # ---------------------------------------------------------------------------
+# round-7 session-6b: weighted shortest paths, label-propagation
+# communities, rendezvous resharding, source KL, weighted sampling
+# ---------------------------------------------------------------------------
+
+
+def nation_min_latency_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source weighted shortest paths over the nation logistics
+    graph (r7 session-6b): edge (supplier nation → customer nation)
+    carries the MINIMUM observed ship delay in days; from nation 0 a
+    bounded Bellman-Ford (4 relaxation rounds) labels every reachable
+    nation with its cheapest within-4-hops total latency — the
+    "fastest route through the supply network" query, extending the
+    unweighted BFS tier to min-plus semirings.
+
+    The real work is edge EXTRACTION, not the path search: lineitem ⋈
+    orders co-keyed on orderkey, then one custkey shuffle onto
+    customer, with supplier broadcast — after which the graph
+    collapses to ≤ |nations|² integer-weight rows and every
+    relaxation round is a broadcast join over that tiny table. At
+    100 TB the iteration costs nothing; the two fact shuffles are the
+    whole bill. Delays clamp at ≥ 0 (no negative relaxation), so the
+    bounded unroll is monotone; weights and distances are exact longs.
+    Reference scope: extends the graph tier (SURVEY §2.4) the same
+    way kcore/bfs_hops do — the reference has no graph operators."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.to_date("l_shipdate").alias("ship_d")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("ord_d")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").alias("src")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("dst")
+    )
+    delays = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "src",
+            "dst",
+            F.greatest(
+                F.datediff("ship_d", "ord_d"), F.lit(0)
+            ).cast("long").alias("delay"),
+        )
+    )
+    edges = (
+        delays.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("delay").alias("w"))
+        # one eager pass extracts the <= |nations|^2 edge table; the
+        # relaxation loop below references it 4x and the dist table 2x
+        # per round — without the checkpoint the unroll re-runs the
+        # two fact shuffles 2^rounds times
+        .localCheckpoint(eager=True)
+    )
+    dist = spark.createDataFrame(
+        [(0, 0)], "n long, dist long"
+    )
+    for _ in range(4):
+        relaxed = (
+            edges.join(
+                F.broadcast(dist), edges["src"] == dist["n"]
+            )
+            .select(
+                F.col("dst").alias("n"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("n")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(F.col("n").alias("nation"), "dist")
+
+
+_LATENCY_EDGES_CTES = """delays AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         GREATEST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)), 0) AS delay
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+), edges AS MATERIALIZED (
+  SELECT src, dst, CAST(MIN(delay) AS BIGINT) AS w
+  FROM delays WHERE src <> dst GROUP BY 1, 2
+)"""
+
+
+def _latency_sql(rounds: int = 4) -> str:
+    ctes = "".join(
+        f"""
+, d{i} AS MATERIALIZED (
+  SELECT n, MIN(dist) AS dist FROM (
+    SELECT n, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS n, d.dist + e.w AS dist
+    FROM edges e JOIN d{i - 1} d ON e.src = d.n
+  ) GROUP BY 1
+)"""
+        for i in range(1, rounds + 1)
+    )
+    return f"""
+WITH {_LATENCY_EDGES_CTES}, d0 AS MATERIALIZED (
+  SELECT CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS dist
+){ctes}
+SELECT n AS nation, dist FROM d{rounds}
+"""
+
+
+def part_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (LPA, Raghavan et al. 2007) over
+    the repeat-co-purchase part graph (r7 session-6b): labels start as
+    node IDs; each of 4 rounds every node adopts the most frequent
+    label among its neighbors, ties to the SMALLEST label — the
+    deterministic variant of the classic community detector. Completes
+    the graph tier: PageRank (mass), k-core (density), BFS (distance),
+    connected components (reachability), LPA (communities).
+
+    Per round: one join of the label table onto the bidirected edge
+    list (keyed on the source endpoint), a map-side-combinable
+    (node, label) vote count, and a per-node argmax window — the vote
+    table is bounded by |edges|, the window by a node's degree. Fixed
+    rounds keep the exact unrolled-CTE twin (AS MATERIALIZED — DuckDB
+    re-inlines each round exponentially otherwise); sync updates make
+    the result partition-order-blind."""
+    from .operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ue = _repeat_copurchase_edges(li)
+    return label_propagation(ue, rounds=4).select(
+        F.col("n").alias("part"), F.col("lab").alias("community")
+    )
+
+
+def _lpa_round_sql(i: int) -> str:
+    return f"""
+, v{i} AS MATERIALIZED (
+  SELECT e.b AS n, l.lab, COUNT(*) AS c
+  FROM bidir e JOIN l{i - 1} l ON e.a = l.n
+  GROUP BY 1, 2
+), l{i} AS MATERIALIZED (
+  SELECT n, lab FROM (
+    SELECT n, lab,
+           row_number() OVER (PARTITION BY n
+                              ORDER BY c DESC, lab ASC) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+)"""
+
+
+def _lpa_sql(rounds: int = 4) -> str:
+    return f"""
+WITH {_BFS_EDGES_CTES}, l0 AS MATERIALIZED (
+  SELECT DISTINCT a AS n, a AS lab FROM bidir
+){"".join(_lpa_round_sql(i) for i in range(1, rounds + 1))}
+SELECT n AS part, lab AS community FROM l{rounds}
+"""
+
+
+#: Rendezvous-rebalance shard counts (old fleet size -> old + 1).
+_HRW_OLD = 16
+
+
+def doc_shard_rebalance(
+    spark: SparkSession, sf_dir: str, old_n: int = _HRW_OLD
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) resharding audit (r7
+    session-6b): every document hashes once per shard candidate and
+    lands on its argmax (Thaler & Ravishankar 1998); growing the fleet
+    from 16 to 17 shards must move ONLY the documents whose new winner
+    is the added shard — ~1/17 of the corpus, vs ~16/17 under mod-N
+    hashing. Output per new shard: doc count and how many arrived by
+    rebalance. This is the operator behind consistent cache/storage
+    assignment at 100 TB — resharding cost is the fraction moved.
+
+    Exactness: 60-bit md5 scores are collision-free in practice and
+    the argmax tie-break never fires; the whole map is projection
+    expressions (array of 17 hashes, array_max + array_position), one
+    map-side-combinable 17-group aggregate — no joins, no second pass
+    over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .functions.text import md5_hash64
+
+    def score(s: int) -> Column:
+        return md5_hash64(
+            F.concat_ws(
+                "|", F.lit("hrw1"), F.lit(str(s)),
+                F.col("doc_id").cast("string"),
+            )
+        )
+
+    arr = F.array(*[score(s) for s in range(old_n + 1)])
+    old = F.slice(arr, 1, old_n)
+    assigned = docs.select(
+        (F.array_position(arr, F.array_max(arr)) - 1).alias("shard"),
+        (F.array_position(old, F.array_max(old)) - 1).alias("old_shard"),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                (F.col("shard") != F.col("old_shard")).cast("long")
+            ).alias("n_moved"),
+        )
+    )
+
+
+def _hrw_sql(old_n: int = _HRW_OLD) -> str:
+    hashes = ", ".join(
+        _HASH64_SQL.format(
+            x=f"('hrw1' || '|' || '{s}' || '|' || CAST(doc_id AS VARCHAR))"
+        )
+        for s in range(old_n + 1)
+    )
+    return f"""
+WITH arrs AS (
+  SELECT list_value({hashes}) AS arr FROM documents
+), assigned AS (
+  SELECT CAST(list_position(arr, list_aggregate(arr, 'max')) - 1
+              AS BIGINT) AS shard,
+         CAST(list_position(arr[1:{old_n}],
+                            list_aggregate(arr[1:{old_n}], 'max')) - 1
+              AS BIGINT) AS old_shard
+  FROM arrs
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN shard <> old_shard THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved
+FROM assigned GROUP BY 1
+"""
+
+
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram entropy / cross-entropy / KL divergence
+    against the whole-corpus distribution (r7 session-6b): the
+    data-mixture diagnostic that says WHICH source is
+    off-distribution and by how many nats — the pairwise refinement
+    of corpus_source_drift's TVD and the source-level twin of
+    doc_unigram_logprob's per-doc score. KL(P_src ‖ P_corpus) =
+    (1/N_src) Σ_tok s·(ln(s/N_src) − ln(c/T)).
+
+    Determinism: both logs snap to the integer micro-nat grid before
+    the s-weighted sums (order-independent longs; the module's
+    determinism rule), divisions happen once at the end. Scale: two
+    token-keyed map-side-combined aggregates and one join on the
+    (source, token) vocabulary — vocabulary-sized relations after the
+    first collapse, never token instances."""
+    from .functions.text import tokens
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source", F.explode(tokens("text")).alias("tok")
+    )
+    corpus = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = corpus.agg(F.sum("c").alias("t"))
+    per_src = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    n_src = per_src.groupBy("source").agg(F.sum("s").alias("n"))
+    ln_micro = lambda x: F.round(F.log(x) * F.lit(1000000.0)).cast("long")  # noqa: E731
+    j = (
+        per_src.join(F.broadcast(corpus), "tok")
+        .join(F.broadcast(n_src), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "s",
+            F.col("n").alias("n"),
+            ln_micro(
+                F.col("s").cast("double") / F.col("n").cast("double")
+            ).alias("ln_src"),
+            ln_micro(
+                F.col("c").cast("double") / F.col("t").cast("double")
+            ).alias("ln_cor"),
+        )
+    )
+    agg = j.groupBy("source").agg(
+        F.max("n").alias("n_tokens"),
+        F.sum(F.col("s") * F.col("ln_src")).alias("h_units"),
+        F.sum(F.col("s") * F.col("ln_cor")).alias("x_units"),
+    )
+    denom = F.col("n_tokens").cast("double") * F.lit(1000000.0)
+    return agg.select(
+        "source",
+        "n_tokens",
+        (-F.col("h_units").cast("double") / denom).alias("entropy_nats"),
+        (-F.col("x_units").cast("double") / denom).alias(
+            "cross_entropy_nats"
+        ),
+        (
+            (F.col("h_units") - F.col("x_units")).cast("double") / denom
+        ).alias("kl_nats"),
+    )
+
+
+_SOURCE_KL_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents
+), corpus AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1
+), tot AS (
+  SELECT SUM(c) AS t FROM corpus
+), per_src AS (
+  SELECT source, tok, COUNT(*) AS s FROM toks GROUP BY 1, 2
+), n_src AS (
+  SELECT source, SUM(s) AS n FROM per_src GROUP BY 1
+), j AS (
+  SELECT p.source, p.s, ns.n,
+         CAST(round(ln(CAST(p.s AS DOUBLE) / CAST(ns.n AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS ln_src,
+         CAST(round(ln(CAST(co.c AS DOUBLE) / CAST(tot.t AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS ln_cor
+  FROM per_src p
+  JOIN corpus co USING (tok)
+  JOIN n_src ns USING (source)
+  CROSS JOIN tot
+), agg AS (
+  SELECT source, CAST(MAX(n) AS BIGINT) AS n_tokens,
+         SUM(s * ln_src) AS h_units, SUM(s * ln_cor) AS x_units
+  FROM j GROUP BY 1
+)
+SELECT source, n_tokens,
+       -CAST(h_units AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000000.0)
+         AS entropy_nats,
+       -CAST(x_units AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000000.0)
+         AS cross_entropy_nats,
+       CAST(h_units - x_units AS DOUBLE)
+         / (CAST(n_tokens AS DOUBLE) * 1000000.0) AS kl_nats
+FROM agg
+"""
+
+
+def doc_weighted_sample(
+    spark: SparkSession, sf_dir: str, k: int = 200
+) -> DataFrame:
+    """Weighted sampling without replacement via the
+    Efraimidis-Spirakis exponential race (2006) (r7 session-6b): each
+    document draws u ∈ (0,1] from its id hash and competes with key
+    −ln(u)/w — the k SMALLEST keys win, selecting longer documents
+    (w = n_chars) proportionally more often. The one-pass,
+    shuffle-light way to draw a quality- or length-weighted training
+    subsample from 100 TB: no global weight total, no prefix sums,
+    mergeable across any partitioning (bottom-k of a deterministic
+    per-row key compiles to TakeOrderedAndProject's per-partition
+    heaps).
+
+    Determinism: u = (h+1)/2⁶⁰ is exact; p_micro = round(−ln(u)·10⁶)
+    snaps the only float to the micro-nat grid (the engines' ln agree
+    far below the grid); key_micro = p_micro·10⁶ div w divides
+    POSITIVE integers, where Spark's truncating div == DuckDB's floor
+    // (they diverge on negatives — the reason the race runs on
+    −ln(u), not ln(u)). Tie-break doc_id."""
+    from .functions.text import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_hash64(
+        F.concat_ws("|", F.lit("esw1"), F.col("doc_id").cast("string"))
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    p_micro = F.round(-F.log(u) * F.lit(1000000.0)).cast("long")
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("long")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        w.alias("weight"),
+        p_micro.alias("p_micro"),
+    ).select(
+        "doc_id",
+        "source",
+        "weight",
+        F.expr("p_micro * 1000000 div weight").alias("key_micro"),
+    )
+    return keyed.orderBy(
+        F.col("key_micro").asc(), F.col("doc_id").asc()
+    ).limit(k)
+
+
+_WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         GREATEST(n_chars, 1) AS weight,
+         CAST(round(-ln((
+             {_HASH64_SQL.format(x="('esw1' || '|' || CAST(doc_id AS VARCHAR))")}
+             + 1) / 1152921504606846976.0) * 1000000.0) AS BIGINT)
+           AS p_micro
+  FROM documents
+)
+SELECT doc_id, source, CAST(weight AS BIGINT) AS weight,
+       (p_micro * 1000000) // weight AS key_micro
+FROM keyed
+ORDER BY key_micro ASC, doc_id ASC
+LIMIT 200
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -10742,6 +11145,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # the window is full of equally-never-stamped r7 entries — heads
     # the r8 window together with the displaced refresh fill below
     "rake_keyword_phrases": (rake_keyword_phrases, _RAKE_SQL),
+    # session-6b: same never-stamped-overflow status as rake — these
+    # five join it at the head of the r8 window
+    "nation_min_latency_paths": (nation_min_latency_paths, _latency_sql()),
+    "part_label_communities": (part_label_communities, _lpa_sql()),
+    "doc_shard_rebalance": (doc_shard_rebalance, _hrw_sql()),
+    "source_token_kl": (source_token_kl, _SOURCE_KL_SQL),
+    "doc_weighted_sample": (doc_weighted_sample, _WEIGHTED_SAMPLE_SQL),
     # r4-refresh fill displaced from the window by the session-6
     # additions — first refresh candidates for the r8 window
     "outer_join_order_coverage": (outer_join_order_coverage, _OUTER_JOIN_SQL),

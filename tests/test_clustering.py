@@ -232,3 +232,56 @@ def test_bfs_hops_matches_python_reference(spark):
             for r in bfs_hops(df, sdf, rounds=rounds).collect()
         }
         assert got == _py_bfs(edges, seeds, rounds), (edges, seeds)
+
+
+# ---------------------------------------------------------------------------
+# label propagation (operators/graph.label_propagation)
+# ---------------------------------------------------------------------------
+
+
+def _py_lpa(edges, rounds):
+    """Reference synchronous LPA: most-frequent neighbor label, ties
+    to the smallest label."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    lab = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n in adj:
+            votes = Counter(lab[m] for m in adj[n])
+            top = max(votes.values())
+            nxt[n] = min(l for l, c in votes.items() if c == top)
+        lab = nxt
+    return lab
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """Sync LPA vs the reference across shapes that break naive
+    implementations: a single edge (labels OSCILLATE every round —
+    fixed-round unrolls must agree, not converge), a triangle with a
+    pendant, two cliques joined by a bridge (communities stabilize),
+    a star (leaves adopt the hub, hub adopts the min leaf), and a
+     4-cycle (bipartite oscillation)."""
+    from amazonmsk_emr_tem_data_spark.operators.graph import (
+        label_propagation,
+    )
+
+    cases = [
+        [(1, 2)],
+        [(1, 2), (2, 3), (1, 3), (3, 4)],
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        [(10, 1), (10, 2), (10, 3)],
+        [(1, 2), (2, 3), (3, 4), (4, 1)],
+    ]
+    for edges in cases:
+        for rounds in (1, 3, 4):
+            df = spark.createDataFrame(edges, "a long, b long")
+            got = {
+                r["n"]: r["lab"]
+                for r in label_propagation(df, rounds=rounds).collect()
+            }
+            assert got == _py_lpa(edges, rounds), (edges, rounds)

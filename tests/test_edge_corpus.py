@@ -143,6 +143,15 @@ DOC_QUERIES = [
     # opens with the 'a' delimiter, empty/whitespace docs contribute
     # nothing, identical docs 9+10 double a phrase's occurrence count
     "rake_keyword_phrases",
+    # r7 session-6b: rendezvous scores are text-independent (argmax
+    # over 17 hashes of each doc_id); single-source KL must be EXACTLY
+    # 0 for every source==corpus token (here the whole corpus is one
+    # source, so ln_src == ln_cor term-by-term); weighted sampling
+    # with k larger than the corpus returns ALL docs in key order,
+    # n_chars=0 clamping to weight 1
+    "doc_shard_rebalance",
+    "source_token_kl",
+    "doc_weighted_sample",
 ]
 
 
@@ -531,6 +540,13 @@ TPCH_QUERIES = [
     # the empty-frontier rounds must no-op identically in both engines
     "order_lineitem_ivm",
     "part_bfs_hops",
+    # r7 session-6b: Bellman-Ford over the 3-nation edge fixture
+    # (supplier nations 0/1/2 → customer nations, positive day
+    # delays); LPA on the one-edge graph (22—23) OSCILLATES — each
+    # sync round swaps the two labels, so the fixed-round unroll must
+    # agree exactly with the oracle's, not with a fixpoint
+    "nation_min_latency_paths",
+    "part_label_communities",
 ]
 
 

@@ -249,6 +249,15 @@ def test_no_vacuous_queries(spark, sf_dir):
         "part_bfs_hops",
         "event_seasonal_anomaly",
         "rake_keyword_phrases",
+        # r7 session-6b: integer min-plus relaxation, synchronous
+        # vote-count argmax with total tie-breaks, hash argmax
+        # resharding, micro-nat KL sums, and the micro-grid
+        # exponential-race bottom-k must all be partition-blind
+        "nation_min_latency_paths",
+        "part_label_communities",
+        "doc_shard_rebalance",
+        "source_token_kl",
+        "doc_weighted_sample",
     ],
 )
 def test_partitioning_invariance(spark, sf_dir, name):

@@ -730,3 +730,49 @@ def test_rake_topk_is_partial_no_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in f.raw
     assert "BroadcastHashJoin" in f.joins
     assert not f.has_cartesian
+
+
+def test_shard_rebalance_map_only_single_agg(spark, sf_dir):
+    """Rendezvous resharding is ONE pass: 17 hash expressions + argmax
+    in projections, a single 17-group map-side-combined aggregate — no
+    joins, no second corpus scan, no UDF."""
+    f = facts(spark, sf_dir, "doc_shard_rebalance")
+    assert not f.joins
+    assert f.n_exchanges == 1, f.n_exchanges
+    assert f.has_partial_agg
+    assert "pythonudf" not in f.raw.lower()
+
+
+def test_weighted_sample_partial_topk_no_shuffle(spark, sf_dir):
+    """The exponential-race bottom-k must compile to
+    TakeOrderedAndProject over per-partition heaps with ZERO
+    exchanges — the whole point of key-based weighted sampling is
+    that no global weight total (and hence no global pass) exists."""
+    f = facts(spark, sf_dir, "doc_weighted_sample")
+    assert "TakeOrderedAndProject" in f.raw
+    assert f.n_exchanges == 0, f.n_exchanges
+    assert not f.joins
+
+
+def test_source_kl_joins_vocabulary_not_instances(spark, sf_dir):
+    """The KL diagnostic's joins run on vocabulary-sized relations
+    (per-source freq ⋈ corpus freq ⋈ totals) — every join strategy is
+    a broadcast (hash for the freq tables, nested-loop only for the
+    1-row totals), never a sort-merge over token instances."""
+    f = facts(spark, sf_dir, "source_token_kl")
+    assert f.joins and "SortMergeJoin" not in f.joins, f.joins
+    assert f.has_partial_agg
+    assert not f.has_cartesian
+
+
+def test_latency_paths_checkpointed_unroll_stays_bounded(spark, sf_dir):
+    """Bellman-Ford's scale contract: the edge table is materialized
+    ONCE (localCheckpoint), so the 4-round unroll's visible plan is a
+    handful of broadcast joins over <= |nations|^2 rows — without the
+    checkpoint the union chain doubles per round and re-runs the two
+    fact shuffles 2^4 times. Bound the plan: few joins, no cartesian,
+    no sort-merge (everything downstream of the checkpoint is tiny)."""
+    f = facts(spark, sf_dir, "nation_min_latency_paths")
+    assert len(f.joins) <= 4, f.joins
+    assert "SortMergeJoin" not in f.joins
+    assert not f.has_cartesian
