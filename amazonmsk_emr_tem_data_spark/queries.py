@@ -35,6 +35,7 @@ own `spark.catalog.clearCache()` (bench.py does this between reps).
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -10997,6 +10998,1236 @@ LIMIT 200
 
 
 # ---------------------------------------------------------------------------
+# round-7 session-6c: Lloyd k-means, Merkle bucket diff, compaction
+# planning, EWMA control chart
+# ---------------------------------------------------------------------------
+
+_KMEANS_K = 8
+_KMEANS_ROUNDS = 3
+_EMB_DIM = 64
+
+
+def _grid_centroids(assigned: DataFrame) -> DataFrame:
+    """Per-cluster component means on the 1e-9 integer grid (the
+    kmeans_fit / embedding_label_outliers convention): sums of
+    floor(x·1e9 + 0.5) as longs are order-independent, so the centroid
+    is bit-reproducible across partitionings and engines; the mean is
+    then ONE fixed division sequence (s/1e9)/n per component."""
+    sums = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        *[
+            F.sum(
+                F.floor(
+                    F.element_at("embedding", i + 1).cast("double")
+                    * 1e9
+                    + 0.5
+                ).cast("long")
+            ).alias(f"s{i}")
+            for i in range(_EMB_DIM)
+        ],
+    )
+    return sums.select(
+        "cluster",
+        "n_vecs",
+        F.array(
+            *[
+                (F.col(f"s{i}") / F.lit(1e9)) / F.col("n_vecs")
+                for i in range(_EMB_DIM)
+            ]
+        ).alias("cvec"),
+    )
+
+
+def _py_dot(a: list, b: list) -> float:
+    """Sequential left-fold dot product — the exact IEEE op sequence
+    of operators/similarity.dot and DuckDB's list_dot_product, so a
+    driver-side constant equals what either engine would compute."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def kmeans_lloyd_clusters(
+    spark: SparkSession, sf_dir: str, rounds: int = _KMEANS_ROUNDS
+) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus (r7 session-6c):
+    k=8 centroids seeded from the 8 smallest vec_ids, 3 assignment/
+    update rounds, per-cluster size + inertia out — the workhorse
+    clustering that underlies IVF coarse quantizers, semantic dedup
+    buckets, and topic sharding (this engine's ivf/pq ops consume
+    exactly this fit).
+
+    Architecture (the MLlib shape): centroids are MODEL STATE — k·dim
+    doubles collected to the driver each round and re-embedded as
+    literal arrays, so assignment is a pure codegen'd projection (8
+    fold dot-products per row, NO join, no 8× row blowup) and the
+    update is one map-side-combined 64-long-sum aggregate. 3 rounds =
+    4 passes over the corpus, each a scan + combine; nothing wide.
+
+    Exactness: d²(x,c) = x·x − 2(x·c) + c·c with every dot a
+    sequential left fold (bit-identical to DuckDB list_dot_product);
+    centroids ride the 1e-9 grid (see _grid_centroids) so the driver
+    constants equal the oracle's CTE-computed centroids bit-for-bit;
+    argmin ties break to the smallest cluster id; inertia snaps d² to
+    the 1e-6 grid before the long sum. The oracle unrolls all three
+    rounds as cross-join + argmin-window CTEs."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    from .operators.similarity import dot
+
+    init = (
+        emb.orderBy("vec_id").limit(_KMEANS_K).collect()
+    )
+    centroids = [
+        (i, [float(x) for x in r["embedding"]])
+        for i, r in enumerate(init)
+    ]
+
+    def assign(cents: list) -> DataFrame:
+        staged = emb.select(
+            "vec_id",
+            "embedding",
+            dot(F.col("embedding"), F.col("embedding")).alias("ee"),
+        )
+        dists = [
+            (
+                F.col("ee")
+                - F.lit(2.0)
+                * dot(
+                    F.col("embedding"),
+                    F.array(*[F.lit(v) for v in cvec]),
+                )
+                + F.lit(_py_dot(cvec, cvec))
+            ).alias(f"d{c}")
+            for c, cvec in cents
+        ]
+        scored = staged.select("vec_id", "embedding", *dists)
+        m = F.least(*[F.col(f"d{c}") for c, _ in cents])
+        cluster = F.lit(None).cast("long")
+        expr = None
+        for c, _ in cents:
+            cond = F.col(f"d{c}") == m
+            expr = (
+                F.when(cond, F.lit(c))
+                if expr is None
+                else expr.when(cond, F.lit(c))
+            )
+        return scored.select(
+            "vec_id",
+            "embedding",
+            expr.cast("long").alias("cluster"),
+            m.alias("d2"),
+        )
+
+    for _ in range(rounds):
+        cents_df = _grid_centroids(assign(centroids))
+        centroids = sorted(
+            (int(r["cluster"]), [float(x) for x in r["cvec"]])
+            for r in cents_df.collect()
+        )
+    final = assign(centroids)
+    return final.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        (
+            F.sum(
+                F.round(F.col("d2") * F.lit(1000000.0)).cast("long")
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("inertia"),
+    )
+
+
+_KM_GRID_SUMS = ", ".join(
+    f"SUM(CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE)"
+    f" * 1000000000.0 + 0.5) AS BIGINT)) AS s{i}"
+    for i in range(_EMB_DIM)
+)
+_KM_GRID_MEANS = ", ".join(
+    f"(CAST(s{i} AS DOUBLE) / 1000000000.0) / n_vecs"
+    for i in range(_EMB_DIM)
+)
+
+
+def _km_round_sql(r: int) -> str:
+    """One assignment (+ argmin window) and one grid-centroid update."""
+    return f"""
+, a{r} AS MATERIALIZED (
+  SELECT vec_id, embedding, cluster, d2 FROM (
+    SELECT e.vec_id, e.embedding, c.cluster,
+           list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                            CAST(e.embedding AS DOUBLE[]))
+             - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+             + list_dot_product(c.cvec, c.cvec) AS d2,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY (list_dot_product(
+                                          CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[]))
+                                - 2.0 * list_dot_product(
+                                          CAST(e.embedding AS DOUBLE[]),
+                                          c.cvec)
+                                + list_dot_product(c.cvec, c.cvec)) ASC,
+                              c.cluster ASC) AS rn
+    FROM embeddings e CROSS JOIN c{r - 1} c
+  ) WHERE rn = 1
+), c{r} AS MATERIALIZED (
+  SELECT cluster, n_vecs, [{_KM_GRID_MEANS}] AS cvec FROM (
+    SELECT cluster, COUNT(*) AS n_vecs, {_KM_GRID_SUMS}
+    FROM a{r} GROUP BY cluster
+  )
+)"""
+
+
+def _kmeans_sql(rounds: int = _KMEANS_ROUNDS, k: int = _KMEANS_K) -> str:
+    return f"""
+WITH c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT)
+           AS cluster,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id ASC LIMIT {k})
+){"".join(_km_round_sql(r) for r in range(1, rounds + 1))}
+, afinal AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT e.vec_id, c.cluster,
+           list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                            CAST(e.embedding AS DOUBLE[]))
+             - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+             + list_dot_product(c.cvec, c.cvec) AS d2,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY (list_dot_product(
+                                          CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[]))
+                                - 2.0 * list_dot_product(
+                                          CAST(e.embedding AS DOUBLE[]),
+                                          c.cvec)
+                                + list_dot_product(c.cvec, c.cvec)) ASC,
+                              c.cluster ASC) AS rn
+    FROM embeddings e CROSS JOIN c{rounds} c
+  ) WHERE rn = 1
+)
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(round(d2 * 1000000.0) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 AS inertia
+FROM afinal GROUP BY cluster
+"""
+
+
+def table_checksum_buckets(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 1024
+) -> DataFrame:
+    """Merkle-style bucket-checksum table diff (r7 session-6c): both
+    snapshots fold each row to a 60-bit hash of (doc_id, content
+    fingerprint), XOR the hashes per doc_id-bucket, and compare ONLY
+    the 1024 bucket digests — the anti-entropy triage that tells a
+    100 TB replica sync WHICH 1/1024th slices differ before any
+    row-level work (row-level repair then runs corpus_snapshot_diff on
+    just those buckets). Snapshots derive from the fixture by the
+    corpus_snapshot_diff rule (doc_id %20 absent-old, %19 absent-new,
+    %7 edited, %11 whitespace-only).
+
+    XOR is the right fold: order-independent, overflow-free (a long
+    SUM would hit Spark's ANSI overflow at scale), and incremental — a
+    row update patches the digest with two XORs, no bucket rescan.
+    Emits every bucket with both digests, row counts, and the differs
+    flag, so matching buckets double as the audit trail.
+
+    Scale: each side is one map-side-combinable 1024-group aggregate
+    over (doc_id, fp) — the shuffle carries 1024 digests, never rows —
+    and the final join is 1024×1024-row trivial."""
+    from .functions.text import fingerprint, md5_hash64
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+
+    def digest(side: DataFrame, fp_text: Column) -> DataFrame:
+        h = md5_hash64(
+            F.concat_ws(
+                "|",
+                F.lit("tcb1"),
+                F.col("doc_id").cast("string"),
+                F.coalesce(fp_text, F.lit("null")),
+            )
+        )
+        return (
+            side.select(
+                (F.col("doc_id") % n_buckets).alias("bucket"),
+                h.alias("h"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.bit_xor("h").alias("digest"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+            )
+        )
+
+    old = digest(
+        docs.filter(F.col("doc_id") % 20 != 0), fingerprint("text")
+    )
+    new_docs = docs.filter(F.col("doc_id") % 19 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" edited")),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit("  ")),
+        )
+        .otherwise(F.col("text")),
+    )
+    new = digest(new_docs, fingerprint("text"))
+    o = old.select(
+        "bucket",
+        F.col("digest").alias("digest_old"),
+        F.col("n_rows").alias("n_old"),
+    )
+    n = new.select(
+        "bucket",
+        F.col("digest").alias("digest_new"),
+        F.col("n_rows").alias("n_new"),
+    )
+    return o.join(n, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        "digest_old",
+        "digest_new",
+        (
+            ~(F.col("digest_old").eqNullSafe(F.col("digest_new")))
+        ).alias("differs"),
+    )
+
+
+_TCB_FP = f"md5({_NORM_SQL})"
+_TCB_H = _HASH64_SQL.format(
+    x=f"('tcb1' || '|' || CAST(doc_id AS VARCHAR) || '|' "
+    f"|| COALESCE({_TCB_FP}, 'null'))"
+)
+
+_TABLE_CHECKSUM_SQL = f"""
+WITH old_side AS (
+  SELECT doc_id % 1024 AS bucket, {_TCB_H} AS h
+  FROM documents WHERE doc_id % 20 <> 0
+), new_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' edited'
+              WHEN doc_id % 11 = 0 THEN text || '  '
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 19 <> 0
+), new_side AS (
+  SELECT doc_id % 1024 AS bucket, {_TCB_H} AS h FROM new_docs
+), o AS (
+  SELECT bucket, bit_xor(h) AS digest_old,
+         CAST(COUNT(*) AS BIGINT) AS n_old
+  FROM old_side GROUP BY 1
+), n AS (
+  SELECT bucket, bit_xor(h) AS digest_new,
+         CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM new_side GROUP BY 1
+)
+SELECT COALESCE(o.bucket, n.bucket) AS bucket,
+       COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new,
+       digest_old, digest_new,
+       NOT (digest_old IS NOT DISTINCT FROM digest_new) AS differs
+FROM o FULL OUTER JOIN n ON o.bucket = n.bucket
+"""
+
+
+def shard_compaction_plan(
+    spark: SparkSession, sf_dir: str, target_bytes: int = 16384
+) -> DataFrame:
+    """Small-file compaction planner (r7 session-6c): simulated input
+    files (doc_id % 199 shards, size = summed n_chars) are packed into
+    merged outputs of ~target size by the streaming-compactor rule —
+    order files by (size DESC, id), running byte total, output bin =
+    prior-cumsum div target. The table-maintenance operator every
+    parquet lake needs: 100 TB of drip-fed small files read at
+    open()-latency speed until compacted. Emits the bin manifest:
+    file count, byte total, and the id range each merged file covers.
+
+    Exactness: pure integer cumsum over a total (size, shard) order.
+    Scale: the plan runs on file METADATA (one row per file — listing
+    a 100 TB lake is ~10⁶ rows), so the single-partition cumsum window
+    is metadata-bounded; the actual rewrite jobs it emits are
+    embarrassingly parallel per bin. The %199 shard simulation stands
+    in for a real file listing (same shape the zorder/hilbert audits
+    use for layout)."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    files = docs.groupBy(
+        (F.col("doc_id") % 199).alias("file_id")
+    ).agg(F.sum("n_chars").cast("long").alias("bytes"))
+    w = (
+        Window.orderBy(F.col("bytes").desc(), F.col("file_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = files.select(
+        "file_id",
+        "bytes",
+        (F.sum("bytes").over(w) - F.col("bytes")).alias("cum_before"),
+    ).select(
+        "file_id",
+        "bytes",
+        F.expr(f"cum_before div {target_bytes}").cast("long").alias("bin"),
+    )
+    return planned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        F.min("file_id").cast("long").alias("first_file"),
+        F.max("file_id").cast("long").alias("last_file"),
+    )
+
+
+_COMPACTION_SQL = """
+WITH files AS (
+  SELECT doc_id % 199 AS file_id, CAST(SUM(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY 1
+), planned AS (
+  SELECT file_id, bytes,
+         (CAST(SUM(bytes) OVER (ORDER BY bytes DESC, file_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          - bytes) // 16384 AS bin
+  FROM files
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       CAST(MIN(file_id) AS BIGINT) AS first_file,
+       CAST(MAX(file_id) AS BIGINT) AS last_file
+FROM planned GROUP BY 1
+"""
+
+
+def event_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over the dense per-type hourly grid (r7
+    session-6c): an 8-lag truncated exponential smoother (weights
+    2⁷…2⁰ over lags 0…7 — halving per hour) tracks each event type's
+    arrival rate; hours where the raw count exceeds 2× the smoothed
+    level are flagged — the FAST-reacting companion to
+    event_rate_spikes' 24 h mean (which needs hours of drift to move)
+    and event_cusum_changepoint's slow accumulation. The Roberts
+    (1959) EWMA chart, truncated to a fixed FIR so every value is an
+    exact integer ratio.
+
+    Exactness: num = Σ 2^(7−j)·cnt₍ₜ₋ⱼ₎ and den = Σ 2^(7−j) over the
+    lags that EXIST (the series head uses partial weights, not
+    zero-padding) are exact longs from 8 lag() reads; the flag
+    compares cnt·den > 2·num in integers; ewma itself is the one
+    final IEEE division. Zero-filled grid hours keep silent sources
+    visible.
+
+    Scale: one sort per (event_type) window partition — partitions
+    are calendar-bounded (_dense_hourly_counts' contract), the same
+    shape the spike monitor already pays; no joins."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events")).filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lags = [F.lag("cnt", j).over(w) for j in range(8)]
+    num = reduce(
+        lambda a, b: a + b,
+        [
+            F.coalesce(lags[j], F.lit(0)).cast("long")
+            * F.lit(1 << (7 - j))
+            for j in range(8)
+        ],
+    )
+    den = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(lags[j].isNotNull(), F.lit(1 << (7 - j)))
+            .otherwise(F.lit(0))
+            .cast("long")
+            for j in range(8)
+        ],
+    )
+    out = _dense_hourly_counts(ev).select(
+        "event_type",
+        "h",
+        "cnt",
+        num.alias("num_units"),
+        den.alias("den_units"),
+    )
+    return out.select(
+        "event_type",
+        "h",
+        "cnt",
+        "num_units",
+        "den_units",
+        (
+            F.col("num_units").cast("double")
+            / F.col("den_units").cast("double")
+        ).alias("ewma"),
+        (
+            F.col("cnt") * F.col("den_units")
+            > F.lit(2) * F.col("num_units")
+        ).alias("is_high"),
+    )
+
+
+_EWMA_LAG_NUM = " + ".join(
+    f"COALESCE(lag(cnt, {j}) OVER w, 0) * {1 << (7 - j)}"
+    for j in range(8)
+)
+_EWMA_LAG_DEN = " + ".join(
+    f"(CASE WHEN lag(cnt, {j}) OVER w IS NOT NULL"
+    f" THEN {1 << (7 - j)} ELSE 0 END)"
+    for j in range(8)
+)
+
+_EWMA_SQL = f"""
+WITH {_DENSE_HOURLY_CTES}, chart AS (
+  SELECT event_type, h, cnt,
+         CAST({_EWMA_LAG_NUM} AS BIGINT) AS num_units,
+         CAST({_EWMA_LAG_DEN} AS BIGINT) AS den_units
+  FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY h)
+)
+SELECT event_type, h, cnt, num_units, den_units,
+       CAST(num_units AS DOUBLE) / CAST(den_units AS DOUBLE) AS ewma,
+       cnt * den_units > 2 * num_units AS is_high
+FROM chart
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-7 session-6d: Kaplan-Meier survival, bitmap DAU/WAU, cohort
+# LTV curves, streaming seasonal baseline
+# ---------------------------------------------------------------------------
+
+
+def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of repeat-purchase latency per market
+    segment (r7 session-6d): the product-limit estimator (Kaplan &
+    Meier 1958) over days from a customer's FIRST order to their
+    SECOND — one-order customers are right-censored at the dataset's
+    last order date. The churn-analysis primitive: "what fraction of
+    a segment hasn't repurchased by day t", correctly using customers
+    who simply haven't had time yet (a naive repeat-rate conflates
+    them with churn).
+
+    Exactness — no exp(), no float products: survival is emitted as
+    log-survival in integer micro-nats, log S(t) = Σ_{t_k ≤ t}
+    round(ln((n_k−d_k)/n_k)·10⁶) — each term snaps to the grid before
+    the cumulative long sum (the micro-nat convention); when a risk
+    set is wiped out (d = n) survival is exactly 0 and log_surv_micro
+    goes NULL from that day on (flagged). Risk sets are exact
+    integers from one cumulative window.
+
+    Scale: two custkey-keyed windows (first/second order), one
+    broadcast of the 1-row max-date, a (segment, day)-grouped
+    aggregate, and a per-segment cumulative window over ≤ |days|
+    rows — the event table never joins itself."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("od"), "o_orderkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("od").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = orders.withColumn("rn", F.row_number().over(w))
+    firsts = ranked.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("od").alias("d1")
+    )
+    seconds = ranked.filter(F.col("rn") == 2).select(
+        "o_custkey", F.col("od").alias("d2")
+    )
+    maxd = orders.agg(F.max("od").alias("dmax"))
+    spans = (
+        firsts.join(seconds, "o_custkey", "left")
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.when(
+                F.col("d2").isNotNull(), F.datediff("d2", "d1")
+            )
+            .otherwise(F.datediff("dmax", "d1"))
+            .cast("long")
+            .alias("dur"),
+            F.col("d2").isNotNull().cast("long").alias("event"),
+        )
+    )
+    seg = spans.join(
+        cust, spans["o_custkey"] == cust["c_custkey"]
+    ).select(F.col("c_mktsegment").alias("segment"), "dur", "event")
+    daily = seg.groupBy("segment", "dur").agg(
+        F.sum("event").cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col("event")).cast("long").alias("c"),
+    )
+    totals = seg.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    ww = Window.partitionBy("segment").orderBy("dur")
+    prior = (
+        F.coalesce(
+            F.sum(F.col("d") + F.col("c")).over(
+                ww.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+    ).cast("long")
+    staged = (
+        daily.join(F.broadcast(totals), "segment")
+        .select(
+            "segment",
+            "dur",
+            "d",
+            "c",
+            (F.col("n_total") - prior).alias("n_risk"),
+        )
+    )
+    term = F.when(
+        F.col("n_risk") > F.col("d"),
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * F.lit(1000000.0)
+        ).cast("long"),
+    )
+    flagged = staged.select(
+        "segment",
+        "dur",
+        "d",
+        "c",
+        "n_risk",
+        F.max((F.col("d") >= F.col("n_risk")).cast("int"))
+        .over(ww.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("wiped"),
+        F.sum(term)
+        .over(ww.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_term"),
+    )
+    return flagged.select(
+        "segment",
+        "dur",
+        "d",
+        "c",
+        "n_risk",
+        (F.col("wiped") == 1).alias("survival_zero"),
+        F.when(F.col("wiped") == 0, F.col("cum_term"))
+        .cast("long")
+        .alias("log_surv_micro"),
+    )
+
+
+_KM_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(o_orderdate AS DATE) ASC,
+                                     o_orderkey ASC) AS rn
+  FROM orders
+), firsts AS (
+  SELECT o_custkey, od AS d1 FROM o WHERE rn = 1
+), seconds AS (
+  SELECT o_custkey, od AS d2 FROM o WHERE rn = 2
+), maxd AS (
+  SELECT MAX(od) AS dmax FROM o
+), spans AS (
+  SELECT f.o_custkey,
+         CAST(CASE WHEN s.d2 IS NOT NULL
+                   THEN date_diff('day', f.d1, s.d2)
+                   ELSE date_diff('day', f.d1, m.dmax) END AS BIGINT)
+           AS dur,
+         CAST(CASE WHEN s.d2 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS event
+  FROM firsts f LEFT JOIN seconds s USING (o_custkey) CROSS JOIN maxd m
+), seg AS (
+  SELECT c.c_mktsegment AS segment, sp.dur, sp.event
+  FROM spans sp JOIN customer c ON sp.o_custkey = c.c_custkey
+), daily AS (
+  SELECT segment, dur, CAST(SUM(event) AS BIGINT) AS d,
+         CAST(SUM(1 - event) AS BIGINT) AS c
+  FROM seg GROUP BY 1, 2
+), totals AS (
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_total FROM seg GROUP BY 1
+), staged AS (
+  SELECT daily.segment, dur, d, c,
+         n_total - CAST(COALESCE(SUM(d + c) OVER (
+             PARTITION BY daily.segment ORDER BY dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk
+  FROM daily JOIN totals ON daily.segment = totals.segment
+), flagged AS (
+  SELECT segment, dur, d, c, n_risk,
+         MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER w AS wiped,
+         SUM(CASE WHEN n_risk > d THEN
+               CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+                            / CAST(n_risk AS DOUBLE)) * 1000000.0)
+                    AS BIGINT) END) OVER w AS cum_term
+  FROM staged
+  WINDOW w AS (PARTITION BY segment ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT segment, dur, d, c, n_risk,
+       wiped = 1 AS survival_zero,
+       CAST(CASE WHEN wiped = 0 THEN cum_term END AS BIGINT)
+         AS log_surv_micro
+FROM flagged
+"""
+
+
+def user_activity_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index DAU / WAU / stickiness (r7 session-6d): user
+    presence per day is packed into 63-bit bucket bitmaps (bucket =
+    user_id div 63, bit = user_id mod 63 — bit 63 stays clear because
+    DuckDB rejects 1::BIGINT << 63 as signed overflow), daily actives are popcounts,
+    and weekly actives are popcounts of the trailing-7-day bitmap OR —
+    the roaring-bitmap/groupBitmap pattern that turns COUNT(DISTINCT)
+    retention math into bitwise set algebra with |users|/64 longs of
+    state per day. Stickiness (DAU/WAU) comes out in truncated ppm.
+
+    Exactness: everything is integer bit manipulation — bit_or is
+    order-independent and mergeable, popcount is exact; the trailing
+    OR runs on a DENSE (bucket × day) grid (a bucket silent today must
+    still contribute its last week to WAU — the sparse-row bug this
+    grid exists to kill). Scale: one (bucket, day) shuffle with
+    map-side bit_or combine; the grid and windows are
+    |users|/64 × |days| — bitmap-sized, never event-sized."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events")).filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    days = ev.select(
+        F.datediff(
+            F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+        ).cast("long").alias("day_num"),
+        F.expr("user_id div 63").cast("long").alias("bucket"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 63) AS INT))"
+        ).alias("bit"),
+    )
+    bm = days.groupBy("bucket", "day_num").agg(
+        F.bit_or("bit").alias("bm")
+    )
+    grid = (
+        bm.select("bucket")
+        .distinct()
+        .crossJoin(bm.select("day_num").distinct())
+    )
+    dense = grid.join(bm, ["bucket", "day_num"], "left").select(
+        "bucket",
+        "day_num",
+        F.coalesce("bm", F.lit(0)).cast("long").alias("bm"),
+    )
+    w7 = (
+        Window.partitionBy("bucket")
+        .orderBy("day_num")
+        .rangeBetween(-6, 0)
+    )
+    rolled = dense.select(
+        "bucket",
+        "day_num",
+        F.bit_count("bm").cast("long").alias("dau_bits"),
+        F.bit_count(F.bit_or("bm").over(w7)).cast("long").alias(
+            "wau_bits"
+        ),
+    )
+    agg = rolled.groupBy("day_num").agg(
+        F.sum("dau_bits").cast("long").alias("dau"),
+        F.sum("wau_bits").cast("long").alias("wau"),
+    )
+    return agg.select(
+        "day_num",
+        "dau",
+        "wau",
+        F.when(
+            F.col("wau") > 0,
+            F.expr("dau * CAST(1000000 AS BIGINT) div wau"),
+        ).alias("stickiness_ppm"),
+    )
+
+
+_BITMAP_SQL = """
+WITH pres AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day_num,
+         CAST(user_id // 63 AS BIGINT) AS bucket,
+         (CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER)) AS bit
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), bm AS (
+  SELECT bucket, day_num, bit_or(bit) AS bm FROM pres GROUP BY 1, 2
+), grid AS (
+  SELECT b.bucket, d.day_num
+  FROM (SELECT DISTINCT bucket FROM bm) b
+  CROSS JOIN (SELECT DISTINCT day_num FROM bm) d
+), dense AS (
+  SELECT grid.bucket, grid.day_num,
+         CAST(COALESCE(bm.bm, 0) AS BIGINT) AS bm
+  FROM grid LEFT JOIN bm
+    ON grid.bucket = bm.bucket AND grid.day_num = bm.day_num
+), rolled AS (
+  SELECT bucket, day_num,
+         CAST(bit_count(bm) AS BIGINT) AS dau_bits,
+         CAST(bit_count(bit_or(bm) OVER (
+             PARTITION BY bucket ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS BIGINT)
+           AS wau_bits
+  FROM dense
+), agg AS (
+  SELECT day_num, CAST(SUM(dau_bits) AS BIGINT) AS dau,
+         CAST(SUM(wau_bits) AS BIGINT) AS wau
+  FROM rolled GROUP BY 1
+)
+SELECT day_num, dau, wau,
+       CASE WHEN wau > 0
+            THEN (dau * CAST(1000000 AS BIGINT)) // wau END
+         AS stickiness_ppm
+FROM agg
+"""
+
+
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves (r7 session-6d): customers cohort
+    by the month of their FIRST order; each cohort's cumulative
+    revenue unrolls by month offset — the LTV panel behind payback
+    and retention economics, complementing retention_cohorts' user
+    counts with money. Months index as y·12+m (exact integer), cents
+    grid, one cumulative window per cohort over ≤ |months| rows."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).cast("long").alias("om"),
+        _cents("o_totalprice").alias("rev_cents"),
+    )
+    w = Window.partitionBy("o_custkey")
+    cohorted = orders.withColumn("cohort_m", F.min("om").over(w))
+    monthly = cohorted.groupBy(
+        "cohort_m", (F.col("om") - F.col("cohort_m")).alias("age")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("rev_cents").alias("rev_cents"),
+    )
+    wc = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "cohort_m",
+        "age",
+        "n_orders",
+        (
+            F.sum("rev_cents").over(wc).cast("double") / F.lit(100.0)
+        ).alias("cum_revenue"),
+    )
+
+
+_COHORT_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS om,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS rev_cents
+  FROM orders
+), cohorted AS (
+  SELECT *, MIN(om) OVER (PARTITION BY o_custkey) AS cohort_m FROM o
+), monthly AS (
+  SELECT cohort_m, om - cohort_m AS age,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(rev_cents) AS rev_cents
+  FROM cohorted GROUP BY 1, 2
+)
+SELECT cohort_m, age, n_orders,
+       CAST(CAST(SUM(rev_cents) OVER (
+           PARTITION BY cohort_m ORDER BY age
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS DOUBLE) / 100.0 AS cum_revenue
+FROM monthly
+"""
+
+
+def stream_seasonal_baseline_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming maintenance of the seasonal-anomaly baseline: the
+    (event_type, hour-of-day) integer moment table — count, cent sum,
+    cent sum-of-squares — kept current by a complete-mode aggregation.
+    All three moments are algebraic (plain long sums), so the drained
+    state is IDENTICAL to the batch-computed table however ingest was
+    micro-batched; event_seasonal_anomaly is exactly this table's
+    consumer. See streaming/pipelines.stream_seasonal_baseline."""
+    from .streaming.pipelines import stream_seasonal_baseline
+
+    return stream_seasonal_baseline(spark, sf_dir)
+
+
+_STREAM_SEASONAL_SQL = """
+SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ss
+FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-7 session-6e: k-anonymity audit, clamped inventory balance,
+# weighted median, top-k with ties
+# ---------------------------------------------------------------------------
+
+
+def customer_k_anonymity(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """k-anonymity audit of the customer table (r7 session-6e): under
+    the quasi-identifier tuple (nation, market segment, account-balance
+    hundred-bucket) every equivalence class smaller than k re-identifies
+    its members (Sweeney 2002) — the privacy gate a dataset passes
+    BEFORE export/sharing. Emits every class with its size, the
+    violation flag, and the share of the table each class puts at risk
+    (exact ppm) — the suppression/generalization worklist.
+
+    Exactness: the balance bucket floor-divides cents by 10000 (floor,
+    not truncation — negative balances must bucket downward like
+    everything else on the grid); shares are integer ppm. Scale: ONE
+    map-side-combinable aggregate over the quasi-identifier tuple plus
+    a 1-row broadcast total — the audit costs a single scan at any
+    table size."""
+    cust = load_table(spark, sf_dir, "customer")
+    bucket = F.floor(
+        _cents("c_acctbal").cast("double") / F.lit(10000.0)
+    ).cast("long")
+    classes = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            bucket.alias("bal_bucket"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+    )
+    total = cust.agg(F.count(F.lit(1)).alias("n_total"))
+    return classes.crossJoin(F.broadcast(total)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_bucket",
+        "class_size",
+        (F.col("class_size") < k).alias("violates_k"),
+        F.expr(
+            "class_size * CAST(1000000 AS BIGINT) div n_total"
+        ).alias("share_ppm"),
+    )
+
+
+_K_ANON_SQL = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE)
+                    / 10000.0) AS BIGINT) AS bal_bucket,
+         CAST(COUNT(*) AS BIGINT) AS class_size
+  FROM customer GROUP BY 1, 2, 3
+), tot AS (
+  SELECT COUNT(*) AS n_total FROM customer
+)
+SELECT c_nationkey, c_mktsegment, bal_bucket, class_size,
+       class_size < 5 AS violates_k,
+       (class_size * CAST(1000000 AS BIGINT)) // n_total AS share_ppm
+FROM classes CROSS JOIN tot
+"""
+
+
+def part_stock_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running inventory balance per part (r7 session-6e):
+    returned lineitems restock (+qty), everything else draws (−qty),
+    and the balance can never go below zero — the classic
+    NON-associative running reset that a plain cumulative sum cannot
+    express. Solved with the two-window identity
+    b_t = S_t − least(0, min_{k≤t} S_k): one cumulative sum and one
+    cumulative min over the same (shipdate, orderkey, linenumber)
+    total order replace the sequential fold, so the clamp runs as two
+    ordinary distributed windows (the same trick implements capped
+    counters and drawdown). Emits each part's final balance, total
+    draws/restocks, and how many draw events hit an empty shelf.
+
+    Exactness: quantities ride the centi-unit grid (×100 longs), so
+    both windows and the clamp identity are exact integer arithmetic;
+    the event order is total. Scale: two windows over ONE
+    partkey-keyed sort — no self-join, no recursion; partitions are
+    per-part event lists."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.to_date("l_shipdate").alias("sd"),
+        F.when(
+            F.col("l_returnflag") == "R", _cents("l_quantity")
+        )
+        .otherwise(-_cents("l_quantity"))
+        .alias("dx"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        "sd", "l_orderkey", "l_linenumber"
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sums = li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "sd",
+        "dx",
+        F.sum("dx").over(cum).alias("s"),
+    )
+    staged = sums.select(
+        "l_partkey",
+        "dx",
+        "s",
+        F.min("s").over(cum).alias("smin"),
+    )
+    balanced = staged.select(
+        "l_partkey",
+        "dx",
+        "s",
+        (
+            F.col("s") - F.least(F.lit(0).cast("long"), F.col("smin"))
+        ).alias("bal"),
+    )
+    agg = balanced.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum("dx").alias("net_dx"),
+        F.min("s").alias("min_s"),
+        F.sum(F.when(F.col("dx") > 0, F.col("dx")).otherwise(0)).alias(
+            "restocked_centi"
+        ),
+        F.sum(F.when(F.col("dx") < 0, -F.col("dx")).otherwise(0)).alias(
+            "drawn_centi"
+        ),
+        F.sum(
+            ((F.col("bal") == 0) & (F.col("dx") < 0)).cast("long")
+        ).alias("n_stockouts"),
+    )
+    # ending balance = S_final - least(0, min S): smin at the last
+    # event equals the partition-wide min, so it falls out of the agg
+    return agg.select(
+        "part",
+        (
+            F.col("net_dx")
+            - F.least(F.lit(0).cast("long"), F.col("min_s"))
+        ).alias("ending_centi"),
+        "restocked_centi",
+        "drawn_centi",
+        "n_stockouts",
+    )
+
+
+_STOCK_SQL = """
+WITH ev AS (
+  SELECT l_partkey, l_orderkey, l_linenumber,
+         CAST(l_shipdate AS DATE) AS sd,
+         CASE WHEN l_returnflag = 'R'
+              THEN CAST(round(l_quantity * 100) AS BIGINT)
+              ELSE -CAST(round(l_quantity * 100) AS BIGINT) END AS dx
+  FROM lineitem
+), sums AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, sd, dx,
+         CAST(SUM(dx) OVER w AS BIGINT) AS s
+  FROM ev
+  WINDOW w AS (PARTITION BY l_partkey
+               ORDER BY sd, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), staged AS (
+  SELECT l_partkey, dx, s,
+         CAST(MIN(s) OVER w AS BIGINT) AS smin
+  FROM sums
+  WINDOW w AS (PARTITION BY l_partkey
+               ORDER BY sd, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), balanced AS (
+  SELECT l_partkey, dx, s, s - LEAST(CAST(0 AS BIGINT), smin) AS bal
+  FROM staged
+)
+SELECT l_partkey AS part,
+       CAST(SUM(dx) AS BIGINT)
+         - LEAST(CAST(0 AS BIGINT), CAST(MIN(s) AS BIGINT))
+         AS ending_centi,
+       CAST(SUM(CASE WHEN dx > 0 THEN dx ELSE 0 END) AS BIGINT)
+         AS restocked_centi,
+       CAST(SUM(CASE WHEN dx < 0 THEN -dx ELSE 0 END) AS BIGINT)
+         AS drawn_centi,
+       CAST(SUM(CASE WHEN bal = 0 AND dx < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_stockouts
+FROM balanced GROUP BY 1
+"""
+
+
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median unit price per return flag (r7
+    session-6e), TWO-PHASE: the smallest price whose cumulative
+    QUANTITY weight reaches half the flag's total — the
+    volume-weighted robust center a plain median misses and AVG gets
+    wrong under outliers.
+
+    Phase shape is the classic distributed exact median: (1) a $100
+    price-bucket weight histogram (map-side-combinable, ≤ |flags|·
+    |buckets| rows), (2) locate each flag's MEDIAN BUCKET and its
+    preceding cumulative weight on that tiny table, (3) broadcast the
+    3-row locator back and sort ONLY the median bucket's rows. The
+    naive one-window version sorts the whole table in |flags|=3
+    partitions — measured 4.1× at 10× and unbounded at 100 TB; here
+    the full-data pass is a combine-all-the-way aggregate and the
+    residual sort touches ~1/|buckets| of one flag.
+
+    Exactness: the rank threshold compares 2·cum ≥ tot in integers at
+    both phases (no halving division); price/weight ride the cent
+    grid; buckets floor-divide non-negative prices."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        _cents("l_extendedprice").alias("price_cents"),
+        _cents("l_quantity").alias("w_centi"),
+        "l_orderkey",
+        "l_linenumber",
+    ).withColumn("bkt", F.expr("price_cents div 10000"))
+    hist = li.groupBy("l_returnflag", "bkt").agg(
+        F.sum("w_centi").alias("bw")
+    )
+    wb = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "bkt",
+        "bw",
+        F.sum("bw").over(wb).alias("cumb"),
+        F.sum("bw").over(wt).alias("totw"),
+    )
+    locator = (
+        cum.filter(F.lit(2) * F.col("cumb") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min(F.struct("bkt", "cumb", "bw", "totw")).alias("m")
+        )
+        .select(
+            F.col("l_returnflag").alias("rf"),
+            F.col("m.bkt").alias("mb"),
+            (F.col("m.cumb") - F.col("m.bw")).alias("cum_before"),
+            F.col("m.totw").alias("totw"),
+        )
+    )
+    picked = li.join(
+        F.broadcast(locator),
+        (li["l_returnflag"] == locator["rf"])
+        & (li["bkt"] == locator["mb"]),
+    ).select(
+        li["l_returnflag"].alias("flag"),
+        "price_cents",
+        "w_centi",
+        "l_orderkey",
+        "l_linenumber",
+        "cum_before",
+        "totw",
+    )
+    win = (
+        Window.partitionBy("flag")
+        .orderBy("price_cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hits = picked.select(
+        "flag",
+        "price_cents",
+        "totw",
+        (F.col("cum_before") + F.sum("w_centi").over(win)).alias("cumw"),
+    ).filter(F.lit(2) * F.col("cumw") >= F.col("totw"))
+    return hits.groupBy(F.col("flag").alias("l_returnflag")).agg(
+        (
+            F.min("price_cents").cast("double") / F.lit(100.0)
+        ).alias("weighted_median_price"),
+        F.max("totw").alias("total_weight_centi"),
+    )
+
+
+_WEIGHTED_MEDIAN_SQL = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(round(l_quantity * 100) AS BIGINT) AS w_centi,
+         l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100) AS BIGINT) // 10000 AS bkt
+  FROM lineitem
+), hist AS (
+  SELECT l_returnflag, bkt, CAST(SUM(w_centi) AS BIGINT) AS bw
+  FROM li GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, bkt, bw,
+         CAST(SUM(bw) OVER (PARTITION BY l_returnflag ORDER BY bkt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cumb,
+         CAST(SUM(bw) OVER (PARTITION BY l_returnflag) AS BIGINT) AS totw
+  FROM hist
+), locator AS (
+  SELECT l_returnflag, MIN(bkt) AS mb,
+         MIN_BY(cumb - bw, bkt) AS cum_before,
+         MIN(totw) AS totw
+  FROM cum WHERE 2 * cumb >= totw GROUP BY 1
+), picked AS (
+  SELECT li.l_returnflag AS flag, li.price_cents, li.w_centi,
+         li.l_orderkey, li.l_linenumber, lo.cum_before, lo.totw
+  FROM li JOIN locator lo
+    ON li.l_returnflag = lo.l_returnflag AND li.bkt = lo.mb
+), hits AS (
+  SELECT flag, price_cents, totw,
+         cum_before + CAST(SUM(w_centi) OVER (
+             PARTITION BY flag
+             ORDER BY price_cents, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cumw
+  FROM picked
+)
+SELECT flag AS l_returnflag,
+       CAST(MIN(price_cents) AS DOUBLE) / 100.0 AS weighted_median_price,
+       CAST(MAX(totw) AS BIGINT) AS total_weight_centi
+FROM hits WHERE 2 * cumw >= totw
+GROUP BY 1
+"""
+
+
+def topk_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 order VALUES per priority, ties included (r7 session-6e):
+    dense_rank ≤ 3 — the WITH TIES semantics row_number-based top-k
+    silently violates (equal-priced orders must both surface or the
+    report is arbitrary). Completes the ranking-window coverage:
+    row_number (topk_orders_per_priority), ntile (deciles), and now
+    dense_rank with ties. Cent-grid prices make rank boundaries
+    exact."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        _cents("o_totalprice").alias("price_cents"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("price_cents").desc()
+    )
+    return (
+        orders.withColumn("rnk", F.dense_rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            (F.col("price_cents").cast("double") / F.lit(100.0)).alias(
+                "total_price"
+            ),
+            "rnk",
+        )
+    )
+
+
+_TOPK_TIES_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 100.0
+         AS total_price,
+       CAST(dense_rank() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC)
+         AS BIGINT) AS rnk
+FROM orders
+QUALIFY rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -11152,6 +12383,27 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_shard_rebalance": (doc_shard_rebalance, _hrw_sql()),
     "source_token_kl": (source_token_kl, _SOURCE_KL_SQL),
     "doc_weighted_sample": (doc_weighted_sample, _WEIGHTED_SAMPLE_SQL),
+    # session-6c — same overflow status
+    "kmeans_lloyd_clusters": (kmeans_lloyd_clusters, _kmeans_sql()),
+    "table_checksum_buckets": (table_checksum_buckets, _TABLE_CHECKSUM_SQL),
+    "shard_compaction_plan": (shard_compaction_plan, _COMPACTION_SQL),
+    "event_ewma_chart": (event_ewma_chart, _EWMA_SQL),
+    # session-6d — same overflow status
+    "customer_survival_km": (customer_survival_km, _KM_SQL),
+    "user_activity_bitmaps": (user_activity_bitmaps, _BITMAP_SQL),
+    "cohort_ltv_curves": (cohort_ltv_curves, _COHORT_LTV_SQL),
+    "stream_seasonal_baseline": (
+        stream_seasonal_baseline_q,
+        _STREAM_SEASONAL_SQL,
+    ),
+    # session-6e — same overflow status
+    "customer_k_anonymity": (customer_k_anonymity, _K_ANON_SQL),
+    "part_stock_balance": (part_stock_balance, _STOCK_SQL),
+    "lineitem_weighted_median": (
+        lineitem_weighted_median,
+        _WEIGHTED_MEDIAN_SQL,
+    ),
+    "topk_orders_with_ties": (topk_orders_with_ties, _TOPK_TIES_SQL),
     # r4-refresh fill displaced from the window by the session-6
     # additions — first refresh candidates for the r8 window
     "outer_join_order_coverage": (outer_join_order_coverage, _OUTER_JOIN_SQL),

@@ -583,3 +583,35 @@ def stream_session_windows(
         F.col("w.end").alias("session_end"),
         "n_events",
     )
+
+
+def stream_seasonal_baseline(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming (event_type, hour-of-day) moment table — the serving
+    state behind the seasonal z-score monitor (queries.
+    event_seasonal_anomaly): count, integer-cent sum, and integer-cent
+    sum-of-squares per cell, maintained by a complete-mode aggregation.
+    All three moments are plain long sums — algebraic, so micro-batch
+    partials merge into EXACTLY the batch-computed table no matter how
+    ingest was chopped (the batch SQL twin doubles as the
+    micro-batching-invariance proof, and the merge test in
+    tests/test_streaming.py re-chops the feed to pin it). At 100 TB
+    the state is <= |types| x 24 rows of three longs — the monitor's
+    baseline refreshes continuously for the price of one map-side
+    combine per micro-batch."""
+    ev = events_stream(spark, sf_dir, max_files_per_trigger).filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    cells = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        cents.alias("v_cents"),
+    )
+    base = cells.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_cents").alias("s"),
+        F.sum(F.col("v_cents") * F.col("v_cents")).alias("ss"),
+    )
+    return run_to_memory(base, output_mode="complete")

@@ -103,6 +103,12 @@ HEADLINE = [
     # bounded pair fan-out representative)
     "part_kcore_members",
     "session_association_rules",
+    # r7 session-6: the sketch, clustering, anomaly, and window-trick
+    # tiers' representatives
+    "activity_overlap_kmv",
+    "kmeans_lloyd_clusters",
+    "event_seasonal_anomaly",
+    "part_stock_balance",
 ]
 
 

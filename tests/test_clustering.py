@@ -285,3 +285,22 @@ def test_label_propagation_matches_python_reference(spark):
                 for r in label_propagation(df, rounds=rounds).collect()
             }
             assert got == _py_lpa(edges, rounds), (edges, rounds)
+
+
+def test_kmeans_inertia_monotone_nonincreasing(spark, sf_dir):
+    """Lloyd's invariant: each assignment+update round can only lower
+    total inertia (both steps are coordinate-wise minimizations).
+    The 1e-9 centroid grid perturbs each step by ~1e-9 per component,
+    so allow that much slack — a real regression (wrong argmin, wrong
+    centroid denominator, swapped rounds) moves inertia by orders of
+    magnitude more."""
+    from amazonmsk_emr_tem_data_spark.queries import kmeans_lloyd_clusters
+
+    def inertia(rounds):
+        rows = kmeans_lloyd_clusters(spark, sf_dir, rounds=rounds).collect()
+        return sum(r["inertia"] for r in rows)
+
+    i1, i2, i3 = inertia(1), inertia(2), inertia(3)
+    assert i2 <= i1 + 1e-6, (i1, i2)
+    assert i3 <= i2 + 1e-6, (i2, i3)
+    assert i3 < i1, "three rounds should genuinely improve on one"

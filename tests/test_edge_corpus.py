@@ -152,6 +152,15 @@ DOC_QUERIES = [
     "doc_shard_rebalance",
     "source_token_kl",
     "doc_weighted_sample",
+    # r7 session-6c: doc 0 is absent from BOTH snapshots (%20 and %19
+    # hit together) yet its bucket rows must still reconcile; the
+    # %7/%11 edits land on docs 7 and 11; compaction packs 12 tiny
+    # files into one bin (degenerate-but-exact single-bin plan)
+    # NB kmeans_lloyd_clusters is NOT here: its fixed dim=64 grid
+    # reads past the 4-dim edge vectors (same exclusion as
+    # embedding_label_outliers)
+    "table_checksum_buckets",
+    "shard_compaction_plan",
 ]
 
 
@@ -373,6 +382,16 @@ EVENTS_QUERIES = [
     # (max |z| over n samples is (n-1)/sqrt(n)): the n>=2 / var>0
     # guards must agree on an EMPTY result, never divide by zero
     "event_seasonal_anomaly",
+    # r7 session-6c: EWMA over a sparse multi-day grid — the series
+    # head's partial weights (den < 255) and long zero-filled
+    # stretches must match the oracle hour-for-hour
+    "event_ewma_chart",
+    # r7 session-6d: bitmaps over 4 tiny users (all in bucket 0) with
+    # multi-day gaps — the dense (bucket x day) grid must keep silent
+    # days' WAU alive; the streaming baseline on NULL values (event
+    # 13/17 excluded) and duplicate-ts cells
+    "user_activity_bitmaps",
+    "stream_seasonal_baseline",
 ]
 
 
@@ -547,6 +566,22 @@ TPCH_QUERIES = [
     # agree exactly with the oracle's, not with a fixpoint
     "nation_min_latency_paths",
     "part_label_communities",
+    # r7 session-6d: KM where customer 6 never ordered (absent from
+    # the risk set entirely), single-order customers censor at the
+    # 1998-01-01 max date, and customer 1's two same-window orders
+    # exercise the rn tie-break; LTV cohorts of mostly single months
+    "customer_survival_km",
+    "cohort_ltv_curves",
+    # r7 session-6e: negative acctbal floor-buckets downward
+    # (customer 2 at -999.99 -> bucket -1 boundary), the zero-quantity
+    # line is a no-op delta, draws on an empty shelf clamp at 0, tied
+    # totalprices (33=30, 34=35) force dense_rank WITH-TIES rows, and
+    # the weighted median's 2*cumw >= totw threshold crosses on
+    # half-cent quantities
+    "customer_k_anonymity",
+    "part_stock_balance",
+    "lineitem_weighted_median",
+    "topk_orders_with_ties",
 ]
 
 

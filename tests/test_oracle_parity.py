@@ -258,6 +258,27 @@ def test_no_vacuous_queries(spark, sf_dir):
         "doc_shard_rebalance",
         "source_token_kl",
         "doc_weighted_sample",
+        # r7 session-6c: 1e-9-grid centroid sums + fold-dot argmins,
+        # per-bucket XOR digests, a total-order metadata cumsum, and
+        # integer FIR lags over the dense grid must all be
+        # partition-blind
+        "kmeans_lloyd_clusters",
+        "table_checksum_buckets",
+        "shard_compaction_plan",
+        "event_ewma_chart",
+        # r7 session-6d: micro-nat KM log-survival sums, bitwise
+        # OR/popcount set algebra, and cent-grid cumulative LTV must
+        # all be partition-blind
+        "customer_survival_km",
+        "user_activity_bitmaps",
+        "cohort_ltv_curves",
+        # r7 session-6e: floor-bucket class counts, the integer clamp
+        # identity over a total event order, the 2*cumw >= totw rank
+        # threshold, and dense_rank ties must all be partition-blind
+        "customer_k_anonymity",
+        "part_stock_balance",
+        "lineitem_weighted_median",
+        "topk_orders_with_ties",
     ],
 )
 def test_partitioning_invariance(spark, sf_dir, name):

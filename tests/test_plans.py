@@ -776,3 +776,112 @@ def test_latency_paths_checkpointed_unroll_stays_bounded(spark, sf_dir):
     assert len(f.joins) <= 4, f.joins
     assert "SortMergeJoin" not in f.joins
     assert not f.has_cartesian
+
+
+def test_kmeans_assignment_is_joinless_projection(spark, sf_dir):
+    """Lloyd's scale contract: centroids are MODEL STATE (driver
+    literals), so the visible plan has NO joins at all — assignment is
+    a codegen'd projection of 8 fold dot-products and the update is a
+    map-side-combined aggregate. A join or 8x row-blowup here is the
+    cross-join failure mode this design exists to avoid."""
+    f = facts(spark, sf_dir, "kmeans_lloyd_clusters")
+    assert not f.joins, f.joins
+    assert f.has_partial_agg
+    assert "pythonudf" not in f.raw.lower()
+
+
+def test_checksum_buckets_shuffle_digests_not_rows(spark, sf_dir):
+    """The Merkle diff's scale contract: both sides collapse to 1024
+    digest rows BEFORE any join (partial XOR aggregation map-side);
+    the full-outer reconciliation joins digest tables, never
+    documents. Bounded exchanges pin the collapse-first shape."""
+    f = facts(spark, sf_dir, "table_checksum_buckets")
+    assert f.has_partial_agg
+    assert not f.has_cartesian
+    assert f.n_exchanges <= 4, f.n_exchanges
+
+
+def test_compaction_plan_is_metadata_bounded(spark, sf_dir):
+    """The compaction planner's single-partition cumsum window runs on
+    file METADATA (one row per file), never data — no joins anywhere,
+    and the file-size aggregate combines map-side before the plan's
+    only wide exchanges."""
+    f = facts(spark, sf_dir, "shard_compaction_plan")
+    assert not f.joins
+    assert f.has_partial_agg
+
+
+def test_km_survival_no_self_join_bounded_windows(spark, sf_dir):
+    """The KM estimator's scale contract: risk sets come from ONE
+    cumulative window over the (segment, day) aggregate — the order
+    table never joins itself (the naive n_risk = COUNT per (t, dur>=t)
+    inequality self-join would be O(n·days)). Joins are the custkey
+    segment join plus broadcasts; nothing nested-loop except the 1-row
+    max-date."""
+    f = facts(spark, sf_dir, "customer_survival_km")
+    assert f.has_partial_agg
+    assert not f.has_cartesian
+    assert f.joins.count("SortMergeJoin") <= 2, f.joins
+
+
+def test_bitmap_shuffle_is_bucket_sized(spark, sf_dir):
+    """Bitmap DAU/WAU: events collapse to (bucket, day) longs via
+    map-side bit_or BEFORE any wide operation; the dense grid and
+    7-day OR windows run at bitmap size. Partial aggregation must
+    survive and nothing may degenerate to a cartesian."""
+    f = facts(spark, sf_dir, "user_activity_bitmaps")
+    assert f.has_partial_agg
+    assert not f.has_cartesian
+
+
+def test_cohort_ltv_single_fact_shuffles_no_joins(spark, sf_dir):
+    """Cohort LTV is window + aggregate over orders alone — no joins
+    anywhere; the cumulative window partitions by cohort."""
+    f = facts(spark, sf_dir, "cohort_ltv_curves")
+    assert not f.joins
+    assert f.has_partial_agg
+
+
+def test_stock_balance_two_windows_share_one_sort(spark, sf_dir):
+    """The clamp identity's selling point: both cumulative windows
+    (running sum, then running min of it) use the SAME partition and
+    order, so Catalyst plans them over ONE partkey exchange and ONE
+    sort — a sequential fold would serialize, a second sort would
+    double the dominant cost."""
+    f = facts(spark, sf_dir, "part_stock_balance")
+    assert not f.joins
+    assert f.n_exchanges == 1, f.n_exchanges
+    assert len(re.findall(r"\(\d+\) Sort", f.raw)) == 1, "windows must share the sort"
+
+
+def test_weighted_median_two_phase_broadcast_locator(spark, sf_dir):
+    """Two-phase exact weighted median: the full-data pass is a
+    map-side-combinable histogram aggregate; the 3-row median-bucket
+    locator comes back by BROADCAST; only the median bucket's slice is
+    ever sorted by price. The naive one-window version sorted the
+    whole table in |flags|=3 partitions (measured 46x at 100x) — a
+    SortMergeJoin or a missing broadcast here is that regression
+    returning."""
+    f = facts(spark, sf_dir, "lineitem_weighted_median")
+    assert set(f.joins) == {"BroadcastHashJoin"}, f.joins
+    assert f.has_partial_agg
+
+
+def test_topk_ties_pretrims_map_side(spark, sf_dir):
+    """dense_rank <= 3 must compile with WindowGroupLimit (Spark 3.5+)
+    so each map task pre-trims to its local top ranks before the
+    |priorities|=5-partition window sort — without it the 5 reducers
+    sort the whole order table."""
+    f = facts(spark, sf_dir, "topk_orders_with_ties")
+    assert "WindowGroupLimit" in f.raw
+    assert not f.joins
+
+
+def test_k_anonymity_single_scan_audit(spark, sf_dir):
+    """The privacy audit costs one map-side-combined aggregate over
+    the quasi-identifier tuple plus a 1-row total broadcast — never a
+    second customer scan per class."""
+    f = facts(spark, sf_dir, "customer_k_anonymity")
+    assert f.has_partial_agg
+    assert not f.has_cartesian
+    assert f.n_exchanges <= 2, f.n_exchanges

@@ -1184,3 +1184,41 @@ def test_association_rules_match_bruteforce(spark, rows, tmp_path_factory):
                 (1000000 * n_ab * n_sessions) // (n_t[a] * n_t[b]),
             )
     assert got == want, (rows, sessions)
+
+
+@prop
+@given(
+    deltas=st.lists(st.integers(-20, 20), min_size=1, max_size=25),
+)
+def test_clamped_balance_identity_matches_sequential_fold(spark, deltas):
+    """The two-window clamp identity b_t = S_t - least(0, min_{k<=t}
+    S_k) (part_stock_balance) must equal the sequential fold
+    b_t = max(0, b_{t-1} + x_t) on ANY delta sequence — including
+    all-negative runs (pinned at 0), recoveries after a stockout, and
+    zero deltas. The identity is the whole trick: it turns a
+    non-associative reset into two ordinary distributed windows."""
+    from pyspark.sql.window import Window as W
+
+    rows = [(i, d) for i, d in enumerate(deltas)]
+    df = spark.createDataFrame(rows, "i long, dx long")
+    cum = (
+        W.partitionBy(F.lit(0))
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sums = df.select("i", "dx", F.sum("dx").over(cum).alias("s"))
+    out = {
+        r["i"]: r["bal"]
+        for r in sums.select(
+            "i",
+            (
+                F.col("s")
+                - F.least(F.lit(0).cast("long"), F.min("s").over(cum))
+            ).alias("bal"),
+        ).collect()
+    }
+    b, expect = 0, {}
+    for i, d in enumerate(deltas):
+        b = max(0, b + d)
+        expect[i] = b
+    assert out == expect, deltas

@@ -499,3 +499,51 @@ def test_stream_register_sketch_merges_across_microbatches(
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_seasonal_baseline_merges_across_microbatches(
+    spark, sf_dir, tmp_path
+):
+    """The streaming seasonal-moment table must equal the batch moments
+    REGARDLESS of micro-batching: 4 shard files drained one per
+    trigger force repeated state merges of (n, s, ss) partials, and
+    the drained complete-mode state must match the single-pass batch
+    aggregation exactly (three long sums — algebraic, merge-order
+    blind)."""
+    from amazonmsk_emr_tem_data_spark.sources.files import load_table
+    from amazonmsk_emr_tem_data_spark.streaming.pipelines import (
+        stream_seasonal_baseline,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    shard_dir = str(tmp_path / "sharded")
+    ev.repartition(4).write.mode("overwrite").parquet(
+        f"{shard_dir}/events.parquet"
+    )
+
+    got = {
+        (r["event_type"], r["hod"]): (r["n"], r["s"], r["ss"])
+        for r in stream_seasonal_baseline(
+            spark, shard_dir, max_files_per_trigger=1
+        ).collect()
+    }
+    cents = F.round(F.col("value") * 100).cast("long")
+    want = {
+        (r["event_type"], r["hod"]): (r["n"], r["s"], r["ss"])
+        for r in (
+            ev.filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+            .select(
+                "event_type",
+                F.hour("ts").cast("long").alias("hod"),
+                cents.alias("v"),
+            )
+            .groupBy("event_type", "hod")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("v").alias("s"),
+                F.sum(F.col("v") * F.col("v")).alias("ss"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
