@@ -10058,32 +10058,15 @@ _KMV_K = 64
 _KMV_DOMAIN = 1 << 60
 
 
-def activity_overlap_kmv(
+def _kmv_pairs_staged(
     spark: SparkSession, sf_dir: str, k: int = _KMV_K
 ) -> DataFrame:
-    """Pairwise audience overlap across event types via KMV
-    (bottom-k / Theta) distinct sketches (r7 session-6): each type
-    keeps only the k smallest 60-bit hashes of its distinct
-    (user, day) activity pairs; for a pair of types the k smallest of
-    the merged hash sets estimate |A∪B| ≈ (k−1)·D / h₍ₖ₎ (Bar-Yossef
-    et al. 2002), and the fraction of those union-sketch members
-    present in BOTH input sketches estimates the intersection — the
-    Theta-sketch set algebra (Dasgupta et al. 2016). This is the
-    kilobytes-per-segment answer to "how much do my segments overlap"
-    that COUNT(DISTINCT) pairwise self-joins cannot give at 100 TB.
-
-    Determinism: hashes are the cross-engine md5 fold; the estimator
-    divides two exactly-representable doubles once, and the
-    intersection path multiplies two correctly-rounded quotients in a
-    fixed order — bit-identical in the DuckDB twin. Sketches smaller
-    than k switch to the exact branch (the sketch IS the set).
-
-    Scale: the per-type bottom-k is a rank window that Spark 3.5+
-    executes as WindowGroupLimit — every map task pre-trims to its
-    local k before the one |types|-key shuffle (pinned by plan
-    contract); the pairwise stage joins |types| sketch ROWS (k longs
-    each), never data. Reference scope: the reference has no sketch
-    tier at all (SURVEY §0); this extends §2.5's approx-sketch row."""
+    """Shared KMV pair stage (overlap + A-not-B queries): per-type
+    bottom-k sketches of distinct (user, day) hashes, canonical
+    (type_a < type_b) pairs, the sorted merged union sketch, and
+    kk = min(k, |merged|). The bottom-k rank filter compiles to
+    WindowGroupLimit (map-side pre-trim, pinned by plan contract);
+    the pairing joins |types| sketch rows, never events."""
     from .functions.text import md5_hash64
 
     ev = load_table(spark, sf_dir, "events").filter(
@@ -10122,7 +10105,7 @@ def activity_overlap_kmv(
     )
     pairs = a.join(b, "one").filter(F.col("type_a") < F.col("type_b"))
     merged = F.array_sort(F.array_union(F.col("sk_a"), F.col("sk_b")))
-    staged = pairs.select(
+    return pairs.select(
         "type_a",
         "type_b",
         "sk_a",
@@ -10133,6 +10116,37 @@ def activity_overlap_kmv(
     ).select(
         "*",
         F.least(F.lit(k), F.size("merged")).cast("long").alias("kk"),
+    )
+
+
+def activity_overlap_kmv(
+    spark: SparkSession, sf_dir: str, k: int = _KMV_K
+) -> DataFrame:
+    """Pairwise audience overlap across event types via KMV
+    (bottom-k / Theta) distinct sketches (r7 session-6): each type
+    keeps only the k smallest 60-bit hashes of its distinct
+    (user, day) activity pairs; for a pair of types the k smallest of
+    the merged hash sets estimate |A∪B| ≈ (k−1)·D / h₍ₖ₎ (Bar-Yossef
+    et al. 2002), and the fraction of those union-sketch members
+    present in BOTH input sketches estimates the intersection — the
+    Theta-sketch set algebra (Dasgupta et al. 2016). This is the
+    kilobytes-per-segment answer to "how much do my segments overlap"
+    that COUNT(DISTINCT) pairwise self-joins cannot give at 100 TB.
+
+    Determinism: hashes are the cross-engine md5 fold; the estimator
+    divides two exactly-representable doubles once, and the
+    intersection path multiplies two correctly-rounded quotients in a
+    fixed order — bit-identical in the DuckDB twin. Sketches smaller
+    than k switch to the exact branch (the sketch IS the set).
+
+    Scale: the per-type bottom-k is a rank window that Spark 3.5+
+    executes as WindowGroupLimit — every map task pre-trims to its
+    local k before the one |types|-key shuffle (pinned by plan
+    contract); the pairwise stage joins |types| sketch ROWS (k longs
+    each), never data. Reference scope: the reference has no sketch
+    tier at all (SURVEY §0); this extends §2.5's approx-sketch row."""
+    staged = _kmv_pairs_staged(spark, sf_dir, k).select(
+        "*",
         F.size(
             F.array_intersect(
                 F.array_intersect(
@@ -11071,8 +11085,15 @@ def kmeans_lloyd_clusters(
     constants equal the oracle's CTE-computed centroids bit-for-bit;
     argmin ties break to the smallest cluster id; inertia snaps d² to
     the 1e-6 grid before the long sum. The oracle unrolls all three
-    rounds as cross-join + argmin-window CTEs."""
-    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    rounds as cross-join + argmin-window CTEs.
+
+    The corpus is cached for the rounds+2 passes this fit makes (init
+    collect, per-round update, final assignment) — the standard
+    iterative-ML cache, released by session/cache eviction (callers
+    own cleanup, per the repo cache convention)."""
+    emb = ensure_parallelism(
+        load_table(spark, sf_dir, "embeddings")
+    ).cache()
     from .operators.similarity import dot
 
     init = (
@@ -12228,6 +12249,281 @@ QUALIFY rnk <= 3
 
 
 # ---------------------------------------------------------------------------
+# round-7 session-6f: two-phase global sequence, KMV set difference,
+# Welch's t-test
+# ---------------------------------------------------------------------------
+
+
+def doc_global_sequence(
+    spark: SparkSession, sf_dir: str, bucket_width: int = 512
+) -> DataFrame:
+    """Stable global row numbers over (source, doc_id) order (r7
+    session-6f), TWO-PHASE: Spark's row_number() over an unpartitioned
+    window runs in ONE task (the classic global-sort trap), and
+    monotonically_increasing_id is partition-layout-dependent — this
+    is the scalable deterministic alternative. Phase 1 counts rows per
+    order-aligned bucket (source, doc_id div 512) — buckets are
+    contiguous slices of the global order, so a cumulative count over
+    the TINY bucket-metadata table yields each bucket's starting
+    offset; phase 2 broadcasts the offsets back and numbers rows
+    within their bucket (partitioned window). seq = offset +
+    within-bucket rank, identical to a global row_number — the same
+    two-phase shape as the weighted median and every
+    distributed-sort-order assignment (zipWithIndex does this
+    imperatively).
+
+    All integer; the metadata window is single-partition but
+    |buckets|-bounded (one row per 512 docs)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    ).withColumn("bkt", F.expr(f"doc_id div {bucket_width}"))
+    counts = docs.groupBy("source", "bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wmeta = (
+        Window.orderBy("source", "bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.select(
+        F.col("source").alias("o_source"),
+        F.col("bkt").alias("o_bkt"),
+        (F.sum("n").over(wmeta) - F.col("n")).alias("offset"),
+    )
+    win = (
+        Window.partitionBy("source", "bkt")
+        .orderBy("doc_id")
+    )
+    return (
+        docs.join(
+            F.broadcast(offsets),
+            (docs["source"] == offsets["o_source"])
+            & (docs["bkt"] == offsets["o_bkt"]),
+        )
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.col("offset") + F.row_number().over(win).cast("long")
+            ).alias("seq"),
+        )
+    )
+
+
+_GLOBAL_SEQ_SQL = """
+SELECT doc_id, source,
+       CAST(row_number() OVER (ORDER BY source, doc_id) AS BIGINT) AS seq
+FROM documents
+"""
+
+
+def activity_anotb_kmv(
+    spark: SparkSession, sf_dir: str, k: int = _KMV_K
+) -> DataFrame:
+    """KMV / Theta set DIFFERENCE (r7 session-6f): per type pair the
+    estimated audience active in A but never in B (and vice versa) —
+    the third Theta-sketch set operation (Dasgupta et al. 2016)
+    completing union + intersection (activity_overlap_kmv). "How many
+    users does segment A reach that B doesn't" is the incremental-
+    reach question sketches exist for: answered from the same
+    kilobyte sketches, no COUNT(DISTINCT ... WHERE NOT EXISTS) pass.
+
+    Estimator: among the union sketch's kk retained hashes, those in
+    sk_a but not sk_b estimate |A∖B| as (j_a_only/kk)·est_union —
+    same exactly-representable-numerator argument as the overlap
+    query; small sketches take the exact branch. Shares
+    _kmv_pairs_staged (bottom-k WindowGroupLimit plan and all)."""
+    staged = _kmv_pairs_staged(spark, sf_dir, k)
+    retained = F.slice(F.col("merged"), 1, k)
+    j_a = F.size(
+        F.array_except(
+            F.array_intersect(retained, F.col("sk_a")), F.col("sk_b")
+        )
+    ).cast("long")
+    j_b = F.size(
+        F.array_except(
+            F.array_intersect(retained, F.col("sk_b")), F.col("sk_a")
+        )
+    ).cast("long")
+    exact = F.size("merged") < k
+    numer = F.lit(float((k - 1) * _KMV_DOMAIN))
+    est_union = F.when(
+        exact, F.size("merged").cast("double")
+    ).otherwise(
+        numer
+        / F.element_at(F.col("merged"), F.col("kk").cast("int")).cast(
+            "double"
+        )
+    )
+
+    def est(j: Column) -> Column:
+        return F.when(exact, j.cast("double")).otherwise(
+            (j.cast("double") / F.col("kk").cast("double"))
+            * (
+                numer
+                / F.element_at(
+                    F.col("merged"), F.col("kk").cast("int")
+                ).cast("double")
+            )
+        )
+
+    return staged.select(
+        "type_a",
+        "type_b",
+        "kk",
+        j_a.alias("j_a_only"),
+        j_b.alias("j_b_only"),
+        est(j_a).alias("est_a_not_b"),
+        est(j_b).alias("est_b_not_a"),
+    )
+
+
+_KMV_ANOTB_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT event_type, {_KMV_H_SQL} AS h
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+  FROM items
+), sk AS (
+  SELECT event_type, list(h ORDER BY h ASC) AS sk,
+         CAST(count(*) AS BIGINT) AS sz
+  FROM ranked WHERE rn <= 64 GROUP BY 1
+), pr AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.sk AS sk_a, b.sk AS sk_b
+  FROM sk a JOIN sk b ON a.event_type < b.event_type
+), m AS (
+  SELECT *, list_sort(list_distinct(sk_a || sk_b)) AS merged FROM pr
+), c AS (
+  SELECT *, CAST(least(64, len(merged)) AS BIGINT) AS kk,
+         CAST(len(list_filter(list_intersect(merged[1:64], sk_a),
+                              x -> NOT list_contains(sk_b, x)))
+              AS BIGINT) AS j_a_only,
+         CAST(len(list_filter(list_intersect(merged[1:64], sk_b),
+                              x -> NOT list_contains(sk_a, x)))
+              AS BIGINT) AS j_b_only
+  FROM m
+)
+SELECT type_a, type_b, kk, j_a_only, j_b_only,
+       CASE WHEN len(merged) < 64 THEN CAST(j_a_only AS DOUBLE)
+            ELSE (CAST(j_a_only AS DOUBLE) / CAST(kk AS DOUBLE))
+                 * {_KMV_EST_UNION_SQL} END AS est_a_not_b,
+       CASE WHEN len(merged) < 64 THEN CAST(j_b_only AS DOUBLE)
+            ELSE (CAST(j_b_only AS DOUBLE) / CAST(kk AS DOUBLE))
+                 * {_KMV_EST_UNION_SQL} END AS est_b_not_a
+FROM c
+"""
+
+
+def welch_t_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Welch's t-test between event types' values (r7
+    session-6f): the unequal-variance two-sample test (Welch 1947) —
+    the A/B-experiment significance primitive — computed entirely from
+    the per-type integer moment table (n, Σcents, Σcents²), so the
+    full-data pass is ONE map-side-combinable aggregate and the
+    pairwise stage joins |types| moment rows. Emits the t statistic
+    and the Welch–Satterthwaite degrees of freedom, both snapped to
+    the 1e-6 grid AFTER a fixed double sequence (means/variances from
+    exact longs, one sqrt, one division chain — identical text in the
+    SQL twin). No p-value: that needs the t CDF; downstream compares
+    |t| to the critical value for the emitted dof. Types need n ≥ 2
+    and positive variance on BOTH sides."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(_cents("value")).alias("s"),
+        F.sum(_cents("value") * _cents("value")).alias("ss"),
+    ).filter(F.col("n") >= 2)
+    a = m.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+        F.col("ss").alias("ssa"),
+        F.lit(1).alias("one"),
+    )
+    b = m.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+        F.col("ss").alias("ssb"),
+        F.lit(1).alias("one"),
+    )
+    pairs = a.join(b, "one").filter(F.col("type_a") < F.col("type_b"))
+
+    def mean(s: str, n: str) -> Column:
+        return F.col(s).cast("double") / F.col(n).cast("double")
+
+    def var(ss: str, s: str, n: str) -> Column:
+        return (
+            F.col(ss).cast("double")
+            - F.col(s).cast("double")
+            * F.col(s).cast("double")
+            / F.col(n).cast("double")
+        ) / (F.col(n) - 1).cast("double")
+
+    va = var("ssa", "sa", "na")
+    vb = var("ssb", "sb", "nb")
+    sea = va / F.col("na").cast("double")
+    seb = vb / F.col("nb").cast("double")
+    t = (mean("sa", "na") - mean("sb", "nb")) / F.sqrt(sea + seb)
+    dof = (
+        (sea + seb)
+        * (sea + seb)
+        / (
+            sea * sea / (F.col("na") - 1).cast("double")
+            + seb * seb / (F.col("nb") - 1).cast("double")
+        )
+    )
+    return pairs.filter((va > 0) & (vb > 0)).select(
+        "type_a",
+        "type_b",
+        "na",
+        "nb",
+        F.round(t * F.lit(1000000.0)).cast("long").alias("t_micro"),
+        F.round(dof * F.lit(1000000.0)).cast("long").alias("dof_micro"),
+    )
+
+
+_WELCH_SQL = """
+WITH m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ss
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1 HAVING COUNT(*) >= 2
+), pr AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.n AS na, a.s AS sa, a.ss AS ssa,
+         b.n AS nb, b.s AS sb, b.ss AS ssb
+  FROM m a JOIN m b ON a.event_type < b.event_type
+), st AS (
+  SELECT *,
+         (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+            / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS va,
+         (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+            / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS vb
+  FROM pr
+), se AS (
+  SELECT *, va / CAST(na AS DOUBLE) AS sea, vb / CAST(nb AS DOUBLE) AS seb
+  FROM st WHERE va > 0 AND vb > 0
+)
+SELECT type_a, type_b, na, nb,
+       CAST(round(((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+                   - (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)))
+                  / sqrt(sea + seb) * 1000000.0) AS BIGINT) AS t_micro,
+       CAST(round((sea + seb) * (sea + seb)
+                  / (sea * sea / CAST(na - 1 AS DOUBLE)
+                     + seb * seb / CAST(nb - 1 AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS dof_micro
+FROM se
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -12404,6 +12700,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _WEIGHTED_MEDIAN_SQL,
     ),
     "topk_orders_with_ties": (topk_orders_with_ties, _TOPK_TIES_SQL),
+    # session-6f — same overflow status
+    "doc_global_sequence": (doc_global_sequence, _GLOBAL_SEQ_SQL),
+    "activity_anotb_kmv": (activity_anotb_kmv, _KMV_ANOTB_SQL),
+    "welch_t_event_types": (welch_t_event_types, _WELCH_SQL),
     # r4-refresh fill displaced from the window by the session-6
     # additions — first refresh candidates for the r8 window
     "outer_join_order_coverage": (outer_join_order_coverage, _OUTER_JOIN_SQL),

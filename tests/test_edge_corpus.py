@@ -161,6 +161,10 @@ DOC_QUERIES = [
     # embedding_label_outliers)
     "table_checksum_buckets",
     "shard_compaction_plan",
+    # r7 session-6f: 12 docs in one source — every bucket holds a
+    # handful of rows, offsets must still chain to the exact global
+    # row_number
+    "doc_global_sequence",
 ]
 
 
@@ -392,6 +396,11 @@ EVENTS_QUERIES = [
     # 13/17 excluded) and duplicate-ts cells
     "user_activity_bitmaps",
     "stream_seasonal_baseline",
+    # r7 session-6f: A-not-B on all-exact sketches (difference IS the
+    # set difference); Welch pairs where one side's variance comes
+    # from 2 samples and the NULL-value events drop out
+    "activity_anotb_kmv",
+    "welch_t_event_types",
 ]
 
 

@@ -279,6 +279,12 @@ def test_no_vacuous_queries(spark, sf_dir):
         "part_stock_balance",
         "lineitem_weighted_median",
         "topk_orders_with_ties",
+        # r7 session-6f: two-phase offset chains, sketch set
+        # difference, and moment-derived t statistics must all be
+        # partition-blind
+        "doc_global_sequence",
+        "activity_anotb_kmv",
+        "welch_t_event_types",
     ],
 )
 def test_partitioning_invariance(spark, sf_dir, name):

@@ -885,3 +885,35 @@ def test_k_anonymity_single_scan_audit(spark, sf_dir):
     assert f.has_partial_agg
     assert not f.has_cartesian
     assert f.n_exchanges <= 2, f.n_exchanges
+
+
+def test_global_sequence_broadcast_offsets_partitioned_windows(spark, sf_dir):
+    """Two-phase global numbering: the data-side window partitions by
+    (source, bucket) — NEVER the unpartitioned global window that
+    serializes into one task — and the bucket-offset table comes back
+    by broadcast. The only unpartitioned window allowed is the
+    cumulative count over bucket METADATA (one row per 512 docs)."""
+    f = facts(spark, sf_dir, "doc_global_sequence")
+    assert set(f.joins) == {"BroadcastHashJoin"}, f.joins
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", f.raw)
+    data_specs = [s for s in specs if "doc_id" in s and "bkt" in s]
+    assert data_specs, "row-numbering window must partition by bucket"
+
+
+def test_anotb_shares_the_kmv_pretrim(spark, sf_dir):
+    """The A-not-B sketch difference rides _kmv_pairs_staged: the
+    bottom-k WindowGroupLimit pre-trim and the sketch-rows-only
+    pairing must survive in this consumer too."""
+    f = facts(spark, sf_dir, "activity_anotb_kmv")
+    assert "WindowGroupLimit" in f.raw
+    assert "SortMergeJoin" not in f.joins
+    assert not f.has_cartesian
+
+
+def test_welch_pairs_join_moment_rows_only(spark, sf_dir):
+    """Welch's t: the full-data pass is one map-side-combinable moment
+    aggregate; the pairwise stage joins |types| rows (nested-loop on a
+    tiny aggregate is fine, a sort-merge over events is not)."""
+    f = facts(spark, sf_dir, "welch_t_event_types")
+    assert f.has_partial_agg
+    assert "SortMergeJoin" not in f.joins
