@@ -202,8 +202,12 @@ def bfs_hops(
     bidir = edges.unionByName(
         edges.select(F.col(b).alias(a), F.col(a).alias(b))
     ).cache()
+    # distinct() on seeds too: a duplicated seed row would ride the
+    # whole union chain into the output (the anti-join only blocks
+    # RE-visits, not the initial duplicates)
     dist = (
-        seeds.select("n", F.lit(0).cast("long").alias("dist"))
+        seeds.select("n").distinct()
+        .select("n", F.lit(0).cast("long").alias("dist"))
         .localCheckpoint(eager=True)
     )
     frontier = dist.select("n")

@@ -10191,13 +10191,15 @@ _KMV_H_SQL = _HASH64_SQL.format(
     "|| strftime(ts, '%Y-%m-%d'))"
 )
 
-_KMV_EST_UNION_SQL = (
-    "(CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)"
-    " / CAST(list_extract(merged, kk) AS DOUBLE))"
-)
 
-_ACTIVITY_KMV_SQL = f"""
-WITH items AS (
+def _kmv_pairs_ctes(k: int) -> str:
+    """Shared SQL twin of _kmv_pairs_staged: per-type bottom-k
+    sketches and canonical merged pairs, ending in relation ``m``
+    (type_a/type_b, sk_a/sk_b, sz_a/sz_b, merged). Both KMV twins
+    build on this so the sketch stage (salt, trim, merge) can never
+    desynchronize between them — and ``k`` interpolates so a
+    non-default Python-side k keeps its oracle pairing."""
+    return f"""items AS (
   SELECT DISTINCT event_type, {_KMV_H_SQL} AS h
   FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ), ranked AS (
@@ -10207,26 +10209,39 @@ WITH items AS (
 ), sk AS (
   SELECT event_type, list(h ORDER BY h ASC) AS sk,
          CAST(count(*) AS BIGINT) AS sz
-  FROM ranked WHERE rn <= 64 GROUP BY 1
+  FROM ranked WHERE rn <= {k} GROUP BY 1
 ), pr AS (
   SELECT a.event_type AS type_a, b.event_type AS type_b,
          a.sk AS sk_a, b.sk AS sk_b, a.sz AS sz_a, b.sz AS sz_b
   FROM sk a JOIN sk b ON a.event_type < b.event_type
 ), m AS (
   SELECT *, list_sort(list_distinct(sk_a || sk_b)) AS merged FROM pr
-), c AS (
-  SELECT *, CAST(least(64, len(merged)) AS BIGINT) AS kk,
+)"""
+
+
+def _kmv_est_union_sql(k: int) -> str:
+    return (
+        f"(CAST({k - 1} AS DOUBLE) * CAST({_KMV_DOMAIN} AS DOUBLE)"
+        " / CAST(list_extract(merged, kk) AS DOUBLE))"
+    )
+
+
+def _activity_kmv_sql(k: int = _KMV_K) -> str:
+    est = _kmv_est_union_sql(k)
+    return f"""
+WITH {_kmv_pairs_ctes(k)}, c AS (
+  SELECT *, CAST(least({k}, len(merged)) AS BIGINT) AS kk,
          CAST(len(list_intersect(
-                list_intersect(merged[1:64], sk_a), sk_b)) AS BIGINT)
+                list_intersect(merged[1:{k}], sk_a), sk_b)) AS BIGINT)
            AS j_common
   FROM m
 )
 SELECT type_a, type_b, sz_a, sz_b, kk, j_common,
-       CASE WHEN len(merged) < 64 THEN CAST(len(merged) AS DOUBLE)
-            ELSE {_KMV_EST_UNION_SQL} END AS est_union,
-       CASE WHEN len(merged) < 64 THEN CAST(j_common AS DOUBLE)
+       CASE WHEN len(merged) < {k} THEN CAST(len(merged) AS DOUBLE)
+            ELSE {est} END AS est_union,
+       CASE WHEN len(merged) < {k} THEN CAST(j_common AS DOUBLE)
             ELSE (CAST(j_common AS DOUBLE) / CAST(kk AS DOUBLE))
-                 * {_KMV_EST_UNION_SQL} END AS est_inter
+                 * {est} END AS est_inter
 FROM c
 """
 
@@ -10962,7 +10977,9 @@ def doc_weighted_sample(
     per-row key compiles to TakeOrderedAndProject's per-partition
     heaps).
 
-    Determinism: u = (h+1)/2⁶⁰ is exact; p_micro = round(−ln(u)·10⁶)
+    Determinism: u = (h+1)/2⁶⁰ rounds h+1 to double past 2⁵³, but
+    both engines perform the IDENTICAL conversion and the divisor is
+    an exact power of two, so u is bit-equal; p_micro = round(−ln(u)·10⁶)
     snaps the only float to the micro-nat grid (the engines' ln agree
     far below the grid); key_micro = p_micro·10⁶ div w divides
     POSITIVE integers, where Spark's truncating div == DuckDB's floor
@@ -10993,7 +11010,8 @@ def doc_weighted_sample(
     ).limit(k)
 
 
-_WEIGHTED_SAMPLE_SQL = f"""
+def _weighted_sample_sql(k: int = 200) -> str:
+    return f"""
 WITH keyed AS (
   SELECT doc_id, source,
          GREATEST(n_chars, 1) AS weight,
@@ -11007,7 +11025,7 @@ SELECT doc_id, source, CAST(weight AS BIGINT) AS weight,
        (p_micro * 1000000) // weight AS key_micro
 FROM keyed
 ORDER BY key_micro ASC, doc_id ASC
-LIMIT 200
+LIMIT {k}
 """
 
 
@@ -11124,7 +11142,6 @@ def kmeans_lloyd_clusters(
         ]
         scored = staged.select("vec_id", "embedding", *dists)
         m = F.least(*[F.col(f"d{c}") for c, _ in cents])
-        cluster = F.lit(None).cast("long")
         expr = None
         for c, _ in cents:
             cond = F.col(f"d{c}") == m
@@ -11324,9 +11341,10 @@ _TCB_H = _HASH64_SQL.format(
     f"|| COALESCE({_TCB_FP}, 'null'))"
 )
 
-_TABLE_CHECKSUM_SQL = f"""
+def _table_checksum_sql(n_buckets: int = 1024) -> str:
+    return f"""
 WITH old_side AS (
-  SELECT doc_id % 1024 AS bucket, {_TCB_H} AS h
+  SELECT doc_id % {n_buckets} AS bucket, {_TCB_H} AS h
   FROM documents WHERE doc_id % 20 <> 0
 ), new_docs AS (
   SELECT doc_id,
@@ -11335,7 +11353,7 @@ WITH old_side AS (
               ELSE text END AS text
   FROM documents WHERE doc_id % 19 <> 0
 ), new_side AS (
-  SELECT doc_id % 1024 AS bucket, {_TCB_H} AS h FROM new_docs
+  SELECT doc_id % {n_buckets} AS bucket, {_TCB_H} AS h FROM new_docs
 ), o AS (
   SELECT bucket, bit_xor(h) AS digest_old,
          CAST(COUNT(*) AS BIGINT) AS n_old
@@ -11397,7 +11415,8 @@ def shard_compaction_plan(
     )
 
 
-_COMPACTION_SQL = """
+def _compaction_sql(target_bytes: int = 16384) -> str:
+    return f"""
 WITH files AS (
   SELECT doc_id % 199 AS file_id, CAST(SUM(n_chars) AS BIGINT) AS bytes
   FROM documents GROUP BY 1
@@ -11405,7 +11424,7 @@ WITH files AS (
   SELECT file_id, bytes,
          (CAST(SUM(bytes) OVER (ORDER BY bytes DESC, file_id ASC
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-          - bytes) // 16384 AS bin
+          - bytes) // {target_bytes} AS bin
   FROM files
 )
 SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_files,
@@ -11705,8 +11724,14 @@ def user_activity_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid exists to kill). Scale: one (bucket, day) shuffle with
     map-side bit_or combine; the grid and windows are
     |users|/64 × |days| — bitmap-sized, never event-sized."""
+    # user_id >= 0: Spark's div/pmod and DuckDB's /// % disagree on
+    # negatives (truncate vs floor; DuckDB errors on a negative shift
+    # count) — the filter makes both sides' semantics identical instead
+    # of relying on the fixture never going negative
     ev = ensure_parallelism(load_table(spark, sf_dir, "events")).filter(
-        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & (F.col("user_id") >= 0)
     )
     days = ev.select(
         F.datediff(
@@ -11765,6 +11790,7 @@ WITH pres AS (
          CAST(user_id // 63 AS BIGINT) AS bucket,
          (CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER)) AS bit
   FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    AND user_id >= 0
 ), bm AS (
   SELECT bucket, day_num, bit_or(bit) AS bm FROM pres GROUP BY 1, 2
 ), grid AS (
@@ -11933,7 +11959,8 @@ def customer_k_anonymity(
     )
 
 
-_K_ANON_SQL = """
+def _k_anon_sql(k: int = 5) -> str:
+    return f"""
 WITH classes AS (
   SELECT c_nationkey, c_mktsegment,
          CAST(floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE)
@@ -11944,7 +11971,7 @@ WITH classes AS (
   SELECT COUNT(*) AS n_total FROM customer
 )
 SELECT c_nationkey, c_mktsegment, bal_bucket, class_size,
-       class_size < 5 AS violates_k,
+       class_size < {k} AS violates_k,
        (class_size * CAST(1000000 AS BIGINT)) // n_total AS share_ppm
 FROM classes CROSS JOIN tot
 """
@@ -12377,41 +12404,26 @@ def activity_anotb_kmv(
     )
 
 
-_KMV_ANOTB_SQL = f"""
-WITH items AS (
-  SELECT DISTINCT event_type, {_KMV_H_SQL} AS h
-  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-), ranked AS (
-  SELECT event_type, h,
-         row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
-  FROM items
-), sk AS (
-  SELECT event_type, list(h ORDER BY h ASC) AS sk,
-         CAST(count(*) AS BIGINT) AS sz
-  FROM ranked WHERE rn <= 64 GROUP BY 1
-), pr AS (
-  SELECT a.event_type AS type_a, b.event_type AS type_b,
-         a.sk AS sk_a, b.sk AS sk_b
-  FROM sk a JOIN sk b ON a.event_type < b.event_type
-), m AS (
-  SELECT *, list_sort(list_distinct(sk_a || sk_b)) AS merged FROM pr
-), c AS (
-  SELECT *, CAST(least(64, len(merged)) AS BIGINT) AS kk,
-         CAST(len(list_filter(list_intersect(merged[1:64], sk_a),
+def _kmv_anotb_sql(k: int = _KMV_K) -> str:
+    est = _kmv_est_union_sql(k)
+    return f"""
+WITH {_kmv_pairs_ctes(k)}, c AS (
+  SELECT *, CAST(least({k}, len(merged)) AS BIGINT) AS kk,
+         CAST(len(list_filter(list_intersect(merged[1:{k}], sk_a),
                               x -> NOT list_contains(sk_b, x)))
               AS BIGINT) AS j_a_only,
-         CAST(len(list_filter(list_intersect(merged[1:64], sk_b),
+         CAST(len(list_filter(list_intersect(merged[1:{k}], sk_b),
                               x -> NOT list_contains(sk_a, x)))
               AS BIGINT) AS j_b_only
   FROM m
 )
 SELECT type_a, type_b, kk, j_a_only, j_b_only,
-       CASE WHEN len(merged) < 64 THEN CAST(j_a_only AS DOUBLE)
+       CASE WHEN len(merged) < {k} THEN CAST(j_a_only AS DOUBLE)
             ELSE (CAST(j_a_only AS DOUBLE) / CAST(kk AS DOUBLE))
-                 * {_KMV_EST_UNION_SQL} END AS est_a_not_b,
-       CASE WHEN len(merged) < 64 THEN CAST(j_b_only AS DOUBLE)
+                 * {est} END AS est_a_not_b,
+       CASE WHEN len(merged) < {k} THEN CAST(j_b_only AS DOUBLE)
             ELSE (CAST(j_b_only AS DOUBLE) / CAST(kk AS DOUBLE))
-                 * {_KMV_EST_UNION_SQL} END AS est_b_not_a
+                 * {est} END AS est_b_not_a
 FROM c
 """
 
@@ -12651,7 +12663,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # (outer_join_order_coverage, price_lag_lead_frames,
     # sql_interface_q3, small_quantity_revenue — moved below the
     # window, first in line for r8)
-    "activity_overlap_kmv": (activity_overlap_kmv, _ACTIVITY_KMV_SQL),
+    "activity_overlap_kmv": (activity_overlap_kmv, _activity_kmv_sql()),
     "order_lineitem_ivm": (order_lineitem_ivm, _ORDER_IVM_SQL),
     "part_bfs_hops": (part_bfs_hops, _bfs_sql()),
     "event_seasonal_anomaly": (
@@ -12678,11 +12690,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "part_label_communities": (part_label_communities, _lpa_sql()),
     "doc_shard_rebalance": (doc_shard_rebalance, _hrw_sql()),
     "source_token_kl": (source_token_kl, _SOURCE_KL_SQL),
-    "doc_weighted_sample": (doc_weighted_sample, _WEIGHTED_SAMPLE_SQL),
+    "doc_weighted_sample": (doc_weighted_sample, _weighted_sample_sql()),
     # session-6c — same overflow status
     "kmeans_lloyd_clusters": (kmeans_lloyd_clusters, _kmeans_sql()),
-    "table_checksum_buckets": (table_checksum_buckets, _TABLE_CHECKSUM_SQL),
-    "shard_compaction_plan": (shard_compaction_plan, _COMPACTION_SQL),
+    "table_checksum_buckets": (table_checksum_buckets, _table_checksum_sql()),
+    "shard_compaction_plan": (shard_compaction_plan, _compaction_sql()),
     "event_ewma_chart": (event_ewma_chart, _EWMA_SQL),
     # session-6d — same overflow status
     "customer_survival_km": (customer_survival_km, _KM_SQL),
@@ -12693,7 +12705,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _STREAM_SEASONAL_SQL,
     ),
     # session-6e — same overflow status
-    "customer_k_anonymity": (customer_k_anonymity, _K_ANON_SQL),
+    "customer_k_anonymity": (customer_k_anonymity, _k_anon_sql()),
     "part_stock_balance": (part_stock_balance, _STOCK_SQL),
     "lineitem_weighted_median": (
         lineitem_weighted_median,
@@ -12702,7 +12714,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "topk_orders_with_ties": (topk_orders_with_ties, _TOPK_TIES_SQL),
     # session-6f — same overflow status
     "doc_global_sequence": (doc_global_sequence, _GLOBAL_SEQ_SQL),
-    "activity_anotb_kmv": (activity_anotb_kmv, _KMV_ANOTB_SQL),
+    "activity_anotb_kmv": (activity_anotb_kmv, _kmv_anotb_sql()),
     "welch_t_event_types": (welch_t_event_types, _WELCH_SQL),
     # r4-refresh fill displaced from the window by the session-6
     # additions — first refresh candidates for the r8 window
