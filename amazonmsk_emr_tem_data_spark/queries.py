@@ -12536,6 +12536,486 @@ FROM se
 
 
 # ---------------------------------------------------------------------------
+# round-7 session-6g: TextRank keywords, double-billing audit, ABC
+# classification
+# ---------------------------------------------------------------------------
+
+
+def textrank_keywords(
+    spark: SparkSession, sf_dir: str, top_n: int = 30
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) (r7
+    session-6g): PageRank over the word co-occurrence graph — an edge
+    per token pair within a ±2 window, weighted by co-occurrence
+    count — ranks words by graph centrality rather than RAKE's
+    degree/frequency heuristic; the two extractors disagree exactly
+    where centrality matters (a rare word bridging frequent phrases).
+    Composes the existing integer PageRank operator verbatim: rank
+    mass in 1e-12 units, 5 fixed iterations, dangling redistribution —
+    so the unrolled-CTE twin reuses _pagerank_iteration_sql unchanged.
+
+    Scale: edge mining is two lead() reads per token (one doc-keyed
+    window sort, no token self-join); the graph is vocabulary-sized;
+    each iteration is the dst-keyed map-combinable shuffle PageRank
+    always pays; top-30 is TakeOrderedAndProject."""
+    from .functions.text import tokens
+    from .operators.graph import pagerank
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    paired = toks.select(
+        "w",
+        F.lead("w", 1).over(win).alias("n1"),
+        F.lead("w", 2).over(win).alias("n2"),
+    )
+    halves = paired.select(
+        F.col("w").alias("src"), F.col("n1").alias("dst")
+    ).unionByName(
+        paired.select(F.col("w").alias("src"), F.col("n2").alias("dst"))
+    ).filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    undirected = halves.unionByName(
+        halves.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    edges = undirected.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("w_edge")
+    )
+    nodes = toks.select(F.col("w").alias("page")).distinct()
+    ranks = pagerank(edges, nodes, id_col="page")
+    return _ranked_topk(
+        ranks.select(F.col("page").alias("word"), "rank_micro"),
+        [F.col("rank_micro").desc(), F.col("word").asc()],
+        "rank_micro",
+        top_n,
+        "kw_rank",
+    )
+
+
+def _textrank_sql(top_n: int = 30) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts({_TOKS_SQL}, 1) AS pos,
+         unnest({_TOKS_SQL}) AS w
+  FROM documents
+), toks2 AS (
+  SELECT * FROM toks WHERE w <> ''
+), paired AS (
+  SELECT w,
+         lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS n1,
+         lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS n2
+  FROM toks2
+), halves AS (
+  SELECT src, dst FROM (
+    SELECT w AS src, n1 AS dst FROM paired
+    UNION ALL SELECT w AS src, n2 AS dst FROM paired
+  ) WHERE dst IS NOT NULL AND src <> dst
+), und AS (
+  SELECT src, dst FROM halves
+  UNION ALL SELECT dst AS src, src AS dst FROM halves
+), edges AS (
+  SELECT src, dst, COUNT(*) AS w_edge FROM und GROUP BY 1, 2
+), nodes AS (
+  SELECT DISTINCT w AS page FROM toks2
+), nn AS (
+  SELECT COUNT(*) AS n FROM nodes
+), outd AS (
+  SELECT src, CAST(SUM(w_edge) AS BIGINT) AS w_out FROM edges GROUP BY src
+), r0 AS (
+  SELECT page, CAST(1000000000000 // nn.n AS BIGINT) AS rank_micro
+  FROM nodes CROSS JOIN nn
+){"".join(_pagerank_iteration_sql(k) for k in range(1, 6))}
+SELECT word, rank_micro,
+       CAST(row_number() OVER (ORDER BY rank_micro DESC, word ASC)
+            AS BIGINT) AS kw_rank
+FROM (SELECT page AS word, rank_micro FROM r5)
+ORDER BY rank_micro DESC, word ASC
+LIMIT {top_n}
+"""
+
+
+def orders_double_billing(
+    spark: SparkSession, sf_dir: str, window_days: int = 3
+) -> DataFrame:
+    """Double-billing audit (r7 session-6g): two orders from the same
+    customer for the EXACT same amount within 3 days — the classic
+    duplicate-invoice / double-charge detector of an AP audit (exact
+    amount + short window separates rebills from coincidence). One
+    window over (custkey, amount-cents) partitions ordered by
+    (date, orderkey): lag() exposes the previous same-amount order, an
+    integer date-diff flags the pair. No self-join — the naive
+    O(n²)-per-customer pairing is exactly what the lag formulation
+    avoids; partitions are (customer, amount)-bounded."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        _cents("o_totalprice").alias("amount_cents"),
+        F.to_date("o_orderdate").alias("od"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey", "amount_cents").orderBy(
+        "od", "o_orderkey"
+    )
+    flagged = orders.select(
+        "o_custkey",
+        "amount_cents",
+        "od",
+        "o_orderkey",
+        F.lag("od").over(w).alias("prev_od"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+    ).filter(
+        F.col("prev_od").isNotNull()
+        & (F.datediff("od", "prev_od") <= window_days)
+    )
+    return flagged.select(
+        "o_custkey",
+        (F.col("amount_cents").cast("double") / F.lit(100.0)).alias(
+            "amount"
+        ),
+        F.col("prev_key").alias("first_orderkey"),
+        F.col("o_orderkey").alias("second_orderkey"),
+        F.datediff("od", "prev_od").cast("long").alias("gap_days"),
+    )
+
+
+def _double_billing_sql(window_days: int = 3) -> str:
+    return f"""
+WITH o AS (
+  SELECT o_custkey, amount_cents, od, o_orderkey,
+         lag(od) OVER w AS prev_od,
+         lag(o_orderkey) OVER w AS prev_key
+  FROM (SELECT o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS amount_cents,
+               CAST(o_orderdate AS DATE) AS od, o_orderkey
+        FROM orders)
+  WINDOW w AS (PARTITION BY o_custkey, amount_cents
+               ORDER BY od, o_orderkey)
+)
+SELECT o_custkey, CAST(amount_cents AS DOUBLE) / 100.0 AS amount,
+       prev_key AS first_orderkey, o_orderkey AS second_orderkey,
+       CAST(date_diff('day', prev_od, od) AS BIGINT) AS gap_days
+FROM o
+WHERE prev_od IS NOT NULL AND date_diff('day', prev_od, od) <= {window_days}
+"""
+
+
+def part_abc_classes(
+    spark: SparkSession, sf_dir: str, bucket_cents: int = 10**6
+) -> DataFrame:
+    """ABC (Pareto) inventory classification (r7 session-6g): parts
+    ranked by revenue; the first 80% of cumulative revenue is class A,
+    the next 15% B, the tail C — the 80/15/5 stocking-policy split.
+    The global revenue-descending cumulative sum uses the TWO-PHASE
+    offset pattern (doc_global_sequence's): revenue-range buckets are
+    contiguous slices of the descending order, so bucket totals +
+    a metadata cumsum give exact starting offsets and the per-part
+    cumulative revenue comes from a bucket-partitioned window — no
+    one-task global window over parts.
+
+    Exactness: per-part revenue sums exactly on the ×10⁴ grid, then
+    floors ONCE to the cent grid (positive // — identical both
+    engines) so the share multiplications clear long range out past
+    500× the sf0.1 fixture; class boundaries compare cum·100 against
+    80·total / 95·total in longs (boundary ties go to the smaller
+    class letter in both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(disc_price_cents()).alias("u")
+    ).select(
+        "part", F.expr("u div 100").alias("rev_units")
+    ).withColumn(
+        # descending-order-aligned bucket: higher revenue -> smaller
+        # bucket id (negated floor-div of NON-NEGATIVE revenue)
+        "bkt", -F.expr(f"rev_units div {bucket_cents}")
+    )
+    counts = rev.groupBy("bkt").agg(F.sum("rev_units").alias("brev"))
+    wmeta = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        F.col("bkt").alias("o_bkt"),
+        (F.sum("brev").over(wmeta) - F.col("brev")).alias("rev_before"),
+    )
+    total = rev.agg(F.sum("rev_units").alias("total_units"))
+    win = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("rev_units").desc(), F.col("part").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        rev.join(F.broadcast(offsets), rev["bkt"] == offsets["o_bkt"])
+        .select(
+            "part",
+            "rev_units",
+            "bkt",
+            (F.col("rev_before") + F.sum("rev_units").over(win)).alias(
+                "cum_units"
+            ),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    return cum.select(
+        "part",
+        (F.col("rev_units").cast("double") / F.lit(100.0)).alias(
+            "revenue"
+        ),
+        # per-myriad, not ppm: cum_units rides the x10^4 revenue grid,
+        # so x10^6 would overflow a long on fixture-scale totals (the
+        # x10^4 multiplier keeps ~5 x 10^5 headroom over sf0.1)
+        F.expr(
+            "cum_units * CAST(10000 AS BIGINT) div total_units"
+        ).alias("cum_permyriad"),
+        F.when(
+            F.col("cum_units") * 100 <= F.col("total_units") * 80, "A"
+        )
+        .when(F.col("cum_units") * 100 <= F.col("total_units") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+def _abc_sql(bucket_cents: int = 10**6) -> str:
+    return f"""
+WITH rev AS (
+  SELECT l_partkey AS part,
+         CAST(SUM({_DISC_PRICE_CENTS_SQL}) AS BIGINT) // 100 AS rev_units
+  FROM lineitem GROUP BY 1
+), b AS (
+  SELECT *, -(rev_units // {bucket_cents}) AS bkt FROM rev
+), offs AS (
+  SELECT bkt,
+         CAST(SUM(brev) OVER (ORDER BY bkt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - brev
+           AS BIGINT) AS rev_before
+  FROM (SELECT bkt, CAST(SUM(rev_units) AS BIGINT) AS brev
+        FROM b GROUP BY 1)
+), tot AS (
+  SELECT CAST(SUM(rev_units) AS BIGINT) AS total_units FROM rev
+), cum AS (
+  SELECT part, rev_units,
+         rev_before + CAST(SUM(rev_units) OVER (
+             PARTITION BY b.bkt
+             ORDER BY rev_units DESC, part ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_units
+  FROM b JOIN offs USING (bkt)
+)
+SELECT part, CAST(rev_units AS DOUBLE) / 100.0 AS revenue,
+       (cum_units * CAST(10000 AS BIGINT)) // total_units AS cum_permyriad,
+       CASE WHEN cum_units * 100 <= total_units * 80 THEN 'A'
+            WHEN cum_units * 100 <= total_units * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM cum CROSS JOIN tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-7 session-6h: negative sampling, classifier calibration
+# ---------------------------------------------------------------------------
+
+
+def customer_negative_parts(
+    spark: SparkSession, sf_dir: str, k: int = 4, oversample: int = 12
+) -> DataFrame:
+    """Deterministic negative sampling for recommender training pairs
+    (r7 session-6h): for every customer, k parts they have NEVER
+    ordered — the (user, item⁻) half of a contrastive training set.
+    Candidates come from a hash permutation (cand_i =
+    md5('neg1'|cust|i) mod max_partkey + 1, i = 1..12), are pruned to
+    EXISTING parts (semi join), have the customer's purchase history
+    anti-joined away, and the first k distinct survivors (by draw
+    index, then partkey) win. Hash-derived draws make the sample
+    reproducible across runs, partitionings, and engines — the
+    property random.choice-style samplers lose at scale.
+
+    Scale: candidate generation is a map-only ×12 expansion of the
+    CUSTOMER table (not events); existence and seen-ness are two
+    (partkey / cust,part)-keyed joins bounded by |cust|·12 candidate
+    rows; negatives per customer are constant. The 1-row max-partkey
+    aggregate broadcasts."""
+    from .functions.text import md5_hash64
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    seen = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("l_partkey").alias("cand"),
+        )
+        .distinct()
+    )
+    maxpk = part.agg(F.max("p_partkey").alias("maxpk"))
+    cands = (
+        cust.crossJoin(F.broadcast(maxpk))
+        .select(
+            "c_custkey",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(oversample))
+            ).alias("i"),
+            "maxpk",
+        )
+        .select(
+            "c_custkey",
+            "i",
+            (
+                F.pmod(
+                    md5_hash64(
+                        F.concat_ws(
+                            "|",
+                            F.lit("neg1"),
+                            F.col("c_custkey").cast("string"),
+                            F.col("i").cast("string"),
+                        )
+                    ),
+                    F.col("maxpk"),
+                )
+                + 1
+            ).alias("cand"),
+        )
+    )
+    existing = cands.join(
+        part, cands["cand"] == part["p_partkey"], "left_semi"
+    )
+    fresh = existing.join(seen, ["c_custkey", "cand"], "left_anti")
+    first_draw = fresh.groupBy("c_custkey", "cand").agg(
+        F.min("i").alias("draw")
+    )
+    w = Window.partitionBy("c_custkey").orderBy("draw", "cand")
+    return (
+        first_draw.withColumn(
+            "sample_rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("sample_rank") <= k)
+        .select(
+            "c_custkey",
+            F.col("cand").alias("p_partkey"),
+            F.col("draw").cast("long").alias("draw"),
+            "sample_rank",
+        )
+    )
+
+
+def _negative_parts_sql(k: int = 4, oversample: int = 12) -> str:
+    h = _HASH64_SQL.format(
+        x="('neg1' || '|' || CAST(c_custkey AS VARCHAR) || '|' "
+        "|| CAST(i AS VARCHAR))"
+    )
+    return f"""
+WITH maxpk AS (
+  SELECT MAX(p_partkey) AS maxpk FROM part
+), cands AS (
+  SELECT c_custkey, i, ({h} % maxpk) + 1 AS cand
+  FROM customer CROSS JOIN maxpk
+  CROSS JOIN (SELECT unnest(generate_series(1, {oversample})) AS i)
+), existing AS (
+  SELECT c.* FROM cands c
+  WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.cand)
+), seen AS (
+  SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS cand
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), fresh AS (
+  SELECT e.* FROM existing e
+  WHERE NOT EXISTS (SELECT 1 FROM seen s
+                    WHERE s.c_custkey = e.c_custkey AND s.cand = e.cand)
+), first_draw AS (
+  SELECT c_custkey, cand, MIN(i) AS draw
+  FROM fresh GROUP BY 1, 2
+)
+SELECT c_custkey, cand AS p_partkey, CAST(draw AS BIGINT) AS draw,
+       CAST(row_number() OVER (PARTITION BY c_custkey
+                               ORDER BY draw, cand) AS BIGINT)
+         AS sample_rank
+FROM first_draw
+QUALIFY sample_rank <= {k}
+"""
+
+
+def langid_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration by confidence margin (r7 session-6h):
+    the lang-ID classifier's accuracy bucketed by its MARGIN (top
+    stopword-hit score minus runner-up) — the reliability-diagram
+    audit that says whether confidence is meaningful (accuracy should
+    rise with margin) and where to set an abstention threshold for
+    routing low-margin docs to a heavier model. Completes the
+    classifier-eval tier: confusion matrix (WHERE it leaks) +
+    calibration (WHEN to trust it).
+
+    Exactness: scores and margins are integer hit counts (margin
+    buckets capped at 5+); accuracy is integer ppm. One scan, one
+    ≤6-row aggregate."""
+    from .functions.text import lang_scores, predicted_lang
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents")).filter(
+        F.col("lang").isNotNull() & F.col("text").isNotNull()
+    )
+    s = lang_scores("text")
+    arr = F.array_sort(
+        F.array(s["en"], s["de"], s["fr"], s["es"])
+    )
+    scored = docs.select(
+        "lang",
+        predicted_lang("text").alias("pred"),
+        F.least(
+            F.element_at(arr, 4) - F.element_at(arr, 3), F.lit(5)
+        ).cast("long").alias("margin_bucket"),
+    )
+    agg = scored.groupBy("margin_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            (F.col("lang") == F.col("pred")).cast("long")
+        ).alias("n_correct"),
+    )
+    return agg.select(
+        "margin_bucket",
+        "n_docs",
+        "n_correct",
+        F.expr(
+            "n_correct * CAST(1000000 AS BIGINT) div n_docs"
+        ).alias("accuracy_ppm"),
+    )
+
+
+_LANGID_CALIBRATION_SQL = rf"""
+WITH scored AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all({_NORM_SQL},
+              '\b(the|and|of|to|in|is)\b')) AS BIGINT) AS s_en,
+         CAST(len(regexp_extract_all({_NORM_SQL},
+              '\b(der|die|das|und|ist)\b')) AS BIGINT) AS s_de,
+         CAST(len(regexp_extract_all({_NORM_SQL},
+              '\b(le|la|les|et|est)\b')) AS BIGINT) AS s_fr,
+         CAST(len(regexp_extract_all({_NORM_SQL},
+              '\b(el|los|las|y|es)\b')) AS BIGINT) AS s_es
+  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+), pred AS (
+  SELECT lang,
+         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+              WHEN s_fr >= s_es THEN 'fr'
+              ELSE 'es' END AS pred,
+         LEAST(list_sort([s_en, s_de, s_fr, s_es])[4]
+               - list_sort([s_en, s_de, s_fr, s_es])[3],
+               5) AS margin_bucket
+  FROM scored
+)
+SELECT CAST(margin_bucket AS BIGINT) AS margin_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN lang = pred THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       (CAST(SUM(CASE WHEN lang = pred THEN 1 ELSE 0 END) AS BIGINT)
+        * CAST(1000000 AS BIGINT)) // COUNT(*) AS accuracy_ppm
+FROM pred GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -12716,6 +13196,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_global_sequence": (doc_global_sequence, _GLOBAL_SEQ_SQL),
     "activity_anotb_kmv": (activity_anotb_kmv, _kmv_anotb_sql()),
     "welch_t_event_types": (welch_t_event_types, _WELCH_SQL),
+    # session-6g — same overflow status
+    "textrank_keywords": (textrank_keywords, _textrank_sql()),
+    "orders_double_billing": (orders_double_billing, _double_billing_sql()),
+    "part_abc_classes": (part_abc_classes, _abc_sql()),
+    # session-6h — same overflow status
+    "customer_negative_parts": (
+        customer_negative_parts,
+        _negative_parts_sql(),
+    ),
+    "langid_margin_calibration": (
+        langid_margin_calibration,
+        _LANGID_CALIBRATION_SQL,
+    ),
     # r4-refresh fill displaced from the window by the session-6
     # additions — first refresh candidates for the r8 window
     "outer_join_order_coverage": (outer_join_order_coverage, _OUTER_JOIN_SQL),

@@ -165,6 +165,15 @@ DOC_QUERIES = [
     # handful of rows, offsets must still chain to the exact global
     # row_number
     "doc_global_sequence",
+    # r7 session-6g: TextRank on a degenerate word graph — doc 4's
+    # all-'the' text yields only excluded self-pairs, single-word docs
+    # are DANGLING nodes (rank arrives only via redistribution), and
+    # unicode tokens order identically under both engines' binary
+    # collation in the tie-break
+    "textrank_keywords",
+    # r7 session-6h: margin buckets where most scores tie at 0 (the
+    # 0-margin bucket carries the en tie-break) and the 5+ cap
+    "langid_margin_calibration",
 ]
 
 
@@ -591,6 +600,16 @@ TPCH_QUERIES = [
     "part_stock_balance",
     "lineitem_weighted_median",
     "topk_orders_with_ties",
+    # r7 session-6g: customer 1 repeats amount 100.005 but 2 years
+    # apart (window excludes — an empty result both engines agree on);
+    # equal amounts across DIFFERENT customers never pair; ABC classes
+    # over boundary-tied revenues
+    "orders_double_billing",
+    "part_abc_classes",
+    # r7 session-6h: sparse partkey domain (20..25 with maxpk 25) —
+    # most hash candidates name nonexistent parts and the semi join
+    # must prune them; some customers end up with < k negatives
+    "customer_negative_parts",
 ]
 
 

@@ -285,6 +285,16 @@ def test_no_vacuous_queries(spark, sf_dir):
         "doc_global_sequence",
         "activity_anotb_kmv",
         "welch_t_event_types",
+        # r7 session-6g: integer PageRank mass over the word graph,
+        # lag-window pair flags, and the two-phase descending revenue
+        # cumsum must all be partition-blind
+        "textrank_keywords",
+        "orders_double_billing",
+        "part_abc_classes",
+        # r7 session-6h: hash-derived candidate draws and integer
+        # margin buckets must be partition-blind
+        "customer_negative_parts",
+        "langid_margin_calibration",
     ],
 )
 def test_partitioning_invariance(spark, sf_dir, name):

@@ -917,3 +917,54 @@ def test_welch_pairs_join_moment_rows_only(spark, sf_dir):
     f = facts(spark, sf_dir, "welch_t_event_types")
     assert f.has_partial_agg
     assert "SortMergeJoin" not in f.joins
+
+
+def test_abc_classes_broadcast_offsets_partitioned_cumsum(spark, sf_dir):
+    """ABC classification reuses the two-phase offset pattern for a
+    descending global CUMSUM: revenue-bucket offsets broadcast back,
+    the per-part window partitions by bucket — never a one-task global
+    window over parts."""
+    f = facts(spark, sf_dir, "part_abc_classes")
+    assert "BroadcastHashJoin" in f.joins, f.joins
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", f.raw)
+    data_specs = [s for s in specs if "part" in s and "bkt" in s]
+    assert data_specs, "per-part cumsum must partition by revenue bucket"
+
+
+def test_double_billing_single_window_no_self_join(spark, sf_dir):
+    """The duplicate-invoice detector is ONE lag window over
+    (customer, amount) — the O(n² per customer) self-join it replaces
+    must not reappear."""
+    f = facts(spark, sf_dir, "orders_double_billing")
+    assert not f.joins
+    assert f.n_exchanges == 1, f.n_exchanges
+
+
+def test_textrank_no_cartesian_word_graph(spark, sf_dir):
+    """TextRank's edge mining is two lead() reads per token (one
+    doc-keyed window) — never a token self-join; PageRank's iterations
+    are checkpoint-truncated, so the visible plan must stay small and
+    cartesian-free."""
+    f = facts(spark, sf_dir, "textrank_keywords")
+    assert not f.has_cartesian
+    assert "TakeOrderedAndProject" in f.raw
+
+
+def test_negative_sampling_candidate_bounded_joins(spark, sf_dir):
+    """Negative sampling's scale contract: candidates expand the
+    CUSTOMER table x12 map-side (never events/lineitem), and both the
+    existence and seen-ness joins are bounded by candidate rows; the
+    1-row max-partkey broadcast must not become a shuffle."""
+    f = facts(spark, sf_dir, "customer_negative_parts")
+    assert not f.has_cartesian
+    assert "LeftSemi" in f.raw and "LeftAnti" in f.raw
+    assert f.has_partial_agg
+
+
+def test_langid_calibration_single_scan(spark, sf_dir):
+    """Calibration is one scan + one <=6-row aggregate; no joins."""
+    f = facts(spark, sf_dir, "langid_margin_calibration")
+    assert not f.joins
+    assert f.has_partial_agg
+    # ensure_parallelism's input repartition + the bucket aggregate
+    assert f.n_exchanges <= 2, f.n_exchanges
