@@ -9774,8 +9774,11 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LANGID_CONFUSION_SQL = rf"""
-WITH scored AS (
+#: Shared lang-ID twin fragments (confusion matrix + margin
+#: calibration): ONE copy of the stopword regex scores and the
+#: en>de>fr>es argmax, so the two oracles can never desynchronize
+#: against functions/text.lang_scores (the _kmv_pairs_ctes rule).
+_LANGID_SCORED_CTE = rf"""scored AS (
   SELECT lang,
          CAST(len(regexp_extract_all({_NORM_SQL},
               '\b(the|and|of|to|in|is)\b')) AS BIGINT) AS s_en,
@@ -9786,12 +9789,17 @@ WITH scored AS (
          CAST(len(regexp_extract_all({_NORM_SQL},
               '\b(el|los|las|y|es)\b')) AS BIGINT) AS s_es
   FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
-), pred AS (
-  SELECT lang,
-         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-              WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-              WHEN s_fr >= s_es THEN 'fr'
-              ELSE 'es' END AS pred_lang
+)"""
+
+_LANGID_PRED_CASE = """CASE
+    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+    WHEN s_fr >= s_es THEN 'fr'
+    ELSE 'es' END"""
+
+_LANGID_CONFUSION_SQL = f"""
+WITH {_LANGID_SCORED_CTE}, pred AS (
+  SELECT lang, {_LANGID_PRED_CASE} AS pred_lang
   FROM scored
 ), cm AS (
   SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
@@ -12300,30 +12308,37 @@ def doc_global_sequence(
     imperatively).
 
     All integer; the metadata window is single-partition but
-    |buckets|-bounded (one row per 512 docs)."""
+    |buckets|-bounded (one row per 512 docs). The sort key coalesces
+    a NULL source to '' in BOTH engines: a raw NULL would null-reject
+    the offset equi-join (dropping rows AND shifting every surviving
+    seq) while the oracle's ORDER BY sorts it NULLS LAST — the
+    engine-semantics divergence class the bitmap query guards with
+    user_id >= 0."""
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source"
+        "doc_id",
+        "source",
+        F.coalesce("source", F.lit("")).alias("src_key"),
     ).withColumn("bkt", F.expr(f"doc_id div {bucket_width}"))
-    counts = docs.groupBy("source", "bkt").agg(
+    counts = docs.groupBy("src_key", "bkt").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
     wmeta = (
-        Window.orderBy("source", "bkt")
+        Window.orderBy("src_key", "bkt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offsets = counts.select(
-        F.col("source").alias("o_source"),
+        F.col("src_key").alias("o_src"),
         F.col("bkt").alias("o_bkt"),
         (F.sum("n").over(wmeta) - F.col("n")).alias("offset"),
     )
     win = (
-        Window.partitionBy("source", "bkt")
+        Window.partitionBy("src_key", "bkt")
         .orderBy("doc_id")
     )
     return (
         docs.join(
             F.broadcast(offsets),
-            (docs["source"] == offsets["o_source"])
+            (docs["src_key"] == offsets["o_src"])
             & (docs["bkt"] == offsets["o_bkt"]),
         )
         .select(
@@ -12338,7 +12353,8 @@ def doc_global_sequence(
 
 _GLOBAL_SEQ_SQL = """
 SELECT doc_id, source,
-       CAST(row_number() OVER (ORDER BY source, doc_id) AS BIGINT) AS seq
+       CAST(row_number() OVER (ORDER BY COALESCE(source, ''), doc_id)
+            AS BIGINT) AS seq
 FROM documents
 """
 
@@ -12373,14 +12389,6 @@ def activity_anotb_kmv(
     ).cast("long")
     exact = F.size("merged") < k
     numer = F.lit(float((k - 1) * _KMV_DOMAIN))
-    est_union = F.when(
-        exact, F.size("merged").cast("double")
-    ).otherwise(
-        numer
-        / F.element_at(F.col("merged"), F.col("kk").cast("int")).cast(
-            "double"
-        )
-    )
 
     def est(j: Column) -> Column:
         return F.when(exact, j.cast("double")).otherwise(
@@ -12759,11 +12767,13 @@ def part_abc_classes(
         (F.col("rev_units").cast("double") / F.lit(100.0)).alias(
             "revenue"
         ),
-        # per-myriad, not ppm: cum_units rides the x10^4 revenue grid,
-        # so x10^6 would overflow a long on fixture-scale totals (the
-        # x10^4 multiplier keeps ~5 x 10^5 headroom over sf0.1)
-        F.expr(
-            "cum_units * CAST(10000 AS BIGINT) div total_units"
+        # per-myriad, not ppm: cum_units rides the cent grid, so x10^6
+        # would overflow a long on large totals; the total_units > 0
+        # guard keeps an all-sub-cent corpus (every part floors to 0)
+        # NULL in BOTH engines instead of a DuckDB division error
+        F.when(
+            F.col("total_units") > 0,
+            F.expr("cum_units * CAST(10000 AS BIGINT) div total_units"),
         ).alias("cum_permyriad"),
         F.when(
             F.col("cum_units") * 100 <= F.col("total_units") * 80, "A"
@@ -12801,7 +12811,9 @@ WITH rev AS (
   FROM b JOIN offs USING (bkt)
 )
 SELECT part, CAST(rev_units AS DOUBLE) / 100.0 AS revenue,
-       (cum_units * CAST(10000 AS BIGINT)) // total_units AS cum_permyriad,
+       CASE WHEN total_units > 0
+            THEN (cum_units * CAST(10000 AS BIGINT)) // total_units
+       END AS cum_permyriad,
        CASE WHEN cum_units * 100 <= total_units * 80 THEN 'A'
             WHEN cum_units * 100 <= total_units * 95 THEN 'B'
             ELSE 'C' END AS abc_class
@@ -12982,24 +12994,9 @@ def langid_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LANGID_CALIBRATION_SQL = rf"""
-WITH scored AS (
-  SELECT lang,
-         CAST(len(regexp_extract_all({_NORM_SQL},
-              '\b(the|and|of|to|in|is)\b')) AS BIGINT) AS s_en,
-         CAST(len(regexp_extract_all({_NORM_SQL},
-              '\b(der|die|das|und|ist)\b')) AS BIGINT) AS s_de,
-         CAST(len(regexp_extract_all({_NORM_SQL},
-              '\b(le|la|les|et|est)\b')) AS BIGINT) AS s_fr,
-         CAST(len(regexp_extract_all({_NORM_SQL},
-              '\b(el|los|las|y|es)\b')) AS BIGINT) AS s_es
-  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
-), pred AS (
-  SELECT lang,
-         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-              WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-              WHEN s_fr >= s_es THEN 'fr'
-              ELSE 'es' END AS pred,
+_LANGID_CALIBRATION_SQL = f"""
+WITH {_LANGID_SCORED_CTE}, pred AS (
+  SELECT lang, {_LANGID_PRED_CASE} AS pred,
          LEAST(list_sort([s_en, s_de, s_fr, s_es])[4]
                - list_sort([s_en, s_de, s_fr, s_es])[3],
                5) AS margin_bucket

@@ -678,3 +678,40 @@ def test_edge_anti_join_is_non_vacuous(spark, edge_tpch_dir):
     fn, _ = REGISTRY["customers_without_orders"]
     got = sorted(r["c_custkey"] for r in fn(spark, edge_tpch_dir).collect())
     assert got == [2, 3, 4, 6]
+
+
+def test_global_sequence_numbers_null_source_docs(spark, tmp_path):
+    """Regression (r7 review): a NULL source must neither drop a doc
+    from the global sequence (the offset equi-join null-rejects raw
+    NULLs) nor shift the survivors' numbers. Both engines coalesce the
+    sort key to '', so NULL-source docs sort FIRST and everything
+    still numbers densely 1..n."""
+    import duckdb
+
+    rows = [
+        (1, "a", None, "s1", 1),
+        (2, "b", "en", "s2", 1),
+        (3, "c", None, "s1", 1),
+        (4, "d", "en", "s0", 1),
+    ]
+    d = str(tmp_path / "nullsrc")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).selectExpr(
+        "doc_id", "text", "lang",
+        "CASE WHEN lang IS NULL THEN NULL ELSE source END AS source",
+        "n_chars",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    fn, sql = REGISTRY["doc_global_sequence"]
+    got = {(r["doc_id"], r["source"], r["seq"]) for r in fn(spark, d).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(sql).fetchall()}
+    con.close()
+    assert got == want
+    assert len(got) == 4, "NULL-source docs must not drop"
+    assert {s for (_, _, s) in got} == {1, 2, 3, 4}, "dense 1..n"

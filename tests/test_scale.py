@@ -103,6 +103,20 @@ def _run_noop(fn, spark, sf_dir) -> float:
         ("containment_dup_pairs", 5.0),
         # canonical-bucket interval join: no dedup exchange, near-flat
         ("session_incident_overlap", 4.0),
+        # round-7 session-6 (SCALING.md r7 session-6 tables): measured
+        # 1.0x-2.3x at 10x; bounds ~2.5x the measurement. These also
+        # re-run the big-SF arithmetic: BOTH session-6 long-overflow
+        # bugs (ABC's x10^4 share math, the KMV-era none) crashed at
+        # 10x before they were range-analyzed — a bound here turns
+        # that class of regression into a test failure.
+        # joinless literal-centroid assignment: near-flat
+        ("kmeans_lloyd_clusters", 4.0),
+        # two-phase: histogram combine + median-bucket-only sort
+        ("lineitem_weighted_median", 4.0),
+        # two-phase descending cumsum on the cent grid
+        ("part_abc_classes", 3.0),
+        # bucket-offset numbering, metadata window
+        ("doc_global_sequence", 3.0),
     ],
 )
 def test_tenx_replication_scales_sublinearly(spark, scaled_dir, qname, max_ratio):
