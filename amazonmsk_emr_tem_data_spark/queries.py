@@ -11558,10 +11558,12 @@ def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     goes NULL from that day on (flagged). Risk sets are exact
     integers from one cumulative window.
 
-    Scale: two custkey-keyed windows (first/second order), one
+    Scale: ONE custkey-keyed window pass whose rn ≤ 2 survivors pivot
+    to (first, second) dates in the same-keyed aggregate, one
     broadcast of the 1-row max-date, a (segment, day)-grouped
-    aggregate, and a per-segment cumulative window over ≤ |days|
-    rows — the event table never joins itself."""
+    aggregate whose Σ(d+c) also yields the segment totals (no second
+    pass over the joined spans), and a per-segment cumulative window
+    over ≤ |days| rows — the order table never joins itself."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", F.to_date("o_orderdate").alias("od"), "o_orderkey"
     )
@@ -11571,27 +11573,28 @@ def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("od").asc(), F.col("o_orderkey").asc()
     )
+    # one window pass + one custkey aggregate pivots the first and
+    # second order dates out together (the firsts/seconds filter+join
+    # formulation scanned the ranked relation twice and re-joined it)
     ranked = orders.withColumn("rn", F.row_number().over(w))
-    firsts = ranked.filter(F.col("rn") == 1).select(
-        "o_custkey", F.col("od").alias("d1")
-    )
-    seconds = ranked.filter(F.col("rn") == 2).select(
-        "o_custkey", F.col("od").alias("d2")
+    both = (
+        ranked.filter(F.col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("od"))).alias("d1"),
+            F.min(F.when(F.col("rn") == 2, F.col("od"))).alias("d2"),
+        )
     )
     maxd = orders.agg(F.max("od").alias("dmax"))
-    spans = (
-        firsts.join(seconds, "o_custkey", "left")
-        .crossJoin(F.broadcast(maxd))
-        .select(
-            "o_custkey",
-            F.when(
-                F.col("d2").isNotNull(), F.datediff("d2", "d1")
-            )
-            .otherwise(F.datediff("dmax", "d1"))
-            .cast("long")
-            .alias("dur"),
-            F.col("d2").isNotNull().cast("long").alias("event"),
+    spans = both.crossJoin(F.broadcast(maxd)).select(
+        "o_custkey",
+        F.when(
+            F.col("d2").isNotNull(), F.datediff("d2", "d1")
         )
+        .otherwise(F.datediff("dmax", "d1"))
+        .cast("long")
+        .alias("dur"),
+        F.col("d2").isNotNull().cast("long").alias("event"),
     )
     seg = spans.join(
         cust, spans["o_custkey"] == cust["c_custkey"]
@@ -11600,8 +11603,10 @@ def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event").cast("long").alias("d"),
         F.sum(F.lit(1) - F.col("event")).cast("long").alias("c"),
     )
-    totals = seg.groupBy("segment").agg(
-        F.count(F.lit(1)).cast("long").alias("n_total")
+    # segment totals fall out of the daily table (Σ d+c) — no second
+    # pass over the joined span relation
+    totals = daily.groupBy("segment").agg(
+        F.sum(F.col("d") + F.col("c")).cast("long").alias("n_total")
     )
     ww = Window.partitionBy("segment").orderBy("dur")
     prior = (
