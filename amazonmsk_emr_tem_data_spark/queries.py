@@ -12651,24 +12651,28 @@ LIMIT {top_n}
 def orders_double_billing(
     spark: SparkSession, sf_dir: str, window_days: int = 3
 ) -> DataFrame:
-    """Double-billing audit (r7 session-6g): two orders from the same
-    customer for the EXACT same amount within 3 days — the classic
-    duplicate-invoice / double-charge detector of an AP audit (exact
-    amount + short window separates rebills from coincidence). One
-    window over (custkey, amount-cents) partitions ordered by
-    (date, orderkey): lag() exposes the previous same-amount order, an
-    integer date-diff flags the pair. No self-join — the naive
-    O(n²)-per-customer pairing is exactly what the lag formulation
-    avoids; partitions are (customer, amount)-bounded."""
+    """Rapid-repeat-order / double-billing audit (r7 session-6g):
+    consecutive orders from the same customer ≤ 3 days apart are the
+    AP-audit candidate set; within it, an EXACT amount match is the
+    classic duplicate-invoice flag and the integer amount ratio (ppm)
+    grades the near-misses. The candidate window is emitted (not just
+    the exact dups) because continuous price domains make exact
+    repeats legitimately rare — an exact-only result is vacuously
+    empty on this fixture at every SF, the 0-row trap the
+    no-vacuous-query gate exists to catch.
+
+    One window over custkey partitions ordered by (date, orderkey):
+    lag() exposes the previous order, integer date-diff and cent
+    compares do the rest. No self-join — the O(n²)-per-customer
+    pairing is what the lag formulation avoids; partitions are
+    customer-bounded."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         _cents("o_totalprice").alias("amount_cents"),
         F.to_date("o_orderdate").alias("od"),
         "o_orderkey",
     )
-    w = Window.partitionBy("o_custkey", "amount_cents").orderBy(
-        "od", "o_orderkey"
-    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
     flagged = orders.select(
         "o_custkey",
         "amount_cents",
@@ -12676,18 +12680,29 @@ def orders_double_billing(
         "o_orderkey",
         F.lag("od").over(w).alias("prev_od"),
         F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lag("amount_cents").over(w).alias("prev_amount"),
     ).filter(
         F.col("prev_od").isNotNull()
         & (F.datediff("od", "prev_od") <= window_days)
     )
     return flagged.select(
         "o_custkey",
-        (F.col("amount_cents").cast("double") / F.lit(100.0)).alias(
-            "amount"
-        ),
         F.col("prev_key").alias("first_orderkey"),
         F.col("o_orderkey").alias("second_orderkey"),
         F.datediff("od", "prev_od").cast("long").alias("gap_days"),
+        (F.col("prev_amount").cast("double") / F.lit(100.0)).alias(
+            "first_amount"
+        ),
+        (F.col("amount_cents").cast("double") / F.lit(100.0)).alias(
+            "second_amount"
+        ),
+        (F.col("amount_cents") == F.col("prev_amount")).alias(
+            "exact_amount_dup"
+        ),
+        F.expr(
+            "least(amount_cents, prev_amount) * CAST(1000000 AS BIGINT)"
+            " div greatest(amount_cents, prev_amount)"
+        ).alias("amount_ratio_ppm"),
     )
 
 
@@ -12696,17 +12711,22 @@ def _double_billing_sql(window_days: int = 3) -> str:
 WITH o AS (
   SELECT o_custkey, amount_cents, od, o_orderkey,
          lag(od) OVER w AS prev_od,
-         lag(o_orderkey) OVER w AS prev_key
+         lag(o_orderkey) OVER w AS prev_key,
+         lag(amount_cents) OVER w AS prev_amount
   FROM (SELECT o_custkey,
                CAST(round(o_totalprice * 100) AS BIGINT) AS amount_cents,
                CAST(o_orderdate AS DATE) AS od, o_orderkey
         FROM orders)
-  WINDOW w AS (PARTITION BY o_custkey, amount_cents
-               ORDER BY od, o_orderkey)
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey)
 )
-SELECT o_custkey, CAST(amount_cents AS DOUBLE) / 100.0 AS amount,
+SELECT o_custkey,
        prev_key AS first_orderkey, o_orderkey AS second_orderkey,
-       CAST(date_diff('day', prev_od, od) AS BIGINT) AS gap_days
+       CAST(date_diff('day', prev_od, od) AS BIGINT) AS gap_days,
+       CAST(prev_amount AS DOUBLE) / 100.0 AS first_amount,
+       CAST(amount_cents AS DOUBLE) / 100.0 AS second_amount,
+       amount_cents = prev_amount AS exact_amount_dup,
+       (LEAST(amount_cents, prev_amount) * CAST(1000000 AS BIGINT))
+         // GREATEST(amount_cents, prev_amount) AS amount_ratio_ppm
 FROM o
 WHERE prev_od IS NOT NULL AND date_diff('day', prev_od, od) <= {window_days}
 """

@@ -600,10 +600,9 @@ TPCH_QUERIES = [
     "part_stock_balance",
     "lineitem_weighted_median",
     "topk_orders_with_ties",
-    # r7 session-6g: customer 1 repeats amount 100.005 but 2 years
-    # apart (window excludes — an empty result both engines agree on);
-    # equal amounts across DIFFERENT customers never pair; ABC classes
-    # over boundary-tied revenues
+    # r7 session-6g: every customer's consecutive orders here are
+    # years apart (the 3-day candidate window is EMPTY — both engines
+    # must agree on that); ABC classes over boundary-tied revenues
     "orders_double_billing",
     "part_abc_classes",
     # r7 session-6h: sparse partkey domain (20..25 with maxpk 25) —
