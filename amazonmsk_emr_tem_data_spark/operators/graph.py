@@ -279,3 +279,100 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "page",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w_edge",
+    damping_pct: int = 85,
+    n_iterations: int = 5,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart): identical to
+    ``pagerank`` except BOTH the teleport mass and the dangling mass
+    return to the SEED set (one-column ``n`` DataFrame) uniformly,
+    instead of to all nodes — so rank measures proximity to the seeds,
+    the item-item / trust-propagation relevance score (Haveliwala
+    2002; Pixie-style recommendation candidate generation).
+
+    Same exact-integer discipline as pagerank: mass in 1e-12 units,
+    floor divisions, fixed iterations ⇒ exact unrolled-CTE twin.
+    Non-seed nodes start (and teleport) at 0; an empty seed set
+    returns all-zero ranks rather than dividing by zero. Per
+    iteration: the dst-keyed contribution shuffle, a 1-row dangling
+    aggregate, and a seed-flag join — the PageRank round shape with a
+    boolean column extra."""
+    n_seeds = seeds.count()  # bounded driver traffic: one scalar
+    flagged = nodes.select(F.col(id_col).alias("node")).join(
+        seeds.select(F.col("n").alias("node"), F.lit(True).alias("s")),
+        "node",
+        "left_outer",
+    ).select("node", F.coalesce("s", F.lit(False)).alias("is_seed"))
+    if n_seeds == 0:
+        return flagged.select(
+            F.col("node").alias(id_col),
+            F.lit(0).cast("long").alias("rank_micro"),
+            "is_seed",
+        )
+    base = (100 - damping_pct) * SCALE // (100 * n_seeds)
+    out_deg = edges.groupBy(src_col).agg(
+        F.sum(weight_col).alias("w_out")
+    )
+    norm_edges = edges.join(out_deg, src_col).cache()
+    ranks = flagged.select(
+        "node",
+        "is_seed",
+        F.when(F.col("is_seed"), F.lit(SCALE // n_seeds))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank_micro"),
+    )
+    if checkpoint:
+        ranks = ranks.localCheckpoint(eager=True)
+    for _ in range(n_iterations):
+        contribs = (
+            norm_edges.join(ranks, norm_edges[src_col] == ranks["node"])
+            .select(
+                F.col(dst_col).alias("node"),
+                F.expr(f"rank_micro * {weight_col} div w_out").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inc"))
+        )
+        dangling = (
+            ranks.join(
+                out_deg, ranks["node"] == out_deg[src_col], "left_anti"
+            )
+            .agg(F.coalesce(F.sum("rank_micro"), F.lit(0)).alias("dang"))
+        )
+        ranks = (
+            ranks.select("node", "is_seed")
+            .join(contribs, "node", "left_outer")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "is_seed",
+                (
+                    F.when(F.col("is_seed"), F.lit(base)).otherwise(
+                        F.lit(0)
+                    )
+                    + F.expr(f"{damping_pct} * coalesce(inc, 0L) div 100")
+                    + F.when(
+                        F.col("is_seed"),
+                        F.expr(
+                            f"{damping_pct} * dang div (100 * {n_seeds})"
+                        ),
+                    ).otherwise(F.lit(0))
+                ).cast("long").alias("rank_micro"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        F.col("node").alias(id_col), "rank_micro", "is_seed"
+    )

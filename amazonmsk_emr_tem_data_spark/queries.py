@@ -13038,6 +13038,379 @@ FROM pred GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# round-7 session-6i: personalized PageRank recommendations, exact
+# median imputation, Neyman-allocation sampling
+# ---------------------------------------------------------------------------
+
+
+def ppr_part_recommendations(
+    spark: SparkSession, sf_dir: str, top_n: int = 100
+) -> DataFrame:
+    """Personalized-PageRank item recommendations (r7 session-6i):
+    random walk with restart from the seed catalog (parts ≡ 0 mod 53 —
+    the BFS query's seed set) over the repeat-co-purchase graph; the
+    top-100 non-trivial ranks are the "customers who bought these also
+    buy" candidate list (Pixie-style candidate generation). PPR differs
+    from global PageRank exactly where recommendations need it: mass
+    teleports back to the SEEDS, so rank measures proximity to the
+    seed catalog, not global popularity.
+
+    Same integer-mass/fixed-iteration discipline as page_rank_pages;
+    the unrolled twin carries the seed-conditional teleport. Top-100
+    ties break (rank desc, part asc)."""
+    from .operators.graph import personalized_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # materialize the co-purchase extraction ONCE: edges, nodes, seeds,
+    # and every iteration's out-degree all derive from it — without the
+    # checkpoint the pair join re-runs per iteration (measured 16.8 s
+    # -> the extraction is the whole bill, the walk is sketch-sized)
+    ue = _repeat_copurchase_edges(li).localCheckpoint(eager=True)
+    bidir = ue.unionByName(
+        ue.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    edges = bidir.select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        F.lit(1).alias("w_edge"),
+    )
+    nodes = bidir.select(F.col("a").alias("page")).distinct()
+    seeds = nodes.filter(F.col("page") % 53 == 0).select(
+        F.col("page").alias("n")
+    )
+    ranks = personalized_pagerank(edges, nodes, seeds, id_col="page")
+    return _ranked_topk(
+        ranks.select(
+            F.col("page").alias("part"), "rank_micro", "is_seed"
+        ),
+        [F.col("rank_micro").desc(), F.col("part").asc()],
+        "rank_micro",
+        top_n,
+        "rec_rank",
+    )
+
+
+def _ppr_iteration_sql(k: int) -> str:
+    """One unrolled PPR round: pagerank's shape with seed-conditional
+    teleport and dangling redistribution."""
+    p = f"r{k - 1}"
+    return f"""
+, i{k} AS (
+  SELECT e.dst AS page,
+         CAST(SUM((r.rank_micro * e.w_edge) // o.w_out) AS BIGINT) AS inc
+  FROM {p} r JOIN edges e ON r.page = e.src JOIN outd o ON e.src = o.src
+  GROUP BY e.dst
+), d{k} AS (
+  SELECT CAST(COALESCE(SUM(r.rank_micro), 0) AS BIGINT) AS dang
+  FROM {p} r LEFT JOIN outd o ON r.page = o.src WHERE o.src IS NULL
+), r{k} AS MATERIALIZED (
+  SELECT n.page, n.is_seed,
+         CAST(CASE WHEN n.is_seed
+                   THEN (15 * 1000000000000) // (100 * ns.n)
+                   ELSE 0 END
+              + (85 * COALESCE(i.inc, 0)) // 100
+              + CASE WHEN n.is_seed
+                     THEN (85 * d.dang) // (100 * ns.n)
+                     ELSE 0 END AS BIGINT) AS rank_micro
+  FROM flagged n CROSS JOIN ns CROSS JOIN d{k} d
+  LEFT JOIN i{k} i ON n.page = i.page
+)"""
+
+
+def _ppr_sql(top_n: int = 100, iterations: int = 5) -> str:
+    return f"""
+WITH {_BFS_EDGES_CTES}, edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst, 1 AS w_edge FROM bidir
+), nodes AS (
+  SELECT DISTINCT a AS page FROM bidir
+), flagged AS MATERIALIZED (
+  SELECT page, page % 53 = 0 AS is_seed FROM nodes
+), ns AS (
+  SELECT COUNT(*) AS n FROM flagged WHERE is_seed
+), outd AS MATERIALIZED (
+  SELECT src, CAST(SUM(w_edge) AS BIGINT) AS w_out FROM edges GROUP BY src
+), r0 AS MATERIALIZED (
+  SELECT page, is_seed,
+         CAST(CASE WHEN is_seed THEN 1000000000000 // ns.n
+                   ELSE 0 END AS BIGINT) AS rank_micro
+  FROM flagged CROSS JOIN ns
+){"".join(_ppr_iteration_sql(k) for k in range(1, iterations + 1))}
+SELECT part, rank_micro, is_seed,
+       CAST(row_number() OVER (ORDER BY rank_micro DESC, part ASC)
+            AS BIGINT) AS rec_rank
+FROM (SELECT page AS part, rank_micro, is_seed FROM r{iterations})
+ORDER BY rank_micro DESC, part ASC
+LIMIT {top_n}
+"""
+
+
+def event_value_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation by per-type exact lower median (r7
+    session-6i): NULL event values fill with their type's median of
+    observed values — the data-repair step before any
+    NULL-intolerant consumer (the robust alternative to mean-fill,
+    which outliers poison). Emits every event with the filled value
+    and a was_imputed flag, so the repair is auditable.
+
+    The median uses the TWO-PHASE shape (lineitem_weighted_median's):
+    a $5-bucket count histogram (map-side combinable), the median
+    bucket located on the tiny histogram, and a within-bucket sort of
+    only that bucket's rows — never a per-type sort of all events
+    (|types| partitions would serialize the table). Lower median =
+    smallest v with 2·rank ≥ n, all integer on the cent grid."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    obs = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "event_id",
+        _cents("value").alias("v_cents"),
+        F.expr("CAST(round(value * 100) AS BIGINT) div 500").alias("bkt"),
+    )
+    hist = obs.groupBy("event_type", "bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("bn")
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bkt",
+        "bn",
+        F.sum("bn").over(wb).alias("cumn"),
+        F.sum("bn").over(wt).alias("totn"),
+    )
+    locator = (
+        cum.filter(F.lit(2) * F.col("cumn") >= F.col("totn"))
+        .groupBy("event_type")
+        .agg(F.min(F.struct("bkt", "cumn", "bn", "totn")).alias("m"))
+        .select(
+            F.col("event_type").alias("lt"),
+            F.col("m.bkt").alias("mb"),
+            (F.col("m.cumn") - F.col("m.bn")).alias("n_before"),
+            F.col("m.totn").alias("totn"),
+        )
+    )
+    picked = obs.join(
+        F.broadcast(locator),
+        (obs["event_type"] == locator["lt"]) & (obs["bkt"] == locator["mb"]),
+    )
+    win = (
+        Window.partitionBy("lt")
+        .orderBy("v_cents", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    medians = (
+        picked.select(
+            "lt",
+            "v_cents",
+            (F.col("n_before") + F.count(F.lit(1)).over(win)).alias(
+                "rank"
+            ),
+            "totn",
+        )
+        .filter(F.lit(2) * F.col("rank") >= F.col("totn"))
+        .groupBy("lt")
+        .agg(F.min("v_cents").alias("med_cents"))
+    )
+    return ev.join(
+        F.broadcast(medians), ev["event_type"] == medians["lt"], "left"
+    ).select(
+        "event_id",
+        "event_type",
+        "value",
+        (
+            F.coalesce(_cents("value"), F.col("med_cents")).cast("double")
+            / F.lit(100.0)
+        ).alias("value_filled"),
+        F.col("value").isNull().alias("was_imputed"),
+    )
+
+
+_IMPUTATION_SQL = """
+WITH ev AS (
+  SELECT event_id, event_type, value FROM events
+  WHERE event_type IS NOT NULL
+), obs AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS v_cents,
+         CAST(round(value * 100) AS BIGINT) // 500 AS bkt
+  FROM ev WHERE value IS NOT NULL
+), hist AS (
+  SELECT event_type, bkt, CAST(COUNT(*) AS BIGINT) AS bn
+  FROM obs GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bkt, bn,
+         CAST(SUM(bn) OVER (PARTITION BY event_type ORDER BY bkt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cumn,
+         CAST(SUM(bn) OVER (PARTITION BY event_type) AS BIGINT) AS totn
+  FROM hist
+), locator AS (
+  SELECT event_type AS lt, MIN(bkt) AS mb,
+         MIN_BY(cumn - bn, bkt) AS n_before, MIN(totn) AS totn
+  FROM cum WHERE 2 * cumn >= totn GROUP BY 1
+), ranked AS (
+  SELECT o.event_type, o.v_cents,
+         lo.n_before + CAST(COUNT(*) OVER (
+             PARTITION BY o.event_type
+             ORDER BY o.v_cents, o.event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS rank,
+         lo.totn
+  FROM obs o JOIN locator lo ON o.event_type = lo.lt AND o.bkt = lo.mb
+), medians AS (
+  SELECT event_type AS lt, MIN(v_cents) AS med_cents
+  FROM ranked WHERE 2 * rank >= totn GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       CAST(COALESCE(CAST(round(e.value * 100) AS BIGINT), m.med_cents)
+            AS DOUBLE) / 100.0 AS value_filled,
+       e.value IS NULL AS was_imputed
+FROM ev e LEFT JOIN medians m ON e.event_type = m.lt
+"""
+
+
+def neyman_allocation_sample(
+    spark: SparkSession, sf_dir: str, budget: int = 200
+) -> DataFrame:
+    """Neyman-allocated stratified sample (r7 session-6i): a 200-doc
+    sample budget split across sources ∝ N_h·σ_h (stratum size ×
+    length standard deviation — Neyman 1934), so volatile strata get
+    more probes than proportional allocation would give; within each
+    stratum the n_h members with the smallest id-hash win
+    (deterministic, the stratified_fixed_k_sample rule). The survey-
+    design upgrade over proportional sampling when strata differ in
+    variance — the estimator-variance-minimizing allocation.
+
+    Determinism: σ comes from exact integer moments with ONE sqrt per
+    stratum; weights snap to the 1e-6 grid before the floor-division
+    allocation; leftover budget goes to the largest micro-remainders
+    (ties to the smaller source name). Both stages are tiny —
+    |sources| rows — and the member pick is one rank window per
+    stratum."""
+    from .functions.text import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    moments = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("ss"),
+    )
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double")
+        * F.col("s").cast("double")
+        / F.col("nh").cast("double")
+    ) / F.greatest(F.col("nh") - 1, F.lit(1)).cast("double")
+    weighted = moments.select(
+        "source",
+        "nh",
+        F.round(
+            F.col("nh").cast("double") * F.sqrt(var) * F.lit(1000000.0)
+        ).cast("long").alias("w_micro"),
+    )
+    tot = weighted.agg(F.sum("w_micro").alias("tw"))
+    alloc = weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "nh",
+        F.expr(f"w_micro * CAST({budget} AS BIGINT) div tw").alias(
+            "n_base"
+        ),
+        F.expr(
+            f"w_micro * CAST({budget} AS BIGINT) % tw"
+        ).alias("rem"),
+    )
+    leftover = alloc.agg(
+        (F.lit(budget) - F.sum("n_base")).cast("long").alias("left")
+    )
+    wrem = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    final_alloc = (
+        alloc.crossJoin(F.broadcast(leftover))
+        .withColumn("rr", F.row_number().over(wrem).cast("long"))
+        .select(
+            "source",
+            "nh",
+            F.least(
+                F.col("n_base")
+                + (F.col("rr") <= F.col("left")).cast("long"),
+                F.col("nh"),
+            ).alias("n_alloc"),
+        )
+    )
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        md5_hash64(
+            F.concat_ws(
+                "|", F.lit("ney1"), F.col("doc_id").cast("string")
+            )
+        ).alias("h"),
+    ).withColumn(
+        "pick_rank",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("h", "doc_id"))
+        .cast("long"),
+    )
+    return ranked.join(F.broadcast(final_alloc), "source").filter(
+        F.col("pick_rank") <= F.col("n_alloc")
+    ).select("source", "doc_id", "pick_rank", "n_alloc")
+
+
+def _neyman_sql(budget: int = 200) -> str:
+    h = _HASH64_SQL.format(
+        x="('ney1' || '|' || CAST(doc_id AS VARCHAR))"
+    )
+    return f"""
+WITH moments AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS nh,
+         CAST(SUM(n_chars) AS BIGINT) AS s,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+  FROM documents WHERE source IS NOT NULL GROUP BY 1
+), weighted AS (
+  SELECT source, nh,
+         CAST(round(CAST(nh AS DOUBLE)
+                    * sqrt((CAST(ss AS DOUBLE)
+                            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                              / CAST(nh AS DOUBLE))
+                           / CAST(GREATEST(nh - 1, 1) AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS w_micro
+  FROM moments
+), tot AS (
+  SELECT CAST(SUM(w_micro) AS BIGINT) AS tw FROM weighted
+), alloc AS (
+  SELECT source, nh,
+         (w_micro * CAST({budget} AS BIGINT)) // tw AS n_base,
+         (w_micro * CAST({budget} AS BIGINT)) % tw AS rem
+  FROM weighted CROSS JOIN tot
+), leftover AS (
+  SELECT CAST({budget} - SUM(n_base) AS BIGINT) AS leftn FROM alloc
+), final_alloc AS (
+  SELECT source, nh,
+         LEAST(n_base + CASE WHEN
+                 row_number() OVER (ORDER BY rem DESC, source ASC)
+                 <= leftn THEN 1 ELSE 0 END,
+               nh) AS n_alloc
+  FROM alloc CROSS JOIN leftover
+), ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {h}, doc_id) AS pick_rank
+  FROM documents WHERE source IS NOT NULL
+)
+SELECT r.source, r.doc_id, CAST(r.pick_rank AS BIGINT) AS pick_rank,
+       CAST(f.n_alloc AS BIGINT) AS n_alloc
+FROM ranked r JOIN final_alloc f USING (source)
+WHERE r.pick_rank <= f.n_alloc
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -13230,6 +13603,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "langid_margin_calibration": (
         langid_margin_calibration,
         _LANGID_CALIBRATION_SQL,
+    ),
+    # session-6i — same overflow status
+    "ppr_part_recommendations": (ppr_part_recommendations, _ppr_sql()),
+    "event_value_imputation": (event_value_imputation, _IMPUTATION_SQL),
+    "neyman_allocation_sample": (
+        neyman_allocation_sample,
+        _neyman_sql(),
     ),
     # r4-refresh fill displaced from the window by the session-6
     # additions — first refresh candidates for the r8 window

@@ -304,3 +304,84 @@ def test_kmeans_inertia_monotone_nonincreasing(spark, sf_dir):
     assert i2 <= i1 + 1e-6, (i1, i2)
     assert i3 <= i2 + 1e-6, (i2, i3)
     assert i3 < i1, "three rounds should genuinely improve on one"
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank (operators/graph.personalized_pagerank)
+# ---------------------------------------------------------------------------
+
+
+def test_ppr_with_all_seeds_equals_global_pagerank(spark):
+    """PPR's defining equation collapses to global PageRank when the
+    seed set IS the node set (teleport to seeds uniformly == teleport
+    to all nodes uniformly): integer-exact EQUALITY, not approximate —
+    both implementations share the mass grid and division order, so
+    any drift is a real divergence in the teleport/dangling terms."""
+    from amazonmsk_emr_tem_data_spark.operators.graph import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    edges = [(1, 2, 1), (2, 3, 2), (3, 1, 1), (3, 4, 1), (5, 1, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long, w_edge long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 6]], "page long"
+    )  # node 6 isolated+dangling, node 4 dangling
+    seeds = nodes.select(F.col("page").alias("n"))
+    pr = {
+        r["page"]: r["rank_micro"]
+        for r in pagerank(e, nodes, id_col="page").collect()
+    }
+    ppr = {
+        r["page"]: r["rank_micro"]
+        for r in personalized_pagerank(
+            e, nodes, seeds, id_col="page"
+        ).collect()
+    }
+    assert pr == ppr
+
+
+def test_ppr_empty_seed_set_is_all_zero(spark):
+    """No seeds -> no teleport mass anywhere: every rank must be
+    exactly 0 (and the operator must not divide by zero)."""
+    from amazonmsk_emr_tem_data_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 1)], "src long, dst long, w_edge long"
+    )
+    nodes = spark.createDataFrame([(1,), (2,)], "page long")
+    seeds = spark.createDataFrame([], "n long")
+    got = personalized_pagerank(e, nodes, seeds, id_col="page").collect()
+    assert {r["rank_micro"] for r in got} == {0}
+
+
+def test_ppr_mass_concentrates_near_seeds(spark):
+    """On a 6-chain seeded at one end, the seed HALF must hold the
+    bulk of the walk mass. (Per-node ranks are NOT monotone in hop
+    distance at finite iterations — mass ping-pongs along the chain,
+    so even-hop nodes can outrank their odd-hop neighbors; the
+    aggregate proximity property is what PPR guarantees and what
+    distinguishes it from global PageRank, which centers mass on the
+    chain's middle.)"""
+    from amazonmsk_emr_tem_data_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    chain = [(i, i + 1, 1) for i in range(1, 6)]
+    chain += [(b, a, w) for a, b, w in chain]
+    e = spark.createDataFrame(chain, "src long, dst long, w_edge long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "page long")
+    seeds = spark.createDataFrame([(1,)], "n long")
+    ranks = {
+        r["page"]: r["rank_micro"]
+        for r in personalized_pagerank(
+            e, nodes, seeds, id_col="page"
+        ).collect()
+    }
+    near = ranks[1] + ranks[2] + ranks[3]
+    far = ranks[4] + ranks[5] + ranks[6]
+    assert near > 2 * far, ranks
+    # and the far END stays strictly below every seed-adjacent node
+    assert max(ranks[5], ranks[6]) < min(ranks[1], ranks[2]), ranks

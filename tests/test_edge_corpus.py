@@ -174,6 +174,9 @@ DOC_QUERIES = [
     # r7 session-6h: margin buckets where most scores tie at 0 (the
     # 0-margin bucket carries the en tie-break) and the 5+ cap
     "langid_margin_calibration",
+    # r7 session-6i: one source holds the whole budget, capped at its
+    # 12 members (n_alloc = min path); variance from 12 tiny docs
+    "neyman_allocation_sample",
 ]
 
 
@@ -410,6 +413,10 @@ EVENTS_QUERIES = [
     # from 2 samples and the NULL-value events drop out
     "activity_anotb_kmv",
     "welch_t_event_types",
+    # r7 session-6i: NULL values (events 13/17) fill with their type's
+    # median; a type with no observed value at all keeps NULL filled
+    # (left join miss) in both engines
+    "event_value_imputation",
 ]
 
 
@@ -609,6 +616,10 @@ TPCH_QUERIES = [
     # most hash candidates name nonexistent parts and the semi join
     # must prune them; some customers end up with < k negatives
     "customer_negative_parts",
+    # r7 session-6i: PPR on the one-edge graph with an EMPTY seed set
+    # (% 53 misses) — all-zero ranks, no division by zero, ordering
+    # resolved by the part tie-break
+    "ppr_part_recommendations",
 ]
 
 

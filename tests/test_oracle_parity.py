@@ -295,6 +295,12 @@ def test_no_vacuous_queries(spark, sf_dir):
         # margin buckets must be partition-blind
         "customer_negative_parts",
         "langid_margin_calibration",
+        # r7 session-6i: seed-conditional integer PPR mass, the
+        # two-phase median locator, and micro-grid Neyman weights with
+        # largest-remainder ranks must all be partition-blind
+        "ppr_part_recommendations",
+        "event_value_imputation",
+        "neyman_allocation_sample",
     ],
 )
 def test_partitioning_invariance(spark, sf_dir, name):

@@ -968,3 +968,33 @@ def test_langid_calibration_single_scan(spark, sf_dir):
     assert f.has_partial_agg
     # ensure_parallelism's input repartition + the bucket aggregate
     assert f.n_exchanges <= 2, f.n_exchanges
+
+
+def test_imputation_two_phase_broadcast_medians(spark, sf_dir):
+    """Median imputation's scale contract: the histogram pass combines
+    map-side, the locator and per-type medians come back by BROADCAST,
+    and only the median bucket's slice is ever sorted — a sort-merge
+    join or a per-type whole-table sort is the serialization trap the
+    two-phase shape avoids."""
+    f = facts(spark, sf_dir, "event_value_imputation")
+    assert set(f.joins) == {"BroadcastHashJoin"}, f.joins
+    assert f.has_partial_agg
+    assert not f.has_cartesian
+
+
+def test_neyman_member_pick_partitioned_by_source(spark, sf_dir):
+    """Neyman sampling: the member rank window partitions by source;
+    the allocation table (|sources| rows) broadcasts back."""
+    f = facts(spark, sf_dir, "neyman_allocation_sample")
+    assert "BroadcastHashJoin" in f.joins, f.joins
+    assert "hashpartitioning(source" in f.raw
+    assert not f.has_cartesian
+
+
+def test_ppr_checkpointed_iterations_takeordered(spark, sf_dir):
+    """PPR's visible plan is post-checkpoint: a rank join over the
+    materialized final iteration and a TakeOrderedAndProject top-100 —
+    no cartesian, no global sort."""
+    f = facts(spark, sf_dir, "ppr_part_recommendations")
+    assert not f.has_cartesian
+    assert "TakeOrderedAndProject" in f.raw
