@@ -13410,6 +13410,166 @@ WHERE r.pick_rank <= f.n_alloc
 """
 
 
+def event_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization (r7 session-6i): event values clamp to
+    their type's exact [p5, p95] — the outlier repair that, unlike
+    trimming (event_value_trimmed_stats) or dropping, keeps every row
+    while bounding leverage; the third member of the robust-repair
+    trio (trim / impute / winsorize). Both cut points come from ONE
+    histogram pass: per ($5-bucket, type) counts locate the p5 and p95
+    buckets on the tiny histogram, within-bucket ranks resolve the
+    exact cent values (the two-phase shape of the median/imputation
+    queries — never a per-type whole-table sort), and the clamp is a
+    broadcast join + least/greatest projection.
+
+    Exactness: cut ranks compare 20·rank ≥ n and 20·rank ≥ 19·n in
+    integers (p5/p95 lower quantiles, no float quantile math); values
+    ride the cent grid. NULL values pass through unclamped (repair of
+    NULLs is event_value_imputation's job)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    obs = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "event_id",
+        _cents("value").alias("v_cents"),
+        F.expr("CAST(round(value * 100) AS BIGINT) div 500").alias("bkt"),
+    )
+    hist = obs.groupBy("event_type", "bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("bn")
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bkt",
+        "bn",
+        F.sum("bn").over(wb).alias("cumn"),
+        F.sum("bn").over(wt).alias("totn"),
+    )
+
+    def cut(num: int, den: int, tag: str) -> DataFrame:
+        """Locate the lower (num/den)-quantile bucket, then the exact
+        value inside it: smallest v with den·rank ≥ num·n."""
+        locator = (
+            cum.filter(
+                F.lit(den) * F.col("cumn") >= F.lit(num) * F.col("totn")
+            )
+            .groupBy("event_type")
+            .agg(F.min(F.struct("bkt", "cumn", "bn", "totn")).alias("m"))
+            .select(
+                F.col("event_type").alias("lt"),
+                F.col("m.bkt").alias("mb"),
+                (F.col("m.cumn") - F.col("m.bn")).alias("n_before"),
+                F.col("m.totn").alias("totn"),
+            )
+        )
+        win = (
+            Window.partitionBy("lt")
+            .orderBy("v_cents", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            obs.join(
+                F.broadcast(locator),
+                (obs["event_type"] == locator["lt"])
+                & (obs["bkt"] == locator["mb"]),
+            )
+            .select(
+                "lt",
+                "v_cents",
+                (
+                    F.col("n_before") + F.count(F.lit(1)).over(win)
+                ).alias("rank"),
+                "totn",
+            )
+            .filter(
+                F.lit(den) * F.col("rank") >= F.lit(num) * F.col("totn")
+            )
+            .groupBy("lt")
+            .agg(F.min("v_cents").alias(tag))
+        )
+
+    cuts = cut(1, 20, "lo_cents").join(cut(19, 20, "hi_cents"), "lt")
+    clamped = F.least(
+        F.greatest(_cents("value"), F.col("lo_cents")), F.col("hi_cents")
+    )
+    return ev.join(
+        F.broadcast(cuts), ev["event_type"] == cuts["lt"], "left"
+    ).select(
+        "event_id",
+        "event_type",
+        "value",
+        (clamped.cast("double") / F.lit(100.0)).alias("value_wins"),
+        (
+            F.col("value").isNotNull()
+            & (
+                (_cents("value") < F.col("lo_cents"))
+                | (_cents("value") > F.col("hi_cents"))
+            )
+        ).alias("was_clamped"),
+    )
+
+
+def _winsorize_cut_sql(num: int, den: int, tag: str) -> str:
+    return f"""{tag}_loc AS (
+  SELECT event_type AS lt, MIN(bkt) AS mb,
+         MIN_BY(cumn - bn, bkt) AS n_before, MIN(totn) AS totn
+  FROM cum WHERE {den} * cumn >= {num} * totn GROUP BY 1
+), {tag} AS (
+  SELECT lt, MIN(v_cents) AS {tag}_cents FROM (
+    SELECT o.event_type AS lt, o.v_cents,
+           lo.n_before + CAST(COUNT(*) OVER (
+               PARTITION BY o.event_type
+               ORDER BY o.v_cents, o.event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS rank,
+           lo.totn
+    FROM obs o JOIN {tag}_loc lo
+      ON o.event_type = lo.lt AND o.bkt = lo.mb
+  ) WHERE {den} * rank >= {num} * totn GROUP BY 1
+)"""
+
+
+_WINSORIZE_SQL = f"""
+WITH ev AS (
+  SELECT event_id, event_type, value FROM events
+  WHERE event_type IS NOT NULL
+), obs AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS v_cents,
+         CAST(round(value * 100) AS BIGINT) // 500 AS bkt
+  FROM ev WHERE value IS NOT NULL
+), hist AS (
+  SELECT event_type, bkt, CAST(COUNT(*) AS BIGINT) AS bn
+  FROM obs GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bkt, bn,
+         CAST(SUM(bn) OVER (PARTITION BY event_type ORDER BY bkt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cumn,
+         CAST(SUM(bn) OVER (PARTITION BY event_type) AS BIGINT) AS totn
+  FROM hist
+), {_winsorize_cut_sql(1, 20, "lo")}, {_winsorize_cut_sql(19, 20, "hi")},
+cuts AS (
+  SELECT lo.lt, lo.lo_cents, hi.hi_cents FROM lo JOIN hi USING (lt)
+)
+SELECT e.event_id, e.event_type, e.value,
+       CAST(LEAST(GREATEST(CAST(round(e.value * 100) AS BIGINT),
+                           c.lo_cents), c.hi_cents) AS DOUBLE) / 100.0
+         AS value_wins,
+       e.value IS NOT NULL
+         AND (CAST(round(e.value * 100) AS BIGINT) < c.lo_cents
+              OR CAST(round(e.value * 100) AS BIGINT) > c.hi_cents)
+         AS was_clamped
+FROM ev e LEFT JOIN cuts c ON e.event_type = c.lt
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13611,6 +13771,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         neyman_allocation_sample,
         _neyman_sql(),
     ),
+    "event_value_winsorize": (event_value_winsorize, _WINSORIZE_SQL),
     # r4-refresh fill displaced from the window by the session-6
     # additions — first refresh candidates for the r8 window
     "outer_join_order_coverage": (outer_join_order_coverage, _OUTER_JOIN_SQL),

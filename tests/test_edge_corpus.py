@@ -417,6 +417,10 @@ EVENTS_QUERIES = [
     # median; a type with no observed value at all keeps NULL filled
     # (left join miss) in both engines
     "event_value_imputation",
+    # winsorize with tiny per-type samples: p5 == p95 == the few
+    # observed values (everything clamps to a near-constant), negative
+    # values floor-bucket downward, NULLs pass through unclamped
+    "event_value_winsorize",
 ]
 
 

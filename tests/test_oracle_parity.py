@@ -301,6 +301,7 @@ def test_no_vacuous_queries(spark, sf_dir):
         "ppr_part_recommendations",
         "event_value_imputation",
         "neyman_allocation_sample",
+        "event_value_winsorize",
     ],
 )
 def test_partitioning_invariance(spark, sf_dir, name):

@@ -998,3 +998,13 @@ def test_ppr_checkpointed_iterations_takeordered(spark, sf_dir):
     f = facts(spark, sf_dir, "ppr_part_recommendations")
     assert not f.has_cartesian
     assert "TakeOrderedAndProject" in f.raw
+
+
+def test_winsorize_two_phase_broadcast_cuts(spark, sf_dir):
+    """Winsorization shares the imputation/median two-phase contract:
+    one histogram combine, broadcast cut tables, bucket-only sorts —
+    no per-type whole-table ordering, no sort-merge join."""
+    f = facts(spark, sf_dir, "event_value_winsorize")
+    assert set(f.joins) == {"BroadcastHashJoin"}, f.joins
+    assert f.has_partial_agg
+    assert not f.has_cartesian
