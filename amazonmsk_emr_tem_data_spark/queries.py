@@ -13571,6 +13571,178 @@ FROM ev e LEFT JOIN cuts c ON e.event_type = c.lt
 
 
 # ---------------------------------------------------------------------------
+# round-7 session-6j: inter-event gap histogram, share-of-parent rollup
+# ---------------------------------------------------------------------------
+
+
+def inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event time distribution per event type (r7 session-6j):
+    the gap between a user's consecutive events, bucketed on a log₂
+    scale of seconds — the behavioral-cadence histogram that sets
+    sessionization gaps and retention-window choices empirically
+    instead of by folklore (the 30-minute session threshold should
+    come from THIS curve's valley). Complements autocorrelation
+    (periodicity) and spikes (rate) with the micro-cadence view.
+
+    Exactness: gaps are exact microsecond longs from the (ts,
+    event_id) total order per user; the log₂ bucket is bit_length of
+    whole seconds (pure integer — bucket b holds [2^(b-1), 2^b)
+    seconds, bucket 0 = sub-second). One user-keyed window (the
+    sessionize sort every behavioral query shares) and one
+    map-side-combinable (type, bucket) aggregate."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events")).filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    # bucket = bit length of whole seconds: Spark's conv(s, 10, 2) and
+    # DuckDB's bin(s) both render minimal binary (no padding), so the
+    # string LENGTH is the highest-set-bit position in both engines
+    secs = F.expr("gap_us div 1000000")
+    blen = F.when(secs <= 0, F.lit(0).cast("long")).otherwise(
+        F.length(F.conv(secs.cast("string"), 10, 2)).cast("long")
+    )
+    return (
+        gaps.select("event_type", blen.alias("gap_bucket"))
+        .groupBy("event_type", "gap_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+    )
+
+
+_INTER_GAP_SQL = """
+WITH ev AS (
+  SELECT event_type, user_id, ts, event_id FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IS NOT NULL
+), gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM ev
+), bucketed AS (
+  SELECT event_type,
+         CASE WHEN gap_us // 1000000 <= 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(length(bin(gap_us // 1000000)) AS BIGINT)
+         END AS gap_bucket
+  FROM gaps WHERE gap_us IS NOT NULL
+)
+SELECT event_type, gap_bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM bucketed GROUP BY 1, 2
+"""
+
+
+def region_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent contribution rollup (r7 session-6j): revenue by
+    (region, nation) with each nation's share of its region and each
+    region's share of the total, in exact ppm — the contribution
+    analysis every OLAP drill-down renders next to the rollup
+    (grouping totals alone don't answer "who inside EUROPE moved").
+    Shares divide exact cent longs; window totals run over the TINY
+    aggregated relation (≤ |nations| rows), never the facts; the fact
+    pass is one orderkey-joined scan with dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    facts = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum(disc_price_cents()).alias("u"))
+        # exact x10^4 sum, floored ONCE to cents: the ppm share math
+        # overflows longs on the x10^4 grid past ~10x sf0.1 (the ABC
+        # lesson, applied here up front)
+        .select(
+            "region", "nation", F.expr("u div 100").alias("rev_units")
+        )
+    )
+    wr = Window.partitionBy("region")
+    wa = Window.partitionBy()
+    # ratios run on a DOLLAR grid (second floor): ppm numerators on
+    # cents would overflow longs past ~30x sf0.1 totals; the revenue
+    # column keeps cent precision
+    staged = facts.select(
+        "region",
+        "nation",
+        "rev_units",
+        F.expr("rev_units div 100").alias("rev_d"),
+    ).select(
+        "region",
+        "nation",
+        "rev_units",
+        "rev_d",
+        F.sum("rev_d").over(wr).alias("region_d"),
+        F.sum("rev_d").over(wa).alias("total_d"),
+    )
+    return staged.select(
+        "region",
+        "nation",
+        (F.col("rev_units").cast("double") / F.lit(100.0)).alias(
+            "revenue"
+        ),
+        F.when(
+            F.col("region_d") > 0,
+            F.expr("rev_d * CAST(1000000 AS BIGINT) div region_d"),
+        ).alias("share_of_region_ppm"),
+        F.when(
+            F.col("total_d") > 0,
+            F.expr("region_d * CAST(1000000 AS BIGINT) div total_d"),
+        ).alias("region_share_ppm"),
+    )
+
+
+_REGION_SHARE_SQL = f"""
+WITH facts AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(SUM({_DISC_PRICE_CENTS_SQL}) AS BIGINT) // 100 AS rev_units
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+), dollars AS (
+  SELECT region, nation, rev_units, rev_units // 100 AS rev_d
+  FROM facts
+), staged AS (
+  SELECT region, nation, rev_units, rev_d,
+         CAST(SUM(rev_d) OVER (PARTITION BY region) AS BIGINT)
+           AS region_d,
+         CAST(SUM(rev_d) OVER () AS BIGINT) AS total_d
+  FROM dollars
+)
+SELECT region, nation,
+       CAST(rev_units AS DOUBLE) / 100.0 AS revenue,
+       CASE WHEN region_d > 0
+            THEN (rev_d * CAST(1000000 AS BIGINT)) // region_d
+       END AS share_of_region_ppm,
+       CASE WHEN total_d > 0
+            THEN (region_d * CAST(1000000 AS BIGINT)) // total_d
+       END AS region_share_ppm
+FROM staged
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -13772,6 +13944,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _neyman_sql(),
     ),
     "event_value_winsorize": (event_value_winsorize, _WINSORIZE_SQL),
+    # session-6j — same overflow status
+    "inter_event_gaps": (inter_event_gaps, _INTER_GAP_SQL),
+    "region_nation_share": (region_nation_share, _REGION_SHARE_SQL),
     # r4-refresh fill displaced from the window by the session-6
     # additions — first refresh candidates for the r8 window
     "outer_join_order_coverage": (outer_join_order_coverage, _OUTER_JOIN_SQL),

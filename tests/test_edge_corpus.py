@@ -421,6 +421,10 @@ EVENTS_QUERIES = [
     # observed values (everything clamps to a near-constant), negative
     # values floor-bucket downward, NULLs pass through unclamped
     "event_value_winsorize",
+    # r7 session-6j: sub-second gaps (the triplicate-ts events give
+    # gap 0 -> bucket 0), the 400 ms boundary gap, and single-event
+    # users contributing nothing
+    "inter_event_gaps",
 ]
 
 
@@ -624,6 +628,9 @@ TPCH_QUERIES = [
     # (% 53 misses) — all-zero ranks, no division by zero, ordering
     # resolved by the part tie-break
     "ppr_part_recommendations",
+    # r7 session-6j: two regions, three nations — ppm shares on a
+    # handful of exact cent sums
+    "region_nation_share",
 ]
 
 

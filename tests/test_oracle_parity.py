@@ -302,6 +302,10 @@ def test_no_vacuous_queries(spark, sf_dir):
         "event_value_imputation",
         "neyman_allocation_sample",
         "event_value_winsorize",
+        # r7 session-6j: exact microsecond gaps over a per-user total
+        # order and integer ppm shares over cent sums
+        "inter_event_gaps",
+        "region_nation_share",
     ],
 )
 def test_partitioning_invariance(spark, sf_dir, name):

@@ -1008,3 +1008,23 @@ def test_winsorize_two_phase_broadcast_cuts(spark, sf_dir):
     assert set(f.joins) == {"BroadcastHashJoin"}, f.joins
     assert f.has_partial_agg
     assert not f.has_cartesian
+
+
+def test_inter_gaps_single_user_sort(spark, sf_dir):
+    """Gap histogram: one user-keyed window sort (the shared
+    sessionize shape) + one map-side-combinable (type, bucket)
+    aggregate; no joins."""
+    f = facts(spark, sf_dir, "inter_event_gaps")
+    assert not f.joins
+    assert f.has_partial_agg
+    assert len(re.findall(r"\(\d+\) Sort", f.raw)) == 1
+
+
+def test_region_share_windows_over_aggregate(spark, sf_dir):
+    """Contribution shares: the share windows must run over the
+    <= |nations|-row aggregate, so the plan's window sorts sit ABOVE
+    the group-by (tiny input), and the dims broadcast."""
+    f = facts(spark, sf_dir, "region_nation_share")
+    assert "BroadcastHashJoin" in f.joins
+    assert f.has_partial_agg
+    assert not f.has_cartesian
