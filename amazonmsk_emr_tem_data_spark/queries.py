@@ -13308,12 +13308,20 @@ def neyman_allocation_sample(
         * F.col("s").cast("double")
         / F.col("nh").cast("double")
     ) / F.greatest(F.col("nh") - 1, F.lit(1)).cast("double")
+    # +1 floor: an all-constant-length corpus would zero every weight
+    # and the allocation division (DuckDB errors on // 0); one micro
+    # unit per stratum degrades gracefully toward equal allocation
     weighted = moments.select(
         "source",
         "nh",
-        F.round(
-            F.col("nh").cast("double") * F.sqrt(var) * F.lit(1000000.0)
-        ).cast("long").alias("w_micro"),
+        (
+            F.round(
+                F.col("nh").cast("double")
+                * F.sqrt(var)
+                * F.lit(1000000.0)
+            ).cast("long")
+            + F.lit(1)
+        ).alias("w_micro"),
     )
     tot = weighted.agg(F.sum("w_micro").alias("tw"))
     alloc = weighted.crossJoin(F.broadcast(tot)).select(
@@ -13379,7 +13387,7 @@ WITH moments AS (
                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
                               / CAST(nh AS DOUBLE))
                            / CAST(GREATEST(nh - 1, 1) AS DOUBLE))
-                    * 1000000.0) AS BIGINT) AS w_micro
+                    * 1000000.0) AS BIGINT) + 1 AS w_micro
   FROM moments
 ), tot AS (
   SELECT CAST(SUM(w_micro) AS BIGINT) AS tw FROM weighted
