@@ -9426,7 +9426,11 @@ def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the true count; heavy-term lists are the known cost center of any
     inverted index and get their own sharding in production — the cap
     bounds row width here, pinned by the oracle applying the same
-    slice)."""
+    slice). The capped list is emitted comma-JOINED as one string
+    (not ``array<string>``): the padded entries already make
+    lexicographic order numeric order, and a flat string keeps the
+    row hashable by any pandas/Arrow canonicalizer downstream (the
+    r7 driver harness could not hash a list column)."""
     from .functions.text import tokens
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
@@ -9446,8 +9450,8 @@ def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("cf"),
-        F.slice(
-            F.sort_array(F.collect_list(posting)), 1, 1000
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list(posting)), 1, 1000), ","
         ).alias("postings"),
     )
 
@@ -9461,9 +9465,10 @@ WITH tf AS (
 SELECT term,
        CAST(COUNT(*) AS BIGINT) AS df,
        CAST(SUM(tf) AS BIGINT) AS cf,
-       (list(lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':'
-             || CAST(tf AS VARCHAR)
-             ORDER BY doc_id))[1:1000] AS postings
+       array_to_string(
+         (list(lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':'
+               || CAST(tf AS VARCHAR)
+               ORDER BY doc_id))[1:1000], ',') AS postings
 FROM tf GROUP BY 1
 """
 
@@ -14148,6 +14153,75 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pivot_status_by_flag": (pivot_status_by_flag, _PIVOT_SQL),
     "exact_quantiles": (exact_quantiles, _EXACT_QUANTILES_SQL),
 }
+
+
+# --- round-8 driver-window rotation ---------------------------------
+# The driver hash-stamps exactly ``list(REGISTRY)[:50]`` each round.
+# Rather than re-ordering the 212-entry literal above by hand every
+# round, the window is declared here and the registry rebuilt around
+# it. Round-8 shape (r7 VERDICT "Next round" #1/#2):
+#   0      tem_hourly_avg            anchor, checked every round
+#   1      corpus_inverted_index     the r7 red row (postings now a
+#                                    flat string — must earn a stamp)
+#   2..37  the 36 never-stamped queries: r7 session-6 tier + the four
+#          r4-fill queries the r7 window displaced
+#   38..49 new round-8 queries (zero evidence), then stale-r4 refresh
+#          fill for any remaining slots
+#   50     salted_customer_revenue   r4-green; the exact-50 pin anchor
+_R8_NEVER_STAMPED: tuple[str, ...] = (
+    "rake_keyword_phrases", "nation_min_latency_paths",
+    "part_label_communities", "doc_shard_rebalance",
+    "source_token_kl", "doc_weighted_sample",
+    "kmeans_lloyd_clusters", "table_checksum_buckets",
+    "shard_compaction_plan", "event_ewma_chart",
+    "customer_survival_km", "user_activity_bitmaps",
+    "cohort_ltv_curves", "stream_seasonal_baseline",
+    "customer_k_anonymity", "part_stock_balance",
+    "lineitem_weighted_median", "topk_orders_with_ties",
+    "doc_global_sequence", "activity_anotb_kmv",
+    "welch_t_event_types", "textrank_keywords",
+    "orders_double_billing", "part_abc_classes",
+    "customer_negative_parts", "langid_margin_calibration",
+    "ppr_part_recommendations", "event_value_imputation",
+    "neyman_allocation_sample", "event_value_winsorize",
+    "inter_event_gaps", "region_nation_share",
+    "outer_join_order_coverage", "price_lag_lead_frames",
+    "sql_interface_q3", "small_quantity_revenue",
+)
+
+#: Queries implemented in round 8 — appended to the window as they
+#: land, displacing stale fill below. Keep <= the free slot count
+#: (test_driver_window_covers_round8_rotation enforces none are cut).
+_R8_NEW: tuple[str, ...] = ()
+
+#: r4-green refresh queue head (stamped round 4, nothing newer) —
+#: fills whatever window slots round-8 additions don't take.
+_R8_STALE_FILL: tuple[str, ...] = (
+    "exists_high_quantity_orders", "conditional_agg_orders",
+    "doc_word_positions", "order_price_distribution",
+    "systematic_sample_revenue", "doc_regex_extract",
+    "embedding_stats", "dedup_clusters", "customer_order_histogram",
+    "top_supplier_revenue", "large_quantity_orders",
+    "nation_trade_flows",
+)
+
+_R8_HEAD: tuple[str, ...] = (
+    ("tem_hourly_avg", "corpus_inverted_index")
+    + _R8_NEVER_STAMPED
+    + _R8_NEW
+    + _R8_STALE_FILL
+)[:50] + ("salted_customer_revenue",)
+
+
+def _rotate(
+    reg: dict[str, tuple[QueryFn, str | None]], head: tuple[str, ...]
+) -> dict[str, tuple[QueryFn, str | None]]:
+    out = {name: reg[name] for name in head}
+    out.update((n, v) for n, v in reg.items() if n not in out)
+    return out
+
+
+REGISTRY = _rotate(REGISTRY, _R8_HEAD)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -40,31 +40,52 @@ def test_every_query_has_an_oracle():
     )
 
 
-def test_driver_window_covers_round7_rotation():
+def test_driver_window_covers_round8_rotation():
     """The round driver hash-checks only the FIRST 50 registry entries.
-    The round-7 window must contain every query whose driver evidence
-    is missing, stale, or invalidated: the four round-6-session-4
-    queries (the only entries that have NEVER carried a driver stamp —
-    the r6 judge ran them locally, but driver stamps are the durable
-    record), the queries whose implementation changed in round 7
-    (BM25/RRF map-side rework, multimodal_decode's real BMP/PPM
-    branch), and the entire r4-green refresh queue (newest stamp round
-    4 — the longest-unstamped evidence). An accidental reorder — an
-    alphabetized dict, an insert in the wrong half — would silently
-    waste the round's correctness slots."""
-    from amazonmsk_emr_tem_data_spark.queries import REGISTRY
+    Round-8 window (r7 VERDICT asks #1/#2): corpus_inverted_index first
+    (the single r7 red — a driver-harness type failure, now flattened
+    to a string postings column, which must finally earn its stamp),
+    then EVERY never-stamped query (the r7 session-6 tier plus the four
+    r4-fill queries the r7 window displaced), then round-8 additions,
+    with stale-r4 refresh fill taking any remaining slots. An
+    accidental reorder would silently waste the round's 50 slots."""
+    from amazonmsk_emr_tem_data_spark.queries import (
+        _R8_NEVER_STAMPED,
+        _R8_NEW,
+        REGISTRY,
+    )
 
-    window = set(list(REGISTRY)[:50])
-    assert list(REGISTRY)[0] == "tem_hourly_avg"
-    must_check = {
-        # round-6-session-4: zero driver evidence ever (r6 VERDICT #1)
+    window = list(REGISTRY)[:50]
+    wset = set(window)
+    assert window[0] == "tem_hourly_avg"
+    assert window[1] == "corpus_inverted_index", (
+        "the r7 red row must head the round-8 window"
+    )
+    missing = set(_R8_NEVER_STAMPED) - wset
+    assert not missing, (
+        f"never-stamped queries fell out of the driver window: {missing}"
+    )
+    # round-8 additions have zero driver evidence — the [:50] slice in
+    # _R8_HEAD must not silently cut any of them
+    cut = set(_R8_NEW) - wset
+    assert not cut, (
+        f"round-8 queries were sliced out of the 50-entry window: {cut} "
+        "— the window is over-full; move stale fill out instead"
+    )
+    # The r5 failure mode: the marked window section held 53 names, so
+    # its last 3 were never stamped. Pin the window to EXACTLY the
+    # first 50 by anchoring the entry that must sit at position 51.
+    assert list(REGISTRY)[50] == "salted_customer_revenue", (
+        "registry position 51 drifted — the driver stamps exactly "
+        "list(REGISTRY)[:50]; an insert above this line silently pushes "
+        "window entries below the checked range"
+    )
+    # r7-green queries must NOT burn window slots (their driver stamps
+    # are one round old — the freshest evidence in the registry).
+    r7_green = {
         "prefix_filter_jaccard_pairs", "token_cooccurrence_lift",
         "tokenizer_fertility_by_lang", "event_markov_transitions",
-        # implementation changed in round 7 — fresh stamp required
-        "doc_bm25_search",     # map-side tf + single stats collect
-        "hybrid_rrf_search",   # shares the reworked tf relation
-        "multimodal_decode",   # real BMP/PPM decode branch added
-        # new in round 7 — zero driver evidence yet
+        "doc_bm25_search", "hybrid_rrf_search", "multimodal_decode",
         "auto_salted_event_value", "cross_corpus_near_dup",
         "lineitem_measures_unpivot", "doc_winnowing_fingerprints",
         "corpus_ngram_diversity", "gopher_quality_filter",
@@ -79,84 +100,16 @@ def test_driver_window_covers_round7_rotation():
         "user_distinct_sketch", "stream_user_distinct_sketch",
         "value_quantile_histogram", "purchase_attribution",
         "nation_revenue_trend", "event_cusum_changepoint",
-        "session_association_rules", "corpus_inverted_index",
-        "event_value_trimmed_stats", "customer_spend_deciles",
-        "hilbert_layout_stats", "orders_benford_profile",
-        "langid_confusion_matrix", "matryoshka_recall_audit",
-        "part_kcore_members", "segment_spend_gini",
-        # round-7 session-6 — never-stamped, outrank the refresh fill
-        # whose four slots they took (outer_join_order_coverage,
-        # price_lag_lead_frames, sql_interface_q3,
-        # small_quantity_revenue — now below the window, first refresh
-        # candidates for r8; rake_keyword_phrases is also never-stamped
-        # but the window is full of never-stamped r7 entries, so it
-        # waits just below position 51 for the r8 window)
-        "activity_overlap_kmv", "order_lineitem_ivm",
-        "part_bfs_hops", "event_seasonal_anomaly",
-        # the r4-green refresh queue (stamped round 4, nothing newer);
-        # never-stamped r7 queries outrank refresh fill, so the queue's
-        # tail (exists_high_quantity_orders, conditional_agg_orders,
-        # doc_word_positions,
-        # order_price_distribution,
-        # systematic_sample_revenue,
-        # doc_regex_extract, embedding_stats, dedup_clusters,
-        # customer_order_histogram,
-        # top_supplier_revenue, large_quantity_orders,
-        # nation_trade_flows, idle_rich_customers,
-        # doc_repetition_filter,
-        # promo_revenue_share, disjunctive_predicate_revenue,
-        # supplier_revenue_share, cheapest_supplier_per_part,
-        # supplier_counts_by_part_attrs, sole_blame_suppliers,
-        # forecast_revenue_change, nation_market_share,
-        # product_profit_by_nation_year, heavy_shipper_suppliers,
-        # doc_unigram_logprob, corpus_vocab_stats, doc_pii_redaction,
-        # embedding_int8_quantize, doc_chunking, recursive_cte_depths,
-        # semantic_dedup_vectors, event_funnel, retention_cohorts) was
-        # displaced below the window and rotates into r8
+        "session_association_rules", "event_value_trimmed_stats",
+        "customer_spend_deciles", "hilbert_layout_stats",
+        "orders_benford_profile", "langid_confusion_matrix",
+        "matryoshka_recall_audit", "part_kcore_members",
+        "segment_spend_gini", "activity_overlap_kmv",
+        "order_lineitem_ivm", "part_bfs_hops",
+        "event_seasonal_anomaly",
     }
-    missing = must_check - window
-    assert not missing, (
-        f"round-7 window is missing stale/never-checked queries: {missing}"
-    )
-    # The r5 failure mode: the marked window section held 53 names, so
-    # its last 3 were never stamped. Pin the window to EXACTLY the
-    # first 50 by anchoring the entry that must sit at position 51.
-    # (salted_customer_revenue is r4-green and rotates into the r8
-    # window; holding it at 51 is the price of the exact-50 pin.)
-    assert list(REGISTRY)[50] == "salted_customer_revenue", (
-        "registry position 51 drifted — the driver stamps exactly "
-        "list(REGISTRY)[:50]; an insert above this line silently pushes "
-        "window entries below the checked range"
-    )
-    # r6-green queries must NOT burn window slots (their driver stamps
-    # are one round old — the freshest evidence in the registry);
-    # never-stamped and r4-stale queries are what the window is FOR.
-    r6_green_outside = {
-        "customers_without_orders", "approx_sketches",
-        "corpus_curation_pipeline", "page_rank_pages",
-        "doc_near_dedup_keep_best", "doc_bigram_lm_quality",
-        "semantic_decontamination", "corpus_mixture_resample",
-        "embedding_pq_adc_topk", "doc_quality_sort_shards",
-        "embedding_ivfpq_topk", "page_graph_clustering",
-        "user_type_scd2", "stratified_fixed_k_sample",
-        "data_quality_audit", "events_table_profile",
-        "tem_gap_fill_hourly", "event_value_outliers_mad",
-        "corpus_tfidf_topterms", "stream_static_segment_spend",
-        "zorder_layout_stats", "dsir_importance_select",
-        "embedding_pq_rerank_topk", "doc_dup_span_removal",
-        "orders_incremental_agg", "key_skew_report",
-        "stream_distinct_users", "stream_dedup_watermark",
-        "stream_doc_quality", "doc_text_features", "doc_quality_langid",
-        "doc_fingerprint_groups", "doc_rolling_fingerprint",
-        "doc_exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
-        "simhash_pairs", "embedding_cosine_topk", "embedding_knn_join",
-        "embedding_near_dup_pairs", "lsh_ann_pairs", "multimodal_meta",
-        "asof_latest_order", "sessionize_events",
-        "grouping_sets_lineitem", "pivot_status_by_flag",
-        "exact_quantiles",
-    }
-    wasted = window & r6_green_outside
-    assert not wasted, f"window slots wasted on r6-green queries: {wasted}"
+    wasted = wset & r7_green
+    assert not wasted, f"window slots wasted on r7-green queries: {wasted}"
 
 
 def test_no_vacuous_queries(spark, sf_dir):
