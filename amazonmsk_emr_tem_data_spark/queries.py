@@ -12666,11 +12666,16 @@ def orders_double_billing(
     empty on this fixture at every SF, the 0-row trap the
     no-vacuous-query gate exists to catch.
 
-    One window over custkey partitions ordered by (date, orderkey):
-    lag() exposes the previous order, integer date-diff and cent
-    compares do the rest. No self-join — the O(n²)-per-customer
-    pairing is what the lag formulation avoids; partitions are
-    customer-bounded."""
+    Two windows, no self-join: lag() over the custkey partition
+    exposes the ADJACENT previous order (the candidate pair emitted);
+    a second lag over (custkey, amount_cents) exposes the previous
+    SAME-amount order so `exact_dup_in_window` catches a repeat with
+    a different-amount order between them (adjacent-only exact
+    matching was a recall hole — r7 ADVICE). The adjacent gap is
+    never larger than the same-amount gap, so every window-flagged
+    exact dup already appears in the candidate rows. Partitions stay
+    customer-bounded; the O(n²)-per-customer pairing is what the lag
+    formulation avoids."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         _cents("o_totalprice").alias("amount_cents"),
@@ -12678,6 +12683,9 @@ def orders_double_billing(
         "o_orderkey",
     )
     w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    w_same = Window.partitionBy("o_custkey", "amount_cents").orderBy(
+        "od", "o_orderkey"
+    )
     flagged = orders.select(
         "o_custkey",
         "amount_cents",
@@ -12686,6 +12694,7 @@ def orders_double_billing(
         F.lag("od").over(w).alias("prev_od"),
         F.lag("o_orderkey").over(w).alias("prev_key"),
         F.lag("amount_cents").over(w).alias("prev_amount"),
+        F.lag("od").over(w_same).alias("prev_same_od"),
     ).filter(
         F.col("prev_od").isNotNull()
         & (F.datediff("od", "prev_od") <= window_days)
@@ -12704,6 +12713,10 @@ def orders_double_billing(
         (F.col("amount_cents") == F.col("prev_amount")).alias(
             "exact_amount_dup"
         ),
+        (
+            F.col("prev_same_od").isNotNull()
+            & (F.datediff("od", "prev_same_od") <= window_days)
+        ).alias("exact_dup_in_window"),
         F.expr(
             "least(amount_cents, prev_amount) * CAST(1000000 AS BIGINT)"
             " div greatest(amount_cents, prev_amount)"
@@ -12717,12 +12730,15 @@ WITH o AS (
   SELECT o_custkey, amount_cents, od, o_orderkey,
          lag(od) OVER w AS prev_od,
          lag(o_orderkey) OVER w AS prev_key,
-         lag(amount_cents) OVER w AS prev_amount
+         lag(amount_cents) OVER w AS prev_amount,
+         lag(od) OVER ws AS prev_same_od
   FROM (SELECT o_custkey,
                CAST(round(o_totalprice * 100) AS BIGINT) AS amount_cents,
                CAST(o_orderdate AS DATE) AS od, o_orderkey
         FROM orders)
-  WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey)
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey),
+         ws AS (PARTITION BY o_custkey, amount_cents
+                ORDER BY od, o_orderkey)
 )
 SELECT o_custkey,
        prev_key AS first_orderkey, o_orderkey AS second_orderkey,
@@ -12730,6 +12746,9 @@ SELECT o_custkey,
        CAST(prev_amount AS DOUBLE) / 100.0 AS first_amount,
        CAST(amount_cents AS DOUBLE) / 100.0 AS second_amount,
        amount_cents = prev_amount AS exact_amount_dup,
+       prev_same_od IS NOT NULL
+         AND date_diff('day', prev_same_od, od) <= {window_days}
+         AS exact_dup_in_window,
        (LEAST(amount_cents, prev_amount) * CAST(1000000 AS BIGINT))
          // GREATEST(amount_cents, prev_amount) AS amount_ratio_ppm
 FROM o
@@ -13294,9 +13313,14 @@ def neyman_allocation_sample(
     Determinism: σ comes from exact integer moments with ONE sqrt per
     stratum; weights snap to the 1e-6 grid before the floor-division
     allocation; leftover budget goes to the largest micro-remainders
-    (ties to the smaller source name). Both stages are tiny —
-    |sources| rows — and the member pick is one rank window per
-    stratum."""
+    (ties to the smaller source name). A stratum smaller than its
+    Neyman share saturates at nh; the capped surplus is NOT dropped —
+    a second waterfill pass hands it to unsaturated strata in the
+    same micro-remainder order (cumulative-spare clamp, one window
+    over the |sources|-row allocation), so the sample meets `budget`
+    exactly whenever Σ nh ≥ budget (r7 ADVICE: the cap previously
+    shrank the sample silently). Every stage is tiny — |sources| rows
+    — and the member pick is one rank window per stratum."""
     from .functions.text import md5_hash64
 
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -13343,16 +13367,48 @@ def neyman_allocation_sample(
         (F.lit(budget) - F.sum("n_base")).cast("long").alias("left")
     )
     wrem = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
-    final_alloc = (
+    capped = (
         alloc.crossJoin(F.broadcast(leftover))
         .withColumn("rr", F.row_number().over(wrem).cast("long"))
         .select(
             "source",
             "nh",
+            "rem",
             F.least(
                 F.col("n_base")
                 + (F.col("rr") <= F.col("left")).cast("long"),
                 F.col("nh"),
+            ).alias("n_cap"),
+        )
+        .withColumn("spare", F.col("nh") - F.col("n_cap"))
+    )
+    surplus = capped.agg(
+        (F.lit(budget) - F.sum("n_cap")).cast("long").alias("surplus")
+    )
+    # waterfill: hand the capped surplus to unsaturated strata in
+    # micro-remainder order — extra2 = clamp(surplus - spare-before,
+    # 0, spare) via one cumulative window over the strata relation
+    w_fill = wrem.rowsBetween(Window.unboundedPreceding, -1)
+    final_alloc = (
+        capped.crossJoin(F.broadcast(surplus))
+        .withColumn(
+            "spare_before",
+            F.coalesce(F.sum("spare").over(w_fill), F.lit(0)).cast(
+                "long"
+            ),
+        )
+        .select(
+            "source",
+            "nh",
+            (
+                F.col("n_cap")
+                + F.greatest(
+                    F.lit(0).cast("long"),
+                    F.least(
+                        F.col("spare"),
+                        F.col("surplus") - F.col("spare_before"),
+                    ),
+                )
             ).alias("n_alloc"),
         )
     )
@@ -13403,13 +13459,24 @@ WITH moments AS (
   FROM weighted CROSS JOIN tot
 ), leftover AS (
   SELECT CAST({budget} - SUM(n_base) AS BIGINT) AS leftn FROM alloc
-), final_alloc AS (
-  SELECT source, nh,
+), capped AS (
+  SELECT source, nh, rem,
          LEAST(n_base + CASE WHEN
                  row_number() OVER (ORDER BY rem DESC, source ASC)
                  <= leftn THEN 1 ELSE 0 END,
-               nh) AS n_alloc
+               nh) AS n_cap
   FROM alloc CROSS JOIN leftover
+), surplus AS (
+  SELECT CAST({budget} - SUM(n_cap) AS BIGINT) AS surplus FROM capped
+), final_alloc AS (
+  SELECT source, nh,
+         n_cap + GREATEST(CAST(0 AS BIGINT),
+                          LEAST(nh - n_cap,
+                                surplus - COALESCE(SUM(nh - n_cap) OVER (
+                                    ORDER BY rem DESC, source ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0))) AS n_alloc
+  FROM capped CROSS JOIN surplus
 ), ranked AS (
   SELECT doc_id, source,
          row_number() OVER (PARTITION BY source
@@ -13508,8 +13575,15 @@ def event_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cuts = cut(1, 20, "lo_cents").join(cut(19, 20, "hi_cents"), "lt")
-    clamped = F.least(
-        F.greatest(_cents("value"), F.col("lo_cents")), F.col("hi_cents")
+    # GREATEST/LEAST skip NULLs in both engines, so an unguarded clamp
+    # would fabricate value_wins = p5 for NULL-valued events; gate on
+    # value IS NOT NULL so NULLs pass through as NULL
+    clamped = F.when(
+        F.col("value").isNotNull(),
+        F.least(
+            F.greatest(_cents("value"), F.col("lo_cents")),
+            F.col("hi_cents"),
+        ),
     )
     return ev.join(
         F.broadcast(cuts), ev["event_type"] == cuts["lt"], "left"
@@ -13572,9 +13646,10 @@ cuts AS (
   SELECT lo.lt, lo.lo_cents, hi.hi_cents FROM lo JOIN hi USING (lt)
 )
 SELECT e.event_id, e.event_type, e.value,
-       CAST(LEAST(GREATEST(CAST(round(e.value * 100) AS BIGINT),
-                           c.lo_cents), c.hi_cents) AS DOUBLE) / 100.0
-         AS value_wins,
+       CASE WHEN e.value IS NOT NULL THEN
+         CAST(LEAST(GREATEST(CAST(round(e.value * 100) AS BIGINT),
+                             c.lo_cents), c.hi_cents) AS DOUBLE) / 100.0
+       END AS value_wins,
        e.value IS NOT NULL
          AND (CAST(round(e.value * 100) AS BIGINT) < c.lo_cents
               OR CAST(round(e.value * 100) AS BIGINT) > c.hi_cents)

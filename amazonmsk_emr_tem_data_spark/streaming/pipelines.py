@@ -365,6 +365,31 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_to_memory(deduped, output_mode="append")
 
 
+def _read_store(sess: SparkSession, store_dir: str) -> DataFrame | None:
+    """Read the persistent ingest store; None IFF it does not exist yet.
+
+    Only the missing-path case (the very first batch) may disable the
+    dedup filter. Any other read failure — transient IO error, corrupt
+    footer, permissions — must PROPAGATE so the micro-batch fails and
+    Structured Streaming retries it; swallowing it would silently
+    append unfiltered duplicates and break the idempotent-sink
+    contract (r7 ADVICE)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return sess.read.parquet(store_dir)
+    except AnalysisException as e:
+        cond = None
+        for attr in ("getCondition", "getErrorClass"):
+            getter = getattr(e, attr, None)
+            if getter is not None:
+                cond = getter()
+                break
+        if cond == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
+
+
 def ingest_batch_dedup(batch_df: DataFrame, store_dir: str) -> None:
     """The IDEMPOTENT dedup-on-write sink used by
     `incremental_ingest_dedup`'s foreachBatch (factored out so the
@@ -387,10 +412,8 @@ def ingest_batch_dedup(batch_df: DataFrame, store_dir: str) -> None:
         .drop("__rn")
     )
     sess = batch_df.sparkSession
-    try:
-        seen = sess.read.parquet(store_dir).select("fp")
-    except Exception:
-        seen = None  # first batch: store does not exist yet
+    store = _read_store(sess, store_dir)
+    seen = None if store is None else store.select("fp")
     fresh = batch if seen is None else batch.join(seen, "fp", "left_anti")
     fresh.write.mode("append").parquet(store_dir)
 
@@ -466,10 +489,7 @@ def near_ingest_batch(
         "doc_id",
         "left_semi",
     )
-    try:
-        store = sess.read.parquet(store_dir)
-    except Exception:
-        store = None  # first batch: store does not exist yet
+    store = _read_store(sess, store_dir)
     if store is not None:
         dup = cross_corpus_near_dup(canon, store, threshold=threshold).select(
             "doc_id"

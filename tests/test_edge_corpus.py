@@ -474,6 +474,19 @@ def test_edge_events_parity(spark, edge_events_dir, edge_events_con, name):
     compare(fn(spark, edge_events_dir), edge_events_con, sql)
 
 
+def test_winsorize_null_values_pass_through(spark, edge_events_dir):
+    """A NULL-valued event must emit value_wins NULL, never a
+    fabricated p5 clamp. GREATEST/LEAST skip NULLs identically in
+    Spark and DuckDB, so the parity test alone cannot catch an
+    unguarded clamp — assert the semantics directly (r7 ADVICE)."""
+    fn, _ = REGISTRY["event_value_winsorize"]
+    rows = fn(spark, edge_events_dir).filter("value IS NULL").collect()
+    assert rows, "edge corpus lost its NULL-value events"
+    for r in rows:
+        assert r["value_wins"] is None
+        assert r["was_clamped"] is False
+
+
 # --- relational tables: rounding edges, filter boundaries, ties ---
 
 EDGE_REGION = [(0, "AMERICA"), (1, "EUROPE")]

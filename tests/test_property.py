@@ -1222,3 +1222,31 @@ def test_clamped_balance_identity_matches_sequential_fold(spark, deltas):
         b = max(0, b + d)
         expect[i] = b
     assert out == expect, deltas
+
+
+def test_neyman_waterfill_meets_budget_under_saturation(spark, tmp_path):
+    """A high-variance stratum smaller than its Neyman share saturates
+    at nh; the capped surplus must flow to unsaturated strata so the
+    emitted sample still totals `budget` (r7 ADVICE: the cap used to
+    shrink the sample silently). Stratum "a" (3 docs, huge σ) takes
+    nearly the whole weight but caps at 3; "b" (300 docs, σ=0) must
+    absorb the other 197."""
+    import pandas as pd
+
+    from amazonmsk_emr_tem_data_spark.queries import (
+        neyman_allocation_sample,
+    )
+
+    rows = [(0, "a", 0), (1, "a", 10**6), (2, "a", 2 * 10**6)]
+    rows += [(10 + i, "b", 100) for i in range(300)]
+    pd.DataFrame(rows, columns=["doc_id", "source", "n_chars"]).to_parquet(
+        f"{tmp_path}/documents.parquet", index=False
+    )
+    got = neyman_allocation_sample(spark, str(tmp_path), budget=200)
+    alloc = {
+        r["source"]: r["n"]
+        for r in got.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert alloc == {"a": 3, "b": 197}

@@ -357,6 +357,26 @@ def test_foreach_batch_replay_after_midstream_crash(spark, sf_dir, tmp_path):
     assert got.select("fp").distinct().count() == n_distinct
 
 
+def test_read_store_propagates_non_missing_errors(spark, sf_dir, tmp_path):
+    """Only a MISSING store may disable the ingest dedup filter; a
+    corrupt/unreadable store must raise so the micro-batch retries
+    instead of silently appending unfiltered duplicates (r7 ADVICE).
+    A missing path returns None; a directory with a garbage .parquet
+    file raises instead of being treated as first-batch."""
+    from amazonmsk_emr_tem_data_spark.streaming.pipelines import _read_store
+
+    assert _read_store(spark, str(tmp_path / "nope")) is None
+
+    bad = tmp_path / "bad_store"
+    bad.mkdir()
+    (bad / "part-0000.parquet").write_bytes(b"not a parquet footer")
+    with pytest.raises(Exception) as ei:
+        df = _read_store(spark, str(bad))
+        assert df is not None
+        df.collect()
+    assert "PATH_NOT_FOUND" not in str(ei.value)
+
+
 def test_incremental_near_dedup_ingest_matches_batch_composition(
     spark, sf_dir, tmp_path
 ):
