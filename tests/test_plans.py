@@ -1028,3 +1028,28 @@ def test_region_share_windows_over_aggregate(spark, sf_dir):
     assert "BroadcastHashJoin" in f.joins
     assert f.has_partial_agg
     assert not f.has_cartesian
+
+
+def test_plans_md_not_stale():
+    """PLANS.md must carry one audit row per registry query — it went
+    stale silently in r7 (6 queries added after the last regen had no
+    rows). Regenerate with scripts/plan_report.py after adding or
+    renaming queries (r7 VERDICT ask #3)."""
+    import os
+
+    from amazonmsk_emr_tem_data_spark.queries import REGISTRY
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    rows = set()
+    with open(path) as f:
+        for line in f:
+            if line.startswith("| ") and not line.startswith("| query"):
+                rows.add(line.split("|")[1].strip())
+    reg = set(REGISTRY)
+    missing = reg - rows
+    extra = rows - reg
+    assert not missing, (
+        f"PLANS.md is stale — run scripts/plan_report.py; missing: "
+        f"{sorted(missing)}"
+    )
+    assert not extra, f"PLANS.md has rows for unknown queries: {sorted(extra)}"
