@@ -6,9 +6,11 @@ feature-extract / frame-sample run as Arrow-batched pandas iterators
 (``mapInPandas``) so bytes never round-trip through Python row by row.
 
 ``decode_images(fake=False)`` is a REAL pure-NumPy decoder for
-uncompressed formats (BMP BI_RGB, binary PPM/PGM) — no native codecs
-needed. The container lacks image/audio codec libraries, so decode of
-COMPRESSED formats (JPEG/PNG/...), ``embed_media``'s encoder forward
+uncompressed formats (BMP BI_RGB, binary PPM/PGM) AND for 8-bit
+non-interlaced PNG (stdlib zlib inflate + NumPy scanline unfilter) —
+no native codecs needed. The container lacks image/audio codec
+libraries, so decode of the REMAINING compressed formats
+(JPEG/WebP/16-bit/palette/Adam7 PNG), ``embed_media``'s encoder forward
 pass, and video frame extraction remain clearly-marked stubs
 (`NotImplementedError` unless ``fake=True``); the Spark-side contract —
 schemas, batch iteration, partitioning, output explosion — is real and
@@ -67,14 +69,17 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -> D
     pandas iterator. Each batch stays columnar driver→executor; Python
     touches bytes only inside the vectorized iterator.
 
-    ``fake=False`` is a REAL decoder for the uncompressed formats a
-    pure-NumPy implementation can handle with zero native codecs:
+    ``fake=False`` is a REAL decoder for the formats a pure
+    stdlib+NumPy implementation can handle with zero native codecs:
     BMP (BITMAPINFOHEADER, BI_RGB 8/24/32-bit, bottom-up or top-down,
-    4-byte row padding) and binary PPM/PGM (P6/P5, maxval <= 255,
-    ``#`` comments). Compressed formats (JPEG/PNG/WebP/...) still
-    raise NotImplementedError — that branch is where PIL/libvips plugs
-    in. ``fake=True`` keeps the deterministic pseudo-decode for
-    fixtures whose payloads aren't images at all.
+    4-byte row padding), binary PPM/PGM (P6/P5, maxval <= 255, ``#``
+    comments), and PNG (8-bit gray/gray-alpha/RGB/RGBA,
+    non-interlaced: zlib inflate + per-scanline None/Sub/Up/Average/
+    Paeth unfilter). The remaining compressed formats (JPEG/WebP,
+    palette/16-bit/Adam7 PNG) still raise NotImplementedError — that
+    branch is where PIL/libvips plugs in. ``fake=True`` keeps the
+    deterministic pseudo-decode for fixtures whose payloads aren't
+    images at all.
 
     The closure is deliberately self-contained (no references to this
     module): executor Python workers unpickle it by value, so the
@@ -85,9 +90,99 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -> D
 
     def decode_iter(batches) -> Iterator:
         import struct
+        import zlib
 
         import numpy as np
         import pandas as pd
+
+        def png_array(data: bytes):
+            # Pure stdlib+NumPy PNG decode: zlib inflate + per-scanline
+            # unfilter (None/Sub/Up/Average/Paeth). 8-bit gray /
+            # gray+alpha / RGB / RGBA, non-interlaced — the subset a
+            # real corpus hits first; palette, 16-bit, and Adam7 stay
+            # behind the explicit stub (PIL territory).
+            if data[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("bad PNG signature")
+            pos, width, idat = 8, None, []
+            height = bit_depth = color_type = interlace = None
+            while pos + 8 <= len(data):
+                length = struct.unpack_from(">I", data, pos)[0]
+                ctype = data[pos + 4 : pos + 8]
+                body = data[pos + 8 : pos + 8 + length]
+                if ctype == b"IHDR":
+                    (width, height, bit_depth, color_type,
+                     _comp, _filt, interlace) = struct.unpack(
+                        ">IIBBBBB", body
+                    )
+                elif ctype == b"IDAT":
+                    idat.append(body)
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + length  # length + type + payload-less CRC
+            if width is None:
+                raise ValueError("PNG missing IHDR")
+            if (
+                bit_depth != 8
+                or interlace != 0
+                or color_type not in (0, 2, 4, 6)
+            ):
+                raise NotImplementedError(
+                    "only 8-bit non-interlaced gray/gray-alpha/RGB/RGBA "
+                    "PNG decodes natively (got bit_depth="
+                    f"{bit_depth}, color_type={color_type}, "
+                    f"interlace={interlace}); palette/16-bit/Adam7 "
+                    "need PIL here"
+                )
+            n_ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+            raw = zlib.decompress(b"".join(idat))
+            stride = width * n_ch
+            if width <= 0 or len(raw) != (stride + 1) * height:
+                raise ValueError("inconsistent PNG raster size")
+            raw = np.frombuffer(raw, dtype=np.uint8).reshape(
+                height, stride + 1
+            )
+            img = np.zeros((height, stride), dtype=np.uint8)
+            bpp = n_ch  # bytes per pixel at bit depth 8
+            for y in range(height):
+                ft = int(raw[y, 0])
+                line = raw[y, 1:].astype(np.int64)
+                prior = (
+                    img[y - 1].astype(np.int64)
+                    if y > 0
+                    else np.zeros(stride, np.int64)
+                )
+                if ft == 0:  # None
+                    rec = line
+                elif ft == 2:  # Up — vectorized
+                    rec = (line + prior) & 0xFF
+                elif ft == 1:  # Sub — cumsum per pixel phase
+                    cols = line.reshape(width, bpp)
+                    rec = (np.cumsum(cols, axis=0) & 0xFF).reshape(
+                        stride
+                    )
+                elif ft in (3, 4):  # Average / Paeth: left-dependent
+                    rec = np.zeros(stride, np.int64)
+                    for x in range(stride):
+                        a = int(rec[x - bpp]) if x >= bpp else 0
+                        b = int(prior[x])
+                        if ft == 3:
+                            pred = (a + b) >> 1
+                        else:
+                            c = int(prior[x - bpp]) if x >= bpp else 0
+                            p = a + b - c
+                            pa, pb, pc = (
+                                abs(p - a), abs(p - b), abs(p - c),
+                            )
+                            pred = (
+                                a
+                                if pa <= pb and pa <= pc
+                                else (b if pb <= pc else c)
+                            )
+                        rec[x] = (int(line[x]) + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter type {ft}")
+                img[y] = rec.astype(np.uint8)
+            return img.reshape(height, width, n_ch)
 
         def decode_bmp(data: bytes) -> tuple[int, int, int, float]:
             # BITMAPFILEHEADER (14B): magic, file size, reserved,
@@ -148,14 +243,19 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -> D
 
         def decode_one(payload: bytes) -> tuple[int, int, int, float]:
             if not fake:
-                # real pure-NumPy path for uncompressed formats
+                # real pure-NumPy path: uncompressed formats + PNG
                 if payload[:2] == b"BM":
                     return decode_bmp(payload)
                 if payload[:2] in (b"P6", b"P5"):
                     return decode_pnm(payload)
+                if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                    arr = png_array(payload)
+                    h, w, c = arr.shape
+                    return w, h, c, float(arr.mean())
                 raise NotImplementedError(
-                    "only uncompressed BMP and binary PPM/PGM decode "
-                    "natively; compressed formats need PIL/libvips here"
+                    "only uncompressed BMP, binary PPM/PGM, and 8-bit "
+                    "non-interlaced PNG decode natively; JPEG/WebP/... "
+                    "need PIL/libvips here"
                 )
             # fake=True: deterministic pseudo-dimensions from the bytes
             # so the distributed plumbing is testable on non-image
@@ -279,9 +379,91 @@ def ahash_images(
 
     def ahash_iter(batches):
         import struct
+        import zlib
 
         import numpy as np
         import pandas as pd
+
+        def png_array(data: bytes):
+            # same pure zlib+NumPy PNG subset as decode_images
+            # (duplicated for the closure's pickle-by-value isolation)
+            if data[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("bad PNG signature")
+            pos, width, idat = 8, None, []
+            height = bit_depth = color_type = interlace = None
+            while pos + 8 <= len(data):
+                length = struct.unpack_from(">I", data, pos)[0]
+                ctype = data[pos + 4 : pos + 8]
+                body = data[pos + 8 : pos + 8 + length]
+                if ctype == b"IHDR":
+                    (width, height, bit_depth, color_type,
+                     _c, _f, interlace) = struct.unpack(">IIBBBBB", body)
+                elif ctype == b"IDAT":
+                    idat.append(body)
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + length
+            if width is None:
+                raise ValueError("PNG missing IHDR")
+            if (
+                bit_depth != 8
+                or interlace != 0
+                or color_type not in (0, 2, 4, 6)
+            ):
+                raise NotImplementedError(
+                    "only 8-bit non-interlaced gray/gray-alpha/RGB/RGBA"
+                    " PNG decodes natively"
+                )
+            n_ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+            raw = zlib.decompress(b"".join(idat))
+            stride = width * n_ch
+            if width <= 0 or len(raw) != (stride + 1) * height:
+                raise ValueError("inconsistent PNG raster size")
+            raw = np.frombuffer(raw, dtype=np.uint8).reshape(
+                height, stride + 1
+            )
+            img = np.zeros((height, stride), dtype=np.uint8)
+            bpp = n_ch
+            for y in range(height):
+                ft = int(raw[y, 0])
+                line = raw[y, 1:].astype(np.int64)
+                prior = (
+                    img[y - 1].astype(np.int64)
+                    if y > 0
+                    else np.zeros(stride, np.int64)
+                )
+                if ft == 0:
+                    rec = line
+                elif ft == 2:
+                    rec = (line + prior) & 0xFF
+                elif ft == 1:
+                    rec = (
+                        np.cumsum(line.reshape(width, bpp), axis=0)
+                        & 0xFF
+                    ).reshape(stride)
+                elif ft in (3, 4):
+                    rec = np.zeros(stride, np.int64)
+                    for x in range(stride):
+                        a = int(rec[x - bpp]) if x >= bpp else 0
+                        b = int(prior[x])
+                        if ft == 3:
+                            pred = (a + b) >> 1
+                        else:
+                            c = int(prior[x - bpp]) if x >= bpp else 0
+                            p = a + b - c
+                            pa, pb, pc = (
+                                abs(p - a), abs(p - b), abs(p - c),
+                            )
+                            pred = (
+                                a
+                                if pa <= pb and pa <= pc
+                                else (b if pb <= pc else c)
+                            )
+                        rec[x] = (int(line[x]) + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter type {ft}")
+                img[y] = rec.astype(np.uint8)
+            return img.reshape(height, width, n_ch)
 
         def bmp_array(data: bytes):
             pix_off = struct.unpack_from("<I", data, 10)[0]
@@ -338,10 +520,13 @@ def ahash_images(
                     arr = bmp_array(payload)
                 elif payload[:2] in (b"P6", b"P5"):
                     arr = pnm_array(payload)
+                elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+                    arr = png_array(payload)
                 else:
                     raise NotImplementedError(
-                        "only uncompressed BMP and binary PPM/PGM decode "
-                        "natively; compressed formats need PIL here"
+                        "only uncompressed BMP, binary PPM/PGM, and "
+                        "8-bit non-interlaced PNG decode natively; "
+                        "JPEG/WebP/... need PIL here"
                     )
                 full = arr.astype(np.float64).mean(axis=2)
                 h, w = full.shape
