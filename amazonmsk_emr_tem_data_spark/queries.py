@@ -12560,7 +12560,10 @@ FROM se
 
 
 def textrank_keywords(
-    spark: SparkSession, sf_dir: str, top_n: int = 30
+    spark: SparkSession,
+    sf_dir: str,
+    top_n: int = 30,
+    vocab_cap: int | None = None,
 ) -> DataFrame:
     """TextRank keyword extraction (Mihalcea & Tarau 2004) (r7
     session-6g): PageRank over the word co-occurrence graph — an edge
@@ -12575,7 +12578,13 @@ def textrank_keywords(
     Scale: edge mining is two lead() reads per token (one doc-keyed
     window sort, no token self-join); the graph is vocabulary-sized;
     each iteration is the dst-keyed map-combinable shuffle PageRank
-    always pays; top-30 is TakeOrderedAndProject."""
+    always pays; top-30 is TakeOrderedAndProject. The measured 100×
+    residual is the vocab-graph iteration itself (SCALING.md) —
+    ``vocab_cap`` bounds it the standard TextRank way: keep only the
+    top-`vocab_cap` words by corpus frequency (ties to the smaller
+    word) before building the graph, so iteration cost stops growing
+    with vocabulary. Default None = exact uncapped behavior (the
+    registry/oracle contract)."""
     from .functions.text import tokens
     from .operators.graph import pagerank
 
@@ -12583,6 +12592,19 @@ def textrank_keywords(
     toks = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
     ).filter(F.col("w") != "")
+    if vocab_cap is not None:
+        # deterministic top-N vocabulary (count desc, word asc):
+        # TakeOrdered on the vocab-sized relation, broadcast semi-join
+        # back — co-occurrence windows then span dropped words, the
+        # standard candidate-filter semantics of TextRank
+        keep = (
+            toks.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("wn"))
+            .orderBy(F.col("wn").desc(), F.col("w").asc())
+            .limit(vocab_cap)
+            .select("w")
+        )
+        toks = toks.join(F.broadcast(keep), "w", "left_semi")
     win = Window.partitionBy("doc_id").orderBy("pos")
     paired = toks.select(
         "w",

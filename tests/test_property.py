@@ -1250,3 +1250,49 @@ def test_neyman_waterfill_meets_budget_under_saturation(spark, tmp_path):
         .collect()
     }
     assert alloc == {"a": 3, "b": 197}
+
+
+def test_textrank_vocab_cap_identity_and_bound(spark, sf_dir):
+    """vocab_cap >= |vocabulary| must be EXACTLY the uncapped result
+    (the registry/oracle contract is the default None path); a small
+    cap must rank only top-frequency words (r7 VERDICT ask #7 — the
+    cap bounds the 100x vocab-graph iteration cost)."""
+    from amazonmsk_emr_tem_data_spark.queries import textrank_keywords
+
+    from amazonmsk_emr_tem_data_spark.functions.text import tokens
+    from amazonmsk_emr_tem_data_spark.sources.files import load_table
+
+    vocab_n = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .select("w")
+        .distinct()
+        .count()
+    )
+    base = [tuple(r) for r in textrank_keywords(spark, sf_dir).collect()]
+    same = [
+        tuple(r)
+        for r in textrank_keywords(
+            spark, sf_dir, vocab_cap=vocab_n + 7
+        ).collect()
+    ]
+    assert base == same
+
+    capped = textrank_keywords(spark, sf_dir, vocab_cap=50).collect()
+    assert 0 < len(capped) <= 30
+    words = {r["word"] for r in capped}
+    # every surviving word must be inside the deterministic top-50
+    # frequency vocabulary
+    top50 = {
+        r["w"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(50)
+        .collect()
+    }
+    assert words <= top50
