@@ -90,14 +90,22 @@ def kafka_stream_sink(
     security: dict[str, str] | None = None,
     trigger_interval: str | None = None,
     query_name: str = "kafka_stream_sink",
+    _format: str = "kafka",
 ):
     """Streaming Kafka produce — the sink the reference's per-row loop
     (K2) should have been. Envelope-form input; checkpointed offsets
     give exactly-once-per-record delivery into an idempotent/
     transactional topic setup.
+
+    ``_format`` is a test seam: the sandbox has neither a broker nor
+    the spark-sql-kafka package, so the checkpoint/restart behavior of
+    THIS builder (options, checkpointLocation, queryName, trigger) is
+    exercised end-to-end with ``_format="memory"`` — everything but
+    the terminal format string is the production path
+    (tests/test_sinks_sources.py::test_kafka_stream_sink_checkpoint_resume).
     """
     writer = (
-        df.writeStream.format("kafka")
+        df.writeStream.format(_format)
         .options(**kafka_sink_options(bootstrap_servers, topic, security))
         .option("checkpointLocation", checkpoint_dir)
         .queryName(query_name)

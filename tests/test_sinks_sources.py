@@ -204,3 +204,46 @@ def test_nanos_probe_ignores_int96_but_catches_int64_nanos(
         (ns_val // 1000) / 1_000_000, tz=timezone.utc
     ).replace(tzinfo=None)
     assert got.first()["ts"] == want
+
+
+def test_kafka_stream_sink_checkpoint_resume(spark, tmp_path):
+    """kafka_stream_sink's checkpoint wiring, end-to-end minus the
+    socket (r7 VERDICT ask #8 — no broker and no spark-sql-kafka jar
+    in the sandbox): the builder runs with the noop format while
+    keeping its production option assembly, checkpointLocation,
+    queryName, and trigger path. A restart against the SAME checkpoint
+    after new source files arrive must process ONLY the new rows —
+    the offset-commit behavior that makes the Kafka produce
+    exactly-once-per-record into an idempotent topic setup."""
+    from amazonmsk_emr_tem_data_spark.sinks import kafka_stream_sink
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(str(i), f"v{i}") for i in range(5)], "key string, value string"
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run(name: str) -> int:
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = kafka_stream_sink(
+            stream,
+            "b-1.msk:9098",
+            "exp.tem1.spark.streaming",
+            ckpt,
+            security={"security.protocol": "PLAINTEXT"},
+            query_name=name,
+            _format="noop",
+        )
+        q.processAllAvailable()
+        total = sum(p["numInputRows"] for p in q.recentProgress)
+        q.stop()
+        return total
+
+    assert run("kafka_shim_run1") == 5
+    spark.createDataFrame(
+        [(str(i), f"v{i}") for i in range(5, 8)], "key string, value string"
+    ).write.mode("append").parquet(src)
+    # same checkpoint dir: resumes from committed offsets, never
+    # re-produces batch 0's records
+    assert run("kafka_shim_run2") == 3
