@@ -13879,6 +13879,352 @@ FROM staged
 #: Every entry in BOTH halves is also exact-checked locally at
 #: sf0.001 by tests/test_oracle_parity.py, so rotation changes which
 #: evidence is driver-stamped, not what is tested.
+# ---------------------------------------------------------------------------
+# round-8 session 1: OHLC rollups, integrity audit, RFM scoring
+# ---------------------------------------------------------------------------
+
+
+def _event_order_key() -> Column:
+    """Total event ordering as ONE sortable string: zero-padded
+    (epoch_us, event_id). DuckDB's arg_min/arg_max accept only scalar
+    keys, so the composite tie-break rides a fixed-width string whose
+    lexicographic order IS the numeric order in both engines (the
+    padded-posting trick of corpus_inverted_index)."""
+    return F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+
+
+_EVENT_KEY_SQL = (
+    "(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')"
+    " || lpad(CAST(event_id AS VARCHAR), 12, '0'))"
+)
+
+
+def event_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candles per event type (round 8): open/high/low/
+    close of ``value`` plus count and exact volume — the canonical
+    time-series downsampling every metrics/trading/telemetry store
+    ships, reduced to ONE grouped aggregate. Open/close are
+    deterministic min_by/max_by on the total (epoch_us, event_id)
+    string key; high/low are plain extrema (exact double compares, no
+    arithmetic); volume is the cent-grid sum.
+
+    Scale: one map-side-combined aggregate to |types|·|days| rows —
+    no window, no sort, no join; the min_by/max_by pair carries one
+    (key, value) tuple per group through the combiner exactly like
+    MIN/MAX."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    key = _event_order_key()
+    return ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.sum(_cents("value")).cast("double") / F.lit(100.0)).alias(
+            "volume"
+        ),
+    )
+
+
+_OHLC_SQL = f"""
+SELECT event_type, CAST(ts AS DATE) AS day,
+       arg_min(value, {_EVENT_KEY_SQL}) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, {_EVENT_KEY_SQL}) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_dsum("value")} AS volume
+FROM events
+WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def stream_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the OHLC rollup: hourly candles maintained by
+    a watermarked tumbling-window aggregate as events arrive — the
+    live dashboard feed beside the batch daily candle. min_by/max_by
+    are ordinary declarative aggregates, so the streaming state per
+    open window is one (key, value) tuple per extreme, kilobytes per
+    (type, hour). Bounded drain (availableNow) ⇒ exactly the batch
+    hourly group-by, which is the oracle."""
+    from .streaming.pipelines import stream_hourly_ohlc_agg
+
+    return stream_hourly_ohlc_agg(spark, sf_dir)
+
+
+_STREAM_OHLC_SQL = f"""
+SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+       arg_min(value, {_EVENT_KEY_SQL}) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, {_EVENT_KEY_SQL}) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def referential_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-table referential-integrity audit (round 8): for every
+    FK→PK relationship in the star schema, the child row count, NULL
+    FKs, orphan rows (FK with no parent), and the orphan rate in ppm
+    — the data-quality gate a warehouse runs after every load, and
+    the first question asked when a join 'loses rows'. One row per
+    relationship, always emitted (an all-green audit is 7 rows of
+    zeros, not an empty result).
+
+    Scale: each relationship is ONE left join + count aggregate.
+    Dimension parents broadcast; lineitem→orders is the honest
+    big-big shuffle join an FK audit cannot avoid (both sides key-
+    partitioned, AQE handles skew). NULL FKs are counted separately —
+    a NULL is a missing reference, not a dangling one."""
+    t = {
+        name: load_table(spark, sf_dir, name)
+        for name in [
+            "region", "nation", "customer", "supplier",
+            "part", "orders", "lineitem",
+        ]
+    }
+    rels = [
+        ("orders.o_custkey -> customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey -> part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("customer.c_nationkey -> nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier.s_nationkey -> nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+        ("nation.n_regionkey -> region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    ]
+    parts = []
+    for label, child, fk, parent, pk in rels:
+        joined = t[child].select(F.col(fk).alias("fk")).join(
+            t[parent].select(F.col(pk).alias("pk")).distinct(),
+            F.col("fk") == F.col("pk"),
+            "left",
+        )
+        parts.append(
+            joined.agg(
+                F.lit(label).alias("relationship"),
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.sum(
+                    F.col("fk").isNull().cast("long")
+                ).alias("n_null_fk"),
+                F.sum(
+                    (
+                        F.col("fk").isNotNull() & F.col("pk").isNull()
+                    ).cast("long")
+                ).alias("n_orphan"),
+                F.expr(
+                    "1000000 * sum(CAST(fk IS NOT NULL AND pk IS NULL"
+                    " AS BIGINT)) DIV count(1)"
+                ).alias("orphan_ppm"),
+            )
+        )
+    return reduce(DataFrame.unionByName, parts)
+
+
+def _ri_rel_sql(
+    label: str, child: str, fk: str, parent: str, pk: str
+) -> str:
+    return f"""
+SELECT '{label}' AS relationship,
+       CAST(COUNT(*) AS BIGINT) AS n_child,
+       CAST(SUM(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_fk,
+       CAST(SUM(CASE WHEN c.{fk} IS NOT NULL AND p.{pk} IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+       CAST(1000000 * SUM(CASE WHEN c.{fk} IS NOT NULL
+                          AND p.{pk} IS NULL THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS orphan_ppm
+FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+  ON c.{fk} = p.{pk}
+"""
+
+
+_RI_AUDIT_SQL = " UNION ALL ".join(
+    _ri_rel_sql(*r)
+    for r in [
+        ("orders.o_custkey -> customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey -> part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("customer.c_nationkey -> nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier.s_nationkey -> nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+        ("nation.n_regionkey -> region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    ]
+)
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring (round 8): recency (days since the
+    customer's last order, against the corpus max date), frequency
+    (order count), monetary (exact cent total), each mapped to a 1–5
+    quintile (5 = best) — the classic lifecycle-segmentation feature
+    vector behind churn/LTV models.
+
+    Exactness + scale: quintiles are NOT ntile over a single global
+    window (the weighted-median lesson — one reducer sorts every
+    customer). Each dimension gets the TWO-PHASE global rank: a
+    bounded histogram (recency days / negated frequency / negated
+    monetary 1000-dollar buckets) whose cumulative offsets broadcast
+    back, plus a within-bucket row_number — rank r in 1..N, quintile
+    = 5 − (r−1)·5 div N for better-is-smaller orderings. Ties break
+    on custkey, so both engines emit identical quintiles even at
+    boundaries."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(
+        F.col("o_custkey").alias("custkey")
+    ).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(_cents("o_totalprice")).alias("mon_cents"),
+    )
+    maxd = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("corpus_max")
+    )
+    base = per_cust.crossJoin(F.broadcast(maxd)).select(
+        "custkey",
+        F.datediff("corpus_max", "last_order")
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "mon_cents",
+    )
+    n_total = base.agg(F.count(F.lit(1)).alias("n_cust"))
+
+    def two_phase_rank(
+        df: DataFrame, bucket: Column, order: list[Column], name: str
+    ) -> DataFrame:
+        b = df.withColumn("__b", bucket)
+        counts = b.groupBy("__b").agg(F.count(F.lit(1)).alias("bn"))
+        wmeta = Window.orderBy("__b").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = counts.select(
+            F.col("__b").alias("__ob"),
+            F.coalesce(F.sum("bn").over(wmeta), F.lit(0)).alias(
+                "n_before"
+            ),
+        )
+        win = Window.partitionBy("__b").orderBy(*order)
+        return (
+            b.join(F.broadcast(offsets), b["__b"] == offsets["__ob"])
+            .withColumn(
+                name,
+                (F.col("n_before") + F.row_number().over(win)).cast(
+                    "long"
+                ),
+            )
+            .drop("__b", "__ob", "n_before")
+        )
+
+    ranked = two_phase_rank(
+        base,
+        F.col("recency_days"),
+        [F.col("custkey").asc()],
+        "r_rank",
+    )
+    ranked = two_phase_rank(
+        ranked,
+        -F.col("frequency"),
+        [F.col("frequency").desc(), F.col("custkey").asc()],
+        "f_rank",
+    )
+    ranked = two_phase_rank(
+        ranked,
+        -F.expr("mon_cents div 100000"),
+        [F.col("mon_cents").desc(), F.col("custkey").asc()],
+        "m_rank",
+    )
+
+    def quint(rank: str) -> Column:
+        return (
+            F.lit(5)
+            - F.expr(f"({rank} - 1) * 5 DIV n_cust")
+        ).cast("long")
+
+    return ranked.crossJoin(F.broadcast(n_total)).select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        (F.col("mon_cents").cast("double") / F.lit(100.0)).alias(
+            "monetary"
+        ),
+        quint("r_rank").alias("r_score"),
+        quint("f_rank").alias("f_score"),
+        quint("m_rank").alias("m_score"),
+        (
+            quint("r_rank") * 100 + quint("f_rank") * 10 + quint("m_rank")
+        ).alias("rfm_code"),
+    )
+
+
+_RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS mon_cents
+  FROM orders GROUP BY 1
+), maxd AS (
+  SELECT MAX(CAST(o_orderdate AS DATE)) AS corpus_max FROM orders
+), base AS (
+  SELECT custkey,
+         CAST(date_diff('day', last_order, corpus_max) AS BIGINT)
+           AS recency_days,
+         frequency, mon_cents
+  FROM per_cust CROSS JOIN maxd
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cust FROM base
+), ranked AS (
+  SELECT *,
+    CAST(row_number() OVER (ORDER BY recency_days ASC, custkey ASC)
+         AS BIGINT) AS r_rank,
+    CAST(row_number() OVER (ORDER BY frequency DESC, custkey ASC)
+         AS BIGINT) AS f_rank,
+    CAST(row_number() OVER (ORDER BY mon_cents DESC, custkey ASC)
+         AS BIGINT) AS m_rank
+  FROM base
+)
+SELECT custkey, recency_days, frequency,
+       CAST(mon_cents AS DOUBLE) / 100.0 AS monetary,
+       5 - (r_rank - 1) * 5 // n_cust AS r_score,
+       5 - (f_rank - 1) * 5 // n_cust AS f_score,
+       5 - (m_rank - 1) * 5 // n_cust AS m_score,
+       (5 - (r_rank - 1) * 5 // n_cust) * 100
+         + (5 - (f_rank - 1) * 5 // n_cust) * 10
+         + (5 - (m_rank - 1) * 5 // n_cust) AS rfm_code
+FROM ranked CROSS JOIN n
+"""
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # anchor (driver-checked every round)
     "tem_hourly_avg": (tem_hourly_avg, _TEM_HOURLY_AVG_SQL),
@@ -14249,6 +14595,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "grouping_sets_lineitem": (grouping_sets_lineitem, _GROUPING_SETS_SQL),
     "pivot_status_by_flag": (pivot_status_by_flag, _PIVOT_SQL),
     "exact_quantiles": (exact_quantiles, _EXACT_QUANTILES_SQL),
+    # --- round 8 (window placement handled by the rotation below) ---
+    "event_value_ohlc": (event_value_ohlc, _OHLC_SQL),
+    "stream_hourly_ohlc": (stream_hourly_ohlc, _STREAM_OHLC_SQL),
+    "referential_integrity_audit": (
+        referential_integrity_audit,
+        _RI_AUDIT_SQL,
+    ),
+    "customer_rfm_segments": (customer_rfm_segments, _RFM_SQL),
 }
 
 
@@ -14289,7 +14643,12 @@ _R8_NEVER_STAMPED: tuple[str, ...] = (
 #: Queries implemented in round 8 — appended to the window as they
 #: land, displacing stale fill below. Keep <= the free slot count
 #: (test_driver_window_covers_round8_rotation enforces none are cut).
-_R8_NEW: tuple[str, ...] = ()
+_R8_NEW: tuple[str, ...] = (
+    "event_value_ohlc",
+    "stream_hourly_ohlc",
+    "referential_integrity_audit",
+    "customer_rfm_segments",
+)
 
 #: r4-green refresh queue head (stamped round 4, nothing newer) —
 #: fills whatever window slots round-8 additions don't take.

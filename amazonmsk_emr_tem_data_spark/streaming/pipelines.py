@@ -235,6 +235,50 @@ def stream_tumbling_agg(
     )
 
 
+def stream_hourly_ohlc_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Hourly OHLC candles maintained incrementally (round 8): the
+    streaming twin of queries.event_value_ohlc. min_by/max_by are
+    declarative aggregates, so per-window state is one (key, value)
+    tuple per extreme — the live-candle pattern of every metrics
+    store. The order key is the same zero-padded (epoch_us, event_id)
+    string as the batch query, so out-of-order arrival within the
+    watermark cannot change open/close."""
+    ev = events_stream(spark, sf_dir).filter(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    return run_to_memory(agg).select(
+        F.col("w.start").alias("bucket_ts"),
+        "event_type",
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+    )
+
+
 def stream_sliding_counts(
     spark: SparkSession,
     sf_dir: str,

@@ -425,6 +425,14 @@ EVENTS_QUERIES = [
     # gap 0 -> bucket 0), the 400 ms boundary gap, and single-event
     # users contributing nothing
     "inter_event_gaps",
+    # r8: OHLC open/close must pick identically under duplicate
+    # timestamps (the padded event_id tie-break) and skip NULL
+    # values/types; the streaming twin drains to the same candles
+    "event_value_ohlc",
+    "stream_hourly_ohlc",
+    # r8: RFM quintiles on a 4-customer corpus — every rank formula
+    # boundary (N not divisible by 5) fires; ties break on custkey
+    "customer_rfm_segments",
 ]
 
 

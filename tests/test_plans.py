@@ -1053,3 +1053,37 @@ def test_plans_md_not_stale():
         f"{sorted(missing)}"
     )
     assert not extra, f"PLANS.md has rows for unknown queries: {sorted(extra)}"
+
+
+def test_ohlc_single_combined_aggregate(spark, sf_dir):
+    """OHLC candles: one map-side-combined aggregate, one shuffle, no
+    join, no window. min_by/max_by with a string order key plan as
+    SortAggregate (Spark's implementation for non-primitive agg
+    buffers) — the partial_min_by BEFORE the exchange is the contract:
+    each map task reduces to one candle per (type, day) before any
+    data moves; the per-partition sort is by group key, not a global
+    sort."""
+    f = facts(spark, sf_dir, "event_value_ohlc")
+    assert not f.joins
+    assert f.has_partial_agg
+    assert f.n_exchanges == 1, "one shuffle on (type, day)"
+    assert "partial_min_by" in f.raw and "partial_max_by" in f.raw
+
+
+def test_ri_audit_broadcasts_dims_no_cartesian(spark, sf_dir):
+    """The FK audit: dimension parents broadcast; lineitem->orders is
+    the one honest big-big join; never a cartesian."""
+    f = facts(spark, sf_dir, "referential_integrity_audit")
+    assert not f.has_cartesian
+    assert "BroadcastHashJoin" in f.joins
+    assert f.has_partial_agg
+
+
+def test_rfm_two_phase_rank_broadcasts_offsets(spark, sf_dir):
+    """RFM quintiles: the three global ranks must be the two-phase
+    shape — bucket-histogram offsets broadcast back (never a single
+    global-window sort over all customers)."""
+    f = facts(spark, sf_dir, "customer_rfm_segments")
+    assert not f.has_cartesian
+    assert "BroadcastHashJoin" in f.joins
+    assert f.has_partial_agg
