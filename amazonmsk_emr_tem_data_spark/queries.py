@@ -14225,6 +14225,394 @@ FROM ranked CROSS JOIN n
 """
 
 
+# ---------------------------------------------------------------------------
+# round-8 session 1b: market-basket lift, sweep-line, regularity, RA links
+# ---------------------------------------------------------------------------
+
+
+def _basket_pairs(spark: SparkSession, sf_dir: str, min_count: int):
+    """Distinct co-purchased part pairs (a<b) with basket counts —
+    shared by the lift and link-prediction queries. Baskets are
+    order-bounded (≤ ~13 distinct parts), so the orderkey self-join
+    emits ≤ C(13,2) pairs per order: output linear in orders, never
+    |parts|² — the same bounded-basket argument as session
+    association rules."""
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = baskets.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, (a["o"] == b["o2"]) & (a["pa"] < b["pb"]))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    return baskets, pairs
+
+
+_BASKET_PAIRS_CTE = """
+baskets AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), pairs AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM baskets a JOIN baskets b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_count}
+)"""
+
+
+def part_copurchase_lift(
+    spark: SparkSession, sf_dir: str, min_count: int = 2
+) -> DataFrame:
+    """Market-basket association on ORDER baskets (round 8): for every
+    part pair co-purchased in ≥ min_count orders, support, both
+    directional confidences, and lift in exact ppm integer math — the
+    items-bought-together recommender primitive, on the relational
+    side (session_association_rules covers the event-session side).
+
+    Scale: the pair join is basket-bounded (see _basket_pairs); the
+    per-part counts broadcast back onto the ≥min_count pair relation.
+    Lift numerators stay in long range to ~1e6 co-purchases of a pair
+    in a 1e9-order corpus (1e6·1e6·1e9 needs 102 bits — at that scale
+    drop support to a 1e3 grid); the fixtures are ~10 orders of
+    magnitude below."""
+    baskets, pairs = _basket_pairs(spark, sf_dir, min_count)
+    n_orders = baskets.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    per_part = baskets.groupBy(
+        F.col("l_partkey").alias("part")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_p"))
+    na = per_part.select(
+        F.col("part").alias("__pa"), F.col("n_p").alias("n_a")
+    )
+    nb = per_part.select(
+        F.col("part").alias("__pb"), F.col("n_p").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(na), pairs["pa"] == na["__pa"])
+        .join(F.broadcast(nb), pairs["pb"] == nb["__pb"])
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "n_ab",
+            F.expr("1000000 * n_ab DIV n_orders").alias("support_ppm"),
+            F.expr("1000000 * n_ab DIV n_a").alias("conf_a_to_b_ppm"),
+            F.expr("1000000 * n_ab DIV n_b").alias("conf_b_to_a_ppm"),
+            F.expr(
+                "(1000000 * n_ab * n_orders) DIV (n_a * n_b)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+def _copurchase_lift_sql(min_count: int = 2) -> str:
+    return f"""
+WITH {_BASKET_PAIRS_CTE.format(min_count=min_count)},
+n_orders AS (
+  SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM baskets
+), per_part AS (
+  SELECT p AS part, CAST(COUNT(*) AS BIGINT) AS n_p
+  FROM baskets GROUP BY 1
+)
+SELECT pa AS part_a, pb AS part_b, n_ab,
+       1000000 * n_ab // n_orders AS support_ppm,
+       1000000 * n_ab // na.n_p AS conf_a_to_b_ppm,
+       1000000 * n_ab // nb.n_p AS conf_b_to_a_ppm,
+       (1000000 * n_ab * n_orders) // (na.n_p * nb.n_p) AS lift_ppm
+FROM pairs
+JOIN per_part na ON na.part = pa
+JOIN per_part nb ON nb.part = pb
+CROSS JOIN n_orders
+"""
+
+
+def open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders-in-flight sweep line (round 8): an order is OPEN from
+    its order date until its last line ships; the daily count of open
+    orders is the classic interval-overlap / concurrency query
+    (sessions online, loans outstanding, WIP inventory) solved with
+    +1/−1 boundary deltas and a running sum — never an interval
+    self-join.
+
+    Scale: the heavy side is two fact aggregations (per-order close
+    date, per-day deltas), both map-side combined. The running sum
+    then rides a window over the DATE-DOMAIN-bounded delta relation
+    (one row per calendar day with activity — ~2.5k rows for 7 years,
+    regardless of order count), the same tiny-relation argument as
+    the share-of-parent windows. Days with no boundary are not
+    emitted; open_orders on an emitted day is the end-of-day count."""
+    orders = load_table(spark, sf_dir, "orders")
+    close = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("close_date"))
+    )
+    spans = orders.join(
+        close, orders["o_orderkey"] == close["l_orderkey"]
+    ).select(
+        F.to_date("o_orderdate").alias("open_date"),
+        F.date_add("close_date", 1).alias("end_date"),
+    )
+    deltas = (
+        spans.select(
+            F.col("open_date").alias("day"),
+            F.lit(1).cast("long").alias("delta"),
+        )
+        .unionByName(
+            spans.select(
+                F.col("end_date").alias("day"),
+                F.lit(-1).cast("long").alias("delta"),
+            )
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("delta").alias("net"),
+            F.sum(
+                F.when(F.col("delta") > 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+            ).alias("n_opened"),
+            F.sum(
+                F.when(F.col("delta") < 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+            ).alias("n_closed"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return deltas.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    )
+
+
+_OPEN_ORDERS_SQL = """
+WITH close AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_date
+  FROM lineitem GROUP BY 1
+), spans AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS open_date,
+         c.close_date + INTERVAL 1 DAY AS end_date
+  FROM orders o JOIN close c ON o.o_orderkey = c.l_orderkey
+), deltas AS (
+  SELECT day,
+         CAST(SUM(delta) AS BIGINT) AS net,
+         CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_opened,
+         CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_closed
+  FROM (
+    SELECT open_date AS day, 1 AS delta FROM spans
+    UNION ALL
+    SELECT CAST(end_date AS DATE) AS day, -1 AS delta FROM spans
+  ) GROUP BY 1
+)
+SELECT day, n_opened, n_closed,
+       CAST(SUM(net) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS open_orders
+FROM deltas
+"""
+
+
+def bot_regularity_score(
+    spark: SparkSession, sf_dir: str, min_gaps: int = 50
+) -> DataFrame:
+    """Inter-event regularity per user (round 8): a human's gaps are
+    bursty (coefficient of variation ≈ 1, exponential-ish); a cron
+    job or bot repeats on a near-constant period (CV ≪ 1). Per user:
+    gap count, exact mean gap, and a bot flag = enough gaps AND
+    CV < 0.5 — the regularity tier of abuse/automation detection
+    beside rate (event_rate_spikes) and cadence (inter_event_gaps).
+
+    Exactness: gaps are integer seconds (floored µs), capped at one
+    day so squares stay in long range (ss ≤ n·7.5e9 — safe past 1e8
+    gaps/user); the CV test never divides — CV² < 1/4 ⇔
+    4·(n·ss − s²) < s² evaluated in DECIMAL(38)/HUGEINT on the
+    per-user aggregate rows (n·ss overflows a long at ~1e3 gaps, the
+    reason the flag math leaves the long grid AFTER aggregation).
+    An all-zero-gap user (s = 0) is perfectly regular: flagged when
+    n ≥ min_gaps."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        F.least(
+            (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            )
+            / F.lit(1000000),
+            F.lit(86400),
+        )
+        .cast("long")
+        .alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap_s").alias("s"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("ss"),
+    )
+    var4 = F.expr(
+        "4 * (CAST(n_gaps AS DECIMAL(38,0)) * ss"
+        " - CAST(s AS DECIMAL(38,0)) * s)"
+    )
+    s2 = F.expr("CAST(s AS DECIMAL(38,0)) * s")
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        (F.col("s").cast("double") / F.col("n_gaps")).alias(
+            "mean_gap_s"
+        ),
+        (
+            (F.col("n_gaps") >= F.lit(min_gaps)) & (var4 < s2)
+            | (
+                (F.col("n_gaps") >= F.lit(min_gaps))
+                & (F.col("s") == 0)
+            )
+        ).alias("is_bot"),
+    )
+
+
+def _bot_regularity_sql(min_gaps: int = 50) -> str:
+    return f"""
+WITH gaps AS (
+  SELECT user_id,
+         LEAST((epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000000,
+               86400) AS gap_s
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap_s) AS BIGINT) AS s,
+         CAST(SUM(gap_s * gap_s) AS BIGINT) AS ss
+  FROM gaps WHERE gap_s IS NOT NULL GROUP BY 1
+)
+SELECT user_id, n_gaps,
+       CAST(s AS DOUBLE) / n_gaps AS mean_gap_s,
+       (n_gaps >= {min_gaps}
+        AND 4 * (CAST(n_gaps AS HUGEINT) * ss
+                 - CAST(s AS HUGEINT) * s)
+            < CAST(s AS HUGEINT) * s)
+       OR (n_gaps >= {min_gaps} AND s = 0) AS is_bot
+FROM agg
+"""
+
+
+def copurchase_link_prediction(
+    spark: SparkSession,
+    sf_dir: str,
+    min_count: int = 2,
+    max_degree: int = 1000,
+    top_n: int = 100,
+) -> DataFrame:
+    """Link prediction on the co-purchase graph (round 8): for part
+    pairs NOT yet co-purchased, the Resource Allocation index
+    (Zhou, Lü & Zhang 2009) — RA(a,b) = Σ_z 1/deg(z) over common
+    neighbors z — ranks the most likely next basket pairings. RA is
+    chosen over Adamic-Adar deliberately: 1/deg is exact on the 1e12
+    integer grid (floor division), while 1/ln(deg) would hang a
+    cross-engine .5-rounding hazard on libm's last ulp.
+
+    Scale: the wedge join (adj ⋈ adj on the shared neighbor z) is the
+    honest cost of any common-neighbor method; it is bounded by
+    Σ deg(z)² with hubs EXCLUDED above max_degree (standard hub
+    suppression — a 10⁶-degree hub contributes ≤1 µ-unit per wedge
+    and O(deg²) wedges). Existing edges drop via one anti-join; the
+    top-N is TakeOrderedAndProject."""
+    _, pairs = _basket_pairs(spark, sf_dir, min_count)
+    adj = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = adj.groupBy(F.col("src").alias("z")).agg(
+        F.count(F.lit(1)).cast("long").alias("dg")
+    )
+    mids = deg.filter(F.col("dg") <= max_degree)
+    left = adj.select(F.col("dst").alias("a"), F.col("src").alias("z1"))
+    right = adj.select(F.col("src").alias("z2"), F.col("dst").alias("b"))
+    wedges = (
+        left.join(right, (left["z1"] == right["z2"]) & (F.col("a") < F.col("b")))
+        .join(F.broadcast(mids), F.col("z1") == F.col("z"))
+        .select("a", "b", F.expr("1000000000000 DIV dg").alias("ra_part"))
+    )
+    existing = pairs.select(
+        F.col("pa").alias("a"), F.col("pb").alias("b")
+    )
+    scored = (
+        wedges.join(existing, ["a", "b"], "left_anti")
+        .groupBy("a", "b")
+        .agg(
+            F.sum("ra_part").alias("ra_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+        )
+    )
+    return _ranked_topk(
+        scored.select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "ra_micro",
+            "n_common",
+        ),
+        [
+            F.col("ra_micro").desc(),
+            F.col("part_a").asc(),
+            F.col("part_b").asc(),
+        ],
+        "part_a",
+        top_n,
+        "link_rank",
+    )
+
+
+def _link_prediction_sql(
+    min_count: int = 2, max_degree: int = 1000, top_n: int = 100
+) -> str:
+    return f"""
+WITH {_BASKET_PAIRS_CTE.format(min_count=min_count)},
+adj AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL SELECT pb, pa FROM pairs
+), deg AS (
+  SELECT src AS z, CAST(COUNT(*) AS BIGINT) AS dg FROM adj GROUP BY 1
+), wedges AS (
+  SELECT l.dst AS a, r.dst AS b, 1000000000000 // d.dg AS ra_part
+  FROM adj l
+  JOIN adj r ON l.src = r.src AND l.dst < r.dst
+  JOIN deg d ON d.z = l.src AND d.dg <= {max_degree}
+), scored AS (
+  SELECT a, b, CAST(SUM(ra_part) AS BIGINT) AS ra_micro,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM wedges w
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pairs p WHERE p.pa = w.a AND p.pb = w.b
+  )
+  GROUP BY 1, 2
+)
+SELECT a AS part_a, b AS part_b, ra_micro, n_common,
+       CAST(row_number() OVER (ORDER BY ra_micro DESC, a ASC, b ASC)
+            AS BIGINT) AS link_rank
+FROM scored
+ORDER BY ra_micro DESC, a ASC, b ASC
+LIMIT {top_n}
+"""
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # anchor (driver-checked every round)
     "tem_hourly_avg": (tem_hourly_avg, _TEM_HOURLY_AVG_SQL),
@@ -14603,6 +14991,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _RI_AUDIT_SQL,
     ),
     "customer_rfm_segments": (customer_rfm_segments, _RFM_SQL),
+    "part_copurchase_lift": (part_copurchase_lift, _copurchase_lift_sql()),
+    "open_orders_daily": (open_orders_daily, _OPEN_ORDERS_SQL),
+    "bot_regularity_score": (bot_regularity_score, _bot_regularity_sql()),
+    "copurchase_link_prediction": (
+        copurchase_link_prediction,
+        _link_prediction_sql(),
+    ),
 }
 
 
@@ -14648,6 +15043,10 @@ _R8_NEW: tuple[str, ...] = (
     "stream_hourly_ohlc",
     "referential_integrity_audit",
     "customer_rfm_segments",
+    "part_copurchase_lift",
+    "open_orders_daily",
+    "bot_regularity_score",
+    "copurchase_link_prediction",
 )
 
 #: r4-green refresh queue head (stamped round 4, nothing newer) —

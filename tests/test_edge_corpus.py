@@ -433,6 +433,9 @@ EVENTS_QUERIES = [
     # r8: RFM quintiles on a 4-customer corpus — every rank formula
     # boundary (N not divisible by 5) fires; ties break on custkey
     "customer_rfm_segments",
+    # r8: regularity on users with duplicate timestamps (gap 0 rides
+    # the s=0 perfectly-regular branch) and too few gaps to flag
+    "bot_regularity_score",
 ]
 
 
@@ -652,6 +655,15 @@ TPCH_QUERIES = [
     # r7 session-6j: two regions, three nations — ppm shares on a
     # handful of exact cent sums
     "region_nation_share",
+    # r8: FK audit on the handcrafted star (all parents resolvable —
+    # 7 zero-orphan rows, counts still compared); basket pairs where
+    # min_count=2 may leave zero qualifying pairs (both engines must
+    # agree on that, possibly-empty, set); the sweep line over orders
+    # whose close date precedes more opens
+    "referential_integrity_audit",
+    "part_copurchase_lift",
+    "open_orders_daily",
+    "copurchase_link_prediction",
 ]
 
 

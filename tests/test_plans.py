@@ -1087,3 +1087,41 @@ def test_rfm_two_phase_rank_broadcasts_offsets(spark, sf_dir):
     assert not f.has_cartesian
     assert "BroadcastHashJoin" in f.joins
     assert f.has_partial_agg
+
+
+def test_copurchase_lift_bounded_basket_join(spark, sf_dir):
+    """Market-basket lift: the pair self-join shuffles on orderkey
+    (basket-bounded fanout); per-part counts and the order total
+    broadcast back; never cartesian."""
+    f = facts(spark, sf_dir, "part_copurchase_lift")
+    assert not f.has_cartesian
+    assert "BroadcastHashJoin" in f.joins
+    assert f.has_partial_agg
+
+
+def test_open_orders_sweep_line_no_interval_join(spark, sf_dir):
+    """The sweep line must never plan an interval self-join: deltas
+    aggregate map-side and the running sum rides ONE sort over the
+    date-domain-bounded relation."""
+    f = facts(spark, sf_dir, "open_orders_daily")
+    assert not f.has_cartesian
+    assert f.has_partial_agg
+    assert len(re.findall(r"\(\d+\) Sort\b", f.raw)) == 1
+
+
+def test_bot_regularity_one_user_window(spark, sf_dir):
+    """Regularity: one user-keyed window sort (the shared sessionize
+    shape) + a map-side-combinable per-user aggregate; no joins."""
+    f = facts(spark, sf_dir, "bot_regularity_score")
+    assert not f.joins
+    assert f.has_partial_agg
+    assert len(re.findall(r"\(\d+\) Sort\b", f.raw)) == 1
+
+
+def test_link_prediction_wedge_join_hub_capped(spark, sf_dir):
+    """RA link prediction: wedge join + anti join on the pair
+    relation, degree filter broadcast; top-N must be
+    TakeOrderedAndProject, never a global sort of all candidates."""
+    f = facts(spark, sf_dir, "copurchase_link_prediction")
+    assert not f.has_cartesian
+    assert "TakeOrderedAndProject" in f.raw
