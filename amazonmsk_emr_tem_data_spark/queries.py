@@ -14613,6 +14613,292 @@ LIMIT {top_n}
 """
 
 
+# ---------------------------------------------------------------------------
+# round-8 session 1c: ANN quality audit, gibberish filter, burstiness, drift
+# ---------------------------------------------------------------------------
+
+
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit (round 8): per query, the recall of the IVF
+    tier against the exact brute-force top-k — the evaluation harness
+    every approximate-index deployment runs before trusting the fast
+    path, shipped as a first-class query instead of a notebook. Joins
+    the two existing operators (embedding_knn_join = ground truth,
+    ivf_topk = candidate) on (query_id, vec_id); recall in exact ppm.
+
+    Scale: both inputs are top-k-bounded (k rows per query), so the
+    audit join is |queries|·k rows regardless of corpus size — the
+    expensive parts are the operators themselves, already covered by
+    their own scale stories."""
+    exact = embedding_knn_join_q(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("e_vec")
+    )
+    approx = ivf_topk_q(spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vec")
+    )
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["a_qid"])
+        & (exact["e_vec"] == approx["a_vec"]),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(F.col("a_vec").isNotNull().cast("long")).alias("n_found"),
+        F.expr(
+            "1000000 * sum(CAST(a_vec IS NOT NULL AS BIGINT))"
+            " DIV count(1)"
+        ).alias("recall_ppm"),
+    )
+
+
+def _ann_recall_sql() -> str:
+    return f"""
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_found,
+       CAST(1000000 * SUM(CASE WHEN i.vec_id IS NOT NULL
+                          THEN 1 ELSE 0 END) // COUNT(*)
+            AS BIGINT) AS recall_ppm
+FROM ({_EMB_KNN_SQL}) e
+LEFT JOIN ({_ivf_topk_sql()}) i
+  ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+GROUP BY 1
+"""
+
+
+def doc_gibberish_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR-garbage / gibberish detection (round 8): the character-
+    class heuristics that catch what the word-level Gopher rules miss
+    — scanner noise, base64 blobs, mojibake. Per doc: the longest
+    ASCII consonant run (real language breaks consonant runs with
+    vowels; OCR noise and key-mash don't), symbol and digit ratios
+    over all characters, vowel ratio over letters, and the gibberish
+    verdict (consonant run ≥ 6, OR symbols > 30%, OR ≥ 20 letters
+    with < 10% vowels). All integer ppm math on regexp counts — a
+    pure map pass, no shuffle at all."""
+    low = F.lower(F.col("text"))
+
+    def n_removed(pattern: str) -> Column:
+        return (
+            F.length(low) - F.length(F.regexp_replace(low, pattern, ""))
+        ).cast("long")
+
+    n = F.length(low).cast("long")
+    letters = n_removed("[a-z]")
+    vowels = n_removed("[aeiou]")
+    digits = n_removed("[0-9]")
+    spaces = n_removed(r"\s")
+    symbols = (n - letters - digits - spaces).alias("x")
+    max_run = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.regexp_extract_all(low, F.lit("[b-df-hj-np-tv-z]+"), 0),
+                lambda x: F.length(x),
+            )
+        ),
+        F.lit(0),
+    ).cast("long")
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        max_run.alias("max_consonant_run"),
+        n.alias("__n"),
+        letters.alias("n_letters"),
+        vowels.alias("__v"),
+        digits.alias("__d"),
+        symbols.alias("__s"),
+    )
+    out = counted.select(
+        "doc_id",
+        "max_consonant_run",
+        F.when(
+            F.col("__n") > 0,
+            F.expr("1000000 * __s DIV __n"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("symbol_ppm"),
+        F.when(
+            F.col("__n") > 0,
+            F.expr("1000000 * __d DIV __n"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("digit_ppm"),
+        F.when(
+            F.col("n_letters") > 0,
+            F.expr("1000000 * __v DIV n_letters"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("vowel_ppm"),
+        "n_letters",
+    )
+    return out.withColumn(
+        "is_gibberish",
+        (F.col("max_consonant_run") >= 6)
+        | (F.col("symbol_ppm") > 300000)
+        | ((F.col("n_letters") >= 20) & (F.col("vowel_ppm") < 100000)),
+    )
+
+
+_GIBBERISH_SQL = r"""
+WITH c AS (
+  SELECT doc_id, lower(text) AS low,
+         CAST(length(lower(text)) AS BIGINT) AS n,
+         CAST(length(lower(text))
+              - length(regexp_replace(lower(text), '[a-z]', '', 'g'))
+           AS BIGINT) AS letters,
+         CAST(length(lower(text))
+              - length(regexp_replace(lower(text), '[aeiou]', '', 'g'))
+           AS BIGINT) AS vowels,
+         CAST(length(lower(text))
+              - length(regexp_replace(lower(text), '[0-9]', '', 'g'))
+           AS BIGINT) AS digits,
+         CAST(length(lower(text))
+              - length(regexp_replace(lower(text), '\s', '', 'g'))
+           AS BIGINT) AS spaces,
+         CAST(COALESCE(list_max(list_transform(
+                regexp_extract_all(lower(text), '[b-df-hj-np-tv-z]+'),
+                x -> length(x))), 0) AS BIGINT) AS max_consonant_run
+  FROM documents
+), r AS (
+  SELECT doc_id, max_consonant_run,
+         CASE WHEN n > 0 THEN
+           1000000 * (n - letters - digits - spaces) // n
+           ELSE 0 END AS symbol_ppm,
+         CASE WHEN n > 0 THEN 1000000 * digits // n
+           ELSE 0 END AS digit_ppm,
+         CASE WHEN letters > 0 THEN 1000000 * vowels // letters
+           ELSE 0 END AS vowel_ppm,
+         letters AS n_letters
+  FROM c
+)
+SELECT doc_id, max_consonant_run, symbol_ppm, digit_ppm, vowel_ppm,
+       n_letters,
+       max_consonant_run >= 6 OR symbol_ppm > 300000
+         OR (n_letters >= 20 AND vowel_ppm < 100000) AS is_gibberish
+FROM r
+"""
+
+
+def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (Church & Gale 1995) (round 8): per term, the
+    variance-to-mean ratio of its per-document counts over the WHOLE
+    corpus (zeros included) — VMR ≈ 1 is Poisson scatter (function
+    words), VMR ≫ 1 is bursty content vocabulary that clumps in few
+    docs. The dispersion axis that df/cf (corpus_vocab_stats) and
+    rank (token_zipf_profile) don't capture; feeds stopword discovery
+    and keyword weighting.
+
+    Exactness: with s = Σtf, ss = Σtf² and N docs, VMR = (N·ss −
+    s²)/(N·s) — non-negative by the power-mean inequality. Sums ride
+    the long grid map-side; the final ppm ratio multiplies on
+    DECIMAL(38)/HUGEINT over the |vocab|-row aggregate (N·ss·10⁶
+    leaves long range around 5M docs — same post-agg-decimal pattern
+    as bot_regularity_score) and floors with integral `div`, exact in
+    both engines."""
+    from .functions.text import tokens
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    per_term = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").alias("cf"),
+        F.sum(F.col("tf") * F.col("tf")).alias("ss"),
+    )
+    return per_term.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        "df",
+        "cf",
+        F.expr(
+            "(CAST(1000000 AS DECIMAL(38,0))"
+            " * (CAST(n_docs AS DECIMAL(38,0)) * ss"
+            "    - CAST(cf AS DECIMAL(38,0)) * cf))"
+            " div (CAST(n_docs AS DECIMAL(38,0)) * cf)"
+        ).alias("vmr_ppm"),
+    )
+
+
+_BURSTINESS_SQL = f"""
+WITH tf AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+  GROUP BY 1, 2
+), per_term AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(tf) AS BIGINT) AS cf,
+         CAST(SUM(tf * tf) AS BIGINT) AS ss
+  FROM tf GROUP BY 1
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT term, df, cf,
+       CAST((CAST(1000000 AS HUGEINT)
+             * (CAST(n_docs AS HUGEINT) * ss
+                - CAST(cf AS HUGEINT) * cf))
+            // (CAST(n_docs AS HUGEINT) * cf) AS BIGINT) AS vmr_ppm
+FROM per_term CROSS JOIN n
+"""
+
+
+def orders_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority mix drift (round 8): per month, each priority's
+    share of orders against its all-time share, with the signed delta
+    in ppm — the composition-shift monitor (did URGENT jump this
+    month?) that complements volume trend (nation_revenue_trend) and
+    value drift (event_value_drift) with a MIX view.
+
+    Scale: one (month, priority) combine over the fact table; month
+    totals and global priority shares are windows/joins over the
+    |months|·|priorities| aggregate — metadata-sized, like the
+    share-of-parent rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    cell = orders.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return cell.select(
+        "month",
+        "priority",
+        "n",
+        F.expr(
+            "1000000 * n DIV sum(n) OVER (PARTITION BY month)"
+        ).alias("share_ppm"),
+        F.expr(
+            "1000000 * sum(n) OVER (PARTITION BY priority)"
+            " DIV sum(n) OVER ()"
+        ).alias("global_share_ppm"),
+    ).withColumn(
+        "delta_ppm", F.col("share_ppm") - F.col("global_share_ppm")
+    )
+
+
+_PRIORITY_DRIFT_SQL = """
+WITH cell AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         o_orderpriority AS priority,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+), shares AS (
+  SELECT month, priority, n,
+         CAST(1000000 * n // SUM(n) OVER (PARTITION BY month)
+           AS BIGINT) AS share_ppm,
+         CAST(1000000 * SUM(n) OVER (PARTITION BY priority)
+              // SUM(n) OVER () AS BIGINT) AS global_share_ppm
+  FROM cell
+)
+SELECT month, priority, n, share_ppm, global_share_ppm,
+       share_ppm - global_share_ppm AS delta_ppm
+FROM shares
+"""
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # anchor (driver-checked every round)
     "tem_hourly_avg": (tem_hourly_avg, _TEM_HOURLY_AVG_SQL),
@@ -14998,6 +15284,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         copurchase_link_prediction,
         _link_prediction_sql(),
     ),
+    "ann_recall_audit": (ann_recall_audit, _ann_recall_sql()),
+    "doc_gibberish_filter": (doc_gibberish_filter, _GIBBERISH_SQL),
+    "token_burstiness": (token_burstiness, _BURSTINESS_SQL),
+    "orders_priority_drift": (orders_priority_drift, _PRIORITY_DRIFT_SQL),
 }
 
 
@@ -15047,6 +15337,10 @@ _R8_NEW: tuple[str, ...] = (
     "open_orders_daily",
     "bot_regularity_score",
     "copurchase_link_prediction",
+    "ann_recall_audit",
+    "doc_gibberish_filter",
+    "token_burstiness",
+    "orders_priority_drift",
 )
 
 #: r4-green refresh queue head (stamped round 4, nothing newer) —

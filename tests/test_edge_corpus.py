@@ -177,6 +177,12 @@ DOC_QUERIES = [
     # r7 session-6i: one source holds the whole budget, capped at its
     # 12 members (n_alloc = min path); variance from 12 tiny docs
     "neyman_allocation_sample",
+    # r8: gibberish heuristics on empty / punctuation-only / unicode
+    # docs (0-letter guards; non-ASCII letters count as symbols in
+    # BOTH engines' [a-z] classes); burstiness where doc 4's 8x'the'
+    # is the bursty extreme and VMR's zero-count docs dominate N
+    "doc_gibberish_filter",
+    "token_burstiness",
 ]
 
 
@@ -664,6 +670,9 @@ TPCH_QUERIES = [
     "part_copurchase_lift",
     "open_orders_daily",
     "copurchase_link_prediction",
+    # r8: priority mix over two months x few priorities — every share
+    # window runs over single-digit cells
+    "orders_priority_drift",
 ]
 
 

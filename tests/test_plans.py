@@ -1125,3 +1125,37 @@ def test_link_prediction_wedge_join_hub_capped(spark, sf_dir):
     f = facts(spark, sf_dir, "copurchase_link_prediction")
     assert not f.has_cartesian
     assert "TakeOrderedAndProject" in f.raw
+
+
+def test_gibberish_filter_map_only(spark, sf_dir):
+    """Character-class heuristics are a pure map pass: zero exchanges,
+    zero joins — the cheapest possible corpus filter."""
+    f = facts(spark, sf_dir, "doc_gibberish_filter")
+    assert f.n_exchanges == 0
+    assert not f.joins
+
+
+def test_burstiness_two_exchange_agg(spark, sf_dir):
+    """Burstiness: (term, doc) rollup then term rollup — the same two
+    map-side-combined exchanges as the inverted index; N broadcasts."""
+    f = facts(spark, sf_dir, "token_burstiness")
+    assert f.has_partial_agg
+    assert not f.has_cartesian
+    # the only joins allowed are the broadcast of the one-row N
+    assert all(j.startswith("Broadcast") for j in f.joins)
+
+
+def test_priority_drift_windows_over_aggregate(spark, sf_dir):
+    """Mix drift: share windows must run over the |months|x|priorities|
+    aggregate, never the fact table (sorts sit above the group-by)."""
+    f = facts(spark, sf_dir, "orders_priority_drift")
+    assert f.has_partial_agg
+    assert not f.joins
+    assert not f.has_cartesian
+
+
+def test_ann_recall_audit_topk_bounded(spark, sf_dir):
+    """The audit joins two k-bounded relations; no cartesian, and the
+    ground-truth side must keep its broadcast-corpus shape."""
+    f = facts(spark, sf_dir, "ann_recall_audit")
+    assert not f.has_cartesian
