@@ -117,6 +117,17 @@ def _run_noop(fn, spark, sf_dir) -> float:
         ("part_abc_classes", 3.0),
         # bucket-offset numbering, metadata window
         ("doc_global_sequence", 3.0),
+        # round-8 (SCALING.md r8 table): measured 1.2x-4.7x at 10x;
+        # bounds ~2.5x the measurement.
+        # one combined aggregate, min_by tuple state
+        ("event_value_ohlc", 3.5),
+        # three two-phase ranks over bounded histograms
+        ("customer_rfm_segments", 3.5),
+        # kNN-sparsified wedge join — the bound guards the round's
+        # catch (pre-sparsify this measured 10.1x)
+        ("copurchase_link_prediction", 5.0),
+        # basket-bounded pair groupBy, linear in orders
+        ("part_copurchase_lift", 6.0),
     ],
 )
 def test_tenx_replication_scales_sublinearly(spark, scaled_dir, qname, max_ratio):
