@@ -109,6 +109,13 @@ HEADLINE = [
     "kmeans_lloyd_clusters",
     "event_seasonal_anomaly",
     "part_stock_balance",
+    # round-8 additions: the one-pass combined-aggregate rollup
+    # (min_by/max_by candle), the basket pair-mining representative,
+    # and the kNN-sparsified wedge join (locks the 10.1x -> 1.8x
+    # sparsification win in)
+    "event_value_ohlc",
+    "part_copurchase_lift",
+    "copurchase_link_prediction",
 ]
 
 
