@@ -14938,6 +14938,377 @@ FROM shares
 """
 
 
+# ---------------------------------------------------------------------------
+# round-8 session 1d: per-type percentile profile, HHI, quantile normalize
+# ---------------------------------------------------------------------------
+
+
+def stream_click_purchase_left_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — clicks without a
+    purchase emit NULL-padded after the watermark proves no match can
+    arrive (see streaming/pipelines for the state/eviction story).
+    The oracle mirrors the drain's final-watermark cutoff: unmatched
+    clicks appear only when click_ts + 1h < min(max click_ts,
+    max purchase_ts) — pinned empirically (204 of 205 unmatched
+    clicks at sf0.001; the withheld one sits inside the final
+    watermark horizon)."""
+    from .streaming.pipelines import (
+        stream_stream_left_outer_click_purchase,
+    )
+
+    return stream_stream_left_outer_click_purchase(spark, sf_dir)
+
+
+_STREAM_LEFT_JOIN_SQL = """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), wm AS (
+  SELECT LEAST((SELECT MAX(click_ts) FROM c),
+               (SELECT MAX(purchase_ts) FROM p)) AS w
+)
+SELECT c.user_id, c.click_id, c.click_ts, p.purchase_id, p.purchase_ts
+FROM c JOIN p
+  ON p.p_user = c.user_id
+ AND p.purchase_ts > c.click_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+UNION ALL
+SELECT c.user_id, c.click_id, c.click_ts, NULL, NULL
+FROM c CROSS JOIN wm
+WHERE NOT EXISTS (
+  SELECT 1 FROM p WHERE p.p_user = c.user_id
+    AND p.purchase_ts > c.click_ts
+    AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+) AND c.click_ts + INTERVAL 1 HOUR < wm.w
+"""
+
+
+def event_type_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type percentile profile (round 8): p25/p50/p75/p95 of
+    event value per type — the latency-SLO-style summary every
+    monitoring stack publishes, computed EXACTLY with the two-phase
+    histogram machinery (winsorize's cut locator, generalized to four
+    cuts): per ($5-bucket, type) counts locate each percentile's
+    bucket on the tiny histogram, within-bucket ranks resolve the
+    exact cent value — never a per-type whole-table sort. Lower
+    quantile semantics: smallest v with den·rank ≥ num·n, ties broken
+    by event_id, identical in both engines."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    obs = ev.select(
+        "event_type",
+        "event_id",
+        _cents("value").alias("v_cents"),
+        F.expr("CAST(round(value * 100) AS BIGINT) div 500").alias("bkt"),
+    )
+    hist = obs.groupBy("event_type", "bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("bn")
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bkt",
+        "bn",
+        F.sum("bn").over(wb).alias("cumn"),
+        F.sum("bn").over(wt).alias("totn"),
+    )
+
+    def cut(num: int, den: int, tag: str) -> DataFrame:
+        locator = (
+            cum.filter(
+                F.lit(den) * F.col("cumn") >= F.lit(num) * F.col("totn")
+            )
+            .groupBy("event_type")
+            .agg(F.min(F.struct("bkt", "cumn", "bn", "totn")).alias("m"))
+            .select(
+                F.col("event_type").alias(f"lt_{tag}"),
+                F.col("m.bkt").alias("mb"),
+                (F.col("m.cumn") - F.col("m.bn")).alias("n_before"),
+                F.col("m.totn").alias("totn"),
+            )
+        )
+        win = (
+            Window.partitionBy(f"lt_{tag}")
+            .orderBy("v_cents", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            obs.join(
+                F.broadcast(locator),
+                (obs["event_type"] == locator[f"lt_{tag}"])
+                & (obs["bkt"] == locator["mb"]),
+            )
+            .select(
+                f"lt_{tag}",
+                "v_cents",
+                (
+                    F.col("n_before") + F.count(F.lit(1)).over(win)
+                ).alias("rank"),
+                "totn",
+            )
+            .filter(
+                F.lit(den) * F.col("rank") >= F.lit(num) * F.col("totn")
+            )
+            .groupBy(f"lt_{tag}")
+            .agg(
+                (F.min("v_cents").cast("double") / F.lit(100.0)).alias(
+                    tag
+                )
+            )
+        )
+
+    out = (
+        cut(1, 4, "p25")
+        .join(cut(1, 2, "p50"), F.col("lt_p25") == F.col("lt_p50"))
+        .join(cut(3, 4, "p75"), F.col("lt_p25") == F.col("lt_p75"))
+        .join(cut(19, 20, "p95"), F.col("lt_p25") == F.col("lt_p95"))
+    )
+    return out.select(
+        F.col("lt_p25").alias("event_type"), "p25", "p50", "p75", "p95"
+    )
+
+
+def _type_pct_cut_sql(num: int, den: int, tag: str) -> str:
+    return f"""{tag}_loc AS (
+  SELECT event_type AS lt, MIN(bkt) AS mb,
+         MIN_BY(cumn - bn, bkt) AS n_before, MIN(totn) AS totn
+  FROM cum WHERE {den} * cumn >= {num} * totn GROUP BY 1
+), {tag} AS (
+  SELECT lt, CAST(MIN(v_cents) AS DOUBLE) / 100.0 AS {tag} FROM (
+    SELECT o.event_type AS lt, o.v_cents,
+           lo.n_before + CAST(COUNT(*) OVER (
+               PARTITION BY o.event_type
+               ORDER BY o.v_cents, o.event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS rank,
+           lo.totn
+    FROM obs o JOIN {tag}_loc lo
+      ON o.event_type = lo.lt AND o.bkt = lo.mb
+  ) WHERE {den} * rank >= {num} * totn GROUP BY 1
+)"""
+
+
+_TYPE_PERCENTILES_SQL = f"""
+WITH obs AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS v_cents,
+         CAST(round(value * 100) AS BIGINT) // 500 AS bkt
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+), hist AS (
+  SELECT event_type, bkt, CAST(COUNT(*) AS BIGINT) AS bn
+  FROM obs GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bkt, bn,
+         CAST(SUM(bn) OVER (PARTITION BY event_type ORDER BY bkt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cumn,
+         CAST(SUM(bn) OVER (PARTITION BY event_type) AS BIGINT) AS totn
+  FROM hist
+), {_type_pct_cut_sql(1, 4, "p25")}, {_type_pct_cut_sql(1, 2, "p50")},
+{_type_pct_cut_sql(3, 4, "p75")}, {_type_pct_cut_sql(19, 20, "p95")}
+SELECT p25.lt AS event_type, p25.p25, p50.p50, p75.p75, p95.p95
+FROM p25 JOIN p50 USING (lt) JOIN p75 USING (lt) JOIN p95 USING (lt)
+"""
+
+
+def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration index per part (round 8): the
+    Herfindahl–Hirschman Index over each part's supplier quantity
+    shares — HHI = Σ share² ∈ (0, 1], 1 = single-sourced — the
+    procurement-risk metric behind second-source policies; flags
+    parts where one supplier owns the volume (sole_blame_suppliers'
+    quality view, from the concentration side).
+
+    Exactness: quantities sum on the integer grid map-side; HHI_ppm =
+    (10⁶ · Σq_s²) // Q² computed on DECIMAL(38)/HUGEINT over the
+    |parts|-row aggregate (q² leaves long range around Q ≈ 3e9 — the
+    post-agg-decimal pattern). One division total, floored the same
+    in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_cents("l_quantity", 1)).alias("q")
+    )
+    per_part = per_ps.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("q").alias("qt"),
+        F.sum(F.col("q") * F.col("q")).alias("qq"),
+    )
+    return per_part.select(
+        "part",
+        "n_suppliers",
+        F.expr(
+            "(CAST(1000000 AS DECIMAL(38,0)) * qq)"
+            " div (CAST(qt AS DECIMAL(38,0)) * qt)"
+        ).alias("hhi_ppm"),
+    )
+
+
+_PART_HHI_SQL = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+), per_part AS (
+  SELECT l_partkey AS part,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(q) AS BIGINT) AS qt,
+         CAST(SUM(q * q) AS BIGINT) AS qq
+  FROM per_ps GROUP BY 1
+)
+SELECT part, n_suppliers,
+       CAST((CAST(1000000 AS HUGEINT) * qq)
+            // (CAST(qt AS HUGEINT) * qt) AS BIGINT) AS hhi_ppm
+FROM per_part
+"""
+
+
+def quantile_normalize_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source quantile normalization (round 8): each document's
+    quality score is replaced by the GLOBAL score at the same
+    within-source quantile — the batch-effect correction (microarray
+    lineage) that makes per-source quality thresholds comparable when
+    sources grade on different scales; the curation pipeline's answer
+    to 'source A's 0.6 is source B's 0.8'.
+
+    Mechanics, all rank algebra: within-source rank r of n_s maps to
+    global position p = ⌈r·N/n_s⌉ (integer: (r·N + n_s − 1) div n_s),
+    and the normalized score is the p-th smallest global score. Both
+    rankings use the TWO-PHASE global numbering (score-bucket
+    histogram + broadcast offsets + within-bucket window — the
+    doc_global_sequence shape), so nothing ever single-task sorts the
+    corpus; the position lookup is a shuffle equi-join on p. The
+    emitted value is a pass-through copy of an existing score — no
+    arithmetic, so cross-engine exactness is inherited from
+    quality_score parity."""
+    from .functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        quality_score("text").alias("q"),
+    ).withColumn("qb", F.round(F.col("q") * 1000).cast("long"))
+
+    def bucket_rank(
+        df: DataFrame, part_cols: list[str], name: str
+    ) -> DataFrame:
+        keys = [F.col(c) for c in part_cols]
+        counts = df.groupBy(*part_cols, "qb").agg(
+            F.count(F.lit(1)).alias("bn")
+        )
+        wmeta = Window.partitionBy(*part_cols).orderBy("qb").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        renamed = counts.select(
+            *[F.col(c).alias(f"__{c}") for c in part_cols],
+            F.col("qb").alias("__qb"),
+            "bn",
+        )
+        offsets = renamed.select(
+            *[f"__{c}" for c in part_cols],
+            "__qb",
+            F.coalesce(
+                F.sum("bn").over(
+                    Window.partitionBy(
+                        *[f"__{c}" for c in part_cols]
+                    )
+                    .orderBy("__qb")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("n_before"),
+        )
+        cond = F.col("qb") == F.col("__qb")
+        for c in part_cols:
+            cond = cond & (F.col(c) == F.col(f"__{c}"))
+        win = Window.partitionBy(*part_cols, "qb").orderBy(
+            "q", "doc_id"
+        )
+        return (
+            df.join(F.broadcast(offsets), cond)
+            .withColumn(
+                name,
+                (
+                    F.col("n_before") + F.row_number().over(win)
+                ).cast("long"),
+            )
+            .drop("__qb", "n_before", *[f"__{c}" for c in part_cols])
+        )
+
+    src_ranked = bucket_rank(scored, ["source"], "r_src")
+    glob_ranked = bucket_rank(scored, [], "r_glob")
+    n_glob = scored.agg(F.count(F.lit(1)).alias("n_all"))
+    n_src = scored.groupBy(F.col("source").alias("__s")).agg(
+        F.count(F.lit(1)).alias("n_s")
+    )
+    pos = (
+        src_ranked.join(
+            F.broadcast(n_src), F.col("source") == F.col("__s")
+        )
+        .crossJoin(F.broadcast(n_glob))
+        .select(
+            "doc_id",
+            "source",
+            "q",
+            "r_src",
+            F.expr("(r_src * n_all + n_s - 1) div n_s").alias("p"),
+        )
+    )
+    ref = glob_ranked.select(
+        F.col("r_glob").alias("__p"), F.col("q").alias("q_norm")
+    )
+    return pos.join(ref, pos["p"] == ref["__p"]).select(
+        "doc_id",
+        "source",
+        F.col("q").alias("q_raw"),
+        F.col("r_src").cast("long").alias("src_rank"),
+        "q_norm",
+    )
+
+
+def _quantile_norm_sql() -> str:
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, ({_QUALITY_SCORE_SQL}) AS q
+  FROM documents WHERE source IS NOT NULL
+), src_ranked AS (
+  SELECT doc_id, source, q,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY q, doc_id) AS BIGINT) AS r_src
+  FROM scored
+), glob_ranked AS (
+  SELECT q AS q_norm,
+         CAST(row_number() OVER (ORDER BY q, doc_id) AS BIGINT) AS p
+  FROM scored
+), counts AS (
+  SELECT source AS s, CAST(COUNT(*) AS BIGINT) AS n_s FROM scored
+  GROUP BY 1
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM scored)
+SELECT sr.doc_id, sr.source, sr.q AS q_raw, sr.r_src AS src_rank,
+       g.q_norm
+FROM src_ranked sr
+JOIN counts c ON c.s = sr.source
+CROSS JOIN n
+JOIN glob_ranked g
+  ON g.p = (sr.r_src * n_all + c.n_s - 1) // c.n_s
+"""
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # anchor (driver-checked every round)
     "tem_hourly_avg": (tem_hourly_avg, _TEM_HOURLY_AVG_SQL),
@@ -15327,6 +15698,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_gibberish_filter": (doc_gibberish_filter, _GIBBERISH_SQL),
     "token_burstiness": (token_burstiness, _BURSTINESS_SQL),
     "orders_priority_drift": (orders_priority_drift, _PRIORITY_DRIFT_SQL),
+    "event_type_percentiles": (
+        event_type_percentiles,
+        _TYPE_PERCENTILES_SQL,
+    ),
+    "part_supplier_hhi": (part_supplier_hhi, _PART_HHI_SQL),
+    "quantile_normalize_quality": (
+        quantile_normalize_quality,
+        _quantile_norm_sql(),
+    ),
+    "stream_click_purchase_left_join": (
+        stream_click_purchase_left_join,
+        _STREAM_LEFT_JOIN_SQL,
+    ),
 }
 
 

@@ -298,6 +298,61 @@ def stream_sliding_counts(
     )
 
 
+def stream_stream_left_outer_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join (round 8): every
+    click, joined to same-user purchases within one hour — and clicks
+    with NO purchase emit a NULL-padded row once the watermark proves
+    no match can still arrive. The abandonment/attribution query the
+    inner join (stream_stream_click_purchase) cannot express: state
+    for an unmatched left row is held exactly until the global
+    watermark (min across both inputs) passes click_ts + horizon,
+    then emitted null-joined and evicted — bounded state, exact
+    results.
+
+    Drain semantics the oracle must mirror: under availableNow the
+    final watermark freezes at min(max(click_ts), max(purchase_ts)),
+    so unmatched clicks with click_ts + 1h >= that watermark are
+    (correctly) withheld — they could still match in a live stream.
+    The batch twin reproduces this cutoff exactly."""
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "0 seconds")
+    )
+    purchases = (
+        ev.filter("event_type = 'purchase'")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "0 seconds")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks["user_id"] == purchases["p_user"])
+        & (purchases["purchase_ts"] > clicks["click_ts"])
+        & (
+            purchases["purchase_ts"]
+            <= clicks["click_ts"] + F.expr("INTERVAL 1 HOUR")
+        ),
+        "leftOuter",
+    )
+    return run_to_memory(
+        joined.select(
+            "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts"
+        ),
+        output_mode="append",
+    )
+
+
 def stream_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup: ``dropDuplicates`` over the key columns — the
     stateful distinct the reference needed for its 755-duplicate-id

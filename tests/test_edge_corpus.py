@@ -183,6 +183,9 @@ DOC_QUERIES = [
     # is the bursty extreme and VMR's zero-count docs dominate N
     "doc_gibberish_filter",
     "token_burstiness",
+    # r8: quantile normalization on ONE source (identity mapping —
+    # p = r exactly) with tied scores broken by doc_id
+    "quantile_normalize_quality",
 ]
 
 
@@ -442,6 +445,12 @@ EVENTS_QUERIES = [
     # r8: regularity on users with duplicate timestamps (gap 0 rides
     # the s=0 perfectly-regular branch) and too few gaps to flag
     "bot_regularity_score",
+    # r8: exact percentiles where types have a handful of values (all
+    # four cuts collapse onto few rows; negative floor-buckets)
+    "event_type_percentiles",
+    # r8: left-outer stream-stream join — the final-watermark cutoff
+    # (min of both sides' max ts) decides which unmatched clicks emit
+    "stream_click_purchase_left_join",
 ]
 
 
@@ -673,6 +682,9 @@ TPCH_QUERIES = [
     # r8: priority mix over two months x few priorities — every share
     # window runs over single-digit cells
     "orders_priority_drift",
+    # r8: HHI where parts are single-sourced (hhi = 1e6 exactly) and
+    # quantity ties split across suppliers
+    "part_supplier_hhi",
 ]
 
 

@@ -1159,3 +1159,36 @@ def test_ann_recall_audit_topk_bounded(spark, sf_dir):
     ground-truth side must keep its broadcast-corpus shape."""
     f = facts(spark, sf_dir, "ann_recall_audit")
     assert not f.has_cartesian
+
+
+def test_type_percentiles_broadcast_locators(spark, sf_dir):
+    """Per-type percentiles: four cut locators broadcast back onto the
+    observation relation — never a per-type whole-table sort; the
+    histogram combines map-side."""
+    f = facts(spark, sf_dir, "event_type_percentiles")
+    assert not f.has_cartesian
+    assert "BroadcastHashJoin" in f.joins
+    assert f.has_partial_agg
+
+
+def test_hhi_two_combines_no_join(spark, sf_dir):
+    """HHI: (part, supplier) rollup then part rollup, both
+    map-side-combined; the DECIMAL ratio runs on |parts| rows."""
+    f = facts(spark, sf_dir, "part_supplier_hhi")
+    assert not f.joins
+    assert f.has_partial_agg
+    assert f.n_exchanges <= 2
+
+
+def test_quantile_normalize_two_phase_ranks(spark, sf_dir):
+    """Quantile normalization: both global numberings are the
+    two-phase shape (bucket offsets broadcast, windows partitioned by
+    bucket); only metadata may pass a single-partition exchange."""
+    f = facts(spark, sf_dir, "quantile_normalize_quality")
+    assert not f.has_cartesian
+    assert "BroadcastHashJoin" in f.joins
+    singles = re.findall(r"Exchange SinglePartition", f.raw)
+    assert len(singles) <= 2, (
+        f"corpus data must not serialize: {len(singles)} single-partition "
+        "exchanges"
+    )
