@@ -15309,6 +15309,396 @@ JOIN glob_ranked g
 """
 
 
+# ---------------------------------------------------------------------------
+# round-8 session 1e: phrase search, coherent sampling, churn labels, MMR
+# ---------------------------------------------------------------------------
+
+
+def phrase_search(
+    spark: SparkSession, sf_dir: str, phrase: str = "table scan"
+) -> DataFrame:
+    """Positional phrase search (round 8): documents containing the
+    exact token sequence, with per-doc match positions and count —
+    the positional-index query behind quoted search, built from the
+    same (doc, term, pos) relation as doc_word_positions: positions
+    of term₁ equi-join positions of term₂ at pos+1 (extending to
+    n-gram phrases is n−1 self-equi-joins, never a string scan).
+
+    Scale: the position lists are filtered to the PHRASE terms before
+    the join (predicate pushdown to the explode), so the join touches
+    only matching terms' postings — the inverted-index access path,
+    not a corpus scan of text."""
+    from .functions.text import tokens
+
+    terms = phrase.split()
+    assert len(terms) == 2, "bigram phrases here; extend with more joins"
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
+    )
+    a = pos.filter(F.col("term") == terms[0]).select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    b = pos.filter(F.col("term") == terms[1]).select(
+        F.col("doc_id").alias("doc2"), F.col("pos").alias("p2")
+    )
+    hits = a.join(
+        b,
+        (a["doc_id"] == b["doc2"]) & (b["p2"] == a["p1"] + 1),
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("p1").cast("long").alias("first_pos"),
+    )
+
+
+def _phrase_search_sql(phrase: str = "table scan") -> str:
+    t1, t2 = phrase.split()
+    return f"""
+WITH pos AS (
+  SELECT doc_id,
+         generate_subscripts({_TOKS_SQL}, 1) - 1 AS pos,
+         unnest({_TOKS_SQL}) AS term
+  FROM documents
+)
+SELECT a.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(a.pos) AS BIGINT) AS first_pos
+FROM pos a JOIN pos b
+  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.term = '{t1}' AND b.term = '{t2}'
+GROUP BY 1
+"""
+
+
+def session_coherent_sample(
+    spark: SparkSession, sf_dir: str, keep_mod: int = 10
+) -> DataFrame:
+    """Group-coherent (all-or-nothing) session sampling (round 8):
+    sessionize the event stream, then keep EVERY event of sessions
+    whose id-hash lands in the kept residue class — the sampling mode
+    training pipelines need when examples are whole sequences
+    (conversations, browsing sessions): row-level sampling shreds
+    them. Deterministic: session key = (user_id, seg), md5-hash →
+    mod; the session segmentation is the shared 30-minute-gap
+    sessionize shape.
+
+    Scale: one user-keyed window pass to segment, a map-side hash
+    filter — no join; the kept fraction is exact-in-expectation and
+    reproducible run-over-run."""
+    from .functions.text import md5_hash64
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1800 * 1000000
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "seg",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    h = md5_hash64(
+        F.concat_ws(
+            "|",
+            F.lit("sess1"),
+            F.col("user_id").cast("string"),
+            F.col("seg").cast("string"),
+        )
+    )
+    return (
+        seg.withColumn("__h", h)
+        .filter(F.pmod(F.col("__h"), F.lit(keep_mod)) == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("seg").cast("long").alias("session_seg"),
+            "ts",
+            "event_type",
+        )
+    )
+
+
+def _session_sample_sql(keep_mod: int = 10) -> str:
+    h = _HASH64_SQL.format(
+        x="('sess1' || '|' || CAST(user_id AS VARCHAR)"
+        " || '|' || CAST(seg AS VARCHAR))"
+    )
+    return f"""
+WITH flagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), seg AS (
+  SELECT event_id, user_id, ts, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS seg
+  FROM flagged
+)
+SELECT event_id, user_id, CAST(seg AS BIGINT) AS session_seg, ts,
+       event_type
+FROM seg
+WHERE (({h}) % {keep_mod} + {keep_mod}) % {keep_mod} = 0
+"""
+
+
+def user_churn_labels(
+    spark: SparkSession, sf_dir: str, horizon_days: int = 7
+) -> DataFrame:
+    """Churn label + feature prep (round 8): per user, the supervised-
+    learning row a retention model trains on — churned = silent for
+    the final `horizon_days` of the corpus (label), with the
+    leakage-safe features computed ONLY from events BEFORE the label
+    window (days_active, n_events, n_purchases, mean inter-event gap
+    in the feature period). The label/feature temporal split is the
+    part pipelines get wrong; here the cutoff is one derived literal.
+
+    Scale: one combined per-user aggregate over the feature slice +
+    a broadcast one-row cutoff; label from each user's max ts."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    cut = ev.agg(
+        F.date_sub(
+            F.to_date(F.max("ts")), horizon_days
+        ).alias("cutoff")
+    )
+    labeled = ev.crossJoin(F.broadcast(cut))
+    feat = labeled.filter(F.to_date("ts") < F.col("cutoff"))
+    label = labeled.groupBy("user_id").agg(
+        (
+            F.max(F.to_date("ts")) < F.max("cutoff")
+        ).alias("churned")
+    )
+    feats = feat.groupBy("user_id").agg(
+        F.countDistinct(F.to_date("ts")).cast("long").alias(
+            "days_active"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            (F.col("event_type") == "purchase").cast("long")
+        ).alias("n_purchases"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen_feat"),
+    )
+    return feats.join(label, "user_id").select(
+        "user_id",
+        "days_active",
+        "n_events",
+        "n_purchases",
+        "first_seen",
+        "last_seen_feat",
+        "churned",
+    )
+
+
+def _churn_sql(horizon_days: int = 7) -> str:
+    return f"""
+WITH ev AS (
+  SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), cut AS (
+  SELECT CAST(MAX(ts) AS DATE) - INTERVAL {horizon_days} DAY AS cutoff
+  FROM ev
+), label AS (
+  SELECT user_id,
+         MAX(CAST(ts AS DATE)) < CAST(MAX(cutoff) AS DATE) AS churned
+  FROM ev CROSS JOIN cut GROUP BY 1
+), feats AS (
+  SELECT user_id,
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+           AS days_active,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchases,
+         MIN(ts) AS first_seen,
+         MAX(ts) AS last_seen_feat
+  FROM ev CROSS JOIN cut
+  WHERE CAST(ts AS DATE) < CAST(cutoff AS DATE)
+  GROUP BY 1
+)
+SELECT f.user_id, f.days_active, f.n_events, f.n_purchases,
+       f.first_seen, f.last_seen_feat, l.churned
+FROM feats f JOIN label l USING (user_id)
+"""
+
+
+def mmr_diverse_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_candidates: int = 20,
+    n_queries: int = 3,
+) -> DataFrame:
+    """Maximal Marginal Relevance retrieval (Carbonell & Goldstein
+    1998) (round 8): top-k results that balance relevance against
+    redundancy — each step picks argmax(rel − max-sim-to-selected),
+    the diversified-retrieval standard that plain top-k (all
+    near-duplicates of the best hit) cannot give. Equal λ weights
+    keep the score an exact IEEE subtraction of two bit-reproducible
+    cosines, so both engines select identical sets (ties on vec_id).
+
+    Scale + determinism: candidates are the top-`n_candidates` per
+    query (TakeOrdered against the corpus — the only corpus-sized
+    stage); selection then runs UNROLLED on the |queries|·n_candidates
+    relation — k−1 rounds of tiny joins/windows, fully declarative
+    (no driver collect), mirrored step-for-step by the unrolled CTE
+    twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from .operators.similarity import cosine, knn_join
+
+    queries_df = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    cand = (
+        knn_join(emb, queries_df, k=n_candidates)
+        .select("query_id", "vec_id", F.col("cos_sim").alias("rel"))
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+    )
+    ca = cand.select(
+        F.col("query_id").alias("qa"),
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+    )
+    cb = cand.select(
+        F.col("query_id").alias("qb"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+    )
+    sims = ca.join(
+        cb, (ca["qa"] == cb["qb"]) & (ca["va"] != cb["vb"])
+    ).select(
+        F.col("qa").alias("query_id"),
+        "va",
+        "vb",
+        cosine(F.col("ea"), F.col("eb")).alias("sim"),
+    )
+    base = cand.select("query_id", "vec_id", "rel")
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc_nulls_last(), F.col("vec_id").asc()
+    )
+    selected = (
+        base.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id", "vec_id", "rel",
+            F.lit(1).cast("long").alias("mmr_rank"),
+        )
+    )
+    for i in range(2, k + 1):
+        sel_keys = selected.select(
+            F.col("query_id").alias("__q"), F.col("vec_id").alias("__v")
+        )
+        pen = (
+            sims.join(
+                sel_keys,
+                (sims["query_id"] == F.col("__q"))
+                & (sims["vb"] == F.col("__v")),
+            )
+            .groupBy(F.col("query_id").alias("pq"), F.col("va"))
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        remaining = base.join(
+            sel_keys,
+            (base["query_id"] == F.col("__q"))
+            & (base["vec_id"] == F.col("__v")),
+            "left_anti",
+        )
+        scored = remaining.join(
+            pen,
+            (remaining["query_id"] == pen["pq"])
+            & (remaining["vec_id"] == pen["va"]),
+        ).select(
+            "query_id",
+            "vec_id",
+            "rel",
+            (F.col("rel") - F.col("max_sim")).alias("score"),
+        )
+        wi = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc_nulls_last(), F.col("vec_id").asc()
+        )
+        step = (
+            scored.withColumn("__rn", F.row_number().over(wi))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "query_id", "vec_id", "rel",
+                F.lit(i).cast("long").alias("mmr_rank"),
+            )
+        )
+        selected = selected.unionByName(step)
+    return selected
+
+
+def _mmr_sql(
+    k: int = 5, n_candidates: int = 20, n_queries: int = 3
+) -> str:
+    cos_eq = _COS_SQL.format(a="e.embedding", b="q.embedding")
+    parts = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings
+  WHERE vec_id < {n_queries}
+), cand AS (
+  SELECT query_id, vec_id, rel, emb FROM (
+    SELECT q.query_id, e.vec_id, {cos_eq} AS rel,
+           e.embedding AS emb,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {cos_eq} DESC NULLS LAST, e.vec_id ASC) AS rn
+    FROM embeddings e CROSS JOIN q
+  ) WHERE rn <= {n_candidates}
+), sims AS (
+  SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+         {_COS_SQL.format(a="a.emb", b="b.emb")} AS sim
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+), selu1 AS (
+  SELECT query_id, vec_id, rel, CAST(1 AS BIGINT) AS mmr_rank FROM (
+    SELECT query_id, vec_id, rel,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY rel DESC NULLS LAST, vec_id ASC) AS rn
+    FROM cand) WHERE rn = 1
+)"""
+    prev = "selu1"
+    for i in range(2, k + 1):
+        parts += f""", step{i} AS (
+  SELECT query_id, vec_id, rel, CAST({i} AS BIGINT) AS mmr_rank FROM (
+    SELECT sc.query_id, sc.vec_id, sc.rel,
+           row_number() OVER (PARTITION BY sc.query_id
+             ORDER BY sc.score DESC NULLS LAST, sc.vec_id ASC) AS rn
+    FROM (
+      SELECT c.query_id, c.vec_id, c.rel, c.rel - ms.m AS score
+      FROM cand c
+      JOIN (SELECT s.query_id, s.va, MAX(s.sim) AS m
+            FROM sims s JOIN {prev} p
+              ON p.query_id = s.query_id AND p.vec_id = s.vb
+            GROUP BY 1, 2) ms
+        ON ms.query_id = c.query_id AND ms.va = c.vec_id
+      WHERE NOT EXISTS (SELECT 1 FROM {prev} p
+                        WHERE p.query_id = c.query_id
+                          AND p.vec_id = c.vec_id)
+    ) sc) WHERE rn = 1
+), selu{i} AS (
+  SELECT * FROM {prev} UNION ALL SELECT * FROM step{i}
+)"""
+        prev = f"selu{i}"
+    parts += (
+        f"\nSELECT query_id, vec_id, rel, mmr_rank FROM {prev}"
+    )
+    return parts
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # anchor (driver-checked every round)
     "tem_hourly_avg": (tem_hourly_avg, _TEM_HOURLY_AVG_SQL),
@@ -15711,6 +16101,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         stream_click_purchase_left_join,
         _STREAM_LEFT_JOIN_SQL,
     ),
+    "phrase_search": (phrase_search, _phrase_search_sql()),
+    "session_coherent_sample": (
+        session_coherent_sample,
+        _session_sample_sql(),
+    ),
+    "user_churn_labels": (user_churn_labels, _churn_sql()),
+    "mmr_diverse_topk": (mmr_diverse_topk, _mmr_sql()),
 }
 
 

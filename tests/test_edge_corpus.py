@@ -239,6 +239,11 @@ EMB_QUERIES = [
     # past the end == whole array in both engines), zero-vector query
     # -> all-NULL ordering resolved by the vec_id tie-break
     "matryoshka_recall_audit",
+    # r8: MMR where query 0 is the zero vector (all-NULL relevance —
+    # DESC NULLS LAST pinned on BOTH engines, selection falls to the
+    # vec_id tie-break) and vec 4 duplicates vec 2 (sim 1.0 ⇒ maximal
+    # redundancy penalty: MMR must NOT pick the dup right after 2)
+    "mmr_diverse_topk",
 ]
 
 
@@ -451,6 +456,12 @@ EVENTS_QUERIES = [
     # r8: left-outer stream-stream join — the final-watermark cutoff
     # (min of both sides' max ts) decides which unmatched clicks emit
     "stream_click_purchase_left_join",
+    # r8: all-or-nothing session sampling across exact-boundary gaps
+    # (same segmentation as the assoc rules); churn labels where the
+    # feature window excludes some users entirely (inner join drops
+    # label-only users in both engines)
+    "session_coherent_sample",
+    "user_churn_labels",
 ]
 
 

@@ -1192,3 +1192,38 @@ def test_quantile_normalize_two_phase_ranks(spark, sf_dir):
         f"corpus data must not serialize: {len(singles)} single-partition "
         "exchanges"
     )
+
+
+def test_phrase_search_filters_before_join(spark, sf_dir):
+    """Phrase search: the position join must touch only the phrase
+    terms' postings (term filters below the join), and shuffle on
+    doc_id — never a cartesian or a raw-text scan join."""
+    f = facts(spark, sf_dir, "phrase_search")
+    assert not f.has_cartesian
+    assert f.has_partial_agg
+
+
+def test_session_sample_map_side_filter(spark, sf_dir):
+    """Coherent sampling: one user-keyed window pass + a hash filter;
+    no joins at all."""
+    f = facts(spark, sf_dir, "session_coherent_sample")
+    assert not f.joins
+    assert len(re.findall(r"\(\d+\) Sort\b", f.raw)) == 1
+
+
+def test_churn_labels_broadcast_cutoff(spark, sf_dir):
+    """Churn prep: the one-row cutoff broadcasts; features and labels
+    are two combined aggregates joined on user."""
+    f = facts(spark, sf_dir, "user_churn_labels")
+    assert not f.has_cartesian
+    assert f.has_partial_agg
+
+
+def test_mmr_candidates_bounded_no_cartesian(spark, sf_dir):
+    """MMR: the corpus appears only in the broadcast-query knn stage;
+    the k-1 unrolled selection rounds run over the bounded candidate
+    relation. No cartesian; the candidate stage must keep the
+    broadcast shape."""
+    f = facts(spark, sf_dir, "mmr_diverse_topk")
+    assert not f.has_cartesian
+    assert any(j.startswith("Broadcast") for j in f.joins)
