@@ -15699,6 +15699,252 @@ WITH q AS (
     return parts
 
 
+# ---------------------------------------------------------------------------
+# round-8 session 1f: exact OLS, clustering coefficient, DOW seasonality
+# ---------------------------------------------------------------------------
+
+
+def discount_quantity_regression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact least-squares regression of quantity on discount, per
+    return flag (round 8): the 'does discounting move volume?'
+    question answered with closed-form OLS on EXACT integer moments —
+    slope, intercept, and r² in ppm, no float accumulation anywhere.
+    The moment sums (n, Σx, Σy, Σxy, Σx², Σy²) ride the long grid
+    map-side (x = discount cents ≤ 10, y = integer quantity ≤ 50 —
+    products are tiny); the three closed-form ratios run on
+    DECIMAL(38)/HUGEINT over the |flags|-row aggregate. Two engines,
+    one floor division each — bit-identical.
+
+    Statistical shape over a distributed table is THE aggregation
+    pattern (moments combine associatively); this is the linear-model
+    tier beside Welch's t (welch_t_event_types) and autocorrelation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        _cents("l_discount").alias("x"),
+        _cents("l_quantity", 1).alias("y"),
+    )
+    m = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    dec = "CAST({0} AS DECIMAL(38,0))"
+    cov = f"({dec.format('n')} * sxy - {dec.format('sx')} * sy)"
+    varx = f"({dec.format('n')} * sxx - {dec.format('sx')} * sx)"
+    vary = f"({dec.format('n')} * syy - {dec.format('sy')} * sy)"
+    # degenerate groups (constant x or constant y) yield NULL rather
+    # than a division error in EITHER engine
+    return m.select(
+        "returnflag",
+        "n",
+        F.expr(
+            f"CASE WHEN {varx} <> 0 THEN"
+            f" (1000000 * {cov}) div {varx} END"
+        ).alias("slope_ppm"),
+        F.expr(
+            f"CASE WHEN {varx} <> 0 THEN"
+            f" (1000000 * {dec.format('sy')}"
+            f" - ((1000000 * {cov}) div {varx}) * sx) div n END"
+        ).alias("intercept_ppm"),
+        F.expr(
+            f"CASE WHEN {varx} <> 0 AND {vary} <> 0 THEN"
+            f" (1000000 * {cov} * {cov}) div ({varx} * {vary}) END"
+        ).alias("r2_ppm"),
+    )
+
+
+_REGRESSION_SQL = """
+WITH m AS (
+  SELECT l_returnflag AS returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM (SELECT l_returnflag,
+               CAST(round(l_discount * 100) AS BIGINT) AS x,
+               CAST(round(l_quantity) AS BIGINT) AS y
+        FROM lineitem)
+  GROUP BY 1
+)
+SELECT returnflag, n,
+       CASE WHEN (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                 <> 0 THEN
+         CAST((1000000 * (CAST(n AS HUGEINT) * sxy
+                          - CAST(sx AS HUGEINT) * sy))
+              // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+              AS BIGINT) END AS slope_ppm,
+       CASE WHEN (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                 <> 0 THEN
+         CAST((1000000 * CAST(sy AS HUGEINT)
+               - ((1000000 * (CAST(n AS HUGEINT) * sxy
+                              - CAST(sx AS HUGEINT) * sy))
+                  // (CAST(n AS HUGEINT) * sxx
+                      - CAST(sx AS HUGEINT) * sx)) * sx)
+              // n AS BIGINT) END AS intercept_ppm,
+       CASE WHEN (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                 <> 0
+             AND (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)
+                 <> 0 THEN
+         CAST((1000000 * (CAST(n AS HUGEINT) * sxy
+                          - CAST(sx AS HUGEINT) * sy)
+                       * (CAST(n AS HUGEINT) * sxy
+                          - CAST(sx AS HUGEINT) * sy))
+              // ((CAST(n AS HUGEINT) * sxx
+                   - CAST(sx AS HUGEINT) * sx)
+                  * (CAST(n AS HUGEINT) * syy
+                     - CAST(sy AS HUGEINT) * sy)) AS BIGINT) END
+         AS r2_ppm
+FROM m
+"""
+
+
+def copurchase_clustering_coefficient(
+    spark: SparkSession,
+    sf_dir: str,
+    min_count: int = 2,
+    max_degree: int = 1000,
+) -> DataFrame:
+    """Local clustering coefficient on the co-purchase graph (round
+    8): per part, cc = 2·triangles / (deg·(deg−1)) in exact ppm —
+    how clique-like each part's neighborhood is (bundle-able product
+    families score high; hub accessories score low). Complements the
+    RA link predictor (same graph) with the density view.
+
+    Scale: the triangle count is one wedge join (Σ deg² bounded —
+    nodes above max_degree are EXCLUDED from the output rather than
+    silently mis-scored; a hub's cc is ~0 and costs deg² to verify)
+    + one semi join against the edge set. deg arithmetic is
+    metadata-sized."""
+    _, pairs = _basket_pairs(spark, sf_dir, min_count)
+    adj = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = adj.groupBy(F.col("src").alias("z")).agg(
+        F.count(F.lit(1)).cast("long").alias("dg")
+    ).filter(
+        (F.col("dg") >= 2) & (F.col("dg") <= max_degree)
+    )
+    left = adj.select(F.col("dst").alias("a"), F.col("src").alias("z1"))
+    right = adj.select(F.col("src").alias("z2"), F.col("dst").alias("b"))
+    wedges = (
+        left.join(
+            right,
+            (left["z1"] == right["z2"]) & (F.col("a") < F.col("b")),
+        )
+        .join(F.broadcast(deg), F.col("z1") == F.col("z"))
+        .select("z", "a", "b")
+    )
+    closed = wedges.join(
+        pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b")),
+        ["a", "b"],
+        "left_semi",
+    )
+    tri = closed.groupBy("z").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    return (
+        deg.join(tri, "z", "left")
+        .select(
+            F.col("z").alias("part"),
+            F.col("dg").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.expr(
+                "1000000 * 2 * coalesce(n_triangles, 0)"
+                " DIV (dg * (dg - 1))"
+            ).alias("cc_ppm"),
+        )
+    )
+
+
+def _clustering_coeff_sql(
+    min_count: int = 2, max_degree: int = 1000
+) -> str:
+    return f"""
+WITH {_BASKET_PAIRS_CTE.format(min_count=min_count)},
+adj AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL SELECT pb, pa FROM pairs
+), deg AS (
+  SELECT src AS z, CAST(COUNT(*) AS BIGINT) AS dg FROM adj GROUP BY 1
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {max_degree}
+), wedges AS (
+  SELECT d.z, l.dst AS a, r.dst AS b
+  FROM adj l
+  JOIN adj r ON l.src = r.src AND l.dst < r.dst
+  JOIN deg d ON d.z = l.src
+), tri AS (
+  SELECT z, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM pairs p WHERE p.pa = w.a AND p.pb = w.b)
+  GROUP BY 1
+)
+SELECT d.z AS part, d.dg AS degree,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       1000000 * 2 * COALESCE(t.n_triangles, 0)
+         // (d.dg * (d.dg - 1)) AS cc_ppm
+FROM deg d LEFT JOIN tri t ON t.z = d.z
+"""
+
+
+def orders_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile (round 8): orders and exact
+    revenue per weekday (0 = Monday, pinned identically via Spark
+    weekday() and DuckDB isodow−1), each day's share in ppm, and the
+    signed deviation from the uniform 1/7 share — the weekly-rhythm
+    monitor beside hourly autocorrelation and monthly mix drift. One
+    combine to 7 rows; everything after is metadata math."""
+    orders = load_table(spark, sf_dir, "orders")
+    cell = orders.groupBy(
+        F.expr("weekday(o_orderdate)").cast("long").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(_cents("o_totalprice")).alias("rev_cents"),
+    )
+    return cell.select(
+        "dow",
+        "n_orders",
+        (F.col("rev_cents").cast("double") / F.lit(100.0)).alias(
+            "revenue"
+        ),
+        F.expr(
+            "1000000 * n_orders DIV sum(n_orders) OVER ()"
+        ).alias("share_ppm"),
+        (
+            F.expr("1000000 * n_orders DIV sum(n_orders) OVER ()")
+            - F.lit(1000000 // 7)
+        ).alias("uniform_delta_ppm"),
+    )
+
+
+_SEASONALITY_DOW_SQL = """
+WITH cell AS (
+  SELECT CAST(isodow(o_orderdate) - 1 AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT dow, n_orders,
+       CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(1000000 * n_orders // SUM(n_orders) OVER () AS BIGINT)
+         AS share_ppm,
+       CAST(1000000 * n_orders // SUM(n_orders) OVER () AS BIGINT)
+         - 142857 AS uniform_delta_ppm
+FROM cell
+"""
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # anchor (driver-checked every round)
     "tem_hourly_avg": (tem_hourly_avg, _TEM_HOURLY_AVG_SQL),
@@ -16108,6 +16354,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "user_churn_labels": (user_churn_labels, _churn_sql()),
     "mmr_diverse_topk": (mmr_diverse_topk, _mmr_sql()),
+    "discount_quantity_regression": (
+        discount_quantity_regression,
+        _REGRESSION_SQL,
+    ),
+    "copurchase_clustering_coefficient": (
+        copurchase_clustering_coefficient,
+        _clustering_coeff_sql(),
+    ),
+    "orders_seasonality_dow": (
+        orders_seasonality_dow,
+        _SEASONALITY_DOW_SQL,
+    ),
 }
 
 

@@ -696,6 +696,13 @@ TPCH_QUERIES = [
     # r8: HHI where parts are single-sourced (hhi = 1e6 exactly) and
     # quantity ties split across suppliers
     "part_supplier_hhi",
+    # r8: OLS on boundary rows (half-cent discounts; per-flag groups
+    # of 1-2 rows where varx can be 0 -> both engines must agree on
+    # the degenerate result); DOW shares over single-digit cells;
+    # clustering coefficient where min_count=2 may empty the graph
+    "discount_quantity_regression",
+    "orders_seasonality_dow",
+    "copurchase_clustering_coefficient",
 ]
 
 

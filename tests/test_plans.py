@@ -1227,3 +1227,28 @@ def test_mmr_candidates_bounded_no_cartesian(spark, sf_dir):
     f = facts(spark, sf_dir, "mmr_diverse_topk")
     assert not f.has_cartesian
     assert any(j.startswith("Broadcast") for j in f.joins)
+
+
+def test_regression_single_moment_combine(spark, sf_dir):
+    """Exact OLS: one map-side-combined moment aggregate, one shuffle
+    to |flags| rows; the DECIMAL closed forms run post-aggregate."""
+    f = facts(spark, sf_dir, "discount_quantity_regression")
+    assert not f.joins
+    assert f.has_partial_agg
+    assert f.n_exchanges == 1
+
+
+def test_clustering_coeff_wedge_semi_join(spark, sf_dir):
+    """Clustering coefficient: wedge join + LEFT SEMI triangle check
+    against the pair set; degree filter broadcast; no cartesian."""
+    f = facts(spark, sf_dir, "copurchase_clustering_coefficient")
+    assert not f.has_cartesian
+    assert "LeftSemi" in f.raw
+
+
+def test_seasonality_dow_metadata_windows(spark, sf_dir):
+    """DOW profile: one combine to 7 rows; share windows over the
+    7-row aggregate."""
+    f = facts(spark, sf_dir, "orders_seasonality_dow")
+    assert not f.joins
+    assert f.has_partial_agg
