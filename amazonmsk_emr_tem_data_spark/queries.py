@@ -15198,11 +15198,18 @@ def quantile_normalize_quality(
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("source").isNotNull()
     )
-    scored = docs.select(
-        "doc_id",
-        "source",
-        quality_score("text").alias("q"),
-    ).withColumn("qb", F.round(F.col("q") * 1000).cast("long"))
+    # cached: BOTH rankings (per-source and global) read this relation
+    # — uncached, the quality regex pass would run twice (see module
+    # docstring for cache ownership)
+    scored = (
+        docs.select(
+            "doc_id",
+            "source",
+            quality_score("text").alias("q"),
+        )
+        .withColumn("qb", F.round(F.col("q") * 1000).cast("long"))
+        .persist()
+    )
 
     def bucket_rank(
         df: DataFrame, part_cols: list[str], name: str
@@ -15552,12 +15559,16 @@ def mmr_diverse_topk(
 
     Scale + determinism: candidates are the top-`n_candidates` per
     query (TakeOrdered against the corpus — the only corpus-sized
-    stage); selection then runs UNROLLED on the |queries|·n_candidates
-    relation — k−1 rounds of tiny joins/windows, fully declarative
-    (no driver collect), mirrored step-for-step by the unrolled CTE
-    twin."""
+    stage). The selection then runs DRIVER-SIDE over the collected
+    |queries|·n_candidates candidate rows — bounded model state, the
+    kmeans-centroid pattern (a first cut ran the k−1 rounds as
+    unrolled DataFrame joins: 10.9 s of pure stage-scheduling
+    overhead at EVERY scale factor for 60 metadata rows). Pairwise
+    similarities use the same LEFT-FOLD double accumulation as the
+    distributed cosine (operators/similarity.dot), so the selection
+    is bit-identical to the unrolled CTE twin."""
     emb = load_table(spark, sf_dir, "embeddings")
-    from .operators.similarity import cosine, knn_join
+    from .operators.similarity import knn_join
 
     queries_df = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -15568,78 +15579,70 @@ def mmr_diverse_topk(
         .select("query_id", "vec_id", F.col("cos_sim").alias("rel"))
         .join(emb.select("vec_id", "embedding"), "vec_id")
     )
-    ca = cand.select(
-        F.col("query_id").alias("qa"),
-        F.col("vec_id").alias("va"),
-        F.col("embedding").alias("ea"),
+    rows = cand.collect()  # bounded: |queries| * n_candidates
+
+    import math
+
+    def fold_dot(a: list, b: list) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    def cos(a: list, b: list) -> float | None:
+        d = math.sqrt(fold_dot(a, a)) * math.sqrt(fold_dot(b, b))
+        return fold_dot(a, b) / d if d != 0.0 else None
+
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["rel"], list(r["embedding"]))
+        )
+    out = []
+    neg_inf = float("-inf")
+    for qid, cands in by_q.items():
+        # rel DESC NULLS LAST, vec_id ASC — matches the twin's window
+        first = min(
+            cands,
+            key=lambda c: (
+                c[1] is None,
+                -(c[1] if c[1] is not None else 0.0),
+                c[0],
+            ),
+        )
+        sel = [first]
+        while len(sel) < k and len(sel) < len(cands):
+            sel_ids = {s[0] for s in sel}
+            best = None
+            best_key = None
+            for vid, rel, vec in cands:
+                if vid in sel_ids:
+                    continue
+                ms = neg_inf
+                for _, _, svec in sel:
+                    s = cos(vec, svec)
+                    if s is not None and s > ms:
+                        ms = s
+                score = (
+                    None
+                    if rel is None or ms == neg_inf
+                    else rel - ms
+                )
+                key = (
+                    score is None,
+                    -(score if score is not None else 0.0),
+                    vid,
+                )
+                if best_key is None or key < best_key:
+                    best_key = key
+                    best = (vid, rel, vec)
+            sel.append(best)
+        out.extend(
+            (qid, s[0], s[1], i + 1) for i, s in enumerate(sel)
+        )
+    return spark.createDataFrame(
+        out, "query_id long, vec_id long, rel double, mmr_rank long"
     )
-    cb = cand.select(
-        F.col("query_id").alias("qb"),
-        F.col("vec_id").alias("vb"),
-        F.col("embedding").alias("eb"),
-    )
-    sims = ca.join(
-        cb, (ca["qa"] == cb["qb"]) & (ca["va"] != cb["vb"])
-    ).select(
-        F.col("qa").alias("query_id"),
-        "va",
-        "vb",
-        cosine(F.col("ea"), F.col("eb")).alias("sim"),
-    )
-    base = cand.select("query_id", "vec_id", "rel")
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.col("rel").desc_nulls_last(), F.col("vec_id").asc()
-    )
-    selected = (
-        base.withColumn("__rn", F.row_number().over(w1))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "query_id", "vec_id", "rel",
-            F.lit(1).cast("long").alias("mmr_rank"),
-        )
-    )
-    for i in range(2, k + 1):
-        sel_keys = selected.select(
-            F.col("query_id").alias("__q"), F.col("vec_id").alias("__v")
-        )
-        pen = (
-            sims.join(
-                sel_keys,
-                (sims["query_id"] == F.col("__q"))
-                & (sims["vb"] == F.col("__v")),
-            )
-            .groupBy(F.col("query_id").alias("pq"), F.col("va"))
-            .agg(F.max("sim").alias("max_sim"))
-        )
-        remaining = base.join(
-            sel_keys,
-            (base["query_id"] == F.col("__q"))
-            & (base["vec_id"] == F.col("__v")),
-            "left_anti",
-        )
-        scored = remaining.join(
-            pen,
-            (remaining["query_id"] == pen["pq"])
-            & (remaining["vec_id"] == pen["va"]),
-        ).select(
-            "query_id",
-            "vec_id",
-            "rel",
-            (F.col("rel") - F.col("max_sim")).alias("score"),
-        )
-        wi = Window.partitionBy("query_id").orderBy(
-            F.col("score").desc_nulls_last(), F.col("vec_id").asc()
-        )
-        step = (
-            scored.withColumn("__rn", F.row_number().over(wi))
-            .filter(F.col("__rn") == 1)
-            .select(
-                "query_id", "vec_id", "rel",
-                F.lit(i).cast("long").alias("mmr_rank"),
-            )
-        )
-        selected = selected.unionByName(step)
-    return selected
 
 
 def _mmr_sql(
@@ -15817,11 +15820,16 @@ def copurchase_clustering_coefficient(
     families score high; hub accessories score low). Complements the
     RA link predictor (same graph) with the density view.
 
-    Scale: the triangle count is one wedge join (Σ deg² bounded —
-    nodes above max_degree are EXCLUDED from the output rather than
-    silently mis-scored; a hub's cc is ~0 and costs deg² to verify)
-    + one semi join against the edge set. deg arithmetic is
-    metadata-sized."""
+    Scale: triangles are counted on the DEGREE-ORDERED orientation
+    (Schank & Wagner 2005): each undirected edge points from its
+    lower-(degree, id) endpoint to the higher, wedges form only at a
+    node's ORIENTED out-neighbors (out-degree = O(√E) on any graph),
+    and each triangle is found exactly once then credited to all
+    three corners. Total wedge work O(E^1.5) instead of Σ deg² — the
+    naive center-join measured 7.1× at 10× on the densifying basket
+    graph before this rewrite. deg arithmetic is metadata-sized;
+    max_degree only filters the REPORTED rows (a mega-hub's cc is
+    noise), never the count."""
     _, pairs = _basket_pairs(spark, sf_dir, min_count)
     adj = pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
@@ -15830,29 +15838,51 @@ def copurchase_clustering_coefficient(
     )
     deg = adj.groupBy(F.col("src").alias("z")).agg(
         F.count(F.lit(1)).cast("long").alias("dg")
-    ).filter(
-        (F.col("dg") >= 2) & (F.col("dg") <= max_degree)
     )
-    left = adj.select(F.col("dst").alias("a"), F.col("src").alias("z1"))
-    right = adj.select(F.col("src").alias("z2"), F.col("dst").alias("b"))
-    wedges = (
-        left.join(
-            right,
-            (left["z1"] == right["z2"]) & (F.col("a") < F.col("b")),
-        )
-        .join(F.broadcast(deg), F.col("z1") == F.col("z"))
-        .select("z", "a", "b")
+    da = deg.select(F.col("z").alias("__za"), F.col("dg").alias("d_a"))
+    db = deg.select(F.col("z").alias("__zb"), F.col("dg").alias("d_b"))
+    keyed = (
+        pairs.join(F.broadcast(da), pairs["pa"] == da["__za"])
+        .join(F.broadcast(db), pairs["pb"] == db["__zb"])
     )
-    closed = wedges.join(
-        pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b")),
+    fwd = (F.col("d_a") < F.col("d_b")) | (
+        (F.col("d_a") == F.col("d_b")) & (F.col("pa") < F.col("pb"))
+    )
+    eo = keyed.select(
+        F.when(fwd, F.col("pa")).otherwise(F.col("pb")).alias("u"),
+        F.when(fwd, F.col("pb")).otherwise(F.col("pa")).alias("v"),
+        F.when(fwd, F.col("d_b")).otherwise(F.col("d_a")).alias("dv"),
+    )
+    e1 = eo.select("u", F.col("v").alias("a"), F.col("dv").alias("da_"))
+    e2 = eo.select(
+        F.col("u").alias("u2"), F.col("v").alias("b"),
+        F.col("dv").alias("db_"),
+    )
+    wedges = e1.join(
+        e2,
+        (e1["u"] == e2["u2"])
+        & (
+            (F.col("da_") < F.col("db_"))
+            | ((F.col("da_") == F.col("db_")) & (F.col("a") < F.col("b")))
+        ),
+    ).select("u", "a", "b")
+    # triangle iff the oriented edge a->b exists (orientation key of a
+    # precedes b by construction of the wedge condition)
+    tri_once = wedges.join(
+        eo.select(F.col("u").alias("a"), F.col("v").alias("b")),
         ["a", "b"],
         "left_semi",
     )
-    tri = closed.groupBy("z").agg(
-        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    per_node = (
+        tri_once.select(F.col("u").alias("z"))
+        .unionByName(tri_once.select(F.col("a").alias("z")))
+        .unionByName(tri_once.select(F.col("b").alias("z")))
+        .groupBy("z")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
     return (
-        deg.join(tri, "z", "left")
+        deg.filter((F.col("dg") >= 2) & (F.col("dg") <= max_degree))
+        .join(per_node, "z", "left")
         .select(
             F.col("z").alias("part"),
             F.col("dg").alias("degree"),
@@ -15877,23 +15907,33 @@ adj AS (
   UNION ALL SELECT pb, pa FROM pairs
 ), deg AS (
   SELECT src AS z, CAST(COUNT(*) AS BIGINT) AS dg FROM adj GROUP BY 1
-  HAVING COUNT(*) >= 2 AND COUNT(*) <= {max_degree}
-), wedges AS (
-  SELECT d.z, l.dst AS a, r.dst AS b
-  FROM adj l
-  JOIN adj r ON l.src = r.src AND l.dst < r.dst
-  JOIN deg d ON d.z = l.src
-), tri AS (
-  SELECT z, CAST(COUNT(*) AS BIGINT) AS n_triangles
-  FROM wedges w
-  WHERE EXISTS (SELECT 1 FROM pairs p WHERE p.pa = w.a AND p.pb = w.b)
-  GROUP BY 1
+), eo AS (
+  SELECT CASE WHEN (da.dg, pa) < (db.dg, pb) THEN pa ELSE pb END AS u,
+         CASE WHEN (da.dg, pa) < (db.dg, pb) THEN pb ELSE pa END AS v,
+         CASE WHEN (da.dg, pa) < (db.dg, pb) THEN db.dg
+              ELSE da.dg END AS dv
+  FROM pairs
+  JOIN deg da ON da.z = pa
+  JOIN deg db ON db.z = pb
+), tri_once AS (
+  SELECT e1.u, e1.v AS a, e2.v AS b
+  FROM eo e1 JOIN eo e2
+    ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+  WHERE EXISTS (SELECT 1 FROM eo e3
+                WHERE e3.u = e1.v AND e3.v = e2.v)
+), per_node AS (
+  SELECT z, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT u AS z FROM tri_once
+    UNION ALL SELECT a FROM tri_once
+    UNION ALL SELECT b FROM tri_once
+  ) GROUP BY 1
 )
 SELECT d.z AS part, d.dg AS degree,
        CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
        1000000 * 2 * COALESCE(t.n_triangles, 0)
          // (d.dg * (d.dg - 1)) AS cc_ppm
-FROM deg d LEFT JOIN tri t ON t.z = d.z
+FROM deg d LEFT JOIN per_node t ON t.z = d.z
+WHERE d.dg >= 2 AND d.dg <= {max_degree}
 """
 
 

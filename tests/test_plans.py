@@ -1220,13 +1220,26 @@ def test_churn_labels_broadcast_cutoff(spark, sf_dir):
 
 
 def test_mmr_candidates_bounded_no_cartesian(spark, sf_dir):
-    """MMR: the corpus appears only in the broadcast-query knn stage;
-    the k-1 unrolled selection rounds run over the bounded candidate
-    relation. No cartesian; the candidate stage must keep the
-    broadcast shape."""
-    f = facts(spark, sf_dir, "mmr_diverse_topk")
+    """MMR: the corpus appears only in the broadcast-query knn
+    CANDIDATE stage (selection itself runs driver-side over the
+    bounded candidate rows, so the returned frame is a literal). Pin
+    the candidate stage's shape directly: broadcast queries, corpus
+    never shuffles, no cartesian."""
+    from amazonmsk_emr_tem_data_spark.operators.similarity import knn_join
+    from amazonmsk_emr_tem_data_spark.sources.files import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    f = plan_facts(knn_join(emb, queries_df, k=20))
     assert not f.has_cartesian
-    assert any(j.startswith("Broadcast") for j in f.joins)
+    assert all(j.startswith("Broadcast") for j in f.joins)
+    # and the returned literal stays join-free
+    g = facts(spark, sf_dir, "mmr_diverse_topk")
+    assert not g.joins and not g.has_cartesian
 
 
 def test_regression_single_moment_combine(spark, sf_dir):
