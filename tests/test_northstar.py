@@ -1024,3 +1024,52 @@ def test_cluster_safe_split_never_straddles_near_dups(spark, sf_dir):
         f"near-dup pairs straddle splits: {straddling[:5]}"
     )
     assert set(split.values()) >= {"train"}, "split must be populated"
+
+
+def test_chunk_text_udtf_sql_and_python_reference(spark):
+    """The Spark 4 Python UDTF surface: chunk_text registers and runs
+    as a SQL LATERAL table function, matches a plain-Python reference
+    on sizes/overlaps/empties, and preserves row identity (every doc
+    emits >= 1 chunk)."""
+    from amazonmsk_emr_tem_data_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    docs = [
+        (1, "a b c d e f g"),
+        (2, "one two"),
+        (3, ""),
+        (4, None),
+        (5, "x " * 10),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").createOrReplaceTempView(
+        "udtf_docs"
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk"], r["n_tokens"])
+        for r in spark.sql(
+            "SELECT d.doc_id, c.* FROM udtf_docs d, "
+            "LATERAL chunk_text(d.text, 3, 1) c"
+        ).collect()
+    }
+
+    def ref(text, size=3, overlap=1):
+        toks = (text or "").split()
+        if not toks:
+            return {0: ("", 0)}
+        out, i, idx, step = {}, 0, 0, size - overlap
+        while i < len(toks):
+            w = toks[i : i + size]
+            out[idx] = (" ".join(w), len(w))
+            if i + size >= len(toks):
+                break
+            idx += 1
+            i += step
+        return out
+
+    expect = {
+        (doc_id, idx): v
+        for doc_id, text in docs
+        for idx, v in ref(text).items()
+    }
+    assert got == expect
+    assert {d for (d, _) in got} == {1, 2, 3, 4, 5}, "row identity"
