@@ -29,6 +29,8 @@ class ChunkText:
     contract downstream packing relies on)."""
 
     def eval(self, text: str, size: int, overlap: int):  # noqa: D102
+        if int(size) <= 0:
+            raise ValueError(f"chunk size must be positive, got {size}")
         toks = (text or "").split()
         step = max(1, int(size) - int(overlap))
         if not toks:
@@ -51,5 +53,12 @@ def register_udtfs(spark: SparkSession) -> None:
 
 
 def chunk_text_df(df, text_col: str, size: int, overlap: int):
-    """DataFrame-API form: one row per (doc row × chunk)."""
-    return ChunkText(df[text_col], lit(size), lit(overlap))
+    """DataFrame-API form: the input row's columns PLUS one row per
+    chunk, via lateralJoin (calling a UDTF with another DataFrame's
+    column outside a lateral join leaves the column unresolvable —
+    the plan roots at OneRowRelation)."""
+    from pyspark.sql.functions import col
+
+    return df.lateralJoin(
+        ChunkText(col(text_col).outer(), lit(size), lit(overlap))
+    )

@@ -14969,8 +14969,14 @@ WITH c AS (
   SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts
   FROM events WHERE event_type = 'purchase'
 ), wm AS (
-  SELECT LEAST((SELECT MAX(click_ts) FROM c),
-               (SELECT MAX(purchase_ts) FROM p)) AS w
+  -- NULL-PROPAGATING min: if either input saw no data, Spark's global
+  -- watermark never advances past epoch 0 and NO unmatched row emits;
+  -- LEAST alone would skip the NULL and wrongly emit on a clicks-only
+  -- corpus (r8 review finding)
+  SELECT CASE WHEN (SELECT MAX(click_ts) FROM c) IS NULL
+                OR (SELECT MAX(purchase_ts) FROM p) IS NULL THEN NULL
+              ELSE LEAST((SELECT MAX(click_ts) FROM c),
+                         (SELECT MAX(purchase_ts) FROM p)) END AS w
 )
 SELECT c.user_id, c.click_id, c.click_ts, p.purchase_id, p.purchase_ts
 FROM c JOIN p

@@ -100,8 +100,10 @@ def kafka_stream_sink(
     ``_format`` is a test seam: the sandbox has neither a broker nor
     the spark-sql-kafka package, so the checkpoint/restart behavior of
     THIS builder (options, checkpointLocation, queryName, trigger) is
-    exercised end-to-end with ``_format="memory"`` — everything but
-    the terminal format string is the production path
+    exercised end-to-end with ``_format="noop"`` (the one sink that
+    tolerates the kafka option set AND supports checkpoint recovery —
+    the memory sink refuses both) — everything but the terminal format
+    string is the production path
     (tests/test_sinks_sources.py::test_kafka_stream_sink_checkpoint_resume).
     """
     writer = (

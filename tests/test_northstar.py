@@ -1073,3 +1073,27 @@ def test_chunk_text_udtf_sql_and_python_reference(spark):
     }
     assert got == expect
     assert {d for (d, _) in got} == {1, 2, 3, 4, 5}, "row identity"
+
+
+def test_chunk_text_udtf_dataframe_form_and_size_guard(spark):
+    """chunk_text_df must resolve the lateral column (a bare UDTF call
+    with another DataFrame's column roots at OneRowRelation — r8
+    review finding) and carry the input row's columns beside the
+    chunks; size <= 0 must raise, not emit one empty chunk per
+    token."""
+    from amazonmsk_emr_tem_data_spark.functions.udtf import chunk_text_df
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "")], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk"]
+        for r in chunk_text_df(df, "text", 3, 1).collect()
+    }
+    assert got == {
+        (1, 0): "a b c",
+        (1, 1): "c d e",
+        (2, 0): "",
+    }
+    with pytest.raises(Exception, match="positive|ValueError"):
+        chunk_text_df(df, "text", 0, 0).collect()

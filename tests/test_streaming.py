@@ -567,3 +567,37 @@ def test_stream_seasonal_baseline_merges_across_microbatches(
         )
     }
     assert got == want
+
+
+def test_left_outer_join_clicks_only_corpus_withholds_all(spark, tmp_path):
+    """A corpus with clicks but NO purchases: the purchase input never
+    advances its watermark, so Spark withholds every unmatched click —
+    and the oracle's NULL-propagating watermark must agree on the
+    EMPTY result (plain LEAST would skip the NULL max and wrongly emit
+    — r8 review finding)."""
+    import duckdb
+
+    from amazonmsk_emr_tem_data_spark.queries import REGISTRY
+
+    rows = [
+        (i, f"2024-01-01 0{i}:00:00", 1, "click", 1.0, None)
+        for i in range(5)
+    ]
+    import pandas as pd
+
+    ev = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    d = str(tmp_path)
+    ev.to_parquet(f"{d}/events.parquet", index=False)
+
+    fn, sql = REGISTRY["stream_click_purchase_left_join"]
+    assert fn(spark, d).count() == 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    assert con.execute(f"SELECT COUNT(*) FROM ({sql})").fetchone()[0] == 0
+    con.close()
