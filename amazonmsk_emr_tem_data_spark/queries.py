@@ -15991,6 +15991,229 @@ FROM cell
 """
 
 
+# ---------------------------------------------------------------------------
+# round-8 session 1g: RANGE-frame rolling revenue, conversion latency
+# ---------------------------------------------------------------------------
+
+
+def daily_revenue_rolling_7d(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calendar-correct 7-day rolling revenue (round 8): a RANGE
+    window frame over event-time — `RANGE BETWEEN INTERVAL 6 DAYS
+    PRECEDING AND CURRENT ROW` — so gaps in the date grid shorten the
+    window instead of silently widening it (the ROWS-frame bug every
+    naive rolling metric ships with; price_lag_lead_frames covers the
+    ROWS side, this covers RANGE). Rolling sums stay exact: they
+    aggregate the per-day cent totals.
+
+    Scale: the frame runs over the DATE-DOMAIN-bounded daily
+    aggregate (one map-side combine first), so the window input is
+    ~2.5k rows regardless of order count."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(_cents("o_totalprice")).alias("rev_cents"),
+    )
+    daily.createOrReplaceTempView("__daily_rev")
+    return spark.sql(
+        """
+        SELECT day, n_orders,
+               CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+               CAST(SUM(rev_cents) OVER w AS DOUBLE) / 100.0
+                 AS revenue_7d,
+               CAST(SUM(n_orders) OVER w AS BIGINT) AS n_orders_7d,
+               CAST(COUNT(*) OVER w AS BIGINT) AS days_in_window
+        FROM __daily_rev
+        WINDOW w AS (ORDER BY day
+                     RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                               AND CURRENT ROW)
+        """
+    )
+
+
+_ROLLING_7D_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT day, n_orders,
+       CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(SUM(rev_cents) OVER w AS DOUBLE) / 100.0 AS revenue_7d,
+       CAST(SUM(n_orders) OVER w AS BIGINT) AS n_orders_7d,
+       CAST(COUNT(*) OVER w AS BIGINT) AS days_in_window
+FROM daily
+WINDOW w AS (ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+def conversion_latency_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Click→purchase conversion-latency quantiles (round 8): for
+    every click, the time to the SAME user's next purchase (the as-of
+    forward join shape), then the exact p50/p90/p99 of those
+    latencies in seconds via the two-phase histogram cut — the
+    conversion-funnel SLA numbers, computed exactly rather than with
+    approx_percentile. One summary row.
+
+    Mechanics: the next-purchase lookup is the union-merge as-of
+    (events tagged, one user-keyed window, no inequality join);
+    latencies floor to integer seconds; the quantile locator is the
+    winsorize/percentile machinery with a single global type."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    tagged = ev.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").alias("is_p"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # min (ts, event_id) struct over FOLLOWING purchases (descending
+    # order scan => preceding frame), NULL when no purchase follows
+    nxt = tagged.withColumn(
+        "next_p_us",
+        F.min(
+            F.when(F.col("is_p"), F.unix_micros("ts"))
+        ).over(w),
+    )
+    lat = nxt.filter(
+        (~F.col("is_p")) & F.col("next_p_us").isNotNull()
+    ).select(
+        (
+            (F.col("next_p_us") - F.unix_micros("ts"))
+            / F.lit(1000000)
+        )
+        .cast("long")
+        .alias("lat_s"),
+        "event_id",
+    ).filter(F.col("lat_s") >= 0)
+    obs = lat.withColumn("bkt", F.expr("lat_s div 3600"))
+    hist = obs.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("bn")
+    )
+    wb = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bkt",
+        "bn",
+        F.sum("bn").over(wb).alias("cumn"),
+        F.sum("bn").over(Window.partitionBy()).alias("totn"),
+    )
+
+    def cut(num: int, den: int, tag: str) -> DataFrame:
+        locator = (
+            cum.filter(
+                F.lit(den) * F.col("cumn") >= F.lit(num) * F.col("totn")
+            )
+            .agg(F.min(F.struct("bkt", "cumn", "bn", "totn")).alias("m"))
+            .select(
+                F.col("m.bkt").alias("mb"),
+                (F.col("m.cumn") - F.col("m.bn")).alias("n_before"),
+                F.col("m.totn").alias("totn"),
+            )
+        )
+        win = Window.partitionBy("mb").orderBy(
+            "lat_s", "event_id"
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return (
+            obs.join(
+                F.broadcast(locator), obs["bkt"] == locator["mb"]
+            )
+            .select(
+                "mb",
+                "lat_s",
+                (
+                    F.col("n_before") + F.count(F.lit(1)).over(win)
+                ).alias("rank"),
+                "totn",
+            )
+            .filter(
+                F.lit(den) * F.col("rank") >= F.lit(num) * F.col("totn")
+            )
+            .agg(F.min("lat_s").alias(tag))
+        )
+
+    n_row = lat.agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
+    return (
+        n_row.crossJoin(F.broadcast(cut(1, 2, "p50_s")))
+        .crossJoin(F.broadcast(cut(9, 10, "p90_s")))
+        .crossJoin(F.broadcast(cut(99, 100, "p99_s")))
+    )
+
+
+def _conversion_cut_sql(num: int, den: int, tag: str) -> str:
+    return f"""{tag}_loc AS (
+  SELECT MIN(bkt) AS mb, MIN_BY(cumn - bn, bkt) AS n_before,
+         MIN(totn) AS totn
+  FROM cum WHERE {den} * cumn >= {num} * totn
+), {tag} AS (
+  SELECT MIN(lat_s) AS {tag} FROM (
+    SELECT o.lat_s,
+           lo.n_before + CAST(COUNT(*) OVER (
+               ORDER BY o.lat_s, o.event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS rank,
+           lo.totn
+    FROM obs o JOIN {tag}_loc lo ON o.bkt = lo.mb
+  ) WHERE {den} * rank >= {num} * totn
+)"""
+
+
+_CONVERSION_LATENCY_SQL = f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         event_type = 'purchase' AS is_p
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IN ('click', 'purchase')
+), nxt AS (
+  SELECT user_id, ts, event_id, is_p,
+         MIN(CASE WHEN is_p THEN epoch_us(ts) END) OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS next_p_us
+  FROM tagged
+), lat AS (
+  SELECT (next_p_us - epoch_us(ts)) // 1000000 AS lat_s, event_id
+  FROM nxt
+  WHERE NOT is_p AND next_p_us IS NOT NULL
+    AND (next_p_us - epoch_us(ts)) // 1000000 >= 0
+), obs AS (
+  SELECT lat_s, event_id, lat_s // 3600 AS bkt FROM lat
+), hist AS (
+  SELECT bkt, CAST(COUNT(*) AS BIGINT) AS bn FROM obs GROUP BY 1
+), cum AS (
+  SELECT bkt, bn,
+         CAST(SUM(bn) OVER (ORDER BY bkt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cumn,
+         CAST(SUM(bn) OVER () AS BIGINT) AS totn
+  FROM hist
+), {_conversion_cut_sql(1, 2, "p50_s")},
+{_conversion_cut_sql(9, 10, "p90_s")},
+{_conversion_cut_sql(99, 100, "p99_s")},
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions FROM lat)
+SELECT n.n_conversions, p50_s.p50_s, p90_s.p90_s, p99_s.p99_s
+FROM n CROSS JOIN p50_s CROSS JOIN p90_s CROSS JOIN p99_s
+"""
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # anchor (driver-checked every round)
     "tem_hourly_avg": (tem_hourly_avg, _TEM_HOURLY_AVG_SQL),
@@ -16411,6 +16634,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "orders_seasonality_dow": (
         orders_seasonality_dow,
         _SEASONALITY_DOW_SQL,
+    ),
+    "daily_revenue_rolling_7d": (
+        daily_revenue_rolling_7d,
+        _ROLLING_7D_SQL,
+    ),
+    "conversion_latency_quantiles": (
+        conversion_latency_quantiles,
+        _CONVERSION_LATENCY_SQL,
     ),
 }
 

@@ -462,6 +462,10 @@ EVENTS_QUERIES = [
     # label-only users in both engines)
     "session_coherent_sample",
     "user_churn_labels",
+    # r8: conversion latency where same-ts click/purchase pairs ride
+    # the (ts, event_id) tie-break (lat 0) and tiny totals put every
+    # quantile cut in one bucket
+    "conversion_latency_quantiles",
 ]
 
 
@@ -703,6 +707,9 @@ TPCH_QUERIES = [
     "discount_quantity_regression",
     "orders_seasonality_dow",
     "copurchase_clustering_coefficient",
+    # r8: RANGE frame over a 2-month sparse date grid — calendar gaps
+    # must SHORTEN windows identically in both engines
+    "daily_revenue_rolling_7d",
 ]
 
 

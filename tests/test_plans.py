@@ -1265,3 +1265,21 @@ def test_seasonality_dow_metadata_windows(spark, sf_dir):
     f = facts(spark, sf_dir, "orders_seasonality_dow")
     assert not f.joins
     assert f.has_partial_agg
+
+
+def test_rolling_7d_range_frame_over_daily_aggregate(spark, sf_dir):
+    """RANGE-frame rolling revenue: one map-side combine to the date
+    domain, then the interval frame over the tiny daily relation."""
+    f = facts(spark, sf_dir, "daily_revenue_rolling_7d")
+    assert not f.joins
+    assert f.has_partial_agg
+    assert "RANGE BETWEEN" in f.raw.upper() or "specifiedwindowframe(RangeFrame" in f.raw
+
+
+def test_conversion_latency_asof_no_inequality_join(spark, sf_dir):
+    """Conversion latency: the next-purchase lookup is the union-merge
+    as-of (one user window) — no inequality join; the quantile
+    locators broadcast."""
+    f = facts(spark, sf_dir, "conversion_latency_quantiles")
+    assert not f.has_cartesian
+    assert "BroadcastHashJoin" in f.joins
