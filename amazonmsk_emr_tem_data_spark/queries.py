@@ -16214,6 +16214,105 @@ FROM n CROSS JOIN p50_s CROSS JOIN p90_s CROSS JOIN p99_s
 """
 
 
+# ---------------------------------------------------------------------------
+# round-8 session 1h: dedup-rate observability, basket-size histogram
+# ---------------------------------------------------------------------------
+
+
+def doc_dedup_rate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source duplication dashboard (round 8): docs, distinct
+    content fingerprints, duplicate rate in ppm, and the largest
+    identity-group size — the observability row a curation pipeline
+    publishes per ingest source so a crawler regression (one feed
+    suddenly 80% dups) pages someone BEFORE the dedup bill arrives.
+    Uses the same content fingerprint as the exact-dedup tier, so the
+    numbers reconcile with doc_exact_dedup's survivors.
+
+    Scale: one (source, fp) combine then one source rollup — the
+    two-exchange inverted-index shape on hashes, never text."""
+    from .functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    per_fp = docs.select(
+        "source", fingerprint("text").alias("fp")
+    ).groupBy("source", "fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return per_fp.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.expr(
+            "1000000 * (sum(n) - count(1)) DIV sum(n)"
+        ).alias("dup_ppm"),
+        F.max("n").alias("max_group"),
+    )
+
+
+_DEDUP_RATE_SQL = f"""
+WITH per_fp AS (
+  SELECT source, md5({_NORM_SQL}) AS fp,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents WHERE source IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(1000000 * (SUM(n) - COUNT(*)) // SUM(n) AS BIGINT)
+         AS dup_ppm,
+       CAST(MAX(n) AS BIGINT) AS max_group
+FROM per_fp GROUP BY 1
+"""
+
+
+def order_basket_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Basket-size distribution (round 8): how many orders contain k
+    distinct parts, with the share in ppm — the shape parameter
+    behind every market-basket threshold choice (pair mining cost is
+    Σ C(k,2); THIS histogram says what that sum is). Two combines:
+    per-order distinct-part count, then the k rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    return sizes.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    ).select(
+        "k",
+        "n_orders",
+        F.expr(
+            "1000000 * n_orders DIV sum(n_orders) OVER ()"
+        ).alias("share_ppm"),
+        (F.col("n_orders") * F.col("k") * (F.col("k") - 1) / 2)
+        .cast("long")
+        .alias("pair_cost"),
+    )
+
+
+_BASKET_HIST_SQL = """
+WITH sizes AS (
+  SELECT l_orderkey, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS k
+  FROM lineitem GROUP BY 1
+), hist AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_orders FROM sizes GROUP BY 1
+)
+SELECT k, n_orders,
+       CAST(1000000 * n_orders // SUM(n_orders) OVER () AS BIGINT)
+         AS share_ppm,
+       CAST(n_orders * k * (k - 1) // 2 AS BIGINT) AS pair_cost
+FROM hist
+"""
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # anchor (driver-checked every round)
     "tem_hourly_avg": (tem_hourly_avg, _TEM_HOURLY_AVG_SQL),
@@ -16642,6 +16741,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "conversion_latency_quantiles": (
         conversion_latency_quantiles,
         _CONVERSION_LATENCY_SQL,
+    ),
+    "doc_dedup_rate_by_source": (
+        doc_dedup_rate_by_source,
+        _DEDUP_RATE_SQL,
+    ),
+    "order_basket_size_histogram": (
+        order_basket_size_histogram,
+        _BASKET_HIST_SQL,
     ),
 }
 

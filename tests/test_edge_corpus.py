@@ -186,6 +186,9 @@ DOC_QUERIES = [
     # r8: quantile normalization on ONE source (identity mapping —
     # p = r exactly) with tied scores broken by doc_id
     "quantile_normalize_quality",
+    # r8: dup-rate where docs 9+10 are exact copies (one group of 2)
+    # and everything else is distinct
+    "doc_dedup_rate_by_source",
 ]
 
 
@@ -710,6 +713,9 @@ TPCH_QUERIES = [
     # r8: RANGE frame over a 2-month sparse date grid — calendar gaps
     # must SHORTEN windows identically in both engines
     "daily_revenue_rolling_7d",
+    # r8: basket histogram where every boundary basket size (1..n)
+    # appears once
+    "order_basket_size_histogram",
 ]
 
 

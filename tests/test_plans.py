@@ -1283,3 +1283,21 @@ def test_conversion_latency_asof_no_inequality_join(spark, sf_dir):
     f = facts(spark, sf_dir, "conversion_latency_quantiles")
     assert not f.has_cartesian
     assert "BroadcastHashJoin" in f.joins
+
+
+def test_dedup_rate_two_exchange_hash_shape(spark, sf_dir):
+    """Dedup-rate dashboard: (source, fp) combine then source rollup —
+    both map-side combined; shuffles carry the hash, never text."""
+    f = facts(spark, sf_dir, "doc_dedup_rate_by_source")
+    assert not f.joins
+    assert f.has_partial_agg
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)", f.raw):
+        assert "text" not in m.group(1)
+
+
+def test_basket_histogram_two_combines(spark, sf_dir):
+    """Basket-size histogram: per-order distinct rollup + k rollup,
+    both combined; share window over the |k|-row aggregate."""
+    f = facts(spark, sf_dir, "order_basket_size_histogram")
+    assert not f.joins
+    assert f.has_partial_agg
