@@ -15150,12 +15150,18 @@ def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q").alias("qt"),
         F.sum(F.col("q") * F.col("q")).alias("qq"),
     )
+    # qt <> 0 guard: a part whose rounded quantities sum to 0 would
+    # divide by zero — Spark yields NULL but DuckDB raises, a
+    # cross-engine divergence (same guard as
+    # discount_quantity_regression's zero-variance case).
     return per_part.select(
         "part",
         "n_suppliers",
         F.expr(
-            "(CAST(1000000 AS DECIMAL(38,0)) * qq)"
+            "CASE WHEN qt <> 0 THEN"
+            " (CAST(1000000 AS DECIMAL(38,0)) * qq)"
             " div (CAST(qt AS DECIMAL(38,0)) * qt)"
+            " END"
         ).alias("hhi_ppm"),
     )
 
@@ -15173,8 +15179,10 @@ WITH per_ps AS (
   FROM per_ps GROUP BY 1
 )
 SELECT part, n_suppliers,
-       CAST((CAST(1000000 AS HUGEINT) * qq)
-            // (CAST(qt AS HUGEINT) * qt) AS BIGINT) AS hhi_ppm
+       CAST(CASE WHEN qt <> 0 THEN
+              (CAST(1000000 AS HUGEINT) * qq)
+              // (CAST(qt AS HUGEINT) * qt)
+            END AS BIGINT) AS hhi_ppm
 FROM per_part
 """
 
@@ -15344,7 +15352,13 @@ def phrase_search(
     from .functions.text import tokens
 
     terms = phrase.split()
-    assert len(terms) == 2, "bigram phrases here; extend with more joins"
+    if len(terms) != 2:
+        # Not an assert: under `python -O` an assert is stripped and a
+        # 3+-token phrase would silently search only the first bigram.
+        raise ValueError(
+            f"phrase_search handles bigram phrases, got {len(terms)} "
+            "tokens; extend with more positional self-joins"
+        )
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     pos = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
@@ -16017,20 +16031,21 @@ def daily_revenue_rolling_7d(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(_cents("o_totalprice")).alias("rev_cents"),
     )
-    daily.createOrReplaceTempView("__daily_rev")
-    return spark.sql(
-        """
-        SELECT day, n_orders,
-               CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
-               CAST(SUM(rev_cents) OVER w AS DOUBLE) / 100.0
-                 AS revenue_7d,
-               CAST(SUM(n_orders) OVER w AS BIGINT) AS n_orders_7d,
-               CAST(COUNT(*) OVER w AS BIGINT) AS days_in_window
-        FROM __daily_rev
-        WINDOW w AS (ORDER BY day
-                     RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
-                               AND CURRENT ROW)
-        """
+    # Inline OVER clause (no temp view): a fixed session-level view
+    # name would let concurrent registry queries on one SparkSession
+    # clobber each other, and every other entry is a pure builder.
+    w = (
+        "(ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING "
+        "AND CURRENT ROW)"
+    )
+    return daily.selectExpr(
+        "day",
+        "n_orders",
+        "CAST(rev_cents AS DOUBLE) / 100.0 AS revenue",
+        f"CAST(SUM(rev_cents) OVER {w} AS DOUBLE) / 100.0"
+        " AS revenue_7d",
+        f"CAST(SUM(n_orders) OVER {w} AS BIGINT) AS n_orders_7d",
+        f"CAST(COUNT(*) OVER {w} AS BIGINT) AS days_in_window",
     )
 
 
@@ -16753,75 +16768,64 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-# --- round-8 driver-window rotation ---------------------------------
+# --- round-9 driver-window rotation ---------------------------------
 # The driver hash-stamps exactly ``list(REGISTRY)[:50]`` each round.
-# Rather than re-ordering the 212-entry literal above by hand every
+# Rather than re-ordering the 239-entry literal above by hand every
 # round, the window is declared here and the registry rebuilt around
-# it. Round-8 shape (r7 VERDICT "Next round" #1/#2):
+# it. Round-9 shape (r8 VERDICT "Next round" #1):
 #   0      tem_hourly_avg            anchor, checked every round
-#   1      corpus_inverted_index     the r7 red row (postings now a
-#                                    flat string — must earn a stamp)
-#   2..37  the 36 never-stamped queries: r7 session-6 tier + the four
-#          r4-fill queries the r7 window displaced
-#   38..49 new round-8 queries (zero evidence), then stale-r4 refresh
-#          fill for any remaining slots
-#   50     salted_customer_revenue   r4-green; the exact-50 pin anchor
-_R8_NEVER_STAMPED: tuple[str, ...] = (
-    "rake_keyword_phrases", "nation_min_latency_paths",
-    "part_label_communities", "doc_shard_rebalance",
-    "source_token_kl", "doc_weighted_sample",
-    "kmeans_lloyd_clusters", "table_checksum_buckets",
-    "shard_compaction_plan", "event_ewma_chart",
-    "customer_survival_km", "user_activity_bitmaps",
-    "cohort_ltv_curves", "stream_seasonal_baseline",
-    "customer_k_anonymity", "part_stock_balance",
-    "lineitem_weighted_median", "topk_orders_with_ties",
-    "doc_global_sequence", "activity_anotb_kmv",
-    "welch_t_event_types", "textrank_keywords",
-    "orders_double_billing", "part_abc_classes",
-    "customer_negative_parts", "langid_margin_calibration",
-    "ppr_part_recommendations", "event_value_imputation",
-    "neyman_allocation_sample", "event_value_winsorize",
-    "inter_event_gaps", "region_nation_share",
-    "outer_join_order_coverage", "price_lag_lead_frames",
-    "sql_interface_q3", "small_quantity_revenue",
+#   1..15  the 15 never-stamped queries (added after the r8 window
+#          froze) — after this round EVERY registry query carries at
+#          least one driver stamp
+#   16..   new round-9 queries (zero evidence), then oldest-stamp
+#          (r4-green) refresh fill for any remaining slots
+#   50     event_value_ohlc          r8-green; the exact-50 pin anchor
+_R9_NEVER_STAMPED: tuple[str, ...] = (
+    "event_type_percentiles", "part_supplier_hhi",
+    "quantile_normalize_quality", "stream_click_purchase_left_join",
+    "phrase_search", "session_coherent_sample",
+    "user_churn_labels", "mmr_diverse_topk",
+    "discount_quantity_regression",
+    "copurchase_clustering_coefficient", "orders_seasonality_dow",
+    "daily_revenue_rolling_7d", "conversion_latency_quantiles",
+    "doc_dedup_rate_by_source", "order_basket_size_histogram",
 )
 
-#: Queries implemented in round 8 — appended to the window as they
+#: Queries implemented in round 9 — appended to the window as they
 #: land, displacing stale fill below. Keep <= the free slot count
-#: (test_driver_window_covers_round8_rotation enforces none are cut).
-_R8_NEW: tuple[str, ...] = (
-    "event_value_ohlc",
-    "stream_hourly_ohlc",
-    "referential_integrity_audit",
-    "customer_rfm_segments",
-    "part_copurchase_lift",
-    "open_orders_daily",
-    "bot_regularity_score",
-    "copurchase_link_prediction",
-    "ann_recall_audit",
-    "doc_gibberish_filter",
-    "token_burstiness",
-    "orders_priority_drift",
-)
+#: (test_driver_window_covers_round9_rotation enforces none are cut).
+_R9_NEW: tuple[str, ...] = ()
 
-#: r4-green refresh queue head (stamped round 4, nothing newer) —
-#: fills whatever window slots round-8 additions don't take.
-_R8_STALE_FILL: tuple[str, ...] = (
+#: Oldest-stamp refresh queue (stamped round 4, nothing newer; order =
+#: registry order) — fills whatever window slots round-9 additions
+#: don't take. salted_customer_revenue joins the queue now that its
+#: position-51 pin duty passes to an r8-green name.
+_R9_STALE_FILL: tuple[str, ...] = (
+    "salted_customer_revenue",
     "exists_high_quantity_orders", "conditional_agg_orders",
     "doc_word_positions", "order_price_distribution",
     "systematic_sample_revenue", "doc_regex_extract",
     "embedding_stats", "dedup_clusters", "customer_order_histogram",
     "top_supplier_revenue", "large_quantity_orders",
-    "nation_trade_flows",
+    "nation_trade_flows", "idle_rich_customers",
+    "doc_repetition_filter", "promo_revenue_share",
+    "disjunctive_predicate_revenue", "supplier_revenue_share",
+    "cheapest_supplier_per_part", "supplier_counts_by_part_attrs",
+    "sole_blame_suppliers", "forecast_revenue_change",
+    "nation_market_share", "product_profit_by_nation_year",
+    "heavy_shipper_suppliers", "doc_unigram_logprob",
+    "corpus_vocab_stats", "doc_pii_redaction",
+    "embedding_int8_quantize", "doc_chunking",
+    "recursive_cte_depths", "semantic_dedup_vectors",
+    "event_funnel", "retention_cohorts",
 )
 
-_R8_HEAD: tuple[str, ...] = (
-    ("tem_hourly_avg", "corpus_inverted_index")
-    + _R8_NEVER_STAMPED
-    + _R8_NEW
-    + _R8_STALE_FILL
-)[:50] + ("salted_customer_revenue",)
+_R9_HEAD: tuple[str, ...] = (
+    ("tem_hourly_avg",)
+    + _R9_NEVER_STAMPED
+    + _R9_NEW
+    + _R9_STALE_FILL
+)[:50] + ("event_value_ohlc",)
 
 
 def _rotate(
@@ -16832,7 +16836,7 @@ def _rotate(
     return out
 
 
-REGISTRY = _rotate(REGISTRY, _R8_HEAD)
+REGISTRY = _rotate(REGISTRY, _R9_HEAD)
 
 
 def queries() -> dict[str, QueryFn]:

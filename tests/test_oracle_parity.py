@@ -40,48 +40,59 @@ def test_every_query_has_an_oracle():
     )
 
 
-def test_driver_window_covers_round8_rotation():
+def test_driver_window_covers_round9_rotation():
     """The round driver hash-checks only the FIRST 50 registry entries.
-    Round-8 window (r7 VERDICT asks #1/#2): corpus_inverted_index first
-    (the single r7 red — a driver-harness type failure, now flattened
-    to a string postings column, which must finally earn its stamp),
-    then EVERY never-stamped query (the r7 session-6 tier plus the four
-    r4-fill queries the r7 window displaced), then round-8 additions,
-    with stale-r4 refresh fill taking any remaining slots. An
-    accidental reorder would silently waste the round's 50 slots."""
+    Round-9 window (r8 VERDICT ask #1): the 15 never-stamped queries
+    (everything added after the r8 window froze) come first — after
+    this round every registry query carries a driver stamp — then
+    round-9 additions, with oldest-stamp (r4-green) refresh fill taking
+    any remaining slots. An accidental reorder would silently waste the
+    round's 50 slots."""
     from amazonmsk_emr_tem_data_spark.queries import (
-        _R8_NEVER_STAMPED,
-        _R8_NEW,
+        _R9_NEVER_STAMPED,
+        _R9_NEW,
         REGISTRY,
     )
 
     window = list(REGISTRY)[:50]
     wset = set(window)
     assert window[0] == "tem_hourly_avg"
-    assert window[1] == "corpus_inverted_index", (
-        "the r7 red row must head the round-8 window"
-    )
-    missing = set(_R8_NEVER_STAMPED) - wset
+    missing = set(_R9_NEVER_STAMPED) - wset
     assert not missing, (
         f"never-stamped queries fell out of the driver window: {missing}"
     )
-    # round-8 additions have zero driver evidence — the [:50] slice in
-    # _R8_HEAD must not silently cut any of them
-    cut = set(_R8_NEW) - wset
+    # round-9 additions have zero driver evidence — the [:50] slice in
+    # _R9_HEAD must not silently cut any of them
+    cut = set(_R9_NEW) - wset
     assert not cut, (
-        f"round-8 queries were sliced out of the 50-entry window: {cut} "
+        f"round-9 queries were sliced out of the 50-entry window: {cut} "
         "— the window is over-full; move stale fill out instead"
     )
     # The r5 failure mode: the marked window section held 53 names, so
     # its last 3 were never stamped. Pin the window to EXACTLY the
     # first 50 by anchoring the entry that must sit at position 51.
-    assert list(REGISTRY)[50] == "salted_customer_revenue", (
+    assert list(REGISTRY)[50] == "event_value_ohlc", (
         "registry position 51 drifted — the driver stamps exactly "
         "list(REGISTRY)[:50]; an insert above this line silently pushes "
         "window entries below the checked range"
     )
-    # r7-green queries must NOT burn window slots (their driver stamps
-    # are one round old — the freshest evidence in the registry).
+    # r7/r8-green queries must NOT burn window slots (their driver
+    # stamps are the freshest evidence in the registry). r8-stamped =
+    # every CORRECTNESS_r08 key except the anchors; spot-pin the two
+    # tiers' heads.
+    r8_green = {
+        "corpus_inverted_index", "rake_keyword_phrases",
+        "nation_min_latency_paths", "part_label_communities",
+        "doc_shard_rebalance", "source_token_kl",
+        "kmeans_lloyd_clusters", "event_value_ohlc",
+        "stream_hourly_ohlc", "referential_integrity_audit",
+        "customer_rfm_segments", "part_copurchase_lift",
+        "copurchase_link_prediction", "ann_recall_audit",
+        "doc_gibberish_filter", "token_burstiness",
+        "orders_priority_drift",
+    }
+    wasted8 = wset & r8_green
+    assert not wasted8, f"window slots wasted on r8-green queries: {wasted8}"
     r7_green = {
         "prefix_filter_jaccard_pairs", "token_cooccurrence_lift",
         "tokenizer_fertility_by_lang", "event_markov_transitions",
