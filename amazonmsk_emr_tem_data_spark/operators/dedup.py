@@ -800,6 +800,58 @@ def _melted_signatures(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame
     )
 
 
+def _minhash_rep_pairs(
+    df: DataFrame,
+    threshold: float,
+    num_hashes: int,
+    id_col: str,
+    k: int,
+    min_collisions: int,
+    max_bucket_size: int,
+):
+    """Collapse → LSH → exact-verify at the REPRESENTATIVE level:
+    (groups, shingled reps, verified rep pairs). The shared core of
+    minhash_lsh_pairs (which fans pairs back out to members) and
+    dedup_clusters (which must NOT fan out — connected components over
+    rep pairs plus the rep→member map give the same partition without
+    ever materializing the copies²-sized member-pair relation)."""
+    groups, reps = _collapse_exact(df, id_col)
+    sh = shingled(reps, id_col, k).cache()
+    # LSH banding (1-row bands) over _melted_signatures: bucket on
+    # (slot, value) via a single groupBy; id lists materialize only for
+    # buckets whose counted membership is within [2, max_bucket_size]
+    # (capped_buckets).
+    melted = _melted_signatures(sh, id_col, num_hashes)
+    buckets = capped_buckets(melted, ["slot", "val"], id_col, max_bucket_size)
+    # Candidate = collides in >= min_collisions of the K slots. One
+    # collision admits ~1% of all random pairs on a small corpus vocab;
+    # two cuts false candidates ~20x while the miss probability for a
+    # true pair at j is 1 - (1-j)^K - K*j*(1-j)^(K-1) complement —
+    # ~1e-5 at j=0.6, K=16, and vanishing for the planted j>=0.97 dups.
+    candidates = (
+        buckets.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .count()
+        .filter(F.col("count") >= min_collisions)
+        .drop("count")
+    )
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    rep_pairs = (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+    return groups, sh, rep_pairs
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.6,
@@ -838,39 +890,9 @@ def minhash_lsh_pairs(
     signal; recall for real near-dups is preserved by the other K-1
     slots.
     """
-    groups, reps = _collapse_exact(df, id_col)
-    sh = shingled(reps, id_col, k).cache()
-    # LSH banding (1-row bands) over _melted_signatures: bucket on
-    # (slot, value) via a single groupBy; id lists materialize only for
-    # buckets whose counted membership is within [2, max_bucket_size]
-    # (capped_buckets).
-    melted = _melted_signatures(sh, id_col, num_hashes)
-    buckets = capped_buckets(melted, ["slot", "val"], id_col, max_bucket_size)
-    # Candidate = collides in >= min_collisions of the K slots. One
-    # collision admits ~1% of all random pairs on a small corpus vocab;
-    # two cuts false candidates ~20x while the miss probability for a
-    # true pair at j is 1 - (1-j)^K - K*j*(1-j)^(K-1) complement —
-    # ~1e-5 at j=0.6, K=16, and vanishing for the planted j>=0.97 dups.
-    candidates = (
-        buckets.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
-        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .count()
-        .filter(F.col("count") >= min_collisions)
-        .drop("count")
-    )
-    sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
-    rep_pairs = (
-        candidates.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("n_common")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "n_common", "jaccard")
+    groups, sh, rep_pairs = _minhash_rep_pairs(
+        df, threshold, num_hashes, id_col, k, min_collisions,
+        max_bucket_size,
     )
 
     # Expand distinct-content pairs back to document pairs: identity
@@ -1374,24 +1396,43 @@ def dedup_clusters(
     cluster size, and whether it is the canonical survivor (min id).
     This is the full "dedup a web crawl" pipeline as one DataFrame op.
 
-    The iterative propagation runs ONLY over documents that appear in
-    at least one pair — an isolated document is trivially its own
-    component, and in a real corpus near-dup pairs touch a few percent
-    of documents, so each CC round's join+agg shuffles orders of
-    magnitude fewer rows than the corpus. Isolated docs rejoin with
-    comp = their own id afterwards (one broadcast-friendly left join).
+    The component graph is the REPRESENTATIVE-level near-dup relation
+    (r9 sparsification): exact copies collapse to their min-id rep
+    before LSH, and CC runs over verified rep pairs only — never the
+    fanned-out member-pair relation, whose size grows as copies² in
+    the duplication factor (the 100×-copies fixture put ~25M member
+    pairs through CC and cost 6.4× at 100×; rep-level CC rides the
+    same ~2.6× curve as minhash_lsh_pairs itself). The partition of
+    documents is IDENTICAL: every member connects to its rep (rep =
+    min id of its identity group, so component min-labels are
+    unchanged), and rep pairs carry exactly the cross-group edges the
+    member fan-out would have multiplied. Members rejoin via one
+    explode of the bounded group lists; isolated reps keep comp =
+    their own id (coalesce after the left join).
+
+    The iterative propagation runs ONLY over reps that appear in at
+    least one pair — an isolated rep is trivially its own component,
+    and in a real corpus near-dup pairs touch a few percent of
+    documents, so each CC round's join+agg shuffles orders of
+    magnitude fewer rows than the corpus.
     """
-    pairs = minhash_lsh_pairs(df, threshold=threshold, id_col=id_col).cache()
+    groups, _sh, rep_pairs = _minhash_rep_pairs(
+        df, threshold, 16, id_col, 3, 2, 1000
+    )
+    pairs = rep_pairs.select("doc_a", "doc_b").cache()
     endpoints = (
         pairs.select(F.col("doc_a").alias(id_col))
         .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    paired_comp = connected_components(pairs, endpoints, id_col=id_col)
-    comp = df.select(id_col).join(
-        paired_comp, id_col, "left_outer"
+    rep_comp = connected_components(pairs, endpoints, id_col=id_col)
+    members = groups.select(
+        F.col("rep"), F.explode("members").alias(id_col)
+    )
+    comp = members.join(
+        rep_comp.withColumnRenamed(id_col, "rep"), "rep", "left_outer"
     ).select(
-        id_col, F.coalesce("comp", F.col(id_col)).alias("comp")
+        id_col, F.coalesce("comp", F.col("rep")).alias("comp")
     )
     sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (

@@ -9910,14 +9910,27 @@ def part_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank's iterations; full peel converges in <= 5 rounds at every
     fixture SF (fixpoint pinned in tests/test_clustering.py).
 
+    r9 sparsification (the 10×-study lever link prediction already
+    applied): the peel runs over the kNN-sparsified graph — each node
+    keeps its 50 strongest co-purchase edges, an edge survives if
+    either endpoint keeps it — because the RAW repeat-edge set
+    densifies ~33× on a 10×-replicated corpus (more orders push more
+    pairs over the w ≥ 2 line) and the peel rides that growth. The
+    cap drops only low-weight edges of super-degree hubs, which a
+    density analysis (k-core) can afford to ignore: a node with > 50
+    repeat-co-purchase partners is in the dense region under any cap
+    ≥ k. Deterministic (w desc, neighbor asc), mirrored in the SQL
+    twin.
+
     Scale: the co-occurrence pair build is the per-order self-join
-    (fan-out bounded by lines-per-order²); each peel round is one
-    explode-degree aggregate + two semi-joins — the Pregel round
-    shape, lineage truncated per round (operators/graph.kcore)."""
+    (fan-out bounded by lines-per-order²); the sparsified edge list
+    is ≤ |V|·50; each peel round is one explode-degree aggregate +
+    two semi-joins — the Pregel round shape, lineage truncated per
+    round (operators/graph.kcore)."""
     from .operators.graph import kcore
 
     li = load_table(spark, sf_dir, "lineitem")
-    ue = _repeat_copurchase_edges(li)
+    ue = _knn_sparsify_edges(_repeat_copurchase_edges_w(li), knn=50)
     return kcore(ue, k=2, rounds=8).select(
         F.col("n").alias("part"), "core_degree"
     )
@@ -9942,7 +9955,7 @@ def _kcore_round_sql(i: int, k: int) -> str:
 )"""
 
 
-def _kcore_sql(k: int = 2, rounds: int = 8) -> str:
+def _kcore_sql(k: int = 2, rounds: int = 8, knn: int = 50) -> str:
     return f"""
 WITH lp AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -9953,8 +9966,21 @@ WITH lp AS (
   FROM lp a JOIN lp b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
+), rep AS (
+  SELECT a, b, w FROM pairs WHERE w >= 2
+), bidir AS (
+  SELECT a AS src, b AS dst, w FROM rep
+  UNION ALL SELECT b, a, w FROM rep
+), kept AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY w DESC, dst ASC) AS rk
+    FROM bidir
+  ) WHERE rk <= {knn}
 ), ue AS MATERIALIZED (
-  SELECT a, b FROM pairs WHERE w >= 2
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM kept
 ), n0 AS MATERIALIZED (
   SELECT DISTINCT n
   FROM (SELECT a AS n FROM ue UNION ALL SELECT b FROM ue)
@@ -10351,10 +10377,10 @@ def part_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _repeat_copurchase_edges(li: DataFrame) -> DataFrame:
-    """Canonical (a < b) edges between parts co-ordered in ≥ 2
-    distinct orders — the graph shared by part_kcore_members and
-    part_bfs_hops. Pair fan-out is bounded by lines-per-order²."""
+def _repeat_copurchase_edges_w(li: DataFrame) -> DataFrame:
+    """Weighted canonical (a < b) edges between parts co-ordered in
+    ≥ 2 distinct orders, w = co-order count. Pair fan-out is bounded
+    by lines-per-order²."""
     lp = li.select("l_orderkey", "l_partkey").distinct()
     r = lp.select(
         F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
@@ -10367,7 +10393,45 @@ def _repeat_copurchase_edges(li: DataFrame) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
-        .select("a", "b")
+    )
+
+
+def _repeat_copurchase_edges(li: DataFrame) -> DataFrame:
+    """Canonical (a < b) edges between parts co-ordered in ≥ 2
+    distinct orders — the graph shared by part_kcore_members and
+    part_bfs_hops."""
+    return _repeat_copurchase_edges_w(li).select("a", "b")
+
+
+def _knn_sparsify_edges(ue_w: DataFrame, knn: int) -> DataFrame:
+    """kNN edge sparsification of a weighted canonical (a < b, w)
+    edge list: each node keeps its ``knn`` strongest incident edges
+    by (w desc, neighbor asc); an edge survives if EITHER endpoint
+    keeps it (so the graph stays undirected and no node is orphaned
+    by a hub neighbor's cap). Output is the canonical (a < b)
+    distinct edge list, ≤ |V|·knn rows regardless of how dense the
+    raw co-occurrence graph gets — the standard bound that keeps
+    graph analytics (k-core, link prediction) off the densification
+    curve a replicated-order corpus rides. Deterministic: the
+    (w desc, dst asc) order is total per src."""
+    bidir = ue_w.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionByName(
+        ue_w.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"), "w"
+        )
+    )
+    wk = Window.partitionBy("src").orderBy(
+        F.col("w").desc(), F.col("dst").asc()
+    )
+    return (
+        bidir.withColumn("__rk", F.row_number().over(wk))
+        .filter(F.col("__rk") <= knn)
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
     )
 
 
@@ -14994,6 +15058,94 @@ WHERE NOT EXISTS (
 """
 
 
+def stream_click_purchase_right_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream RIGHT OUTER join (round 9) — every
+    purchase, with its attributing click or NULL padding once the
+    watermark proves no click can still arrive (see
+    streaming/pipelines for the state story). Oracle cutoff, pinned
+    empirically at sf0.01 against the drain: an unmatched purchase
+    emits iff purchase_ts < min(max click_ts, max purchase_ts) —
+    STRICT (1947 vs 1948 on the <= candidate)."""
+    from .streaming.pipelines import (
+        stream_stream_right_outer_click_purchase,
+    )
+
+    return stream_stream_right_outer_click_purchase(spark, sf_dir)
+
+
+#: Shared watermark CTE for the outer stream-stream join oracles —
+#: NULL-propagating min (r8 review finding: if either input saw no
+#: data, Spark's global watermark never advances and NO outer row
+#: emits; LEAST alone would skip the NULL and wrongly emit).
+_STREAM_WM_CTES = """c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), wm AS (
+  SELECT CASE WHEN (SELECT MAX(click_ts) FROM c) IS NULL
+                OR (SELECT MAX(purchase_ts) FROM p) IS NULL THEN NULL
+              ELSE LEAST((SELECT MAX(click_ts) FROM c),
+                         (SELECT MAX(purchase_ts) FROM p)) END AS w
+)"""
+
+#: Matched pairs + the unmatched-purchase arm (emitted only past the
+#: watermark). Shared by the right- and full-outer oracles.
+_STREAM_RIGHT_ARMS_SQL = """
+SELECT c.user_id, c.click_id, c.click_ts, p.purchase_id, p.purchase_ts
+FROM c JOIN p
+  ON p.p_user = c.user_id
+ AND p.purchase_ts > c.click_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+UNION ALL
+SELECT p.p_user, NULL, NULL, p.purchase_id, p.purchase_ts
+FROM p CROSS JOIN wm
+WHERE NOT EXISTS (
+  SELECT 1 FROM c WHERE c.user_id = p.p_user
+    AND p.purchase_ts > c.click_ts
+    AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+) AND p.purchase_ts < wm.w
+"""
+
+_STREAM_RIGHT_JOIN_SQL = f"""
+WITH {_STREAM_WM_CTES}
+{_STREAM_RIGHT_ARMS_SQL}
+"""
+
+
+def stream_click_purchase_full_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join (round 9) — matched
+    pairs plus BOTH outer arms, each under its own watermark cutoff:
+    unmatched clicks at click_ts + 1h < wm (the left twin's pin),
+    unmatched purchases at purchase_ts < wm (the right twin's pin).
+    If either input is empty the NULL-propagating wm withholds both
+    arms — the two one-sided-corpus edge tests."""
+    from .streaming.pipelines import (
+        stream_stream_full_outer_click_purchase,
+    )
+
+    return stream_stream_full_outer_click_purchase(spark, sf_dir)
+
+
+_STREAM_FULL_JOIN_SQL = f"""
+WITH {_STREAM_WM_CTES}
+{_STREAM_RIGHT_ARMS_SQL}
+UNION ALL
+SELECT c.user_id, c.click_id, c.click_ts, NULL, NULL
+FROM c CROSS JOIN wm
+WHERE NOT EXISTS (
+  SELECT 1 FROM p WHERE p.p_user = c.user_id
+    AND p.purchase_ts > c.click_ts
+    AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+) AND c.click_ts + INTERVAL 1 HOUR < wm.w
+"""
+
+
 def event_type_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-type percentile profile (round 8): p25/p50/p75/p95 of
     event value per type — the latency-SLO-style summary every
@@ -16730,6 +16882,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         stream_click_purchase_left_join,
         _STREAM_LEFT_JOIN_SQL,
     ),
+    "stream_click_purchase_right_join": (
+        stream_click_purchase_right_join,
+        _STREAM_RIGHT_JOIN_SQL,
+    ),
+    "stream_click_purchase_full_join": (
+        stream_click_purchase_full_join,
+        _STREAM_FULL_JOIN_SQL,
+    ),
     "phrase_search": (phrase_search, _phrase_search_sql()),
     "session_coherent_sample": (
         session_coherent_sample,
@@ -16794,7 +16954,10 @@ _R9_NEVER_STAMPED: tuple[str, ...] = (
 #: Queries implemented in round 9 — appended to the window as they
 #: land, displacing stale fill below. Keep <= the free slot count
 #: (test_driver_window_covers_round9_rotation enforces none are cut).
-_R9_NEW: tuple[str, ...] = ()
+_R9_NEW: tuple[str, ...] = (
+    "stream_click_purchase_right_join",
+    "stream_click_purchase_full_join",
+)
 
 #: Oldest-stamp refresh queue (stamped round 4, nothing newer; order =
 #: registry order) — fills whatever window slots round-9 additions

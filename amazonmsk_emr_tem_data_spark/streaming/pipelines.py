@@ -353,6 +353,124 @@ def stream_stream_left_outer_click_purchase(
     )
 
 
+def stream_stream_right_outer_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream RIGHT OUTER join (round 9): every
+    purchase, joined to the same user's clicks in the preceding hour
+    — and purchases with NO qualifying click emit a NULL-padded row
+    once the watermark proves no click can still arrive. The
+    "organic vs click-attributed purchase" split, the mirror of the
+    left-outer abandonment query.
+
+    State story: an unmatched purchase can still match any future
+    click with click_ts < purchase_ts, so it is held exactly until
+    the global watermark (min across both inputs) passes purchase_ts,
+    then emitted null-padded and evicted — bounded by the horizon,
+    same as the left side.
+
+    Drain semantics the oracle mirrors: under availableNow the final
+    watermark freezes at min(max(click_ts), max(purchase_ts)); an
+    unmatched purchase emits iff purchase_ts < that watermark
+    (pinned empirically beside the left twin's cutoff)."""
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "0 seconds")
+    )
+    purchases = (
+        ev.filter("event_type = 'purchase'")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "0 seconds")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks["user_id"] == purchases["p_user"])
+        & (purchases["purchase_ts"] > clicks["click_ts"])
+        & (
+            purchases["purchase_ts"]
+            <= clicks["click_ts"] + F.expr("INTERVAL 1 HOUR")
+        ),
+        "rightOuter",
+    )
+    return run_to_memory(
+        joined.select(
+            F.coalesce("user_id", "p_user").alias("user_id"),
+            "click_id",
+            "click_ts",
+            "purchase_id",
+            "purchase_ts",
+        ),
+        output_mode="append",
+    )
+
+
+def stream_stream_full_outer_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join (round 9): the union
+    of both attribution views — matched click→purchase pairs, clicks
+    that never converted (NULL purchase), and purchases with no
+    qualifying click (NULL click) — each outer row emitted exactly
+    once, when the watermark proves its side can no longer match.
+
+    The NULL-propagation cutoff is one-sided PER SIDE: unmatched
+    clicks emit when click_ts + 1h < final watermark, unmatched
+    purchases when purchase_ts < final watermark — and if EITHER
+    input saw no data the global watermark never advances, so NO
+    outer row emits from either side (both one-sided-corpus edge
+    tests pin this; the r8 left-join review caught the clicks-only
+    half, this encodes the purchases-only mirror too)."""
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "0 seconds")
+    )
+    purchases = (
+        ev.filter("event_type = 'purchase'")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "0 seconds")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks["user_id"] == purchases["p_user"])
+        & (purchases["purchase_ts"] > clicks["click_ts"])
+        & (
+            purchases["purchase_ts"]
+            <= clicks["click_ts"] + F.expr("INTERVAL 1 HOUR")
+        ),
+        "fullOuter",
+    )
+    return run_to_memory(
+        joined.select(
+            F.coalesce("user_id", "p_user").alias("user_id"),
+            "click_id",
+            "click_ts",
+            "purchase_id",
+            "purchase_ts",
+        ),
+        output_mode="append",
+    )
+
+
 def stream_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup: ``dropDuplicates`` over the key columns — the
     stateful distinct the reference needed for its 755-duplicate-id

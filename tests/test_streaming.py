@@ -569,6 +569,83 @@ def test_stream_seasonal_baseline_merges_across_microbatches(
     assert got == want
 
 
+def _one_sided_events(tmp_path, event_type: str) -> str:
+    import pandas as pd
+
+    rows = [
+        (i, f"2024-01-01 0{i}:00:00", 1, event_type, 1.0, None)
+        for i in range(5)
+    ]
+    ev = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    d = str(tmp_path)
+    ev.to_parquet(f"{d}/events.parquet", index=False)
+    return d
+
+
+def _assert_withholds_all(spark, d: str, query_name: str) -> None:
+    import duckdb
+
+    from amazonmsk_emr_tem_data_spark.queries import REGISTRY
+
+    fn, sql = REGISTRY[query_name]
+    assert fn(spark, d).count() == 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    assert con.execute(f"SELECT COUNT(*) FROM ({sql})").fetchone()[0] == 0
+    con.close()
+
+
+def test_right_outer_join_purchases_only_corpus_withholds_all(
+    spark, tmp_path
+):
+    """Purchases but NO clicks: the click input never advances its
+    watermark, so every unmatched purchase is withheld — and the
+    oracle's NULL-propagating min must agree on the EMPTY result
+    (the purchases-only mirror of the r8 clicks-only finding)."""
+    d = _one_sided_events(tmp_path, "purchase")
+    _assert_withholds_all(spark, d, "stream_click_purchase_right_join")
+
+
+def test_full_outer_join_one_sided_corpora_withhold_both_arms(
+    spark, tmp_path
+):
+    """FULL OUTER under a one-sided corpus: whichever side is empty,
+    the global watermark stays at epoch and NEITHER outer arm emits —
+    both directions, Spark and oracle agreeing on empty."""
+    d_clicks = _one_sided_events(tmp_path / "c", "click")
+    _assert_withholds_all(spark, d_clicks, "stream_click_purchase_full_join")
+    d_purch = _one_sided_events(tmp_path / "p", "purchase")
+    _assert_withholds_all(spark, d_purch, "stream_click_purchase_full_join")
+
+
+def test_full_outer_join_equals_left_plus_right_arms(spark, sf_dir):
+    """The full-outer drain must equal inner ∪ left-arm ∪ right-arm
+    computed from its two outer twins on the same fixture — the
+    cross-mode consistency contract."""
+    from amazonmsk_emr_tem_data_spark.queries import REGISTRY
+
+    def rows(name):
+        return {
+            tuple(r)
+            for r in REGISTRY[name][0](spark, sf_dir).collect()
+        }
+
+    left = rows("stream_click_purchase_left_join")
+    right = rows("stream_click_purchase_right_join")
+    full = rows("stream_click_purchase_full_join")
+    assert full == left | right
+    # and the arms genuinely differ (both outer directions present)
+    assert any(r[3] is None for r in full)
+    assert any(r[1] is None for r in full)
+
+
 def test_left_outer_join_clicks_only_corpus_withholds_all(spark, tmp_path):
     """A corpus with clicks but NO purchases: the purchase input never
     advances its watermark, so Spark withholds every unmatched click —
