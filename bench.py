@@ -193,14 +193,17 @@ def main() -> None:
     # Truncation-proofing (r7: the driver kept only the TAIL of bench
     # stdout and the headline total was cut off): also persist the full
     # JSON to a git-tracked file so the totals survive any capture.
+    # r9 hardening (r8 VERDICT ask #7): BENCH_LOCAL.json is the
+    # latest-run snapshot AND every run appends to BENCH_HISTORY.jsonl
+    # (git-tracked, append-only) — cross-round per-query medians never
+    # depend on the driver's truncated tail or on a snapshot a later
+    # run overwrote. Each line carries sf + timestamp + loadavg, so
+    # comparisons can select quiet sf0.1 runs mechanically.
+    here = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "BENCH_LOCAL.json",
-            ),
-            "w",
-        ) as f:
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+            f.write(payload + "\n")
+        with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as f:
             f.write(payload + "\n")
     except OSError:
         pass  # a read-only checkout must not break the stdout contract
