@@ -152,23 +152,16 @@ def test_part_kcore_fixture_converges_within_rounds(spark, sf_dir):
     produces a deeper cascade, this fails before a half-peeled result
     ships as green."""
     from amazonmsk_emr_tem_data_spark.operators.graph import kcore
+    from amazonmsk_emr_tem_data_spark.queries import (
+        _knn_sparsify_edges,
+        _repeat_copurchase_edges_w,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
-    lp = li.select("l_orderkey", "l_partkey").distinct()
-    r = lp.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
-    )
-    ue = (
-        lp.join(
-            r,
-            (lp["l_orderkey"] == r["o2"]) & (lp["l_partkey"] < r["p2"]),
-        )
-        .groupBy(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("a", "b")
-        .cache()
-    )
+    # the registry query's actual peel input (r9: kNN-sparsified)
+    ue = _knn_sparsify_edges(
+        _repeat_copurchase_edges_w(li), knn=50
+    ).cache()
     r8 = {
         (x["n"], x["core_degree"]) for x in kcore(ue, 2, rounds=8).collect()
     }

@@ -189,6 +189,14 @@ DOC_QUERIES = [
     # r8: dup-rate where docs 9+10 are exact copies (one group of 2)
     # and everything else is distinct
     "doc_dedup_rate_by_source",
+    # r9: the degree histogram over this corpus (9+10 the only pair;
+    # empty/whitespace docs are degree-0 mass), the per-bit bias
+    # monitor (tiny shingle population stresses the majority votes),
+    # and the stage funnel (eval slice %97 is EMPTY here, so the
+    # eval_withheld stage must retain 100%)
+    "dedup_graph_degree_histogram",
+    "simhash_bit_bias",
+    "curation_funnel_report",
 ]
 
 
@@ -247,6 +255,9 @@ EMB_QUERIES = [
     # vec_id tie-break) and vec 4 duplicates vec 2 (sim 1.0 ⇒ maximal
     # redundancy penalty: MMR must NOT pick the dup right after 2)
     "mmr_diverse_topk",
+    # r9: per-dimension profile over 4-dim edge vectors (zero vector
+    # drags min to 0; duplicated vec 4 doubles its component mass)
+    "embedding_dimension_profile",
 ]
 
 
