@@ -6452,7 +6452,6 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
         counts = row if counts is None else counts.unionByName(row)
-    w = Window.orderBy("stage_ord")
     return counts.select(
         "stage_ord",
         "stage",

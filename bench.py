@@ -116,6 +116,13 @@ HEADLINE = [
     "event_value_ohlc",
     "part_copurchase_lift",
     "copurchase_link_prediction",
+    # round-9 additions: the rep-level-CC dedup win rides the existing
+    # dedup_clusters entry; add the degree-histogram (a second
+    # consumer of collapse-first LSH pairs), the 60-column sketch
+    # combine, and the day-grid fulfillment percentiles
+    "dedup_graph_degree_histogram",
+    "simhash_bit_bias",
+    "order_fulfillment_latency",
 ]
 
 
