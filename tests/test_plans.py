@@ -1301,3 +1301,54 @@ def test_basket_histogram_two_combines(spark, sf_dir):
     f = facts(spark, sf_dir, "order_basket_size_histogram")
     assert not f.joins
     assert f.has_partial_agg
+
+
+def test_curation_funnel_no_cartesian_counts_union(spark, sf_dir):
+    """Funnel report: five one-row stage counts unioned — joins may
+    appear only inside the decontamination stage (broadcast gram
+    semi-join), never a cartesian; partial agg on every count."""
+    f = facts(spark, sf_dir, "curation_funnel_report")
+    assert f.has_partial_agg
+    assert "CartesianProduct" not in f.raw
+
+
+def test_degree_histogram_hash_only_shuffles(spark, sf_dir):
+    """Degree histogram: after LSH pair generation, the degree and
+    histogram rollups shuffle doc ids and counts — document text must
+    never enter an exchange."""
+    import re
+
+    f = facts(spark, sf_dir, "dedup_graph_degree_histogram")
+    assert f.has_partial_agg
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)", f.raw):
+        assert "text" not in m.group(1)
+
+
+def test_fulfillment_latency_broadcast_cuts(spark, sf_dir):
+    """Fulfillment SLO: one orderkey combine feeds the day-grid
+    histogram; the percentile locators and the n join are broadcasts
+    over |priorities|-row aggregates — no sort-merge join, no
+    cartesian."""
+    f = facts(spark, sf_dir, "order_fulfillment_latency")
+    assert f.has_partial_agg
+    assert "CartesianProduct" not in f.raw
+    assert "SortMergeJoin" not in f.joins
+
+
+def test_simhash_bit_bias_single_wide_combine(spark, sf_dir):
+    """Bit-bias monitor: the 60 conditional bit-sums ride the sketch's
+    ONE map-side-combined aggregate; the unpivot is a projection, so
+    the plan carries no joins at all."""
+    f = facts(spark, sf_dir, "simhash_bit_bias")
+    assert not f.joins
+    assert f.has_partial_agg
+
+
+def test_embedding_dim_profile_one_exchange(spark, sf_dir):
+    """Dimension profile: posexplode → ONE combine on dim_idx. A
+    second exchange or a join would mean the profile stopped being a
+    single aggregation pass."""
+    f = facts(spark, sf_dir, "embedding_dimension_profile")
+    assert not f.joins
+    assert f.has_partial_agg
+    assert f.n_exchanges == 1
