@@ -15314,6 +15314,35 @@ def stream_click_purchase_right_join(
     return stream_stream_right_outer_click_purchase(spark, sf_dir)
 
 
+def stream_click_purchase_semi_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT SEMI join (round 9) — converted
+    clicks only, no purchase columns; the mode that completes the
+    stream-stream join matrix. A matched row emits on match (no
+    watermark-expiry arm), so the oracle is the plain EXISTS."""
+    from .streaming.pipelines import stream_stream_semi_click_purchase
+
+    return stream_stream_semi_click_purchase(spark, sf_dir)
+
+
+_STREAM_SEMI_JOIN_SQL = """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.click_id, c.click_ts
+FROM c WHERE EXISTS (
+  SELECT 1 FROM p WHERE p.p_user = c.user_id
+    AND p.purchase_ts > c.click_ts
+    AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+)
+"""
+
+
 #: Shared watermark CTE for the outer stream-stream join oracles —
 #: NULL-propagating min (r8 review finding: if either input saw no
 #: data, Spark's global watermark never advances and NO outer row
@@ -17286,6 +17315,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         stream_click_purchase_full_join,
         _STREAM_FULL_JOIN_SQL,
     ),
+    "stream_click_purchase_semi_join": (
+        stream_click_purchase_semi_join,
+        _STREAM_SEMI_JOIN_SQL,
+    ),
     "curation_funnel_report": (
         curation_funnel_report,
         _CURATION_FUNNEL_SQL,
@@ -17370,6 +17403,7 @@ _R9_NEVER_STAMPED: tuple[str, ...] = (
 _R9_NEW: tuple[str, ...] = (
     "stream_click_purchase_right_join",
     "stream_click_purchase_full_join",
+    "stream_click_purchase_semi_join",
     "curation_funnel_report",
     "dedup_graph_degree_histogram",
     "order_fulfillment_latency",

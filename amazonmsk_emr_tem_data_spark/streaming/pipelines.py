@@ -471,6 +471,55 @@ def stream_stream_full_outer_click_purchase(
     )
 
 
+def stream_stream_semi_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT SEMI join (round 9): clicks
+    that DID convert — each click emitted at most once, when its
+    first qualifying same-user purchase arrives, with no purchase
+    columns attached. Completes the stream-stream join-mode matrix
+    (inner r7, left outer r8, right/full outer r9): leftSemi is the
+    one remaining mode Spark supports for stream-stream joins.
+
+    Drain semantics: the semi join needs no watermark-expiry
+    emission (a matched left row emits on match; an unmatched one
+    simply ages out), so under availableNow the result is exactly
+    the batch EXISTS — no final-watermark cutoff in the oracle."""
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "0 seconds")
+    )
+    purchases = (
+        ev.filter("event_type = 'purchase'")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "0 seconds")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks["user_id"] == purchases["p_user"])
+        & (purchases["purchase_ts"] > clicks["click_ts"])
+        & (
+            purchases["purchase_ts"]
+            <= clicks["click_ts"] + F.expr("INTERVAL 1 HOUR")
+        ),
+        "leftSemi",
+    )
+    return run_to_memory(
+        joined.select("user_id", "click_id", "click_ts"),
+        output_mode="append",
+    )
+
+
 def stream_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup: ``dropDuplicates`` over the key columns — the
     stateful distinct the reference needed for its 755-duplicate-id

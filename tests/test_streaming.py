@@ -625,6 +625,29 @@ def test_full_outer_join_one_sided_corpora_withhold_both_arms(
     _assert_withholds_all(spark, d_purch, "stream_click_purchase_full_join")
 
 
+def test_semi_join_equals_matched_left_clicks(spark, sf_dir):
+    """LEFT SEMI = the distinct matched clicks of the LEFT OUTER
+    drain — the cross-mode contract that pins semi's emit-once
+    semantics against the outer twin's row-per-match fan-out."""
+    from amazonmsk_emr_tem_data_spark.queries import REGISTRY
+
+    semi = {
+        (r["user_id"], r["click_id"], r["click_ts"])
+        for r in REGISTRY["stream_click_purchase_semi_join"][0](
+            spark, sf_dir
+        ).collect()
+    }
+    left_matched = {
+        (r["user_id"], r["click_id"], r["click_ts"])
+        for r in REGISTRY["stream_click_purchase_left_join"][0](
+            spark, sf_dir
+        ).collect()
+        if r["purchase_id"] is not None
+    }
+    assert semi == left_matched
+    assert len(semi) > 0
+
+
 def test_full_outer_join_equals_left_plus_right_arms(spark, sf_dir):
     """The full-outer drain must equal inner ∪ left-arm ∪ right-arm
     computed from its two outer twins on the same fixture — the
