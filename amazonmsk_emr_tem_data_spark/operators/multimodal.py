@@ -10,9 +10,12 @@ uncompressed formats (BMP BI_RGB, binary PPM/PGM), 8-bit
 non-interlaced PNG (stdlib zlib inflate + NumPy scanline unfilter),
 and — new r9 — baseline sequential JPEG (Huffman decode + dequant +
 vectorized IDCT, DRI/RSTn restarts, chroma subsampling, JFIF
-YCbCr→RGB) — no native codecs needed. The container lacks image/audio
-codec libraries, so decode of the REMAINING formats (WebP/TIFF,
-progressive JPEG, palette/16-bit/Adam7 PNG), ``embed_media``'s encoder
+YCbCr→RGB) — no native codecs needed. ``decode_audio(fake=False)`` is
+the audio member: real RIFF/WAVE PCM decode (8/16-bit, multi-channel)
+plus a gain-invariant energy-envelope fingerprint for audio near-dup.
+The container lacks media codec libraries, so decode of the REMAINING
+formats (WebP/TIFF, progressive JPEG, palette/16-bit/Adam7 PNG,
+MP3/FLAC/OGG), ``embed_media``'s encoder
 forward pass, and video frame extraction remain clearly-marked stubs
 (`NotImplementedError` unless ``fake=True``); the Spark-side contract —
 schemas, batch iteration, partitioning, output explosion — is real and
@@ -66,12 +69,13 @@ def _pure_decoders():
     had when each carried its own copy of every decoder, without the
     duplication.
 
-    Returns {"png", "jpeg", "bmp", "pnm", "any"}. Every format decoder
-    returns an (H, W, C) uint8 array in top-down row order; ``any``
-    dispatches on magic bytes and raises a guarded
-    NotImplementedError for formats that need a native codec
-    (WebP/TIFF, progressive JPEG, palette/16-bit/Adam7 PNG) — raising
-    beats silently-wrong decode.
+    Returns {"png", "jpeg", "bmp", "pnm", "wav", "any"}. Every image
+    decoder returns an (H, W, C) uint8 array in top-down row order;
+    ``wav`` returns (sample_rate, int32 samples of shape
+    (n, channels)); ``any`` dispatches images on magic bytes and
+    raises a guarded NotImplementedError for formats that need a
+    native codec (WebP/TIFF, progressive JPEG, palette/16-bit/Adam7
+    PNG) — raising beats silently-wrong decode.
 
     Performance envelope, stated honestly: these are correctness-first
     decoders for fixtures and thumbnail-scale tiers. The PNG
@@ -481,6 +485,55 @@ def _pure_decoders():
             )
         return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
+    def wav_array(data: bytes):
+        """RIFF/WAVE PCM decode (8-bit unsigned / 16-bit signed LE,
+        any channel count): (sample_rate, int32 array of shape
+        (n_samples, n_channels)). Compressed audio (MP3/FLAC/OGG,
+        and non-PCM WAV like IEEE-float or A-law) raises the guarded
+        stub — ffmpeg/soundfile territory."""
+        if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            raise ValueError("bad WAV signature")
+        pos = 12
+        fmt = None
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            clen = struct.unpack_from("<I", data, pos + 4)[0]
+            body_at = pos + 8
+            if cid == b"fmt ":
+                (audio_fmt, n_ch, rate, _br, _ba,
+                 bits) = struct.unpack_from("<HHIIHH", data, body_at)
+                if audio_fmt != 1 or bits not in (8, 16):
+                    raise NotImplementedError(
+                        "only PCM 8/16-bit WAV decodes natively (got "
+                        f"format={audio_fmt}, bits={bits}); float/"
+                        "A-law WAV and MP3/FLAC/OGG need ffmpeg here"
+                    )
+                fmt = (n_ch, rate, bits)
+            elif cid == b"data":
+                if fmt is None:
+                    raise ValueError("WAV data chunk before fmt")
+                n_ch, rate, bits = fmt
+                width = bits // 8
+                n = min(clen, len(data) - body_at)
+                n -= n % (width * n_ch)
+                if n_ch == 0 or rate == 0:
+                    raise ValueError("inconsistent WAV fmt")
+                if bits == 16:
+                    raw = np.frombuffer(
+                        data, dtype="<i2", count=n // 2, offset=body_at
+                    ).astype(np.int32)
+                else:
+                    raw = (
+                        np.frombuffer(
+                            data, dtype=np.uint8, count=n,
+                            offset=body_at,
+                        ).astype(np.int32)
+                        - 128
+                    ) * 256  # align 8-bit onto the 16-bit grid
+                return rate, raw.reshape(-1, n_ch)
+            pos = body_at + clen + (clen & 1)  # chunks are word-aligned
+        raise ValueError("WAV missing data chunk")
+
     def any_array(data: bytes):
         if data[:2] == b"BM":
             return bmp_array(data)
@@ -501,6 +554,7 @@ def _pure_decoders():
         "jpeg": jpeg_array,
         "bmp": bmp_array,
         "pnm": pnm_array,
+        "wav": wav_array,
         "any": any_array,
     }
 
@@ -793,3 +847,168 @@ def sample_frames(
             )
 
     return df.select(id_col, "payload").mapInPandas(frames_iter, _FRAME_SCHEMA)
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def decode_audio(
+    df: DataFrame, id_col: str = "doc_id", fake: bool = True
+) -> DataFrame:
+    """Decode binary audio payloads to waveform features via the same
+    Arrow-batched ``mapInPandas`` shape as decode_images — the audio
+    member of the multimodal tier (round 9).
+
+    ``fake=False`` is a REAL pure-NumPy decoder for RIFF/WAVE PCM
+    (8-bit unsigned and 16-bit signed LE, any channel count, chunked
+    containers with word alignment): sample rate, channel count,
+    per-channel sample count, duration, and RMS amplitude on the
+    [-1, 1) grid (8-bit aligned onto the 16-bit lattice so the same
+    waveform at either depth yields the same features up to
+    quantization). Compressed audio (MP3/FLAC/OGG) and non-PCM WAV
+    raise the guarded NotImplementedError — that branch is where
+    ffmpeg/soundfile plugs in. ``fake=True`` keeps a deterministic
+    byte-level pseudo-decode for non-audio fixture payloads, exact
+    down to the DuckDB hex twin (_MULTIMODAL_AUDIO_SQL)."""
+    wav = _pure_decoders()["wav"]
+
+    def audio_iter(batches) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def decode_one(payload: bytes):
+            if not fake:
+                if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                    rate, samples = wav(payload)
+                    n, ch = samples.shape
+                    x = samples.astype(np.float64) / 32768.0
+                    rms = float(np.sqrt((x * x).mean())) if n else 0.0
+                    return (
+                        rate, ch, n, n * 1000 // max(rate, 1), rms
+                    )
+                raise NotImplementedError(
+                    "only PCM WAV decodes natively; MP3/FLAC/OGG need "
+                    "ffmpeg/soundfile here"
+                )
+            n = len(payload)
+            rate = 8000 + (n % 8) * 1000
+            ch = 1 + (n % 2)
+            mean = (sum(payload[:256]) / min(n, 256)) if n else 0.0
+            return (rate, ch, n, n * 1000 // rate, mean / 255.0)
+
+        for pdf in batches:
+            feats = [
+                decode_one(p if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "sample_rate": [f[0] for f in feats],
+                    "n_channels": [f[1] for f in feats],
+                    "n_samples": [f[2] for f in feats],
+                    "duration_ms": [f[3] for f in feats],
+                    "rms": [f[4] for f in feats],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(audio_iter, _AUDIO_SCHEMA)
+
+
+def envelope_hash_audio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fake: bool = True,
+    n_windows: int = 64,
+) -> DataFrame:
+    """64-bit energy-envelope fingerprint per audio payload — the
+    audio counterpart of the image aHash: decode → mono mix → split
+    into ``n_windows`` equal windows → per-window RMS → bit i =
+    rms_i > mean(rms). Mean-thresholding makes the hash invariant to
+    uniform gain (amplitude scaling scales every window and the mean
+    alike) and robust to requantization (8-bit vs 16-bit of the same
+    waveform hash identically, pinned in tests) — the cheap
+    perceptual feature for audio near-dup ahead of byte-level sha.
+    Lands as signed int64 so downstream bit_count/xor stay in Spark
+    long math (audio_near_dup_pairs reuses the SimHash Hamming
+    machinery)."""
+    wav = _pure_decoders()["wav"]
+
+    def env_iter(batches) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def hash_one(payload: bytes) -> int:
+            if fake:
+                data = (payload or b"\x00") * (
+                    1 + n_windows // max(1, len(payload or b"\x00"))
+                )
+                env = np.frombuffer(
+                    data[:n_windows], dtype=np.uint8
+                ).astype(np.float64)
+            else:
+                _rate, samples = wav(payload)
+                mono = samples.astype(np.float64).mean(axis=1)
+                n = len(mono)
+                if n == 0:
+                    env = np.zeros(n_windows)
+                else:
+                    # pad to a multiple so every window is equal-size
+                    pad = (-n) % n_windows
+                    mono = np.concatenate([mono, np.zeros(pad)])
+                    w = mono.reshape(n_windows, -1)
+                    env = np.sqrt((w * w).mean(axis=1))
+            bits = (env > env.mean()).astype(np.uint64)
+            val = np.uint64(0)
+            for b in bits:
+                val = (val << np.uint64(1)) | b
+            return int(val.astype(np.int64))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "envelope_hash": [
+                        hash_one(p if p is not None else b"")
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        env_iter,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("envelope_hash", T.LongType()),
+            ]
+        ),
+    )
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Perceptual near-dup pairs over audio payloads: envelope hash →
+    pigeonhole chunk-bucketed Hamming join — the exact machinery
+    media_phash_near_dup uses for images, applied to the audio
+    fingerprint. Candidates equi-join on exact hash chunks, never a
+    cross join; one bit_count(xor) verifies."""
+    from .dedup import hamming_chunk_pairs
+
+    sk = envelope_hash_audio(df, id_col=id_col, fake=fake).cache()
+    return hamming_chunk_pairs(
+        sk, id_col, "envelope_hash", bits=64, max_hamming=max_hamming
+    )

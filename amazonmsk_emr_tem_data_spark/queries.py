@@ -2670,6 +2670,19 @@ def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(with_binary_payload(docs), fake=True)
 
 
+def multimodal_audio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched audio-decode plumbing (round 9). Like
+    multimodal_decode, the fake decoder is a pure byte-level function
+    with an exact DuckDB hex twin — the REAL path (PCM WAV decode,
+    envelope fingerprints) is pinned by fixture-encoder tests in
+    tests/test_northstar.py, the distributed contract by this
+    oracle."""
+    from .operators.multimodal import decode_audio, with_binary_payload
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return decode_audio(with_binary_payload(docs), fake=True)
+
+
 def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: 1 payload row → 4 frame rows, exploded
     executor-side. Chunks are fingerprinted via their canonical hex
@@ -5509,6 +5522,25 @@ SELECT doc_id,
          CAST(list_sum(list_transform(range(CAST(least(n, 256) AS INT)),
                 i -> {_BYTE_SQL.format(hx='hx', i='i')})) AS DOUBLE)
          / least(n, 256) END AS mean_intensity
+FROM h
+"""
+
+_MULTIMODAL_AUDIO_SQL = f"""
+WITH h AS (
+  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+         octet_length(encode(coalesce(text, ''))) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(8000 + (n % 8) * 1000 AS INT) AS sample_rate,
+       CAST(1 + (n % 2) AS INT) AS n_channels,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // (8000 + (n % 8) * 1000) AS BIGINT)
+         AS duration_ms,
+       CASE WHEN n = 0 THEN 0.0 ELSE
+         CAST(list_sum(list_transform(range(CAST(least(n, 256) AS INT)),
+                i -> {_BYTE_SQL.format(hx='hx', i='i')})) AS DOUBLE)
+         / least(n, 256) / 255.0 END AS rms
 FROM h
 """
 
@@ -16933,6 +16965,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_bm25_search": (doc_bm25_search, _BM25_SQL),
     "hybrid_rrf_search": (hybrid_rrf_search, _hybrid_rrf_sql()),
     "multimodal_decode": (multimodal_decode_q, _MULTIMODAL_DECODE_SQL),
+    "multimodal_audio": (multimodal_audio_q, _MULTIMODAL_AUDIO_SQL),
     # new in round 7 — zero driver evidence, outranks refresh fill
     "auto_salted_event_value": (auto_salted_event_value, _AUTO_SALTED_SQL),
     "cross_corpus_near_dup": (cross_corpus_near_dup_q, _CROSS_CORPUS_SQL),
@@ -17404,6 +17437,7 @@ _R9_NEW: tuple[str, ...] = (
     "stream_click_purchase_right_join",
     "stream_click_purchase_full_join",
     "stream_click_purchase_semi_join",
+    "multimodal_audio",
     "curation_funnel_report",
     "dedup_graph_degree_histogram",
     "order_fulfillment_latency",

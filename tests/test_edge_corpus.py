@@ -197,6 +197,8 @@ DOC_QUERIES = [
     "dedup_graph_degree_histogram",
     "simhash_bit_bias",
     "curation_funnel_report",
+    # r9: audio pseudo-decode byte twin on empty/unicode payloads
+    "multimodal_audio",
 ]
 
 

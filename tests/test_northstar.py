@@ -1427,3 +1427,132 @@ def test_chunk_text_udtf_dataframe_form_and_size_guard(spark):
     }
     with pytest.raises(Exception, match="positive|ValueError"):
         chunk_text_df(df, "text", 0, 0).collect()
+
+
+def _wav_bytes(samples, rate=16000, bits=16, extra_chunk=False):
+    """Minimal RIFF/WAVE PCM encoder for fixtures: samples is an
+    (n, channels) int array on the 16-bit grid; bits=8 stores the
+    unsigned-8 projection (top byte + 128). extra_chunk inserts a
+    LIST chunk before data to exercise chunk skipping + word
+    alignment."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    n, ch = arr.shape
+    if bits == 16:
+        raw = arr.astype("<i2").tobytes()
+    else:
+        raw = ((arr // 256) + 128).astype(np.uint8).tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, rate, rate * ch * bits // 8,
+        ch * bits // 8, bits,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:
+        body = b"INFOx"  # odd length -> exercises word alignment
+        chunks += b"LIST" + struct.pack("<I", len(body)) + body + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(raw)) + raw
+    if len(raw) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_multimodal_real_decode_wav(spark):
+    """decode_audio(fake=False) really parses RIFF/PCM: rate, channel
+    count, per-channel sample count, duration, and [-1,1)-grid RMS
+    must match the numpy reference — mono 16-bit, stereo 16-bit, 8-bit
+    (projected onto the same grid), and a container with an extra
+    odd-length chunk before data."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import decode_audio
+
+    t = np.arange(800)
+    mono = (np.sin(t / 20.0) * 12000).astype(np.int64).reshape(-1, 1)
+    stereo = np.stack(
+        [mono[:, 0], (np.cos(t / 15.0) * 8000).astype(np.int64)], axis=1
+    )
+    fixtures = {
+        1: (mono, dict(rate=16000, bits=16)),
+        2: (stereo, dict(rate=44100, bits=16)),
+        3: (mono, dict(rate=8000, bits=8)),
+        4: (stereo, dict(rate=22050, bits=16, extra_chunk=True)),
+    }
+    payloads = [
+        (doc_id, bytearray(_wav_bytes(arr, **kw)))
+        for doc_id, (arr, kw) in fixtures.items()
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_audio(df, fake=False).collect()}
+    for doc_id, (arr, kw) in fixtures.items():
+        r = out[doc_id]
+        n, ch = arr.shape
+        assert (r["sample_rate"], r["n_channels"]) == (kw["rate"], ch)
+        assert r["n_samples"] == n
+        assert r["duration_ms"] == n * 1000 // kw["rate"]
+        grid = arr if kw.get("bits", 16) == 16 else (arr // 256) * 256
+        want = float(np.sqrt(((grid / 32768.0) ** 2).mean()))
+        assert r["rms"] == pytest.approx(want, rel=1e-9), doc_id
+
+
+def test_multimodal_wav_compressed_and_nonpcm_gated(spark):
+    """MP3 magic and float-PCM WAV stay behind the explicit stub."""
+    import struct
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import decode_audio
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)  # IEEE float
+    float_wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    )
+    for doc_id, payload in [(1, b"ID3\x04" + b"\x00" * 64), (2, float_wav)]:
+        df = spark.createDataFrame(
+            [(doc_id, bytearray(payload))], "doc_id long, payload binary"
+        )
+        with pytest.raises(Exception, match="NotImplementedError|PCM|WAV"):
+            decode_audio(df, fake=False).collect()
+
+
+def test_audio_envelope_hash_gain_and_depth_invariant(spark):
+    """The energy-envelope fingerprint must be identical for the same
+    waveform at half gain (mean-threshold is scale-invariant) and for
+    its 8-bit requantization, and must differ for a different
+    loud/quiet pattern; audio_near_dup_pairs must link exactly the
+    true group."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        audio_near_dup_pairs,
+        envelope_hash_audio,
+    )
+
+    rng = np.random.default_rng(3)
+    # 64 windows x 25 samples: alternating loud/quiet windows
+    loud = (rng.normal(0, 9000, (64, 25))).astype(np.int64)
+    pattern = np.where(
+        (np.arange(64) % 2 == 0)[:, None], loud, loud // 20
+    ).reshape(-1, 1)
+    shifted = np.where(
+        (np.arange(64) % 2 == 1)[:, None], loud, loud // 20
+    ).reshape(-1, 1)
+    payloads = [
+        (1, bytearray(_wav_bytes(pattern))),
+        (2, bytearray(_wav_bytes(pattern // 2))),      # half gain
+        (3, bytearray(_wav_bytes(pattern, bits=8))),   # requantized
+        (4, bytearray(_wav_bytes(shifted))),           # different
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r["envelope_hash"]
+        for r in envelope_hash_audio(df, fake=False).collect()
+    }
+    assert got[1] == got[2] == got[3]
+    assert got[4] != got[1]
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in audio_near_dup_pairs(df, fake=False).collect()
+    }
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
