@@ -6518,6 +6518,64 @@ SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage,
 FROM counts
 """
 
+def decontamination_rate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source contamination monitor (round 9, observability tier):
+    for each source, how many curation candidates the 8-gram eval
+    overlap rule drops and the contamination rate in ppm — the
+    per-provenance view of the funnel's decontamination stage (a
+    source spiking here is scraping the eval benchmark; the global
+    funnel row can't say WHICH one). Shares _curation_stages with the
+    pipeline and the funnel — one stage definition, three consumers.
+
+    Exactness: counts and 10⁶·dropped div candidates are all-integer.
+    Scale: the candidate/clean relations are the pipeline's own; the
+    rollup adds one |sources|-row combine over doc ids (a left
+    anti-join marks the dropped set — hash-only, text never enters
+    the new shuffles)."""
+    _docs, _sel, _ded, candidates, clean = _curation_stages(
+        spark, sf_dir
+    )
+    dropped = candidates.join(
+        clean.select("doc_id"), "doc_id", "left_anti"
+    )
+    per_cand = candidates.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    per_drop = dropped.groupBy(F.col("source").alias("__s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_contaminated")
+    )
+    return (
+        per_cand.join(
+            per_drop, per_cand["source"] == per_drop["__s"], "left_outer"
+        )
+        .select(
+            "source",
+            "n_candidates",
+            F.coalesce("n_contaminated", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_ppm",
+            F.expr("1000000 * n_contaminated div n_candidates"),
+        )
+    )
+
+
+_DECONTAM_RATE_SQL = f"""
+WITH {_CURATION_STAGE_CTES}
+SELECT c.source,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN k.doc_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       CAST(1000000 * SUM(CASE WHEN k.doc_id IS NULL THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS contamination_ppm
+FROM candidates c LEFT JOIN clean k ON c.doc_id = k.doc_id
+GROUP BY 1
+"""
+
 #: Fixed retrieval query for the BM25 demo (terms present in the
 #: word-soup fixtures and in real prose alike).
 _BM25_TERMS = ["spark", "table", "fast"]
@@ -17355,6 +17413,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "curation_funnel_report": (
         curation_funnel_report,
         _CURATION_FUNNEL_SQL,
+    ),
+    "decontamination_rate_by_source": (
+        decontamination_rate_by_source,
+        _DECONTAM_RATE_SQL,
     ),
     "dedup_graph_degree_histogram": (
         dedup_graph_degree_histogram,

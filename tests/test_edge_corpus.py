@@ -199,6 +199,9 @@ DOC_QUERIES = [
     "curation_funnel_report",
     # r9: audio pseudo-decode byte twin on empty/unicode payloads
     "multimodal_audio",
+    # r9: per-source contamination where the eval slice (%97) is
+    # EMPTY -> zero contamination in every source
+    "decontamination_rate_by_source",
 ]
 
 
