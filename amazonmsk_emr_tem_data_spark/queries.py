@@ -6258,6 +6258,37 @@ def _curation_stages(spark: SparkSession, sf_dir: str):
     return docs, selected, deduped, candidates, clean
 
 
+def _curation_sharded(clean: DataFrame) -> DataFrame:
+    """Stages 4-5 of the curation pipeline (leakage-safe split on the
+    content fingerprint + deterministic shuffle into 8 shards, with
+    per-doc token counts and the two-level subshard index) — shared by
+    corpus_curation_pipeline (which packs the result) and
+    packing_efficiency_report (which budgets it)."""
+    from .functions import text as tx
+
+    bucket = F.pmod(tx.md5_hash64(F.col("fingerprint")), F.lit(1000))
+    h = tx.md5_hash64(
+        F.concat(F.lit("shuf1:"), F.col("doc_id").cast("string"))
+    )
+    wshard = Window.partitionBy("split", "shard").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    )
+    return (
+        clean.withColumn("split_bucket", bucket)
+        .withColumn(
+            "split",
+            F.when(F.col("split_bucket") < 980, "train")
+            .when(F.col("split_bucket") < 990, "val")
+            .otherwise("test"),
+        )
+        .withColumn("h", h)
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(8)))
+        .withColumn("pos", F.row_number().over(wshard).cast("long"))
+        .withColumn("n_tokens", tx.token_count("text"))
+        .withColumn("subshard", F.floor((F.col("pos") - 1) / 1000))
+    )
+
+
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation — the composition a real 100 TB
     training-data build actually runs, chaining the operators the
@@ -6283,36 +6314,12 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     you would persist the curated set between stages 3 and 5 instead
     of recomputing lineage — a materialization choice, not a plan
     change."""
-    from .functions import text as tx
-
     # stages 1-3 (quality selection, exact dedup, decontamination)
     # come from the shared stage builder
     _docs, _selected, _deduped, _candidates, clean = _curation_stages(
         spark, sf_dir
     )
-
-    # 4. leakage-safe split on the content fingerprint (copies — were
-    # any to survive an upstream change — land in the same split)
-    bucket = F.pmod(tx.md5_hash64(F.col("fingerprint")), F.lit(1000))
-    # 5. deterministic shuffle into 8 shards per split
-    h = tx.md5_hash64(F.concat(F.lit("shuf1:"), F.col("doc_id").cast("string")))
-    wshard = Window.partitionBy("split", "shard").orderBy(
-        F.col("h").asc(), F.col("doc_id").asc()
-    )
-    sharded = (
-        clean.withColumn("split_bucket", bucket)
-        .withColumn(
-            "split",
-            F.when(F.col("split_bucket") < 980, "train")
-            .when(F.col("split_bucket") < 990, "val")
-            .otherwise("test"),
-        )
-        .withColumn("h", h)
-        .withColumn("shard", F.pmod(F.col("h"), F.lit(8)))
-        .withColumn("pos", F.row_number().over(wshard).cast("long"))
-        .withColumn("n_tokens", tx.token_count("text"))
-        .withColumn("subshard", F.floor((F.col("pos") - 1) / 1000))
-    )
+    sharded = _curation_sharded(clean)
 
     # 6. pack each (split, shard) stream: two-level prefix sum so no
     # task windows more than 1000 rows
@@ -6405,10 +6412,9 @@ _CURATION_STAGE_CTES = f"""q AS (
   WHERE NOT EXISTS (SELECT 1 FROM contaminated x WHERE x.doc_id = c.doc_id)
 )"""
 
-#: One oracle chaining the SAME CTE per stage — the cross-engine proof
-#: that the composed pipeline, not just its pieces, is deterministic.
-_CURATION_PIPELINE_SQL = f"""
-WITH {_CURATION_STAGE_CTES}, splitted AS (
+#: The split+shard CTE (stages 4-5), shared by the pipeline oracle and
+#: the packing-efficiency oracle.
+_CURATION_SPLIT_CTE = f"""splitted AS (
   SELECT doc_id, source, quality, fingerprint,
          CASE WHEN b < 980 THEN 'train'
               WHEN b < 990 THEN 'val'
@@ -6419,7 +6425,12 @@ WITH {_CURATION_STAGE_CTES}, splitted AS (
                {_HASH64_SQL.format(x='fingerprint')} % 1000 AS b,
                {_HASH64_SQL.format(x="'shuf1:' || CAST(doc_id AS VARCHAR)")} AS h
         FROM clean c)
-), pos_assigned AS (
+)"""
+
+#: One oracle chaining the SAME CTE per stage — the cross-engine proof
+#: that the composed pipeline, not just its pieces, is deterministic.
+_CURATION_PIPELINE_SQL = f"""
+WITH {_CURATION_STAGE_CTES}, {_CURATION_SPLIT_CTE}, pos_assigned AS (
   SELECT doc_id, source, quality, fingerprint, split, shard, n_tokens,
          CAST(row_number() OVER (PARTITION BY split, shard
                 ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos,
@@ -6517,6 +6528,62 @@ SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage,
             AS BIGINT) AS retained_ppm
 FROM counts
 """
+
+def packing_efficiency_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequence-packing budget per (split, shard) (round 9,
+    observability tier, training side): documents, tokens, the number
+    of 2048-token sequences the shard's contiguous packing fills, and
+    the padding waste in ppm — the number that says how many
+    accelerator-hours the last partial sequence of every shard burns,
+    and whether shard sizes are balanced enough for even data-loader
+    throughput. Third consumer of the shared curation stage builders
+    (_curation_stages + _curation_sharded — one definition for
+    pipeline, funnel, and budget).
+
+    Exactness: all integer — n_seqs = (Σtokens + 2047) div 2048 (the
+    packing is a contiguous prefix sum, so the stream fills sequences
+    back-to-back and only the final one pads), waste_ppm =
+    10⁶·(n_seqs·2048 − Σtokens) div (n_seqs·2048), guarded for an
+    empty shard. Scale: one map-side-combined rollup over the sharded
+    relation — 24 output rows regardless of corpus size."""
+    _d, _s, _dd, _c, clean = _curation_stages(spark, sf_dir)
+    sharded = _curation_sharded(clean)
+    agg = sharded.groupBy("split", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    return agg.select(
+        "split",
+        F.col("shard").cast("long").alias("shard"),
+        "n_docs",
+        "n_tokens",
+        F.expr("(n_tokens + 2047) div 2048").alias("n_seqs"),
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN"
+            " 1000000 * (((n_tokens + 2047) div 2048) * 2048 - n_tokens)"
+            " div (((n_tokens + 2047) div 2048) * 2048)"
+            " ELSE 0 END"
+        ).alias("pad_waste_ppm"),
+    )
+
+
+_PACKING_EFFICIENCY_SQL = f"""
+WITH {_CURATION_STAGE_CTES}, {_CURATION_SPLIT_CTE}
+SELECT split, CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST((SUM(n_tokens) + 2047) // 2048 AS BIGINT) AS n_seqs,
+       CAST(CASE WHEN SUM(n_tokens) > 0 THEN
+              1000000 * (((SUM(n_tokens) + 2047) // 2048) * 2048
+                         - SUM(n_tokens))
+              // (((SUM(n_tokens) + 2047) // 2048) * 2048)
+            ELSE 0 END AS BIGINT) AS pad_waste_ppm
+FROM splitted
+GROUP BY 1, 2
+"""
+
 
 def decontamination_rate_by_source(
     spark: SparkSession, sf_dir: str
@@ -17417,6 +17484,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "decontamination_rate_by_source": (
         decontamination_rate_by_source,
         _DECONTAM_RATE_SQL,
+    ),
+    "packing_efficiency_report": (
+        packing_efficiency_report,
+        _PACKING_EFFICIENCY_SQL,
     ),
     "dedup_graph_degree_histogram": (
         dedup_graph_degree_histogram,

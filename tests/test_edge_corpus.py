@@ -202,6 +202,9 @@ DOC_QUERIES = [
     # r9: per-source contamination where the eval slice (%97) is
     # EMPTY -> zero contamination in every source
     "decontamination_rate_by_source",
+    # r9: packing budget over 12 tiny docs (every shard's lone
+    # sequence is mostly padding -> waste ppm near 10^6)
+    "packing_efficiency_report",
 ]
 
 

@@ -79,6 +79,33 @@ def test_embedding_dimension_profile_shape_and_variance(spark, sf_dir):
         assert r["min_e6"] <= r["mean_e6"] <= r["max_e6"]
 
 
+def test_packing_report_matches_pipeline_pack_ids(spark, sf_dir):
+    """The budget's n_seqs per (split, shard) must equal the number of
+    distinct pack ids the pipeline actually assigns (the packing is a
+    contiguous prefix sum, so max(pack_id)+1 == ceil(tokens/2048)),
+    and its token totals must reconcile with the pipeline rows."""
+    from collections import defaultdict
+
+    from amazonmsk_emr_tem_data_spark.queries import (
+        packing_efficiency_report,
+    )
+
+    report = {
+        (r["split"], r["shard"]): r
+        for r in packing_efficiency_report(spark, sf_dir).collect()
+    }
+    packs = defaultdict(set)
+    tokens = defaultdict(int)
+    for r in corpus_curation_pipeline(spark, sf_dir).collect():
+        packs[(r["split"], r["shard"])].add(r["pack_id"])
+        tokens[(r["split"], r["shard"])] += r["n_tokens"]
+    assert set(report) == set(packs)
+    for key, rep in report.items():
+        assert rep["n_tokens"] == tokens[key]
+        assert rep["n_seqs"] == len(packs[key]) == max(packs[key]) + 1
+        assert 0 <= rep["pad_waste_ppm"] < 1_000_000
+
+
 def test_knn_sparsify_keeps_either_endpoint_edges(spark):
     """The sparsifier's semantics on a hand-built star + triangle:
     every node keeps its top-knn strongest edges; an edge survives if
