@@ -98,7 +98,7 @@ def _pure_decoders():
         # behind the explicit stub (PIL territory).
         if data[:8] != b"\x89PNG\r\n\x1a\n":
             raise ValueError("bad PNG signature")
-        pos, width, idat = 8, None, []
+        pos, width, idat, plte = 8, None, [], None
         height = bit_depth = color_type = interlace = None
         while pos + 8 <= len(data):
             length = struct.unpack_from(">I", data, pos)[0]
@@ -109,6 +109,10 @@ def _pure_decoders():
                  _comp, _filt, interlace) = struct.unpack(
                     ">IIBBBBB", body
                 )
+            elif ctype == b"PLTE":
+                if len(body) % 3:
+                    raise ValueError("bad PNG PLTE length")
+                plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
             elif ctype == b"IDAT":
                 idat.append(body)
             elif ctype == b"IEND":
@@ -119,16 +123,18 @@ def _pure_decoders():
         if (
             bit_depth != 8
             or interlace != 0
-            or color_type not in (0, 2, 4, 6)
+            or color_type not in (0, 2, 3, 4, 6)
         ):
             raise NotImplementedError(
-                "only 8-bit non-interlaced gray/gray-alpha/RGB/RGBA "
-                "PNG decodes natively (got bit_depth="
+                "only 8-bit non-interlaced gray/gray-alpha/RGB/RGBA/"
+                "palette PNG decodes natively (got bit_depth="
                 f"{bit_depth}, color_type={color_type}, "
-                f"interlace={interlace}); palette/16-bit/Adam7 "
+                f"interlace={interlace}); sub-8-bit/16-bit/Adam7 "
                 "need PIL here"
             )
-        n_ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+        if color_type == 3 and plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
         raw = zlib.decompress(b"".join(idat))
         stride = width * n_ch
         if width <= 0 or len(raw) != (stride + 1) * height:
@@ -193,7 +199,13 @@ def _pure_decoders():
                 img[y] = np.frombuffer(bytes(out), dtype=np.uint8)
             else:
                 raise ValueError(f"bad PNG filter type {ft}")
-        return img.reshape(height, width, n_ch)
+        out = img.reshape(height, width, n_ch)
+        if color_type == 3:  # palette lookup: indices -> RGB rows
+            idx = out[:, :, 0]
+            if int(idx.max(initial=0)) >= len(plte):
+                raise ValueError("PNG palette index out of range")
+            out = plte[idx]  # (H, W, 3)
+        return out
 
     def bmp_array(data: bytes):
         # BITMAPFILEHEADER (14B): magic, file size, reserved,

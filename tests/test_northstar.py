@@ -406,7 +406,13 @@ def _jpeg_bytes(arr, quality=92, subsample=False, restart=0):
         planes = [y, cb, cr]
     else:
         planes = [arr[..., 0].astype(np.float64)]
-    samp = [(2, 2), (1, 1), (1, 1)] if (c == 3 and subsample) else [(1, 1)] * c
+    # subsample: False = 4:4:4, True = 4:2:0, or an explicit luma
+    # (h, v) tuple — (2, 1) = 4:2:2
+    if c == 3 and subsample:
+        luma = (2, 2) if subsample is True else tuple(subsample)
+        samp = [luma, (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1)] * c
     h_max = max(s[0] for s in samp)
     v_max = max(s[1] for s in samp)
     mcux = -(-w // (8 * h_max))
@@ -567,6 +573,104 @@ def test_multimodal_real_decode_png(spark):
         assert r["mean_intensity"] == pytest.approx(float(arr.mean()), abs=1e-9)
 
 
+def _png_palette_bytes(rgb, filters=None):
+    """Palette (color_type 3) PNG encoder for fixtures: unique colors
+    -> PLTE chunk, raster stored as 8-bit indices (<= 256 colors)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = rgb.shape
+    assert c == 3
+    flat = rgb.reshape(-1, 3)
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    assert len(colors) <= 256
+    idx = inv.reshape(h, w).astype(np.int64)
+    filters = filters if filters is not None else [y % 5 for y in range(h)]
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    raster = b""
+    for y in range(h):
+        ft = filters[y]
+        line = idx[y]
+        prior = idx[y - 1] if y > 0 else np.zeros(w, np.int64)
+        if ft == 0:
+            out = line
+        elif ft == 1:
+            left = np.concatenate([np.zeros(1, np.int64), line[:-1]])
+            out = (line - left) & 0xFF
+        elif ft == 2:
+            out = (line - prior) & 0xFF
+        elif ft == 3:
+            left = np.concatenate([np.zeros(1, np.int64), line[:-1]])
+            out = (line - ((left + prior) >> 1)) & 0xFF
+        else:  # Paeth, bpp=1
+            out = np.zeros(w, np.int64)
+            for x in range(w):
+                a = int(line[x - 1]) if x >= 1 else 0
+                b = int(prior[x])
+                cc = int(prior[x - 1]) if x >= 1 else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                out[x] = (int(line[x]) - pred) & 0xFF
+        raster += bytes([ft]) + out.astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", colors.astype(np.uint8).tobytes())
+        + chunk(b"IDAT", zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_multimodal_palette_png_decodes(spark):
+    """Palette (color_type 3) PNG really decodes (new r9): a
+    16-color fixture must reproduce the exact dimensions and mean of
+    the truecolor raster it indexes, through every filter type on the
+    1-byte-per-pixel index plane — and its aHash must equal the
+    truecolor BMP twin bit-for-bit."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        ahash_images,
+        decode_images,
+    )
+
+    rng = np.random.default_rng(17)
+    palette = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (12, 9))
+    rgb = palette[idx]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_png_palette_bytes(rgb))),
+            (2, bytearray(_bmp_bytes(rgb))),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in decode_images(df, fake=False).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["n_channels"]) == (
+        9, 12, 3,
+    )
+    assert out[1]["mean_intensity"] == pytest.approx(
+        float(rgb.mean()), abs=1e-9
+    )
+    hashes = {
+        r["doc_id"]: r["ahash"]
+        for r in ahash_images(df, fake=False).collect()
+    }
+    assert hashes[1] == hashes[2]
+
+
 def test_multimodal_png_unsupported_variants_are_gated(spark):
     """Interlaced (Adam7) and 16-bit PNGs must raise the explicit
     NotImplementedError stub, never silently mis-decode."""
@@ -625,9 +729,10 @@ def test_multimodal_real_decode_jpeg(spark):
     images = {
         1: (img[:, :, :1], {}),
         2: (img, {}),
-        3: (img, {"subsample": True}),
+        3: (img, {"subsample": True}),        # 4:2:0
         4: (img, {"restart": 2}),
         5: (img[:19, :21], {}),  # exercises edge-block cropping
+        6: (img, {"subsample": (2, 1)}),      # 4:2:2
     }
     payloads = [
         (doc_id, bytearray(_jpeg_bytes(arr, quality=92, **kw)))
