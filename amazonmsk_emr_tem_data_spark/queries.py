@@ -17576,6 +17576,8 @@ _R9_NEW: tuple[str, ...] = (
     "order_fulfillment_latency",
     "simhash_bit_bias",
     "embedding_dimension_profile",
+    "decontamination_rate_by_source",
+    "packing_efficiency_report",
 )
 
 #: Oldest-stamp refresh queue (stamped round 4, nothing newer; order =
