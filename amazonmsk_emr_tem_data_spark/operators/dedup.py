@@ -753,6 +753,17 @@ def ngram_overlap_decontaminate(
 # ---------------------------------------------------------------------------
 
 
+#: Shared MinHash-LSH tuning defaults. ``minhash_lsh_pairs`` (the
+#: pairs query) and ``dedup_clusters`` (the clusters query) MUST run
+#: the same candidate generation — both take these via keyword
+#: defaults so a retune can never drift one without the other
+#: (test_dedup_clusters_matches_pairs_params pins it).
+MINHASH_NUM_HASHES = 16
+MINHASH_SHINGLE_K = 3
+MINHASH_MIN_COLLISIONS = 2
+MINHASH_MAX_BUCKET_SIZE = 1000
+
+
 def _seeded_hash(seed: int):
     # NB: a plain `lambda s, i=seed: ...` is wrong twice over — PySpark
     # passes the *array index* as a second lambda arg (shadowing the
@@ -803,11 +814,11 @@ def _melted_signatures(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame
 def _minhash_rep_pairs(
     df: DataFrame,
     threshold: float,
-    num_hashes: int,
-    id_col: str,
-    k: int,
-    min_collisions: int,
-    max_bucket_size: int,
+    num_hashes: int = MINHASH_NUM_HASHES,
+    id_col: str = "doc_id",
+    k: int = MINHASH_SHINGLE_K,
+    min_collisions: int = MINHASH_MIN_COLLISIONS,
+    max_bucket_size: int = MINHASH_MAX_BUCKET_SIZE,
 ):
     """Collapse → LSH → exact-verify at the REPRESENTATIVE level:
     (groups, shingled reps, verified rep pairs). The shared core of
@@ -855,11 +866,11 @@ def _minhash_rep_pairs(
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.6,
-    num_hashes: int = 16,
+    num_hashes: int = MINHASH_NUM_HASHES,
     id_col: str = "doc_id",
-    k: int = 3,
-    min_collisions: int = 2,
-    max_bucket_size: int = 1000,
+    k: int = MINHASH_SHINGLE_K,
+    min_collisions: int = MINHASH_MIN_COLLISIONS,
+    max_bucket_size: int = MINHASH_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Near-dup pairs via exact-dup collapse → MinHash-LSH candidates →
     exact verification → group expansion.
@@ -1385,6 +1396,10 @@ def connected_components(
             max_iter,
             changed,
         )
+    # labels is checkpointed every round, so the returned plan no
+    # longer references the edge list — release its cache instead of
+    # leaking it into session-lifetime executor storage.
+    edges.unpersist()
     return labels.select(F.col("node").alias(id_col), "comp")
 
 
@@ -1416,10 +1431,21 @@ def dedup_clusters(
     documents, so each CC round's join+agg shuffles orders of
     magnitude fewer rows than the corpus.
     """
-    groups, _sh, rep_pairs = _minhash_rep_pairs(
-        df, threshold, 16, id_col, 3, 2, 1000
-    )
-    pairs = rep_pairs.select("doc_a", "doc_b").cache()
+    # Same candidate-generation params as minhash_lsh_pairs — both
+    # take the MINHASH_* module defaults so the clusters query can
+    # never drift from the pairs query on a retune.
+    groups, sh, rep_pairs = _minhash_rep_pairs(df, threshold, id_col=id_col)
+    # Eager localCheckpoint instead of cache(): the verified rep-pair
+    # relation is tiny (near-dup pairs only), it is re-read by the CC
+    # gate agg + every propagation round + the endpoints scan, and —
+    # unlike a cache-manager entry — the checkpoint blocks are freed
+    # by the ContextCleaner when the result goes out of scope, so a
+    # dedup_clusters call leaks nothing into session-lifetime storage.
+    pairs = rep_pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    # sh's cache exists to share the shingle scan across the melted-
+    # signature pass and the two verify joins; the checkpoint above
+    # just materialized all of that, so release it now.
+    sh.unpersist()
     endpoints = (
         pairs.select(F.col("doc_a").alias(id_col))
         .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
@@ -1429,11 +1455,16 @@ def dedup_clusters(
     members = groups.select(
         F.col("rep"), F.explode("members").alias(id_col)
     )
+    # comp is referenced twice below (sizes + the final join); a narrow
+    # 2-long-column checkpoint shares the scan AND lets the groups
+    # cache (from _collapse_exact) be released here instead of leaking
+    # into session-lifetime executor storage.
     comp = members.join(
         rep_comp.withColumnRenamed(id_col, "rep"), "rep", "left_outer"
     ).select(
         id_col, F.coalesce("comp", F.col("rep")).alias("comp")
-    )
+    ).localCheckpoint(eager=True)
+    groups.unpersist()
     sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         comp.join(sizes, "comp")

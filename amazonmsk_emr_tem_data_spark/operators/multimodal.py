@@ -300,12 +300,21 @@ def _pure_decoders():
         while pos + 2 <= len(data):
             if data[pos] != 0xFF:
                 raise ValueError("bad JPEG marker alignment")
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede
+            # the marker code — skip them rather than misreading a
+            # second 0xFF as marker code 0xFF.
+            while pos + 2 <= len(data) and data[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 2 > len(data):
+                raise ValueError("truncated JPEG stream")
             m = data[pos + 1]
             pos += 2
             if m == 0xD8 or m == 0x01 or 0xD0 <= m <= 0xD7:
                 continue
             if m == 0xD9:  # EOI
                 break
+            if pos + 2 > len(data):
+                raise ValueError("truncated JPEG segment header")
             seglen = struct.unpack_from(">H", data, pos)[0]
             seg = data[pos + 2 : pos + seglen]
             pos += seglen
@@ -425,6 +434,15 @@ def _pure_decoders():
             if restart and m_idx and m_idx % restart == 0:
                 # byte-align, consume RSTn, reset DC predictors
                 nbits = 0
+                # fill 0xFFs may precede the RSTn code (T.81 B.1.1.2)
+                while (
+                    i + 1 < len(data)
+                    and data[i] == 0xFF
+                    and data[i + 1] == 0xFF
+                ):
+                    i += 1
+                if i + 1 >= len(data):
+                    raise ValueError("truncated JPEG entropy data")
                 if data[i] != 0xFF or not (
                     0xD0 <= data[i + 1] <= 0xD7
                 ):

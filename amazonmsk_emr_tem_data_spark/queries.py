@@ -1501,7 +1501,10 @@ def simhash_bit_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     stack_args = ", ".join(f"{b}L, s{b}" for b in range(60))
-    return agg.select(
+    # Empty-corpus guard: the global agg still emits one row
+    # (n_docs=0, NULL sums) which stack() would fan to 60 NULL rows,
+    # while the DuckDB twin's GROUP BY emits zero — agree on zero.
+    return agg.where(F.col("n_docs") > 0).select(
         F.expr(f"stack(60, {stack_args})").alias("bit", "n_set"),
         "n_docs",
     ).select(

@@ -236,6 +236,26 @@ def test_edge_corpus_parity(spark, edge_dir, edge_con, name):
     compare(fn(spark, edge_dir), edge_con, sql)
 
 
+def test_simhash_bit_bias_empty_corpus(spark, tmp_path):
+    """Empty corpus (r9 ADVICE): Spark's global agg emits one row
+    (n_docs=0, NULL sums) which stack() would fan to 60 NULL rows,
+    while the DuckDB twin's GROUP BY emits zero — both engines must
+    agree on ZERO rows when there are no documents."""
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    fn, sql = REGISTRY["simhash_bit_bias"]
+    assert fn(spark, d).count() == 0
+    compare(fn(spark, d), con, sql)
+    con.close()
+
+
 EDGE_VECS = [
     (0, [0.0, 0.0, 0.0, 0.0], "zero"),        # zero vector: cosine NULL
     (1, [1e-7, -1e-7, 1e-7, -1e-7], "tiny"),

@@ -777,6 +777,57 @@ def test_multimodal_ahash_jpeg_matches_bmp_twin(spark):
     assert got[3] == got[2]
 
 
+def test_multimodal_jpeg_fill_bytes_before_marker(spark):
+    """T.81 B.1.1.2 (r9 ADVICE): any number of 0xFF fill bytes may
+    precede a marker code — a second 0xFF must be skipped, not
+    misparsed as length-prefixed marker 0xFF. Injecting fill bytes
+    after SOI must leave the decode byte-identical."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import decode_images
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    plain = _jpeg_bytes(arr, quality=92)
+    filled = plain[:2] + b"\xff\xff\xff" + plain[2:]
+    df = spark.createDataFrame(
+        [(1, bytearray(plain)), (2, bytearray(filled))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in decode_images(df, fake=False).collect()}
+    assert out[1]["mean_intensity"] == out[2]["mean_intensity"]
+    assert (out[2]["width"], out[2]["height"]) == (16, 16)
+
+
+def test_multimodal_jpeg_truncation_raises_valueerror(spark):
+    """Truncated streams must fail with the decoder's uniform
+    ValueError (r9 ADVICE: the restart path indexed past the buffer
+    and leaked IndexError): cut inside the header, inside entropy
+    data, and exactly at a restart marker."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import decode_images
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    full = _jpeg_bytes(arr, quality=92, restart=2)
+    rst = full.find(b"\xff\xd0")
+    assert rst > 0, "fixture must contain a restart marker"
+    cuts = {
+        1: full[:6],          # mid header segment
+        2: full[: rst + 1],   # dangling 0xFF where RSTn belongs
+        3: full[:-4],         # mid entropy data / missing EOI
+    }
+    for payload in cuts.values():
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "doc_id long, payload binary"
+        )
+        with pytest.raises(Exception) as exc:
+            decode_images(df, fake=False).collect()
+        assert "IndexError" not in str(exc.value)
+        assert "ValueError" in str(exc.value) or "truncated" in str(exc.value)
+
+
 def test_multimodal_progressive_jpeg_is_gated(spark):
     """Progressive JPEG (SOF2) stays behind the explicit stub — a
     guarded raise, never a silently wrong decode."""

@@ -157,3 +157,46 @@ def test_dedup_clusters_rep_level_cc_groups_exact_copies(spark):
     assert all(out[d]["cluster_size"] == 6 for d in big)
     assert out[1]["is_canonical"] and not out[4]["is_canonical"]
     assert out[9]["cluster_id"] == 9 and out[9]["cluster_size"] == 1
+
+
+def test_dedup_clusters_matches_pairs_params():
+    """The clusters query and the pairs query must run identical
+    candidate generation (r9 ADVICE): both take their LSH tuning from
+    the MINHASH_* module defaults, so a retune of one can never drift
+    the other. Pin the keyword defaults of both entry points to the
+    shared constants."""
+    import inspect
+
+    from amazonmsk_emr_tem_data_spark.operators import dedup as d
+
+    expected = {
+        "num_hashes": d.MINHASH_NUM_HASHES,
+        "k": d.MINHASH_SHINGLE_K,
+        "min_collisions": d.MINHASH_MIN_COLLISIONS,
+        "max_bucket_size": d.MINHASH_MAX_BUCKET_SIZE,
+    }
+    for fn in (d.minhash_lsh_pairs, d._minhash_rep_pairs):
+        params = inspect.signature(fn).parameters
+        for name, want in expected.items():
+            assert params[name].default == want, (fn.__name__, name)
+    # dedup_clusters must not override any of them positionally
+    src = inspect.getsource(d.dedup_clusters)
+    assert "_minhash_rep_pairs(df, threshold, id_col=id_col)" in src
+
+
+def test_dedup_clusters_releases_caches(spark):
+    """dedup_clusters must leave NOTHING in the session cache manager
+    (r9 ADVICE: the shingle cache and the pairs cache leaked into
+    executor storage for the session lifetime). The rep-pair relation
+    is localCheckpoint'ed (ContextCleaner-scoped), the shingle cache
+    is unpersisted after materialization."""
+    from amazonmsk_emr_tem_data_spark.operators.dedup import dedup_clusters
+
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "unrelated words over here")],
+        "doc_id long, text string",
+    )
+    assert dedup_clusters(docs, 0.5).count() == 3
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
