@@ -780,14 +780,22 @@ def test_latency_paths_checkpointed_unroll_stays_bounded(spark, sf_dir):
 
 def test_kmeans_assignment_is_joinless_projection(spark, sf_dir):
     """Lloyd's scale contract: centroids are MODEL STATE (driver
-    literals), so the visible plan has NO joins at all — assignment is
-    a codegen'd projection of 8 fold dot-products and the update is a
-    map-side-combined aggregate. A join or 8x row-blowup here is the
-    cross-join failure mode this design exists to avoid."""
+    state re-broadcast each round), so the visible plan has NO joins
+    at all — a join or 8x row-blowup here is the cross-join failure
+    mode this design exists to avoid. Since r10 each round is ONE
+    fused Arrow pass (lloyd_round_partials: assignment + inertia +
+    update sums in the same scan); the plan must show the
+    MapInPandas partial-aggregate shape — the wide exchange carries
+    <= k rows per input partition, and the final reduce is a plain
+    map-side-combined groupBy-sum. (The r7-r9 pure-expression form
+    was dropped on measurement: F.aggregate fold dots are
+    CodegenFallback, interpreted — 1.9-2.5 s/round vs 0.6-0.75 s at
+    bit-identical output; see the operator docstring.)"""
     f = facts(spark, sf_dir, "kmeans_lloyd_clusters")
     assert not f.joins, f.joins
     assert f.has_partial_agg
-    assert "pythonudf" not in f.raw.lower()
+    assert not f.has_cartesian
+    assert "mapinpandas" in f.raw.lower()
 
 
 def test_checksum_buckets_shuffle_digests_not_rows(spark, sf_dir):
