@@ -520,6 +520,67 @@ def stream_stream_semi_click_purchase(
     )
 
 
+def stream_stream_anti_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT ANTI join (round 10): clicks
+    that did NOT convert — the abandonment feed. Completes the join-
+    mode matrix with the one form whose emit rule differs from both
+    outer and semi: an anti row emits ONLY on watermark expiry (when
+    the global watermark passes click_ts + horizon and proves no
+    qualifying purchase can still arrive), never on match.
+
+    Spark rejects a native stream-stream ``left_anti`` ("LeftAnti
+    joins with a streaming DataFrame/Dataset on the right are not
+    supported", probed on 4.1), so this is the canonical rewrite:
+    LEFT OUTER join + ``purchase_id IS NULL`` filter. The rewrite is
+    exact, not an approximation — the outer join's NULL-padded row is
+    produced precisely at watermark expiry of an unmatched click,
+    which IS the anti join's emit rule; matched rows are dropped by
+    the filter before they reach the sink. State bounds are the outer
+    join's: a click is held until the watermark passes
+    click_ts + 1h, then either NULL-emitted (no match) or discarded
+    (matched rows already emitted and filtered).
+
+    Drain semantics the oracle mirrors (the left-outer pin): under
+    availableNow the final watermark freezes at min(max click_ts,
+    max purchase_ts), so unconverted clicks inside the final horizon
+    are withheld — they could still convert in a live stream."""
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "0 seconds")
+    )
+    purchases = (
+        ev.filter("event_type = 'purchase'")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "0 seconds")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks["user_id"] == purchases["p_user"])
+        & (purchases["purchase_ts"] > clicks["click_ts"])
+        & (
+            purchases["purchase_ts"]
+            <= clicks["click_ts"] + F.expr("INTERVAL 1 HOUR")
+        ),
+        "leftOuter",
+    )
+    anti = joined.filter(F.col("purchase_id").isNull()).select(
+        "user_id", "click_id", "click_ts"
+    )
+    return run_to_memory(anti, output_mode="append")
+
+
 def stream_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup: ``dropDuplicates`` over the key columns — the
     stateful distinct the reference needed for its 755-duplicate-id

@@ -625,6 +625,49 @@ def test_full_outer_join_one_sided_corpora_withhold_both_arms(
     _assert_withholds_all(spark, d_purch, "stream_click_purchase_full_join")
 
 
+def test_anti_join_one_sided_corpora(spark, tmp_path):
+    """LEFT ANTI under one-sided corpora (r9 VERDICT ask #6's edge
+    gate): clicks-only — the purchase watermark never advances, so
+    every unconverted click is WITHHELD (both engines empty);
+    purchases-only — there are no left rows at all, trivially empty."""
+    d_clicks = _one_sided_events(tmp_path / "c", "click")
+    _assert_withholds_all(spark, d_clicks, "stream_click_purchase_anti_join")
+    d_purch = _one_sided_events(tmp_path / "p", "purchase")
+    _assert_withholds_all(spark, d_purch, "stream_click_purchase_anti_join")
+
+
+def test_anti_join_equals_left_outer_unmatched_arm(spark, sf_dir):
+    """LEFT ANTI = exactly the NULL-padded rows of the LEFT OUTER
+    drain, minus the purchase columns — the cross-mode contract that
+    pins the rewrite (leftOuter + IS NULL filter) to emit-on-expiry
+    semantics; disjointness from SEMI completes the partition of
+    clicks into converted/abandoned/withheld."""
+    from amazonmsk_emr_tem_data_spark.queries import REGISTRY
+
+    anti = {
+        (r["user_id"], r["click_id"], r["click_ts"])
+        for r in REGISTRY["stream_click_purchase_anti_join"][0](
+            spark, sf_dir
+        ).collect()
+    }
+    left_unmatched = {
+        (r["user_id"], r["click_id"], r["click_ts"])
+        for r in REGISTRY["stream_click_purchase_left_join"][0](
+            spark, sf_dir
+        ).collect()
+        if r["purchase_id"] is None
+    }
+    assert anti == left_unmatched
+    assert len(anti) > 0
+    semi = {
+        (r["user_id"], r["click_id"], r["click_ts"])
+        for r in REGISTRY["stream_click_purchase_semi_join"][0](
+            spark, sf_dir
+        ).collect()
+    }
+    assert not (anti & semi)
+
+
 def test_semi_join_equals_matched_left_clicks(spark, sf_dir):
     """LEFT SEMI = the distinct matched clicks of the LEFT OUTER
     drain — the cross-mode contract that pins semi's emit-once
