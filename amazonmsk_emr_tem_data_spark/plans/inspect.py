@@ -74,6 +74,53 @@ def plan_facts(df: DataFrame) -> PlanFacts:
     return facts
 
 
+def cost_facts(df: DataFrame) -> dict:
+    """Cost-attribution facts for one query plan: the shuffle count,
+    join-family mix, and Catalyst's estimated scan bytes (sum of the
+    optimized plan's leaf-relation size estimates — the same statistic
+    AQE and the broadcast-threshold planner consume, so it is exactly
+    the number a capacity planner should attribute I/O by).
+
+    Driver-side plan introspection only — nothing here touches data;
+    the py4j calls walk the already-analyzed logical plan."""
+    jplan = df._jdf.queryExecution().optimizedPlan()  # noqa: SLF001
+    leaves = jplan.collectLeaves()
+    est_scan_bytes = 0
+    n_unknown = 0
+    for i in range(leaves.size()):
+        # py4j maps scala BigInt to int for small values, to a Java
+        # object otherwise — normalize through str(). Catalyst reports
+        # "unknown" as defaultSizeInBytes (~Long.MaxValue); summing
+        # those would overflow AND lie — count them separately.
+        sz = int(str(leaves.apply(i).stats().sizeInBytes()))
+        if sz >= 1 << 62:
+            n_unknown += 1
+        else:
+            est_scan_bytes += sz
+    f = plan_facts(df)
+    return {
+        "n_exchanges": f.n_exchanges,
+        "n_joins": len(f.joins),
+        "n_broadcast_joins": sum(
+            1 for j in f.joins if j == "BroadcastHashJoin"
+        ),
+        "n_shuffle_joins": sum(
+            1
+            for j in f.joins
+            if j in ("SortMergeJoin", "ShuffledHashJoin")
+        ),
+        "n_nested_loop_joins": sum(
+            1 for j in f.joins if j == "BroadcastNestedLoopJoin"
+        ),
+        "has_cartesian": f.has_cartesian,
+        "n_scans": leaves.size(),
+        "est_scan_bytes": est_scan_bytes,
+        "n_unknown_size_scans": n_unknown,
+        "n_codegen_spans": f.n_codegen_spans,
+        "n_pushed_scans": len(f.pushed_filters),
+    }
+
+
 def registry_plan_report(
     spark, sf_dir: str, tolerate_errors: bool = False
 ) -> dict[str, "PlanFacts | Exception"]:

@@ -25,105 +25,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from amazonmsk_emr_tem_data_spark.session import get_spark  # noqa: E402
-from amazonmsk_emr_tem_data_spark.queries import REGISTRY  # noqa: E402
+from amazonmsk_emr_tem_data_spark.queries import (  # noqa: E402
+    BENCH_HEADLINE,
+    REGISTRY,
+)
 
-#: The queries that define the engine's headline throughput. A mix of
-#: scan+agg, multi-join, window, codec, and (as they land) the
-#: north-star dedup/similarity/text operators.
-HEADLINE = [
-    "tem_hourly_avg",
-    "q1_pricing_summary",
-    "revenue_by_segment",
-    "nation_revenue",
-    "topk_orders_per_priority",
-    "running_total_per_customer",
-    "dedup_first_event",
-    "envelope_roundtrip",
-    "json_props_extract",
-    "distinct_users_per_type",
-    "sessionize_events",
-    "asof_latest_order",
-    "range_join_order_events",
-    "doc_text_features",
-    "doc_fingerprint_groups",
-    "minhash_lsh_pairs",
-    "embedding_knn_join",
-    # round-2 additions: the iterative (connected-components), the
-    # explode-heavy (dup-n-gram repetition filter), and the
-    # scalar-HAVING (two-pass global agg) paths
-    "dedup_clusters",
-    "doc_repetition_filter",
-    "supplier_revenue_share",
-    # round-2 additions: broadcast n-gram overlap (decontamination),
-    # two-level prefix sum (packing), 7-table broadcast join (Q8 shape)
-    "doc_decontamination",
-    "doc_sequence_packing",
-    "nation_market_share",
-    # round-4 additions: coarse-quantized ANN (post expression-tree
-    # fix), and two corpus-curation passes (hash shard shuffle, per-
-    # source quality ranking). SemDeDup stays out: its 5 Lloyd's
-    # rounds are driver-synchronized fixed cost that noise-dominates a
-    # sub-minute bench (scale behavior covered by tests/test_scale.py
-    # + clustering tests).
-    "ivf_topk",
-    "doc_shuffle_shards",
-    "doc_quality_selection",
-    # round-5 addition: BM25 after the top-k fix (global-sort window ->
-    # TakeOrderedAndProject) — in the set to lock the improvement in
-    "doc_bm25_search",
-    # round-6 additions (the r5 verdict's bench-hygiene ask): the two
-    # curation-tier representatives that went driver-green in r5 —
-    # full-vocab tf-idf (widest (doc,term) shuffle in the registry)
-    # and the map-only content-fingerprint split
-    "corpus_tfidf_topterms",
-    "doc_leakage_safe_split",
-    # round-6 session-3 addition: the span-removal query after the
-    # Generate-filter re-evaluation fix (positions-explode) — in the
-    # set to lock the 4x improvement in, same rationale as BM25 in r5
-    "doc_dup_span_removal",
-    # round-7 addition: hybrid BM25+tf-idf RRF fusion after the
-    # map-side tf rework (3.1x) — locks the shared-tf-relation shape in
-    "hybrid_rrf_search",
-    # round-7 additions: winnowing after the lambda-staging fix
-    # (17x — in the set to lock it in), the directed containment
-    # join (the new exact pair operator), and the Gopher-rule filter
-    # (pure map-pass representative of the r7 corpus-monitor tier)
-    "doc_winnowing_fingerprints",
-    "containment_dup_pairs",
-    "gopher_quality_filter",
-    # round-7 session-5 additions: the banded skyline (window-prune
-    # path), the FM register sketch (cardinality-sketch tier
-    # representative), and last-touch attribution (as-of composition
-    # over the event stream)
-    "part_skyline",
-    "user_distinct_sketch",
-    "purchase_attribution",
-    # the session-5 heavyweights: the bounded-round graph peel (join +
-    # cascade representative) and session-set mining (sessionize +
-    # bounded pair fan-out representative)
-    "part_kcore_members",
-    "session_association_rules",
-    # r7 session-6: the sketch, clustering, anomaly, and window-trick
-    # tiers' representatives
-    "activity_overlap_kmv",
-    "kmeans_lloyd_clusters",
-    "event_seasonal_anomaly",
-    "part_stock_balance",
-    # round-8 additions: the one-pass combined-aggregate rollup
-    # (min_by/max_by candle), the basket pair-mining representative,
-    # and the kNN-sparsified wedge join (locks the 10.1x -> 1.8x
-    # sparsification win in)
-    "event_value_ohlc",
-    "part_copurchase_lift",
-    "copurchase_link_prediction",
-    # round-9 additions: the rep-level-CC dedup win rides the existing
-    # dedup_clusters entry; add the degree-histogram (a second
-    # consumer of collapse-first LSH pairs), the 60-column sketch
-    # combine, and the day-grid fulfillment percentiles
-    "dedup_graph_degree_histogram",
-    "simhash_bit_bias",
-    "order_fulfillment_latency",
-]
+#: Headline list lives in the package (queries.BENCH_HEADLINE) since
+#: r10 so query_cost_attribution's rows join 1:1 with this bench's
+#: per-query seconds; per-round rationale comments for r1-r9 live in
+#: git history of this file.
+HEADLINE = list(BENCH_HEADLINE)
 
 
 def _sf_from_dir(sf_dir: str) -> float:

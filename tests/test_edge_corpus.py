@@ -205,6 +205,11 @@ DOC_QUERIES = [
     # r9: packing budget over 12 tiny docs (every shard's lone
     # sequence is mostly padding -> waste ppm near 10^6)
     "packing_efficiency_report",
+    # r10: per-source token volume where empty/whitespace docs still
+    # count one whitespace token (split('') = ['']) and contribute 0
+    # BPE pieces — both engines' conventions, and the zero-guarded
+    # milli-ratios exercise the bpe_tokens = 0 branch
+    "tokenizer_throughput_by_source",
 ]
 
 

