@@ -11412,6 +11412,113 @@ SELECT n AS part, lab AS community FROM l{rounds}
 """
 
 
+def copurchase_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community modularity contributions of the LPA partition
+    over the repeat-co-purchase graph (round 10, r9 VERDICT ask #8 —
+    the quality score that completes the graph family: PR/PPR mass,
+    k-core density, BFS distance, CC reachability, LPA communities,
+    triangles/clustering, and now HOW GOOD the detected communities
+    are). For community c: Newman's Q_c = e_c/m − (d_c/2m)², where
+    e_c = intra-community edges, d_c = member degree sum, m = |edges|;
+    Σ_c Q_c is the partition's modularity (left to the consumer — a
+    global float sum is summation-order-dependent, so the engine emits
+    the per-community terms with their exact integer inputs instead).
+
+    Exactness: n_nodes/degree_sum/intra_edges/m are exact longs;
+    q_contrib is ONE fixed IEEE sequence — e/m (one division),
+    d/(2m) (one division), its square (one multiply), one subtract —
+    identical in DuckDB, so the hash matches bit-for-bit. No integer
+    `div` on a possibly-negative value anywhere (Spark `div` truncates
+    toward zero, DuckDB `//` floors — they disagree on negatives; the
+    all-double tail avoids that cross-engine trap entirely).
+
+    Scale: the edge list is eagerly checkpointed once (it feeds LPA,
+    m, the degree count, and the intra join — 4 consumers, one
+    materialization); everything after is hash joins and map-side-
+    combined aggregates on node keys. The 1-row m relation broadcasts;
+    output is |communities| rows."""
+    from .operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _repeat_copurchase_edges(li).localCheckpoint(eager=True)
+    labels = label_propagation(edges, rounds=4)
+    m_df = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionByName(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    comm = (
+        labels.join(deg, "n")
+        .groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("deg").alias("degree_sum"),
+        )
+    )
+    la = labels.select(F.col("n").alias("a"), F.col("lab").alias("lab_a"))
+    lb = labels.select(F.col("n").alias("b"), F.col("lab").alias("lab_b"))
+    intra = (
+        edges.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("__c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    half = F.col("degree_sum") / (F.lit(2) * F.col("m"))
+    return (
+        comm.join(intra, comm["community"] == intra["__c"], "left_outer")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "community",
+            "n_nodes",
+            "degree_sum",
+            F.coalesce("intra_edges", F.lit(0))
+            .cast("long")
+            .alias("intra_edges"),
+            "m",
+        )
+        .withColumn(
+            "q_contrib",
+            F.col("intra_edges") / F.col("m") - half * half,
+        )
+    )
+
+
+_MODULARITY_SQL = f"""
+WITH {_BFS_EDGES_CTES}, l0 AS MATERIALIZED (
+  SELECT DISTINCT a AS n, a AS lab FROM bidir
+){"".join(_lpa_round_sql(i) for i in range(1, 5))}
+, mm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ue
+), deg AS (
+  SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS deg FROM bidir GROUP BY 1
+), comm AS (
+  SELECT l.lab AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d.deg) AS BIGINT) AS degree_sum
+  FROM l4 l JOIN deg d ON l.n = d.n
+  GROUP BY 1
+), intra AS (
+  SELECT la.lab AS community, CAST(COUNT(*) AS BIGINT) AS intra_edges
+  FROM ue e
+  JOIN l4 la ON e.a = la.n
+  JOIN l4 lb ON e.b = lb.n
+  WHERE la.lab = lb.lab
+  GROUP BY 1
+)
+SELECT c.community, c.n_nodes, c.degree_sum,
+       CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+       mm.m,
+       CAST(COALESCE(i.intra_edges, 0) AS BIGINT) / mm.m
+         - (c.degree_sum / (2 * mm.m)) * (c.degree_sum / (2 * mm.m))
+         AS q_contrib
+FROM comm c
+LEFT JOIN intra i ON c.community = i.community
+CROSS JOIN mm
+"""
+
+
 #: Rendezvous-rebalance shard counts (old fleet size -> old + 1).
 _HRW_OLD = 16
 
@@ -17311,6 +17418,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # five join it at the head of the r8 window
     "nation_min_latency_paths": (nation_min_latency_paths, _latency_sql()),
     "part_label_communities": (part_label_communities, _lpa_sql()),
+    "copurchase_modularity": (copurchase_modularity, _MODULARITY_SQL),
     "doc_shard_rebalance": (doc_shard_rebalance, _hrw_sql()),
     "source_token_kl": (source_token_kl, _SOURCE_KL_SQL),
     "doc_weighted_sample": (doc_weighted_sample, _weighted_sample_sql()),

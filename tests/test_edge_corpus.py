@@ -700,6 +700,11 @@ TPCH_QUERIES = [
     # agree exactly with the oracle's, not with a fixpoint
     "nation_min_latency_paths",
     "part_label_communities",
+    # r10: modularity on the one-edge graph — two communities of one
+    # node each after the oscillating LPA unroll, each with e_c = 0
+    # (the 22—23 edge is inter-community at round 4), so Q_c =
+    # -(d/2m)^2 exercises the negative-contribution tail exactly
+    "copurchase_modularity",
     # r7 session-6d: KM where customer 6 never ordered (absent from
     # the risk set entirely), single-order customers censor at the
     # 1998-01-01 max date, and customer 1's two same-window orders

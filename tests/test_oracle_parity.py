@@ -270,6 +270,9 @@ def test_no_vacuous_queries(spark, sf_dir):
         # order and integer ppm shares over cent sums
         "inter_event_gaps",
         "region_nation_share",
+        # r10: exact long inputs + the fixed four-op IEEE tail
+        # (e/m, d/2m, square, subtract) must be partition-blind
+        "copurchase_modularity",
     ],
 )
 def test_partitioning_invariance(spark, sf_dir, name):

@@ -798,6 +798,20 @@ def test_kmeans_assignment_is_joinless_projection(spark, sf_dir):
     assert "mapinpandas" in f.raw.lower()
 
 
+def test_modularity_no_cartesian_bounded_joins(spark, sf_dir):
+    """The modularity rollup's scale contract: LPA labels are behind a
+    checkpoint (its per-round joins never stack into this plan); what
+    remains is hash/merge joins on node keys plus the two 1-row scalar
+    broadcasts (m) — no cartesian, bounded exchanges. The intra join
+    is edge-list-sized, never |V|² (each side keyed on one endpoint)."""
+    f = facts(spark, sf_dir, "copurchase_modularity")
+    assert not f.has_cartesian
+    assert f.has_partial_agg
+    bnl = sum(1 for j in f.joins if j == "BroadcastNestedLoopJoin")
+    assert bnl <= 2, f.joins  # the 1-row m scalar only
+    assert f.n_exchanges <= 12, f.n_exchanges
+
+
 def test_query_cost_attribution_matches_plan_facts(spark, sf_dir):
     """The cost-attribution monitor's rows must agree with plan_facts
     computed directly on the same queries (r9 VERDICT ask #4: the
