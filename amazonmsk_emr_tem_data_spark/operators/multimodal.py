@@ -77,13 +77,17 @@ def _pure_decoders():
     native codec (WebP/TIFF, progressive JPEG, palette/16-bit/Adam7
     PNG) — raising beats silently-wrong decode.
 
-    Performance envelope, stated honestly: these are correctness-first
-    decoders for fixtures and thumbnail-scale tiers. The PNG
-    Average/Paeth unfilter and the JPEG Huffman bit reader run
-    interpreted Python per byte/bit (everything else — inflate,
-    Sub/Up filters, dequant, IDCT, upsample, color convert — is
-    zlib-C or vectorized NumPy); bulk decode of photo-scale corpora
-    belongs to PIL/libvips plugged into this same dispatch.
+    Performance envelope, measured at 1 MP (SCALING.md "Image-codec
+    envelope" row; scripts/bench_codec_envelope.py reproduces it):
+    BMP ~memcpy; PNG Up/Sub rows ~40 Mpx/s (vectorized); PNG
+    Average/Paeth rows ~1.7 Mpx/s (the mod-256 left recurrence has no
+    closed numpy form — interpreted bytes loop); baseline JPEG
+    ~2.0 Mpx/s (table-driven Huffman: peek-16 LUT + int bit
+    accumulator + batched IDCT — 9x over the r8 per-bit reader).
+    Still 1-2 orders off a native codec on the recurrent/entropy
+    paths, so bulk decode of photo-scale corpora belongs to
+    PIL/libvips plugged into this same dispatch; these decoders are
+    correctness-first for fixtures and thumbnail-scale tiers.
     """
     import struct
     import zlib
@@ -383,111 +387,213 @@ def _pure_decoders():
         mcux = -(-width // (8 * h_max))
         mcuy = -(-height // (8 * v_max))
 
-        # --- entropy-coded segment bit reader (0xFF00 unstuffed) ---
+        # --- entropy-coded data: split at RSTn + unstuff ONCE -------
+        # The r9 envelope row (SCALING.md "codec envelope") measured
+        # the per-BIT closure reader at ~0.22 Mpx/s on a 1 MP photo —
+        # 4.7 s/image, all interpreter overhead. This pass trades it
+        # for the standard table-driven design: one bytes-level
+        # unstuffing pass per restart interval, a machine-int bit
+        # accumulator, a flat 65536-entry peek-16 Huffman LUT (one
+        # list index per SYMBOL instead of 1-16 function calls per
+        # bit), and batched dequant/de-zigzag/IDCT/scatter per
+        # component (three (8,8)@(n,8,8)@(8,8) matmuls instead of two
+        # tiny matmuls per block). Same T.81 semantics, same guarded
+        # errors; ~9x on the 1 MP row.
+        parts: list[bytes] = []
         i = pos
-        cur = nbits = 0
-
-        def read_bit() -> int:
-            nonlocal i, cur, nbits
-            if nbits == 0:
-                if i >= len(data):
-                    raise ValueError("truncated JPEG entropy data")
-                b = data[i]
-                i += 1
-                if b == 0xFF:
-                    if i >= len(data) or data[i] != 0x00:
-                        raise ValueError(
-                            "unexpected marker in entropy data"
-                        )
-                    i += 1  # stuffed zero
-                cur, nbits = b, 8
-            nbits -= 1
-            return (cur >> nbits) & 1
-
-        def receive(t: int) -> int:
-            v = 0
-            for _ in range(t):
-                v = (v << 1) | read_bit()
-            return v
-
-        def extend(v: int, t: int) -> int:
-            return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
-
-        def decode_sym(tbl) -> int:
-            code = 0
-            for ln in range(1, 17):
-                code = (code << 1) | read_bit()
-                sym = tbl.get((ln, code))
-                if sym is not None:
-                    return sym
-            raise ValueError("bad JPEG huffman code")
-
-        planes = {
-            cid: np.zeros(
-                (mcuy * vs * 8, mcux * hs * 8), dtype=np.float64
+        start = i
+        n = len(data)
+        while True:
+            j = data.find(b"\xff", i)
+            if j < 0 or j + 1 >= n:
+                # no terminating marker: keep the tail — bit
+                # exhaustion below raises the uniform ValueError
+                parts.append(
+                    data[start:].replace(b"\xff\x00", b"\xff")
+                )
+                break
+            nxt = data[j + 1]
+            if nxt == 0x00:  # stuffed data 0xFF
+                i = j + 2
+                continue
+            if nxt == 0xFF:  # fill byte before a marker (B.1.1.2)
+                i = j + 1
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn: interval boundary
+                # trailing bare 0xFFs in the slice are fill bytes
+                parts.append(
+                    data[start:j]
+                    .rstrip(b"\xff")
+                    .replace(b"\xff\x00", b"\xff")
+                )
+                i = j + 2
+                start = i
+                continue
+            # EOI or any other marker ends the scan
+            parts.append(
+                data[start:j]
+                .rstrip(b"\xff")
+                .replace(b"\xff\x00", b"\xff")
             )
-            for cid, hs, vs, _ in comps
-        }
+            break
+
+        def _lut(tbl) -> list:
+            # flat peek-16 table: entry = (symbol << 5) | code_len;
+            # 0 marks an invalid prefix. Built with slice assignment
+            # (≤256 slices), read with one list index per symbol.
+            lut = [0] * 65536
+            for (ln, code), sym in tbl.items():
+                base = code << (16 - ln)
+                span = 1 << (16 - ln)
+                lut[base : base + span] = [(sym << 5) | ln] * span
+            return lut
+
+        luts = {key: _lut(tbl) for key, tbl in huff.items()}
+
+        # bit reader state over the current part: `acc` holds the
+        # next `nbits` undecoded bits (masked at refill, so it stays
+        # a machine-word-sized int); each part carries a 2-byte zero
+        # sentinel so peek-16 never over-reads at the legal ≤7-bit
+        # byte-alignment tail — `real_bits` catches consumption past
+        # the true end (truncation) at part switch/scan end.
+        part_idx = 0
+        pb = parts[0] + b"\x00\x00" if parts else b"\x00\x00"
+        real_bits = 8 * (len(pb) - 2)
+        bp = acc = nbits = 0
+
+        def _part_overrun() -> bool:
+            return 8 * bp - nbits > real_bits
+
+        planes = {}
         dc_pred = {cid: 0 for cid, *_ in comps}
-        zz = np.zeros(64, dtype=np.float64)
-        for m_idx in range(mcux * mcuy):
+        #: per component: flat list of 64-int zigzag rows, MCU order
+        coef_rows = {cid: [] for cid, *_ in comps}
+        n_mcu = mcux * mcuy
+        for m_idx in range(n_mcu):
             if restart and m_idx and m_idx % restart == 0:
-                # byte-align, consume RSTn, reset DC predictors
-                nbits = 0
-                # fill 0xFFs may precede the RSTn code (T.81 B.1.1.2)
-                while (
-                    i + 1 < len(data)
-                    and data[i] == 0xFF
-                    and data[i + 1] == 0xFF
-                ):
-                    i += 1
-                if i + 1 >= len(data):
+                if _part_overrun():
                     raise ValueError("truncated JPEG entropy data")
-                if data[i] != 0xFF or not (
-                    0xD0 <= data[i + 1] <= 0xD7
-                ):
+                part_idx += 1
+                if part_idx >= len(parts):
                     raise ValueError("missing JPEG restart marker")
-                i += 2
+                pb = parts[part_idx] + b"\x00\x00"
+                real_bits = 8 * (len(pb) - 2)
+                bp = acc = nbits = 0
                 for cid in dc_pred:
                     dc_pred[cid] = 0
-            my, mx = divmod(m_idx, mcux)
             for cid, dc_id, ac_id in scan:
-                hs, vs, tq = by_id[cid]
-                dct, act, q = (
-                    huff[(0, dc_id)], huff[(1, ac_id)], qt[tq]
-                )
-                for byi in range(vs):
-                    for bxi in range(hs):
-                        t = decode_sym(dct)
-                        dc_pred[cid] += extend(receive(t), t)
-                        zz[:] = 0.0
-                        zz[0] = dc_pred[cid] * q[0]
-                        k = 1
-                        while k < 64:
-                            rs = decode_sym(act)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
+                hs, vs, _tq = by_id[cid]
+                dct, act = luts[(0, dc_id)], luts[(1, ac_id)]
+                rows = coef_rows[cid]
+                for _blk in range(vs * hs):
+                    row = [0] * 64
+                    # DC: one LUT probe + magnitude bits
+                    while nbits < 16:
+                        k4 = pb[bp : bp + 4]
+                        if not k4:
+                            raise ValueError(
+                                "truncated JPEG entropy data"
+                            )
+                        bp += len(k4)
+                        nbits += 8 * len(k4)
+                        acc = (
+                            (acc << (8 * len(k4)))
+                            | int.from_bytes(k4, "big")
+                        ) & ((1 << nbits) - 1)
+                    v = dct[(acc >> (nbits - 16)) & 0xFFFF]
+                    t = v & 31
+                    if not t:
+                        raise ValueError("bad JPEG huffman code")
+                    nbits -= t
+                    t = v >> 5
+                    if t:
+                        while nbits < t:
+                            k4 = pb[bp : bp + 4]
+                            if not k4:
                                 raise ValueError(
-                                    "JPEG AC index overflow"
+                                    "truncated JPEG entropy data"
                                 )
-                            zz[k] = extend(receive(s), s) * q[k]
-                            k += 1
-                        blk = np.zeros(64, dtype=np.float64)
-                        blk[_ZZ] = zz
-                        px = (
-                            _M.T @ blk.reshape(8, 8) @ _M
-                        ) + 128.0
-                        y0 = (my * vs + byi) * 8
-                        x0 = (mx * hs + bxi) * 8
-                        planes[cid][
-                            y0 : y0 + 8, x0 : x0 + 8
-                        ] = px
+                            bp += len(k4)
+                            nbits += 8 * len(k4)
+                            acc = (
+                                (acc << (8 * len(k4)))
+                                | int.from_bytes(k4, "big")
+                            ) & ((1 << nbits) - 1)
+                        nbits -= t
+                        diff = (acc >> nbits) & ((1 << t) - 1)
+                        if diff < (1 << (t - 1)):  # EXTEND (F.2.2.1)
+                            diff += 1 - (1 << t)
+                        dc_pred[cid] += diff
+                    row[0] = dc_pred[cid]
+                    k = 1
+                    while k < 64:
+                        while nbits < 16:
+                            k4 = pb[bp : bp + 4]
+                            if not k4:
+                                raise ValueError(
+                                    "truncated JPEG entropy data"
+                                )
+                            bp += len(k4)
+                            nbits += 8 * len(k4)
+                            acc = (
+                                (acc << (8 * len(k4)))
+                                | int.from_bytes(k4, "big")
+                            ) & ((1 << nbits) - 1)
+                        v = act[(acc >> (nbits - 16)) & 0xFFFF]
+                        ln = v & 31
+                        if not ln:
+                            raise ValueError("bad JPEG huffman code")
+                        nbits -= ln
+                        rs = v >> 5
+                        s = rs & 15
+                        if s == 0:
+                            if rs == 0xF0:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        if nbits < s:
+                            k4 = pb[bp : bp + 4]
+                            if not k4:
+                                raise ValueError(
+                                    "truncated JPEG entropy data"
+                                )
+                            bp += len(k4)
+                            nbits += 8 * len(k4)
+                            acc = (
+                                (acc << (8 * len(k4)))
+                                | int.from_bytes(k4, "big")
+                            ) & ((1 << nbits) - 1)
+                        nbits -= s
+                        val = (acc >> nbits) & ((1 << s) - 1)
+                        if val < (1 << (s - 1)):
+                            val += 1 - (1 << s)
+                        row[k] = val
+                        k += 1
+                    rows.append(row)
+        if _part_overrun():
+            raise ValueError("truncated JPEG entropy data")
+
+        # batched dequant -> de-zigzag -> IDCT -> plane scatter: block
+        # order within coef_rows is (my, mx, byi, bxi), so one
+        # transpose lays the MCU grid out as the plane raster
+        for cid, hs, vs, tq in comps:
+            zzc = np.asarray(coef_rows[cid], dtype=np.float64)
+            zzc = zzc.reshape(-1, 64) * qt[tq][None, :].astype(
+                np.float64
+            )
+            blocks = np.zeros_like(zzc)
+            blocks[:, _ZZ] = zzc
+            px = (
+                _M.T @ blocks.reshape(-1, 8, 8) @ _M
+            ) + 128.0
+            planes[cid] = (
+                px.reshape(mcuy, mcux, vs, hs, 8, 8)
+                .transpose(0, 2, 4, 1, 3, 5)
+                .reshape(mcuy * vs * 8, mcux * hs * 8)
+            )
         # nearest-neighbor upsample each component to full res, crop
         chans = []
         for cid, hs, vs, _ in comps:

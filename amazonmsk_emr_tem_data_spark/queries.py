@@ -17932,6 +17932,83 @@ BENCH_HEADLINE: tuple[str, ...] = (
 )
 
 
+# --- round-10 driver-window rotation --------------------------------
+# r9 VERDICT ask #1: rotate the stamp window onto the queries whose
+# latest driver evidence is oldest. After r9, every registry query
+# carries a stamp; the age histogram is r4×11, r5×45, r6..r9×~the
+# rest. Round-10 shape:
+#   0      tem_hourly_avg           anchor, checked every round
+#   1..4   the 4 post-r9-stamp additions (zero driver evidence)
+#   5..8   queries whose CODE changed after their latest stamp
+#          (fused Lloyd kmeans r8-stamped; simhash_bit_bias and
+#          dedup_clusters r9-stamped but patched in the advice-fix
+#          commit; multimodal_decode r7-stamped, JPEG marker parser
+#          hardened) — the "semantics changed needs a fresh stamp"
+#          rule applied to implementation drift
+#   9..    new round-10 queries as they land, then oldest-stamp fill:
+#          all 11 r4-stamped, then the r5 queue in registry order
+#   50     event_type_percentiles   r9-green; the exact-50 pin anchor
+_R10_NEVER_STAMPED: tuple[str, ...] = (
+    "copurchase_modularity",
+    "stream_click_purchase_anti_join",
+    "tokenizer_throughput_by_source",
+    "query_cost_attribution",
+)
+
+_R10_RESTAMP: tuple[str, ...] = (
+    "kmeans_lloyd_clusters",
+    "simhash_bit_bias",
+    "dedup_clusters",
+    "multimodal_decode",
+)
+
+#: Queries implemented in round 10 — appended as they land, displacing
+#: stale fill below (test_driver_window_covers_round10_rotation
+#: enforces none are cut by the [:50] slice).
+_R10_NEW: tuple[str, ...] = ()
+
+#: Oldest-stamp refresh queue: the 11 r4-stamped queries, then the
+#: r5-stamped queue in registry order. Whatever the round-10 additions
+#: don't displace gets stamped now; the tail rotates into r11.
+_R10_STALE_FILL: tuple[str, ...] = (
+    # r4-stamped (all 11)
+    "product_profit_by_nation_year", "heavy_shipper_suppliers",
+    "doc_unigram_logprob", "corpus_vocab_stats", "doc_pii_redaction",
+    "embedding_int8_quantize", "doc_chunking", "recursive_cte_depths",
+    "semantic_dedup_vectors", "event_funnel", "retention_cohorts",
+    # r5-stamped, registry order
+    "props_variant_extract", "doc_sequence_packing",
+    "doc_decontamination", "doc_dup_span_frac",
+    "stratified_sample_docs", "priority_lines_by_returnflag",
+    "returned_item_revenue", "range_join_order_events",
+    "doc_corpus_split", "doc_shuffle_shards", "corpus_mixture_plan",
+    "doc_quality_selection", "doc_bpe_segmentation",
+    "event_value_outliers", "events_upsert_latest",
+    "stream_tumbling_hourly", "stream_sliding_2h",
+    "stream_session_windows", "stream_click_purchase_join",
+    "ivf_topk", "bpe_vocab_merges", "multimodal_frames",
+    "multimodal_near_dup", "doc_leakage_safe_split",
+    "corpus_length_histogram", "tem_horizontal_avg",
+    "envelope_roundtrip", "q1_pricing_summary", "filter_project_scan",
+    "revenue_by_segment", "nation_revenue", "topk_orders_per_priority",
+    "running_total_per_customer", "rollup_lineitem_status",
+    "cube_order_status", "customers_with_orders", "set_ops_customers",
+    "union_event_slices", "dedup_first_event", "case_bucket_quantity",
+    "orders_by_month", "part_name_stats", "json_props_extract",
+    "distinct_users_per_type", "top10_lineitems",
+)
+
+_R10_HEAD: tuple[str, ...] = (
+    ("tem_hourly_avg",)
+    + _R10_NEVER_STAMPED
+    + _R10_RESTAMP
+    + _R10_NEW
+    + _R10_STALE_FILL
+)[:50] + ("event_type_percentiles",)
+
+REGISTRY = _rotate(REGISTRY, _R10_HEAD)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
