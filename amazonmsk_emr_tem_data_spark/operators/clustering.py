@@ -293,3 +293,154 @@ def semantic_dedup(
         )
     )
     return out
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero — the semantics BOTH
+    Spark's ``div`` and DuckDB's ``//`` use (Python's ``//`` floors,
+    which differs on negatives: -7//2 = -4 but -7 div 2 = -3)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def top_eigenvector_power(
+    spark,
+    embeddings: DataFrame,
+    iters: int = 192,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal direction of the embedding covariance by power
+    iteration (round 10) — the spectral health check run before
+    quantizer/index builds: a single dominant direction means one
+    feature (length, language, boilerplate) eats the geometry and
+    should be projected out; a flat spectrum means the quantizer gets
+    its bits' worth. Returns one row per dimension: the unit-free
+    eigenvector component on the micro grid, the explained-variance
+    share (ppm), and the mean per-dimension variance (micro²).
+
+    Architecture (the MLlib computePrincipalComponents shape, made
+    exactly cross-engine-reproducible):
+
+    1. ONE Arrow ``mapInPandas`` pass computes per-batch INTEGER
+       partials of the raw second-moment matrix M = Σ x·xᵀ and the
+       component sums s on the micro grid (e6 = round(x·10⁶), the
+       engine's one rounding rule) — d² int64 matmul per batch in C,
+       d²+d partial rows per batch out, ONE map-side-combined
+       aggregate to d² final rows. The corpus never shuffles.
+    2. The d×d matrix is BOUNDED DRIVER MODEL STATE (d=64 → 4096
+       DECIMAL sums; the collect is the model, exactly like kmeans
+       centroids). Centering is algebraic — C' = n·M − s·sᵀ — so no
+       fractional mean ever exists: every quantity stays an exact
+       integer (Python bigint on the driver, HUGEINT in the DuckDB
+       twin).
+    3. Power iteration runs driver-side on the 64×64 integer matrix:
+       w = C'·v; v ← trunc(w·10⁶ / max(|w|, 1)) — renormalization to
+       the micro grid uses the SAME truncate-toward-zero division as
+       DuckDB's ``//`` (:func:`_tdiv`), so after any number of rounds
+       both engines hold bit-identical integer vectors. Zero data
+       passes per iteration.
+    4. Rayleigh quotient on the grid: λ = trunc(vᵀC'v / vᵀv);
+       explained share = trunc(λ·10⁶ / trace C').
+
+    Iteration count is FIXED (determinism over adaptivity): power
+    iteration converges as (λ₂/λ₁)^t, and the fixtures' random-ish
+    embeddings have a thin spectral gap (λ₂/λ₁ ≈ 0.93–0.99 —
+    Marchenko-Pastur territory), so the default is 192 rounds
+    (measured alignment vs numpy eigh: 1.000 at sf0.001, 0.999 at
+    sf0.01; 8 rounds sat at 0.36). Rounds are driver-side 64×64
+    bigint matvecs — microseconds — so the count is free; a
+    production variant on a wide spectrum would stop on residual or
+    use Lanczos, at the price of a data-dependent round count.
+
+    Magnitude envelope (stated, not hoped): |e6| ≤ ~2·10⁶ ⇒ M entries
+    ≤ n·4·10¹² (DECIMAL(38) sums; int64 batch partials safe to ~10⁶
+    rows/batch), C' ≤ n²·4·10¹², iteration products ≤ 64·C'·10⁶ —
+    inside HUGEINT to n ≈ 10⁶ corpus rows per the twin; the Spark
+    side is unbounded (Python ints). All OUTPUT columns are bounded
+    (ppm ≤ 10⁶, |eig_e6| ≤ 10⁶, var ≤ 4·10¹²) regardless of n."""
+    import numpy as np
+    import pandas as pd
+
+    dim = len(embeddings.select(vec_col).first()[0])
+
+    def gram_partials(batches):
+        M = np.zeros((dim, dim), dtype=np.int64)
+        S = np.zeros(dim, dtype=np.int64)
+        cnt = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.rint(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                * 1_000_000.0
+            ).astype(np.int64)
+            M += X.T @ X
+            S += X.sum(axis=0)
+            cnt += len(pdf)
+        if cnt:
+            jj, kk = np.meshgrid(
+                np.arange(dim), np.arange(dim), indexing="ij"
+            )
+            diag = jj.ravel() == kk.ravel()
+            yield pd.DataFrame(
+                {
+                    "j": jj.ravel().astype(np.int32),
+                    "k": kk.ravel().astype(np.int32),
+                    "m": M.ravel(),
+                    "s": np.where(diag, S[jj.ravel()], 0),
+                    "c": np.where(
+                        (jj.ravel() == 0) & (kk.ravel() == 0), cnt, 0
+                    ),
+                }
+            )
+
+    partials = ensure_parallelism(embeddings).select(vec_col).mapInPandas(
+        gram_partials, "j int, k int, m long, s long, c long"
+    )
+    rows = (
+        partials.groupBy("j", "k")
+        .agg(
+            F.sum(F.col("m").cast("decimal(38,0)")).alias("m"),
+            F.sum("s").alias("s"),
+            F.sum("c").alias("c"),
+        )
+        .collect()
+    )  # bounded: exactly d² = 4096 rows of model state
+    M = [[0] * dim for _ in range(dim)]
+    s = [0] * dim
+    n = 0
+    for r in rows:
+        M[r["j"]][r["k"]] = int(r["m"])
+        if r["j"] == r["k"]:
+            s[r["j"]] = int(r["s"])
+        n += int(r["c"])
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "dim_idx long, eig_e6 long, explained_ppm long,"
+            " var_mean_e12 long",
+        )
+    C = [
+        [n * M[j][k] - s[j] * s[k] for k in range(dim)]
+        for j in range(dim)
+    ]
+    v = [10 ** 6] * dim
+    for _ in range(iters):
+        w = [sum(C[j][k] * v[k] for k in range(dim)) for j in range(dim)]
+        mx = max(max(abs(x) for x in w), 1)
+        v = [_tdiv(x * 10 ** 6, mx) for x in w]
+    w = [sum(C[j][k] * v[k] for k in range(dim)) for j in range(dim)]
+    num = sum(v[j] * w[j] for j in range(dim))
+    den = sum(x * x for x in v)
+    trace = sum(C[j][j] for j in range(dim))
+    lam = _tdiv(num, den)
+    explained_ppm = _tdiv(lam * 10 ** 6, max(trace, 1))
+    var_mean_e12 = _tdiv(trace, n * n * dim)
+    return spark.createDataFrame(
+        [
+            (j, v[j], explained_ppm, var_mean_e12)
+            for j in range(dim)
+        ],
+        "dim_idx long, eig_e6 long, explained_ppm long,"
+        " var_mean_e12 long",
+    )

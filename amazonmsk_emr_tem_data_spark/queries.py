@@ -17932,6 +17932,290 @@ BENCH_HEADLINE: tuple[str, ...] = (
 )
 
 
+# ---------------------------------------------------------------------------
+# round-10 session 1: contrastive mining, NN-Descent graph ANN,
+# covariance power iteration, encoding-artifact audit
+# ---------------------------------------------------------------------------
+
+
+def embedding_hard_negatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contrastive-training pair mining: per anchor (the deterministic
+    1/50 id slice, broadcast), the nearest same-label positive and the
+    3 highest-cosine different-label hard negatives — the standard
+    batch-mining step before embedding-model finetuning. Corpus scan
+    never shuffles; see operators/similarity.hard_negative_mining."""
+    from .operators.similarity import hard_negative_mining
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_mining(emb, anchor_mod=50, k_neg=3)
+
+
+_HARD_NEG_SQL = f"""
+WITH anchors AS (
+  SELECT vec_id AS anchor_id, embedding AS anchor_vec,
+         label AS anchor_label
+  FROM embeddings WHERE vec_id % 50 = 0
+), scored AS (
+  SELECT a.anchor_id, a.anchor_label,
+         e.vec_id AS cand_id, e.label AS cand_label,
+         CASE WHEN e.label = a.anchor_label
+              THEN 'pos' ELSE 'neg' END AS role,
+         {_COS_SQL.format(a='e.embedding', b='a.anchor_vec')} AS cos_sim
+  FROM embeddings e, anchors a
+  WHERE e.vec_id <> a.anchor_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY anchor_id, role
+    ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT anchor_id, role, CAST(rank AS INT) AS rank,
+       cand_id, cand_label, cos_sim
+FROM ranked
+WHERE (role = 'neg' AND rank <= 3) OR (role = 'pos' AND rank <= 1)
+"""
+
+
+def nn_descent_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NN-Descent k-NN graph (k=6, 3 refinement rounds, 6-bit LSH +
+    block-ring init) — linear-cost graph-ANN construction; see
+    operators/similarity.nn_descent_graph for the scale contract and
+    the structureless-data recall plateau measured in
+    tests/test_round10.py."""
+    from .operators.similarity import nn_descent_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return nn_descent_graph(emb, k=6, iters=3, n_planes=6, seed=77)
+
+
+def _nn_descent_sql(k: int = 6, iters: int = 3, n_planes: int = 6,
+                    seed: int = 77, dim: int = 64) -> str:
+    """Unrolled-CTE DuckDB twin of nn_descent_graph: the SAME seeded
+    hyperplane literals (repr round-trips doubles exactly, and the
+    fold dot product is bit-identical to list_dot_product), the same
+    lead-window ring init, and one CTE block per refinement round."""
+    from .operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),"
+        f" [{', '.join(repr(float(x)) for x in p)}]) >= 0"
+        f" THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    lead_cols = ", ".join(
+        f"lead(vec_id, {j}) OVER w AS n{j}" for j in range(1, k + 1)
+    )
+    unnest_list = ", ".join(f"n{j}" for j in range(1, k + 1))
+    cos = _COS_SQL.format(a="ea.embedding", b="eb.embedding")
+    parts = [
+        f"WITH b0 AS MATERIALIZED (SELECT vec_id, ({bits}) AS bk FROM embeddings)",
+        f"l0 AS MATERIALIZED (SELECT vec_id AS a, {lead_cols} FROM b0"
+        " WINDOW w AS (PARTITION BY bk ORDER BY vec_id))",
+        # block rings: the geometry-uncorrelated stitch family (see
+        # nn_descent_graph — without it descent never leaves its
+        # init bucket)
+        f"l0s AS MATERIALIZED (SELECT vec_id AS a, {lead_cols}"
+        " FROM embeddings WINDOW w AS"
+        " (PARTITION BY (vec_id // 256) ORDER BY vec_id))",
+        "e0 AS MATERIALIZED (SELECT a, b FROM (SELECT a,"
+        f" unnest([{unnest_list}]) AS b FROM l0) WHERE b IS NOT NULL"
+        " UNION SELECT a, b FROM (SELECT a,"
+        f" unnest([{unnest_list}]) AS b FROM l0s) WHERE b IS NOT NULL)",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts += [
+            f"u{t} AS MATERIALIZED (SELECT a, b FROM e{p}"
+            f" UNION SELECT b, a FROM e{p})",
+            f"c{t} AS MATERIALIZED (SELECT a, b FROM u{t} UNION"
+            f" SELECT u1.a AS a, u2.b AS b FROM u{t} u1"
+            f" JOIN u{t} u2 ON u1.b = u2.a WHERE u1.a <> u2.b)",
+            f"s{t} AS MATERIALIZED (SELECT c.a, c.b, {cos} AS cos_sim"
+            f" FROM c{t} c JOIN embeddings ea ON ea.vec_id = c.a"
+            " JOIN embeddings eb ON eb.vec_id = c.b)",
+            f"r{t} AS MATERIALIZED (SELECT a, b, cos_sim, ROW_NUMBER() OVER ("
+            " PARTITION BY a ORDER BY cos_sim DESC, b ASC) AS rk"
+            f" FROM s{t})",
+            f"e{t} AS MATERIALIZED (SELECT a, b FROM r{t} WHERE rk <= {k})",
+        ]
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT a AS vec_id, b AS nbr_id, cos_sim,"
+        f" CAST(rk AS INT) AS rank FROM r{iters} WHERE rk <= {k}"
+    )
+
+
+def embedding_top_eigenvector(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top principal direction of the embedding covariance via power
+    iteration on exact integer grids — one Arrow Gram pass, 64×64
+    driver model state, zero data passes per iteration (192 fixed
+    rounds; see operators/clustering.top_eigenvector_power for the
+    spectral-gap rationale)."""
+    from .operators.clustering import top_eigenvector_power
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return top_eigenvector_power(spark, emb, iters=192)
+
+
+def _eigvec_sql(dim: int = 64, iters: int = 192) -> str:
+    """Unrolled power iteration over the ALGEBRAICALLY-centered
+    integer Gram matrix C' = n·M − s·sᵀ: every quantity is an exact
+    HUGEINT, renormalization is the shared trunc-toward-zero ``//``,
+    so the twin reproduces the driver's bigint math bit-for-bit."""
+    parts = [
+        "WITH comp AS MATERIALIZED (SELECT vec_id,"
+        " generate_subscripts(embedding, 1) - 1 AS dim,"
+        " CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)"
+        " AS BIGINT) AS e6 FROM embeddings)",
+        "cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS HUGEINT) AS n"
+        " FROM embeddings)",
+        "sv AS MATERIALIZED (SELECT dim, CAST(SUM(e6) AS HUGEINT) AS s"
+        " FROM comp GROUP BY 1)",
+        "mm AS MATERIALIZED (SELECT a.dim AS j, b.dim AS k,"
+        " SUM(CAST(a.e6 AS HUGEINT) * b.e6) AS m"
+        " FROM comp a JOIN comp b USING (vec_id) GROUP BY 1, 2)",
+        "cc AS MATERIALIZED (SELECT mm.j, mm.k,"
+        " (SELECT n FROM cnt) * mm.m - sa.s * sb.s AS cv FROM mm"
+        " JOIN sv sa ON sa.dim = mm.j JOIN sv sb ON sb.dim = mm.k)",
+        "v0 AS MATERIALIZED (SELECT dim AS j, CAST(1000000 AS HUGEINT) AS vv"
+        " FROM sv)",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts += [
+            f"w{t} AS MATERIALIZED (SELECT cc.j, SUM(cc.cv * v{p}.vv) AS wv"
+            f" FROM cc JOIN v{p} ON v{p}.j = cc.k GROUP BY 1)",
+            f"mx{t} AS MATERIALIZED (SELECT GREATEST(MAX(ABS(wv)), 1) AS mv"
+            f" FROM w{t})",
+            f"v{t} AS MATERIALIZED (SELECT j, (wv * 1000000) //"
+            f" (SELECT mv FROM mx{t}) AS vv FROM w{t})",
+        ]
+    parts += [
+        f"wf AS MATERIALIZED (SELECT cc.j, SUM(cc.cv * v{iters}.vv) AS wv"
+        f" FROM cc JOIN v{iters} ON v{iters}.j = cc.k GROUP BY 1)",
+        f"ray AS (SELECT SUM(v.vv * w.wv) AS num,"
+        f" SUM(v.vv * v.vv) AS den FROM v{iters} v"
+        " JOIN wf w USING (j))",
+        "tr AS (SELECT GREATEST(SUM(cv), 1) AS t FROM cc"
+        " WHERE j = k)",
+    ]
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT CAST(v.j AS BIGINT) AS dim_idx, CAST(v.vv AS BIGINT) AS eig_e6,
+       CAST((((SELECT num FROM ray) // (SELECT den FROM ray))
+             * 1000000) // (SELECT t FROM tr) AS BIGINT)
+         AS explained_ppm,
+       CAST((SELECT t FROM tr) //
+            ((SELECT n FROM cnt) * (SELECT n FROM cnt) * {dim})
+            AS BIGINT) AS var_mean_e12
+FROM v{iters} v"""
+    )
+
+
+#: classic UTF-8-decoded-as-latin1 / cp1252 artifact markers plus the
+#: replacement character — each a fixed string, counted via the exact
+#: length-difference identity (no regex needed in either engine)
+_MOJIBAKE_PATTERNS: tuple[str, ...] = ("Ã", "Â", "â€", "�")
+
+
+def doc_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encoding-artifact audit (round 10, data quality):
+    counts of classic mojibake markers — 'Ã'/'Â' (UTF-8 bytes decoded
+    as Latin-1), 'â€' (cp1252 smart-quote wreckage), and U+FFFD (the
+    replacement character a lossy decode leaves behind) — the check a
+    crawl pipeline runs before trusting its text extraction. A report
+    query: one row per source with doc/artifact counts and a ppm rate,
+    non-empty (all-zero) on a clean corpus by design.
+
+    Scale: pure codegen'd string expressions (length-difference
+    counting, no regex, no UDF) + ONE map-side-combined aggregate to
+    |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    art = None
+    for p in _MOJIBAKE_PATTERNS:
+        c = (
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(p)))
+            )
+            / F.lit(len(p))
+        ).cast("long")
+        art = c if art is None else art + c
+    per_doc = docs.select(
+        "source",
+        F.length("text").cast("long").alias("n_chars_t"),
+        art.alias("artifacts"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("artifacts") > 0, 1).otherwise(0)
+            ).cast("long").alias("docs_flagged"),
+            F.sum("artifacts").alias("artifacts_total"),
+            F.sum("n_chars_t").alias("chars_total"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "docs_flagged",
+            "artifacts_total",
+            F.expr(
+                "(artifacts_total * CAST(1000000 AS BIGINT))"
+                " div GREATEST(chars_total, CAST(1 AS BIGINT))"
+            ).alias("artifact_ppm"),
+        )
+    )
+
+
+_MOJIBAKE_SQL = """
+WITH per_doc AS (
+  SELECT source, CAST(length(text) AS BIGINT) AS n_chars_t,
+         CAST(
+             (length(text) - length(replace(text, 'Ã', '')))
+           + (length(text) - length(replace(text, 'Â', '')))
+           + (length(text) - length(replace(text, 'â€', ''))) // 2
+           + (length(text) - length(replace(text, chr(65533), '')))
+         AS BIGINT) AS artifacts
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN artifacts > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_flagged,
+       CAST(SUM(artifacts) AS BIGINT) AS artifacts_total,
+       CAST((SUM(artifacts) * 1000000)
+            // GREATEST(SUM(n_chars_t), 1) AS BIGINT) AS artifact_ppm
+FROM per_doc GROUP BY source
+"""
+
+
+REGISTRY.update(
+    {
+        "embedding_hard_negatives": (
+            embedding_hard_negatives,
+            _HARD_NEG_SQL,
+        ),
+        "nn_descent_knn_graph": (
+            nn_descent_knn_graph,
+            _nn_descent_sql(),
+        ),
+        "embedding_top_eigenvector": (
+            embedding_top_eigenvector,
+            _eigvec_sql(),
+        ),
+        "doc_mojibake_audit": (doc_mojibake_audit, _MOJIBAKE_SQL),
+    }
+)
+
+
 # --- round-10 driver-window rotation --------------------------------
 # r9 VERDICT ask #1: rotate the stamp window onto the queries whose
 # latest driver evidence is oldest. After r9, every registry query
@@ -17965,7 +18249,12 @@ _R10_RESTAMP: tuple[str, ...] = (
 #: Queries implemented in round 10 — appended as they land, displacing
 #: stale fill below (test_driver_window_covers_round10_rotation
 #: enforces none are cut by the [:50] slice).
-_R10_NEW: tuple[str, ...] = ()
+_R10_NEW: tuple[str, ...] = (
+    "embedding_hard_negatives",
+    "nn_descent_knn_graph",
+    "embedding_top_eigenvector",
+    "doc_mojibake_audit",
+)
 
 #: Oldest-stamp refresh queue: the 11 r4-stamped queries, then the
 #: r5-stamped queue in registry order. Whatever the round-10 additions

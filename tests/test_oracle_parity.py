@@ -255,6 +255,14 @@ def test_no_vacuous_queries(spark, sf_dir):
         # r10: exact long inputs + the fixed four-op IEEE tail
         # (e/m, d/2m, square, subtract) must be partition-blind
         "copurchase_modularity",
+        # r10 session-1: bit-parity fold cosines under broadcast +
+        # window ranks (mining, descent rounds), the integer Gram /
+        # bigint power iteration, and length-diff artifact counts
+        # must all be partition-blind
+        "embedding_hard_negatives",
+        "nn_descent_knn_graph",
+        "embedding_top_eigenvector",
+        "doc_mojibake_audit",
     ],
 )
 def test_partitioning_invariance(spark, sf_dir, name):

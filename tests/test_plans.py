@@ -1424,3 +1424,40 @@ def test_embedding_dim_profile_one_exchange(spark, sf_dir):
     assert not f.joins
     assert f.has_partial_agg
     assert f.n_exchanges == 1
+
+
+def test_hard_negatives_broadcast_anchor_side(spark, sf_dir):
+    """Contrastive mining is the knn_join shape: the anchor slice is
+    broadcast, the corpus never shuffles for the join; ranking windows
+    are the only exchanges."""
+    f = facts(spark, sf_dir, "embedding_hard_negatives")
+    assert all(j.startswith("Broadcast") for j in f.joins), f.joins
+    assert not f.has_cartesian
+
+
+def test_nn_descent_no_cartesian(spark, sf_dir):
+    """Descent rounds are hash joins over bounded candidate relations
+    (≤16k² per node) — an all-pairs fallback would surface as a
+    cartesian product."""
+    f = facts(spark, sf_dir, "nn_descent_knn_graph")
+    assert not f.has_cartesian
+    assert f.joins, "candidate scoring must plan hash joins"
+
+
+def test_mojibake_audit_one_exchange_no_regex(spark, sf_dir):
+    """The artifact audit is pure codegen'd string expressions + ONE
+    map-side-combined aggregate to |sources| rows."""
+    f = facts(spark, sf_dir, "doc_mojibake_audit")
+    assert not f.joins
+    assert f.has_partial_agg
+    assert f.n_exchanges == 1
+
+
+def test_top_eigenvector_is_bounded_model_state(spark, sf_dir):
+    """The returned frame is driver model state (64 rows built from
+    the collected 64×64 Gram) — its plan must be a local scan with
+    ZERO runtime exchanges; the corpus pass already happened inside
+    the one Arrow Gram aggregation."""
+    f = facts(spark, sf_dir, "embedding_top_eigenvector")
+    assert f.n_exchanges == 0
+    assert not f.joins
