@@ -358,6 +358,39 @@ def top_eigenvector_power(
     inside HUGEINT to n ≈ 10⁶ corpus rows per the twin; the Spark
     side is unbounded (Python ints). All OUTPUT columns are bounded
     (ppm ≤ 10⁶, |eig_e6| ≤ 10⁶, var ≤ 4·10¹²) regardless of n."""
+    model = power_model(embeddings, iters, vec_col)
+    if model is None:
+        return spark.createDataFrame(
+            [],
+            "dim_idx long, eig_e6 long, explained_ppm long,"
+            " var_mean_e12 long",
+        )
+    dim = model["dim"]
+    explained_ppm = _tdiv(model["lam"] * 10 ** 6, max(model["trace"], 1))
+    var_mean_e12 = _tdiv(
+        model["trace"], model["n"] * model["n"] * dim
+    )
+    return spark.createDataFrame(
+        [
+            (j, model["v"][j], explained_ppm, var_mean_e12)
+            for j in range(dim)
+        ],
+        "dim_idx long, eig_e6 long, explained_ppm long,"
+        " var_mean_e12 long",
+    )
+
+
+def power_model(
+    embeddings: DataFrame,
+    iters: int = 192,
+    vec_col: str = "embedding",
+) -> dict | None:
+    """The Gram pass + power iteration behind
+    :func:`top_eigenvector_power`, exposed as reusable MODEL STATE so
+    downstream scorers (spectral outliers) compose with it the way
+    IVF composes with kmeans centroids. Returns ``None`` on an empty
+    corpus, else {dim, n, s (micro component sums), v (eigenvector,
+    micro grid), lam, trace, den} — all exact Python ints."""
     import numpy as np
     import pandas as pd
 
@@ -415,11 +448,7 @@ def top_eigenvector_power(
             s[r["j"]] = int(r["s"])
         n += int(r["c"])
     if n == 0:
-        return spark.createDataFrame(
-            [],
-            "dim_idx long, eig_e6 long, explained_ppm long,"
-            " var_mean_e12 long",
-        )
+        return None
     C = [
         [n * M[j][k] - s[j] * s[k] for k in range(dim)]
         for j in range(dim)
@@ -433,14 +462,115 @@ def top_eigenvector_power(
     num = sum(v[j] * w[j] for j in range(dim))
     den = sum(x * x for x in v)
     trace = sum(C[j][j] for j in range(dim))
-    lam = _tdiv(num, den)
-    explained_ppm = _tdiv(lam * 10 ** 6, max(trace, 1))
-    var_mean_e12 = _tdiv(trace, n * n * dim)
-    return spark.createDataFrame(
-        [
-            (j, v[j], explained_ppm, var_mean_e12)
-            for j in range(dim)
-        ],
-        "dim_idx long, eig_e6 long, explained_ppm long,"
-        " var_mean_e12 long",
+    return {
+        "dim": dim,
+        "n": n,
+        "s": s,
+        "v": v,
+        "lam": _tdiv(num, den),
+        "trace": trace,
+        "den": den,
+    }
+
+
+def spectral_residual_rows(
+    embeddings: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector spectral decomposition against a :func:`power_model`
+    — the scorer half of spectral outlier detection: rows of
+    (id, sq_norm, proj_dot) where c = e6 − trunc-mean(e6) is the
+    centered micro-grid vector, sq_norm = Σc² (micro²), proj_dot =
+    Σc·v (micro·micro against the model eigenvector). One Arrow scan
+    pass, no shuffle; every value is an exact int64 (|c| ≤ 2·10⁶,
+    |proj_dot| ≤ d·2·10⁶·10⁶ ≈ 1.3·10¹⁴ — the residual combination
+    cc·Σv² − pr², which would overflow int64, is left to the caller's
+    DECIMAL expressions)."""
+    import numpy as np
+    import pandas as pd
+
+    dim = model["dim"]
+    mu = np.array(
+        [_tdiv(model["s"][j], model["n"]) for j in range(dim)],
+        dtype=np.int64,
     )
+    v = np.array(model["v"], dtype=np.int64)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.rint(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                * 1_000_000.0
+            ).astype(np.int64)
+            c = E - mu[None, :]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "sq_norm": (c * c).sum(axis=1),
+                    "proj_dot": (c * v[None, :]).sum(axis=1),
+                }
+            )
+
+    return ensure_parallelism(embeddings).select(
+        id_col, vec_col
+    ).mapInPandas(fn, f"{id_col} long, sq_norm long, proj_dot long")
+
+
+def assign_rows_with_d2(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-ROW nearest-centroid assignment: (id, cluster, d2_e6) — the
+    row-level sibling of :func:`lloyd_round_partials` (same IEEE
+    sequence: left-fold dots, d² = (ee − 2·dot) + cc, first-minimum
+    argmin, HALF_UP 1e-6 snap), for consumers that need each vector's
+    assignment rather than per-cell partials (medoid selection,
+    per-vector audit). One Arrow scan pass, no shuffle, no join."""
+    import numpy as np
+    import pandas as pd
+
+    k = len(centroids)
+    dim = len(centroids[0][1])
+    ids = np.array([c for c, _ in centroids], dtype=np.int64)
+    C = np.array([v for _, v in centroids], dtype=np.float64)
+    cc = np.array(
+        [_seq_dot(v, v) for _, v in centroids], dtype=np.float64
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = X.shape[0]
+            ee = np.zeros(n)
+            for i in range(dim):
+                ee = ee + X[:, i] * X[:, i]
+            d2 = np.empty((k, n))
+            for c in range(k):
+                acc = np.zeros(n)
+                for i in range(dim):
+                    acc = acc + X[:, i] * C[c, i]
+                d2[c] = (ee - 2.0 * acc) + cc[c]
+            cl = np.argmin(d2, axis=0)
+            sel = d2[cl, np.arange(n)] * 1e6
+            snapped = np.where(
+                sel >= 0, np.floor(sel + 0.5), np.ceil(sel - 0.5)
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cluster": ids[cl],
+                    "d2_e6": snapped,
+                }
+            )
+
+    return ensure_parallelism(embeddings).select(
+        id_col, vec_col
+    ).mapInPandas(fn, f"{id_col} long, cluster long, d2_e6 long")

@@ -11769,6 +11769,40 @@ _KMEANS_ROUNDS = 3
 _EMB_DIM = 64
 
 
+def _kmeans_fit_centroids(
+    emb: DataFrame, rounds: int = _KMEANS_ROUNDS
+) -> list[tuple[int, list[float]]]:
+    """The shared Lloyd fit: k lowest-id seeds, ``rounds`` fused Arrow
+    passes, 1e-9-grid means via the fixed (s/1e9)/n division sequence
+    — extracted so medoid selection consumes the EXACT fit (same
+    centroids bit-for-bit) kmeans_lloyd_clusters reports on. The input
+    frame should be cached by the caller (rounds+1 passes)."""
+    from .operators.clustering import lloyd_round_partials
+
+    init = emb.orderBy("vec_id").limit(_KMEANS_K).collect()
+    centroids = [
+        (i, [float(x) for x in r["embedding"]])
+        for i, r in enumerate(init)
+    ]
+    for _ in range(rounds):
+        # bounded k-row collect per round (model state): partials
+        # reduced by a tiny groupBy-sum, then grid means via the
+        # fixed division sequence (s/1e9)/n
+        part = lloyd_round_partials(emb, centroids, with_grid=True)
+        rows = part.groupBy("cluster").agg(
+            F.sum("n").alias("n"),
+            *[F.sum(f"s{i}").alias(f"s{i}") for i in range(_EMB_DIM)],
+        ).collect()
+        centroids = sorted(
+            (
+                int(r["cluster"]),
+                [(r[f"s{i}"] / 1e9) / r["n"] for i in range(_EMB_DIM)],
+            )
+            for r in rows
+        )
+    return centroids
+
+
 def kmeans_lloyd_clusters(
     spark: SparkSession, sf_dir: str, rounds: int = _KMEANS_ROUNDS
 ) -> DataFrame:
@@ -11813,30 +11847,7 @@ def kmeans_lloyd_clusters(
     emb = ensure_parallelism(
         load_table(spark, sf_dir, "embeddings")
     ).cache()
-    init = (
-        emb.orderBy("vec_id").limit(_KMEANS_K).collect()
-    )
-    centroids = [
-        (i, [float(x) for x in r["embedding"]])
-        for i, r in enumerate(init)
-    ]
-
-    for _ in range(rounds):
-        # bounded k-row collect per round (model state): partials
-        # reduced by a tiny groupBy-sum, then grid means via the
-        # fixed division sequence (s/1e9)/n
-        part = lloyd_round_partials(emb, centroids, with_grid=True)
-        rows = part.groupBy("cluster").agg(
-            F.sum("n").alias("n"),
-            *[F.sum(f"s{i}").alias(f"s{i}") for i in range(_EMB_DIM)],
-        ).collect()
-        centroids = sorted(
-            (
-                int(r["cluster"]),
-                [(r[f"s{i}"] / 1e9) / r["n"] for i in range(_EMB_DIM)],
-            )
-            for r in rows
-        )
+    centroids = _kmeans_fit_centroids(emb, rounds)
     final = lloyd_round_partials(emb, centroids, with_grid=False)
     return final.groupBy("cluster").agg(
         F.sum("n").alias("n_vecs"),
@@ -11886,7 +11897,9 @@ def _km_round_sql(r: int) -> str:
 )"""
 
 
-def _kmeans_sql(rounds: int = _KMEANS_ROUNDS, k: int = _KMEANS_K) -> str:
+def _kmeans_chain_sql(rounds: int = _KMEANS_ROUNDS, k: int = _KMEANS_K) -> str:
+    """c0 → rounds → afinal (vec_id, cluster, d2): the shared prefix
+    of the kmeans twin and the medoid twin."""
     return f"""
 WITH c0 AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT)
@@ -11913,7 +11926,11 @@ WITH c0 AS MATERIALIZED (
                               c.cluster ASC) AS rn
     FROM embeddings e CROSS JOIN c{rounds} c
   ) WHERE rn = 1
-)
+)"""
+
+
+def _kmeans_sql(rounds: int = _KMEANS_ROUNDS, k: int = _KMEANS_K) -> str:
+    return _kmeans_chain_sql(rounds, k) + """
 SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
        CAST(SUM(CAST(round(d2 * 1000000.0) AS BIGINT)) AS DOUBLE)
          / 1000000.0 AS inertia
@@ -18062,11 +18079,13 @@ def embedding_top_eigenvector(
     return top_eigenvector_power(spark, emb, iters=192)
 
 
-def _eigvec_sql(dim: int = 64, iters: int = 192) -> str:
-    """Unrolled power iteration over the ALGEBRAICALLY-centered
-    integer Gram matrix C' = n·M − s·sᵀ: every quantity is an exact
-    HUGEINT, renormalization is the shared trunc-toward-zero ``//``,
-    so the twin reproduces the driver's bigint math bit-for-bit."""
+def _eigvec_parts(dim: int = 64, iters: int = 192) -> list[str]:
+    """Shared CTE prefix for the power-iteration twins: comp/sv/mm →
+    the ALGEBRAICALLY-centered integer Gram C' = n·M − s·sᵀ → iters
+    unrolled w/mx/v rounds. Every quantity is an exact HUGEINT and
+    renormalization is the shared trunc-toward-zero ``//``, so the
+    twins reproduce the driver's bigint math bit-for-bit. Consumed by
+    _eigvec_sql and _spectral_outliers_sql."""
     parts = [
         "WITH comp AS MATERIALIZED (SELECT vec_id,"
         " generate_subscripts(embedding, 1) - 1 AS dim,"
@@ -18095,7 +18114,11 @@ def _eigvec_sql(dim: int = 64, iters: int = 192) -> str:
             f"v{t} AS MATERIALIZED (SELECT j, (wv * 1000000) //"
             f" (SELECT mv FROM mx{t}) AS vv FROM w{t})",
         ]
-    parts += [
+    return parts
+
+
+def _eigvec_sql(dim: int = 64, iters: int = 192) -> str:
+    parts = _eigvec_parts(dim, iters) + [
         f"wf AS MATERIALIZED (SELECT cc.j, SUM(cc.cv * v{iters}.vv) AS wv"
         f" FROM cc JOIN v{iters} ON v{iters}.j = cc.k GROUP BY 1)",
         f"ray AS (SELECT SUM(v.vv * w.wv) AS num,"
@@ -18197,11 +18220,166 @@ FROM per_doc GROUP BY source
 """
 
 
+def kmeans_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster representatives (round-10 session 2): for each Lloyd
+    cell, the MEDOID-style representative — the member vector nearest
+    its centroid — plus cell size and mean squared distance. This is
+    the "pick one exemplar per semantic cluster" step of cluster-based
+    corpus curation (e.g. choosing the document that represents a
+    SemDeDup cell), reusing the EXACT kmeans fit the engine's other
+    consumers train (same centroids bit-for-bit via
+    _kmeans_fit_centroids).
+
+    Scale shape: the fit is the fused-Lloyd model-state iteration;
+    selection is ONE further Arrow assignment pass emitting (id, cell,
+    d2_e6) rows and ONE map-side-combined aggregate where the medoid
+    rides a min(struct(d2_e6, vec_id)) — lexicographic integer min, so
+    the combiner carries one tuple per cell and ties break to the
+    smallest id, exactly like the twin's padded arg_min key. No join,
+    no window over data rows."""
+    from .operators.clustering import assign_rows_with_d2
+
+    emb = ensure_parallelism(
+        load_table(spark, sf_dir, "embeddings")
+    ).cache()
+    centroids = _kmeans_fit_centroids(emb, _KMEANS_ROUNDS)
+    rows = assign_rows_with_d2(emb, centroids)
+    return (
+        rows.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min(F.struct("d2_e6", "vec_id")).alias("md"),
+            F.sum("d2_e6").alias("sd"),
+        )
+        .select(
+            "cluster",
+            "n_vecs",
+            F.col("md.vec_id").alias("medoid_id"),
+            F.col("md.d2_e6").alias("medoid_d2_e6"),
+            F.expr("sd div n_vecs").alias("mean_d2_e6"),
+        )
+    )
+
+
+def _kmeans_medoids_sql(
+    rounds: int = _KMEANS_ROUNDS, k: int = _KMEANS_K
+) -> str:
+    """Twin: the shared kmeans chain through afinal, then the HALF_UP
+    1e-6 snap and a per-cell arg_min on the padded (d2_e6, vec_id)
+    string key — the same total order as Spark's struct min."""
+    return _kmeans_chain_sql(rounds, k) + """
+, ad AS (
+  SELECT vec_id, cluster,
+         CAST(round(d2 * 1000000.0) AS BIGINT) AS d2_e6
+  FROM afinal
+)
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(arg_min(vec_id,
+              lpad(CAST(d2_e6 AS VARCHAR), 12, '0')
+              || lpad(CAST(vec_id AS VARCHAR), 12, '0'))
+            AS BIGINT) AS medoid_id,
+       CAST(MIN(d2_e6) AS BIGINT) AS medoid_d2_e6,
+       CAST(SUM(d2_e6) // COUNT(*) AS BIGINT) AS mean_d2_e6
+FROM ad GROUP BY cluster
+"""
+
+
+def embedding_spectral_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spectral outliers (round-10 session 2): the 20 vectors with the
+    largest residual OFF the corpus's top principal direction — the
+    "what doesn't the dominant axis explain" audit that surfaces
+    mislabeled/garbage embeddings before they poison an index or a
+    training mix. Composes two engine pieces: the power-iteration
+    model (operators/clustering.power_model — one Arrow Gram pass,
+    driver state) feeds a second scan-side Arrow pass emitting exact
+    integer (sq_norm, proj_dot) per vector; the residual
+    sq_norm·Σv² − proj² then lives in DECIMAL(38,0) expressions
+    (Cauchy-Schwarz keeps it ≥ 0), is ranked exactly, and is emitted
+    BIGINT-bounded as resid_e12 = resid div Σv².
+
+    Scale: two corpus passes total (Gram + score), zero joins; the
+    top-20 is a TakeOrdered, never a global sort."""
+    from .operators.clustering import power_model, spectral_residual_rows
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = power_model(emb, iters=192)
+    if model is None:
+        return spark.createDataFrame(
+            [],
+            "vec_id long, rank int, resid_e12 long, sq_norm long,"
+            " proj_dot long",
+        )
+    den = model["den"]
+    scored = spectral_residual_rows(emb, model).select(
+        "vec_id",
+        "sq_norm",
+        "proj_dot",
+        F.expr(
+            f"sq_norm * CAST({den} AS DECIMAL(38,0))"
+            " - proj_dot * CAST(proj_dot AS DECIMAL(38,0))"
+        ).alias("resid"),
+    )
+    top = scored.orderBy(
+        F.col("resid").desc(), F.col("vec_id").asc()
+    ).limit(20)
+    w = Window.orderBy(F.col("resid").desc(), F.col("vec_id").asc())
+    return top.select(
+        "vec_id",
+        F.row_number().over(w).cast("int").alias("rank"),
+        F.expr(f"CAST(resid div {den} AS BIGINT)").alias("resid_e12"),
+        "sq_norm",
+        "proj_dot",
+    )
+
+
+def _spectral_outliers_sql(
+    dim: int = 64, iters: int = 192, topk: int = 20
+) -> str:
+    """Twin: the shared power-iteration chain, then per-vector centered
+    integer folds and the exact HUGEINT residual rank."""
+    parts = _eigvec_parts(dim, iters) + [
+        f"vden AS (SELECT SUM(vv * vv) AS den FROM v{iters})",
+        "mu AS MATERIALIZED (SELECT dim,"
+        " s // (SELECT n FROM cnt) AS m FROM sv)",
+        "cvals AS MATERIALIZED (SELECT c.vec_id, c.dim,"
+        " CAST(c.e6 AS HUGEINT) - mu.m AS cv2"
+        " FROM comp c JOIN mu ON mu.dim = c.dim)",
+        f"pv AS MATERIALIZED (SELECT cv.vec_id,"
+        f" SUM(cv.cv2 * cv.cv2) AS sq_norm,"
+        f" SUM(cv.cv2 * v.vv) AS proj FROM cvals cv"
+        f" JOIN v{iters} v ON v.j = cv.dim GROUP BY 1)",
+        "sc AS (SELECT vec_id, sq_norm, proj,"
+        " sq_norm * (SELECT den FROM vden) - proj * proj AS resid"
+        " FROM pv)",
+        "rk AS (SELECT *, ROW_NUMBER() OVER ("
+        "ORDER BY resid DESC, vec_id ASC) AS rank FROM sc)",
+    ]
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS INT) AS rank,
+       CAST(resid // (SELECT den FROM vden) AS BIGINT) AS resid_e12,
+       CAST(sq_norm AS BIGINT) AS sq_norm,
+       CAST(proj AS BIGINT) AS proj_dot
+FROM rk WHERE rank <= {topk}"""
+    )
+
+
 REGISTRY.update(
     {
         "embedding_hard_negatives": (
             embedding_hard_negatives,
             _HARD_NEG_SQL,
+        ),
+        "kmeans_cluster_medoids": (
+            kmeans_cluster_medoids,
+            _kmeans_medoids_sql(),
+        ),
+        "embedding_spectral_outliers": (
+            embedding_spectral_outliers,
+            _spectral_outliers_sql(),
         ),
         "nn_descent_knn_graph": (
             nn_descent_knn_graph,
@@ -18254,6 +18432,8 @@ _R10_NEW: tuple[str, ...] = (
     "nn_descent_knn_graph",
     "embedding_top_eigenvector",
     "doc_mojibake_audit",
+    "kmeans_cluster_medoids",
+    "embedding_spectral_outliers",
 )
 
 #: Oldest-stamp refresh queue: the 11 r4-stamped queries, then the

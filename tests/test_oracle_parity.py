@@ -263,6 +263,10 @@ def test_no_vacuous_queries(spark, sf_dir):
         "nn_descent_knn_graph",
         "embedding_top_eigenvector",
         "doc_mojibake_audit",
+        # r10 session-2: the Arrow d2 snap + struct-min medoid and the
+        # integer spectral residuals must be partition-blind
+        "kmeans_cluster_medoids",
+        "embedding_spectral_outliers",
     ],
 )
 def test_partitioning_invariance(spark, sf_dir, name):

@@ -1461,3 +1461,20 @@ def test_top_eigenvector_is_bounded_model_state(spark, sf_dir):
     f = facts(spark, sf_dir, "embedding_top_eigenvector")
     assert f.n_exchanges == 0
     assert not f.joins
+
+
+def test_cluster_medoids_one_combine_no_joins(spark, sf_dir):
+    """Medoid selection: Arrow assignment rows + ONE map-side-combined
+    aggregate whose medoid rides a struct min — no join, no window
+    over data rows."""
+    f = facts(spark, sf_dir, "kmeans_cluster_medoids")
+    assert not f.joins
+    assert f.has_partial_agg
+
+
+def test_spectral_outliers_takeordered_no_joins(spark, sf_dir):
+    """Spectral outliers: scan-side Arrow scoring + a top-20
+    TakeOrdered; the only window ranks the 20 surviving rows."""
+    f = facts(spark, sf_dir, "embedding_spectral_outliers")
+    assert not f.joins
+    assert not f.has_cartesian

@@ -192,3 +192,56 @@ def test_nn_descent_converges_on_clustered_data(spark):
     hits = sum(len(v & exact[i]) for i, v in got.items())
     recall = hits / (n * k)
     assert recall >= 0.9, f"clustered recall too low: {recall:.3f}"
+
+
+def test_cluster_medoids_consistency(spark, sf_dir):
+    """Medoids must reconcile with the kmeans tier: 8 cells, sizes sum
+    to the corpus, each medoid's distance is its cell's minimum (so
+    medoid_d2 <= mean_d2), and medoid ids are real members."""
+    ids, _, _ = _load_embeddings(sf_dir)
+    rows = REGISTRY["kmeans_cluster_medoids"][0](spark, sf_dir).collect()
+    assert len(rows) == 8
+    assert sum(r["n_vecs"] for r in rows) == len(ids)
+    idset = set(ids.tolist())
+    for r in rows:
+        assert r["medoid_id"] in idset
+        assert 0 <= r["medoid_d2_e6"] <= r["mean_d2_e6"]
+
+
+def test_spectral_outliers_plants_garbage_vector(spark, tmp_path):
+    """A corpus of near-collinear vectors plus ONE orthogonal garbage
+    vector: the garbage vector must rank first with a residual far
+    above the inliers'."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(64)
+    base /= np.linalg.norm(base)
+    # wide ALONG-base spread so the top PC is the base direction and
+    # cannot be hijacked by the single planted point (a huge garbage
+    # norm would itself become the PC and be perfectly explained)
+    vecs = [
+        (base * (0.5 + 0.02 * i) + rng.standard_normal(64) * 0.01)
+        for i in range(60)
+    ]
+    garbage = np.zeros(64)
+    garbage[0] = 1.2  # inlier-scale norm, orthogonal direction
+    vecs.append(garbage)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(61), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32).tolist() for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * 61, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    rows = REGISTRY["embedding_spectral_outliers"][0](
+        spark, str(tmp_path)
+    ).collect()
+    assert rows[0]["vec_id"] == 60, rows[:3]
+    assert rows[0]["resid_e12"] > 5 * rows[1]["resid_e12"]
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
