@@ -18367,11 +18367,239 @@ FROM rk WHERE rank <= {topk}"""
     )
 
 
+def customer_l_diversity(
+    spark: SparkSession, sf_dir: str, l_req: int = 3
+) -> DataFrame:
+    """l-diversity audit (round-10 session 3) — the companion privacy
+    gate to customer_k_anonymity: a quasi-identifier class can be
+    k-anonymous yet still leak if everyone in it shares the same
+    SENSITIVE value (Machanavajjhala et al. 2007). Quasi-id =
+    (nation, market segment); sensitive = the customer's order
+    priorities. Emits per class: order count, distinct sensitive
+    values, Shannon entropy of the sensitive distribution
+    (micro-nats, the engine's log convention), and the violates flag
+    (distinct < l).
+
+    Scale: customers broadcast into the orders scan, ONE map-side
+    combine to |classes|·|priorities| rows, then windows over that
+    metadata-sized relation only."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cp = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .groupBy("c_nationkey", "c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("c_nationkey", "c_mktsegment")
+    terms = cp.withColumn(
+        "t", F.sum("c").over(w)
+    ).withColumn(
+        "term_micro",
+        F.round(
+            -(F.col("c").cast("double") / F.col("t").cast("double"))
+            * F.log(
+                F.col("c").cast("double") / F.col("t").cast("double")
+            )
+            * F.lit(1000000.0)
+        ).cast("long"),
+    )
+    return (
+        terms.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.sum("c").alias("n_orders"),
+            F.count(F.lit(1)).cast("long").alias("distinct_sensitive"),
+            F.sum("term_micro").alias("entropy_micro"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_orders",
+            "distinct_sensitive",
+            "entropy_micro",
+            (F.col("distinct_sensitive") < l_req).alias("violates_l"),
+        )
+    )
+
+
+def _l_diversity_sql(l_req: int = 3) -> str:
+    return f"""
+WITH cp AS (
+  SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2, 3
+), terms AS (
+  SELECT *, SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment) AS t
+  FROM cp
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(SUM(c) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS distinct_sensitive,
+       CAST(SUM(CAST(round(
+           -(CAST(c AS DOUBLE) / t) * ln(CAST(c AS DOUBLE) / t)
+           * 1000000.0) AS BIGINT)) AS BIGINT) AS entropy_micro,
+       COUNT(*) < {l_req} AS violates_l
+FROM terms GROUP BY 1, 2
+"""
+
+
+def embedding_label_centroid_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label embedding drift between the two id-parity halves of
+    the corpus (round-10 session 3) — the train/holdout geometry
+    check: if a label's centroid moves between halves, the embedding
+    space is unstable for that class (sampling artifact, upstream
+    model change, or contamination) and downstream quantizers/probes
+    trained on one half won't transfer. Emits per label: half sizes,
+    squared centroid distance (micro², exact), and the largest
+    single-dimension gap.
+
+    Exactness: component sums on the micro grid, trunc-div means
+    (identical in both engines), integer differences — no float ever
+    aggregates. Scale: posexplode + ONE map-side-combined aggregate to
+    |labels|·d rows, then a |labels| rollup; no joins."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("even"),
+        F.posexplode("embedding").alias("dim_idx", "x"),
+    ).select(
+        "label",
+        "even",
+        "dim_idx",
+        F.expr(
+            "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"
+        ).alias("e6"),
+    )
+    g = comp.groupBy("label", "dim_idx").agg(
+        F.sum(F.when(F.col("even"), F.col("e6"))).alias("se"),
+        F.count(F.when(F.col("even"), F.lit(1))).alias("ne"),
+        F.sum(F.when(~F.col("even"), F.col("e6"))).alias("so"),
+        F.count(F.when(~F.col("even"), F.lit(1))).alias("no"),
+    )
+    d = g.select(
+        "label",
+        "ne",
+        "no",
+        F.expr(
+            "coalesce(se, CAST(0 AS BIGINT)) div GREATEST(ne, 1)"
+            " - coalesce(so, CAST(0 AS BIGINT)) div GREATEST(no, 1)"
+        ).alias("d"),
+    )
+    return d.groupBy("label").agg(
+        F.max("ne").alias("n_even"),
+        F.max("no").alias("n_odd"),
+        F.sum(F.expr("d * d")).alias("drift_sq_e12"),
+        F.max(F.abs("d")).alias("max_dim_gap_e6"),
+    )
+
+
+_LABEL_DRIFT_SQL = """
+WITH comp AS (
+  SELECT label, vec_id % 2 = 0 AS even,
+         generate_subscripts(embedding, 1) - 1 AS dim_idx,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS e6
+  FROM embeddings
+), g AS (
+  SELECT label, dim_idx,
+         CAST(SUM(CASE WHEN even THEN e6 END) AS BIGINT) AS se,
+         CAST(COUNT(CASE WHEN even THEN 1 END) AS BIGINT) AS ne,
+         CAST(SUM(CASE WHEN NOT even THEN e6 END) AS BIGINT) AS so,
+         CAST(COUNT(CASE WHEN NOT even THEN 1 END) AS BIGINT) AS no
+  FROM comp GROUP BY 1, 2
+), d AS (
+  SELECT label, ne, no,
+         coalesce(se, 0) // GREATEST(ne, 1)
+           - coalesce(so, 0) // GREATEST(no, 1) AS d
+  FROM g
+)
+SELECT label,
+       CAST(MAX(ne) AS BIGINT) AS n_even,
+       CAST(MAX(no) AS BIGINT) AS n_odd,
+       CAST(SUM(d * d) AS BIGINT) AS drift_sq_e12,
+       CAST(MAX(ABS(d)) AS BIGINT) AS max_dim_gap_e6
+FROM d GROUP BY label
+"""
+
+
+def running_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cumulative distinct users per event type by day (round-10
+    session 3) — the audience-growth curve. COUNT(DISTINCT) OVER a
+    running frame is unsupported in every engine for good reason
+    (state grows with the distinct set); the scalable identity is:
+    distinct-so-far = Σ first-occurrences, and a user's first
+    occurrence day is just MIN(day) — one combine, no window over raw
+    events. Emits (event_type, day, new_users, cum_users).
+
+    Scale: ONE (type, user) map-side combine, a (type, day) rollup,
+    then the running sum over the metadata-sized |types|·|days|
+    relation."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    firsts = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily = firsts.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+_RUNNING_DISTINCT_SQL = """
+WITH firsts AS (
+  SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS day
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+), daily AS (
+  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM firsts GROUP BY 1, 2
+)
+SELECT event_type, day, new_users,
+       CAST(SUM(new_users) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_users
+FROM daily
+"""
+
+
 REGISTRY.update(
     {
         "embedding_hard_negatives": (
             embedding_hard_negatives,
             _HARD_NEG_SQL,
+        ),
+        "customer_l_diversity": (
+            customer_l_diversity,
+            _l_diversity_sql(),
+        ),
+        "embedding_label_centroid_drift": (
+            embedding_label_centroid_drift,
+            _LABEL_DRIFT_SQL,
+        ),
+        "running_distinct_users": (
+            running_distinct_users,
+            _RUNNING_DISTINCT_SQL,
         ),
         "kmeans_cluster_medoids": (
             kmeans_cluster_medoids,
@@ -18434,6 +18662,9 @@ _R10_NEW: tuple[str, ...] = (
     "doc_mojibake_audit",
     "kmeans_cluster_medoids",
     "embedding_spectral_outliers",
+    "customer_l_diversity",
+    "embedding_label_centroid_drift",
+    "running_distinct_users",
 )
 
 #: Oldest-stamp refresh queue: the 11 r4-stamped queries, then the

@@ -267,6 +267,12 @@ def test_no_vacuous_queries(spark, sf_dir):
         # integer spectral residuals must be partition-blind
         "kmeans_cluster_medoids",
         "embedding_spectral_outliers",
+        # r10 session-3: micro-nat entropy terms, trunc-div centroid
+        # means, and the first-occurrence running sum must be
+        # partition-blind
+        "customer_l_diversity",
+        "embedding_label_centroid_drift",
+        "running_distinct_users",
     ],
 )
 def test_partitioning_invariance(spark, sf_dir, name):

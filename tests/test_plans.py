@@ -1478,3 +1478,30 @@ def test_spectral_outliers_takeordered_no_joins(spark, sf_dir):
     f = facts(spark, sf_dir, "embedding_spectral_outliers")
     assert not f.joins
     assert not f.has_cartesian
+
+
+def test_l_diversity_broadcast_customer_metadata_window(spark, sf_dir):
+    """l-diversity: customers broadcast into the orders scan; the
+    entropy window runs over the |classes|x|priorities| combine, never
+    raw orders."""
+    f = facts(spark, sf_dir, "customer_l_diversity")
+    assert "BroadcastHashJoin" in f.joins
+    assert f.has_partial_agg
+    assert not f.has_cartesian
+
+
+def test_label_drift_single_combine_no_joins(spark, sf_dir):
+    """Centroid drift: posexplode + ONE conditional-sum combine to
+    |labels|*d rows; both halves ride the same aggregate."""
+    f = facts(spark, sf_dir, "embedding_label_centroid_drift")
+    assert not f.joins
+    assert f.has_partial_agg
+
+
+def test_running_distinct_no_window_over_raw_events(spark, sf_dir):
+    """Audience growth: the first-occurrence identity means NO window
+    touches raw events — one (type,user) combine, one rollup, then the
+    running sum over the metadata relation."""
+    f = facts(spark, sf_dir, "running_distinct_users")
+    assert not f.joins
+    assert f.has_partial_agg

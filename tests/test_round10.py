@@ -245,3 +245,66 @@ def test_spectral_outliers_plants_garbage_vector(spark, tmp_path):
     assert rows[0]["vec_id"] == 60, rows[:3]
     assert rows[0]["resid_e12"] > 5 * rows[1]["resid_e12"]
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_l_diversity_semantics(spark, sf_dir):
+    """Entropy is bounded by ln(distinct) and the violates flag tracks
+    the distinct count; class order totals reconcile with the orders
+    table."""
+    import math
+
+    import duckdb
+
+    rows = REGISTRY["customer_l_diversity"][0](spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_orders"] for r in rows)
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchone()[0]
+    con.close()
+    assert total == want
+    for r in rows:
+        assert 1 <= r["distinct_sensitive"] <= 5
+        assert r["violates_l"] == (r["distinct_sensitive"] < 3)
+        # Shannon bound (+2 micro-nats rounding slack over <=5 terms)
+        bound = math.log(r["distinct_sensitive"]) * 1e6 + 2
+        assert 0 <= r["entropy_micro"] <= bound
+
+
+def test_label_drift_reconciles_counts(spark, sf_dir):
+    ids, _, labels = _load_embeddings(sf_dir)
+    from collections import Counter
+
+    want = Counter(labels.tolist())
+    rows = REGISTRY["embedding_label_centroid_drift"][0](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        assert r["n_even"] + r["n_odd"] == want[r["label"]]
+        assert r["drift_sq_e12"] >= r["max_dim_gap_e6"] ** 2
+
+
+def test_running_distinct_matches_global_distinct(spark, sf_dir):
+    """The final cumulative point per type must equal the plain
+    COUNT(DISTINCT user) of that type — the identity the operator is
+    built on — and the curve must be monotone."""
+    import duckdb
+
+    rows = REGISTRY["running_distinct_users"][0](spark, sf_dir).collect()
+    last = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["day"])):
+        prev = last.get(r["event_type"], (None, 0))[1]
+        assert r["cum_users"] == prev + r["new_users"]
+        last[r["event_type"]] = (r["day"], r["cum_users"])
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            "SELECT event_type, COUNT(DISTINCT user_id) FROM"
+            f" read_parquet('{sf_dir}/events.parquet')"
+            " WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1"
+        ).fetchall()
+    )
+    con.close()
+    assert {t: c for t, (_, c) in last.items()} == want
