@@ -6222,17 +6222,22 @@ FROM r WHERE quality_rank <= ceil(n_src * 0.2)
 """
 
 
-def _curation_stages(spark: SparkSession, sf_dir: str):
+def _curation_stages(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+):
     """The curation pipeline's first five stage relations (corpus →
     quality-selected → exact-deduped → eval-withheld candidates →
     decontaminated), shared by corpus_curation_pipeline (which shards
-    and packs the survivors) and curation_funnel_report (which counts
-    the stages). One definition so the stage semantics cannot drift
-    between the pipeline and its observability twin."""
+    and packs the survivors), curation_funnel_report (which counts
+    the stages), and incremental_curation_delta (which runs the chain
+    on two snapshot variants via ``docs``). One definition so the
+    stage semantics cannot drift between the pipeline and its
+    observability twins."""
     from .functions import text as tx
     from .operators.dedup import ngram_overlap_decontaminate
 
-    docs = load_table(spark, sf_dir, "documents")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     wsrc = Window.partitionBy("source")
     wr = wsrc.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
     selected = (
@@ -6368,52 +6373,63 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Stage CTEs (corpus → clean) shared by the pipeline oracle and the
 #: funnel-report oracle — one definition, zero drift.
-_CURATION_STAGE_CTES = f"""q AS (
-  SELECT doc_id, source, text, {_QUALITY_SCORE_SQL} AS quality FROM documents
-), ranked AS (
+def _curation_stage_ctes(base: str = "documents", sfx: str = "") -> str:
+    """The stage CTE chain (corpus -> clean), parameterized on the
+    base relation and a CTE-name suffix so the incremental delta
+    twin can run TWO chains (old/new snapshots) in one query. The
+    unsuffixed default is string-identical to the pre-r10 literal
+    consumed by the pipeline/funnel/packing oracles."""
+    return f"""q{sfx} AS (
+  SELECT doc_id, source, text, {_QUALITY_SCORE_SQL} AS quality FROM {base}
+), ranked{sfx} AS (
   SELECT doc_id, source, text, quality,
          CAST(row_number() OVER (PARTITION BY source
                 ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS quality_rank,
          count(*) OVER (PARTITION BY source) AS n_src
-  FROM q
-), selected AS (
-  SELECT doc_id, source, text, quality FROM ranked
+  FROM q{sfx}
+), selected{sfx} AS (
+  SELECT doc_id, source, text, quality FROM ranked{sfx}
   WHERE quality_rank <= ceil(n_src * 0.2)
-), deduped AS (
+), deduped{sfx} AS (
   SELECT doc_id, source, text, quality, fingerprint FROM (
     SELECT s.*, md5({_NORM_SQL}) AS fingerprint,
            row_number() OVER (PARTITION BY md5({_NORM_SQL})
                               ORDER BY doc_id ASC) AS rn
-    FROM selected s) WHERE rn = 1
-), candidates AS (
-  SELECT * FROM deduped WHERE doc_id % 97 <> 0
-), cand_grams AS (
+    FROM selected{sfx} s) WHERE rn = 1
+), candidates{sfx} AS (
+  SELECT * FROM deduped{sfx} WHERE doc_id % 97 <> 0
+), cand_grams{sfx} AS (
   SELECT doc_id, {_HASH64_SQL.format(x='gram')} AS gh
   FROM (SELECT doc_id, unnest(list_distinct(
            CASE WHEN len(w) >= 8
                 THEN list_transform(generate_series(1, len(w)-7),
                                     i -> array_to_string(w[i:i+7], ' '))
                 ELSE [array_to_string(w, ' ')] END)) AS gram
-        FROM (SELECT doc_id, {_TOKS_SQL} AS w FROM candidates))
-), eval_grams AS (
+        FROM (SELECT doc_id, {_TOKS_SQL} AS w FROM candidates{sfx}))
+), eval_grams{sfx} AS (
   SELECT DISTINCT {_HASH64_SQL.format(x='gram')} AS gh
   FROM (SELECT unnest(list_distinct(
            CASE WHEN len(w) >= 8
                 THEN list_transform(generate_series(1, len(w)-7),
                                     i -> array_to_string(w[i:i+7], ' '))
                 ELSE [array_to_string(w, ' ')] END)) AS gram
-        FROM (SELECT {_TOKS_SQL} AS w FROM documents WHERE doc_id % 97 = 0))
-), contaminated AS (
+        FROM (SELECT {_TOKS_SQL} AS w FROM {base} WHERE doc_id % 97 = 0))
+), contaminated{sfx} AS (
   SELECT doc_id FROM (
     SELECT g.doc_id, count(*) AS n_grams,
            sum(CASE WHEN e.gh IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
-    FROM cand_grams g LEFT JOIN eval_grams e ON g.gh = e.gh
+    FROM cand_grams{sfx} g LEFT JOIN eval_grams{sfx} e ON g.gh = e.gh
     GROUP BY g.doc_id)
   WHERE n_hits * 5 >= n_grams
-), clean AS (
-  SELECT c.* FROM candidates c
-  WHERE NOT EXISTS (SELECT 1 FROM contaminated x WHERE x.doc_id = c.doc_id)
+), clean{sfx} AS (
+  SELECT c.* FROM candidates{sfx} c
+  WHERE NOT EXISTS (SELECT 1 FROM contaminated{sfx} x WHERE x.doc_id = c.doc_id)
 )"""
+
+
+#: Stage CTEs (corpus -> clean) shared by the pipeline oracle and the
+#: funnel-report oracle - one definition, zero drift.
+_CURATION_STAGE_CTES = _curation_stage_ctes()
 
 #: The split+shard CTE (stages 4-5), shared by the pipeline oracle and
 #: the packing-efficiency oracle.
@@ -18583,11 +18599,187 @@ FROM daily
 """
 
 
+def session_event_trigrams(
+    spark: SparkSession, sf_dir: str, top_k: int = 30
+) -> DataFrame:
+    """Sequential pattern mining one order up from the Markov pair
+    matrix (round-10 session 4): the top-30 consecutive event-type
+    TRIGRAMS across per-user streams, gap-bounded to 24 hours so a
+    triple never bridges dormant stretches (the bound is the
+    sessionization parameter; the fixture streams are sparse — median
+    2-step gap ≈ 17 h — so a web-style 30-min gap would empty them)
+    — the "what three-step paths
+    do users actually walk" report behind funnel design and bot
+    signature hunting (association rules mine unordered itemsets;
+    this keeps ORDER, the thing sequences are about).
+
+    Scale shape: ONE shuffle on user_id for the lead() windows (total
+    order (ts, event_id), the markov convention), then a map-side
+    combine to ≤ |types|³ rows and a top-k rank over that metadata
+    relation with a full lexicographic tie-break. Share is integer
+    ppm of all gap-valid triples."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    tri = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .withColumn("ts3", F.lead("ts", 2).over(w))
+        .filter(
+            F.col("t3").isNotNull()
+            & (
+                F.unix_timestamp("ts3") - F.unix_timestamp("ts")
+                <= 86400
+            )
+        )
+        .groupBy(
+            F.col("event_type").alias("t1"), "t2", "t3"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = tri.agg(F.sum("n").alias("total"))
+    ranked = tri.crossJoin(F.broadcast(total)).select(
+        "t1",
+        "t2",
+        "t3",
+        "n",
+        F.expr("n * CAST(1000000 AS BIGINT) div total").alias(
+            "share_ppm"
+        ),
+    )
+    wr = Window.orderBy(
+        F.col("n").desc(), "t1", "t2", "t3"
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def _trigram_sql(top_k: int = 30) -> str:
+    return f"""
+WITH tri AS (
+  SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT event_type AS t1,
+           lead(event_type, 1) OVER w AS t2,
+           lead(event_type, 2) OVER w AS t3,
+           lead(ts, 2) OVER w AS ts3, ts
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      AND event_type IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+  )
+  WHERE t3 IS NOT NULL AND epoch(ts3) - epoch(ts) <= 86400
+  GROUP BY 1, 2, 3
+), tot AS (SELECT SUM(n) AS total FROM tri)
+SELECT t1, t2, t3, n,
+       CAST(n * 1000000 // (SELECT total FROM tot) AS BIGINT)
+         AS share_ppm,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT tri.*, ROW_NUMBER() OVER (
+    ORDER BY n DESC, t1 ASC, t2 ASC, t3 ASC) AS rank
+  FROM tri
+) WHERE rank <= {top_k}
+"""
+
+
+def incremental_curation_delta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curated-set churn between two crawl snapshots (round-10
+    session 4): run the FULL curation chain (quality selection →
+    exact dedup → eval withholding → decontamination) on the old and
+    new snapshots (the corpus_snapshot_diff derivation rule) and
+    report, per source, how many documents entered, left, or stayed
+    in the curated set. The number an incremental re-train actually
+    needs — and it is NOT derivable from the raw diff: quality
+    selection is relative (top 20% per source) and dedup keeps
+    min-ids, so an untouched document can fall out of the curated set
+    because its NEIGHBORS changed. Membership churn ≥ content churn,
+    by design.
+
+    Scale: two curation chains (each the funnel's linear cost) + one
+    full-outer join on doc_id over the two CURATED sets (already
+    ≤ ~15% of the corpus each) reduced to (id, source) first; the
+    report is a |sources|·3 combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    old_docs = docs.filter(F.col("doc_id") % 20 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 19 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" edited")),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit("  ")),
+        )
+        .otherwise(F.col("text")),
+    )
+    *_, clean_old = _curation_stages(spark, sf_dir, docs=old_docs)
+    *_, clean_new = _curation_stages(spark, sf_dir, docs=new_docs)
+    o = clean_old.select(
+        "doc_id", F.col("source").alias("src_o"), F.lit(True).alias("in_old")
+    )
+    n = clean_new.select(
+        "doc_id", F.col("source").alias("src_n"), F.lit(True).alias("in_new")
+    )
+    j = o.join(n, "doc_id", "full_outer").select(
+        F.coalesce("src_o", "src_n").alias("source"),
+        F.when(F.col("in_old").isNull(), "entered")
+        .when(F.col("in_new").isNull(), "left")
+        .otherwise("stayed")
+        .alias("status"),
+    )
+    return j.groupBy("source", "status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+_CURATION_DELTA_SQL = f"""
+WITH old_docs AS (
+  SELECT * FROM documents WHERE doc_id % 20 <> 0
+), new_docs AS (
+  SELECT doc_id, lang, source, n_chars,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' edited'
+              WHEN doc_id % 11 = 0 THEN text || '  '
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 19 <> 0
+),
+{_curation_stage_ctes("old_docs", "_o")},
+{_curation_stage_ctes("new_docs", "_n")},
+j AS (
+  SELECT coalesce(o.source, n.source) AS source,
+         CASE WHEN o.doc_id IS NULL THEN 'entered'
+              WHEN n.doc_id IS NULL THEN 'left'
+              ELSE 'stayed' END AS status
+  FROM clean_o o FULL OUTER JOIN clean_n n ON o.doc_id = n.doc_id
+)
+SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM j GROUP BY 1, 2
+"""
+
+
 REGISTRY.update(
     {
         "embedding_hard_negatives": (
             embedding_hard_negatives,
             _HARD_NEG_SQL,
+        ),
+        "session_event_trigrams": (
+            session_event_trigrams,
+            _trigram_sql(),
+        ),
+        "incremental_curation_delta": (
+            incremental_curation_delta,
+            _CURATION_DELTA_SQL,
         ),
         "customer_l_diversity": (
             customer_l_diversity,
@@ -18665,6 +18857,8 @@ _R10_NEW: tuple[str, ...] = (
     "customer_l_diversity",
     "embedding_label_centroid_drift",
     "running_distinct_users",
+    "session_event_trigrams",
+    "incremental_curation_delta",
 )
 
 #: Oldest-stamp refresh queue: the 11 r4-stamped queries, then the

@@ -273,6 +273,11 @@ def test_no_vacuous_queries(spark, sf_dir):
         "customer_l_diversity",
         "embedding_label_centroid_drift",
         "running_distinct_users",
+        # r10 session-4: gap-bounded lead triples with total tie-break
+        # ranks, and the double curation chain + full-outer membership
+        # join must be partition-blind
+        "session_event_trigrams",
+        "incremental_curation_delta",
     ],
 )
 def test_partitioning_invariance(spark, sf_dir, name):

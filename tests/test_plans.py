@@ -1505,3 +1505,22 @@ def test_running_distinct_no_window_over_raw_events(spark, sf_dir):
     f = facts(spark, sf_dir, "running_distinct_users")
     assert not f.joins
     assert f.has_partial_agg
+
+
+def test_trigrams_one_user_shuffle_metadata_rank(spark, sf_dir):
+    """Trigram mining: the lead() windows ride ONE user_id shuffle;
+    the rank window runs over the <=|types|^3 combine, and the total
+    is a 1-row broadcast."""
+    f = facts(spark, sf_dir, "session_event_trigrams")
+    assert f.has_partial_agg
+    assert not f.has_cartesian or all(
+        j.startswith("Broadcast") for j in f.joins
+    )
+
+
+def test_curation_delta_no_cartesian(spark, sf_dir):
+    """The snapshot-membership join is a doc_id equi-join over the two
+    curated sets; a cartesian product would mean the chain reuse
+    broke."""
+    f = facts(spark, sf_dir, "incremental_curation_delta")
+    assert not f.has_cartesian

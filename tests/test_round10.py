@@ -308,3 +308,51 @@ def test_running_distinct_matches_global_distinct(spark, sf_dir):
     )
     con.close()
     assert {t: c for t, (_, c) in last.items()} == want
+
+
+def test_trigram_ranks_and_shares(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["session_event_trigrams"][0](spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert rows and [r["rank"] for r in rows] == list(
+        range(1, len(rows) + 1)
+    )
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(0 < r["share_ppm"] <= 1000000 for r in rows)
+
+
+def test_curation_delta_reconciles_with_direct_chains(spark, sf_dir):
+    """'stayed'+'left' must equal |curated(old)| and 'stayed'+'entered'
+    |curated(new)| — the membership identity the delta is built on."""
+    from pyspark.sql import functions as F
+
+    from amazonmsk_emr_tem_data_spark.queries import (
+        _curation_stages,
+        load_table,
+    )
+
+    rows = REGISTRY["incremental_curation_delta"][0](
+        spark, sf_dir
+    ).collect()
+    by_status = {}
+    for r in rows:
+        by_status[r["status"]] = by_status.get(r["status"], 0) + r["n_docs"]
+    docs = load_table(spark, sf_dir, "documents")
+    old_docs = docs.filter(F.col("doc_id") % 20 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 19 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" edited")),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit("  "))
+        )
+        .otherwise(F.col("text")),
+    )
+    n_old = _curation_stages(spark, sf_dir, docs=old_docs)[4].count()
+    n_new = _curation_stages(spark, sf_dir, docs=new_docs)[4].count()
+    assert by_status.get("stayed", 0) + by_status.get("left", 0) == n_old
+    assert by_status.get("stayed", 0) + by_status.get("entered", 0) == n_new
