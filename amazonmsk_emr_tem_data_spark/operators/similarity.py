@@ -950,9 +950,16 @@ def nn_descent_graph(
         F.col("cos_sim").desc(), F.col("b").asc()
     )
     for _ in range(iters):
-        und = edges.select("a", "b").union(
+        # per-round lineage truncation (the graph-iteration rule):
+        # `und` feeds THREE consumers (both hop sides + the union), so
+        # without it Catalyst re-derives the whole prior-round subtree
+        # per consumer and the plan grows ~4x per round (measured: 620
+        # exchanges planned for 3 rounds; 14 after). The checkpointed
+        # relation is ≤ n·k edge rows.
+        edges = edges.select("a", "b").localCheckpoint(eager=True)
+        und = edges.union(
             edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).distinct()
+        ).distinct().localCheckpoint(eager=True)
         hop = (
             und.alias("u1")
             .join(und.alias("u2"), F.col("u1.b") == F.col("u2.a"))

@@ -17962,6 +17962,15 @@ BENCH_HEADLINE: tuple[str, ...] = (
     # throughput regressions). query_cost_attribution itself stays
     # out: it is plan metadata, not data.
     "tokenizer_throughput_by_source",
+    # round-10 sessions 1-4: one representative per new tier —
+    # contrastive mining (broadcast cross-score), NN-Descent
+    # (iterative hash-join rounds), power-iteration PCA (Arrow Gram +
+    # driver model), and the double curation chain (the heaviest
+    # composition in the registry)
+    "embedding_hard_negatives",
+    "nn_descent_knn_graph",
+    "embedding_top_eigenvector",
+    "incremental_curation_delta",
 )
 
 

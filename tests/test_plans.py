@@ -1115,7 +1115,9 @@ def test_plans_md_not_stale():
     rows = set()
     with open(path) as f:
         for line in f:
-            if line.startswith("| ") and not line.startswith("| query"):
+            # exact header match: a bare "| query" prefix also swallows
+            # the query_cost_attribution DATA row (r10 regression)
+            if line.startswith("| ") and not line.startswith("| query |"):
                 rows.add(line.split("|")[1].strip())
     reg = set(REGISTRY)
     missing = reg - rows
