@@ -805,6 +805,7 @@ def pq_rerank_topk(
 def hard_negative_mining(
     embeddings: DataFrame,
     anchor_mod: int = 50,
+    max_anchors: int = 64,
     k_neg: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -816,9 +817,14 @@ def hard_negative_mining(
     DIFFERENT-label candidates (the hard negatives that make the
     triplet/InfoNCE loss informative — random negatives are too easy).
 
-    The anchor set is the deterministic 1/``anchor_mod`` id slice —
-    model-state-sized by construction, so it BROADCASTS and the corpus
-    scan never shuffles (the knn_join plan shape); ranking windows
+    The anchor set is the deterministic 1/``anchor_mod`` id slice
+    CAPPED at ``max_anchors`` (ids < anchor_mod·max_anchors) — bounded
+    by construction, NOT a corpus fraction: the round-10 100× study
+    caught the uncapped slice growing to 4000 anchors and turning the
+    broadcast cross-score quadratic (anchors × corpus both ∝ n). A
+    production run mines in fixed-size anchor batches, each one corpus
+    pass. The bounded set BROADCASTS and the corpus scan never
+    shuffles (the knn_join plan shape); ranking windows
     partition by (anchor, role) and hold at most |corpus| rows per
     anchor. Cosine is the fold-based dot product, bit-identical to
     DuckDB's list_dot_product, and ties break on candidate id, so the
@@ -826,7 +832,8 @@ def hard_negative_mining(
     is one corpus pass per anchor batch; for corpus-scale anchor sets
     feed LSH/IVF candidates in place of the cross join."""
     anchors = embeddings.filter(
-        F.col(id_col) % anchor_mod == 0
+        (F.col(id_col) % anchor_mod == 0)
+        & (F.col(id_col) < anchor_mod * max_anchors)
     ).select(
         F.col(id_col).alias("anchor_id"),
         F.col(vec_col).alias("anchor_vec"),
@@ -949,6 +956,42 @@ def nn_descent_graph(
     wr = Window.partitionBy("a").orderBy(
         F.col("cos_sim").desc(), F.col("b").asc()
     )
+
+    def fold_cos(batches):
+        # Arrow fold cosine over candidate pairs: candidates grow with
+        # n·k² and the JVM F.aggregate fold is CodegenFallback
+        # (interpreted per element — the kmeans lesson), so the bulk
+        # scoring runs as vectorized per-dim numpy STEPS (single-
+        # rounded IEEE ops in fold order, no reductions/FMA) — bit-
+        # identical to the expression form and to list_dot_product;
+        # cos = ab/(sqrt(aa)·sqrt(bb)) in exactly _COS_SQL's op order,
+        # zero denominator → NULL (try_divide semantics).
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+            n, d = A.shape
+            ab = np.zeros(n)
+            aa = np.zeros(n)
+            bb = np.zeros(n)
+            for i in range(d):
+                ab = ab + A[:, i] * B[:, i]
+                aa = aa + A[:, i] * A[:, i]
+                bb = bb + B[:, i] * B[:, i]
+            den = np.sqrt(aa) * np.sqrt(bb)
+            cos = np.divide(
+                ab, den, out=np.full(n, np.nan), where=den != 0
+            )
+            s = pd.Series(cos, dtype="float64")
+            if (den == 0).any():
+                s = s.astype(object).where(den != 0, None)
+            yield pd.DataFrame(
+                {"a": pdf["a"], "b": pdf["b"], "cos_sim": s}
+            )
     for _ in range(iters):
         # per-round lineage truncation (the graph-iteration rule):
         # `und` feeds THREE consumers (both hop sides + the union), so
@@ -967,11 +1010,14 @@ def nn_descent_graph(
             .select(F.col("u1.a").alias("a"), F.col("u2.b").alias("b"))
         )
         cand = und.union(hop).distinct()
-        edges = (
+        scored = (
             cand.join(va, "a")
             .join(vb, "b")
-            .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
-            .withColumn("rank", F.row_number().over(wr))
+            .select("a", "b", "va", "vb")
+            .mapInPandas(fold_cos, "a long, b long, cos_sim double")
+        )
+        edges = (
+            scored.withColumn("rank", F.row_number().over(wr))
             .filter(F.col("rank") <= k)
             .select("a", "b", "cos_sim", "rank")
         )

@@ -17998,7 +17998,7 @@ _HARD_NEG_SQL = f"""
 WITH anchors AS (
   SELECT vec_id AS anchor_id, embedding AS anchor_vec,
          label AS anchor_label
-  FROM embeddings WHERE vec_id % 50 = 0
+  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 3200
 ), scored AS (
   SELECT a.anchor_id, a.anchor_label,
          e.vec_id AS cand_id, e.label AS cand_label,
