@@ -65,6 +65,10 @@ R9_BACKFILL = [
 def _median3(fn, spark, sf_dir):
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
+    # nudge ContextCleaner so GC-scoped localCheckpoint blocks from
+    # iterative queries (NN-descent, CC) are freed between runs — at
+    # 100x their accumulation OOMed an 8g heap
+    spark.sparkContext._jvm.System.gc()
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -84,6 +88,7 @@ def main() -> None:
             from scripts.make_scaled_fixtures import build_scaled
 
             build_scaled(src, d, f)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark("bench-scale-r10")
     out = {}
     for name in NEW_QUERIES + R9_BACKFILL:
