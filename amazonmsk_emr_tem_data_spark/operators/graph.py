@@ -376,3 +376,75 @@ def personalized_pagerank(
     return ranks.select(
         F.col("node").alias(id_col), "rank_micro", "is_seed"
     )
+
+
+def per_source_harmonic(
+    undirected_edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 4,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Bounded-round harmonic centrality for a BOUNDED source set:
+    per-source BFS (state keyed (src, n)) for ``rounds`` hops, then
+    H(s) = Σ_v 1/d(s, v) over the reached nodes — the centrality that
+    handles disconnected graphs where closeness breaks (Boldi–Vigna,
+    "Axioms for centrality"). The reciprocal rides the integer micro
+    grid (10⁶ div d — exact, order-independent), so the per-source
+    sum is hash-reproducible cross-engine.
+
+    Rounds are FIXED for the exact unrolled-CTE twin (the bfs_hops
+    rule): H is therefore the r-bounded harmonic centrality, the
+    standard large-graph practice (a full-diameter sweep is a
+    different algorithm — HyperBall — whose sketch the KMV/HLL tier
+    already demonstrates). The SOURCE set must be bounded by the
+    caller (it multiplies frontier state): per-round cost is one
+    (src, n)-keyed frontier join onto the bidirected edge list +
+    anti-join against visited — ≤ |sources|·|nodes| state, node IDs
+    only, never edge payloads; lineage truncated per round."""
+    edges = undirected_edges.select(a, b).distinct()
+    bidir = edges.unionByName(
+        edges.select(F.col(b).alias(a), F.col(a).alias(b))
+    ).cache()
+    seeds = sources.select("n").distinct()
+    reached = seeds.select(
+        F.col("n").alias("src"), F.col("n").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint(eager=True)
+    frontier = reached
+    for t in range(1, rounds + 1):
+        nxt = (
+            frontier.join(bidir, frontier["node"] == bidir[a])
+            .select("src", F.col(b).alias("node"))
+            .distinct()
+        )
+        new = nxt.join(
+            reached, ["src", "node"], "left_anti"
+        ).withColumn("dist", F.lit(t).cast("long"))
+        reached = reached.unionByName(new).localCheckpoint(eager=True)
+        frontier = reached.filter(F.col("dist") == t)
+    h = (
+        reached.filter(F.col("dist") > 0)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum(
+                F.expr("CAST(1000000 AS BIGINT) div dist")
+            ).alias("harmonic_micro"),
+        )
+    )
+    # every source emits a row, reached or not (isolated sources
+    # score 0 — harmonic's whole point on disconnected graphs)
+    return (
+        seeds.select(F.col("n").alias("src"))
+        .join(h, "src", "left")
+        .select(
+            "src",
+            F.coalesce("n_reached", F.lit(0).cast("long")).alias(
+                "n_reached"
+            ),
+            F.coalesce(
+                "harmonic_micro", F.lit(0).cast("long")
+            ).alias("harmonic_micro"),
+        )
+    )

@@ -18776,11 +18776,90 @@ FROM j GROUP BY 1, 2
 """
 
 
+def part_harmonic_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-round harmonic centrality over the repeat-co-purchase
+    part graph (round-10 session 5) — the centrality member of the
+    graph family beside PageRank (global mass), k-core (density),
+    clustering coefficient (closure), BFS (seed distance), and
+    modularity (partition quality): H(s) = Σ 1/d(s, v), the measure
+    that stays meaningful on disconnected co-purchase graphs where
+    closeness diverges. Sources are the ≤32-node bounded slice
+    {n ≡ 0 mod 53, n < 1696} of graph nodes (state multiplies by
+    |sources|, so the bound is the scale contract — the
+    hard-negatives lesson applied at design time); 4 fixed rounds,
+    micro-grid reciprocals; see operators/graph.per_source_harmonic."""
+    from .operators.graph import per_source_harmonic
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ue = _repeat_copurchase_edges(li)
+    nodes = ue.select(
+        F.explode(F.array(F.col("a"), F.col("b"))).alias("n")
+    ).distinct()
+    sources = nodes.filter((F.col("n") % 53 == 0) & (F.col("n") < 1696))
+    return per_source_harmonic(ue, sources, rounds=4)
+
+
+def _harmonic_sql(rounds: int = 4) -> str:
+    parts = [
+        """WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS w
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), ue AS MATERIALIZED (
+  SELECT a, b FROM pairs WHERE w >= 2
+), bidir AS MATERIALIZED (
+  SELECT a, b FROM ue UNION ALL SELECT b AS a, a AS b FROM ue
+), f0 AS MATERIALIZED (
+  SELECT DISTINCT n AS src, n AS node
+  FROM (SELECT a AS n FROM bidir)
+  WHERE n % 53 = 0 AND n < 1696
+), v0 AS MATERIALIZED (
+  SELECT src, node, CAST(0 AS BIGINT) AS dist FROM f0
+)""",
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        parts.append(
+            f""", nb{t} AS MATERIALIZED (
+  SELECT DISTINCT f.src, e.b AS node
+  FROM f{p} f JOIN bidir e ON e.a = f.node
+), f{t} AS MATERIALIZED (
+  SELECT nb.src, nb.node FROM nb{t} nb
+  ANTI JOIN v{p} v ON v.src = nb.src AND v.node = nb.node
+), v{t} AS MATERIALIZED (
+  SELECT src, node, dist FROM v{p}
+  UNION ALL SELECT src, node, CAST({t} AS BIGINT) FROM f{t}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT s.src,
+       CAST(coalesce(h.n_reached, 0) AS BIGINT) AS n_reached,
+       CAST(coalesce(h.harmonic_micro, 0) AS BIGINT)
+         AS harmonic_micro
+FROM (SELECT DISTINCT src FROM f0) s LEFT JOIN (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS n_reached,
+         CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_micro
+  FROM v{rounds} WHERE dist > 0 GROUP BY src
+) h ON h.src = s.src"""
+    )
+    return "".join(parts)
+
+
 REGISTRY.update(
     {
         "embedding_hard_negatives": (
             embedding_hard_negatives,
             _HARD_NEG_SQL,
+        ),
+        "part_harmonic_centrality": (
+            part_harmonic_centrality,
+            _harmonic_sql(),
         ),
         "session_event_trigrams": (
             session_event_trigrams,
@@ -18868,6 +18947,7 @@ _R10_NEW: tuple[str, ...] = (
     "running_distinct_users",
     "session_event_trigrams",
     "incremental_curation_delta",
+    "part_harmonic_centrality",
 )
 
 #: Oldest-stamp refresh queue: the 11 r4-stamped queries, then the

@@ -278,6 +278,9 @@ def test_no_vacuous_queries(spark, sf_dir):
         # join must be partition-blind
         "session_event_trigrams",
         "incremental_curation_delta",
+        # r10 session-5: per-source frontier unions + integer micro
+        # reciprocals must be partition-blind
+        "part_harmonic_centrality",
     ],
 )
 def test_partitioning_invariance(spark, sf_dir, name):

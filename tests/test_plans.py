@@ -1526,3 +1526,10 @@ def test_curation_delta_no_cartesian(spark, sf_dir):
     broke."""
     f = facts(spark, sf_dir, "incremental_curation_delta")
     assert not f.has_cartesian
+
+
+def test_harmonic_no_cartesian_bounded_sources(spark, sf_dir):
+    """Harmonic centrality: per-round frontier joins are equi-joins on
+    node ids; the bounded source slice must never plan a cartesian."""
+    f = facts(spark, sf_dir, "part_harmonic_centrality")
+    assert not f.has_cartesian

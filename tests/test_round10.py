@@ -356,3 +356,49 @@ def test_curation_delta_reconciles_with_direct_chains(spark, sf_dir):
     n_new = _curation_stages(spark, sf_dir, docs=new_docs)[4].count()
     assert by_status.get("stayed", 0) + by_status.get("left", 0) == n_old
     assert by_status.get("stayed", 0) + by_status.get("entered", 0) == n_new
+
+
+def test_harmonic_matches_python_bfs(spark, sf_dir):
+    """4-round harmonic centrality must equal a brute-force Python BFS
+    over the same repeat-co-purchase edge set (integer micro
+    reciprocals)."""
+    from collections import deque
+
+    import duckdb
+
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey
+             FROM read_parquet('{sf_dir}/lineitem.parquet'))
+            SELECT a.l_partkey, b.l_partkey FROM lp a JOIN lp b
+            ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2"""
+    ).fetchall()
+    con.close()
+    adj = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    sources = sorted(
+        n for n in adj if n % 53 == 0 and n < 1696
+    )
+    want = {}
+    for s in sources:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] == 4:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        reached = [d for n, d in dist.items() if d > 0]
+        want[s] = (len(reached), sum(1000000 // d for d in reached))
+    rows = REGISTRY["part_harmonic_centrality"][0](
+        spark, sf_dir
+    ).collect()
+    got = {r["src"]: (r["n_reached"], r["harmonic_micro"]) for r in rows}
+    assert got == want
