@@ -394,7 +394,12 @@ def power_model(
     import numpy as np
     import pandas as pd
 
-    dim = len(embeddings.select(vec_col).first()[0])
+    head = embeddings.select(vec_col).first()
+    if head is None or head[0] is None:
+        # empty corpus: first() returns None — honor the documented
+        # "None on an empty corpus" contract instead of TypeError
+        return None
+    dim = len(head[0])
 
     def gram_partials(batches):
         M = np.zeros((dim, dim), dtype=np.int64)

@@ -399,13 +399,28 @@ def per_source_harmonic(
     different algorithm — HyperBall — whose sketch the KMV/HLL tier
     already demonstrates). The SOURCE set must be bounded by the
     caller (it multiplies frontier state): per-round cost is one
-    (src, n)-keyed frontier join onto the bidirected edge list +
-    anti-join against visited — ≤ |sources|·|nodes| state, node IDs
-    only, never edge payloads; lineage truncated per round."""
+    (src, n)-keyed frontier join onto a PRE-AGGREGATED adjacency
+    list (built once, partitioned on the join key, checkpointed — so
+    rounds shuffle only the frontier) + anti-join against visited —
+    ≤ |sources|·|nodes| state, node IDs only, never edge payloads;
+    lineage truncated per round."""
     edges = undirected_edges.select(a, b).distinct()
     bidir = edges.unionByName(
         edges.select(F.col(b).alias(a), F.col(a).alias(b))
-    ).cache()
+    )
+    # Adjacency pre-aggregation (r11): one row per node with its
+    # neighbor list, built ONCE. The groupBy leaves the relation
+    # hash-partitioned on the join key and localCheckpoint preserves
+    # that partitioning, so every per-round frontier join shuffles
+    # ONLY the frontier side (the r10 shape re-shuffled the full edge
+    # list each round) — and checkpoint blocks are freed by the
+    # ContextCleaner, unlike the r10 `bidir.cache()` which leaked
+    # into session-lifetime executor storage.
+    adj = (
+        bidir.groupBy(F.col(a).alias("adj_node"))
+        .agg(F.collect_list(b).alias("nbrs"))
+        .localCheckpoint(eager=True)
+    )
     seeds = sources.select("n").distinct()
     reached = seeds.select(
         F.col("n").alias("src"), F.col("n").alias("node"),
@@ -414,8 +429,8 @@ def per_source_harmonic(
     frontier = reached
     for t in range(1, rounds + 1):
         nxt = (
-            frontier.join(bidir, frontier["node"] == bidir[a])
-            .select("src", F.col(b).alias("node"))
+            frontier.join(adj, frontier["node"] == adj["adj_node"])
+            .select("src", F.explode("nbrs").alias("node"))
             .distinct()
         )
         new = nxt.join(

@@ -379,6 +379,18 @@ def _pure_decoders():
         if frame is None or scan is None:
             raise ValueError("JPEG missing SOF/SOS")
         height, width, comps = frame
+        # Legal baseline JPEGs may carry multiple SOS segments, each
+        # covering a subset of the frame components (non-interleaved
+        # multi-scan, T.81 B.2.3). This decoder reads one interleaved
+        # scan only: a scan/frame component mismatch must raise the
+        # uniform guarded gate up front, not die mid-scatter with an
+        # opaque numpy reshape error (or emit a zeros plane).
+        if {c for c, _, _ in scan} != {c for c, *_ in comps}:
+            raise NotImplementedError(
+                "non-interleaved multi-scan JPEG (SOS covers "
+                f"{sorted(c for c, _, _ in scan)} of frame components "
+                f"{sorted(c for c, *_ in comps)}): needs PIL here"
+            )
         if width <= 0 or height <= 0:
             raise ValueError("inconsistent JPEG dimensions")
         by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}

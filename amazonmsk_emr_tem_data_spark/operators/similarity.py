@@ -917,9 +917,15 @@ def nn_descent_graph(
     tests/test_round10.py pins both regimes. That mirrors the
     published behavior (Dong et al. report high recall on real
     datasets, degraded on uniform noise)."""
-    dim = len(
-        embeddings.select(vec_col).first()[0]
-    )
+    head = embeddings.select(vec_col).first()
+    if head is None or head[0] is None:
+        # empty corpus (or NULL first vector): the graph is empty —
+        # return the documented shape instead of TypeError on
+        # first()[0], so callers and the oracle twin agree on 0 rows
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{id_col} long, nbr_id long, cos_sim double, rank int"
+        )
+    dim = len(head[0])
     emb = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     )

@@ -43,6 +43,7 @@ NEW_QUERIES = [
     "embedding_label_centroid_drift",
     "running_distinct_users",
     "session_event_trigrams",
+    "part_harmonic_centrality",
     "incremental_curation_delta",
 ]
 

@@ -1,0 +1,85 @@
+"""Round-11 regression tests: the ADVICE.md items closed this round.
+
+Each test pins a failure mode the round-10 advisor found — empty-corpus
+TypeErrors on `.first()[0]` and the JPEG non-interleaved multi-scan
+gate — so the guards cannot silently regress.
+"""
+
+import struct
+
+import pytest
+
+
+def _empty_embeddings(spark):
+    return spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label string"
+    )
+
+
+def test_nn_descent_empty_corpus(spark):
+    """nn_descent_graph on an empty embeddings table returns the
+    documented empty (vec_id, nbr_id, cos_sim, rank) frame instead of
+    TypeError on first()[0] (r10 ADVICE)."""
+    from amazonmsk_emr_tem_data_spark.operators.similarity import (
+        nn_descent_graph,
+    )
+
+    out = nn_descent_graph(_empty_embeddings(spark))
+    assert out.columns == ["vec_id", "nbr_id", "cos_sim", "rank"]
+    assert out.count() == 0
+
+
+def test_power_model_empty_corpus(spark):
+    """power_model honors its 'None on an empty corpus' contract, and
+    top_eigenvector_power's empty-schema branch (formerly dead code)
+    actually runs (r10 ADVICE)."""
+    from amazonmsk_emr_tem_data_spark.operators.clustering import (
+        power_model,
+        top_eigenvector_power,
+    )
+
+    emb = _empty_embeddings(spark)
+    assert power_model(emb) is None
+    out = top_eigenvector_power(spark, emb)
+    assert out.columns == [
+        "dim_idx", "eig_e6", "explained_ppm", "var_mean_e12",
+    ]
+    assert out.count() == 0
+
+
+def test_jpeg_multiscan_gate(spark):
+    """A baseline JPEG whose SOS covers only a subset of the frame
+    components (legal non-interleaved multi-scan, T.81 B.2.3) raises
+    the uniform guarded gate — not an opaque numpy reshape error, and
+    never a silent zeros plane (r10 ADVICE)."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        decode_images,
+    )
+
+    from .test_northstar import _jpeg_bytes
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    full = _jpeg_bytes(arr, quality=92)
+    sos_at = full.find(b"\xff\xda")
+    assert sos_at > 0
+    old_len = struct.unpack_from(">H", full, sos_at + 2)[0]
+    # splice in a single-component SOS (component 1 only) in place of
+    # the interleaved 3-component one; entropy data is untouched — the
+    # gate must fire before any entropy decode
+    new_sos = b"\xff\xda" + struct.pack(">H", 8) + bytes(
+        [1, 1, 0x00, 0, 63, 0]
+    )
+    patched = full[:sos_at] + new_sos + full[sos_at + 2 + old_len:]
+    df = spark.createDataFrame(
+        [(1, bytearray(patched))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="non-interleaved|NotImplemented"):
+        decode_images(df, fake=False).collect()
+    # and the interleaved original still decodes
+    ok = spark.createDataFrame(
+        [(1, bytearray(full))], "doc_id long, payload binary"
+    )
+    assert decode_images(ok, fake=False).count() == 1
