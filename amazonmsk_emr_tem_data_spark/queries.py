@@ -17815,87 +17815,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-# --- round-9 driver-window rotation ---------------------------------
-# The driver hash-stamps exactly ``list(REGISTRY)[:50]`` each round.
-# Rather than re-ordering the 239-entry literal above by hand every
-# round, the window is declared here and the registry rebuilt around
-# it. Round-9 shape (r8 VERDICT "Next round" #1):
-#   0      tem_hourly_avg            anchor, checked every round
-#   1..15  the 15 never-stamped queries (added after the r8 window
-#          froze) — after this round EVERY registry query carries at
-#          least one driver stamp
-#   16..   new round-9 queries (zero evidence), then oldest-stamp
-#          (r4-green) refresh fill for any remaining slots
-#   50     event_value_ohlc          r8-green; the exact-50 pin anchor
-_R9_NEVER_STAMPED: tuple[str, ...] = (
-    "event_type_percentiles", "part_supplier_hhi",
-    "quantile_normalize_quality", "stream_click_purchase_left_join",
-    "phrase_search", "session_coherent_sample",
-    "user_churn_labels", "mmr_diverse_topk",
-    "discount_quantity_regression",
-    "copurchase_clustering_coefficient", "orders_seasonality_dow",
-    "daily_revenue_rolling_7d", "conversion_latency_quantiles",
-    "doc_dedup_rate_by_source", "order_basket_size_histogram",
-)
-
-#: Queries implemented in round 9 — appended to the window as they
-#: land, displacing stale fill below. Keep <= the free slot count
-#: (test_driver_window_covers_round9_rotation enforces none are cut).
-_R9_NEW: tuple[str, ...] = (
-    "stream_click_purchase_right_join",
-    "stream_click_purchase_full_join",
-    "stream_click_purchase_semi_join",
-    "multimodal_audio",
-    "curation_funnel_report",
-    "dedup_graph_degree_histogram",
-    "order_fulfillment_latency",
-    "simhash_bit_bias",
-    "embedding_dimension_profile",
-    "decontamination_rate_by_source",
-    "packing_efficiency_report",
-)
-
-#: Oldest-stamp refresh queue (stamped round 4, nothing newer; order =
-#: registry order) — fills whatever window slots round-9 additions
-#: don't take. salted_customer_revenue joins the queue now that its
-#: position-51 pin duty passes to an r8-green name.
-_R9_STALE_FILL: tuple[str, ...] = (
-    "salted_customer_revenue",
-    "exists_high_quantity_orders", "conditional_agg_orders",
-    "doc_word_positions", "order_price_distribution",
-    "systematic_sample_revenue", "doc_regex_extract",
-    "embedding_stats", "dedup_clusters", "customer_order_histogram",
-    "top_supplier_revenue", "large_quantity_orders",
-    "nation_trade_flows", "idle_rich_customers",
-    "doc_repetition_filter", "promo_revenue_share",
-    "disjunctive_predicate_revenue", "supplier_revenue_share",
-    "cheapest_supplier_per_part", "supplier_counts_by_part_attrs",
-    "sole_blame_suppliers", "forecast_revenue_change",
-    "nation_market_share", "product_profit_by_nation_year",
-    "heavy_shipper_suppliers", "doc_unigram_logprob",
-    "corpus_vocab_stats", "doc_pii_redaction",
-    "embedding_int8_quantize", "doc_chunking",
-    "recursive_cte_depths", "semantic_dedup_vectors",
-    "event_funnel", "retention_cohorts",
-)
-
-_R9_HEAD: tuple[str, ...] = (
-    ("tem_hourly_avg",)
-    + _R9_NEVER_STAMPED
-    + _R9_NEW
-    + _R9_STALE_FILL
-)[:50] + ("event_value_ohlc",)
-
-
-def _rotate(
-    reg: dict[str, tuple[QueryFn, str | None]], head: tuple[str, ...]
-) -> dict[str, tuple[QueryFn, str | None]]:
-    out = {name: reg[name] for name in head}
-    out.update((n, v) for n, v in reg.items() if n not in out)
-    return out
-
-
-REGISTRY = _rotate(REGISTRY, _R9_HEAD)
 
 
 # --- bench headline set ----------------------------------------------
@@ -18902,94 +18821,80 @@ REGISTRY.update(
 )
 
 
-# --- round-10 driver-window rotation --------------------------------
-# r9 VERDICT ask #1: rotate the stamp window onto the queries whose
-# latest driver evidence is oldest. After r9, every registry query
-# carries a stamp; the age histogram is r4×11, r5×45, r6..r9×~the
-# rest. Round-10 shape:
-#   0      tem_hourly_avg           anchor, checked every round
-#   1..4   the 4 post-r9-stamp additions (zero driver evidence)
-#   5..8   queries whose CODE changed after their latest stamp
-#          (fused Lloyd kmeans r8-stamped; simhash_bit_bias and
-#          dedup_clusters r9-stamped but patched in the advice-fix
-#          commit; multimodal_decode r7-stamped, JPEG marker parser
-#          hardened) — the "semantics changed needs a fresh stamp"
-#          rule applied to implementation drift
-#   9..    new round-10 queries as they land, then oldest-stamp fill:
-#          all 11 r4-stamped, then the r5 queue in registry order
-#   50     event_type_percentiles   r9-green; the exact-50 pin anchor
-_R10_NEVER_STAMPED: tuple[str, ...] = (
-    "copurchase_modularity",
-    "stream_click_purchase_anti_join",
-    "tokenizer_throughput_by_source",
-    "query_cost_attribution",
+
+
+# --- driver-window rotation (artifact-driven since r11) -------------
+# The round driver hash-stamps exactly ``list(REGISTRY)[:50]``. Rounds
+# 9/10 hand-maintained per-round HEAD tuples here; r10's VERDICT asked
+# for a standing invariant instead, so the window now derives itself
+# from the committed CORRECTNESS_r*.json artifacts: flagship anchor
+# first, then queries whose code changed since their last stamp, then
+# everything else ordered by (latest stamp round, name) — never-stamped
+# additions sort to stamp 0 and take slots automatically, and each
+# round's stamps rotate the next round's fill with no manual queue.
+# With a 266-entry registry and 50 slots a full refresh takes
+# ceil(266/49) = 6 rounds, so "no stamp older than N rounds" is only
+# satisfiable for N >= that quotient; tests/test_oracle_parity.py
+# enforces the policy exactly plus that prospective staleness bound.
+
+#: Queries whose IMPLEMENTATION changed since their last driver stamp —
+#: the one freshness signal the artifacts cannot carry. Reset each
+#: round to the queries the round actually touched.
+_RESTAMP: tuple[str, ...] = (
+    "part_harmonic_centrality",   # r11: adjacency-list BFS rounds
+    "nn_descent_knn_graph",       # r11: reverse-neighbor sampling
 )
 
-_R10_RESTAMP: tuple[str, ...] = (
-    "kmeans_lloyd_clusters",
-    "simhash_bit_bias",
-    "dedup_clusters",
-    "multimodal_decode",
-)
 
-#: Queries implemented in round 10 — appended as they land, displacing
-#: stale fill below (test_driver_window_covers_round10_rotation
-#: enforces none are cut by the [:50] slice).
-_R10_NEW: tuple[str, ...] = (
-    "embedding_hard_negatives",
-    "nn_descent_knn_graph",
-    "embedding_top_eigenvector",
-    "doc_mojibake_audit",
-    "kmeans_cluster_medoids",
-    "embedding_spectral_outliers",
-    "customer_l_diversity",
-    "embedding_label_centroid_drift",
-    "running_distinct_users",
-    "session_event_trigrams",
-    "incremental_curation_delta",
-    "part_harmonic_centrality",
-)
+def _latest_stamps() -> dict[str, int]:
+    """Latest driver-stamp round per query, from the committed
+    CORRECTNESS_r*.json artifacts at the repo root. Empty dict when no
+    artifacts exist (fresh checkout before any driver round) — the
+    registry then keeps its literal order."""
+    import glob
+    import json
+    import os
+    import re as _re
 
-#: Oldest-stamp refresh queue: the 11 r4-stamped queries, then the
-#: r5-stamped queue in registry order. Whatever the round-10 additions
-#: don't displace gets stamped now; the tail rotates into r11.
-_R10_STALE_FILL: tuple[str, ...] = (
-    # r4-stamped (all 11)
-    "product_profit_by_nation_year", "heavy_shipper_suppliers",
-    "doc_unigram_logprob", "corpus_vocab_stats", "doc_pii_redaction",
-    "embedding_int8_quantize", "doc_chunking", "recursive_cte_depths",
-    "semantic_dedup_vectors", "event_funnel", "retention_cohorts",
-    # r5-stamped, registry order
-    "props_variant_extract", "doc_sequence_packing",
-    "doc_decontamination", "doc_dup_span_frac",
-    "stratified_sample_docs", "priority_lines_by_returnflag",
-    "returned_item_revenue", "range_join_order_events",
-    "doc_corpus_split", "doc_shuffle_shards", "corpus_mixture_plan",
-    "doc_quality_selection", "doc_bpe_segmentation",
-    "event_value_outliers", "events_upsert_latest",
-    "stream_tumbling_hourly", "stream_sliding_2h",
-    "stream_session_windows", "stream_click_purchase_join",
-    "ivf_topk", "bpe_vocab_merges", "multimodal_frames",
-    "multimodal_near_dup", "doc_leakage_safe_split",
-    "corpus_length_histogram", "tem_horizontal_avg",
-    "envelope_roundtrip", "q1_pricing_summary", "filter_project_scan",
-    "revenue_by_segment", "nation_revenue", "topk_orders_per_priority",
-    "running_total_per_customer", "rollup_lineitem_status",
-    "cube_order_status", "customers_with_orders", "set_ops_customers",
-    "union_event_slices", "dedup_first_event", "case_bucket_quantity",
-    "orders_by_month", "part_name_stats", "json_props_extract",
-    "distinct_users_per_type", "top10_lineitems",
-)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = _re.fullmatch(
+            r"CORRECTNESS_r(\d+)\.json", os.path.basename(path)
+        )
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                stamped = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name in stamped:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
-_R10_HEAD: tuple[str, ...] = (
-    ("tem_hourly_avg",)
-    + _R10_NEVER_STAMPED
-    + _R10_RESTAMP
-    + _R10_NEW
-    + _R10_STALE_FILL
-)[:50] + ("event_type_percentiles",)
 
-REGISTRY = _rotate(REGISTRY, _R10_HEAD)
+def _stamp_rotation(
+    reg: dict[str, tuple[QueryFn, str | None]],
+    restamp: tuple[str, ...] = _RESTAMP,
+    flagship: str = "tem_hourly_avg",
+) -> dict[str, tuple[QueryFn, str | None]]:
+    stamps = _latest_stamps()
+    if not stamps:
+        return reg
+    head = [flagship] + [
+        n for n in restamp if n in reg and n != flagship
+    ]
+    taken = set(head)
+    rest = sorted(
+        (n for n in reg if n not in taken),
+        key=lambda n: (stamps.get(n, 0), n),
+    )
+    return {n: reg[n] for n in (*head, *rest)}
+
+
+REGISTRY = _stamp_rotation(REGISTRY)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -42,67 +42,66 @@ def test_every_query_has_an_oracle():
     )
 
 
-def test_driver_window_covers_round10_rotation():
-    """The round driver hash-checks only the FIRST 50 registry entries.
-    Round-10 window (r9 VERDICT ask #1): the 4 post-r9-stamp additions
-    first (zero driver evidence), then the 4 changed-since-last-stamp
-    queries, then round-10 additions, then oldest-stamp (r4/r5) refresh
-    fill. An accidental reorder would silently waste the round's 50
-    slots on already-fresh evidence."""
-    import json
-    import os
+def test_driver_window_rotation_invariant():
+    """The round driver hash-stamps exactly ``list(REGISTRY)[:50]``.
+    Since r11 the window derives itself from the committed
+    CORRECTNESS_r*.json artifacts (r10 VERDICT ask #1: a standing
+    invariant, not a hand-queue per round). This test pins the policy:
+
+    - flagship anchor at position 0, explicit restamp tier next;
+    - NO WASTED SLOT: every fill entry's latest stamp <= every
+      below-window entry's latest stamp (fresh-evidence queries can
+      never burn slots while staler ones wait);
+    - never-stamped queries (stamp 0) always enter the window;
+    - a staleness RATCHET: with W=50 slots and R registry entries a
+      full refresh needs ceil(R/(W-1)) rounds, so the prospective
+      worst stamp age (as of the round about to run) must stay within
+      that quotient plus 1 round of restamp/new-query slack. If
+      rotation ever stops, ages grow one per round and this fails.
+    """
+    import math
 
     from amazonmsk_emr_tem_data_spark.queries import (
-        _R10_NEVER_STAMPED,
-        _R10_NEW,
-        _R10_RESTAMP,
+        _RESTAMP,
+        _latest_stamps,
         REGISTRY,
     )
 
-    window = list(REGISTRY)[:50]
-    wset = set(window)
+    stamps = _latest_stamps()
+    assert stamps, "committed CORRECTNESS_r*.json artifacts not found"
+    order = list(REGISTRY)
+    window, below = order[:50], order[50:]
     assert window[0] == "tem_hourly_avg"
-    for tier, names in (
-        ("never-stamped", _R10_NEVER_STAMPED),
-        ("changed-since-stamp", _R10_RESTAMP),
-        ("round-10 additions", _R10_NEW),
-    ):
-        cut = set(names) - wset
-        assert not cut, (
-            f"{tier} queries were sliced out of the 50-entry window: "
-            f"{cut} — the window is over-full; move stale fill out"
-        )
-    # The r5 failure mode: the marked window section held 53 names, so
-    # its last 3 were never stamped. Pin the window to EXACTLY the
-    # first 50 by anchoring the entry that must sit at position 51.
-    assert list(REGISTRY)[50] == "event_type_percentiles", (
-        "registry position 51 drifted — the driver stamps exactly "
-        "list(REGISTRY)[:50]; an insert above this line silently pushes "
-        "window entries below the checked range"
+    restamp = [
+        n for n in _RESTAMP if n in REGISTRY and n != "tem_hourly_avg"
+    ]
+    assert window[1 : 1 + len(restamp)] == restamp
+    assert len(_RESTAMP) <= 8, (
+        "restamp tier is eating the window — it is for queries whose "
+        "code changed since their stamp, not a general fresh list"
     )
-    # Fresh-evidence queries must NOT burn window slots. Ground truth
-    # is the committed driver artifacts themselves: anything whose
-    # latest stamp is r6+ stays below the window unless it is in the
-    # explicit restamp/new tiers (whose code changed after stamping).
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    latest: dict[str, int] = {}
-    for rnd in range(1, 10):
-        path = os.path.join(repo, f"CORRECTNESS_r{rnd:02d}.json")
-        if os.path.exists(path):
-            with open(path) as fh:
-                for name in json.load(fh):
-                    latest[name] = rnd
-    allowed_fresh = (
-        {"tem_hourly_avg"}
-        | set(_R10_RESTAMP)
-        | set(_R10_NEW)
-        | set(_R10_NEVER_STAMPED)
+    head = {window[0], *restamp}
+    fill_max = max(stamps.get(n, 0) for n in window if n not in head)
+    below_min = min(stamps.get(n, 0) for n in below)
+    assert fill_max <= below_min, (
+        f"window slot wasted: a fill entry carries stamp r{fill_max} "
+        f"while an r{below_min}-stamped query sits below the window"
     )
-    wasted = {
-        n for n in wset
-        if latest.get(n, 0) >= 6 and n not in allowed_fresh
-    }
-    assert not wasted, f"window slots wasted on r6+-green queries: {wasted}"
+    never = [n for n in order if stamps.get(n, 0) == 0]
+    assert set(never) <= set(window) or len(never) > 50 - len(head), (
+        f"never-stamped queries outside the window: "
+        f"{sorted(set(never) - set(window))}"
+    )
+    current_round = max(stamps.values()) + 1
+    cap = math.ceil(len(order) / 49) + 1
+    prospective_worst = current_round - min(
+        stamps.get(n, 0) for n in below
+    )
+    assert prospective_worst <= cap, (
+        f"stamp-rotation stalled: oldest below-window stamp is "
+        f"{prospective_worst} rounds old entering r{current_round}; "
+        f"bound is ceil({len(order)}/49)+1 = {cap}"
+    )
 
 
 def test_no_vacuous_queries(spark, sf_dir):
