@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.text import md5_hash64
 from ..sources.files import ensure_parallelism
 
 
@@ -879,6 +880,7 @@ def nn_descent_graph(
     seed: int = 77,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rev_k: int | None = None,
 ) -> DataFrame:
     """NN-Descent k-NN graph construction (Dong et al., WWW'11) — the
     modern graph-ANN tier member beside LSH/IVF/PQ: start from a cheap
@@ -902,12 +904,22 @@ def nn_descent_graph(
       0.05 vs 0.9+ with stitching). Window partitions are bounded at
       256 rows by construction.
 
-    Round: symmetrize the edge set, expand one hop (und ∘ und),
-    exact-score candidates with the fold-based cosine (bit-identical
-    to DuckDB), keep each node's top ``k``. Candidate volume per
-    round is ≤ 16k²·n — LINEAR in corpus size, the whole point of
-    NN-Descent vs all-pairs; ranking windows hold ≤ 16k² rows per
-    node. Output: (vec_id, nbr_id, cos_sim, rank), ≤ n·k rows.
+    Round: take each node's k forward neighbors plus a DETERMINISTIC
+    SAMPLE of ``rev_k`` (default k div 2) of its reverse neighbors —
+    Dong et al. §2.3's ρ-sampling, the paper's own answer to the k²
+    candidate blow-up — expand one hop (und ∘ und), exact-score
+    candidates with the fold-based cosine (bit-identical to DuckDB),
+    keep each node's top ``k``. The sample is ranked by the
+    cross-engine md5 hash of the edge (functions/text.md5_hash64), so
+    the DuckDB twin reproduces it exactly. Sampling bounds per-node
+    und OUT-degree at k + rev_k, so hop volume through any node m is
+    indeg(m)·(k + rev_k): a hub that is a popular forward neighbor
+    costs LINEAR in its in-degree, where the r10 full symmetrization
+    paid indeg(m)·(k + indeg(m)) — quadratic on hubs. Total candidate
+    volume per round ≤ (k + rev_k)²·n, linear in corpus size (the
+    whole point of NN-Descent vs all-pairs); ranking windows hold
+    ≤ (k + rev_k)² rows per node. Output: (vec_id, nbr_id, cos_sim,
+    rank), ≤ n·k rows.
 
     Recall, stated honestly: descent exploits LOCALITY ("a neighbor
     of a neighbor is a neighbor"), so on clustered data it converges
@@ -998,6 +1010,9 @@ def nn_descent_graph(
             yield pd.DataFrame(
                 {"a": pdf["a"], "b": pdf["b"], "cos_sim": s}
             )
+    if rev_k is None:
+        rev_k = max(1, k // 2)
+    wrev = Window.partitionBy("a").orderBy("ek", "b")
     for _ in range(iters):
         # per-round lineage truncation (the graph-iteration rule):
         # `und` feeds THREE consumers (both hop sides + the union), so
@@ -1006,9 +1021,20 @@ def nn_descent_graph(
         # exchanges planned for 3 rounds; 14 after). The checkpointed
         # relation is ≤ n·k edge rows.
         edges = edges.select("a", "b").localCheckpoint(eager=True)
-        und = edges.union(
+        rev_s = (
             edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).distinct().localCheckpoint(eager=True)
+            .withColumn(
+                "ek", md5_hash64(F.concat_ws("|", F.col("a"), F.col("b")))
+            )
+            .withColumn("rrk", F.row_number().over(wrev))
+            .filter(F.col("rrk") <= rev_k)
+            .select("a", "b")
+        )
+        # NO distinct here: forward and sampled-reverse sets overlap
+        # only on mutual-top pairs, and `cand` dedups below — dropping
+        # it saves a full 2nk-row shuffle per round (the r10 verdict's
+        # named dominant cost)
+        und = edges.union(rev_s).localCheckpoint(eager=True)
         hop = (
             und.alias("u1")
             .join(und.alias("u2"), F.col("u1.b") == F.col("u2.a"))

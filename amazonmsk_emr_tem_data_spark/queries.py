@@ -17986,11 +17986,28 @@ def _nn_descent_sql(k: int = 6, iters: int = 3, n_planes: int = 6,
         " UNION SELECT a, b FROM (SELECT a,"
         f" unnest([{unnest_list}]) AS b FROM l0s) WHERE b IS NOT NULL)",
     ]
+    rev_k = max(1, k // 2)
+    rev_hash = (
+        "CAST(('0x' || substring(md5(CAST(b AS VARCHAR) || '|' ||"
+        " CAST(a AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
     for t in range(1, iters + 1):
         p = t - 1
         parts += [
+            # reverse-neighbor ρ-sampling (Dong et al. §2.3, r11): keep
+            # rev_k = k div 2 reverse edges per node, ranked by the
+            # shared cross-engine md5_hash64 of the reversed edge —
+            # bounds per-node und out-degree at k + rev_k so hub hop
+            # cost stays linear in in-degree
+            f"rs{t} AS MATERIALIZED (SELECT a, b FROM ("
+            f"SELECT b AS a, a AS b, ROW_NUMBER() OVER ("
+            f"PARTITION BY b ORDER BY {rev_hash}, a) AS rrk"
+            f" FROM e{p}) WHERE rrk <= {rev_k})",
+            # UNION ALL: duplicates (mutual-top pairs) are deduped by
+            # c{t}'s UNION — mirrors the Spark side dropping its
+            # per-round distinct
             f"u{t} AS MATERIALIZED (SELECT a, b FROM e{p}"
-            f" UNION SELECT b, a FROM e{p})",
+            f" UNION ALL SELECT a, b FROM rs{t})",
             f"c{t} AS MATERIALIZED (SELECT a, b FROM u{t} UNION"
             f" SELECT u1.a AS a, u2.b AS b FROM u{t} u1"
             f" JOIN u{t} u2 ON u1.b = u2.a WHERE u1.a <> u2.b)",
