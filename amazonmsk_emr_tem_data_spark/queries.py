@@ -18838,6 +18838,49 @@ REGISTRY.update(
 )
 
 
+# --- round 11 ---------------------------------------------------------
+
+
+def ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ served from a PERSISTED model (r10 VERDICT ask #4): fit
+    the same RNG-free quantizers as embedding_ivfpq_topk, write them
+    to parquet (operators/similarity.save_ann_model), load them back,
+    and serve ADC top-5 from the LOADED state — the fit-once/
+    serve-many lifecycle a 100 TB deployment actually runs (model
+    state lives in the object store; serving jobs never refit).
+    Parquet DOUBLE columns round-trip IEEE-754 bit-exactly, so this
+    query's oracle is the SAME composed unrolled-CTE twin as the
+    fit-path query: a hash match proves the persistence layer is
+    lossless end-to-end."""
+    import os
+    import tempfile
+
+    from .operators.similarity import (
+        ivfpq_serve,
+        kmeans_centroids,
+        load_ann_model,
+        pq_train,
+        save_ann_model,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = kmeans_centroids(emb, k=8)
+    books = pq_train(emb)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_ann_model_"
+        + os.path.basename(sf_dir.rstrip("/")),
+    )
+    save_ann_model(spark, path, centroids=coarse, codebooks=books)
+    model = load_ann_model(spark, path)
+    return ivfpq_serve(emb, model["centroids"], model["codebooks"])
+
+
+REGISTRY.update(
+    {
+        "ivfpq_persisted_topk": (ivfpq_persisted_topk, _ivfpq_sql()),
+    }
+)
 
 
 # --- driver-window rotation (artifact-driven since r11) -------------

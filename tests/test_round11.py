@@ -83,3 +83,46 @@ def test_jpeg_multiscan_gate(spark):
         [(1, bytearray(full))], "doc_id long, payload binary"
     )
     assert decode_images(ok, fake=False).count() == 1
+
+
+def test_ann_model_roundtrip(spark, tmp_path):
+    """save_ann_model -> load_ann_model is bit-exact: every float in
+    centroids, codebooks, and planes comes back IEEE-identical (the
+    property the persisted-serve query's shared oracle relies on)."""
+    from amazonmsk_emr_tem_data_spark.operators.similarity import (
+        load_ann_model,
+        save_ann_model,
+    )
+
+    # awkward doubles on purpose: subnormal-adjacent, non-dyadic,
+    # negative zero, huge/tiny exponents
+    cents = [[0.1, -0.0, 1e-300], [2.0 / 3.0, 5e300, -1.5e-17]]
+    books = [
+        [[0.1 + 0.2, 1.0 / 3.0], [7e-12, -3.25]],
+        [[1e16 + 1.0, 0.30000000000000004], [-0.1, 2.2250738585072014e-308]],
+    ]
+    planes = [[0.5, -1.0 / 7.0, 9.9], [1.25, 0.0, -5e-5]]
+    path = str(tmp_path / "annmodel")
+    save_ann_model(
+        spark, path, centroids=cents, codebooks=books, planes=planes
+    )
+    model = load_ann_model(spark, path)
+    assert model["centroids"] == cents
+    assert model["codebooks"] == books
+    assert model["planes"] == planes
+    # partial models load only what exists
+    path2 = str(tmp_path / "annmodel2")
+    save_ann_model(spark, path2, centroids=cents)
+    assert set(load_ann_model(spark, path2)) == {"centroids"}
+
+
+def test_ivfpq_persisted_matches_fit_path(spark, sf_dir):
+    """The persisted-serve query returns row-identical results to the
+    in-memory fit path — fit-once/serve-many loses nothing."""
+    from amazonmsk_emr_tem_data_spark.queries import REGISTRY
+
+    fit = REGISTRY["embedding_ivfpq_topk"][0](spark, sf_dir)
+    served = REGISTRY["ivfpq_persisted_topk"][0](spark, sf_dir)
+    assert sorted(map(tuple, fit.collect())) == sorted(
+        map(tuple, served.collect())
+    )
