@@ -463,3 +463,89 @@ def per_source_harmonic(
             ).alias("harmonic_micro"),
         )
     )
+
+
+def hyperball_kmv(
+    undirected_edges: DataFrame,
+    rounds: int = 2,
+    k: int = 8,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """HyperBall neighborhood-function sketch (Boldi-Vigna, "In-core
+    computation of geometric centralities with HyperBall", 2013) with
+    KMV registers instead of HyperLogLog ones: per node, the k
+    SMALLEST md5 hashes of the nodes within ``rounds`` hops. The
+    register merge (bottom-k of a union) is idempotent, commutative,
+    and associative, so after t rounds node v's register is EXACTLY
+    bottom-k({h(w) : d(v,w) <= t}) — which is why the DuckDB twin can
+    compute balls exactly (unrolled BFS) and take bottom-k, and why
+    the registers are mergeable across any partitioning.
+
+    KMV over HLL is deliberate: the k-minimum-values estimator
+    (Bar-Yossef et al. 2002) n_hat = (k-1)/u_(k) is a pure integer
+    expression on the engines' shared 60-bit md5 grid
+    ((k-1)*2^60 div (h_k+1), exact in int64 for k <= 8), where HLL's
+    harmonic-mean-of-2^-r registers needs floats. Same sketch tier as
+    the KMV distinct-count queries (activity_overlap_kmv).
+
+    Scale shape: state is <= k rows of (node, hash) per node — n*k
+    longs total, never the ball itself (the whole point: exact balls
+    are Theta(n^2) on dense graphs). Per round: one frontier-free
+    join of the register table onto the pre-aggregated adjacency list
+    (built once, partitioned on the join key, checkpointed — the
+    per_source_harmonic shape), one distinct, one bottom-k window;
+    lineage truncated per round. Balls smaller than k are reported
+    EXACTLY (n_regs < k); the estimator only engages past k."""
+    from pyspark.sql import Window
+
+    from ..functions.text import md5_hash64
+
+    edges = undirected_edges.select(a, b).distinct()
+    bidir = edges.unionByName(
+        edges.select(F.col(b).alias(a), F.col(a).alias(b))
+    )
+    adj = (
+        bidir.groupBy(F.col(a).alias("adj_node"))
+        .agg(F.collect_list(b).alias("nbrs"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = bidir.select(F.col(a).alias("node")).distinct()
+    sk = nodes.select(
+        "node",
+        md5_hash64(
+            F.concat_ws("|", F.lit("hb1"), F.col("node"))
+        ).alias("h"),
+    ).localCheckpoint(eager=True)
+    wk = Window.partitionBy("node").orderBy("h")
+    for _ in range(rounds):
+        nbr = (
+            sk.join(adj, sk["node"] == adj["adj_node"])
+            .select(F.explode("nbrs").alias("node"), "h")
+        )
+        sk = (
+            sk.unionByName(nbr)
+            .distinct()
+            .withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= k)
+            .select("node", "h")
+            .localCheckpoint(eager=True)
+        )
+    est_sat = F.expr(
+        f"CAST({(k - 1) * (1 << 60)} AS BIGINT) div (kmin_max + 1)"
+    )
+    return (
+        sk.groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_regs"),
+            F.max("h").alias("kmin_max"),
+        )
+        .select(
+            "node",
+            "n_regs",
+            "kmin_max",
+            F.when(
+                F.col("n_regs") < k, F.col("n_regs").cast("long")
+            ).otherwise(est_sat).alias("est_ball"),
+        )
+    )

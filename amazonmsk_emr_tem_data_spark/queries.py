@@ -18876,9 +18876,73 @@ def ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_serve(emb, model["centroids"], model["codebooks"])
 
 
+def copurchase_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood-function sketch over the repeat
+    co-purchase part graph (r11; the sketch the harmonic-centrality
+    docstring names as the full-diameter alternative): per part, a
+    k=8 KMV register of the nodes within 2 hops, reported as
+    (n_regs, kth-min hash, ball-size estimate). Balls under k are
+    exact; saturated ones use the integer Bar-Yossef estimator
+    (k-1)*2^60 div (h_k+1). The oracle computes 2-hop balls EXACTLY
+    (unrolled BFS) and bottom-k's their hashes — equal by the KMV
+    merge's losslessness, so the twin doubles as a standing proof the
+    distributed sketch evolution loses nothing. See
+    operators/graph.hyperball_kmv for the scale contract (state is
+    n*k longs; per round one adjacency join + distinct + bottom-k
+    window)."""
+    from .operators.graph import hyperball_kmv
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ue = _repeat_copurchase_edges(li)
+    return hyperball_kmv(ue, rounds=2, k=8).select(
+        F.col("node").alias("part"), "n_regs", "kmin_max", "est_ball"
+    )
+
+
+def _hyperball_sql(rounds: int = 2, k: int = 8) -> str:
+    """Exact-ball twin of copurchase_hyperball: unrolled BFS to
+    distance <= rounds, then per-node bottom-k of the shared 60-bit
+    md5 grid — equal to the iterative KMV merge by associativity/
+    idempotence of bottom-k."""
+    hb_hash = (
+        "CAST(('0x' || substring(md5('hb1|' || CAST(w AS VARCHAR)),"
+        " 1, 15)) AS BIGINT)"
+    )
+    parts = [
+        f"WITH {_BFS_EDGES_CTES}",
+        "nodesq AS MATERIALIZED (SELECT DISTINCT a AS n FROM bidir)",
+        "r0 AS MATERIALIZED (SELECT n AS v, n AS w FROM nodesq)",
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        parts.append(
+            f"r{t} AS MATERIALIZED (SELECT v, w FROM r{p}"
+            f" UNION SELECT r{p}.v, bidir.b AS w FROM r{p}"
+            f" JOIN bidir ON bidir.a = r{p}.w)"
+        )
+    parts += [
+        f"hashed AS MATERIALIZED (SELECT DISTINCT v, {hb_hash} AS h"
+        f" FROM r{rounds})",
+        "ranked AS MATERIALIZED (SELECT v, h, ROW_NUMBER() OVER ("
+        "PARTITION BY v ORDER BY h) AS rk FROM hashed)",
+        f"regs AS (SELECT v, h FROM ranked WHERE rk <= {k})",
+    ]
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT v AS part, CAST(COUNT(*) AS INT) AS n_regs,
+       MAX(h) AS kmin_max,
+       CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS BIGINT)
+            ELSE CAST({(k - 1) * (1 << 60)} AS BIGINT) // (MAX(h) + 1)
+       END AS est_ball
+FROM regs GROUP BY v"""
+    )
+
+
 REGISTRY.update(
     {
         "ivfpq_persisted_topk": (ivfpq_persisted_topk, _ivfpq_sql()),
+        "copurchase_hyperball": (copurchase_hyperball, _hyperball_sql()),
     }
 )
 

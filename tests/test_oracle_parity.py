@@ -280,6 +280,10 @@ def test_no_vacuous_queries(spark, sf_dir):
         # r10 session-5: per-source frontier unions + integer micro
         # reciprocals must be partition-blind
         "part_harmonic_centrality",
+        # r11: the KMV register evolution (distinct + bottom-k per
+        # node on the shared md5 grid) and the integer Bar-Yossef
+        # estimator must be partition-blind
+        "copurchase_hyperball",
     ],
 )
 def test_partitioning_invariance(spark, sf_dir, name):

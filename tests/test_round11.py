@@ -126,3 +126,55 @@ def test_ivfpq_persisted_matches_fit_path(spark, sf_dir):
     assert sorted(map(tuple, fit.collect())) == sorted(
         map(tuple, served.collect())
     )
+
+
+def test_hyperball_registers_are_exact_ball_bottomk(spark):
+    """On a hand graph, the iterated KMV register equals bottom-k of
+    the EXACT ball's hashes (merge losslessness), sub-k balls report
+    exact sizes, and the saturated estimator is the integer
+    Bar-Yossef formula."""
+    from amazonmsk_emr_tem_data_spark.operators.graph import hyperball_kmv
+
+    # path 1-2-3-4-5-6-7-8-9-10 plus a clique 20..29: node 5's 2-ball
+    # is {3,4,5,6,7} (exact, < k); clique nodes saturate k=4
+    path = [(i, i + 1) for i in range(1, 10)]
+    clique = [
+        (i, j) for i in range(20, 30) for j in range(i + 1, 30)
+    ]
+    edges = spark.createDataFrame(path + clique, "a long, b long")
+    out = {
+        r["node"]: r
+        for r in hyperball_kmv(edges, rounds=2, k=4).collect()
+    }
+    assert out[5]["n_regs"] == 4  # capped at k even though ball is 5
+    assert out[1]["n_regs"] == 3 and out[1]["est_ball"] == 3  # {1,2,3}
+    # clique node: ball = all 10 clique nodes -> saturated estimate
+    r = out[25]
+    assert r["n_regs"] == 4
+    assert r["est_ball"] == (3 * (1 << 60)) // (r["kmin_max"] + 1)
+
+
+def test_hyperball_register_is_bottomk_of_exact_ball(spark):
+    """Cross-check the distributed register content itself: node 5's
+    register must be exactly the k smallest hashes of its true 2-ball
+    {3,4,5,6,7}."""
+    from amazonmsk_emr_tem_data_spark.functions.text import md5_hash64
+    from amazonmsk_emr_tem_data_spark.operators.graph import hyperball_kmv
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)], "a long, b long"
+    )
+    reg = (
+        hyperball_kmv(edges, rounds=2, k=4)
+        .filter(F.col("node") == 5)
+        .first()
+    )
+    ball = spark.createDataFrame(
+        [(n,) for n in (3, 4, 5, 6, 7)], "w long"
+    ).select(
+        md5_hash64(F.concat_ws("|", F.lit("hb1"), F.col("w"))).alias("h")
+    )
+    hs = sorted(r["h"] for r in ball.collect())
+    assert reg["kmin_max"] == hs[3]
+    assert reg["n_regs"] == 4
