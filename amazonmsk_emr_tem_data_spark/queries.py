@@ -17890,6 +17890,12 @@ BENCH_HEADLINE: tuple[str, ...] = (
     "nn_descent_knn_graph",
     "embedding_top_eigenvector",
     "incremental_curation_delta",
+    # round-11 additions: the fit-once/serve-many ANN lifecycle
+    # (fit + parquet round-trip + serve — prices the persistence
+    # layer on top of the IVF-PQ composition) and the KMV-register
+    # HyperBall sketch (iterative bottom-k rounds)
+    "ivfpq_persisted_topk",
+    "copurchase_hyperball",
 )
 
 
@@ -18939,10 +18945,99 @@ FROM regs GROUP BY v"""
     )
 
 
+def dedup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal near-dup agreement audit (r11): join the TEXT
+    near-dup relation (MinHash-LSH candidates, exact-verified shingle
+    Jaccard >= 0.6) with the EMBEDDING near-dup relation (cosine >=
+    0.45) on the canonical pair key and report, per agreement class
+    (both / text_only / embedding_only), the pair count and how many
+    pairs are same-source — the QA monitor a multi-signal dedup
+    pipeline runs before trusting either signal alone (text-only
+    pairs = paraphrase-blind shingles; embedding-only = semantic
+    near-dups the shingle threshold misses; the both/only ratio per
+    source is the drift alarm). Composes the two existing
+    exact-verified pair operators; the agreement join keys on pair
+    ids only — no text or vector payload moves."""
+    from .operators.dedup import minhash_lsh_pairs
+    from .operators.similarity import cosine_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tp = minhash_lsh_pairs(docs, threshold=0.6, num_hashes=16).select(
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.lit(True).alias("text_dup"),
+    )
+    ep = cosine_near_dup_pairs(emb, 0.45).select(
+        F.col("vec_a").alias("id_a"),
+        F.col("vec_b").alias("id_b"),
+        F.lit(True).alias("emb_dup"),
+    )
+    j = tp.join(ep, ["id_a", "id_b"], "full_outer")
+    src = docs.select("doc_id", "source")
+    labelled = (
+        j.join(
+            src.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("source").alias("src_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("source").alias("src_b"),
+            ),
+            "id_b",
+        )
+        .select(
+            F.when(
+                F.col("text_dup") & F.col("emb_dup"), F.lit("both")
+            )
+            .when(F.col("text_dup"), F.lit("text_only"))
+            .otherwise(F.lit("embedding_only"))
+            .alias("signal"),
+            (F.col("src_a") == F.col("src_b")).alias("same_src"),
+        )
+    )
+    return labelled.groupBy("signal").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("same_src").cast("long")).alias("same_source_pairs"),
+    )
+
+
+_SIGNAL_AGREEMENT_SQL = f"""
+WITH tp AS MATERIALIZED ({_JACCARD_PAIRS_SQL}),
+ep AS MATERIALIZED ({_EMB_NEAR_DUP_SQL}),
+j AS (
+  SELECT COALESCE(t.doc_a, e.vec_a) AS id_a,
+         COALESCE(t.doc_b, e.vec_b) AS id_b,
+         t.doc_a IS NOT NULL AS text_dup,
+         e.vec_a IS NOT NULL AS emb_dup
+  FROM tp t FULL OUTER JOIN ep e
+    ON t.doc_a = e.vec_a AND t.doc_b = e.vec_b
+)
+SELECT CASE WHEN text_dup AND emb_dup THEN 'both'
+            WHEN text_dup THEN 'text_only'
+            ELSE 'embedding_only' END AS signal,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN da.source = db.source THEN 1 ELSE 0 END)
+            AS BIGINT) AS same_source_pairs
+FROM j
+JOIN documents da ON da.doc_id = j.id_a
+JOIN documents db ON db.doc_id = j.id_b
+GROUP BY 1
+"""
+
+
 REGISTRY.update(
     {
         "ivfpq_persisted_topk": (ivfpq_persisted_topk, _ivfpq_sql()),
         "copurchase_hyperball": (copurchase_hyperball, _hyperball_sql()),
+        "dedup_signal_agreement": (
+            dedup_signal_agreement,
+            _SIGNAL_AGREEMENT_SQL,
+        ),
     }
 )
 

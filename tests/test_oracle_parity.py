@@ -284,6 +284,9 @@ def test_no_vacuous_queries(spark, sf_dir):
         # node on the shared md5 grid) and the integer Bar-Yossef
         # estimator must be partition-blind
         "copurchase_hyperball",
+        # r11: the full-outer pair-key join of the two verified dup
+        # relations + boolean-count aggs must be partition-blind
+        "dedup_signal_agreement",
     ],
 )
 def test_partitioning_invariance(spark, sf_dir, name):
