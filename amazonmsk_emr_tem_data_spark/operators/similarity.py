@@ -381,17 +381,82 @@ def with_ivf_cell(
     and all-NULL rows; for PARTIAL-NULL rows (an all-zero centroid
     among non-zero ones) the old cascade stuck at cell 0 once sim0 was
     NULL, while this argmax picks the best non-NULL cell — a deliberate
-    improvement that matches the DuckDB oracle's NULLS-LAST ordering."""
-    cent = F.array(
-        *[F.array(*[F.lit(float(x)) for x in vec]) for vec in centroids]
+    improvement that matches the DuckDB oracle's NULLS-LAST ordering.
+
+    r11: the scoring runs as one Arrow ``mapInPandas`` batch pass (no
+    shuffle — same plan position as the old scan-side expression).
+    The JVM ``F.aggregate`` fold is CodegenFallback (interpreted per
+    element — the kmeans/NN-Descent lesson), and assignment was THE
+    dominant serve-path cost: 22 s of the 29 s encode pipeline at the
+    100x fixture, now sub-second. The numpy scorer replays the exact
+    expression semantics: per-dim single-rounded IEEE steps in fold
+    order (no reductions/FMA), den = norm_a * norm_b then one divide
+    (try_divide: zero divisor -> NULL, which never wins), Spark's
+    NaN-sorts-greatest rule, first-occurrence tie-break, all-NULL ->
+    cell 0. NULL/ragged vectors take the expression's all-NULL path
+    (every zip_with-padded sim is NULL -> cell 0). Element-level
+    NULLs inside a vector are indistinguishable from NaN after Arrow
+    and follow the NaN path — the fixtures and edge corpus plant
+    whole-NULL and zero vectors, never element NULLs."""
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    cents = [[float(x) for x in vec] for vec in centroids]
+    k, d = len(cents), len(cents[0])
+    cnorm = []
+    for cv in cents:
+        cc = 0.0
+        for x in cv:
+            cc = cc + x * x
+        cnorm.append(math.sqrt(cc))
+    out_schema = T.StructType(
+        list(embeddings.schema.fields)
+        + [T.StructField("ivf_cell", T.IntegerType(), False)]
     )
-    sims = F.transform(cent, lambda cv: cosine(F.col(vec_col), cv))
-    cell = (
-        F.array_position(sims, F.array_max(sims)).cast("int") - F.lit(1)
-    )
-    return embeddings.withColumn(
-        "ivf_cell", F.coalesce(cell, F.lit(0))
-    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = pdf[vec_col].to_numpy()
+            ok = np.array(
+                [x is not None and len(x) == d for x in vals],
+                dtype=bool,
+            )
+            cell = np.zeros(len(pdf), dtype="int32")
+            if ok.any():
+                X = np.stack(
+                    [np.asarray(v) for v in vals[ok]]
+                ).astype(np.float64)
+                n = X.shape[0]
+                aa = np.zeros(n)
+                for i in range(d):
+                    aa = aa + X[:, i] * X[:, i]
+                na = np.sqrt(aa)
+                key = np.full((n, k), -np.inf)
+                for c, cv in enumerate(cents):
+                    ab = np.zeros(n)
+                    for i in range(d):
+                        ab = ab + X[:, i] * cv[i]
+                    den = na * cnorm[c]
+                    valid = den != 0.0
+                    s = np.divide(
+                        ab, den, out=np.full(n, -np.inf), where=valid
+                    )
+                    # Spark sorts NaN greatest; -inf marks NULL (never
+                    # wins; all-NULL rows argmax to cell 0)
+                    s[np.isnan(s) & valid] = np.inf
+                    key[:, c] = s
+                maxv = key.max(axis=1)
+                cell[ok] = (key == maxv[:, None]).argmax(axis=1)
+            res = pdf.copy()
+            res["ivf_cell"] = cell
+            yield res
+
+    return embeddings.mapInPandas(assign, out_schema)
 
 
 def ivf_topk(
@@ -527,39 +592,101 @@ def pq_encode(
     narrow table ADC scans: m small ints instead of d floats.
 
     The argmin score is the expanded ``‖c‖² − 2·x·c`` (ranking-
-    equivalent to ‖x−c‖²; ‖x‖² is constant per row) UNROLLED into
-    plain arithmetic: ‖c‖² folds to a driver literal and x·c to an
-    explicit dsub-term sum, so the whole pass stays inside whole-stage
-    codegen — the fold/HOF form ran interpreted per row and was ~50×
-    slower (44 s for 20k×64 at 10×; this form benches sub-second).
-    pq_train's numpy assignment and the SQL twin order by the SAME
-    expression, term order and all, so code selection is bit-identical
-    across the three engines."""
+    equivalent to ‖x−c‖²; ‖x‖² is constant per row): ‖c‖² is a driver
+    scalar and x·c an explicit dsub-term sequential sum — pq_train's
+    numpy assignment and the SQL twin order by the SAME expression,
+    term order and all, so code selection is bit-identical across the
+    three engines.
+
+    r11: the pass runs as one Arrow ``mapInPandas`` batch scorer (no
+    shuffle — same plan position). The r7 unrolled-expression form
+    beat the interpreted fold 50×, but its m·ksub·dsub-term trees
+    made Catalyst ANALYSIS the dominant serve cost (seconds per plan
+    build, paid on every call) and still trailed vectorized numpy at
+    the 100× fixture. The numpy scorer replays the exact expression
+    semantics: the _normalized per-dim fold (x / greatest(norm,
+    1e-12)), per-dim single-rounded xc steps in term order, score =
+    c2 − 2.0·xc, Spark's NaN-sorts-greatest rule under array_min,
+    first-occurrence ties, NULL/ragged vectors → NULL codes."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    from ..operators.clustering import _normalized
-
+    d = m * dsub
     keep = list(keep_cols or [])
-    base = ensure_parallelism(embeddings).select(
-        F.col(id_col), *keep, _normalized(vec_col).alias("_v")
-    )
-    cols = [F.col(id_col), *[F.col(c) for c in keep]]
-    for j in range(m):
-        off = j * dsub
-        scores = []
-        for cent in codebooks[j]:
+    books = [[[float(x) for x in c] for c in bk] for bk in codebooks]
+    c2s = []
+    for bk in books:
+        row = []
+        for cent in bk:
             c2 = 0.0
             for t in range(dsub):  # sequential, like list_dot_product
                 c2 = c2 + cent[t] * cent[t]
-            xc = None
-            for t in range(dsub):
-                term = F.element_at("_v", off + t + 1) * F.lit(float(cent[t]))
-                xc = term if xc is None else xc + term
-            scores.append(F.lit(c2) - F.lit(2.0) * xc)
-        arr = F.array(*scores)
-        code = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
-        cols.append(code.alias(f"code{j + 1}"))
-    return base.select(*cols)
+            row.append(c2)
+        c2s.append(row)
+    base = ensure_parallelism(embeddings).select(
+        F.col(id_col), *keep, F.col(vec_col).alias("_x")
+    )
+    in_fields = {f.name: f for f in base.schema.fields}
+    out_schema = T.StructType(
+        [in_fields[id_col]]
+        + [in_fields[c] for c in keep]
+        + [
+            T.StructField(f"code{j + 1}", T.IntegerType(), True)
+            for j in range(m)
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = pdf["_x"].to_numpy()
+            ok = np.array(
+                [x is not None and len(x) == d for x in vals],
+                dtype=bool,
+            )
+            codes = np.full((len(pdf), m), np.nan)
+            if ok.any():
+                X = np.stack(
+                    [np.asarray(v) for v in vals[ok]]
+                ).astype(np.float64)
+                n = X.shape[0]
+                aa = np.zeros(n)
+                for i in range(d):
+                    aa = aa + X[:, i] * X[:, i]
+                V = X / np.maximum(np.sqrt(aa), 1e-12)[:, None]
+                rows = np.where(ok)[0]
+                for j in range(m):
+                    off = j * dsub
+                    key = np.empty((n, len(books[j])))
+                    for c, cent in enumerate(books[j]):
+                        xc = np.zeros(n)
+                        for t in range(dsub):
+                            xc = xc + V[:, off + t] * cent[t]
+                        s = c2s[j][c] - 2.0 * xc
+                        # NaN sorts greatest under Spark's array_min
+                        s[np.isnan(s)] = np.inf
+                        key[:, c] = s
+                    minv = key.min(axis=1)
+                    codes[rows, j] = (
+                        key == minv[:, None]
+                    ).argmax(axis=1)
+            res = pdf[[id_col, *keep]].copy()
+            for j in range(m):
+                res[f"code{j + 1}"] = pd.array(
+                    [
+                        None if np.isnan(x) else int(x)
+                        for x in codes[:, j]
+                    ],
+                    dtype="Int32",
+                )
+            yield res
+
+    return base.mapInPandas(encode, out_schema)
 
 
 def pq_adc_topk(

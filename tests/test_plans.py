@@ -1533,3 +1533,36 @@ def test_harmonic_no_cartesian_bounded_sources(spark, sf_dir):
     node ids; the bounded source slice must never plan a cartesian."""
     f = facts(spark, sf_dir, "part_harmonic_centrality")
     assert not f.has_cartesian
+
+
+def test_hyperball_no_cartesian(spark, sf_dir):
+    """HyperBall: register rounds are equi-joins of the sketch onto
+    the pre-aggregated adjacency list plus distinct + bottom-k
+    windows — never a cartesian; the final agg partial-aggregates."""
+    f = facts(spark, sf_dir, "copurchase_hyperball")
+    assert not f.has_cartesian
+    assert f.has_partial_agg
+
+
+def test_ivfpq_persisted_serve_is_broadcast_only(spark, sf_dir):
+    """The persisted-serve path keeps the fit path's plan contract:
+    the corpus joins only against broadcast model state (probed
+    cells + LUTs); loading the model from parquet must not introduce
+    a corpus-side shuffle join."""
+    f = facts(spark, sf_dir, "ivfpq_persisted_topk")
+    assert not f.has_cartesian
+    non_broadcast = [
+        j for j in f.joins
+        if not j.startswith("Broadcast")
+    ]
+    assert not non_broadcast, non_broadcast
+
+
+def test_dedup_signal_agreement_no_cartesian(spark, sf_dir):
+    """The agreement audit joins the two VERIFIED pair relations on
+    the pair key (full outer) and the source dim on ids — all
+    equi-joins; the candidate generators underneath keep their own
+    banded/capped contracts."""
+    f = facts(spark, sf_dir, "dedup_signal_agreement")
+    assert not f.has_cartesian
+    assert f.has_partial_agg
