@@ -50,6 +50,94 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+def score_pairs_cosine(
+    pairs: DataFrame,
+    a_vec: str,
+    b_vec: str,
+    keep: tuple[str, ...],
+) -> DataFrame:
+    """Arrow fold-cosine over pre-joined vector pairs — the bulk
+    scorer shared by NN-Descent and the LSH verify stage (r11; grown
+    from nn_descent_graph's r10 inner scorer). Candidate volumes grow
+    with the corpus and the JVM ``F.aggregate`` fold is
+    CodegenFallback (interpreted per element — the kmeans lesson), so
+    scoring runs as vectorized per-dim numpy STEPS (single-rounded
+    IEEE ops in fold order, no reductions/FMA) — bit-identical to the
+    ``cosine`` expression and to DuckDB's list_dot_product:
+    cos = ab/(sqrt(aa)·sqrt(bb)) in exactly _COS_SQL's op order, zero
+    denominator → NULL (try_divide semantics). NULL/ragged vectors on
+    either side yield NULL cos_sim (the expression's NULL-fold path).
+    Output: ``keep`` columns + cos_sim double; no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    in_fields = {f.name: f for f in pairs.schema.fields}
+    out_schema = T.StructType(
+        [in_fields[c] for c in keep]
+        + [T.StructField("cos_sim", T.DoubleType(), True)]
+    )
+    src = pairs.select(*dict.fromkeys([*keep, a_vec, b_vec]))
+
+    def fold_cos(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            av = pdf[a_vec].to_numpy()
+            bv = pdf[b_vec].to_numpy()
+            lens = {len(x) for x in av if x is not None} | {
+                len(x) for x in bv if x is not None
+            }
+            d = max(lens) if lens else 0
+            ok = np.array(
+                [
+                    x is not None
+                    and y is not None
+                    and len(x) == d
+                    and len(y) == d
+                    for x, y in zip(av, bv)
+                ],
+                dtype=bool,
+            )
+            cos = np.full(len(pdf), np.nan)
+            null_mask = ~ok
+            if ok.any():
+                A = np.stack(
+                    [np.asarray(v) for v in av[ok]]
+                ).astype(np.float64)
+                B = np.stack(
+                    [np.asarray(v) for v in bv[ok]]
+                ).astype(np.float64)
+                n = A.shape[0]
+                ab = np.zeros(n)
+                aa = np.zeros(n)
+                bb = np.zeros(n)
+                for i in range(d):
+                    ab = ab + A[:, i] * B[:, i]
+                    aa = aa + A[:, i] * A[:, i]
+                    bb = bb + B[:, i] * B[:, i]
+                den = np.sqrt(aa) * np.sqrt(bb)
+                c = np.divide(
+                    ab, den, out=np.full(n, np.nan), where=den != 0
+                )
+                cos[ok] = c
+                zero_den = np.zeros(len(pdf), dtype=bool)
+                zero_den[np.where(ok)[0][den == 0]] = True
+                null_mask = null_mask | zero_den
+            s = pd.Series(cos, dtype="float64")
+            if null_mask.any():
+                s = s.astype(object).where(~null_mask, None)
+            yield pd.DataFrame(
+                {
+                    **{c: pdf[c] for c in keep},
+                    "cos_sim": s,
+                }
+            )
+
+    return src.mapInPandas(fold_cos, out_schema)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -228,24 +316,92 @@ def with_lsh_buckets(
     n_tables: int = 12,
     seed: int = 42,
     vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Multi-table random-hyperplane LSH: per table t, bucket = sign
     bits of ⟨v, hᵗᵢ⟩. One table of p planes collides a pair at angle θ
     with probability (1−θ/π)^p — too lossy alone for moderate
     similarity; with T independent tables the miss probability drops to
     (1−(1−θ/π)^p)^T (p=3, T=12 at cos 0.45 ⇒ ~2% miss). Buckets are
-    computed scan-side (no shuffle); output column ``buckets`` is an
-    array of (table, bucket) structs ready to explode."""
-    tables = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-        bucket = F.lit(0).cast("long")
-        for i, p in enumerate(planes):
-            h = F.array(*[F.lit(float(x)) for x in p])
-            bit = F.when(dot(F.col(vec_col), h) >= 0, F.lit(1)).otherwise(F.lit(0))
-            bucket = bucket + bit.cast("long") * F.lit(2**i).cast("long")
-        tables.append(F.struct(F.lit(t).alias("t"), bucket.alias("bk")))
-    return embeddings.withColumn("buckets", F.array(*tables))
+    computed scan-side (no shuffle).
+
+    r11: one Arrow ``mapInPandas`` pass computes ALL T·p plane dots
+    vectorized (the expression form ran T·p interpreted F.aggregate
+    folds per row — ≈4,600 interpreted steps/row at p=3, T=24, the
+    dominant cost of lsh_ann_pairs) and emits the EXPLODED
+    (keep_cols..., t, bk) rows directly, skipping the array<struct> +
+    explode. Dots accumulate per-dim in fold order (bit-identical to
+    the expression / list_dot_product); the sign test replays Spark
+    semantics exactly: NULL/ragged vectors take the NULL-dot path
+    (bit 0 on every plane → bucket 0) and a NaN dot compares
+    NaN >= 0 → true (Spark sorts NaN greatest) → bit 1."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    keep = (
+        list(keep_cols)
+        if keep_cols is not None
+        else list(embeddings.columns)
+    )
+    P = np.array(
+        [
+            p
+            for t in range(n_tables)
+            for p in _hyperplanes(dim, n_planes, seed + 1000 * t)
+        ],
+        dtype=np.float64,
+    )  # (T*p, d)
+    in_fields = {f.name: f for f in embeddings.schema.fields}
+    out_schema = T.StructType(
+        [in_fields[c] for c in keep]
+        + [
+            T.StructField("t", T.IntegerType(), False),
+            T.StructField("bk", T.LongType(), False),
+        ]
+    )
+    src = embeddings.select(*dict.fromkeys([*keep, vec_col]))
+
+    def bucketize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = pdf[vec_col].to_numpy()
+            ok = np.array(
+                [x is not None and len(x) == dim for x in vals],
+                dtype=bool,
+            )
+            bks = np.zeros((len(pdf), n_tables), dtype=np.int64)
+            if ok.any():
+                X = np.stack(
+                    [np.asarray(v) for v in vals[ok]]
+                ).astype(np.float64)
+                D = np.zeros((X.shape[0], len(P)))
+                for i in range(dim):
+                    D = D + X[:, i : i + 1] * P[None, :, i][0]
+                bits = (D >= 0) | np.isnan(D)
+                acc = np.zeros((X.shape[0], n_tables), dtype=np.int64)
+                for i in range(n_planes):
+                    acc += (
+                        bits[:, i::n_planes].astype(np.int64) << i
+                    )
+                bks[ok] = acc
+            out = pd.DataFrame(
+                {
+                    **{
+                        c: np.repeat(pdf[c].to_numpy(), n_tables)
+                        for c in keep
+                    },
+                    "t": np.tile(
+                        np.arange(n_tables, dtype="int32"), len(pdf)
+                    ),
+                    "bk": bks.reshape(-1),
+                }
+            )
+            yield out
+
+    return src.mapInPandas(bucketize, out_schema)
 
 
 def lsh_ann_join(
@@ -271,24 +427,35 @@ def lsh_ann_join(
     groups, reps = _collapse_vectors(
         ensure_parallelism(embeddings), id_col, vec_col
     )
-    bucketed = with_lsh_buckets(reps, dim, n_planes, n_tables, seed, vec_col)
-    ex = bucketed.select(
-        id_col, vec_col, F.explode("buckets").alias("b")
-    ).select(id_col, vec_col, F.col("b.t").alias("t"), F.col("b.bk").alias("bk"))
-    a = ex.select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a"), "t", "bk"
+    # exploded (id, t, bk) rows straight from the Arrow bucketer; the
+    # candidate join and dedup move ONLY ids — the r10 shape carried
+    # both 64-float vectors through the (t, bk) join and the pair
+    # dedup shuffle, dominating shuffle volume
+    ex = with_lsh_buckets(
+        reps, dim, n_planes, n_tables, seed, vec_col,
+        keep_cols=[id_col],
     )
-    b = ex.select(
-        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b"), "t", "bk"
-    )
+    a = ex.select(F.col(id_col).alias("vec_a"), "t", "bk")
+    b = ex.select(F.col(id_col).alias("vec_b"), "t", "bk")
     candidates = (
         a.join(b, ["t", "bk"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "emb_a", "emb_b")
+        .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    va = reps.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a")
+    )
+    vb = reps.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b")
+    )
     rep_pairs = (
-        candidates.withColumn("cos_sim", cosine(F.col("emb_a"), F.col("emb_b")))
+        score_pairs_cosine(
+            candidates.join(va, "vec_a").join(vb, "vec_b"),
+            "emb_a",
+            "emb_b",
+            keep=("vec_a", "vec_b"),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
     )
@@ -1126,41 +1293,6 @@ def nn_descent_graph(
         F.col("cos_sim").desc(), F.col("b").asc()
     )
 
-    def fold_cos(batches):
-        # Arrow fold cosine over candidate pairs: candidates grow with
-        # n·k² and the JVM F.aggregate fold is CodegenFallback
-        # (interpreted per element — the kmeans lesson), so the bulk
-        # scoring runs as vectorized per-dim numpy STEPS (single-
-        # rounded IEEE ops in fold order, no reductions/FMA) — bit-
-        # identical to the expression form and to list_dot_product;
-        # cos = ab/(sqrt(aa)·sqrt(bb)) in exactly _COS_SQL's op order,
-        # zero denominator → NULL (try_divide semantics).
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack(pdf["va"].to_numpy()).astype(np.float64)
-            B = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
-            n, d = A.shape
-            ab = np.zeros(n)
-            aa = np.zeros(n)
-            bb = np.zeros(n)
-            for i in range(d):
-                ab = ab + A[:, i] * B[:, i]
-                aa = aa + A[:, i] * A[:, i]
-                bb = bb + B[:, i] * B[:, i]
-            den = np.sqrt(aa) * np.sqrt(bb)
-            cos = np.divide(
-                ab, den, out=np.full(n, np.nan), where=den != 0
-            )
-            s = pd.Series(cos, dtype="float64")
-            if (den == 0).any():
-                s = s.astype(object).where(den != 0, None)
-            yield pd.DataFrame(
-                {"a": pdf["a"], "b": pdf["b"], "cos_sim": s}
-            )
     if rev_k is None:
         rev_k = max(1, k // 2)
     wrev = Window.partitionBy("a").orderBy("ek", "b")
@@ -1193,11 +1325,13 @@ def nn_descent_graph(
             .select(F.col("u1.a").alias("a"), F.col("u2.b").alias("b"))
         )
         cand = und.union(hop).distinct()
-        scored = (
-            cand.join(va, "a")
-            .join(vb, "b")
-            .select("a", "b", "va", "vb")
-            .mapInPandas(fold_cos, "a long, b long, cos_sim double")
+        # bulk scoring via the shared Arrow fold scorer (r10's inner
+        # fold_cos, extracted in r11 for the LSH verify stage too)
+        scored = score_pairs_cosine(
+            cand.join(va, "a").join(vb, "b"),
+            "va",
+            "vb",
+            keep=("a", "b"),
         )
         edges = (
             scored.withColumn("rank", F.row_number().over(wr))
