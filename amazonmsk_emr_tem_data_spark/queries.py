@@ -19042,94 +19042,6 @@ GROUP BY 1
 """
 
 
-def embedding_matryoshka_recall(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Matryoshka / prefix-dimension serving audit (r11; Kusupati et
-    al. 2022): for each candidate serving dimensionality d' in
-    {8, 16, 32}, the EXACT top-5 neighbor overlap against the full
-    64-dim top-5 for the 5 probe queries — the measurement that
-    decides how far an MRL-style embedding can be truncated before
-    ANN quality collapses (truncation is the cheapest 100 TB index
-    shrink: 8x fewer bytes scanned needs no re-embedding). Both
-    sides are exact brute-force k-NN over the SAME broadcast-query /
-    corpus-never-shuffles shape as embedding_knn_join; prefix slicing
-    (F.slice / list[1:d]) and the left-to-right cosine fold are
-    bit-identical cross-engine, so the overlap counts are
-    hash-checked, not sampled."""
-    from .operators.similarity import knn_join
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    q_full = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
-    )
-    full = knn_join(emb, q_full, k=5).select("query_id", "vec_id")
-    outs = []
-    for d in (8, 16, 32):
-        emb_d = emb.select(
-            "vec_id", F.slice("embedding", 1, d).alias("embedding")
-        )
-        q_d = q_full.select(
-            "query_id", F.slice("query_vec", 1, d).alias("query_vec")
-        )
-        t = knn_join(emb_d, q_d, k=5).select("query_id", "vec_id")
-        ov = (
-            t.join(full, ["query_id", "vec_id"], "left_semi")
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
-        )
-        outs.append(
-            q_full.select("query_id")
-            .join(ov, "query_id", "left")
-            .select(
-                F.lit(d).cast("int").alias("prefix_dim"),
-                "query_id",
-                F.coalesce("n_overlap", F.lit(0).cast("long")).alias(
-                    "n_overlap"
-                ),
-            )
-        )
-    return reduce(DataFrame.unionByName, outs)
-
-
-def _matryoshka_sql(dims: tuple[int, ...] = (8, 16, 32), k: int = 5) -> str:
-    cos_full = _COS_SQL.format(a="a.embedding", b="q.embedding")
-    parts = [
-        "WITH qf AS MATERIALIZED (SELECT vec_id AS query_id, embedding"
-        " FROM embeddings WHERE vec_id < 5)",
-        f"full_k AS MATERIALIZED (SELECT query_id, vec_id FROM ("
-        f"SELECT q.query_id, a.vec_id, ROW_NUMBER() OVER ("
-        f"PARTITION BY q.query_id ORDER BY {cos_full} DESC,"
-        f" a.vec_id ASC) AS rk FROM embeddings a, qf q) WHERE rk <= {k})",
-    ]
-    sels = []
-    for d in dims:
-        cos_d = _COS_SQL.format(
-            a=f"(a.embedding[1:{d}])", b=f"(q.embedding[1:{d}])"
-        )
-        parts += [
-            f"t{d} AS MATERIALIZED (SELECT query_id, vec_id FROM ("
-            f"SELECT q.query_id, a.vec_id, ROW_NUMBER() OVER ("
-            f"PARTITION BY q.query_id ORDER BY {cos_d} DESC,"
-            f" a.vec_id ASC) AS rk FROM embeddings a, qf q)"
-            f" WHERE rk <= {k})",
-            f"o{d} AS (SELECT {d} AS prefix_dim, q.query_id,"
-            f" CAST(COUNT(hit.vec_id) AS BIGINT) AS n_overlap"
-            f" FROM qf q LEFT JOIN (SELECT t.query_id, t.vec_id"
-            f" FROM t{d} t JOIN full_k f ON f.query_id = t.query_id"
-            f" AND f.vec_id = t.vec_id) hit"
-            f" ON hit.query_id = q.query_id GROUP BY 1, 2)",
-        ]
-        sels.append(f"SELECT * FROM o{d}")
-    union = " UNION ALL ".join(sels)
-    return (
-        ",\n".join(parts)
-        + f"\nSELECT CAST(prefix_dim AS INT) AS prefix_dim, query_id,"
-        f" n_overlap FROM ({union})"
-    )
-
-
 REGISTRY.update(
     {
         "ivfpq_persisted_topk": (ivfpq_persisted_topk, _ivfpq_sql()),
@@ -19137,10 +19049,6 @@ REGISTRY.update(
         "dedup_signal_agreement": (
             dedup_signal_agreement,
             _SIGNAL_AGREEMENT_SQL,
-        ),
-        "embedding_matryoshka_recall": (
-            embedding_matryoshka_recall,
-            _matryoshka_sql(),
         ),
     }
 )
@@ -19164,8 +19072,16 @@ REGISTRY.update(
 #: the one freshness signal the artifacts cannot carry. Reset each
 #: round to the queries the round actually touched.
 _RESTAMP: tuple[str, ...] = (
-    "part_harmonic_centrality",   # r11: adjacency-list BFS rounds
+    "part_harmonic_centrality",   # r11: bidir repartition+checkpoint
     "nn_descent_knn_graph",       # r11: reverse-neighbor sampling
+    # r11 Arrow serve-path rewrite (with_ivf_cell / pq_encode /
+    # with_lsh_buckets / score_pairs_cosine) — hash-stable by design,
+    # but implementation drift needs fresh driver evidence:
+    "embedding_ivfpq_topk",
+    "embedding_pq_adc_topk",
+    "embedding_pq_rerank_topk",
+    "lsh_ann_pairs",
+    "semantic_dedup_vectors",
 )
 
 
