@@ -6,16 +6,16 @@ feature-extract / frame-sample run as Arrow-batched pandas iterators
 (``mapInPandas``) so bytes never round-trip through Python row by row.
 
 ``decode_images(fake=False)`` is a REAL pure-NumPy decoder for
-uncompressed formats (BMP BI_RGB, binary PPM/PGM), 8-bit
-non-interlaced PNG (stdlib zlib inflate + NumPy scanline unfilter),
+uncompressed formats (BMP BI_RGB, binary PPM/PGM), PNG at 8/16-bit
+in interlace 0 or Adam7 (stdlib zlib inflate + NumPy scanline
+unfilter; 16-bit reduces to the high byte for the uint8 contract),
 and — new r9 — baseline sequential JPEG (Huffman decode + dequant +
 vectorized IDCT, DRI/RSTn restarts, chroma subsampling, JFIF
 YCbCr→RGB) — no native codecs needed. ``decode_audio(fake=False)`` is
 the audio member: real RIFF/WAVE PCM decode (8/16-bit, multi-channel)
 plus a gain-invariant energy-envelope fingerprint for audio near-dup.
 The container lacks media codec libraries, so decode of the REMAINING
-formats (WebP/TIFF, progressive JPEG, palette/16-bit/Adam7 PNG,
-MP3/FLAC/OGG), ``embed_media``'s encoder
+formats (WebP/TIFF, progressive JPEG, sub-8-bit PNG, MP3/FLAC/OGG), ``embed_media``'s encoder
 forward pass, and video frame extraction remain clearly-marked stubs
 (`NotImplementedError` unless ``fake=True``); the Spark-side contract —
 schemas, batch iteration, partitioning, output explosion — is real and
@@ -74,8 +74,8 @@ def _pure_decoders():
     ``wav`` returns (sample_rate, int32 samples of shape
     (n, channels)); ``any`` dispatches images on magic bytes and
     raises a guarded NotImplementedError for formats that need a
-    native codec (WebP/TIFF, progressive JPEG, palette/16-bit/Adam7
-    PNG) — raising beats silently-wrong decode.
+    native codec (WebP/TIFF, progressive JPEG, sub-8-bit PNG) —
+    raising beats silently-wrong decode.
 
     Performance envelope, measured at 1 MP (SCALING.md "Image-codec
     envelope" row; scripts/bench_codec_envelope.py reproduces it):
@@ -94,60 +94,16 @@ def _pure_decoders():
 
     import numpy as np
 
-    def png_array(data: bytes):
-        # Pure stdlib+NumPy PNG decode: zlib inflate + per-scanline
-        # unfilter (None/Sub/Up/Average/Paeth). 8-bit gray /
-        # gray+alpha / RGB / RGBA, non-interlaced — the subset a
-        # real corpus hits first; palette, 16-bit, and Adam7 stay
-        # behind the explicit stub (PIL territory).
-        if data[:8] != b"\x89PNG\r\n\x1a\n":
-            raise ValueError("bad PNG signature")
-        pos, width, idat, plte = 8, None, [], None
-        height = bit_depth = color_type = interlace = None
-        while pos + 8 <= len(data):
-            length = struct.unpack_from(">I", data, pos)[0]
-            ctype = data[pos + 4 : pos + 8]
-            body = data[pos + 8 : pos + 8 + length]
-            if ctype == b"IHDR":
-                (width, height, bit_depth, color_type,
-                 _comp, _filt, interlace) = struct.unpack(
-                    ">IIBBBBB", body
-                )
-            elif ctype == b"PLTE":
-                if len(body) % 3:
-                    raise ValueError("bad PNG PLTE length")
-                plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
-            elif ctype == b"IDAT":
-                idat.append(body)
-            elif ctype == b"IEND":
-                break
-            pos += 12 + length  # length + type + payload-less CRC
-        if width is None:
-            raise ValueError("PNG missing IHDR")
-        if (
-            bit_depth != 8
-            or interlace != 0
-            or color_type not in (0, 2, 3, 4, 6)
-        ):
-            raise NotImplementedError(
-                "only 8-bit non-interlaced gray/gray-alpha/RGB/RGBA/"
-                "palette PNG decodes natively (got bit_depth="
-                f"{bit_depth}, color_type={color_type}, "
-                f"interlace={interlace}); sub-8-bit/16-bit/Adam7 "
-                "need PIL here"
-            )
-        if color_type == 3 and plte is None:
-            raise ValueError("palette PNG missing PLTE")
-        n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-        raw = zlib.decompress(b"".join(idat))
-        stride = width * n_ch
-        if width <= 0 or len(raw) != (stride + 1) * height:
-            raise ValueError("inconsistent PNG raster size")
+    def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int):
+        # Per-scanline unfilter (None/Sub/Up/Average/Paeth) over a
+        # (stride+1)-byte-per-row raster. PNG filters operate on raw
+        # BYTES regardless of bit depth (bpp = bytes per complete
+        # pixel), so 8- and 16-bit rasters and every Adam7 pass share
+        # this one loop. Returns (height, stride) uint8.
         raw = np.frombuffer(raw, dtype=np.uint8).reshape(
             height, stride + 1
         )
         img = np.zeros((height, stride), dtype=np.uint8)
-        bpp = n_ch  # bytes per pixel at bit depth 8
         for y in range(height):
             ft = int(raw[y, 0])
             if ft == 0:  # None
@@ -160,7 +116,10 @@ def _pure_decoders():
                     raw[y, 1:].astype(np.int64) + prior
                 ).astype(np.uint8)
             elif ft == 1:  # Sub — cumsum per pixel phase
-                cols = raw[y, 1:].astype(np.int64).reshape(width, bpp)
+                width_px = stride // bpp
+                cols = raw[y, 1:].astype(np.int64).reshape(
+                    width_px, bpp
+                )
                 img[y] = (
                     (np.cumsum(cols, axis=0) & 0xFF)
                     .reshape(stride)
@@ -203,7 +162,100 @@ def _pure_decoders():
                 img[y] = np.frombuffer(bytes(out), dtype=np.uint8)
             else:
                 raise ValueError(f"bad PNG filter type {ft}")
-        out = img.reshape(height, width, n_ch)
+        return img
+
+    #: Adam7 pass grid: (x_start, y_start, x_step, y_step)
+    _ADAM7 = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+
+    def png_array(data: bytes):
+        # Pure stdlib+NumPy PNG decode: zlib inflate + per-scanline
+        # unfilter (None/Sub/Up/Average/Paeth). 8- and 16-bit gray /
+        # gray+alpha / RGB / RGBA (+ 8-bit palette), interlace 0 or
+        # Adam7 (r11) — sub-8-bit depths stay behind the explicit
+        # stub (PIL territory). 16-bit samples decode exactly, then
+        # reduce to their high byte for the uniform (H, W, C) uint8
+        # contract (PIL's I;16→L convention); full-depth output is a
+        # one-line change where a pipeline needs it.
+        if data[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("bad PNG signature")
+        pos, width, idat, plte = 8, None, [], None
+        height = bit_depth = color_type = interlace = None
+        while pos + 8 <= len(data):
+            length = struct.unpack_from(">I", data, pos)[0]
+            ctype = data[pos + 4 : pos + 8]
+            body = data[pos + 8 : pos + 8 + length]
+            if ctype == b"IHDR":
+                (width, height, bit_depth, color_type,
+                 _comp, _filt, interlace) = struct.unpack(
+                    ">IIBBBBB", body
+                )
+            elif ctype == b"PLTE":
+                if len(body) % 3:
+                    raise ValueError("bad PNG PLTE length")
+                plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+            elif ctype == b"IDAT":
+                idat.append(body)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + payload-less CRC
+        if width is None:
+            raise ValueError("PNG missing IHDR")
+        if (
+            bit_depth not in (8, 16)
+            or interlace not in (0, 1)
+            or color_type not in (0, 2, 3, 4, 6)
+        ):
+            raise NotImplementedError(
+                "only 8/16-bit gray/gray-alpha/RGB/RGBA/palette PNG "
+                "(interlace 0 or Adam7) decodes natively (got "
+                f"bit_depth={bit_depth}, color_type={color_type}, "
+                f"interlace={interlace}); sub-8-bit depths need PIL "
+                "here"
+            )
+        if color_type == 3 and bit_depth == 16:
+            raise ValueError("illegal 16-bit palette PNG")
+        if color_type == 3 and plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+        bs = bit_depth // 8  # bytes per sample
+        bpp = n_ch * bs  # bytes per complete pixel (filter offset)
+        raw = zlib.decompress(b"".join(idat))
+        if width <= 0 or height <= 0:
+            raise ValueError("inconsistent PNG raster size")
+        if interlace == 0:
+            stride = width * bpp
+            if len(raw) != (stride + 1) * height:
+                raise ValueError("inconsistent PNG raster size")
+            img = _png_unfilter(raw, height, stride, bpp)
+        else:  # Adam7: 7 independently-filtered sub-rasters
+            full = np.zeros((height, width, bpp), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = max(0, -(-(width - x0) // dx))
+                ph = max(0, -(-(height - y0) // dy))
+                if pw == 0 or ph == 0:
+                    continue  # empty pass contributes no bytes
+                pstride = pw * bpp
+                need = (pstride + 1) * ph
+                if off + need > len(raw):
+                    raise ValueError("inconsistent PNG raster size")
+                sub = _png_unfilter(
+                    raw[off : off + need], ph, pstride, bpp
+                )
+                off += need
+                full[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            if off != len(raw):
+                raise ValueError("inconsistent PNG raster size")
+            img = full.reshape(height, width * bpp)
+        if bs == 2:
+            # exact big-endian 16-bit samples, reduced to the high
+            # byte for the uniform uint8 contract
+            out = img.reshape(height, width, n_ch, 2)[:, :, :, 0]
+        else:
+            out = img.reshape(height, width, n_ch)
         if color_type == 3:  # palette lookup: indices -> RGB rows
             idx = out[:, :, 0]
             if int(idx.max(initial=0)) >= len(plte):
@@ -731,7 +783,7 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -> D
     zlib inflate + per-scanline None/Sub/Up/Average/Paeth unfilter),
     and baseline sequential JPEG (Huffman + dequant + IDCT, DRI/RSTn,
     chroma subsampling — new r9). The remaining compressed formats
-    (WebP/TIFF, progressive JPEG, palette/16-bit/Adam7 PNG) raise
+    (WebP/TIFF, progressive JPEG, sub-8-bit PNG) raise
     NotImplementedError — that branch is where PIL/libvips plugs in.
     ``fake=True`` keeps the deterministic pseudo-decode for fixtures
     whose payloads aren't images at all.

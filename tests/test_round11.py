@@ -178,3 +178,191 @@ def test_hyperball_register_is_bottomk_of_exact_ball(spark):
     hs = sorted(r["h"] for r in ball.collect())
     assert reg["kmin_max"] == hs[3]
     assert reg["n_regs"] == 4
+
+
+def _chunk(ctype, body):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _filter_rows(byte_rows, bpp, filters):
+    """PNG-filter a (rows, stride) uint8 byte raster (the encoder
+    mirror of the decoder's byte-level unfilter)."""
+    import numpy as np
+
+    h, stride = byte_rows.shape
+    flat = byte_rows.astype(np.int64)
+    out = b""
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        line = flat[y]
+        prior = flat[y - 1] if y > 0 else np.zeros(stride, np.int64)
+        if ft == 0:
+            enc = line
+        elif ft == 1:
+            left = np.concatenate([np.zeros(bpp, np.int64), line[:-bpp]])
+            enc = (line - left) & 0xFF
+        elif ft == 2:
+            enc = (line - prior) & 0xFF
+        elif ft == 3:
+            left = np.concatenate([np.zeros(bpp, np.int64), line[:-bpp]])
+            enc = (line - ((left + prior) >> 1)) & 0xFF
+        else:
+            enc = np.zeros(stride, np.int64)
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                c = int(prior[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[x] = (int(line[x]) - pred) & 0xFF
+        out += bytes([ft]) + enc.astype("uint8").tobytes()
+    return out
+
+
+_ADAM7_GRID = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png16_bytes(arr16, interlace=0):
+    """16-bit PNG encoder for fixtures: big-endian samples, filter
+    types cycling 0..4 per scanline, optional Adam7."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = arr16.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bpp = 2 * c
+    be = arr16.astype(">u2")
+
+    def rows(sub):
+        sh, sw, _ = sub.shape
+        return np.frombuffer(sub.tobytes(), np.uint8).reshape(
+            sh, sw * bpp
+        )
+
+    if interlace == 0:
+        raster = _filter_rows(rows(be), bpp, [0, 1, 2, 3, 4])
+    else:
+        raster = b""
+        for x0, y0, dx, dy in _ADAM7_GRID:
+            sub = be[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raster += _filter_rows(rows(sub), bpp, [0, 1, 2, 3, 4])
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raster))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _png8_adam7_bytes(arr):
+    """8-bit Adam7 PNG encoder: each pass filtered independently with
+    the full 0..4 filter cycle."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raster = b""
+    for x0, y0, dx, dy in _ADAM7_GRID:
+        sub = arr[y0::dy, x0::dx]
+        if sub.shape[0] and sub.shape[1]:
+            byte_rows = sub.reshape(sub.shape[0], sub.shape[1] * c)
+            raster += _filter_rows(byte_rows, c, [0, 1, 2, 3, 4])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raster))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_16bit_decode():
+    """16-bit PNGs (gray and RGB, every filter type) decode exactly:
+    the output is the per-sample high byte of the true 16-bit data
+    (r11; formerly a guarded gate)."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+    )
+
+    png = _pure_decoders()["png"]
+    rng = np.random.default_rng(16)
+    for c in (1, 3, 4):
+        arr16 = rng.integers(0, 65536, (13, 11, c), dtype=np.uint16)
+        out = png(_png16_bytes(arr16))
+        assert out.shape == (13, 11, c)
+        assert (out == (arr16 >> 8).astype(np.uint8)).all()
+
+
+def test_png_adam7_decode():
+    """Adam7-interlaced PNGs (8- and 16-bit, odd dimensions so passes
+    are partial) deinterlace to the exact raster (r11; formerly a
+    guarded gate)."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+    )
+
+    png = _pure_decoders()["png"]
+    rng = np.random.default_rng(7)
+    for h, w, c in ((13, 11, 3), (9, 17, 1), (8, 8, 4), (1, 1, 3),
+                    (3, 19, 2)):
+        arr = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        out = png(_png8_adam7_bytes(arr))
+        assert out.shape == (h, w, c)
+        assert (out == arr).all(), (h, w, c)
+    arr16 = rng.integers(0, 65536, (13, 11, 3), dtype=np.uint16)
+    out = png(_png16_bytes(arr16, interlace=1))
+    assert (out == (arr16 >> 8).astype(np.uint8)).all()
+
+
+def test_png_remaining_gates():
+    """Sub-8-bit depth stays a guarded gate; 16-bit palette is flagged
+    as illegal, never mis-decoded."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+    )
+
+    png = _pure_decoders()["png"]
+
+    def hdr(bit_depth, color_type):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, bit_depth, color_type, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", b"\x00" * 9)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 32))
+            + _chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(NotImplementedError, match="sub-8-bit"):
+        png(hdr(4, 3))
+    with pytest.raises(ValueError, match="illegal 16-bit palette"):
+        png(hdr(16, 3))
