@@ -6,8 +6,9 @@ feature-extract / frame-sample run as Arrow-batched pandas iterators
 (``mapInPandas``) so bytes never round-trip through Python row by row.
 
 ``decode_images(fake=False)`` is a REAL pure-NumPy decoder for
-uncompressed formats (BMP BI_RGB, binary PPM/PGM), PNG at 8/16-bit
-in interlace 0 or Adam7 (stdlib zlib inflate + NumPy scanline
+uncompressed formats (BMP BI_RGB, binary PPM/PGM), COMPLETE PNG
+(every legal IHDR: depths 1/2/4/8/16, all five color types,
+interlace 0 or Adam7 — stdlib zlib inflate + NumPy scanline
 unfilter; 16-bit reduces to the high byte for the uint8 contract),
 and — new r9 — baseline sequential JPEG (Huffman decode + dequant +
 vectorized IDCT, DRI/RSTn restarts, chroma subsampling, JFIF
@@ -15,7 +16,7 @@ YCbCr→RGB) — no native codecs needed. ``decode_audio(fake=False)`` is
 the audio member: real RIFF/WAVE PCM decode (8/16-bit, multi-channel)
 plus a gain-invariant energy-envelope fingerprint for audio near-dup.
 The container lacks media codec libraries, so decode of the REMAINING
-formats (WebP/TIFF, progressive JPEG, sub-8-bit PNG, MP3/FLAC/OGG), ``embed_media``'s encoder
+formats (WebP/TIFF, progressive JPEG, MP3/FLAC/OGG), ``embed_media``'s encoder
 forward pass, and video frame extraction remain clearly-marked stubs
 (`NotImplementedError` unless ``fake=True``); the Spark-side contract —
 schemas, batch iteration, partitioning, output explosion — is real and
@@ -74,8 +75,8 @@ def _pure_decoders():
     ``wav`` returns (sample_rate, int32 samples of shape
     (n, channels)); ``any`` dispatches images on magic bytes and
     raises a guarded NotImplementedError for formats that need a
-    native codec (WebP/TIFF, progressive JPEG, sub-8-bit PNG) —
-    raising beats silently-wrong decode.
+    native codec (WebP/TIFF, progressive JPEG) — raising beats
+    silently-wrong decode.
 
     Performance envelope, measured at 1 MP (SCALING.md "Image-codec
     envelope" row; scripts/bench_codec_envelope.py reproduces it):
@@ -172,13 +173,14 @@ def _pure_decoders():
 
     def png_array(data: bytes):
         # Pure stdlib+NumPy PNG decode: zlib inflate + per-scanline
-        # unfilter (None/Sub/Up/Average/Paeth). 8- and 16-bit gray /
-        # gray+alpha / RGB / RGBA (+ 8-bit palette), interlace 0 or
-        # Adam7 (r11) — sub-8-bit depths stay behind the explicit
-        # stub (PIL territory). 16-bit samples decode exactly, then
-        # reduce to their high byte for the uniform (H, W, C) uint8
-        # contract (PIL's I;16→L convention); full-depth output is a
-        # one-line change where a pipeline needs it.
+        # unfilter (None/Sub/Up/Average/Paeth). EVERY legal IHDR shape
+        # decodes natively as of r11: depths 1/2/4/8/16, gray /
+        # gray+alpha / RGB / RGBA / palette, interlace 0 or Adam7.
+        # 16-bit samples decode exactly, then reduce to their high
+        # byte for the uniform (H, W, C) uint8 contract (PIL's
+        # I;16→L convention); sub-8-bit gray expands on the exact
+        # 255/(2^d−1) integer grid; sub-8-bit rows unpack MSB-first
+        # with byte-aligned row padding per the spec.
         if data[:8] != b"\x89PNG\r\n\x1a\n":
             raise ValueError("bad PNG signature")
         pos, width, idat, plte = 8, None, [], None
@@ -204,58 +206,89 @@ def _pure_decoders():
         if width is None:
             raise ValueError("PNG missing IHDR")
         if (
-            bit_depth not in (8, 16)
+            bit_depth not in (1, 2, 4, 8, 16)
             or interlace not in (0, 1)
             or color_type not in (0, 2, 3, 4, 6)
         ):
             raise NotImplementedError(
-                "only 8/16-bit gray/gray-alpha/RGB/RGBA/palette PNG "
-                "(interlace 0 or Adam7) decodes natively (got "
-                f"bit_depth={bit_depth}, color_type={color_type}, "
-                f"interlace={interlace}); sub-8-bit depths need PIL "
-                "here"
+                "unrecognized PNG shape (bit_depth="
+                f"{bit_depth}, color_type={color_type}, "
+                f"interlace={interlace})"
             )
+        if bit_depth < 8 and color_type not in (0, 3):
+            raise ValueError("illegal sub-8-bit PNG color type")
         if color_type == 3 and bit_depth == 16:
             raise ValueError("illegal 16-bit palette PNG")
         if color_type == 3 and plte is None:
             raise ValueError("palette PNG missing PLTE")
         n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-        bs = bit_depth // 8  # bytes per sample
-        bpp = n_ch * bs  # bytes per complete pixel (filter offset)
+        sub8 = bit_depth < 8
+        bs = max(1, bit_depth // 8)  # bytes per sample (>= 8-bit)
+        #: filter offset: bytes per complete pixel, floored at 1 for
+        #: packed sub-byte rows (RFC 2083 §6.3)
+        bppf = max(1, (bit_depth * n_ch) // 8)
         raw = zlib.decompress(b"".join(idat))
         if width <= 0 or height <= 0:
             raise ValueError("inconsistent PNG raster size")
+
+        def row_bytes(w: int) -> int:
+            return -(-(w * bit_depth * n_ch) // 8)
+
+        def to_samples(img_b, w: int):
+            # unfiltered byte rows -> (rows, w, channel-bytes) sample
+            # array; sub-byte rows unpack MSB-first and drop the
+            # byte-alignment padding bits
+            if not sub8:
+                return img_b.reshape(-1, w, n_ch * bs)
+            bits = np.unpackbits(img_b, axis=1)[:, : w * bit_depth]
+            vals = bits.reshape(-1, w, bit_depth).astype(np.int64)
+            weights = 1 << np.arange(bit_depth - 1, -1, -1)
+            return (
+                (vals * weights).sum(axis=2).astype(np.uint8)[..., None]
+            )
+
+        ch_bytes = 1 if sub8 else n_ch * bs
         if interlace == 0:
-            stride = width * bpp
+            stride = row_bytes(width)
             if len(raw) != (stride + 1) * height:
                 raise ValueError("inconsistent PNG raster size")
-            img = _png_unfilter(raw, height, stride, bpp)
+            samples = to_samples(
+                _png_unfilter(raw, height, stride, bppf), width
+            )
         else:  # Adam7: 7 independently-filtered sub-rasters
-            full = np.zeros((height, width, bpp), dtype=np.uint8)
+            samples = np.zeros(
+                (height, width, ch_bytes), dtype=np.uint8
+            )
             off = 0
             for x0, y0, dx, dy in _ADAM7:
                 pw = max(0, -(-(width - x0) // dx))
                 ph = max(0, -(-(height - y0) // dy))
                 if pw == 0 or ph == 0:
                     continue  # empty pass contributes no bytes
-                pstride = pw * bpp
+                pstride = row_bytes(pw)
                 need = (pstride + 1) * ph
                 if off + need > len(raw):
                     raise ValueError("inconsistent PNG raster size")
                 sub = _png_unfilter(
-                    raw[off : off + need], ph, pstride, bpp
+                    raw[off : off + need], ph, pstride, bppf
                 )
                 off += need
-                full[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+                samples[y0::dy, x0::dx] = to_samples(sub, pw)
             if off != len(raw):
                 raise ValueError("inconsistent PNG raster size")
-            img = full.reshape(height, width * bpp)
         if bs == 2:
             # exact big-endian 16-bit samples, reduced to the high
             # byte for the uniform uint8 contract
-            out = img.reshape(height, width, n_ch, 2)[:, :, :, 0]
+            out = samples.reshape(height, width, n_ch, 2)[:, :, :, 0]
+        elif sub8 and color_type == 0:
+            # exact integer expansion: 255/(2^d-1) is integral for
+            # d in {1, 2, 4} (255, 85, 17)
+            out = (
+                samples[:, :, 0].astype(np.int64)
+                * (255 // ((1 << bit_depth) - 1))
+            ).astype(np.uint8)[..., None]
         else:
-            out = img.reshape(height, width, n_ch)
+            out = samples
         if color_type == 3:  # palette lookup: indices -> RGB rows
             idx = out[:, :, 0]
             if int(idx.max(initial=0)) >= len(plte):
@@ -783,8 +816,8 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -> D
     zlib inflate + per-scanline None/Sub/Up/Average/Paeth unfilter),
     and baseline sequential JPEG (Huffman + dequant + IDCT, DRI/RSTn,
     chroma subsampling — new r9). The remaining compressed formats
-    (WebP/TIFF, progressive JPEG, sub-8-bit PNG) raise
-    NotImplementedError — that branch is where PIL/libvips plugs in.
+    (WebP/TIFF, progressive JPEG) raise NotImplementedError — that
+    branch is where PIL/libvips plugs in.
     ``fake=True`` keeps the deterministic pseudo-decode for fixtures
     whose payloads aren't images at all.
 

@@ -337,13 +337,81 @@ def test_png_adam7_decode():
     assert (out == (arr16 >> 8).astype(np.uint8)).all()
 
 
-def test_png_remaining_gates():
-    """Sub-8-bit depth stays a guarded gate; 16-bit palette is flagged
-    as illegal, never mis-decoded."""
+def test_png_sub8_decode():
+    """1/2/4-bit gray and palette PNGs (interlace 0 and Adam7) decode
+    natively (r11): MSB-first unpack, byte-aligned row padding, exact
+    255/(2^d-1) gray expansion, PLTE lookup — PNG IHDR coverage is
+    now complete."""
     import struct
     import zlib
 
     import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+    )
+
+    png = _pure_decoders()["png"]
+    rng = np.random.default_rng(4)
+
+    def pack_rows(vals, depth):
+        # (h, w) sample values -> packed MSB-first byte rows
+        h, w = vals.shape
+        bits = (
+            (vals[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+        ).reshape(h, w * depth).astype(np.uint8)
+        pad = (-bits.shape[1]) % 8
+        if pad:
+            bits = np.concatenate(
+                [bits, np.zeros((h, pad), np.uint8)], axis=1
+            )
+        return np.packbits(bits, axis=1)
+
+    def sub8_png(vals, depth, color_type, plte=b"", interlace=0):
+        h, w = vals.shape
+        if interlace == 0:
+            raster = _filter_rows(pack_rows(vals, depth), 1, [0, 1, 2, 3, 4])
+        else:
+            raster = b""
+            for x0, y0, dx, dy in _ADAM7_GRID:
+                sub = vals[y0::dy, x0::dx]
+                if sub.shape[0] and sub.shape[1]:
+                    raster += _filter_rows(
+                        pack_rows(sub, depth), 1, [0, 1, 2, 3, 4]
+                    )
+        ihdr = struct.pack(
+            ">IIBBBBB", w, h, depth, color_type, 0, 0, interlace
+        )
+        out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        if plte:
+            out += _chunk(b"PLTE", plte)
+        return out + _chunk(
+            b"IDAT", zlib.compress(raster)
+        ) + _chunk(b"IEND", b"")
+
+    for depth in (1, 2, 4):
+        for interlace in (0, 1):
+            vals = rng.integers(0, 1 << depth, (13, 11), dtype=np.uint8)
+            out = png(sub8_png(vals, depth, 0, interlace=interlace))
+            scale = 255 // ((1 << depth) - 1)
+            assert out.shape == (13, 11, 1)
+            assert (out[:, :, 0] == (vals * scale).astype(np.uint8)).all()
+    # palette at 4-bit, both interlace modes
+    plte = bytes(rng.integers(0, 256, 16 * 3, dtype=np.uint8))
+    pal = np.frombuffer(plte, np.uint8).reshape(16, 3)
+    for interlace in (0, 1):
+        vals = rng.integers(0, 16, (9, 17), dtype=np.uint8)
+        out = png(sub8_png(vals, 4, 3, plte=plte, interlace=interlace))
+        assert out.shape == (9, 17, 3)
+        assert (out == pal[vals]).all()
+
+
+def test_png_remaining_gates():
+    """Illegal IHDR combinations are flagged, never mis-decoded:
+    sub-8-bit truecolor and 16-bit palette violate the spec."""
+    import struct
+    import zlib
+
     import pytest
 
     from amazonmsk_emr_tem_data_spark.operators.multimodal import (
@@ -362,7 +430,9 @@ def test_png_remaining_gates():
             + _chunk(b"IEND", b"")
         )
 
-    with pytest.raises(NotImplementedError, match="sub-8-bit"):
-        png(hdr(4, 3))
+    with pytest.raises(ValueError, match="illegal sub-8-bit"):
+        png(hdr(4, 2))
     with pytest.raises(ValueError, match="illegal 16-bit palette"):
         png(hdr(16, 3))
+    with pytest.raises(NotImplementedError, match="unrecognized"):
+        png(hdr(3, 0))
