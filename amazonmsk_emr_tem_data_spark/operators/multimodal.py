@@ -13,7 +13,8 @@ unfilter; 16-bit reduces to the high byte for the uint8 contract),
 and — new r9 — baseline sequential JPEG (Huffman decode + dequant +
 vectorized IDCT, DRI/RSTn restarts, chroma subsampling, JFIF
 YCbCr→RGB) — no native codecs needed. ``decode_audio(fake=False)`` is
-the audio member: real RIFF/WAVE PCM decode (8/16-bit, multi-channel)
+the audio member: real RIFF/WAVE decode (integer PCM 8/16/24/32-bit,
+IEEE float 32/64, WAVE_FORMAT_EXTENSIBLE, multi-channel)
 plus a gain-invariant energy-envelope fingerprint for audio near-dup.
 The container lacks media codec libraries, so decode of the REMAINING
 formats (WebP/TIFF, progressive JPEG, MP3/FLAC/OGG), ``embed_media``'s encoder
@@ -719,11 +720,17 @@ def _pure_decoders():
         return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
     def wav_array(data: bytes):
-        """RIFF/WAVE PCM decode (8-bit unsigned / 16-bit signed LE,
-        any channel count): (sample_rate, int32 array of shape
-        (n_samples, n_channels)). Compressed audio (MP3/FLAC/OGG,
-        and non-PCM WAV like IEEE-float or A-law) raises the guarded
-        stub — ffmpeg/soundfile territory."""
+        """RIFF/WAVE decode, any channel count: integer PCM at
+        8/16/24/32-bit, IEEE float at 32/64-bit (format 3), and
+        WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping either — r11; only
+        companded (A-law/µ-law) and compressed audio (MP3/FLAC/OGG)
+        still raise the guarded stub. Returns (sample_rate, int32
+        array of shape (n_samples, n_channels)) with every depth
+        aligned onto ONE documented 16-bit grid: 8-bit → (v−128)·256,
+        16-bit verbatim, 24/32-bit → arithmetic shift down (high 16
+        bits), float → rint(clip(x, −1, 1)·32767) — so downstream
+        features (RMS, envelope hash) are depth-invariant by
+        construction."""
         if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
             raise ValueError("bad WAV signature")
         pos = 12
@@ -735,27 +742,47 @@ def _pure_decoders():
             if cid == b"fmt ":
                 (audio_fmt, n_ch, rate, _br, _ba,
                  bits) = struct.unpack_from("<HHIIHH", data, body_at)
-                if audio_fmt != 1 or bits not in (8, 16):
+                if audio_fmt == 0xFFFE and clen >= 40:
+                    # WAVE_FORMAT_EXTENSIBLE: the real format code is
+                    # the first two bytes of the SubFormat GUID
+                    audio_fmt = struct.unpack_from(
+                        "<H", data, body_at + 24
+                    )[0]
+                if not (
+                    (audio_fmt == 1 and bits in (8, 16, 24, 32))
+                    or (audio_fmt == 3 and bits in (32, 64))
+                ):
                     raise NotImplementedError(
-                        "only PCM 8/16-bit WAV decodes natively (got "
-                        f"format={audio_fmt}, bits={bits}); float/"
-                        "A-law WAV and MP3/FLAC/OGG need ffmpeg here"
+                        "only integer PCM 8/16/24/32-bit and IEEE-"
+                        "float 32/64-bit WAV decode natively (got "
+                        f"format={audio_fmt}, bits={bits}); A-law/"
+                        "µ-law WAV and MP3/FLAC/OGG need ffmpeg here"
                     )
-                fmt = (n_ch, rate, bits)
+                fmt = (n_ch, rate, bits, audio_fmt)
             elif cid == b"data":
                 if fmt is None:
                     raise ValueError("WAV data chunk before fmt")
-                n_ch, rate, bits = fmt
+                n_ch, rate, bits, audio_fmt = fmt
                 width = bits // 8
                 n = min(clen, len(data) - body_at)
                 n -= n % (width * n_ch)
                 if n_ch == 0 or rate == 0:
                     raise ValueError("inconsistent WAV fmt")
-                if bits == 16:
+                if audio_fmt == 3:
+                    f = np.frombuffer(
+                        data,
+                        dtype="<f4" if bits == 32 else "<f8",
+                        count=n // width,
+                        offset=body_at,
+                    )
+                    raw = np.rint(
+                        np.clip(f, -1.0, 1.0) * 32767.0
+                    ).astype(np.int32)
+                elif bits == 16:
                     raw = np.frombuffer(
                         data, dtype="<i2", count=n // 2, offset=body_at
                     ).astype(np.int32)
-                else:
+                elif bits == 8:
                     raw = (
                         np.frombuffer(
                             data, dtype=np.uint8, count=n,
@@ -763,6 +790,21 @@ def _pure_decoders():
                         ).astype(np.int32)
                         - 128
                     ) * 256  # align 8-bit onto the 16-bit grid
+                elif bits == 24:
+                    b3 = np.frombuffer(
+                        data, dtype=np.uint8, count=n, offset=body_at
+                    ).reshape(-1, 3).astype(np.int32)
+                    v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+                    v = np.where(v >= 1 << 23, v - (1 << 24), v)
+                    raw = v >> 8  # high 16 bits (arithmetic)
+                else:  # 32-bit integer PCM
+                    raw = (
+                        np.frombuffer(
+                            data, dtype="<i4", count=n // 4,
+                            offset=body_at,
+                        )
+                        >> 16
+                    ).astype(np.int32)
                 return rate, raw.reshape(-1, n_ch)
             pos = body_at + clen + (clen & 1)  # chunks are word-aligned
         raise ValueError("WAV missing data chunk")

@@ -436,3 +436,72 @@ def test_png_remaining_gates():
         png(hdr(16, 3))
     with pytest.raises(NotImplementedError, match="unrecognized"):
         png(hdr(3, 0))
+
+
+def _wav_raw(raw, fmt_code, n_ch, rate, bits, extensible=False):
+    import struct
+
+    if extensible:
+        ext = struct.pack("<HIH", bits, 0, fmt_code) + b"\x00" * 14
+        fmt = struct.pack(
+            "<HHIIHHH", 0xFFFE, n_ch, rate, rate * n_ch * bits // 8,
+            n_ch * bits // 8, bits, len(ext),
+        ) + ext
+    else:
+        fmt = struct.pack(
+            "<HHIIHH", fmt_code, n_ch, rate, rate * n_ch * bits // 8,
+            n_ch * bits // 8, bits,
+        )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    if len(raw) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_extended_formats_decode():
+    """24/32-bit integer PCM, IEEE float32/64, and
+    WAVE_FORMAT_EXTENSIBLE WAVs decode onto the documented 16-bit
+    grid (r11; formerly guarded gates)."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+    )
+
+    wav = _pure_decoders()["wav"]
+    vals16 = np.array([[-32768], [-1], [0], [1], [32767]], np.int64)
+
+    # 24-bit: samples are vals16 << 8; grid reduction recovers vals16
+    b3 = bytearray()
+    for v in (vals16[:, 0] << 8):
+        b3 += int(v & 0xFFFFFF).to_bytes(3, "little")
+    rate, out = wav(_wav_raw(bytes(b3), 1, 1, 8000, 24))
+    assert rate == 8000 and (out[:, 0] == vals16[:, 0]).all()
+
+    # 32-bit int: vals16 << 16
+    raw32 = (vals16[:, 0].astype("<i8") << 16).astype("<i4").tobytes()
+    _, out = wav(_wav_raw(raw32, 1, 1, 8000, 32))
+    assert (out[:, 0] == vals16[:, 0]).all()
+
+    # float32/64: x in [-1, 1] -> rint(clip(x)*32767); +2.0 clips
+    f = np.array([-1.0, -0.5, 0.0, 0.25, 1.0, 2.0])
+    want = np.rint(np.clip(f, -1, 1) * 32767.0).astype(np.int64)
+    for dt, bits in (("<f4", 32), ("<f8", 64)):
+        _, out = wav(_wav_raw(f.astype(dt).tobytes(), 3, 1, 44100, bits))
+        assert (out[:, 0] == want).all(), bits
+
+    # extensible wrapper around float32 and around 16-bit PCM, stereo
+    _, out = wav(
+        _wav_raw(f.astype("<f4").tobytes(), 3, 2, 22050, 32,
+                 extensible=True)
+    )
+    assert out.shape == (3, 2) and (out.reshape(-1) == want).all()
+    st = np.array([[100, -200], [300, -400]], np.int64)
+    _, out = wav(
+        _wav_raw(st.astype("<i2").tobytes(), 1, 2, 22050, 16,
+                 extensible=True)
+    )
+    assert (out == st).all()
