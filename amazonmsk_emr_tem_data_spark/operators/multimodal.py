@@ -14,7 +14,8 @@ and — new r9 — baseline sequential JPEG (Huffman decode + dequant +
 vectorized IDCT, DRI/RSTn restarts, chroma subsampling, JFIF
 YCbCr→RGB) — no native codecs needed. ``decode_audio(fake=False)`` is
 the audio member: real RIFF/WAVE decode (integer PCM 8/16/24/32-bit,
-IEEE float 32/64, WAVE_FORMAT_EXTENSIBLE, multi-channel)
+IEEE float 32/64, G.711 A-law/µ-law, WAVE_FORMAT_EXTENSIBLE,
+multi-channel)
 plus a gain-invariant energy-envelope fingerprint for audio near-dup.
 The container lacks media codec libraries, so decode of the REMAINING
 formats (WebP/TIFF, progressive JPEG, MP3/FLAC/OGG), ``embed_media``'s encoder
@@ -722,9 +723,10 @@ def _pure_decoders():
     def wav_array(data: bytes):
         """RIFF/WAVE decode, any channel count: integer PCM at
         8/16/24/32-bit, IEEE float at 32/64-bit (format 3), and
-        WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping either — r11; only
-        companded (A-law/µ-law) and compressed audio (MP3/FLAC/OGG)
-        still raise the guarded stub. Returns (sample_rate, int32
+        G.711 A-law/µ-law (formats 6/7, canonical expansion), and
+        WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrappers — r11; only
+        genuinely-compressed audio (MP3/FLAC/OGG, ADPCM) still
+        raises the guarded stub. Returns (sample_rate, int32
         array of shape (n_samples, n_channels)) with every depth
         aligned onto ONE documented 16-bit grid: 8-bit → (v−128)·256,
         16-bit verbatim, 24/32-bit → arithmetic shift down (high 16
@@ -751,12 +753,13 @@ def _pure_decoders():
                 if not (
                     (audio_fmt == 1 and bits in (8, 16, 24, 32))
                     or (audio_fmt == 3 and bits in (32, 64))
+                    or (audio_fmt in (6, 7) and bits == 8)
                 ):
                     raise NotImplementedError(
-                        "only integer PCM 8/16/24/32-bit and IEEE-"
-                        "float 32/64-bit WAV decode natively (got "
-                        f"format={audio_fmt}, bits={bits}); A-law/"
-                        "µ-law WAV and MP3/FLAC/OGG need ffmpeg here"
+                        "only integer PCM 8/16/24/32-bit, IEEE-float "
+                        "32/64-bit, and G.711 A-law/µ-law WAV decode "
+                        f"natively (got format={audio_fmt}, "
+                        f"bits={bits}); MP3/FLAC/OGG need ffmpeg here"
                     )
                 fmt = (n_ch, rate, bits, audio_fmt)
             elif cid == b"data":
@@ -768,7 +771,39 @@ def _pure_decoders():
                 n -= n % (width * n_ch)
                 if n_ch == 0 or rate == 0:
                     raise ValueError("inconsistent WAV fmt")
-                if audio_fmt == 3:
+                if audio_fmt in (6, 7):
+                    # G.711 companded bytes -> linear 16-bit grid via
+                    # the canonical 256-entry expansion (the exact
+                    # Sun/CCITT g711.c formulas; A-law tops at ±32256,
+                    # µ-law at ±32124 on this grid)
+                    lut = np.empty(256, np.int32)
+                    for code in range(256):
+                        if audio_fmt == 6:  # A-law
+                            a = code ^ 0x55
+                            t = (a & 0x0F) << 4
+                            seg = (a & 0x70) >> 4
+                            if seg == 0:
+                                t += 8
+                            elif seg == 1:
+                                t += 0x108
+                            else:
+                                t = (t + 0x108) << (seg - 1)
+                            lut[code] = t if a & 0x80 else -t
+                        else:  # µ-law
+                            u = ~code & 0xFF
+                            t = (((u & 0x0F) << 3) + 0x84) << (
+                                (u & 0x70) >> 4
+                            )
+                            lut[code] = (
+                                0x84 - t if u & 0x80 else t - 0x84
+                            )
+                    raw = lut[
+                        np.frombuffer(
+                            data, dtype=np.uint8, count=n,
+                            offset=body_at,
+                        )
+                    ]
+                elif audio_fmt == 3:
                     f = np.frombuffer(
                         data,
                         dtype="<f4" if bits == 32 else "<f8",

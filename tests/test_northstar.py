@@ -1654,19 +1654,19 @@ def test_multimodal_real_decode_wav(spark):
 
 
 def test_multimodal_wav_compressed_and_nonpcm_gated(spark):
-    """MP3 magic and companded (A-law) WAV stay behind the explicit
-    stub. (IEEE-float WAV graduated from this list in r11 — it now
-    really decodes.)"""
+    """MP3 magic and genuinely-compressed WAV (MS ADPCM) stay behind
+    the explicit stub. (IEEE-float and G.711 A-law/µ-law WAV
+    graduated from this list in r11 — they now really decode.)"""
     import struct
 
     from amazonmsk_emr_tem_data_spark.operators.multimodal import decode_audio
 
-    fmt = struct.pack("<HHIIHH", 6, 1, 16000, 16000, 1, 8)  # A-law
-    alaw_wav = (
+    fmt = struct.pack("<HHIIHH", 2, 1, 16000, 16000, 1, 4)  # MS ADPCM
+    adpcm_wav = (
         b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     )
-    for doc_id, payload in [(1, b"ID3\x04" + b"\x00" * 64), (2, alaw_wav)]:
+    for doc_id, payload in [(1, b"ID3\x04" + b"\x00" * 64), (2, adpcm_wav)]:
         df = spark.createDataFrame(
             [(doc_id, bytearray(payload))], "doc_id long, payload binary"
         )

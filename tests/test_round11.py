@@ -505,3 +505,27 @@ def test_wav_extended_formats_decode():
                  extensible=True)
     )
     assert (out == st).all()
+
+
+def test_wav_g711_decode():
+    """G.711 A-law/µ-law WAVs decode via the canonical expansion:
+    published extreme/zero codes map to their exact linear values
+    (A-law ±32256 full scale, ±8 minimum step at code 0x55/0xD5;
+    µ-law ±32124 full scale, exact 0 at codes 0xFF/0x7F)."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+    )
+
+    wav = _pure_decoders()["wav"]
+    # (format, {code: linear})
+    cases = [
+        (6, {0x55: -8, 0xD5: 8, 0x2A: -32256, 0xAA: 32256}),
+        (7, {0xFF: 0, 0x7F: 0, 0x00: -32124, 0x80: 32124}),
+    ]
+    for fmt_code, table in cases:
+        codes = bytes(table)
+        rate, out = wav(_wav_raw(codes, fmt_code, 1, 8000, 8))
+        assert rate == 8000
+        assert out[:, 0].tolist() == list(table.values()), fmt_code
