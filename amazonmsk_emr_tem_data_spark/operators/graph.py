@@ -492,11 +492,16 @@ def hyperball_kmv(
     Scale shape: state is <= k rows of (node, hash) per node — n*k
     longs total, never the ball itself (the whole point: exact balls
     are Theta(n^2) on dense graphs). Per round: one frontier-free
-    join of the register table onto the pre-aggregated adjacency list
-    (built once, partitioned on the join key, checkpointed — the
-    per_source_harmonic shape), one distinct, one bottom-k window;
-    lineage truncated per round. Balls smaller than k are reported
-    EXACTLY (n_regs < k); the estimator only engages past k."""
+    join of the register table onto repartitioned+checkpointed EDGE
+    ROWS (the per_source_harmonic shape — r12, from r11 ADVICE: the
+    r11 collect_list adjacency concentrated a hub's entire
+    neighborhood in one aggregation buffer and one explode task,
+    exactly the GC-pressure/skew shape the harmonic A/B measured and
+    rejected, 74-86s vs 61-66s at 100x; edge rows spread a hub's
+    deg(v)*k register emissions across partitions), one distinct, one
+    bottom-k window; lineage truncated per round. Balls smaller than
+    k are reported EXACTLY (n_regs < k); the estimator only engages
+    past k."""
     from pyspark.sql import Window
 
     from ..functions.text import md5_hash64
@@ -506,8 +511,8 @@ def hyperball_kmv(
         edges.select(F.col(b).alias(a), F.col(a).alias(b))
     )
     adj = (
-        bidir.groupBy(F.col(a).alias("adj_node"))
-        .agg(F.collect_list(b).alias("nbrs"))
+        bidir.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .repartition("src")
         .localCheckpoint(eager=True)
     )
     nodes = bidir.select(F.col(a).alias("node")).distinct()
@@ -520,8 +525,8 @@ def hyperball_kmv(
     wk = Window.partitionBy("node").orderBy("h")
     for _ in range(rounds):
         nbr = (
-            sk.join(adj, sk["node"] == adj["adj_node"])
-            .select(F.explode("nbrs").alias("node"), "h")
+            sk.join(adj, sk["node"] == adj["src"])
+            .select(F.col("dst").alias("node"), "h")
         )
         sk = (
             sk.unionByName(nbr)

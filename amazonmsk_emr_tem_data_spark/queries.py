@@ -18004,11 +18004,16 @@ def _nn_descent_sql(k: int = 6, iters: int = 3, n_planes: int = 6,
             # rev_k = k div 2 reverse edges per node, ranked by the
             # shared cross-engine md5_hash64 of the reversed edge —
             # bounds per-node und out-degree at k + rev_k so hub hop
-            # cost stays linear in in-degree
-            f"rs{t} AS MATERIALIZED (SELECT a, b FROM ("
-            f"SELECT b AS a, a AS b, ROW_NUMBER() OVER ("
-            f"PARTITION BY b ORDER BY {rev_hash}, a) AS rrk"
-            f" FROM e{p}) WHERE rrk <= {rev_k})",
+            # cost stays linear in in-degree. The reversal happens in
+            # an inner subquery with the hash precomputed, so the
+            # window's partition/order keys bind unambiguously (r12:
+            # the former single-SELECT form relied on DuckDB resolving
+            # `b AS a, a AS b` window refs to the BASE columns)
+            f"rs{t} AS MATERIALIZED (SELECT ra AS a, rb AS b FROM ("
+            "SELECT ra, rb, ROW_NUMBER() OVER ("
+            "PARTITION BY ra ORDER BY rh, rb) AS rrk"
+            f" FROM (SELECT b AS ra, a AS rb, {rev_hash} AS rh"
+            f" FROM e{p})) WHERE rrk <= {rev_k})",
             # UNION ALL: duplicates (mutual-top pairs) are deduped by
             # c{t}'s UNION — mirrors the Spark side dropping its
             # per-round distinct
@@ -18858,8 +18863,11 @@ def ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's oracle is the SAME composed unrolled-CTE twin as the
     fit-path query: a hash match proves the persistence layer is
     lossless end-to-end."""
+    import hashlib
     import os
+    import shutil
     import tempfile
+    import uuid
 
     from .operators.similarity import (
         ivfpq_serve,
@@ -18872,24 +18880,50 @@ def ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # fit ONLY when the persisted model is absent — the actual
     # lifecycle (and what the bench prices: warm run fits+saves,
-    # measured runs load+serve). The path carries a params version
-    # token so a fit-recipe change can never serve a stale model;
-    # the fits are RNG-free, so a cached model is bit-identical to a
-    # fresh one (the shared oracle would hash-fail otherwise). The
-    # codebooks _SUCCESS marker is written last, guarding against a
-    # partially-saved model.
-    path = os.path.join(
+    # measured runs load+serve). The cache key is a CONTENT
+    # fingerprint of the embeddings table (resolved path + per-file
+    # relpath/mtime_ns/size) plus a params version token, so
+    # regenerated fixture data, two datasets sharing a basename, or a
+    # fit-recipe change can never serve a stale model (r11 ADVICE
+    # medium #2). The dir is per-user (0700, not world-writable), and
+    # the fit writes to a unique tmp name renamed into place — rename
+    # is atomic, so concurrent fitters either win the rename or serve
+    # the winner's (bit-identical: the fits are RNG-free).
+    src = os.path.realpath(os.path.join(sf_dir, "embeddings.parquet"))
+    h = hashlib.sha256(src.encode())
+    paths = [src]
+    if os.path.isdir(src):
+        paths = [
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(src)
+            for f in sorted(files)
+        ]
+    for p in sorted(paths):
+        st = os.stat(p)
+        rel = os.path.relpath(p, src) if p != src else "."
+        h.update(f"|{rel}:{st.st_mtime_ns}:{st.st_size}".encode())
+    cache_root = os.path.join(
         tempfile.gettempdir(),
-        "spark_graft_ann_model_v1_k8_m8_ksub16_"
-        + os.path.basename(sf_dir.rstrip("/")),
+        f"spark_graft_ann_u{getattr(os, 'getuid', lambda: 0)()}",
+    )
+    os.makedirs(cache_root, mode=0o700, exist_ok=True)
+    path = os.path.join(
+        cache_root, f"model_v1_k8_m8_ksub16_{h.hexdigest()[:16]}"
     )
     if not os.path.exists(os.path.join(path, "codebooks", "_SUCCESS")):
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
         save_ann_model(
             spark,
-            path,
+            tmp,
             centroids=kmeans_centroids(emb, k=8),
             codebooks=pq_train(emb),
         )
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # a concurrent fitter won the rename; its model is
+            # bit-identical — discard ours and serve the winner's
+            shutil.rmtree(tmp, ignore_errors=True)
     model = load_ann_model(spark, path)
     return ivfpq_serve(emb, model["centroids"], model["codebooks"])
 
@@ -19054,6 +19088,117 @@ REGISTRY.update(
 )
 
 
+# --- round 12 ---------------------------------------------------------
+
+#: Weight-quantization cap for weighted_priority_sample: weights are
+#: clamped to powers of two 2^0..2^_AES_JMAX, so the A-ES rank key
+#: u^(1/2^j) is an iterated-sqrt chain — every op correctly-rounded
+#: IEEE, hence bit-identical across engines (libm pow/ln are NOT).
+_AES_JMAX = 16
+
+
+def weighted_priority_sample(
+    spark: SparkSession, sf_dir: str, n: int = 100
+) -> DataFrame:
+    """Weighted reservoir / priority sampling (Efraimidis-Spirakis
+    2006, "Weighted random sampling with a reservoir"): each document
+    draws u in (0,1] from the deterministic 60-bit md5 grid and ranks
+    by key = u^(1/w); the global top-n by key IS a weighted sample
+    without replacement with inclusion probability increasing in w —
+    the classic curation shape for "sample 1M docs favoring long /
+    high-quality ones" (the one sampling family still missing beside
+    systematic/stratified/Neyman/mixture; r11 VERDICT ask #4).
+
+    Weights (n_chars here) are quantized to powers of two,
+    w_q = 2^floor(log2(w)) clamped to 2^_AES_JMAX, so the rank key
+    u^(1/2^j) evaluates as j chained sqrt() calls: int->double casts,
+    division by 2^60, and sqrt are all correctly-rounded IEEE ops, so
+    Spark and the DuckDB twin produce bit-identical keys (exp(ln(u)/w)
+    would hang cross-engine parity on libm ULPs; quantized-weight
+    priority sampling is itself standard practice — the estimator only
+    needs the key distribution, and a 2x weight grid shifts inclusion
+    odds by at most sqrt(2) in key space). Quantization bands are
+    picked by an exact integer CASE chain, never float log2.
+
+    Scale shape: the key is a pure column expression inside the scan
+    stage and the global top-n plans as TakeOrderedAndProject —
+    per-partition partial top-n, one driver-side merge of n*partitions
+    rows, ZERO shuffle (pinned by test_plans). At 100 TB this is one
+    map pass; n rows of driver state."""
+    from .functions.text import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.greatest(F.coalesce(F.col("n_chars"), F.lit(1)), F.lit(1))
+    j = F.when(w >= F.lit(1 << _AES_JMAX), F.lit(_AES_JMAX))
+    for e in range(_AES_JMAX - 1, 0, -1):
+        j = j.when(w >= F.lit(1 << e), F.lit(e))
+    j = j.otherwise(F.lit(0))
+    h = md5_hash64(F.col("doc_id").cast("string"))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    s = u
+    key = F.when(F.col("w_log2") == 0, s)
+    for e in range(1, _AES_JMAX + 1):
+        s = F.sqrt(s)
+        key = key.when(F.col("w_log2") == e, s)
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            j.cast("int").alias("w_log2"),
+        )
+        .withColumn("aes_key", key)
+        .orderBy(F.col("aes_key").desc(), F.col("doc_id").asc())
+        .limit(n)
+    )
+
+
+def _aes_sql(n: int = 100) -> str:
+    """DuckDB twin of weighted_priority_sample: the same integer CASE
+    banding, the same (h+1)/2^60 grid draw, and the same iterated-sqrt
+    key — textually nested sqrt(sqrt(...)) so both engines execute the
+    identical correctly-rounded op sequence."""
+    w = "GREATEST(COALESCE(n_chars, 1), 1)"
+    j_branches = " ".join(
+        f"WHEN {w} >= {1 << e} THEN {e}"
+        for e in range(_AES_JMAX, 0, -1)
+    )
+    u = (
+        "(CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),"
+        " 1, 15)) AS BIGINT) + 1 AS DOUBLE) / "
+        f"{float(1 << 60)!r})"
+    )
+    key_branches = " ".join(
+        "WHEN w_log2 = {e} THEN {expr}".format(
+            e=e, expr="sqrt(" * e + "u" + ")" * e
+        )
+        for e in range(1, _AES_JMAX + 1)
+    )
+    return f"""
+WITH drawn AS (
+  SELECT doc_id,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(CASE {j_branches} ELSE 0 END AS INT) AS w_log2,
+         {u} AS u
+  FROM documents
+)
+SELECT doc_id, n_chars, w_log2,
+       CASE {key_branches} ELSE u END AS aes_key
+FROM drawn
+ORDER BY aes_key DESC, doc_id ASC
+LIMIT {n}
+"""
+
+
+REGISTRY.update(
+    {
+        "weighted_priority_sample": (
+            weighted_priority_sample,
+            _aes_sql(),
+        ),
+    }
+)
+
+
 # --- driver-window rotation (artifact-driven since r11) -------------
 # The round driver hash-stamps exactly ``list(REGISTRY)[:50]``. Rounds
 # 9/10 hand-maintained per-round HEAD tuples here; r10's VERDICT asked
@@ -19072,16 +19217,13 @@ REGISTRY.update(
 #: the one freshness signal the artifacts cannot carry. Reset each
 #: round to the queries the round actually touched.
 _RESTAMP: tuple[str, ...] = (
-    "part_harmonic_centrality",   # r11: bidir repartition+checkpoint
-    "nn_descent_knn_graph",       # r11: reverse-neighbor sampling
-    # r11 Arrow serve-path rewrite (with_ivf_cell / pq_encode /
-    # with_lsh_buckets / score_pairs_cosine) — hash-stable by design,
-    # but implementation drift needs fresh driver evidence:
-    "embedding_ivfpq_topk",
-    "embedding_pq_adc_topk",
-    "embedding_pq_rerank_topk",
+    # r12 scorer fix (score_pairs_cosine batch-independent
+    # scoreability) + oracle rs-CTE restructure — hash-stable by
+    # design, but implementation drift needs fresh driver evidence:
+    "nn_descent_knn_graph",
     "lsh_ann_pairs",
-    "semantic_dedup_vectors",
+    "copurchase_hyperball",       # r12: register-join onto edge rows
+    "ivfpq_persisted_topk",       # r12: content-fingerprint cache key
 )
 
 

@@ -1537,7 +1537,8 @@ def test_harmonic_no_cartesian_bounded_sources(spark, sf_dir):
 
 def test_hyperball_no_cartesian(spark, sf_dir):
     """HyperBall: register rounds are equi-joins of the sketch onto
-    the pre-aggregated adjacency list plus distinct + bottom-k
+    repartitioned+checkpointed edge rows (r12: the per_source_harmonic
+    shape — no collect_list hub buffers) plus distinct + bottom-k
     windows — never a cartesian; the final agg partial-aggregates."""
     f = facts(spark, sf_dir, "copurchase_hyperball")
     assert not f.has_cartesian
@@ -1566,3 +1567,17 @@ def test_dedup_signal_agreement_no_cartesian(spark, sf_dir):
     f = facts(spark, sf_dir, "dedup_signal_agreement")
     assert not f.has_cartesian
     assert f.has_partial_agg
+
+
+def test_weighted_priority_sample_shuffle_free(spark, sf_dir):
+    """A-ES priority sampling: the rank key is a column expression in
+    the scan stage and the global top-n compiles to
+    TakeOrderedAndProject (per-partition heaps + one driver merge) —
+    zero exchanges, zero joins. At 100 TB this must stay a single map
+    pass over the corpus."""
+    f = facts(spark, sf_dir, "weighted_priority_sample")
+    assert "TakeOrderedAndProject" in f.raw, (
+        "top-n must compile to TakeOrderedAndProject, not a global sort"
+    )
+    assert f.n_exchanges == 0, "A-ES sampling must be shuffle-free"
+    assert not f.joins
