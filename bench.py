@@ -45,6 +45,32 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
+def _quiet_gate() -> dict:
+    """Wait (bounded) for ambient load to drain before measuring —
+    r11 VERDICT ask #8: BENCH_r11 started at loadavg 6-8 and every
+    such run pays a drift-investigation tax. Gating happens ONCE at
+    start: per-rep gating would trip on the bench's own executor load
+    (loadavg_after legitimately reads 5-7 mid-run). Tunables:
+    SPARK_GRAFT_QUIET_LOADAVG (1-min loadavg threshold, default 4.0;
+    0 disables) and SPARK_GRAFT_QUIET_WAIT_MAX (seconds, default 300).
+    The returned metadata is recorded in the payload either way, so a
+    comparison can mechanically drop non-quiet runs."""
+    threshold = float(os.environ.get("SPARK_GRAFT_QUIET_LOADAVG", "4.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_MAX", "300"))
+    waited = 0.0
+    load = os.getloadavg()[0]
+    while threshold > 0 and load > threshold and waited < max_wait:
+        time.sleep(15.0)
+        waited += 15.0
+        load = os.getloadavg()[0]
+    return {
+        "threshold": threshold,
+        "waited_sec": round(waited, 1),
+        "loadavg_at_measure": round(load, 2),
+        "satisfied": bool(threshold <= 0 or load <= threshold),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Ambient-load context (r6 verdict: a 25% total swing on unchanged
@@ -53,6 +79,7 @@ def main() -> None:
     # "regression" from "busy box"; compare per-query MEDIANS under
     # comparable load, never bare totals.
     load_before = os.getloadavg()
+    quiet_gate = _quiet_gate()
     started_at = time.strftime("%Y-%m-%dT%H:%M:%S%z")
     spark = get_spark("bench")
 
@@ -106,6 +133,7 @@ def main() -> None:
             "started_at": started_at,
             "loadavg_before": [round(x, 2) for x in load_before],
             "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+            "quiet_gate": quiet_gate,
         }
     )
     # Truncation-proofing (r7: the driver kept only the TAIL of bench

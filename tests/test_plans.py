@@ -458,12 +458,15 @@ def test_incremental_agg_cutoff_invariance(spark, sf_dir):
     from collections import Counter
 
     from amazonmsk_emr_tem_data_spark import queries as Q
+    # patch the DEFINING module (r12 package split): the query function
+    # resolves _INCR_CUTOFF from its own module globals at call time
+    from amazonmsk_emr_tem_data_spark.queries import _graph_ann as Qm
 
     ref = None
-    orig = Q._INCR_CUTOFF
+    orig = Qm._INCR_CUTOFF
     try:
         for cutoff in ("1900-01-01", "1996-01-01", "1997-06-15", "2100-01-01"):
-            Q._INCR_CUTOFF = cutoff
+            Qm._INCR_CUTOFF = cutoff
             got = Counter(
                 tuple(r) for r in Q.orders_incremental_agg(spark, sf_dir).collect()
             )
@@ -471,7 +474,7 @@ def test_incremental_agg_cutoff_invariance(spark, sf_dir):
                 ref = got
             assert got == ref, f"cutoff {cutoff} changed the merged rollup"
     finally:
-        Q._INCR_CUTOFF = orig
+        Qm._INCR_CUTOFF = orig
 
 
 def test_prefix_filter_verification_is_candidate_bounded(spark, sf_dir):
