@@ -14,11 +14,11 @@ and — new r9 — baseline sequential JPEG (Huffman decode + dequant +
 vectorized IDCT, DRI/RSTn restarts, chroma subsampling, JFIF
 YCbCr→RGB) — no native codecs needed. ``decode_audio(fake=False)`` is
 the audio member: real RIFF/WAVE decode (integer PCM 8/16/24/32-bit,
-IEEE float 32/64, G.711 A-law/µ-law, WAVE_FORMAT_EXTENSIBLE,
-multi-channel)
+IEEE float 32/64, G.711 A-law/µ-law, IMA/DVI ADPCM — new r12 —
+WAVE_FORMAT_EXTENSIBLE, multi-channel)
 plus a gain-invariant energy-envelope fingerprint for audio near-dup.
 The container lacks media codec libraries, so decode of the REMAINING
-formats (WebP/TIFF, progressive JPEG, MP3/FLAC/OGG), ``embed_media``'s encoder
+formats (WebP/TIFF, progressive JPEG, MP3/FLAC/OGG, MS ADPCM), ``embed_media``'s encoder
 forward pass, and video frame extraction remain clearly-marked stubs
 (`NotImplementedError` unless ``fake=True``); the Spark-side contract —
 schemas, batch iteration, partitioning, output explosion — is real and
@@ -720,19 +720,89 @@ def _pure_decoders():
             )
         return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
+    def _ima_adpcm_array(data, body_at, n, n_ch, blk_align):
+        """IMA/DVI ADPCM (WAV format 0x11) → int16-grid samples,
+        shape (n_samples, n_ch). Standard IMA tables (IMA ADPCM
+        Reference, 1992; identical constants in every g72x/dvi
+        implementation). Block layout: per channel a 4-byte header
+        (int16 predictor = sample 0, uint8 step index), then 4-byte
+        nibble groups round-robin per channel, low nibble first.
+        Blocks are self-contained, so decoding vectorizes across
+        blocks×channels; the only sequential axis is the ~samples-
+        per-block nibble recursion (numpy ops per step)."""
+        if blk_align < 4 * n_ch or blk_align % 4:
+            raise ValueError("inconsistent IMA ADPCM block align")
+        n_blocks = n // blk_align
+        if n_blocks == 0:
+            raise ValueError("IMA ADPCM data shorter than one block")
+        spb = (blk_align - 4 * n_ch) * 2 // n_ch + 1
+        blocks = np.frombuffer(
+            data, np.uint8, count=n_blocks * blk_align, offset=body_at
+        ).reshape(n_blocks, blk_align)
+        hdr = blocks[:, : 4 * n_ch].reshape(n_blocks, n_ch, 4)
+        pred = hdr[:, :, 0].astype(np.int32) | (
+            hdr[:, :, 1].astype(np.int32) << 8
+        )
+        pred = np.where(pred >= 1 << 15, pred - (1 << 16), pred)
+        idx = np.clip(hdr[:, :, 2].astype(np.int32), 0, 88)
+        # data: 4-byte units, channels round-robin; 2 nibbles/byte,
+        # low first → per channel a stream of spb-1 codes
+        units = blocks[:, 4 * n_ch :].reshape(n_blocks, -1, n_ch, 4)
+        nib = np.empty(units.shape[:3] + (8,), np.int32)
+        nib[..., 0::2] = units & 0x0F
+        nib[..., 1::2] = units >> 4
+        codes = nib.transpose(0, 2, 1, 3).reshape(n_blocks, n_ch, -1)
+        step_table = np.array(
+            [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28,
+             31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107,
+             118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+             337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876,
+             963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+             2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+             5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+             12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+             27086, 29794, 32767], np.int32,
+        )
+        index_table = np.array(
+            [-1, -1, -1, -1, 2, 4, 6, 8] * 2, np.int32
+        )
+        out = np.empty((n_blocks, n_ch, spb), np.int32)
+        out[:, :, 0] = pred
+        for t in range(spb - 1):
+            code = codes[:, :, t]
+            step = step_table[idx]
+            diff = (
+                (step >> 3)
+                + np.where(code & 1, step >> 2, 0)
+                + np.where(code & 2, step >> 1, 0)
+                + np.where(code & 4, step, 0)
+            )
+            pred = np.clip(
+                np.where(code & 8, pred - diff, pred + diff),
+                -32768, 32767,
+            )
+            idx = np.clip(idx + index_table[code], 0, 88)
+            out[:, :, t + 1] = pred
+        return out.transpose(0, 2, 1).reshape(-1, n_ch)
+
     def wav_array(data: bytes):
         """RIFF/WAVE decode, any channel count: integer PCM at
-        8/16/24/32-bit, IEEE float at 32/64-bit (format 3), and
-        G.711 A-law/µ-law (formats 6/7, canonical expansion), and
-        WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrappers — r11; only
-        genuinely-compressed audio (MP3/FLAC/OGG, ADPCM) still
-        raises the guarded stub. Returns (sample_rate, int32
-        array of shape (n_samples, n_channels)) with every depth
-        aligned onto ONE documented 16-bit grid: 8-bit → (v−128)·256,
-        16-bit verbatim, 24/32-bit → arithmetic shift down (high 16
-        bits), float → rint(clip(x, −1, 1)·32767) — so downstream
+        8/16/24/32-bit, IEEE float at 32/64-bit (format 3),
+        G.711 A-law/µ-law (formats 6/7, canonical expansion),
+        IMA/DVI ADPCM (format 0x11, the block-independent 4-bit
+        predictor codec — r12), and WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+        wrappers; only entropy-coded audio (MP3/FLAC/OGG) and MS
+        ADPCM (format 2) still raise the guarded stub. Returns
+        (sample_rate, int32 array of shape (n_samples, n_channels))
+        with every depth aligned onto ONE documented 16-bit grid:
+        8-bit → (v−128)·256, 16-bit verbatim, 24/32-bit → arithmetic
+        shift down (high 16 bits), float → rint(clip(x, −1, 1)·32767),
+        IMA predictor values verbatim (they ARE int16) — so downstream
         features (RMS, envelope hash) are depth-invariant by
-        construction."""
+        construction. IMA blocks decode independently (that is the
+        format's design point), so the nibble recursion vectorizes
+        across blocks×channels with numpy and — at 100 TB — across
+        Arrow batches with zero cross-row state."""
         if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
             raise ValueError("bad WAV signature")
         pos = 12
@@ -742,7 +812,7 @@ def _pure_decoders():
             clen = struct.unpack_from("<I", data, pos + 4)[0]
             body_at = pos + 8
             if cid == b"fmt ":
-                (audio_fmt, n_ch, rate, _br, _ba,
+                (audio_fmt, n_ch, rate, _br, blk_align,
                  bits) = struct.unpack_from("<HHIIHH", data, body_at)
                 if audio_fmt == 0xFFFE and clen >= 40:
                     # WAVE_FORMAT_EXTENSIBLE: the real format code is
@@ -754,23 +824,30 @@ def _pure_decoders():
                     (audio_fmt == 1 and bits in (8, 16, 24, 32))
                     or (audio_fmt == 3 and bits in (32, 64))
                     or (audio_fmt in (6, 7) and bits == 8)
+                    or (audio_fmt == 0x11 and bits == 4)
                 ):
                     raise NotImplementedError(
                         "only integer PCM 8/16/24/32-bit, IEEE-float "
-                        "32/64-bit, and G.711 A-law/µ-law WAV decode "
-                        f"natively (got format={audio_fmt}, "
-                        f"bits={bits}); MP3/FLAC/OGG need ffmpeg here"
+                        "32/64-bit, G.711 A-law/µ-law, and IMA ADPCM "
+                        f"WAV decode natively (got format={audio_fmt},"
+                        f" bits={bits}); MP3/FLAC/OGG need ffmpeg here"
                     )
-                fmt = (n_ch, rate, bits, audio_fmt)
+                fmt = (n_ch, rate, bits, audio_fmt, blk_align)
             elif cid == b"data":
                 if fmt is None:
                     raise ValueError("WAV data chunk before fmt")
-                n_ch, rate, bits, audio_fmt = fmt
+                n_ch, rate, bits, audio_fmt, blk_align = fmt
+                if n_ch == 0 or rate == 0:
+                    raise ValueError("inconsistent WAV fmt")
+                if audio_fmt == 0x11:
+                    return rate, _ima_adpcm_array(
+                        data, body_at,
+                        min(clen, len(data) - body_at),
+                        n_ch, blk_align,
+                    )
                 width = bits // 8
                 n = min(clen, len(data) - body_at)
                 n -= n % (width * n_ch)
-                if n_ch == 0 or rate == 0:
-                    raise ValueError("inconsistent WAV fmt")
                 if audio_fmt in (6, 7):
                     # G.711 companded bytes -> linear 16-bit grid via
                     # the canonical 256-entry expansion (the exact

@@ -122,3 +122,174 @@ def test_weighted_priority_sample_semantics(spark):
     assert sample_mean > corpus_mean, (
         "weighted sampling must favor long documents"
     )
+
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_IDX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_nibble(code, pred, idx):
+    """Scalar IMA step — the independent reference for both the
+    in-test encoder and the engine decoder."""
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    if code & 1:
+        diff += step >> 2
+    if code & 2:
+        diff += step >> 1
+    if code & 4:
+        diff += step
+    pred = pred - diff if code & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_IDX[code & 7]))
+    return pred, idx
+
+
+def _ima_wav_bytes(samples, rate=8000):
+    """Encode an (n, ch) int16 array as an IMA ADPCM WAV (format
+    0x11), one block per channel-group of 505 samples."""
+    import struct
+
+    import numpy as np
+
+    samples = np.asarray(samples, dtype=np.int64)
+    n, ch = samples.shape
+    spb = 505  # 4 + 252 data bytes per channel -> block_align 256*ch
+    blk_align = (4 + (spb - 1) // 2) * ch
+    idx = [0] * ch
+    blocks = b""
+    for b0 in range(0, n, spb):
+        blk = samples[b0 : b0 + spb]
+        if len(blk) < spb:  # pad the tail block by repeating the last
+            blk = np.vstack([blk, np.repeat(blk[-1:], spb - len(blk), 0)])
+        hdr = b""
+        chan_nibbles = []
+        for c in range(ch):
+            pred = int(blk[0, c])
+            hdr += struct.pack("<hBB", pred, idx[c], 0)
+            nibs = []
+            for s in blk[1:, c]:
+                step = _IMA_STEPS[idx[c]]
+                diff = int(s) - pred
+                code = 0
+                if diff < 0:
+                    code = 8
+                    diff = -diff
+                if diff >= step:
+                    code |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    code |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    code |= 1
+                pred, idx[c] = _ima_decode_nibble(code, pred, idx[c])
+                nibs.append(code)
+            chan_nibbles.append(nibs)
+        body = bytearray()
+        for u in range(0, spb - 1, 8):
+            for c in range(ch):
+                eight = chan_nibbles[c][u : u + 8]
+                for k in range(0, 8, 2):
+                    body.append(eight[k] | (eight[k + 1] << 4))
+        blocks += hdr + bytes(body)
+    byte_rate = rate * blk_align // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, ch, rate, byte_rate, blk_align, 4, 2, spb
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(blocks))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(blocks)) + blocks
+    )
+
+
+def test_wav_ima_adpcm_decode():
+    """The vectorized IMA ADPCM decoder must reproduce the scalar
+    reference decode bit-for-bit, mono and stereo, across block
+    boundaries (505 samples/block; index carried by each block's own
+    header)."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+    )
+
+    wav_array = _pure_decoders()["wav"]
+    t = np.arange(1600)
+    mono = (np.sin(t / 9.0) * 11000 + np.sin(t / 131.0) * 9000).astype(
+        np.int64
+    ).reshape(-1, 1)
+    stereo = np.stack(
+        [mono[:, 0], (np.cos(t / 23.0) * 15000).astype(np.int64)], axis=1
+    )
+    for arr, rate in ((mono, 8000), (stereo, 22050)):
+        payload = _ima_wav_bytes(arr, rate=rate)
+        got_rate, got = wav_array(payload)
+        assert got_rate == rate
+        n, ch = arr.shape
+        # scalar reference decode of the SAME bytes
+        import struct
+
+        blk_align = (4 + 252) * ch
+        data_at = payload.index(b"data") + 8
+        want = []
+        pos = data_at
+        while pos + blk_align <= len(payload):
+            preds, idxs, streams = [], [], []
+            for c in range(ch):
+                p, i, _ = struct.unpack_from("<hBB", payload, pos + 4 * c)
+                preds.append(p)
+                idxs.append(i)
+                streams.append([])
+            body = payload[pos + 4 * ch : pos + blk_align]
+            for u in range(0, len(body), 4 * ch):
+                for c in range(ch):
+                    for byte in body[u + 4 * c : u + 4 * c + 4]:
+                        streams[c].append(byte & 0x0F)
+                        streams[c].append(byte >> 4)
+            rows = [[preds[c] for c in range(ch)]]
+            for k in range(504):
+                row = []
+                for c in range(ch):
+                    preds[c], idxs[c] = _ima_decode_nibble(
+                        streams[c][k], preds[c], idxs[c]
+                    )
+                    row.append(preds[c])
+                rows.append(row)
+            want.extend(rows)
+            pos += blk_align
+        assert got.tolist() == want
+        # lossy-but-close sanity: reconstruction tracks the waveform
+        got_trim = np.asarray(want)[:n]
+        err = np.abs(got_trim - arr).mean()
+        assert err < 900, err
+
+
+def test_wav_ms_adpcm_still_gated():
+    """MS ADPCM (format 2) remains behind the guarded stub — only IMA
+    (0x11) graduated in r12."""
+    import struct
+
+    import pytest as _pytest
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+    )
+
+    fmt = struct.pack("<HHIIHH", 2, 1, 16000, 16000, 256, 4)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    )
+    with _pytest.raises(NotImplementedError, match="IMA ADPCM"):
+        _pure_decoders()["wav"](wav)
