@@ -2354,6 +2354,19 @@ def weighted_priority_sample(
     per-partition partial top-n, one driver-side merge of n*partitions
     rows, ZERO shuffle (pinned by test_plans). At 100 TB this is one
     map pass; n rows of driver state."""
+    return (
+        _aes_keyed_docs(spark, sf_dir)
+        .select("doc_id", "n_chars", "w_log2", "aes_key")
+        .orderBy(F.col("aes_key").desc(), F.col("doc_id").asc())
+        .limit(n)
+    )
+
+
+def _aes_keyed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + the A-ES rank key as pure column expressions:
+    (doc_id, source, n_chars, w_log2, aes_key). Shared by the global
+    and the stratified priority samplers; see weighted_priority_sample
+    for the bit-exactness argument (iterated sqrt, never libm pow)."""
     from ..functions.text import md5_hash64
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2369,15 +2382,40 @@ def weighted_priority_sample(
     for e in range(1, _AES_JMAX + 1):
         s = F.sqrt(s)
         key = key.when(F.col("w_log2") == e, s)
+    return docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        j.cast("int").alias("w_log2"),
+    ).withColumn("aes_key", key)
+
+
+def stratified_priority_sample(
+    spark: SparkSession, sf_dir: str, per_stratum: int = 8
+) -> DataFrame:
+    """Stratified A-ES priority sampling: the top-``per_stratum``
+    documents PER SOURCE by the same weighted rank key — the curation
+    shape for "sample N docs per source/language, favoring long ones"
+    (quota sampling with within-stratum weight bias; composes the A-ES
+    key with the engine's stratified-quota family). Without
+    replacement within each stratum by construction.
+
+    Scale shape: one exchange on the stratum key for the ranking
+    window, partial top-k nothing — the window's rank filter keeps
+    per_stratum rows per source, so the exchange is the only wide op
+    and the output is |sources|·k rows (pinned by test_plans). At
+    100 TB: one map pass + one shuffle of (id, source, key) triples —
+    the document text never moves."""
+    w = Window.partitionBy("source").orderBy(
+        F.col("aes_key").desc(), F.col("doc_id").asc()
+    )
     return (
-        docs.select(
-            "doc_id",
-            F.col("n_chars").cast("long").alias("n_chars"),
-            j.cast("int").alias("w_log2"),
+        _aes_keyed_docs(spark, sf_dir)
+        .withColumn("stratum_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("stratum_rank") <= per_stratum)
+        .select(
+            "source", "stratum_rank", "doc_id", "n_chars", "aes_key"
         )
-        .withColumn("aes_key", key)
-        .orderBy(F.col("aes_key").desc(), F.col("doc_id").asc())
-        .limit(n)
     )
 
 
@@ -2404,17 +2442,37 @@ def _aes_sql(n: int = 100) -> str:
     )
     return f"""
 WITH drawn AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
          CAST(n_chars AS BIGINT) AS n_chars,
          CAST(CASE {j_branches} ELSE 0 END AS INT) AS w_log2,
          {u} AS u
   FROM documents
+),
+keyed AS (
+  SELECT doc_id, source, n_chars, w_log2,
+         CASE {key_branches} ELSE u END AS aes_key
+  FROM drawn
 )
-SELECT doc_id, n_chars, w_log2,
-       CASE {key_branches} ELSE u END AS aes_key
-FROM drawn
+SELECT doc_id, n_chars, w_log2, aes_key
+FROM keyed
 ORDER BY aes_key DESC, doc_id ASC
 LIMIT {n}
+"""
+
+
+def _stratified_aes_sql(per_stratum: int = 8) -> str:
+    """DuckDB twin of stratified_priority_sample: the identical keyed
+    CTE (see _aes_sql), ranked per source."""
+    base = _aes_sql()
+    keyed_cte = base[: base.index(")\nSELECT")] + ")"
+    return f"""{keyed_cte}
+SELECT source,
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY aes_key DESC, doc_id ASC) AS INT) AS stratum_rank,
+       doc_id, n_chars, aes_key
+FROM keyed
+QUALIFY stratum_rank <= {per_stratum}
 """
 
 
@@ -2423,6 +2481,10 @@ REGISTRY.update(
         "weighted_priority_sample": (
             weighted_priority_sample,
             _aes_sql(),
+        ),
+        "stratified_priority_sample": (
+            stratified_priority_sample,
+            _stratified_aes_sql(),
         ),
     }
 )

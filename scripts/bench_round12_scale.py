@@ -27,6 +27,7 @@ from amazonmsk_emr_tem_data_spark.queries import REGISTRY  # noqa: E402
 #: added in round 12 → needs fresh 10× AND 100× rows
 NEW_QUERIES = [
     "weighted_priority_sample",
+    "stratified_priority_sample",
 ]
 
 

@@ -1584,3 +1584,12 @@ def test_weighted_priority_sample_shuffle_free(spark, sf_dir):
     )
     assert f.n_exchanges == 0, "A-ES sampling must be shuffle-free"
     assert not f.joins
+
+
+def test_stratified_priority_sample_single_exchange(spark, sf_dir):
+    """Stratified A-ES: the rank key computes in the scan stage and the
+    per-stratum top-k is one window — exactly one exchange (the stratum
+    key), no joins. At 100 TB only (id, source, key) triples shuffle."""
+    f = facts(spark, sf_dir, "stratified_priority_sample")
+    assert f.n_exchanges == 1, "stratified A-ES = one stratum shuffle"
+    assert not f.joins
