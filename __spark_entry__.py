@@ -1,7 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 Thin adapter over the engine's query registry
-(``amazonmsk_emr_tem_data_spark/queries.py``). The driver's verify runs
+(``amazonmsk_emr_tem_data_spark/queries/``, the per-domain package —
+the registry literal + stamp rotation live in ``_registry.py``). The
+driver's verify runs
 ``entry(spark)`` as a smoke check, runs each ``queries()[name]`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash).
