@@ -20,7 +20,9 @@ plus a gain-invariant energy-envelope fingerprint for audio near-dup.
 The container lacks media codec libraries, so decode of the REMAINING
 formats (WebP/TIFF, progressive JPEG, MP3/FLAC/OGG, MS ADPCM), ``embed_media``'s encoder
 forward pass, and video frame extraction remain clearly-marked stubs
-(`NotImplementedError` unless ``fake=True``); the Spark-side contract —
+(`NotImplementedError` unless ``fake=True``) — except MJPEG-in-AVI,
+whose frames ARE baseline JPEGs: ``sample_frames(fake=False)`` walks
+the RIFF tree and samples real frames natively (r12); the Spark-side contract —
 schemas, batch iteration, partitioning, output explosion — is real and
 tested. Swapping those stubs for PIL/ffmpeg/ONNX is a pure function
 replacement.
@@ -1193,10 +1195,45 @@ def sample_frames(
     df: DataFrame, n_frames: int = 4, id_col: str = "doc_id", fake: bool = True
 ) -> DataFrame:
     """Frame sampling for video payloads: 1 input row → N frame rows.
-    STUB decoder (byte-range slices stand in for decoded frames); the
-    real version replaces the slicer with ffmpeg keyframe extraction.
     Output explosion happens executor-side — the driver never sees
-    frame data."""
+    frame data.
+
+    ``fake=False`` does REAL container-aware sampling for MJPEG-in-AVI
+    (r12): the RIFF/AVI chunk tree is walked to the ``movi`` payload,
+    the ``##dc``/``##db`` video-stream chunks ARE the frames (each one
+    a complete baseline JPEG that ``decode_images`` can decode), and
+    ``n_frames`` are picked evenly across the real frame sequence —
+    offsets and fingerprints refer to actual frames, not byte ranges.
+    Entropy-coded inter-frame codecs (H.264/VP9/...) still raise the
+    guarded stub; that branch is where ffmpeg plugs in. ``fake=True``
+    keeps the deterministic byte-range pseudo-sampler for non-video
+    fixture payloads, exact down to the DuckDB hex twin."""
+
+    def _avi_video_frames(data: bytes):
+        """(offset, size) of every video-stream chunk in an AVI, in
+        file order — a linear RIFF walk, no index required (players
+        fall back to exactly this scan when idx1 is absent)."""
+        frames = []
+        stack = [(12, len(data))]  # after RIFF size + 'AVI '
+        while stack:
+            pos, end = stack.pop()
+            while pos + 8 <= end:
+                cid = data[pos : pos + 4]
+                clen = struct.unpack_from("<I", data, pos + 4)[0]
+                body = pos + 8
+                if cid in (b"RIFF", b"LIST"):
+                    stack.append((body + 4, min(body + clen, end)))
+                elif (
+                    cid[2:4] in (b"dc", b"db")
+                    and cid[:2].isdigit()
+                    and clen
+                ):
+                    frames.append((body, min(clen, end - body)))
+                pos = body + clen + (clen & 1)
+        frames.sort()
+        return frames
+
+    import struct
 
     def frames_iter(batches) -> Iterator:
         import hashlib
@@ -1206,11 +1243,39 @@ def sample_frames(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                if not fake:
-                    raise NotImplementedError(
-                        "video codecs are not available; plug in ffmpeg here"
-                    )
                 data = payload if payload is not None else b""
+                if not fake:
+                    if bytes(data[:4]) != b"RIFF" or bytes(
+                        data[8:12]
+                    ) != b"AVI ":
+                        raise NotImplementedError(
+                            "only MJPEG-in-AVI frame extraction is "
+                            "native (RIFF walk + baseline JPEG "
+                            "frames); inter-frame codecs need ffmpeg "
+                            "here"
+                        )
+                    data = bytes(data)
+                    found = _avi_video_frames(data)
+                    if not found:
+                        raise ValueError("AVI contains no video chunks")
+                    step = max(1, len(found) // n_frames)
+                    for fi, (off, sz) in enumerate(
+                        found[::step][:n_frames]
+                    ):
+                        rows.append(
+                            (
+                                int(doc_id),
+                                fi,
+                                off,
+                                hashlib.sha256(
+                                    data[off : off + sz]
+                                    .hex()
+                                    .upper()
+                                    .encode("ascii")
+                                ).hexdigest(),
+                            )
+                        )
+                    continue
                 step = max(1, len(data) // n_frames)
                 for i in range(n_frames):
                     chunk = data[i * step : (i + 1) * step]

@@ -313,3 +313,85 @@ def test_no_source_file_exceeds_8k_lines():
         if n > 8000:
             offenders[os.path.relpath(path, root)] = n
     assert not offenders, offenders
+
+
+def _mjpeg_avi_bytes(jpeg_frames, extra_stream_chunk=True):
+    """Minimal MJPEG AVI: hdrl LIST stub + movi LIST whose 00dc chunks
+    are complete JPEGs (plus an audio 01wb chunk that must be
+    skipped), word-aligned like real muxers emit."""
+    import struct
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    hdrl = b"LIST" + struct.pack("<I", 4 + 8) + b"hdrl" + chunk(
+        b"avih", b""
+    )
+    movi_body = b"movi"
+    for i, f in enumerate(jpeg_frames):
+        movi_body += chunk(b"00dc", f)
+        if extra_stream_chunk and i == 0:
+            movi_body += chunk(b"01wb", b"\x01\x02\x03")  # audio, skipped
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def test_sample_frames_real_mjpeg_avi(spark):
+    """sample_frames(fake=False) walks the RIFF/AVI tree: sampled
+    offsets land exactly on the planted 00dc JPEG frames (audio chunks
+    skipped), fingerprints match the frame bytes, and the extracted
+    bytes decode with the engine's own baseline-JPEG decoder to the
+    same pixels as the source frames."""
+    import hashlib
+
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+        sample_frames,
+    )
+
+    from .test_northstar import _jpeg_bytes
+
+    rng = np.random.default_rng(12)
+    frames = [
+        _jpeg_bytes(rng.integers(0, 255, (16, 16, 3)).astype(np.uint8))
+        for _ in range(3)
+    ]
+    avi = _mjpeg_avi_bytes(frames)
+    df = spark.createDataFrame(
+        [(7, bytearray(avi))], "doc_id long, payload binary"
+    )
+    out = sorted(
+        (r["frame_idx"], r["frame_offset_bytes"], r["frame_sha256"])
+        for r in sample_frames(df, n_frames=3, fake=False).collect()
+    )
+    assert len(out) == 3
+    jpeg = _pure_decoders()["jpeg"]
+    for (fi, off, sha), src in zip(out, frames):
+        got_bytes = avi[off : off + len(src)]
+        assert got_bytes == src, fi  # offset hits the planted frame
+        assert sha == hashlib.sha256(
+            src.hex().upper().encode("ascii")
+        ).hexdigest()
+        assert (jpeg(got_bytes) == jpeg(src)).all()
+
+
+def test_sample_frames_non_avi_still_gated(spark):
+    """Real-path frame extraction on a non-AVI payload keeps the
+    guarded ffmpeg stub."""
+    import pytest as _pytest
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x00\x00\x20ftypisom" + b"\x00" * 32))],
+        "doc_id long, payload binary",
+    )
+    with _pytest.raises(Exception, match="MJPEG-in-AVI|ffmpeg"):
+        sample_frames(df, fake=False).collect()
