@@ -1125,6 +1125,11 @@ BENCH_HEADLINE: tuple[str, ...] = (
     # HyperBall sketch (iterative bottom-k rounds)
     "ivfpq_persisted_topk",
     "copurchase_hyperball",
+    # round-12 additions: the A-ES weighted sampling pair — global
+    # (shuffle-free TakeOrderedAndProject canary) and stratified (one
+    # window exchange over the stratum key)
+    "weighted_priority_sample",
+    "stratified_priority_sample",
 )
 
 
