@@ -2372,9 +2372,16 @@ def _aes_keyed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, source, n_chars, w_log2, aes_key). Shared by the global
     and the stratified priority samplers; see weighted_priority_sample
     for the bit-exactness argument (iterated sqrt, never libm pow)."""
+    return _aes_key_cols(load_table(spark, sf_dir, "documents"))
+
+
+def _aes_key_cols(docs: DataFrame) -> DataFrame:
+    """The A-ES key expressions over any documents-shaped relation —
+    also consumed per micro-batch by the streaming reservoir
+    (streaming/pipelines.stream_priority_sample), whose merge proof
+    rests on this key being a deterministic pure function of the row."""
     from ..functions.text import md5_hash64
 
-    docs = load_table(spark, sf_dir, "documents")
     w = F.greatest(F.coalesce(F.col("n_chars"), F.lit(1)), F.lit(1))
     j = F.when(w >= F.lit(1 << _AES_JMAX), F.lit(_AES_JMAX))
     for e in range(_AES_JMAX - 1, 0, -1):
@@ -2481,6 +2488,19 @@ QUALIFY stratum_rank <= {per_stratum}
 """
 
 
+def stream_priority_sample_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming A-ES reservoir drained over the document feed — the
+    SAME oracle as the batch sampler: the top-n-by-deterministic-key
+    state is a mergeable sketch, so any micro-batching must land on
+    the identical 100 rows (bit-exact keys included). See
+    streaming/pipelines.stream_priority_sample."""
+    from ..streaming.pipelines import stream_priority_sample
+
+    return stream_priority_sample(spark, sf_dir)
+
+
 REGISTRY.update(
     {
         "weighted_priority_sample": (
@@ -2490,6 +2510,10 @@ REGISTRY.update(
         "stratified_priority_sample": (
             stratified_priority_sample,
             _stratified_aes_sql(),
+        ),
+        "stream_priority_sample": (
+            stream_priority_sample_q,
+            _aes_sql(),
         ),
     }
 )

@@ -30,6 +30,7 @@ exactly-once state recovery — the two knobs the reference left unset.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -787,6 +788,84 @@ def incremental_ingest_dedup(
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError("incremental ingest did not drain in 300s")
+
+
+def priority_sample_batch(
+    batch_df: DataFrame, store_dir: str, n: int = 100
+) -> None:
+    """One micro-batch of the streaming A-ES reservoir (factored out
+    for the multi-batch merge + crash-replay tests): key the arriving
+    documents with the shared deterministic A-ES rank key, merge with
+    the persisted reservoir, keep the global top-n, overwrite the
+    store.
+
+    Why this is exactly-once safe under at-least-once foreachBatch:
+    the key is a pure function of the row (md5 grid — no RNG, no
+    clock), top-n-by-key is an idempotent, commutative, associative
+    merge (a bottom-k sketch in disguise), and doc_id dedup before the
+    cut makes a replayed batch a no-op — the reservoir after any
+    replay schedule equals the batch top-n over everything ingested.
+    State is n rows by definition (a reservoir IS driver-sized), so
+    the collect + single-file overwrite is bounded, not a scale
+    leak."""
+    from ..queries._registry import _aes_key_cols  # call-time: no cycle
+
+    sess = batch_df.sparkSession
+    keyed = _aes_key_cols(batch_df).select(
+        "doc_id", "n_chars", "w_log2", "aes_key"
+    )
+    store = _read_store(sess, store_dir)
+    merged = keyed if store is None else keyed.unionByName(store)
+    top = (
+        merged.dropDuplicates(["doc_id"])
+        .orderBy(F.col("aes_key").desc(), F.col("doc_id").asc())
+        .limit(n)
+    )
+    rows = top.collect()  # materialize BEFORE overwriting the source
+    sess.createDataFrame(rows, top.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(store_dir)
+
+
+def stream_priority_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 100,
+    store_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming A-ES weighted reservoir over the document ingest
+    feed: every micro-batch folds into a persisted top-n-by-key state
+    via priority_sample_batch. Because the rank key is deterministic
+    and top-n merge is order-insensitive, the drained reservoir is
+    BIT-IDENTICAL to the batch weighted_priority_sample over the same
+    corpus — the registry checks this stream against the SAME DuckDB
+    oracle (_aes_sql), turning the mergeability claim into a standing
+    hash proof. This is the production "maintain a weighted sample of
+    the crawl as it lands" loop; at 100 TB the per-batch work is one
+    map pass + a top-n against n persisted rows."""
+    docs = documents_stream(spark, sf_dir)
+    # a not-yet-existing path: _read_store treats ONLY a missing store
+    # as "first batch" (an empty-but-existing dir is a corrupt store)
+    store = store_dir or os.path.join(
+        tempfile.mkdtemp(prefix="store_prio_sample_"), "store"
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        priority_sample_batch(batch_df, store, n)
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_prio_sample_")
+    q = (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName("stream_priority_sample")
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("priority-sample stream did not drain in 300s")
+    return spark.read.parquet(store)
 
 
 def near_ingest_batch(

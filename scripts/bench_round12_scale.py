@@ -28,6 +28,7 @@ from amazonmsk_emr_tem_data_spark.queries import REGISTRY  # noqa: E402
 NEW_QUERIES = [
     "weighted_priority_sample",
     "stratified_priority_sample",
+    "stream_priority_sample",
 ]
 
 

@@ -395,3 +395,72 @@ def test_sample_frames_non_avi_still_gated(spark):
     )
     with _pytest.raises(Exception, match="MJPEG-in-AVI|ffmpeg"):
         sample_frames(df, fake=False).collect()
+
+
+def test_priority_sample_merge_and_replay_idempotent(spark, tmp_path):
+    """The streaming reservoir's exactly-once proof: folding three
+    disjoint micro-batches (any order) WITH one batch replayed lands
+    on exactly the batch sampler's top-n — top-n-by-deterministic-key
+    is an idempotent, commutative merge."""
+    from amazonmsk_emr_tem_data_spark.queries import (
+        weighted_priority_sample,
+    )
+    from amazonmsk_emr_tem_data_spark.sources.files import load_table
+    from amazonmsk_emr_tem_data_spark.streaming.pipelines import (
+        priority_sample_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    store = str(tmp_path / "reservoir")
+    parts = [
+        docs.filter(f"doc_id % 3 = {i}").localCheckpoint(eager=True)
+        for i in range(3)
+    ]
+    order = [parts[2], parts[0], parts[0], parts[1]]  # replay part 0
+    for b in order:
+        priority_sample_batch(b, store, n=100)
+    got = sorted(map(tuple, spark.read.parquet(store).collect()))
+    want = sorted(
+        map(tuple, weighted_priority_sample(spark, sf, n=100).collect())
+    )
+    assert got == want
+
+
+def test_aes_key_planted_weight_edges(spark):
+    """Planted boundary weights: NULL and 0 coalesce to band 0, exact
+    powers of two land in their own band, 2^16-and-above clamps to the
+    _AES_JMAX cap — and every key stays in (0, 1]."""
+    import math
+
+    from amazonmsk_emr_tem_data_spark.queries import (
+        _AES_JMAX,
+        _aes_key_cols,
+    )
+
+    rows = [
+        (1, None, "s"), (2, 0, "s"), (3, 1, "s"), (4, 2, "s"),
+        (5, 3, "s"), (6, 1023, "s"), (7, 1024, "s"),
+        (8, (1 << 16) - 1, "s"), (9, 1 << 16, "s"), (10, 1 << 30, "s"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, n_chars long, source string"
+    )
+    got = {r["doc_id"]: r for r in _aes_key_cols(df).collect()}
+    want_band = {1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 9, 7: 10,
+                 8: 15, 9: 16, 10: 16}
+    for did, band in want_band.items():
+        r = got[did]
+        assert r["w_log2"] == band, (did, r["w_log2"])
+        assert 0.0 < r["aes_key"] <= 1.0
+        # invert the iterated sqrt: key^(2^band) must recover the
+        # md5-grid draw u = (h+1)/2^60 for this doc_id
+        import hashlib
+
+        h = int(
+            hashlib.md5(str(did).encode()).hexdigest()[:15], 16
+        )
+        u = (h + 1) / float(1 << 60)
+        assert math.isclose(
+            r["aes_key"] ** (2 ** band), u, rel_tol=1e-9
+        ), did
