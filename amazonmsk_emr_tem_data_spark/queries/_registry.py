@@ -110,7 +110,9 @@ from ._northstar import (
     _JACCARD_PAIRS_SQL,
     _MULTIMODAL_META_SQL,
     _NGRAM_DIVERSITY_SQL,
+    _NORM_SQL,
     _PREFIX_JACCARD_SQL,
+    _TOKS_SQL,
     _RATE_SPIKES_SQL,
     _ROLLING_SQL,
     _SIMHASH_BIT_BIAS_SQL,
@@ -2501,6 +2503,189 @@ def stream_priority_sample_q(
     return stream_priority_sample(spark, sf_dir)
 
 
+#: b-bit minhash audit constants: K signature slots, pair threshold.
+_BBIT_K = 16
+_BBIT_THRESHOLD = 0.5
+
+
+def bbit_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minhash resolution audit (Li & König, "b-Bit Minwise
+    Hashing", WWW'10): for every exact-Jaccard >= 0.5 pair, compare the
+    full-width K=16 minhash estimate against the 2-bit and 1-bit
+    truncations with their collision-corrected estimators
+    J_hat = (f - 2^-b)/(1 - 2^-b) — the storage/accuracy tradeoff a
+    100 TB dedup deployment prices before cutting signature bytes 32x
+    (16 longs -> 16 two-bit registers per doc).
+
+    Cross-engine determinism: unlike the production minhash_lsh_pairs
+    signatures (xxhash64 — engine-internal, their OUTPUT is what gets
+    oracle-checked), the audit's estimates ARE the output, so slots use
+    the shared md5 grid: slot i = min over shingles of
+    md5_60bit(i || '|' || md5_60bit(shingle)) — the shingle string
+    hashes once, the K slot hashes mix the 60-bit long (the same
+    hash-once-mix-K shape as the production path; swap md5 for
+    xxhash64 to deploy). Estimators are integer ppm with numerators
+    clamped non-negative BEFORE the truncating DIV (negative-operand
+    DIV is where Spark/DuckDB semantics could diverge).
+
+    Scale shape: shingles explode once, signatures aggregate map-side
+    into K longs per doc (the shuffle never carries shingles), and the
+    audited pair set joins signatures on the pair keys. Output is one
+    row per audited pair."""
+    from ..functions.text import md5_hash64
+    from ..operators.dedup import ngram_jaccard_pairs, shingled
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=_BBIT_THRESHOLD).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    # signatures only for audited endpoints: the K slot hashes are the
+    # dense map of this query, and the audit touches few docs — the
+    # broadcast semi-join prunes the 16-hashes-per-shingle work to
+    # exactly them (results per doc are unchanged; at 100 TB you audit
+    # a pair SAMPLE, and this is the shape that makes that cheap)
+    aud_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    base = (
+        shingled(docs, "doc_id", 3)
+        .join(F.broadcast(aud_ids), "doc_id", "left_semi")
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .select("doc_id", md5_hash64(F.col("shingle")).alias("bh"))
+    )
+    sig = base.groupBy("doc_id").agg(
+        *[
+            F.min(
+                md5_hash64(
+                    F.concat_ws(
+                        "|", F.lit(str(i)), F.col("bh").cast("string")
+                    )
+                )
+            ).alias(f"mh{i}")
+            for i in range(_BBIT_K)
+        ]
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_BBIT_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_BBIT_K)],
+    )
+
+    def n_matches(mask: int | None) -> F.Column:
+        terms = []
+        for i in range(_BBIT_K):
+            a, b = F.col(f"a{i}"), F.col(f"b{i}")
+            if mask is not None:
+                a, b = a.bitwiseAND(mask), b.bitwiseAND(mask)
+            terms.append(F.when(a == b, 1).otherwise(0))
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out.cast("long")
+
+    ppm = F.lit(1_000_000)
+    joined = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            n_matches(None).alias("matches_full"),
+            n_matches(3).alias("matches_b2"),
+            n_matches(1).alias("matches_b1"),
+        )
+    )
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        "matches_full",
+        "matches_b2",
+        "matches_b1",
+        F.expr("1000000 * matches_full DIV 16").alias("est_full_ppm"),
+        F.expr(
+            "1000000 * GREATEST(0L, 4 * matches_b2 - 16) DIV 48"
+        ).alias("est_b2_ppm"),
+        F.expr(
+            "1000000 * GREATEST(0L, 2 * matches_b1 - 16) DIV 16"
+        ).alias("est_b1_ppm"),
+    )
+
+
+def _bbit_sql(k: int = _BBIT_K, threshold: float = _BBIT_THRESHOLD) -> str:
+    """DuckDB twin of bbit_minhash_audit: the _JACCARD_PAIRS_SQL
+    shingle/pair conventions, the shared md5-grid slot hashes, the
+    same clamped-integer estimators."""
+    h60 = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
+    slot_mins = ",\n         ".join(
+        "MIN("
+        + h60.format(x=f"'{i}|' || CAST(bh AS VARCHAR)")
+        + f") AS mh{i}"
+        for i in range(k)
+    )
+    m_full = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(k)
+    )
+    m_b2 = " + ".join(
+        f"CASE WHEN (a.mh{i} & 3) = (b.mh{i} & 3) THEN 1 ELSE 0 END"
+        for i in range(k)
+    )
+    m_b1 = " + ".join(
+        f"CASE WHEN (a.mh{i} & 1) = (b.mh{i} & 1) THEN 1 ELSE 0 END"
+        for i in range(k)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(generate_series(1, len(w)-2),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [array_to_string(w, ' ')] END)) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b, c / (sa.n + sb.n - c) AS jaccard
+  FROM common
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE c / (sa.n + sb.n - c) >= {threshold}
+), basehash AS (
+  SELECT doc_id, {h60.format(x="shingle")} AS bh FROM sh
+), sig AS (
+  SELECT doc_id,
+         {slot_mins}
+  FROM basehash GROUP BY doc_id
+), audited AS (
+  SELECT p.doc_a, p.doc_b, p.jaccard,
+         CAST({m_full} AS BIGINT) AS matches_full,
+         CAST({m_b2} AS BIGINT) AS matches_b2,
+         CAST({m_b1} AS BIGINT) AS matches_b1
+  FROM pairs p
+  JOIN sig a ON a.doc_id = p.doc_a
+  JOIN sig b ON b.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, jaccard, matches_full, matches_b2, matches_b1,
+       1000000 * matches_full // 16 AS est_full_ppm,
+       1000000 * GREATEST(0, 4 * matches_b2 - 16) // 48 AS est_b2_ppm,
+       1000000 * GREATEST(0, 2 * matches_b1 - 16) // 16 AS est_b1_ppm
+FROM audited
+"""
+
+
 REGISTRY.update(
     {
         "weighted_priority_sample": (
@@ -2515,6 +2700,7 @@ REGISTRY.update(
             stream_priority_sample_q,
             _aes_sql(),
         ),
+        "bbit_minhash_audit": (bbit_minhash_audit, _bbit_sql()),
     }
 )
 

@@ -29,6 +29,7 @@ NEW_QUERIES = [
     "weighted_priority_sample",
     "stratified_priority_sample",
     "stream_priority_sample",
+    "bbit_minhash_audit",
 ]
 
 

@@ -1593,3 +1593,12 @@ def test_stratified_priority_sample_single_exchange(spark, sf_dir):
     f = facts(spark, sf_dir, "stratified_priority_sample")
     assert f.n_exchanges == 1, "stratified A-ES = one stratum shuffle"
     assert not f.joins
+
+
+def test_bbit_minhash_audit_shuffles_longs_not_shingles(spark, sf_dir):
+    """b-bit audit: the signature aggregate partial-aggregates
+    map-side (the shuffle carries K longs per doc, never shingles) and
+    nothing goes cartesian."""
+    f = facts(spark, sf_dir, "bbit_minhash_audit")
+    assert f.has_partial_agg
+    assert not f.has_cartesian

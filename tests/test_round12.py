@@ -464,3 +464,51 @@ def test_aes_key_planted_weight_edges(spark):
         assert math.isclose(
             r["aes_key"] ** (2 ** band), u, rel_tol=1e-9
         ), did
+
+
+def test_bbit_minhash_identical_docs_saturate(spark, tmp_path):
+    """Planted identical documents (J = 1): every signature slot
+    matches at any bit width, so all three estimators must read
+    exactly 1.0 (1e6 ppm); estimates are always within [0, 1e6]."""
+    import duckdb
+
+    from amazonmsk_emr_tem_data_spark.queries import bbit_minhash_audit
+
+    d = tmp_path / "sfb"
+    d.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (
+          SELECT doc_id, text, lang, source, n_chars
+          FROM '/root/testdata/sf0.001/documents.parquet' LIMIT 6
+        ) TO '{d}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    # duplicate doc 0's text under new ids -> two planted J=1 pairs
+    con.execute(
+        f"""COPY (
+          SELECT * FROM '{d}/documents.parquet'
+          UNION ALL
+          SELECT 9001, text, lang, source, n_chars
+          FROM '{d}/documents.parquet' WHERE doc_id = (
+            SELECT MIN(doc_id) FROM '{d}/documents.parquet')
+          UNION ALL
+          SELECT 9002, text, lang, source, n_chars
+          FROM '{d}/documents.parquet' WHERE doc_id = (
+            SELECT MIN(doc_id) FROM '{d}/documents.parquet')
+        ) TO '{d}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    rows = bbit_minhash_audit(spark, str(d)).collect()
+    assert rows, "planted duplicates must be audited"
+    sat = [r for r in rows if r["jaccard"] == 1.0]
+    assert len(sat) >= 3  # (orig,9001),(orig,9002),(9001,9002)
+    for r in rows:
+        for c in ("est_full_ppm", "est_b2_ppm", "est_b1_ppm"):
+            assert 0 <= r[c] <= 1_000_000, (r["doc_a"], r["doc_b"], c)
+        assert r["est_full_ppm"] == 1_000_000 * r["matches_full"] // 16
+    for r in sat:
+        assert (
+            r["matches_full"] == 16
+            and r["est_full_ppm"] == 1_000_000
+            and r["est_b2_ppm"] == 1_000_000
+            and r["est_b1_ppm"] == 1_000_000
+        )
