@@ -23,7 +23,16 @@ import sys
 def load(path: str) -> dict:
     with open(path) as f:
         d = json.load(f)
-    return d.get("parsed", d)
+    # driver wrapper: {"parsed": {...}} — but when the driver's stdout
+    # capture truncated (r7), parsed is null; the git-tracked
+    # BENCH_HISTORY.jsonl line for that run is the durable copy
+    out = d.get("parsed", d)
+    if out is None or "queries" not in out:
+        raise SystemExit(
+            f"{path}: no parsed queries (driver tail truncated?) — "
+            "pick the matching line from BENCH_HISTORY.jsonl instead"
+        )
+    return out
 
 
 def main() -> int:
@@ -68,6 +77,22 @@ def main() -> int:
         if "loadavg_before" in d:
             print(f"{label} load before/after: {d['loadavg_before']} / "
                   f"{d.get('loadavg_after')}")
+        gate = d.get("quiet_gate")
+        if gate is not None:
+            # r12: bench.py records its start-of-run quiet gate — a run
+            # with satisfied=False (or no gate at all, pre-r12) is a
+            # weaker baseline; say so instead of letting a noisy arm
+            # masquerade as a regression signal
+            print(
+                f"{label} quiet gate: loadavg {gate['loadavg_at_measure']}"
+                f" vs threshold {gate['threshold']}"
+                f" (waited {gate['waited_sec']}s,"
+                f" {'quiet' if gate['satisfied'] else 'NOT QUIET'})"
+            )
+    gates = [d.get("quiet_gate") for d in (old, new)]
+    if any(g is not None and not g["satisfied"] for g in gates):
+        print("WARNING: at least one arm measured on a NOT-QUIET host — "
+              "treat the median ratio as advisory, re-run gated")
     return 1 if med > 1.5 else 0
 
 
