@@ -732,7 +732,11 @@ def _pure_decoders():
         Blocks are self-contained, so decoding vectorizes across
         blocks×channels; the only sequential axis is the ~samples-
         per-block nibble recursion (numpy ops per step)."""
-        if blk_align < 4 * n_ch or blk_align % 4:
+        # The data-section reshape below needs the post-header bytes to
+        # split into whole 4-byte-per-channel units: (blk_align - 4*n_ch)
+        # must be a multiple of 4*n_ch (r12 advice: n_ch=2, blk_align=12
+        # passed the old %4 check and died in numpy reshape instead).
+        if blk_align < 4 * n_ch or (blk_align - 4 * n_ch) % (4 * n_ch):
             raise ValueError("inconsistent IMA ADPCM block align")
         n_blocks = n // blk_align
         if n_blocks == 0:
@@ -1258,9 +1262,25 @@ def sample_frames(
                     found = _avi_video_frames(data)
                     if not found:
                         raise ValueError("AVI contains no video chunks")
-                    step = max(1, len(found) // n_frames)
+                    # Evenly spaced across the WHOLE frame sequence
+                    # (first and last frame included): the old
+                    # found[::max(1, len//n)][:n] biased toward the
+                    # file head when the division truncated (7 frames,
+                    # n=4 yielded 0-3, never the back half — r12
+                    # advice). round(i*(m-1)/(n-1)) spreads picks and
+                    # never duplicates when m >= n.
+                    m = len(found)
+                    if m <= n_frames:
+                        picks = list(range(m))
+                    elif n_frames == 1:
+                        picks = [0]
+                    else:
+                        picks = [
+                            round(i * (m - 1) / (n_frames - 1))
+                            for i in range(n_frames)
+                        ]
                     for fi, (off, sz) in enumerate(
-                        found[::step][:n_frames]
+                        found[p] for p in picks
                     ):
                         rows.append(
                             (

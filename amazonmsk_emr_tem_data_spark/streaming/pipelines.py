@@ -31,6 +31,7 @@ exactly-once state recovery — the two knobs the reference left unset.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -790,6 +791,85 @@ def incremental_ingest_dedup(
         raise TimeoutError("incremental ingest did not drain in 300s")
 
 
+def _reservoir_read(
+    sess: SparkSession, store_dir: str
+) -> tuple[DataFrame | None, int]:
+    """Read the last COMMITTED generation of a generation-structured
+    reservoir store; returns (df_or_None, committed_gen).
+
+    Layout: ``store_dir/gen-%06d/`` parquet generations plus a
+    ``MANIFEST`` file naming the committed one. The manifest swap
+    (tmp + os.replace) is the commit point, so a crash anywhere in
+    a write leaves the PRIOR generation readable — the r12 advice
+    fix for the old in-place overwrite, whose delete-then-write
+    window could vanish the store and silently reset the reservoir
+    on replay. Semantics preserved from _read_store: a missing path
+    is the first batch; an existing dir with neither manifest nor
+    generations is a corrupt/mis-pointed store and raises; a
+    generation dir without a manifest is an uncommitted first write
+    (crash before commit) and reads as first-batch — its replay
+    rebuilds it."""
+    if not os.path.isdir(store_dir):
+        return None, 0
+    manifest = os.path.join(store_dir, "MANIFEST")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            gen = int(f.read().strip())
+        return (
+            sess.read.parquet(os.path.join(store_dir, f"gen-{gen:06d}")),
+            gen,
+        )
+    partial = [
+        d
+        for d in os.listdir(store_dir)
+        if d.startswith("gen-") and d[4:].isdigit()
+    ]
+    if partial:
+        return None, max(int(d[4:]) for d in partial)
+    raise ValueError(
+        f"reservoir store {store_dir!r} exists but has no MANIFEST and "
+        "no generations — refusing to treat a mis-pointed path as an "
+        "empty reservoir"
+    )
+
+
+def _reservoir_commit(
+    sess: SparkSession, top: DataFrame, store_dir: str, prior_gen: int
+) -> None:
+    """Atomically publish one reservoir generation: materialize the
+    (n-row, driver-sized) result, write it to a FRESH gen dir, fsync
+    + os.replace the manifest at it, then GC the superseded
+    generation. A crash before the replace leaves the prior
+    generation committed; a crash after it leaves at worst one
+    orphan dir (swept by the next commit's rmtree)."""
+    rows = top.collect()  # reservoir state is n rows by definition
+    new_gen = prior_gen + 1
+    os.makedirs(store_dir, exist_ok=True)
+    gen_dir = os.path.join(store_dir, f"gen-{new_gen:06d}")
+    if os.path.isdir(gen_dir):
+        shutil.rmtree(gen_dir)  # uncommitted partial from a crash
+    sess.createDataFrame(rows, top.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(gen_dir)
+    tmp = os.path.join(store_dir, "MANIFEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(new_gen))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(store_dir, "MANIFEST"))
+    old = os.path.join(store_dir, f"gen-{prior_gen:06d}")
+    if prior_gen and os.path.isdir(old):
+        shutil.rmtree(old)
+
+
+def read_priority_store(sess: SparkSession, store_dir: str) -> DataFrame:
+    """Public reader for the committed streaming-reservoir state."""
+    df, _ = _reservoir_read(sess, store_dir)
+    if df is None:
+        raise ValueError(f"no committed reservoir at {store_dir!r}")
+    return df
+
+
 def priority_sample_batch(
     batch_df: DataFrame, store_dir: str, n: int = 100
 ) -> None:
@@ -806,25 +886,26 @@ def priority_sample_batch(
     cut makes a replayed batch a no-op — the reservoir after any
     replay schedule equals the batch top-n over everything ingested.
     State is n rows by definition (a reservoir IS driver-sized), so
-    the collect + single-file overwrite is bounded, not a scale
-    leak."""
+    the collect + single-file generation write is bounded, not a
+    scale leak. Persistence goes through the generation store
+    (_reservoir_commit): logical replay was always idempotent, and
+    the manifest swap now makes the physical write crash-atomic too
+    (r12 advice — the old in-place overwrite had a delete-then-write
+    window that read back as "first batch")."""
     from ..queries._registry import _aes_key_cols  # call-time: no cycle
 
     sess = batch_df.sparkSession
     keyed = _aes_key_cols(batch_df).select(
         "doc_id", "n_chars", "w_log2", "aes_key"
     )
-    store = _read_store(sess, store_dir)
+    store, gen = _reservoir_read(sess, store_dir)
     merged = keyed if store is None else keyed.unionByName(store)
     top = (
         merged.dropDuplicates(["doc_id"])
         .orderBy(F.col("aes_key").desc(), F.col("doc_id").asc())
         .limit(n)
     )
-    rows = top.collect()  # materialize BEFORE overwriting the source
-    sess.createDataFrame(rows, top.schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(store_dir)
+    _reservoir_commit(sess, top, store_dir, gen)
 
 
 def stream_priority_sample(
@@ -845,8 +926,9 @@ def stream_priority_sample(
     the crawl as it lands" loop; at 100 TB the per-batch work is one
     map pass + a top-n against n persisted rows."""
     docs = documents_stream(spark, sf_dir)
-    # a not-yet-existing path: _read_store treats ONLY a missing store
-    # as "first batch" (an empty-but-existing dir is a corrupt store)
+    # a not-yet-existing path: _reservoir_read treats ONLY a missing
+    # store as "first batch" (an empty-but-existing dir is a corrupt
+    # store)
     store = store_dir or os.path.join(
         tempfile.mkdtemp(prefix="store_prio_sample_"), "store"
     )
@@ -865,7 +947,7 @@ def stream_priority_sample(
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError("priority-sample stream did not drain in 300s")
-    return spark.read.parquet(store)
+    return read_priority_store(spark, store)
 
 
 def near_ingest_batch(

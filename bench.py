@@ -121,19 +121,24 @@ def main() -> None:
         spread[name] = round(times[-1] - times[0], 3)
         total += med
 
+    # Key order is deliberate (r12 VERDICT ask #3): the driver keeps only
+    # a TAIL of bench stdout, so context-only fields (spread, loadavg,
+    # timestamps) come FIRST and every verdict-relevant number — value,
+    # sf, quiet_gate, the per-query dict — comes LAST. A tail-truncated
+    # capture then still carries the grading facts.
     payload = json.dumps(
         {
             "metric": "headline_queries_total",
-            "value": round(total, 3),
             "unit": "sec",
-            "queries": results,
-            "spread": spread,
             "reps": reps,
-            "sf": _sf_from_dir(sf_dir),
             "started_at": started_at,
             "loadavg_before": [round(x, 2) for x in load_before],
             "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+            "spread": spread,
+            "value": round(total, 3),
+            "sf": _sf_from_dir(sf_dir),
             "quiet_gate": quiet_gate,
+            "queries": results,
         }
     )
     # Truncation-proofing (r7: the driver kept only the TAIL of bench

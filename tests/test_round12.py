@@ -408,6 +408,7 @@ def test_priority_sample_merge_and_replay_idempotent(spark, tmp_path):
     from amazonmsk_emr_tem_data_spark.sources.files import load_table
     from amazonmsk_emr_tem_data_spark.streaming.pipelines import (
         priority_sample_batch,
+        read_priority_store,
     )
 
     sf = "/root/testdata/sf0.001"
@@ -420,7 +421,7 @@ def test_priority_sample_merge_and_replay_idempotent(spark, tmp_path):
     order = [parts[2], parts[0], parts[0], parts[1]]  # replay part 0
     for b in order:
         priority_sample_batch(b, store, n=100)
-    got = sorted(map(tuple, spark.read.parquet(store).collect()))
+    got = sorted(map(tuple, read_priority_store(spark, store).collect()))
     want = sorted(
         map(tuple, weighted_priority_sample(spark, sf, n=100).collect())
     )
