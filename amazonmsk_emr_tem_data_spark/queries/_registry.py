@@ -2531,13 +2531,20 @@ def bbit_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: shingles explode once, signatures aggregate map-side
     into K longs per doc (the shuffle never carries shingles), and the
     audited pair set joins signatures on the pair keys. Output is one
-    row per audited pair."""
+    row per audited pair. The two bounded relations (audit pairs,
+    per-audited-doc signatures) are localCheckpoint-ed because each
+    has several downstream consumers — without truncation Catalyst
+    re-derives the shingle self-join per consumer and the physical
+    plan explodes to 14 shuffles / 94 broadcast joins (r12 VERDICT
+    ask #7; same lineage rule as operators/graph.py)."""
     from ..functions.text import md5_hash64
     from ..operators.dedup import ngram_jaccard_pairs, shingled
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=_BBIT_THRESHOLD).select(
-        "doc_a", "doc_b", "jaccard"
+    pairs = (
+        ngram_jaccard_pairs(docs, threshold=_BBIT_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .localCheckpoint(eager=True)
     )
     # signatures only for audited endpoints: the K slot hashes are the
     # dense map of this query, and the audit touches few docs — the
@@ -2566,7 +2573,7 @@ def bbit_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"mh{i}")
             for i in range(_BBIT_K)
         ]
-    )
+    ).localCheckpoint(eager=True)  # one row per audited doc; 2 consumers
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_BBIT_K)],
@@ -2601,6 +2608,12 @@ def bbit_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_matches(1).alias("matches_b1"),
         )
     )
+    # Estimator constants derive from _BBIT_K (r12 advice: hardcoded
+    # 16/48 would silently skew if K changed while _bbit_sql(k) stayed
+    # parameterized): J_hat = (f - 2^-b)/(1 - 2^-b) with f = m/K gives
+    # b=2: (4m - K)/(3K) and b=1: (2m - K)/K, clamped before the
+    # truncating DIV.
+    k = _BBIT_K
     return joined.select(
         "doc_a",
         "doc_b",
@@ -2608,12 +2621,12 @@ def bbit_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "matches_full",
         "matches_b2",
         "matches_b1",
-        F.expr("1000000 * matches_full DIV 16").alias("est_full_ppm"),
+        F.expr(f"1000000 * matches_full DIV {k}").alias("est_full_ppm"),
         F.expr(
-            "1000000 * GREATEST(0L, 4 * matches_b2 - 16) DIV 48"
+            f"1000000 * GREATEST(0L, 4 * matches_b2 - {k}) DIV {3 * k}"
         ).alias("est_b2_ppm"),
         F.expr(
-            "1000000 * GREATEST(0L, 2 * matches_b1 - 16) DIV 16"
+            f"1000000 * GREATEST(0L, 2 * matches_b1 - {k}) DIV {k}"
         ).alias("est_b1_ppm"),
     )
 
@@ -2679,9 +2692,9 @@ WITH toks AS (
   JOIN sig b ON b.doc_id = p.doc_b
 )
 SELECT doc_a, doc_b, jaccard, matches_full, matches_b2, matches_b1,
-       1000000 * matches_full // 16 AS est_full_ppm,
-       1000000 * GREATEST(0, 4 * matches_b2 - 16) // 48 AS est_b2_ppm,
-       1000000 * GREATEST(0, 2 * matches_b1 - 16) // 16 AS est_b1_ppm
+       1000000 * matches_full // {k} AS est_full_ppm,
+       1000000 * GREATEST(0, 4 * matches_b2 - {k}) // {3 * k} AS est_b2_ppm,
+       1000000 * GREATEST(0, 2 * matches_b1 - {k}) // {k} AS est_b1_ppm
 FROM audited
 """
 
@@ -2723,13 +2736,14 @@ REGISTRY.update(
 #: the one freshness signal the artifacts cannot carry. Reset each
 #: round to the queries the round actually touched.
 _RESTAMP: tuple[str, ...] = (
-    # r12 scorer fix (score_pairs_cosine batch-independent
-    # scoreability) + oracle rs-CTE restructure — hash-stable by
-    # design, but implementation drift needs fresh driver evidence:
-    "nn_descent_knn_graph",
-    "lsh_ann_pairs",
-    "copurchase_hyperball",       # r12: register-join onto edge rows
-    "ivfpq_persisted_topk",       # r12: content-fingerprint cache key
+    # r13: reservoir persistence moved to crash-atomic generations
+    # (streaming/pipelines._reservoir_commit) — output is hash-stable
+    # by design, but the store layout changed under the query:
+    "stream_priority_sample",
+    # r13: plan consolidation (localCheckpoint on the bounded audit
+    # pair set + signatures; 14 shuffles/BHJ×94 -> 2/2) and estimator
+    # constants now derived from _BBIT_K:
+    "bbit_minhash_audit",
 )
 
 
