@@ -1132,6 +1132,10 @@ BENCH_HEADLINE: tuple[str, ...] = (
     # window exchange over the stratum key)
     "weighted_priority_sample",
     "stratified_priority_sample",
+    # round-13 addition: the streaming ANN ingest composition (persisted
+    # quantizer serve + cell-pruned near-dup + generation stores) —
+    # prices the full foreachBatch drain end to end
+    "stream_ann_ingest_dedup",
 )
 
 
@@ -2088,17 +2092,13 @@ REGISTRY.update(
 # --- round 11 ---------------------------------------------------------
 
 
-def ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ served from a PERSISTED model (r10 VERDICT ask #4): fit
-    the same RNG-free quantizers as embedding_ivfpq_topk, write them
-    to parquet (operators/similarity.save_ann_model), load them back,
-    and serve ADC top-5 from the LOADED state — the fit-once/
-    serve-many lifecycle a 100 TB deployment actually runs (model
-    state lives in the object store; serving jobs never refit).
-    Parquet DOUBLE columns round-trip IEEE-754 bit-exactly, so this
-    query's oracle is the SAME composed unrolled-CTE twin as the
-    fit-path query: a hash match proves the persistence layer is
-    lossless end-to-end."""
+def _persisted_ann_model(spark: SparkSession, sf_dir: str) -> dict:
+    """Fit-or-load the shared persisted ANN model (coarse centroids +
+    PQ codebooks) for ``sf_dir``'s embeddings table — the model state
+    behind ivfpq_persisted_topk AND stream_ann_ingest_dedup (r13: the
+    ingest stream serves the same fit-once quantizer the top-k serving
+    path uses, exactly like a production deployment shares one index
+    build)."""
     import hashlib
     import os
     import shutil
@@ -2106,7 +2106,6 @@ def ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from ..operators.similarity import (
-        ivfpq_serve,
         kmeans_centroids,
         load_ann_model,
         pq_train,
@@ -2160,7 +2159,24 @@ def ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             # a concurrent fitter won the rename; its model is
             # bit-identical — discard ours and serve the winner's
             shutil.rmtree(tmp, ignore_errors=True)
-    model = load_ann_model(spark, path)
+    return load_ann_model(spark, path)
+
+
+def ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ served from a PERSISTED model (r10 VERDICT ask #4): fit
+    the same RNG-free quantizers as embedding_ivfpq_topk, write them
+    to parquet (operators/similarity.save_ann_model), load them back,
+    and serve ADC top-5 from the LOADED state — the fit-once/
+    serve-many lifecycle a 100 TB deployment actually runs (model
+    state lives in the object store; serving jobs never refit).
+    Parquet DOUBLE columns round-trip IEEE-754 bit-exactly, so this
+    query's oracle is the SAME composed unrolled-CTE twin as the
+    fit-path query: a hash match proves the persistence layer is
+    lossless end-to-end."""
+    from ..operators.similarity import ivfpq_serve
+
+    model = _persisted_ann_model(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
     return ivfpq_serve(emb, model["centroids"], model["codebooks"])
 
 
@@ -2699,11 +2715,93 @@ FROM audited
 """
 
 
+# --- round 13 ---------------------------------------------------------
+
+
+_ANN_INGEST_THRESHOLD = 0.45
+
+
+def stream_ann_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN ingest near-dedup (r12 VERDICT ask #6 — the last
+    north-star composition gap): embeddings arrive as a stream, each
+    micro-batch is assigned to its IVF cell via the PERSISTED coarse
+    quantizer (the same fit-once model ivfpq_persisted_topk serves
+    from) and near-dup-flagged against the persisted vector store
+    within that cell — the embedding twin of
+    incremental_ingest_near_dedup. Output: every ingested vector with
+    its cell and final canonicity.
+
+    The dup rule (exists a smaller-vec_id same-cell vector with
+    cosine >= 0.45, non-recursive) is order-insensitive, so the
+    drained state is bit-identical to the batch twin regardless of
+    micro-batching/replay/arrival order — which is exactly what this
+    query's DuckDB oracle checks (the stream_priority_sample
+    pattern): the oracle recomputes the unrolled k-means fit, the
+    argmax cell assignment, and the within-cell pair rule over the
+    whole corpus at once. Multi-batch, out-of-order, replay, and
+    crash schedules are pinned by tests/test_round13.py.
+
+    Scale shape: the model is bounded driver state; per batch the
+    store scan is cell-pruned and joined against the BROADCAST
+    arrivals (the store never shuffles); state appends are
+    micro-batch-sized. See streaming/pipelines.ann_ingest_batch."""
+    from ..streaming.pipelines import stream_ann_ingest
+
+    model = _persisted_ann_model(spark, sf_dir)
+    return stream_ann_ingest(
+        spark, sf_dir, model["centroids"], threshold=_ANN_INGEST_THRESHOLD
+    )
+
+
+def _ann_ingest_sql(
+    k: int = 8,
+    iters: int = 5,
+    sample_n: int = 4096,
+    dim: int = 64,
+    threshold: float = _ANN_INGEST_THRESHOLD,
+) -> str:
+    """DuckDB batch twin of stream_ann_ingest_dedup: the shared
+    unrolled Lloyd chain (_kmeans_cte_chain — same params as the
+    persisted model fit), argmax cell assignment over all vectors,
+    then the non-recursive smaller-id within-cell near-dup rule on the
+    raw (un-normalized) embeddings — the _EMB_NEAR_DUP_SQL cosine
+    convention."""
+    from ._northstar import _COS_SQL
+    from ._tpch_corpus import _ASSIGN_SQL, _UNIT_SQL, _kmeans_cte_chain
+
+    return (
+        f"""WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw,
+         {_UNIT_SQL.format(v='embedding')} AS v
+  FROM embeddings
+), smp AS (
+  SELECT vec_id, v FROM n ORDER BY vec_id LIMIT {sample_n}
+)"""
+        + _kmeans_cte_chain("smp", k, iters, dim)
+        + f""", af AS MATERIALIZED ({_ASSIGN_SQL.format(fit_src='n', src=f'c{iters}')})
+, dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM af a
+  JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+  WHERE {_COS_SQL.format(a='na.raw', b='nb.raw')} >= {threshold}
+)
+SELECT af.vec_id, CAST(af.cid AS INT) AS ivf_cell,
+       d.vec_id IS NULL AS is_canonical
+FROM af LEFT JOIN dup d ON d.vec_id = af.vec_id"""
+    )
+
+
 REGISTRY.update(
     {
         "weighted_priority_sample": (
             weighted_priority_sample,
             _aes_sql(),
+        ),
+        "stream_ann_ingest_dedup": (
+            stream_ann_ingest_dedup,
+            _ann_ingest_sql(),
         ),
         "stratified_priority_sample": (
             stratified_priority_sample,

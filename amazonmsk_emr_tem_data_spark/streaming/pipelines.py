@@ -96,6 +96,18 @@ def events_stream(
     return _stream_parquet_table(spark, sf_dir, "events", max_files_per_trigger)
 
 
+def embeddings_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Unbounded view of the embeddings table via the parquet file
+    source — the streaming stand-in for an embedding feed landing in
+    object storage (each new shard of freshly-embedded documents is a
+    micro-batch candidate)."""
+    return _stream_parquet_table(
+        spark, sf_dir, "embeddings", max_files_per_trigger
+    )
+
+
 def documents_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -1018,6 +1030,188 @@ def incremental_ingest_near_dedup(
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError("near-dedup ingest did not drain in 300s")
+
+
+def ann_ingest_batch(
+    batch_df: DataFrame,
+    store_dir: str,
+    centroids: list[list[float]],
+    threshold: float = 0.45,
+) -> None:
+    """One micro-batch of streaming ANN ingest (r12 VERDICT ask #6):
+    arriving embeddings are assigned to their IVF cell via the
+    PERSISTED coarse quantizer (broadcast model state — the serve half
+    of the fit-once lifecycle), then near-dup-flagged against the
+    persisted vector store restricted to the SAME cell (the ANN
+    approximation that makes ingest dedup affordable: per batch, cost
+    is |batch| × same-cell store rows, never |batch| × |store|).
+
+    The dup rule is ORDER-INSENSITIVE so the drained state is
+    bit-identical to the batch twin no matter how ingest was
+    micro-batched, including out-of-order and replayed batches:
+    a vector is a duplicate iff ANY smaller-vec_id same-cell vector
+    anywhere in the corpus scores cosine >= threshold against it
+    (non-recursive — duplicates of duplicates still count, which is
+    what keeps the rule SQL-expressible and merge-commutative).
+    Three cases per pair (u < v):
+    - u and v in the same batch  -> the within-batch self-join flags v;
+    - u arrived before v         -> the store-vs-arrivals join flags v
+                                    at v's arrival;
+    - u arrives AFTER v          -> the same join RETRO-DEMOTES v by
+                                    appending v's id to the demoted
+                                    set (an append-only membership set
+                                    — duplicates from replays are
+                                    harmless).
+    Replay safety: arrivals already in the store are anti-joined away
+    before the vector append (a full replay appends nothing), and the
+    demotion set is recomputed from the FULL batch — so the
+    vectors-then-demotions append order closes the crash window (a
+    crash between the two appends replays into "no new vectors, same
+    demotions re-derived").
+
+    Plan contract: the store side never shuffles — both joins
+    broadcast the (micro-batch-sized) arrivals against the cell-keyed
+    store scan; the model is a driver literal inside the Arrow
+    assignment pass."""
+    from ..operators.similarity import cosine, with_ivf_cell
+
+    sess = batch_df.sparkSession
+    vec_dir = os.path.join(store_dir, "vectors")
+    dem_dir = os.path.join(store_dir, "demoted")
+    arr = (
+        with_ivf_cell(batch_df, centroids)
+        .select("vec_id", "ivf_cell", "embedding")
+        .localCheckpoint(eager=True)  # several consumers below
+    )
+    store = _read_store(sess, vec_dir)
+    b_side = arr.select(
+        F.col("vec_id").alias("b_id"),
+        "ivf_cell",
+        F.col("embedding").alias("b_emb"),
+    )
+    # within-batch: smaller-id same-cell neighbor among the arrivals
+    dup_ids = (
+        arr.join(F.broadcast(b_side), "ivf_cell")
+        .filter(F.col("b_id") < F.col("vec_id"))
+        .filter(cosine(F.col("embedding"), F.col("b_emb")) >= threshold)
+        .select("vec_id")
+    )
+    demoted = None
+    if store is not None:
+        j = (
+            store.select(
+                F.col("vec_id").alias("s_id"),
+                "ivf_cell",
+                F.col("embedding").alias("s_emb"),
+            )
+            .join(F.broadcast(b_side), "ivf_cell")
+            .filter(F.col("s_id") != F.col("b_id"))
+            .filter(cosine(F.col("s_emb"), F.col("b_emb")) >= threshold)
+            .select("s_id", "b_id")
+            .localCheckpoint(eager=True)  # two consumers, bounded
+        )
+        dup_ids = dup_ids.unionByName(
+            j.filter(F.col("s_id") < F.col("b_id")).select(
+                F.col("b_id").alias("vec_id")
+            )
+        )
+        demoted = (
+            j.filter(F.col("b_id") < F.col("s_id"))
+            .select(F.col("s_id").alias("vec_id"))
+            .distinct()
+        )
+    flagged = arr.join(
+        dup_ids.distinct().withColumn("__dup", F.lit(True)),
+        "vec_id",
+        "left",
+    ).select(
+        "vec_id",
+        "ivf_cell",
+        "embedding",
+        F.coalesce(F.col("__dup"), F.lit(False)).alias("dup_at_arrival"),
+    )
+    if store is not None:
+        flagged = flagged.join(
+            store.select("vec_id"), "vec_id", "left_anti"
+        )
+    flagged.write.mode("append").parquet(vec_dir)
+    if demoted is not None:
+        _ann_append_demotions(demoted, dem_dir)
+
+
+def _ann_append_demotions(demoted: DataFrame, dem_dir: str) -> None:
+    """Second of the two per-batch appends — a module-level seam so the
+    crash test can tear exactly the vectors-committed/demotions-missing
+    window (the replay closes it: demotions re-derive from the full
+    batch, vectors anti-join to a no-op)."""
+    demoted.coalesce(1).write.mode("append").parquet(dem_dir)
+
+
+def read_ann_ingest_store(sess: SparkSession, store_dir: str) -> DataFrame:
+    """Resolve the drained ANN-ingest state: every ingested vector with
+    its cell and final canonicity (arrival flag minus retro-demotions).
+    The demoted set is micro-batch-sized per append and read distinct;
+    the vector store scan never shuffles (broadcast semi-structure)."""
+    vec = sess.read.parquet(os.path.join(store_dir, "vectors"))
+    dem = _read_store(sess, os.path.join(store_dir, "demoted"))
+    out = vec.select("vec_id", "ivf_cell", "dup_at_arrival")
+    if dem is not None:
+        out = out.join(
+            F.broadcast(
+                dem.select("vec_id").distinct().withColumn(
+                    "__dem", F.lit(True)
+                )
+            ),
+            "vec_id",
+            "left",
+        )
+    else:
+        out = out.withColumn("__dem", F.lit(None).cast("boolean"))
+    return out.select(
+        "vec_id",
+        "ivf_cell",
+        (~F.col("dup_at_arrival") & F.col("__dem").isNull()).alias(
+            "is_canonical"
+        ),
+    )
+
+
+def stream_ann_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: list[list[float]],
+    threshold: float = 0.45,
+    store_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming ANN ingest near-dedup: embeddings arrive as a stream,
+    each micro-batch is cell-assigned via the persisted coarse
+    quantizer and near-dup-filtered against the persisted vector store
+    (ann_ingest_batch). Because the dup rule is order-insensitive, the
+    drained state is BIT-IDENTICAL to the batch computation over the
+    same corpus — the registry checks this stream against a batch-twin
+    DuckDB oracle (the stream_priority_sample pattern), so the
+    mergeability claim is a standing hash proof."""
+    emb = embeddings_stream(spark, sf_dir)
+    store = store_dir or os.path.join(
+        tempfile.mkdtemp(prefix="store_ann_ingest_"), "store"
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        ann_ingest_batch(batch_df, store, centroids, threshold)
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_ann_ingest_")
+    q = (
+        emb.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName("stream_ann_ingest")
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("ANN ingest stream did not drain in 300s")
+    return read_ann_ingest_store(spark, store)
 
 
 def fanout_foreach_batch(
