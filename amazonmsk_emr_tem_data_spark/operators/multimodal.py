@@ -791,14 +791,96 @@ def _pure_decoders():
             out[:, :, t + 1] = pred
         return out.transpose(0, 2, 1).reshape(-1, n_ch)
 
+    def _ms_adpcm_array(data, body_at, n, n_ch, blk_align):
+        """MS ADPCM (WAV format 2) → int16-grid samples, shape
+        (n_samples, n_ch). Standard Microsoft tables (MSDN WAVE
+        format spec; identical constants in every msadpcm.c). Block
+        layout: per channel a predictor index byte, then per channel
+        int16 idelta / sample1 / sample2 (7 bytes/channel header; the
+        two header samples are emitted as the block's first two
+        outputs, sample2 first), then 4-bit codes high-nibble-first,
+        channel-interleaved per sample. Blocks are self-contained, so
+        decoding vectorizes across blocks×channels; the sequential
+        axis is the samples-per-block recursion (numpy ops per
+        step)."""
+        hdr_sz = 7 * n_ch
+        if blk_align <= hdr_sz or (2 * (blk_align - hdr_sz)) % n_ch:
+            raise ValueError("inconsistent MS ADPCM block align")
+        n_blocks = n // blk_align
+        if n_blocks == 0:
+            raise ValueError("MS ADPCM data shorter than one block")
+        spb = (blk_align - hdr_sz) * 2 // n_ch + 2
+        blocks = np.frombuffer(
+            data, np.uint8, count=n_blocks * blk_align, offset=body_at
+        ).reshape(n_blocks, blk_align)
+
+        def _i16(lo, hi):
+            v = lo.astype(np.int32) | (hi.astype(np.int32) << 8)
+            return np.where(v >= 1 << 15, v - (1 << 16), v)
+
+        bpred = blocks[:, :n_ch].astype(np.int32)
+        if (bpred >= 7).any():
+            raise ValueError("MS ADPCM predictor index out of range")
+        base = n_ch
+        idelta = _i16(
+            blocks[:, base : base + 2 * n_ch : 2],
+            blocks[:, base + 1 : base + 2 * n_ch : 2],
+        )
+        base += 2 * n_ch
+        samp1 = _i16(
+            blocks[:, base : base + 2 * n_ch : 2],
+            blocks[:, base + 1 : base + 2 * n_ch : 2],
+        )
+        base += 2 * n_ch
+        samp2 = _i16(
+            blocks[:, base : base + 2 * n_ch : 2],
+            blocks[:, base + 1 : base + 2 * n_ch : 2],
+        )
+        coeff1 = np.array(
+            [256, 512, 0, 192, 240, 460, 392], np.int32
+        )[bpred]
+        coeff2 = np.array(
+            [0, -256, 0, 64, 0, -208, -232], np.int32
+        )[bpred]
+        adapt = np.array(
+            [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230], np.int32,
+        )
+        # nibble stream: high nibble first, channels round-robin per
+        # sample → (n_blocks, n_ch, spb-2) code planes
+        body = blocks[:, hdr_sz:]
+        nib = np.empty(body.shape + (2,), np.int32)
+        nib[..., 0] = body >> 4
+        nib[..., 1] = body & 0x0F
+        codes = (
+            nib.reshape(n_blocks, -1)
+            .reshape(n_blocks, spb - 2, n_ch)
+            .transpose(0, 2, 1)
+        )
+        out = np.empty((n_blocks, n_ch, spb), np.int32)
+        out[:, :, 0] = samp2
+        out[:, :, 1] = samp1
+        for t in range(spb - 2):
+            code = codes[:, :, t]
+            signed = np.where(code >= 8, code - 16, code)
+            pred = (
+                (samp1 * coeff1 + samp2 * coeff2) >> 8
+            ) + signed * idelta
+            pred = np.clip(pred, -32768, 32767)
+            samp2 = samp1
+            samp1 = pred
+            idelta = np.maximum((adapt[code] * idelta) >> 8, 16)
+            out[:, :, t + 2] = pred
+        return out.transpose(0, 2, 1).reshape(-1, n_ch)
+
     def wav_array(data: bytes):
         """RIFF/WAVE decode, any channel count: integer PCM at
         8/16/24/32-bit, IEEE float at 32/64-bit (format 3),
         G.711 A-law/µ-law (formats 6/7, canonical expansion),
-        IMA/DVI ADPCM (format 0x11, the block-independent 4-bit
-        predictor codec — r12), and WAVE_FORMAT_EXTENSIBLE (0xFFFE)
-        wrappers; only entropy-coded audio (MP3/FLAC/OGG) and MS
-        ADPCM (format 2) still raise the guarded stub. Returns
+        IMA/DVI ADPCM (format 0x11) and MS ADPCM (format 2) — the
+        4-bit block codecs (r12/r13) — and WAVE_FORMAT_EXTENSIBLE
+        (0xFFFE) wrappers; only entropy-coded audio (MP3/FLAC/OGG)
+        still raises the guarded stub. Returns
         (sample_rate, int32 array of shape (n_samples, n_channels))
         with every depth aligned onto ONE documented 16-bit grid:
         8-bit → (v−128)·256, 16-bit verbatim, 24/32-bit → arithmetic
@@ -830,13 +912,14 @@ def _pure_decoders():
                     (audio_fmt == 1 and bits in (8, 16, 24, 32))
                     or (audio_fmt == 3 and bits in (32, 64))
                     or (audio_fmt in (6, 7) and bits == 8)
-                    or (audio_fmt == 0x11 and bits == 4)
+                    or (audio_fmt in (2, 0x11) and bits == 4)
                 ):
                     raise NotImplementedError(
                         "only integer PCM 8/16/24/32-bit, IEEE-float "
-                        "32/64-bit, G.711 A-law/µ-law, and IMA ADPCM "
-                        f"WAV decode natively (got format={audio_fmt},"
-                        f" bits={bits}); MP3/FLAC/OGG need ffmpeg here"
+                        "32/64-bit, G.711 A-law/µ-law, and IMA/MS "
+                        f"ADPCM WAV decode natively (got format="
+                        f"{audio_fmt}, bits={bits}); MP3/FLAC/OGG "
+                        "need ffmpeg here"
                     )
                 fmt = (n_ch, rate, bits, audio_fmt, blk_align)
             elif cid == b"data":
@@ -847,6 +930,12 @@ def _pure_decoders():
                     raise ValueError("inconsistent WAV fmt")
                 if audio_fmt == 0x11:
                     return rate, _ima_adpcm_array(
+                        data, body_at,
+                        min(clen, len(data) - body_at),
+                        n_ch, blk_align,
+                    )
+                if audio_fmt == 2:
+                    return rate, _ms_adpcm_array(
                         data, body_at,
                         min(clen, len(data) - body_at),
                         n_ch, blk_align,

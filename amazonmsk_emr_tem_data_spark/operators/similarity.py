@@ -1196,6 +1196,129 @@ def hard_negative_mining(
     )
 
 
+def _int8_sig_table(emb: DataFrame) -> DataFrame:
+    """Per-vector int8 prefilter signature for NN-Descent candidate
+    scoring (r12 VERDICT ask #2): the unit vector quantized to 64
+    bytes (``sig``) plus the exact L2 norm of its quantization
+    residual (``sig_r``) — the certificate that makes the prefilter
+    LOSSLESS. For any pair, |cos_exact − ip(q_a,q_b)/127²| ≤
+    r_a + r_b + r_a·r_b (Cauchy-Schwarz on u = q/127 + res), so a
+    candidate whose upper bound falls below the node's k-th best
+    lower bound provably cannot enter the exact top-k. Unscoreable
+    vectors (NULL, zero norm, non-finite) get a NULL sig — treated
+    downstream as "always survives", so they reach the exact scorer
+    and take its NULL-cos path unchanged. Input/output: (vid, v) →
+    (vid, sig binary, sig_r double); n rows of model-state size."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            emb.schema["vid"],
+            T.StructField("sig", T.BinaryType(), True),
+            T.StructField("sig_r", T.DoubleType(), True),
+        ]
+    )
+
+    def quantize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sigs, rs = [], []
+            for v in pdf["v"]:
+                if v is None:
+                    sigs.append(None)
+                    rs.append(2.0)
+                    continue
+                arr = np.asarray(v, dtype=np.float64)
+                nrm = float(np.linalg.norm(arr))
+                if not np.isfinite(nrm) or nrm == 0.0 or not np.all(
+                    np.isfinite(arr)
+                ):
+                    sigs.append(None)
+                    rs.append(2.0)
+                    continue
+                u = arr / nrm
+                q = np.clip(np.rint(u * 127.0), -127, 127).astype(np.int8)
+                # residual norm + slack: 1e-9 dwarfs the ~1e-14 gap
+                # between this float64 math and the exact scorer's
+                # fold-ordered cosine, keeping the bound conservative
+                r = float(np.linalg.norm(u - q.astype(np.float64) / 127.0))
+                sigs.append(q.tobytes())
+                rs.append(r + 1e-9)
+            yield pd.DataFrame(
+                {"vid": pdf["vid"], "sig": sigs, "sig_r": rs}
+            )
+
+    return emb.select("vid", "v").mapInPandas(quantize, out_schema)
+
+
+def _approx_pair_bounds(pairs: DataFrame) -> DataFrame:
+    """Arrow pass computing [lb, ub] cosine bounds for candidate pairs
+    from their int8 signatures: ip(q_a,q_b) is an exact integer (one
+    vectorized multiply-sum — integer addition is associative, so no
+    fold-order ceremony), approx = ip/127², bound = r_a+r_b+r_a·r_b.
+    Pairs with a NULL/ragged signature get [-2, 2] (always survive,
+    never displace). Input columns: a, b, sa, ra, sb, rb."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            pairs.schema["a"],
+            pairs.schema["b"],
+            T.StructField("lb", T.DoubleType(), False),
+            T.StructField("ub", T.DoubleType(), False),
+        ]
+    )
+
+    def bounds(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n = len(pdf)
+            sa, sb = pdf["sa"].to_numpy(), pdf["sb"].to_numpy()
+            ra = pdf["ra"].to_numpy(dtype=np.float64)
+            rb = pdf["rb"].to_numpy(dtype=np.float64)
+            pair_len = np.array(
+                [
+                    len(x)
+                    if x is not None and y is not None and len(x) == len(y)
+                    else -1
+                    for x, y in zip(sa, sb)
+                ],
+                dtype=np.int64,
+            )
+            lb = np.full(n, -2.0)
+            ub = np.full(n, 2.0)
+            okv = pair_len > 0
+            for d in np.unique(pair_len[okv]):
+                grp = np.where(pair_len == d)[0]
+                A = np.frombuffer(
+                    b"".join(sa[i] for i in grp), dtype=np.int8
+                ).reshape(len(grp), d)
+                B = np.frombuffer(
+                    b"".join(sb[i] for i in grp), dtype=np.int8
+                ).reshape(len(grp), d)
+                ip = (A.astype(np.int32) * B.astype(np.int32)).sum(axis=1)
+                approx = ip.astype(np.float64) / 16129.0
+                g_ra, g_rb = ra[grp], rb[grp]
+                bound = g_ra + g_rb + g_ra * g_rb
+                lb[grp] = approx - bound
+                ub[grp] = approx + bound
+            yield pd.DataFrame(
+                {"a": pdf["a"], "b": pdf["b"], "lb": lb, "ub": ub}
+            )
+
+    return pairs.select("a", "b", "sa", "ra", "sb", "rb").mapInPandas(
+        bounds, out_schema
+    )
+
+
 def nn_descent_graph(
     embeddings: DataFrame,
     k: int = 6,
@@ -1205,6 +1328,7 @@ def nn_descent_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rev_k: int | None = None,
+    prefilter: bool = True,
 ) -> DataFrame:
     """NN-Descent k-NN graph construction (Dong et al., WWW'11) — the
     modern graph-ANN tier member beside LSH/IVF/PQ: start from a cheap
@@ -1298,6 +1422,31 @@ def nn_descent_graph(
     wr = Window.partitionBy("a").orderBy(
         F.col("cos_sim").desc(), F.col("b").asc()
     )
+    if prefilter:
+        # r12 VERDICT ask #2: shrink the PAYLOAD, not the exchange —
+        # candidates are first scored on 64-byte int8 signatures
+        # (8× narrower than the raw vectors through the Arrow
+        # transfer), and only pairs whose certified upper bound
+        # reaches the node's k-th best lower bound fetch full vectors
+        # for the exact rescore. Lossless by the residual-norm
+        # certificate (see _int8_sig_table), so the output is
+        # bit-identical to prefilter=False — pinned by test and by
+        # the unchanged oracle.
+        sig = _int8_sig_table(emb).localCheckpoint(eager=True)
+        siga = sig.select(
+            F.col("vid").alias("a"),
+            F.col("sig").alias("sa"),
+            F.col("sig_r").alias("ra"),
+        )
+        sigb = sig.select(
+            F.col("vid").alias("b"),
+            F.col("sig").alias("sb"),
+            F.col("sig_r").alias("rb"),
+        )
+        w_lb = Window.partitionBy("a").orderBy(
+            F.col("lb").desc(), F.col("b").asc()
+        )
+        w_a = Window.partitionBy("a")
 
     if rev_k is None:
         rev_k = max(1, k // 2)
@@ -1345,6 +1494,30 @@ def nn_descent_graph(
         # pre-shrunk 16-byte-row exchange saves — distinct's map-side
         # partial aggregate already halves what the wire carries.
         cand = und.union(hop).distinct()
+        if prefilter:
+            approx = _approx_pair_bounds(
+                cand.join(F.broadcast(siga), "a").join(
+                    F.broadcast(sigb), "b"
+                )
+            )
+            # per-node pruning threshold: the k-th largest LOWER
+            # bound. Any pair whose UPPER bound misses it has exact
+            # cosine strictly below ≥ k others — provably outside the
+            # top-k (ties included: the inequality chain is strict).
+            # Nodes with < k candidates have no rank-k row → NULL
+            # threshold → keep all. Both windows share the hash
+            # partitioning on `a`, so the filter costs one exchange.
+            cand = (
+                approx.withColumn("__r", F.row_number().over(w_lb))
+                .withColumn(
+                    "__t",
+                    F.max(
+                        F.when(F.col("__r") == k, F.col("lb"))
+                    ).over(w_a),
+                )
+                .filter(F.col("__t").isNull() | (F.col("ub") >= F.col("__t")))
+                .select("a", "b")
+            )
         # bulk scoring via the shared Arrow fold scorer (r10's inner
         # fold_cos, extracted in r11 for the LSH verify stage too)
         scored = score_pairs_cosine(

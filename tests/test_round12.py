@@ -275,9 +275,10 @@ def test_wav_ima_adpcm_decode():
         assert err < 900, err
 
 
-def test_wav_ms_adpcm_still_gated():
-    """MS ADPCM (format 2) remains behind the guarded stub — only IMA
-    (0x11) graduated in r12."""
+def test_wav_mp3_still_gated():
+    """Entropy-coded audio stays behind the guarded stub. (MS ADPCM
+    graduated in r13 — its parity tests live in test_round13.py; this
+    pin moved to the MPEG layer-3 format code.)"""
     import struct
 
     import pytest as _pytest
@@ -286,12 +287,12 @@ def test_wav_ms_adpcm_still_gated():
         _pure_decoders,
     )
 
-    fmt = struct.pack("<HHIIHH", 2, 1, 16000, 16000, 256, 4)
+    fmt = struct.pack("<HHIIHH", 0x55, 1, 16000, 16000, 1, 0)
     wav = (
         b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     )
-    with _pytest.raises(NotImplementedError, match="IMA ADPCM"):
+    with _pytest.raises(NotImplementedError, match="ffmpeg"):
         _pure_decoders()["wav"](wav)
 
 

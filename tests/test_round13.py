@@ -197,6 +197,159 @@ def test_ima_adpcm_minimal_valid_stereo_align_still_decodes():
 
 
 # ---------------------------------------------------------------------------
+# r12 VERDICT ask #8: MS ADPCM (WAV format 2)
+# ---------------------------------------------------------------------------
+
+_MS_COEFF1 = [256, 512, 0, 192, 240, 460, 392]
+_MS_COEFF2 = [0, -256, 0, 64, 0, -208, -232]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _ms_decode_code(code, s1, s2, c1, c2, idelta):
+    """Scalar MS ADPCM step — the independent reference for both the
+    in-test encoder and the engine decoder."""
+    signed = code - 16 if code >= 8 else code
+    pred = ((s1 * c1 + s2 * c2) >> 8) + signed * idelta
+    pred = max(-32768, min(32767, pred))
+    idelta = max(16, (_MS_ADAPT[code] * idelta) >> 8)
+    return pred, idelta
+
+
+def _ms_wav_bytes(samples, rate=8000, bpred=None, spb=500):
+    """Encode an (n, ch) int16 array as an MS ADPCM WAV (format 2):
+    per-channel predictor byte + idelta/sample1/sample2 header, then
+    high-nibble-first channel-interleaved 4-bit codes."""
+    import numpy as np
+
+    samples = np.asarray(samples, dtype=np.int64)
+    n, ch = samples.shape
+    bpred = bpred or [0] * ch
+    blk_align = 7 * ch + (spb - 2) * ch // 2
+    blocks = b""
+    for b0 in range(0, n, spb):
+        blk = samples[b0 : b0 + spb]
+        if len(blk) < spb:
+            blk = np.vstack([blk, np.repeat(blk[-1:], spb - len(blk), 0)])
+        idelta = [32] * ch
+        s2 = [int(blk[0, c]) for c in range(ch)]
+        s1 = [int(blk[1, c]) for c in range(ch)]
+        hdr = bytes(bpred)
+        for arr in (idelta, s1, s2):
+            for c in range(ch):
+                hdr += struct.pack("<h", arr[c])
+        codes = []
+        st1, st2, sid = list(s1), list(s2), list(idelta)
+        for t in range(2, spb):
+            for c in range(ch):
+                c1, c2 = _MS_COEFF1[bpred[c]], _MS_COEFF2[bpred[c]]
+                base = (st1[c] * c1 + st2[c] * c2) >> 8
+                want = int(blk[t, c])
+                code = max(-8, min(7, round((want - base) / sid[c])))
+                code &= 0x0F
+                pred, sid[c] = _ms_decode_code(
+                    code, st1[c], st2[c], c1, c2, sid[c]
+                )
+                st2[c] = st1[c]
+                st1[c] = pred
+                codes.append(code)
+        body = bytearray()
+        for j in range(0, len(codes), 2):
+            body.append((codes[j] << 4) | codes[j + 1])
+        blocks += hdr + bytes(body)
+    byte_rate = rate * blk_align // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 2, ch, rate, byte_rate, blk_align, 4, 2, spb
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(blocks))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(blocks)) + blocks
+    )
+
+
+def test_wav_ms_adpcm_decode():
+    """The vectorized MS ADPCM decoder must reproduce the scalar
+    reference decode bit-for-bit — mono and stereo, multiple blocks,
+    per-channel predictor coefficients — and track the waveform."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+    )
+
+    wav_array = _pure_decoders()["wav"]
+    t = np.arange(1500)
+    mono = (np.sin(t / 11.0) * 9000 + np.sin(t / 97.0) * 7000).astype(
+        np.int64
+    ).reshape(-1, 1)
+    stereo = np.stack(
+        [mono[:, 0], (np.cos(t / 29.0) * 12000).astype(np.int64)], axis=1
+    )
+    for arr, rate, bpred in (
+        (mono, 8000, [1]),
+        (stereo, 22050, [0, 4]),
+    ):
+        n, ch = arr.shape
+        payload = _ms_wav_bytes(arr, rate=rate, bpred=bpred)
+        got_rate, got = wav_array(payload)
+        assert got_rate == rate
+        # scalar reference decode of the SAME bytes
+        spb = 500
+        blk_align = 7 * ch + (spb - 2) * ch // 2
+        data_at = payload.index(b"data") + 8
+        want = []
+        pos = data_at
+        while pos + blk_align <= len(payload):
+            bp = list(payload[pos : pos + ch])
+            vals = struct.unpack_from(f"<{3 * ch}h", payload, pos + ch)
+            idelta = list(vals[:ch])
+            s1 = list(vals[ch : 2 * ch])
+            s2 = list(vals[2 * ch :])
+            want.append(list(s2))
+            want.append(list(s1))
+            nibbles = []
+            for byte in payload[pos + 7 * ch : pos + blk_align]:
+                nibbles.append(byte >> 4)
+                nibbles.append(byte & 0x0F)
+            row = []
+            for j, code in enumerate(nibbles):
+                c = j % ch
+                pred, idelta[c] = _ms_decode_code(
+                    code, s1[c], s2[c],
+                    _MS_COEFF1[bp[c]], _MS_COEFF2[bp[c]], idelta[c],
+                )
+                s2[c] = s1[c]
+                s1[c] = pred
+                row.append(pred)
+                if c == ch - 1:
+                    want.append(row)
+                    row = []
+            pos += blk_align
+        assert got.tolist() == want
+        err = np.abs(np.asarray(want)[:n] - arr).mean()
+        assert err < 600, err
+
+
+def test_wav_ms_adpcm_malformed_block_align():
+    """Short or non-integral block aligns raise the documented error,
+    not a numpy reshape crash."""
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+    )
+
+    fmt = struct.pack("<HHIIHHHH", 2, 2, 8000, 8000, 14, 4, 2, 2)
+    body = bytes(28)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    with pytest.raises(ValueError, match="MS ADPCM block align"):
+        _pure_decoders()["wav"](wav)
+
+
+# ---------------------------------------------------------------------------
 # r12 ADVICE #3: sample_frames(fake=False) even spread
 # ---------------------------------------------------------------------------
 
