@@ -1281,28 +1281,27 @@ def _approx_pair_bounds(pairs: DataFrame) -> DataFrame:
             if not len(pdf):
                 continue
             n = len(pdf)
-            sa, sb = pdf["sa"].to_numpy(), pdf["sb"].to_numpy()
+            sa_s, sb_s = pdf["sa"], pdf["sb"]
             ra = pdf["ra"].to_numpy(dtype=np.float64)
             rb = pdf["rb"].to_numpy(dtype=np.float64)
-            pair_len = np.array(
-                [
-                    len(x)
-                    if x is not None and y is not None and len(x) == len(y)
-                    else -1
-                    for x, y in zip(sa, sb)
-                ],
-                dtype=np.int64,
-            )
+            # vectorized length/validity (no per-row Python loop —
+            # this pass sees EVERY candidate, so row overhead here is
+            # exactly what the prefilter is supposed to save)
+            la = sa_s.str.len().to_numpy(dtype=np.float64, na_value=-1)
+            lc = sb_s.str.len().to_numpy(dtype=np.float64, na_value=-1)
+            pair_len = np.where(la == lc, la, -1.0).astype(np.int64)
             lb = np.full(n, -2.0)
             ub = np.full(n, 2.0)
             okv = pair_len > 0
+            sa = sa_s.to_numpy()
+            sb = sb_s.to_numpy()
             for d in np.unique(pair_len[okv]):
                 grp = np.where(pair_len == d)[0]
                 A = np.frombuffer(
-                    b"".join(sa[i] for i in grp), dtype=np.int8
+                    b"".join(sa[grp].tolist()), dtype=np.int8
                 ).reshape(len(grp), d)
                 B = np.frombuffer(
-                    b"".join(sb[i] for i in grp), dtype=np.int8
+                    b"".join(sb[grp].tolist()), dtype=np.int8
                 ).reshape(len(grp), d)
                 ip = (A.astype(np.int32) * B.astype(np.int32)).sum(axis=1)
                 approx = ip.astype(np.float64) / 16129.0
@@ -1328,7 +1327,7 @@ def nn_descent_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rev_k: int | None = None,
-    prefilter: bool = True,
+    prefilter: bool = False,
 ) -> DataFrame:
     """NN-Descent k-NN graph construction (Dong et al., WWW'11) — the
     modern graph-ANN tier member beside LSH/IVF/PQ: start from a cheap
@@ -1430,8 +1429,21 @@ def nn_descent_graph(
         # reaches the node's k-th best lower bound fetch full vectors
         # for the exact rescore. Lossless by the residual-norm
         # certificate (see _int8_sig_table), so the output is
-        # bit-identical to prefilter=False — pinned by test and by
-        # the unchanged oracle.
+        # bit-identical to prefilter=False — pinned by test.
+        #
+        # BUILT, MEASURED, REJECTED as the default (r13) — the r12
+        # precedent: at dim=64 the signature is only 8× narrower than
+        # the raw vector, and the prefilter ADDS a signature build,
+        # two broadcast joins, an Arrow bounds pass over EVERY
+        # candidate, and a second window sort (lb/threshold) before
+        # the survivors re-join full vectors. Interleaved fresh-JVM
+        # A/B: sf0.1 a wash (on 6.39-7.21 s vs off 6.45-7.80 s across
+        # 3 alternated pairs); 100× fixture on 43.7-45.7 s vs off
+        # 41.8-42.0 s (min-of-2 per arm, both orderings) — 4-9%
+        # SLOWER despite 4-7× candidate pruning, because the saved
+        # exact-rescore rows are cheaper than the added full-candidate
+        # bounds pass. The lever would pay at dim ≥ 512 (32×+ payload
+        # cut); kept opt-in for that regime.
         sig = _int8_sig_table(emb).localCheckpoint(eager=True)
         siga = sig.select(
             F.col("vid").alias("a"),

@@ -1069,10 +1069,13 @@ def ann_ingest_batch(
     crash between the two appends replays into "no new vectors, same
     demotions re-derived").
 
-    Plan contract: the store side never shuffles — both joins
-    broadcast the (micro-batch-sized) arrivals against the cell-keyed
-    store scan; the model is a driver literal inside the Arrow
-    assignment pass."""
+    Plan contract: the store's VECTORS never shuffle — both near-dup
+    joins broadcast the (micro-batch-sized) arrivals against the
+    cell-keyed store scan; the model is a driver literal inside the
+    Arrow assignment pass. The replay-guard anti-join reads ONLY the
+    store's 8-byte id column (column pruning — the
+    incremental_ingest_dedup convention); at 100 TB that id exchange
+    is the piece you'd swap for a bloom-filter guard."""
     from ..operators.similarity import cosine, with_ivf_cell
 
     sess = batch_df.sparkSession

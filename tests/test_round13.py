@@ -567,3 +567,85 @@ def test_sample_frames_fewer_frames_than_requested(spark):
     )
     out = sample_frames(df, n_frames=4, fake=False).collect()
     assert sorted(r["frame_idx"] for r in out) == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# r12 VERDICT ask #2: int8 prefilter for NN-Descent — kept opt-in
+# (measured-rejected as the default at dim=64; see the A/B numbers at
+# operators/similarity.py nn_descent_graph). The certificate claim is
+# that prefilter=True is LOSSLESS: bit-identical output.
+# ---------------------------------------------------------------------------
+
+
+def test_nn_descent_prefilter_bit_identical(spark):
+    from amazonmsk_emr_tem_data_spark.operators.similarity import (
+        nn_descent_graph,
+    )
+    from amazonmsk_emr_tem_data_spark.sources.files import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = nn_descent_graph(emb, k=4, iters=2, prefilter=False)
+    pref = nn_descent_graph(emb, k=4, iters=2, prefilter=True)
+    cols = base.columns
+    assert pref.columns == cols
+    a = [tuple(r) for r in base.orderBy(*cols).collect()]
+    b = [tuple(r) for r in pref.orderBy(*cols).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_nn_descent_prefilter_bounds_certificate(spark):
+    """The int8 bounds actually bracket the exact cosine on real
+    vectors — the inequality the pruning proof rests on."""
+    import pyspark.sql.functions as F
+
+    from amazonmsk_emr_tem_data_spark.operators.similarity import (
+        _approx_pair_bounds,
+        _int8_sig_table,
+        cosine,
+    )
+    from amazonmsk_emr_tem_data_spark.sources.files import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(
+        64
+    )
+    norm = emb.select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("v")
+    )
+    sig = _int8_sig_table(norm)
+    pairs = (
+        norm.alias("x")
+        .join(norm.alias("y"), F.col("x.vid") < F.col("y.vid"))
+        .select(
+            F.col("x.vid").alias("a"),
+            F.col("y.vid").alias("b"),
+            F.col("x.v").alias("va"),
+            F.col("y.v").alias("vb"),
+        )
+        .limit(500)
+    )
+    siga = sig.select(
+        F.col("vid").alias("a"),
+        F.col("sig").alias("sa"),
+        F.col("sig_r").alias("ra"),
+    )
+    sigb = sig.select(
+        F.col("vid").alias("b"),
+        F.col("sig").alias("sb"),
+        F.col("sig_r").alias("rb"),
+    )
+    exact = pairs.withColumn(
+        "cs", cosine(F.col("va"), F.col("vb"))
+    ).select("a", "b", "cs")
+    bounds = _approx_pair_bounds(
+        pairs.select("a", "b").join(siga, "a").join(sigb, "b")
+    )
+    rows = exact.join(bounds, ["a", "b"]).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["lb"] - 1e-9 <= r["cs"] <= r["ub"] + 1e-9, (
+            r["a"],
+            r["b"],
+            r["lb"],
+            r["cs"],
+            r["ub"],
+        )
