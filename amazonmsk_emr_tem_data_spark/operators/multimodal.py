@@ -10,15 +10,19 @@ uncompressed formats (BMP BI_RGB, binary PPM/PGM), COMPLETE PNG
 (every legal IHDR: depths 1/2/4/8/16, all five color types,
 interlace 0 or Adam7 — stdlib zlib inflate + NumPy scanline
 unfilter; 16-bit reduces to the high byte for the uint8 contract),
-and — new r9 — baseline sequential JPEG (Huffman decode + dequant +
-vectorized IDCT, DRI/RSTn restarts, chroma subsampling, JFIF
-YCbCr→RGB) — no native codecs needed. ``decode_audio(fake=False)`` is
+baseline sequential JPEG (Huffman decode + dequant + vectorized
+IDCT, DRI/RSTn restarts, chroma subsampling, JFIF YCbCr→RGB — r9),
+and — new r13 — progressive JPEG (SOF2 multi-scan spectral selection
++ successive approximation, bit-identical to the baseline decode of
+the same coefficients) — no native codecs needed.
+``decode_audio(fake=False)`` is
 the audio member: real RIFF/WAVE decode (integer PCM 8/16/24/32-bit,
 IEEE float 32/64, G.711 A-law/µ-law, IMA/DVI ADPCM — new r12 —
 WAVE_FORMAT_EXTENSIBLE, multi-channel)
 plus a gain-invariant energy-envelope fingerprint for audio near-dup.
 The container lacks media codec libraries, so decode of the REMAINING
-formats (WebP/TIFF, progressive JPEG, MP3/FLAC/OGG, MS ADPCM), ``embed_media``'s encoder
+formats (WebP/TIFF, MP3/OGG — FLAC decodes natively since r13),
+``embed_media``'s encoder
 forward pass, and video frame extraction remain clearly-marked stubs
 (`NotImplementedError` unless ``fake=True``) — except MJPEG-in-AVI,
 whose frames ARE baseline JPEGs: ``sample_frames(fake=False)`` walks
@@ -79,7 +83,7 @@ def _pure_decoders():
     ``wav`` returns (sample_rate, int32 samples of shape
     (n, channels)); ``any`` dispatches images on magic bytes and
     raises a guarded NotImplementedError for formats that need a
-    native codec (WebP/TIFF, progressive JPEG) — raising beats
+    native codec (WebP/TIFF, arithmetic-coded JPEG) — raising beats
     silently-wrong decode.
 
     Performance envelope, measured at 1 MP (SCALING.md "Image-codec
@@ -377,11 +381,20 @@ def _pure_decoders():
     _M[0, :] *= 1 / np.sqrt(2.0)
 
     def jpeg_array(data: bytes):
-        """Baseline sequential JPEG decode (SOI/DQT/SOF0/DHT/SOS,
-        optional DRI/RSTn, 0xFF00 byte unstuffing, interleaved MCUs
-        with arbitrary h×v sampling, nearest-neighbor chroma
-        upsample, JFIF YCbCr→RGB). Progressive (SOF2), arithmetic,
-        hierarchical, and 12-bit variants raise the guarded stub."""
+        """Baseline sequential AND progressive JPEG decode
+        (SOI/DQT/SOF0/SOF1/SOF2/DHT/SOS, optional DRI/RSTn, 0xFF00
+        byte unstuffing, interleaved MCUs with arbitrary h×v
+        sampling, nearest-neighbor chroma upsample, JFIF YCbCr→RGB).
+        Progressive (SOF2, r13): multi-scan spectral-selection +
+        successive-approximation per ITU T.81 G.1.2 — DC first/refine
+        scans (interleaved or single-component), AC first scans with
+        EOB-run coding, AC refinement scans with correction bits;
+        coefficients accumulate across scans in per-component block
+        grids and exit through the SAME dequant/de-zigzag/IDCT/
+        scatter tail as baseline, so a progressive re-encode of the
+        same quantized coefficients decodes bit-identically (pinned
+        by test). Arithmetic-coded, hierarchical, and 12-bit variants
+        raise the guarded stub."""
         if data[:2] != b"\xff\xd8":
             raise ValueError("bad JPEG signature")
         qt = {}        # table id -> 64 int32, zigzag order
@@ -389,7 +402,305 @@ def _pure_decoders():
         frame = None   # (height, width, [(cid, h, v, qid), ...])
         restart = 0
         scan = None    # [(cid, dc_id, ac_id), ...]
+        progressive = False
+        prog = None    # progressive state, built at first SOS
         pos = 2
+
+        n_all = len(data)
+
+        def _split_entropy(i: int):
+            """Split one scan's entropy-coded bytes at RSTn markers
+            and unstuff 0xFF00 — returns (parts, end) where ``end``
+            is the offset of the terminating marker's 0xFF (or
+            len(data) when the stream ends without one)."""
+            parts: list[bytes] = []
+            start = i
+            while True:
+                j = data.find(b"\xff", i)
+                if j < 0 or j + 1 >= n_all:
+                    # no terminating marker: keep the tail — bit
+                    # exhaustion below raises the uniform ValueError
+                    parts.append(
+                        data[start:].replace(b"\xff\x00", b"\xff")
+                    )
+                    return parts, n_all
+                nxt = data[j + 1]
+                if nxt == 0x00:  # stuffed data 0xFF
+                    i = j + 2
+                    continue
+                if nxt == 0xFF:  # fill byte before a marker (B.1.1.2)
+                    i = j + 1
+                    continue
+                if 0xD0 <= nxt <= 0xD7:  # RSTn: interval boundary
+                    # trailing bare 0xFFs in the slice are fill bytes
+                    parts.append(
+                        data[start:j]
+                        .rstrip(b"\xff")
+                        .replace(b"\xff\x00", b"\xff")
+                    )
+                    i = j + 2
+                    start = i
+                    continue
+                # EOI or any other marker ends the scan
+                parts.append(
+                    data[start:j]
+                    .rstrip(b"\xff")
+                    .replace(b"\xff\x00", b"\xff")
+                )
+                return parts, j
+
+        def _lut(tbl) -> list:
+            # flat peek-16 table: entry = (symbol << 5) | code_len;
+            # 0 marks an invalid prefix. Built with slice assignment
+            # (≤256 slices), read with one list index per symbol.
+            lut = [0] * 65536
+            for (ln, code), sym in tbl.items():
+                base = code << (16 - ln)
+                span = 1 << (16 - ln)
+                lut[base : base + span] = [(sym << 5) | ln] * span
+            return lut
+
+        def _prog_state(frame_):
+            """Per-component zigzag coefficient grids, zero-filled;
+            axis0 = my·vs + byi, axis1 = mx·hs + bxi (the full
+            MCU-padded block lattice — interleaved DC scans code all
+            of it, non-interleaved AC scans only the true block
+            raster in its top-left corner, T.81 A.2.2)."""
+            fh, fw, fcomps = frame_
+            if fw <= 0 or fh <= 0:
+                raise ValueError("inconsistent JPEG dimensions")
+            hm = max(hs for _, hs, _, _ in fcomps)
+            vm = max(vs for _, _, vs, _ in fcomps)
+            gx = -(-fw // (8 * hm))
+            gy = -(-fh // (8 * vm))
+            return {
+                cid: np.zeros((gy * vs, gx * hs, 64), np.int32)
+                for cid, hs, vs, _tq in fcomps
+            }
+
+        def _prog_scan(st, scan_, ss, se, ah, al, restart_, huff_,
+                       parts):
+            """Decode ONE progressive scan (T.81 G.1.2) into the
+            coefficient grids ``st``: spectral band [ss, se] at
+            successive-approximation step ah→al. DC scans (ss=0) may
+            interleave components; AC scans are single-component.
+            First scans (ah=0) Huffman-decode magnitudes scaled by
+            2^al (AC bands with EOB-run coding across blocks);
+            refinement scans (ah=al+1) read one correction bit per
+            already-significant coefficient and sign bits for newly
+            significant ones — the same algorithm every libjpeg-
+            family decoder implements from Annex G."""
+            fh, fw, fcomps = frame
+            samp = {cid: (hs, vs) for cid, hs, vs, _tq in fcomps}
+            hm = max(hs for _, hs, _, _ in fcomps)
+            vm = max(vs for _, _, vs, _ in fcomps)
+            gx = -(-fw // (8 * hm))
+            gy = -(-fh // (8 * vm))
+            if ss == 0 and se != 0:
+                raise ValueError("bad progressive spectral selection")
+            if not 0 <= ss <= se <= 63:
+                raise ValueError("bad progressive spectral selection")
+            if ss > 0 and len(scan_) != 1:
+                raise ValueError(
+                    "progressive AC scan must cover one component"
+                )
+            if ah and ah != al + 1:
+                raise ValueError(
+                    "bad progressive successive approximation"
+                )
+            for cid, _dc, _ac in scan_:
+                if cid not in samp:
+                    raise ValueError("JPEG scan component not in SOF")
+            refine = ah != 0
+            luts_ = {}
+            if not (ss == 0 and refine):  # DC refinement reads raw bits
+                for cid, dc_id, ac_id in scan_:
+                    key = (0, dc_id) if ss == 0 else (1, ac_id)
+                    if key not in huff_:
+                        raise ValueError("missing JPEG huffman table")
+                    luts_[cid] = _lut(huff_[key])
+
+            # scan-local bit reader over the restart parts (the same
+            # peek-16 + 2-byte-sentinel design as the baseline loop,
+            # factored because every scan restarts it)
+            pb = b"\x00\x00"
+            bp = acc = nbits = real_bits = 0
+            part_i = -1
+
+            def _load(pi: int) -> None:
+                nonlocal pb, bp, acc, nbits, real_bits, part_i
+                if pi >= len(parts):
+                    raise ValueError("missing JPEG restart marker")
+                part_i = pi
+                pb = parts[pi] + b"\x00\x00"
+                real_bits = 8 * (len(pb) - 2)
+                bp = acc = nbits = 0
+
+            def _fill(need: int) -> None:
+                nonlocal bp, acc, nbits
+                while nbits < need:
+                    k4 = pb[bp : bp + 4]
+                    if not k4:
+                        raise ValueError("truncated JPEG entropy data")
+                    bp += len(k4)
+                    nbits += 8 * len(k4)
+                    acc = (
+                        (acc << (8 * len(k4)))
+                        | int.from_bytes(k4, "big")
+                    ) & ((1 << nbits) - 1)
+
+            def _bits(nb: int) -> int:
+                nonlocal nbits
+                if nb == 0:
+                    return 0
+                _fill(nb)
+                nbits -= nb
+                return (acc >> nbits) & ((1 << nb) - 1)
+
+            def _sym(lut) -> int:
+                nonlocal nbits
+                _fill(16)
+                v = lut[(acc >> (nbits - 16)) & 0xFFFF]
+                ln = v & 31
+                if not ln:
+                    raise ValueError("bad JPEG huffman code")
+                nbits -= ln
+                return v >> 5
+
+            interleaved = len(scan_) > 1
+            if interleaved:
+                total = gx * gy
+            else:
+                cid0 = scan_[0][0]
+                hs0, vs0 = samp[cid0]
+                comp_h = -(-(fh * vs0) // vm)
+                comp_w = -(-(fw * hs0) // hm)
+                nby = -(-comp_h // 8)
+                nbx = -(-comp_w // 8)
+                total = nby * nbx
+            p1 = 1 << al
+            m1 = (-1) << al
+            dcp = {cid: 0 for cid, *_ in scan_}
+            eobrun = 0
+            _load(0)
+            for u in range(total):
+                if restart_ and u and u % restart_ == 0:
+                    if 8 * bp - nbits > real_bits:
+                        raise ValueError("truncated JPEG entropy data")
+                    _load(part_i + 1)
+                    for c in dcp:
+                        dcp[c] = 0
+                    eobrun = 0
+                if interleaved:
+                    myi, mxi = divmod(u, gx)
+                    blocks = []
+                    for cid, _dc, _ac in scan_:
+                        hs, vs = samp[cid]
+                        g = st[cid]
+                        for byi in range(vs):
+                            for bxi in range(hs):
+                                blocks.append(
+                                    (cid,
+                                     g[myi * vs + byi, mxi * hs + bxi])
+                                )
+                else:
+                    byi, bxi = divmod(u, nbx)
+                    blocks = [(cid0, st[cid0][byi, bxi])]
+                for cid, blk in blocks:
+                    if ss == 0 and not refine:  # DC first
+                        s = _sym(luts_[cid])
+                        if s > 11:
+                            raise ValueError("bad JPEG DC magnitude")
+                        diff = _bits(s)
+                        if s and diff < (1 << (s - 1)):
+                            diff += 1 - (1 << s)  # EXTEND (F.2.2.1)
+                        dcp[cid] += diff
+                        blk[0] = dcp[cid] << al
+                    elif ss == 0:  # DC refinement: one raw bit
+                        if _bits(1):
+                            blk[0] |= p1
+                    elif not refine:  # AC first (G.1.2.2)
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = _sym(luts_[cid])
+                            r, s = rs >> 4, rs & 15
+                            if s:
+                                k += r
+                                if k > se:
+                                    raise ValueError(
+                                        "JPEG AC index overflow"
+                                    )
+                                v = _bits(s)
+                                if v < (1 << (s - 1)):
+                                    v += 1 - (1 << s)
+                                blk[k] = v << al
+                                k += 1
+                            else:
+                                if r != 15:
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += _bits(r)
+                                    break
+                                k += 16  # ZRL
+                    else:  # AC refinement (G.1.2.3)
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = _sym(luts_[cid])
+                                r, s = rs >> 4, rs & 15
+                                if s:
+                                    if s != 1:
+                                        raise ValueError(
+                                            "bad JPEG AC refinement "
+                                            "symbol"
+                                        )
+                                    sval = p1 if _bits(1) else m1
+                                else:
+                                    if r != 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += _bits(r)
+                                        break  # tail loop below
+                                    sval = 0  # ZRL: 16 zero-history
+                                # advance over r zero-history cells,
+                                # reading a correction bit at every
+                                # already-significant one passed
+                                while k <= se:
+                                    c = int(blk[k])
+                                    if c != 0:
+                                        if _bits(1) and not (c & p1):
+                                            blk[k] = c + (
+                                                p1 if c >= 0 else m1
+                                            )
+                                    else:
+                                        r -= 1
+                                        if r < 0:
+                                            break
+                                    k += 1
+                                if sval:
+                                    if k > se:
+                                        raise ValueError(
+                                            "JPEG AC index overflow"
+                                        )
+                                    blk[k] = sval
+                                k += 1
+                        if eobrun > 0:
+                            # EOB span covers the REST of this block:
+                            # correction bits only
+                            while k <= se:
+                                c = int(blk[k])
+                                if c != 0:
+                                    if _bits(1) and not (c & p1):
+                                        blk[k] = c + (
+                                            p1 if c >= 0 else m1
+                                        )
+                                k += 1
+                            eobrun -= 1
+            if 8 * bp - nbits > real_bits:
+                raise ValueError("truncated JPEG entropy data")
         while pos + 2 <= len(data):
             if data[pos] != 0xFF:
                 raise ValueError("bad JPEG marker alignment")
@@ -437,7 +748,8 @@ def _pure_decoders():
                             code += 1
                         code <<= 1
                     huff[(tc, th)] = tbl
-            elif m in (0xC0, 0xC1):  # baseline / extended sequential
+            elif m in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+                progressive = m == 0xC2
                 prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
                 if prec != 8:
                     raise NotImplementedError("only 8-bit JPEG")
@@ -447,12 +759,12 @@ def _pure_decoders():
                     for i in range(nc)
                 ]
                 frame = (h, w, comps)
-            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                        0xCB, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
-                    "only baseline sequential JPEG decodes natively "
-                    f"(got SOF marker 0x{m:02X}: progressive/"
-                    "arithmetic/hierarchical need PIL here)"
+                    "only sequential and progressive Huffman JPEG "
+                    f"decode natively (got SOF marker 0x{m:02X}: "
+                    "lossless/arithmetic/hierarchical need PIL here)"
                 )
             elif m == 0xDD:  # DRI
                 restart = struct.unpack_from(">H", seg, 0)[0]
@@ -463,23 +775,46 @@ def _pure_decoders():
                      seg[2 + 2 * i] & 15)
                     for i in range(ns)
                 ]
-                break
+                if not progressive:
+                    break
+                # progressive: this scan carries a spectral band at
+                # one approximation level — decode it into the
+                # coefficient grids NOW (tables/DRI may be redefined
+                # between scans), then resume the marker walk at the
+                # scan's terminating marker.
+                ss = seg[1 + 2 * ns]
+                se = seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+                if frame is None:
+                    raise ValueError("JPEG SOS before SOF")
+                if prog is None:
+                    prog = _prog_state(frame)
+                parts, pos = _split_entropy(pos)
+                _prog_scan(
+                    prog, scan, ss, se, ah, al, restart, huff, parts
+                )
+                scan = None  # consumed; EOI ends the walk
             # APPn/COM/others: skipped
-        if frame is None or scan is None:
+        if frame is None or (scan is None and prog is None):
             raise ValueError("JPEG missing SOF/SOS")
         height, width, comps = frame
-        # Legal baseline JPEGs may carry multiple SOS segments, each
-        # covering a subset of the frame components (non-interleaved
-        # multi-scan, T.81 B.2.3). This decoder reads one interleaved
-        # scan only: a scan/frame component mismatch must raise the
-        # uniform guarded gate up front, not die mid-scatter with an
-        # opaque numpy reshape error (or emit a zeros plane).
-        if {c for c, _, _ in scan} != {c for c, *_ in comps}:
-            raise NotImplementedError(
-                "non-interleaved multi-scan JPEG (SOS covers "
-                f"{sorted(c for c, _, _ in scan)} of frame components "
-                f"{sorted(c for c, *_ in comps)}): needs PIL here"
-            )
+        if prog is None:
+            # Legal baseline JPEGs may carry multiple SOS segments,
+            # each covering a subset of the frame components
+            # (non-interleaved multi-scan, T.81 B.2.3). The BASELINE
+            # path reads one interleaved scan only: a scan/frame
+            # component mismatch must raise the uniform guarded gate
+            # up front, not die mid-scatter with an opaque numpy
+            # reshape error (or emit a zeros plane). (Progressive
+            # scans are per-band/per-component by design and were
+            # already decoded in the marker walk.)
+            if {c for c, _, _ in scan} != {c for c, *_ in comps}:
+                raise NotImplementedError(
+                    "non-interleaved multi-scan JPEG (SOS covers "
+                    f"{sorted(c for c, _, _ in scan)} of frame "
+                    f"components {sorted(c for c, *_ in comps)}): "
+                    "needs PIL here"
+                )
         if width <= 0 or height <= 0:
             raise ValueError("inconsistent JPEG dimensions")
         by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
@@ -487,6 +822,69 @@ def _pure_decoders():
         v_max = max(vs for _, _, vs, _ in comps)
         mcux = -(-width // (8 * h_max))
         mcuy = -(-height // (8 * v_max))
+
+        def _finish(coef_rows):
+            # batched dequant -> de-zigzag -> IDCT -> plane scatter:
+            # block order within coef_rows is (my, mx, byi, bxi), so
+            # one transpose lays the MCU grid out as the plane raster
+            planes = {}
+            for cid, hs, vs, tq in comps:
+                zzc = np.asarray(coef_rows[cid], dtype=np.float64)
+                zzc = zzc.reshape(-1, 64) * qt[tq][None, :].astype(
+                    np.float64
+                )
+                blocks = np.zeros_like(zzc)
+                blocks[:, _ZZ] = zzc
+                px = (
+                    _M.T @ blocks.reshape(-1, 8, 8) @ _M
+                ) + 128.0
+                planes[cid] = (
+                    px.reshape(mcuy, mcux, vs, hs, 8, 8)
+                    .transpose(0, 2, 4, 1, 3, 5)
+                    .reshape(mcuy * vs * 8, mcux * hs * 8)
+                )
+            # nearest-neighbor upsample each component to full
+            # resolution, crop to the frame
+            chans = []
+            for cid, hs, vs, _ in comps:
+                p = planes[cid]
+                if hs != h_max or vs != v_max:
+                    p = p.repeat(v_max // vs, axis=0).repeat(
+                        h_max // hs, axis=1
+                    )
+                chans.append(p[:height, :width])
+            if len(chans) == 1:
+                out = chans[0][:, :, None]
+            elif len(chans) == 3:  # JFIF YCbCr -> RGB
+                y, cb, cr = chans
+                r = y + 1.402 * (cr - 128.0)
+                g = (
+                    y
+                    - 0.344136 * (cb - 128.0)
+                    - 0.714136 * (cr - 128.0)
+                )
+                b = y + 1.772 * (cb - 128.0)
+                out = np.stack([r, g, b], axis=2)
+            else:
+                raise NotImplementedError(
+                    f"{len(chans)}-component JPEG (CMYK?) needs PIL"
+                )
+            return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+        if prog is not None:
+            # progressive: every scan already accumulated into the
+            # per-component block grids (axis0 = my*vs+byi,
+            # axis1 = mx*hs+bxi) — reorder into MCU row order and
+            # exit through the shared tail
+            return _finish(
+                {
+                    cid: prog[cid]
+                    .reshape(mcuy, vs, mcux, hs, 64)
+                    .transpose(0, 2, 1, 3, 4)
+                    .reshape(-1, 64)
+                    for cid, hs, vs, _tq in comps
+                }
+            )
 
         # --- entropy-coded data: split at RSTn + unstuff ONCE -------
         # The r9 envelope row (SCALING.md "codec envelope") measured
@@ -500,54 +898,7 @@ def _pure_decoders():
         # component (three (8,8)@(n,8,8)@(8,8) matmuls instead of two
         # tiny matmuls per block). Same T.81 semantics, same guarded
         # errors; ~9x on the 1 MP row.
-        parts: list[bytes] = []
-        i = pos
-        start = i
-        n = len(data)
-        while True:
-            j = data.find(b"\xff", i)
-            if j < 0 or j + 1 >= n:
-                # no terminating marker: keep the tail — bit
-                # exhaustion below raises the uniform ValueError
-                parts.append(
-                    data[start:].replace(b"\xff\x00", b"\xff")
-                )
-                break
-            nxt = data[j + 1]
-            if nxt == 0x00:  # stuffed data 0xFF
-                i = j + 2
-                continue
-            if nxt == 0xFF:  # fill byte before a marker (B.1.1.2)
-                i = j + 1
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn: interval boundary
-                # trailing bare 0xFFs in the slice are fill bytes
-                parts.append(
-                    data[start:j]
-                    .rstrip(b"\xff")
-                    .replace(b"\xff\x00", b"\xff")
-                )
-                i = j + 2
-                start = i
-                continue
-            # EOI or any other marker ends the scan
-            parts.append(
-                data[start:j]
-                .rstrip(b"\xff")
-                .replace(b"\xff\x00", b"\xff")
-            )
-            break
-
-        def _lut(tbl) -> list:
-            # flat peek-16 table: entry = (symbol << 5) | code_len;
-            # 0 marks an invalid prefix. Built with slice assignment
-            # (≤256 slices), read with one list index per symbol.
-            lut = [0] * 65536
-            for (ln, code), sym in tbl.items():
-                base = code << (16 - ln)
-                span = 1 << (16 - ln)
-                lut[base : base + span] = [(sym << 5) | ln] * span
-            return lut
+        parts, _ = _split_entropy(pos)
 
         luts = {key: _lut(tbl) for key, tbl in huff.items()}
 
@@ -565,7 +916,6 @@ def _pure_decoders():
         def _part_overrun() -> bool:
             return 8 * bp - nbits > real_bits
 
-        planes = {}
         dc_pred = {cid: 0 for cid, *_ in comps}
         #: per component: flat list of 64-int zigzag rows, MCU order
         coef_rows = {cid: [] for cid, *_ in comps}
@@ -676,51 +1026,7 @@ def _pure_decoders():
                     rows.append(row)
         if _part_overrun():
             raise ValueError("truncated JPEG entropy data")
-
-        # batched dequant -> de-zigzag -> IDCT -> plane scatter: block
-        # order within coef_rows is (my, mx, byi, bxi), so one
-        # transpose lays the MCU grid out as the plane raster
-        for cid, hs, vs, tq in comps:
-            zzc = np.asarray(coef_rows[cid], dtype=np.float64)
-            zzc = zzc.reshape(-1, 64) * qt[tq][None, :].astype(
-                np.float64
-            )
-            blocks = np.zeros_like(zzc)
-            blocks[:, _ZZ] = zzc
-            px = (
-                _M.T @ blocks.reshape(-1, 8, 8) @ _M
-            ) + 128.0
-            planes[cid] = (
-                px.reshape(mcuy, mcux, vs, hs, 8, 8)
-                .transpose(0, 2, 4, 1, 3, 5)
-                .reshape(mcuy * vs * 8, mcux * hs * 8)
-            )
-        # nearest-neighbor upsample each component to full res, crop
-        chans = []
-        for cid, hs, vs, _ in comps:
-            p = planes[cid]
-            if hs != h_max or vs != v_max:
-                p = p.repeat(v_max // vs, axis=0).repeat(
-                    h_max // hs, axis=1
-                )
-            chans.append(p[:height, :width])
-        if len(chans) == 1:
-            out = chans[0][:, :, None]
-        elif len(chans) == 3:  # JFIF YCbCr -> RGB
-            y, cb, cr = chans
-            r = y + 1.402 * (cr - 128.0)
-            g = (
-                y
-                - 0.344136 * (cb - 128.0)
-                - 0.714136 * (cr - 128.0)
-            )
-            b = y + 1.772 * (cb - 128.0)
-            out = np.stack([r, g, b], axis=2)
-        else:
-            raise NotImplementedError(
-                f"{len(chans)}-component JPEG (CMYK?) needs PIL"
-            )
-        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+        return _finish(coef_rows)
 
     def _ima_adpcm_array(data, body_at, n, n_ch, blk_align):
         """IMA/DVI ADPCM (WAV format 0x11) → int16-grid samples,
@@ -879,7 +1185,8 @@ def _pure_decoders():
         G.711 A-law/µ-law (formats 6/7, canonical expansion),
         IMA/DVI ADPCM (format 0x11) and MS ADPCM (format 2) — the
         4-bit block codecs (r12/r13) — and WAVE_FORMAT_EXTENSIBLE
-        (0xFFFE) wrappers; only entropy-coded audio (MP3/FLAC/OGG)
+        (0xFFFE) wrappers; FLAC has its own native decoder
+        (flac_array, r13); only lossy entropy-coded audio (MP3/OGG)
         still raises the guarded stub. Returns
         (sample_rate, int32 array of shape (n_samples, n_channels))
         with every depth aligned onto ONE documented 16-bit grid:
@@ -918,7 +1225,7 @@ def _pure_decoders():
                         "only integer PCM 8/16/24/32-bit, IEEE-float "
                         "32/64-bit, G.711 A-law/µ-law, and IMA/MS "
                         f"ADPCM WAV decode natively (got format="
-                        f"{audio_fmt}, bits={bits}); MP3/FLAC/OGG "
+                        f"{audio_fmt}, bits={bits}); MP3/OGG "
                         "need ffmpeg here"
                     )
                 fmt = (n_ch, rate, bits, audio_fmt, blk_align)
@@ -1031,12 +1338,351 @@ def _pure_decoders():
             "WebP/TIFF/... need PIL/libvips here"
         )
 
+    # ---- FLAC (free lossless audio codec, r13) ---------------------
+    def flac_array(data: bytes):
+        """Native FLAC decode from the public format spec — the
+        lossless member of the entropy-coded audio tier (MP3/OGG stay
+        gated: lossy psychoacoustic codecs genuinely need ffmpeg).
+        Returns (sample_rate, int32 samples (n, channels)) on the
+        same 16-bit-aligned grid as wav_array (8-bit ← <<8 onto it,
+        24-bit → >>8), so every downstream audio feature is
+        container-invariant by construction.
+
+        Surface: any metadata blocks (STREAMINFO parsed, others
+        skipped), fixed + variable blocking with UTF-8-coded frame
+        numbers, all blocksize/rate/sample-size header codes,
+        independent channels and all three stereo decorrelations
+        (left/side, right/side, mid/side — side at +1 bit),
+        subframes CONSTANT / VERBATIM / FIXED(0–4) / LPC(1–32),
+        wasted-bits shift, Rice residuals (4- and 5-bit parameter
+        widths, escape-coded raw partitions, multi-partition orders),
+        CRC-8 header and CRC-16 frame verification (mismatch raises
+        — corrupt audio must never decode silently). Decoding is the
+        exact integer recurrence of the spec, so the roundtrip
+        against the fixture encoder is bit-exact (pinned by test)."""
+        if data[:4] != b"fLaC":
+            raise ValueError("bad FLAC signature")
+        nd = len(data)
+        pos = 4
+        sinfo = None
+        while True:
+            if pos + 4 > nd:
+                raise ValueError("truncated FLAC metadata")
+            last = data[pos] >> 7
+            btype = data[pos] & 0x7F
+            blen = int.from_bytes(data[pos + 1 : pos + 4], "big")
+            if pos + 4 + blen > nd:
+                raise ValueError("truncated FLAC metadata")
+            if btype == 0:
+                if blen != 34:
+                    raise ValueError("bad FLAC STREAMINFO")
+                sinfo = data[pos + 4 : pos + 38]
+            pos += 4 + blen
+            if last:
+                break
+        if sinfo is None:
+            raise ValueError("FLAC missing STREAMINFO")
+        si = int.from_bytes(sinfo, "big")  # 272 bits, MSB first
+        rate = (si >> 172) & 0xFFFFF
+        n_ch = ((si >> 169) & 7) + 1
+        bits = ((si >> 164) & 31) + 1
+        total = (si >> 128) & ((1 << 36) - 1)
+        if rate == 0:
+            raise ValueError("bad FLAC sample rate")
+        if bits not in (8, 16, 24):
+            raise NotImplementedError(
+                f"only 8/16/24-bit FLAC decodes natively (got {bits})"
+            )
+
+        def _crc8(buf: bytes) -> int:
+            c = 0
+            for b in buf:
+                c ^= b
+                for _ in range(8):
+                    c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else c << 1
+            return c
+
+        def _crc16(buf: bytes) -> int:
+            c = 0
+            for b in buf:
+                c ^= b << 8
+                for _ in range(8):
+                    c = (
+                        ((c << 1) ^ 0x8005) & 0xFFFF
+                        if c & 0x8000
+                        else (c << 1) & 0xFFFF
+                    )
+            return c
+
+        # MSB-first bit reader over the whole stream (frames are
+        # byte-aligned; subframe payloads are not)
+        bitpos = 8 * pos
+
+        def _u(n: int) -> int:
+            nonlocal bitpos
+            end = bitpos + n
+            if end > 8 * nd:
+                raise ValueError("truncated FLAC stream")
+            v = int.from_bytes(
+                data[bitpos // 8 : (end + 7) // 8], "big"
+            )
+            v >>= (-end) % 8
+            bitpos = end
+            return v & ((1 << n) - 1)
+
+        def _s(n: int) -> int:
+            v = _u(n)
+            return v - (1 << n) if v >> (n - 1) else v
+
+        def _unary() -> int:
+            nonlocal bitpos
+            q = 0
+            while True:
+                if bitpos >= 8 * nd:
+                    raise ValueError("truncated FLAC stream")
+                rem = 8 - (bitpos % 8)
+                chunk = data[bitpos // 8] & ((1 << rem) - 1)
+                if chunk == 0:
+                    q += rem
+                    bitpos += rem
+                    continue
+                lead = rem - chunk.bit_length()
+                bitpos += lead + 1
+                return q + lead
+
+        def _utf8n() -> int:
+            b0 = _u(8)
+            if b0 < 0x80:
+                return b0
+            ones = 0
+            t = b0
+            while t & 0x80:
+                ones += 1
+                t = (t << 1) & 0xFF
+            if ones < 2 or ones > 7:
+                raise ValueError("bad FLAC frame number")
+            v = b0 & (0x7F >> ones)
+            for _ in range(ones - 1):
+                c = _u(8)
+                if c >> 6 != 2:
+                    raise ValueError("bad FLAC frame number")
+                v = (v << 6) | (c & 0x3F)
+            return v
+
+        def _residuals(bs: int, order: int) -> list:
+            method = _u(2)
+            if method > 1:
+                raise ValueError("reserved FLAC residual method")
+            pbits = 4 + method
+            esc = (1 << pbits) - 1
+            po = _u(4)
+            nparts = 1 << po
+            if bs % nparts:
+                raise ValueError("bad FLAC partition order")
+            out = []
+            for pi in range(nparts):
+                cnt = (bs >> po) - (order if pi == 0 else 0)
+                if cnt < 0:
+                    raise ValueError("bad FLAC partition order")
+                param = _u(pbits)
+                if param == esc:
+                    rawb = _u(5)
+                    out.extend(
+                        _s(rawb) if rawb else 0 for _ in range(cnt)
+                    )
+                else:
+                    for _ in range(cnt):
+                        q = _unary()
+                        v = (q << param) | (_u(param) if param else 0)
+                        out.append((v >> 1) ^ -(v & 1))
+            return out
+
+        def _subframe(bs: int, nbits: int) -> list:
+            if _u(1):
+                raise ValueError("bad FLAC subframe padding bit")
+            t = _u(6)
+            wasted = 0
+            if _u(1):
+                wasted = 1 + _unary()
+                nbits -= wasted
+                if nbits <= 0:
+                    raise ValueError("bad FLAC wasted-bits count")
+            if t == 0:  # CONSTANT
+                samp = [_s(nbits)] * bs
+            elif t == 1:  # VERBATIM
+                samp = [_s(nbits) for _ in range(bs)]
+            elif 8 <= t <= 12:  # FIXED, order t-8
+                order = t - 8
+                if order > bs:
+                    raise ValueError("FLAC predictor order > blocksize")
+                samp = [_s(nbits) for _ in range(order)]
+                res = _residuals(bs, order)
+                for i in range(order, bs):
+                    if order == 0:
+                        p = 0
+                    elif order == 1:
+                        p = samp[i - 1]
+                    elif order == 2:
+                        p = 2 * samp[i - 1] - samp[i - 2]
+                    elif order == 3:
+                        p = (3 * samp[i - 1] - 3 * samp[i - 2]
+                             + samp[i - 3])
+                    else:
+                        p = (4 * samp[i - 1] - 6 * samp[i - 2]
+                             + 4 * samp[i - 3] - samp[i - 4])
+                    samp.append(res[i - order] + p)
+            elif t >= 32:  # LPC, order t-31
+                order = t - 31
+                if order > bs:
+                    raise ValueError("FLAC predictor order > blocksize")
+                samp = [_s(nbits) for _ in range(order)]
+                prec = _u(4)
+                if prec == 15:
+                    raise ValueError("bad FLAC LPC precision")
+                prec += 1
+                shift = _s(5)
+                if shift < 0:
+                    raise ValueError("negative FLAC LPC shift")
+                coefs = [_s(prec) for _ in range(order)]
+                res = _residuals(bs, order)
+                for i in range(order, bs):
+                    acc = 0
+                    for j, c in enumerate(coefs):
+                        acc += c * samp[i - 1 - j]
+                    samp.append(res[i - order] + (acc >> shift))
+            else:
+                raise ValueError("reserved FLAC subframe type")
+            if wasted:
+                samp = [v << wasted for v in samp]
+            return samp
+
+        _SR_TABLE = [0, 88200, 176400, 192000, 8000, 16000, 22050,
+                     24000, 32000, 44100, 48000, 96000]
+        chans: list[list[int]] = [[] for _ in range(n_ch)]
+        while True:
+            # skip to the next byte boundary / end of stream
+            bitpos = (bitpos + 7) & ~7
+            if bitpos >= 8 * nd:
+                break
+            hdr_start = bitpos // 8
+            if _u(14) != 0x3FFE:
+                raise ValueError("bad FLAC frame sync")
+            if _u(1):
+                raise ValueError("bad FLAC frame reserved bit")
+            _u(1)  # blocking strategy (number semantics only)
+            bs_code = _u(4)
+            sr_code = _u(4)
+            ch_code = _u(4)
+            ss_code = _u(3)
+            if _u(1):
+                raise ValueError("bad FLAC frame reserved bit")
+            _utf8n()
+            if bs_code == 0:
+                raise ValueError("reserved FLAC blocksize code")
+            elif bs_code == 1:
+                bs = 192
+            elif bs_code <= 5:
+                bs = 576 << (bs_code - 2)
+            elif bs_code == 6:
+                bs = _u(8) + 1
+            elif bs_code == 7:
+                bs = _u(16) + 1
+            else:
+                bs = 256 << (bs_code - 8)
+            if sr_code == 0:
+                pass  # STREAMINFO rate
+            elif sr_code <= 11:
+                pass  # table rate; STREAMINFO stays authoritative
+            elif sr_code == 12:
+                _u(8)
+            elif sr_code in (13, 14):
+                _u(16)
+            else:
+                raise ValueError("invalid FLAC sample-rate code")
+            if ss_code == 0:
+                fbits = bits
+            elif ss_code in (1, 2, 4, 5, 6, 7):
+                fbits = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}[
+                    ss_code
+                ]
+            else:
+                raise ValueError("reserved FLAC sample-size code")
+            if fbits != bits:
+                raise ValueError("FLAC frame/STREAMINFO bit mismatch")
+            crc8_at = bitpos // 8
+            if _crc8(data[hdr_start:crc8_at]) != _u(8):
+                raise ValueError("FLAC frame header CRC-8 mismatch")
+            if ch_code <= 7:
+                fch = ch_code + 1
+                side = None
+            elif ch_code <= 10:
+                fch = 2
+                side = ch_code  # 8=L/S, 9=R/S, 10=M/S
+            else:
+                raise ValueError("reserved FLAC channel assignment")
+            if fch != n_ch:
+                raise ValueError("FLAC frame/STREAMINFO channel "
+                                 "mismatch")
+            subs = []
+            for j in range(fch):
+                extra = (
+                    1
+                    if (side == 8 and j == 1)
+                    or (side == 9 and j == 0)
+                    or (side == 10 and j == 1)
+                    else 0
+                )
+                subs.append(_subframe(bs, bits + extra))
+            if side == 8:  # left/side -> right = left - side
+                subs = [subs[0],
+                        [a - b for a, b in zip(subs[0], subs[1])]]
+            elif side == 9:  # right/side -> left = right + side
+                subs = [[a + b for a, b in zip(subs[1], subs[0])],
+                        subs[1]]
+            elif side == 10:  # mid/side
+                left, right = [], []
+                for m, s_ in zip(subs[0], subs[1]):
+                    m = (m << 1) | (s_ & 1)
+                    left.append((m + s_) >> 1)
+                    right.append((m - s_) >> 1)
+                subs = [left, right]
+            bitpos = (bitpos + 7) & ~7
+            if _crc16(data[hdr_start : bitpos // 8]) != _u(16):
+                raise ValueError("FLAC frame CRC-16 mismatch")
+            for j in range(fch):
+                chans[j].extend(subs[j])
+        n = len(chans[0])
+        if total and n != total:
+            raise ValueError("FLAC sample-count mismatch")
+        samples = np.empty((n, n_ch), np.int32)
+        for j in range(n_ch):
+            samples[:, j] = chans[j]
+        # align onto the shared 16-bit grid (wav_array convention)
+        if bits == 8:
+            samples <<= 8
+        elif bits == 24:
+            samples >>= 8
+        return rate, samples
+
+    def audio_any(data: bytes):
+        """Magic-byte audio dispatch — the audio twin of any_array."""
+        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            return wav_array(data)
+        if data[:4] == b"fLaC":
+            return flac_array(data)
+        raise NotImplementedError(
+            "only WAV and FLAC decode natively; MP3/OGG need "
+            "ffmpeg/soundfile here"
+        )
+
     return {
         "png": png_array,
         "jpeg": jpeg_array,
         "bmp": bmp_array,
         "pnm": pnm_array,
         "wav": wav_array,
+        "flac": flac_array,
+        "audio": audio_any,
         "any": any_array,
     }
 
@@ -1063,10 +1709,11 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -> D
     4-byte row padding), binary PPM/PGM (P6/P5, maxval <= 255, ``#``
     comments), PNG (8-bit gray/gray-alpha/RGB/RGBA, non-interlaced:
     zlib inflate + per-scanline None/Sub/Up/Average/Paeth unfilter),
-    and baseline sequential JPEG (Huffman + dequant + IDCT, DRI/RSTn,
-    chroma subsampling — new r9). The remaining compressed formats
-    (WebP/TIFF, progressive JPEG) raise NotImplementedError — that
-    branch is where PIL/libvips plugs in.
+    baseline sequential JPEG (Huffman + dequant + IDCT, DRI/RSTn,
+    chroma subsampling — r9), and progressive JPEG (SOF2 multi-scan,
+    new r13). The remaining compressed formats (WebP/TIFF,
+    arithmetic-coded JPEG) raise NotImplementedError — that branch
+    is where PIL/libvips plugs in.
     ``fake=True`` keeps the deterministic pseudo-decode for fixtures
     whose payloads aren't images at all.
 
@@ -1435,12 +2082,15 @@ def decode_audio(
     per-channel sample count, duration, and RMS amplitude on the
     [-1, 1) grid (8-bit aligned onto the 16-bit lattice so the same
     waveform at either depth yields the same features up to
-    quantization). Compressed audio (MP3/FLAC/OGG) and non-PCM WAV
-    raise the guarded NotImplementedError — that branch is where
-    ffmpeg/soundfile plugs in. ``fake=True`` keeps a deterministic
-    byte-level pseudo-decode for non-audio fixture payloads, exact
-    down to the DuckDB hex twin (_MULTIMODAL_AUDIO_SQL)."""
-    wav = _pure_decoders()["wav"]
+    quantization); FLAC decodes natively too (r13, same 16-bit
+    grid, so WAV and FLAC of one waveform yield identical features —
+    pinned by test). Lossy compressed audio (MP3/OGG) and codec-WAV
+    beyond the PCM/G.711/ADPCM set raise the guarded
+    NotImplementedError — that branch is where ffmpeg/soundfile
+    plugs in. ``fake=True`` keeps a deterministic byte-level
+    pseudo-decode for non-audio fixture payloads, exact down to the
+    DuckDB hex twin (_MULTIMODAL_AUDIO_SQL)."""
+    decode = _pure_decoders()["audio"]
 
     def audio_iter(batches) -> Iterator:
         import numpy as np
@@ -1448,17 +2098,12 @@ def decode_audio(
 
         def decode_one(payload: bytes):
             if not fake:
-                if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-                    rate, samples = wav(payload)
-                    n, ch = samples.shape
-                    x = samples.astype(np.float64) / 32768.0
-                    rms = float(np.sqrt((x * x).mean())) if n else 0.0
-                    return (
-                        rate, ch, n, n * 1000 // max(rate, 1), rms
-                    )
-                raise NotImplementedError(
-                    "only PCM WAV decodes natively; MP3/FLAC/OGG need "
-                    "ffmpeg/soundfile here"
+                rate, samples = decode(payload)
+                n, ch = samples.shape
+                x = samples.astype(np.float64) / 32768.0
+                rms = float(np.sqrt((x * x).mean())) if n else 0.0
+                return (
+                    rate, ch, n, n * 1000 // max(rate, 1), rms
                 )
             n = len(payload)
             rate = 8000 + (n % 8) * 1000
@@ -1502,7 +2147,7 @@ def envelope_hash_audio(
     Lands as signed int64 so downstream bit_count/xor stay in Spark
     long math (audio_near_dup_pairs reuses the SimHash Hamming
     machinery)."""
-    wav = _pure_decoders()["wav"]
+    decode = _pure_decoders()["audio"]
 
     def env_iter(batches) -> Iterator:
         import numpy as np
@@ -1517,7 +2162,7 @@ def envelope_hash_audio(
                     data[:n_windows], dtype=np.uint8
                 ).astype(np.float64)
             else:
-                _rate, samples = wav(payload)
+                _rate, samples = decode(payload)
                 mono = samples.astype(np.float64).mean(axis=1)
                 n = len(mono)
                 if n == 0:

@@ -828,22 +828,24 @@ def test_multimodal_jpeg_truncation_raises_valueerror(spark):
         assert "ValueError" in str(exc.value) or "truncated" in str(exc.value)
 
 
-def test_multimodal_progressive_jpeg_is_gated(spark):
-    """Progressive JPEG (SOF2) stays behind the explicit stub — a
-    guarded raise, never a silently wrong decode."""
+def test_multimodal_arithmetic_jpeg_is_gated(spark):
+    """Arithmetic-coded JPEG (SOF10) stays behind the explicit stub —
+    a guarded raise, never a silently wrong decode. (Progressive SOF2
+    graduated to a real decode in r13, as baseline did in r9 — its
+    parity tests live in tests/test_round13.py.)"""
     import struct
 
     from amazonmsk_emr_tem_data_spark.operators.multimodal import decode_images
 
-    sof2 = (
+    sof10 = (
         b"\xff\xd8"
-        + b"\xff\xc2" + struct.pack(">H", 11)
+        + b"\xff\xca" + struct.pack(">H", 11)
         + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
     )
     df = spark.createDataFrame(
-        [(1, bytearray(sof2))], "doc_id long, payload binary"
+        [(1, bytearray(sof10))], "doc_id long, payload binary"
     )
-    with pytest.raises(Exception, match="NotImplementedError|baseline"):
+    with pytest.raises(Exception, match="NotImplementedError|sequential"):
         decode_images(df, fake=False).collect()
 
 

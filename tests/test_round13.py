@@ -649,3 +649,852 @@ def test_nn_descent_prefilter_bounds_certificate(spark):
             r["cs"],
             r["ub"],
         )
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2) — r12 VERDICT "What's missing" #3: the first
+# named codec-gap item. Fixture encoder below emits real multi-scan
+# spectral-selection + successive-approximation streams (T.81 Annex G
+# encoder semantics, the libjpeg-family algorithm); the engine decoder
+# must reproduce the BASELINE decode bit-for-bit, because progressive
+# coding is a lossless re-serialization of the same quantized
+# coefficients.
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_progressive_bytes(
+    arr, quality=92, subsample=False, restart=0, scans=None
+):
+    """Progressive JPEG encoder for fixtures: same color transform /
+    sampling / DCT / quantization math as ``_jpeg_bytes`` (so the
+    coefficients are identical), serialized as SOF2 multi-scan —
+    DC first + refine (interleaved or per-component), per-component
+    AC band scans with EOB-run coding, AC refinement scans with
+    buffered correction bits. AC scans use a flat 9-bit 256-symbol
+    Huffman table (Annex K sequential AC tables lack the EOBn
+    symbols progressive needs; real encoders ship custom DHTs)."""
+    import struct
+
+    import numpy as np
+
+    from .test_northstar import (
+        _JDC_C,
+        _JDC_L,
+        _JQ_C,
+        _JQ_L,
+        _JZZ,
+        _jpeg_huff_codes,
+    )
+
+    h, w, c = arr.shape
+    assert c in (1, 3)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((np.array(_JQ_L, np.int64) * scale + 50) // 100, 1, 255)
+    qc = np.clip((np.array(_JQ_C, np.int64) * scale + 50) // 100, 1, 255)
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    M = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    M[0, :] *= 1 / np.sqrt(2.0)
+
+    if c == 3:
+        rgb = arr.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = (128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1]
+              + 0.5 * rgb[..., 2])
+        cr = (128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1]
+              - 0.081312 * rgb[..., 2])
+        planes = [y, cb, cr]
+    else:
+        planes = [arr[..., 0].astype(np.float64)]
+    if c == 3 and subsample:
+        luma = (2, 2) if subsample is True else tuple(subsample)
+        samp = [luma, (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1)] * c
+    h_max = max(s[0] for s in samp)
+    v_max = max(s[1] for s in samp)
+    mcux = -(-w // (8 * h_max))
+    mcuy = -(-h // (8 * v_max))
+    grids = []
+    for p, (hs, vs), qtab in zip(
+        planes, samp, [ql] + [qc] * (c - 1)
+    ):
+        if (hs, vs) != (h_max, v_max):
+            fy, fx = v_max // vs, h_max // hs
+            ph = -(-p.shape[0] // fy) * fy
+            pw = -(-p.shape[1] // fx) * fx
+            pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                        mode="edge")
+            p = pp.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * vs * 8, mcux * hs * 8
+        p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                   mode="edge")
+        g = np.zeros((mcuy * vs, mcux * hs, 64), np.int64)
+        for by in range(mcuy * vs):
+            for bx in range(mcux * hs):
+                blk = p[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
+                fq = M @ blk @ M.T
+                zz = np.array([fq.flat[_JZZ[k]] for k in range(64)])
+                g[by, bx] = np.round(zz / qtab).astype(np.int64)
+        grids.append(g)
+
+    dcl = _jpeg_huff_codes(*_JDC_L)
+    dcc = _jpeg_huff_codes(*_JDC_C)
+    # every possible RS symbol, canonical two-tier code (a DHT
+    # count byte caps at 255, so 256 symbols need two lengths)
+    flat_bits = [0] * 16
+    flat_bits[7] = 128  # symbols 0x00-0x7F at code length 8
+    flat_bits[8] = 128  # symbols 0x80-0xFF at code length 9
+    flat = _jpeg_huff_codes(flat_bits, list(range(256)))
+
+    if scans is None:
+        if c == 1:
+            scans = [
+                ([0], 0, 0, 0, 1),
+                ([0], 1, 63, 0, 2),
+                ([0], 0, 0, 1, 0),
+                ([0], 1, 63, 2, 1),
+                ([0], 1, 63, 1, 0),
+            ]
+        else:
+            scans = [
+                ([0, 1, 2], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([1], 1, 63, 0, 1),
+                ([2], 1, 63, 0, 1),
+                ([0], 6, 63, 0, 2),
+                ([0, 1, 2], 0, 0, 1, 0),
+                ([0], 1, 63, 2, 1),
+                ([1], 1, 63, 1, 0),
+                ([2], 1, 63, 1, 0),
+                ([0], 1, 63, 1, 0),
+            ]
+
+    def seg(marker, body):
+        return (b"\xff" + bytes([marker])
+                + struct.pack(">H", len(body) + 2) + body)
+
+    def dht(tc, th_, bits, vals):
+        return seg(0xC4, bytes([(tc << 4) | th_]) + bytes(bits)
+                   + bytes(vals))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in ql))
+    if c == 3:
+        out += seg(0xDB, bytes([0x01]) + bytes(int(v) for v in qc))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, c))
+    for ci in range(c):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    out += seg(0xC2, bytes(sof))  # SOF2: progressive DCT, Huffman
+    out += dht(0, 0, *_JDC_L)
+    out += dht(1, 0, flat_bits, list(range(256)))
+    if c == 3:
+        out += dht(0, 1, *_JDC_C)
+        out += dht(1, 1, flat_bits, list(range(256)))
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+
+    def mag_bits(v):
+        s = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    for comps_idx, ss, se, ah, al in scans:
+        sos = bytearray([len(comps_idx)])
+        for ci in comps_idx:
+            t = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, bytes(sos))
+
+        acc = [0, 0]
+
+        def put(lncode):
+            ln, code = lncode
+            acc[0] = (acc[0] << ln) | code
+            acc[1] += ln
+            while acc[1] >= 8:
+                acc[1] -= 8
+                b = (acc[0] >> acc[1]) & 0xFF
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+
+        def flush():
+            if acc[1]:
+                ln = 8 - acc[1]
+                put((ln, (1 << ln) - 1))
+            acc[0] = acc[1] = 0
+
+        # unit walk: MCU lattice for interleaved scans, the TRUE
+        # block raster for single-component scans (T.81 A.2.2)
+        interleaved = len(comps_idx) > 1
+        if interleaved:
+            units = []
+            for u_ in range(mcux * mcuy):
+                myi, mxi = divmod(u_, mcux)
+                blks = []
+                for ci in comps_idx:
+                    hs, vs = samp[ci]
+                    for byi in range(vs):
+                        for bxi in range(hs):
+                            blks.append(
+                                (ci,
+                                 grids[ci][myi * vs + byi,
+                                           mxi * hs + bxi])
+                            )
+                units.append(blks)
+        else:
+            ci = comps_idx[0]
+            hs, vs = samp[ci]
+            ch = -(-(h * vs) // v_max)
+            cw = -(-(w * hs) // h_max)
+            nby, nbx = -(-ch // 8), -(-cw // 8)
+            units = [
+                [(ci, grids[ci][u_ // nbx, u_ % nbx])]
+                for u_ in range(nby * nbx)
+            ]
+
+        dcp = {ci: 0 for ci in comps_idx}
+        eobrun = [0]
+        be_bits: list[int] = []
+
+        def flush_eobrun():
+            if eobrun[0]:
+                nb = eobrun[0].bit_length() - 1
+                put(flat[nb << 4])
+                if nb:
+                    put((nb, eobrun[0] - (1 << nb)))
+                for b in be_bits:
+                    put((1, b))
+                be_bits.clear()
+                eobrun[0] = 0
+
+        rstn = 0
+        for u_, blks in enumerate(units):
+            if restart and u_ and u_ % restart == 0:
+                flush_eobrun()
+                flush()
+                out += b"\xff" + bytes([0xD0 + (rstn & 7)])
+                rstn += 1
+                for ci in dcp:
+                    dcp[ci] = 0
+            for ci, zz in blks:
+                dct = dcl if ci == 0 else dcc
+                if ss == 0 and ah == 0:  # DC first
+                    t = int(zz[0]) >> al
+                    diff = t - dcp[ci]
+                    dcp[ci] = t
+                    s, bits = mag_bits(diff)
+                    put(dct[s])
+                    if s:
+                        put((s, bits))
+                elif ss == 0:  # DC refinement
+                    put((1, (int(zz[0]) >> al) & 1))
+                elif ah == 0:  # AC first (G.1.2.2)
+                    vals = [int(zz[k]) for k in range(ss, se + 1)]
+                    mags = [abs(v) >> al for v in vals]
+                    if not any(mags):
+                        eobrun[0] += 1
+                        if eobrun[0] == 0x7FFF:
+                            flush_eobrun()
+                        continue
+                    flush_eobrun()
+                    last = max(i for i, mv in enumerate(mags) if mv)
+                    run = 0
+                    for i in range(last + 1):
+                        mv = mags[i]
+                        if mv == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            put(flat[0xF0])
+                            run -= 16
+                        v = mv if vals[i] >= 0 else -mv
+                        s, bits = mag_bits(v)
+                        put(flat[(run << 4) | s])
+                        put((s, bits))
+                        run = 0
+                    if last < len(vals) - 1:
+                        eobrun[0] += 1
+                else:  # AC refinement (G.1.2.3, libjpeg algorithm)
+                    vals = [int(zz[k]) for k in range(ss, se + 1)]
+                    absv = [abs(v) >> al for v in vals]
+                    eobpos = max(
+                        (i for i, t_ in enumerate(absv) if t_ == 1),
+                        default=-1,
+                    )
+                    r = 0
+                    br: list[int] = []
+                    for i, t_ in enumerate(absv):
+                        if t_ == 0:
+                            r += 1
+                            continue
+                        while r > 15 and i <= eobpos:
+                            flush_eobrun()
+                            put(flat[0xF0])
+                            r -= 16
+                            for b in br:
+                                put((1, b))
+                            br = []
+                        if t_ > 1:  # already significant: correction
+                            br.append(t_ & 1)
+                            continue
+                        flush_eobrun()
+                        put(flat[(r << 4) | 1])
+                        put((1, 1 if vals[i] >= 0 else 0))
+                        for b in br:
+                            put((1, b))
+                        br = []
+                        r = 0
+                    if r > 0 or br:
+                        eobrun[0] += 1
+                        be_bits.extend(br)
+                        if eobrun[0] == 0x7FFF or len(be_bits) > 900:
+                            flush_eobrun()
+        flush_eobrun()
+        flush()
+    return bytes(out) + b"\xff\xd9"
+
+
+def test_progressive_jpeg_bit_identical_to_baseline():
+    """Progressive coding re-serializes the SAME quantized
+    coefficients, so the decode must equal the baseline decode
+    bit-for-bit — gray, 4:4:4, 4:2:0, and 4:2:2 fixtures."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+    )
+
+    from .test_northstar import _jpeg_bytes
+
+    jp = _pure_decoders()["jpeg"]
+    rng = np.random.default_rng(42)
+    cases = [
+        (rng.integers(0, 255, (24, 17, 1)).astype(np.uint8), {}),
+        (rng.integers(0, 255, (16, 16, 3)).astype(np.uint8), {}),
+        (rng.integers(0, 255, (33, 26, 3)).astype(np.uint8),
+         {"subsample": True}),
+        (rng.integers(0, 255, (19, 21, 3)).astype(np.uint8),
+         {"subsample": (2, 1)}),
+    ]
+    for arr, kw in cases:
+        base = jp(_jpeg_bytes(arr, quality=85, **kw))
+        prog = jp(_jpeg_progressive_bytes(arr, quality=85, **kw))
+        assert np.array_equal(base, prog), (arr.shape, kw)
+
+
+def test_progressive_jpeg_restarts_and_eobrun():
+    """DRI/RSTn inside progressive scans (MCU-counted when
+    interleaved, block-counted when not) and multi-block EOB runs
+    (flat image) both reproduce the baseline decode."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+    )
+
+    from .test_northstar import _jpeg_bytes
+
+    jp = _pure_decoders()["jpeg"]
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 255, (40, 33, 3)).astype(np.uint8)
+    for rst in (1, 2, 5):
+        base = jp(_jpeg_bytes(arr, quality=80, subsample=True,
+                              restart=rst))
+        prog = jp(_jpeg_progressive_bytes(arr, quality=80,
+                                          subsample=True, restart=rst))
+        assert np.array_equal(base, prog), rst
+    flat = np.full((48, 48, 3), 130, np.uint8)
+    flat[5, 7] = [250, 3, 9]
+    assert np.array_equal(
+        jp(_jpeg_bytes(flat, quality=70)),
+        jp(_jpeg_progressive_bytes(flat, quality=70)),
+    )
+
+
+def test_progressive_jpeg_scan_script_variants():
+    """Per-component DC scans (true-raster unit walk on a subsampled
+    frame) and a deep successive-approximation chain with narrow
+    spectral bands — the scan-script degrees of freedom T.81 G
+    allows — all land on the baseline decode."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+    )
+
+    from .test_northstar import _jpeg_bytes
+
+    jp = _pure_decoders()["jpeg"]
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 255, (17, 23, 3)).astype(np.uint8)
+    percomp = [
+        ([0], 0, 0, 0, 1), ([1], 0, 0, 0, 1), ([2], 0, 0, 0, 1),
+        ([0], 1, 63, 0, 1), ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
+        ([0], 0, 0, 1, 0), ([1], 0, 0, 1, 0), ([2], 0, 0, 1, 0),
+        ([0], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0),
+    ]
+    assert np.array_equal(
+        jp(_jpeg_bytes(arr, quality=88, subsample=True)),
+        jp(_jpeg_progressive_bytes(arr, quality=88, subsample=True,
+                                   scans=percomp)),
+    )
+    deep = (
+        [([0], 0, 0, 0, 3), ([0], 0, 0, 3, 2), ([0], 0, 0, 2, 1),
+         ([0], 0, 0, 1, 0)]
+        + [([0], lo, hi, 0, 2)
+           for lo, hi in [(1, 2), (3, 8), (9, 27), (28, 63)]]
+        + [([0], 1, 63, 2, 1), ([0], 1, 63, 1, 0)]
+    )
+    g = rng.integers(0, 255, (25, 14, 1)).astype(np.uint8)
+    assert np.array_equal(
+        jp(_jpeg_bytes(g, quality=60)),
+        jp(_jpeg_progressive_bytes(g, quality=60, scans=deep)),
+    )
+
+
+def test_progressive_jpeg_guards():
+    """Malformed progressive streams raise the uniform clean errors,
+    never a numpy/index crash: truncation, AC scan covering two
+    components, bad approximation chain, bad spectral band."""
+    import numpy as np
+    import pytest
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+    )
+
+    jp = _pure_decoders()["jpeg"]
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 255, (25, 14, 1)).astype(np.uint8)
+    b = _jpeg_progressive_bytes(g, quality=60)
+    with pytest.raises(ValueError):
+        jp(b[: len(b) * 2 // 3])
+    arr = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    # the fixture encoder writes whatever the scan script says; the
+    # DECODER is the unit under test for the guards:
+    bad_multi_ac = _jpeg_progressive_bytes(
+        arr, scans=[([0, 1, 2], 0, 0, 0, 0), ([0, 1], 1, 63, 0, 0)]
+    )
+    with pytest.raises(ValueError, match="one component"):
+        jp(bad_multi_ac)
+    bad_ah = _jpeg_progressive_bytes(
+        g, scans=[([0], 0, 0, 0, 2), ([0], 0, 0, 2, 0)]
+    )
+    with pytest.raises(ValueError, match="successive approximation"):
+        jp(bad_ah)
+    bad_band = _jpeg_progressive_bytes(
+        g, scans=[([0], 0, 0, 0, 0), ([0], 5, 3, 0, 0)]
+    )
+    with pytest.raises(ValueError, match="spectral selection"):
+        jp(bad_band)
+
+
+def test_progressive_jpeg_spark_decode(spark):
+    """Spark-side plumbing: decode_images(fake=False) over real
+    progressive payloads — the Arrow mapInPandas pass returns the
+    same dims/channels/mean as the baseline twin of each image."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        decode_images,
+    )
+
+    from .test_northstar import _jpeg_bytes
+
+    rng = np.random.default_rng(13)
+    imgs = {
+        1: (rng.integers(0, 255, (24, 17, 3)).astype(np.uint8), {}),
+        2: (rng.integers(0, 255, (15, 9, 1)).astype(np.uint8), {}),
+        3: (rng.integers(0, 255, (22, 30, 3)).astype(np.uint8),
+            {"subsample": True}),
+    }
+    rows = [
+        (i, bytearray(_jpeg_progressive_bytes(a, quality=85, **kw)))
+        for i, (a, kw) in imgs.items()
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in decode_images(df, fake=False).collect()}
+    assert set(got) == set(imgs)
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+    )
+
+    jp = _pure_decoders()["jpeg"]
+    for i, (a, kw) in imgs.items():
+        twin = jp(_jpeg_bytes(a, quality=85, **kw))
+        r = got[i]
+        assert (r["height"], r["width"], r["n_channels"]) == twin.shape
+        assert abs(r["mean_intensity"] - float(twin.mean())) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# FLAC native decode (r13) — closes the lossless member of the
+# entropy-coded audio gap (MP3/OGG stay gated: lossy codecs genuinely
+# need ffmpeg). FLAC is LOSSLESS, so the oracle is exact sample
+# roundtrip: decode(encode(x)) == x bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _flac_bytes(samples, rate=16000, bits=16, block=64, modes=None,
+                force=None):
+    """FLAC encoder for fixtures (public format spec): STREAMINFO +
+    frames at a fixed blocksize (last frame shorter), per-frame
+    stereo decorrelation cycling through ``modes`` (independent,
+    left/side, right/side, mid/side), subframes chosen per channel —
+    CONSTANT when flat, else FIXED order 0-2 with single-partition
+    Rice residuals — or forced via ``force`` to exercise specific
+    decoder paths: 'verbatim', 'lpc' (order-2 coefficients as an LPC
+    subframe), 'escape' (raw-coded residual partition), 'wasted'
+    (wasted-bits shift), 'parts' (4-partition Rice)."""
+    import numpy as np
+
+    x = np.asarray(samples, np.int64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, ch = x.shape
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    assert x.min() >= lo and x.max() <= hi
+
+    out = bytearray(b"fLaC")
+    acc = [0, 0]
+    buf = bytearray()
+
+    def put(v, nb):
+        acc[0] = (acc[0] << nb) | (v & ((1 << nb) - 1))
+        acc[1] += nb
+        while acc[1] >= 8:
+            acc[1] -= 8
+            buf.append((acc[0] >> acc[1]) & 0xFF)
+
+    def align():
+        if acc[1]:
+            put(0, 8 - acc[1])
+
+    # STREAMINFO (last-metadata flag set, type 0, 34 bytes)
+    last_bs = n % block or block
+    put(1, 1); put(0, 7); put(34, 24)
+    put(min(block, last_bs), 16); put(block, 16)
+    put(0, 24); put(0, 24)          # min/max framesize unknown
+    put(rate, 20); put(ch - 1, 3); put(bits - 1, 5)
+    put(n, 36)
+    for _ in range(16):
+        put(0, 8)                   # MD5 unknown
+    align()
+    out += buf
+    buf.clear()
+
+    def crc8(b):
+        c = 0
+        for v in b:
+            c ^= v
+            for _ in range(8):
+                c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else c << 1
+        return c
+
+    def crc16(b):
+        c = 0
+        for v in b:
+            c ^= v << 8
+            for _ in range(8):
+                c = (((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000
+                     else (c << 1) & 0xFFFF)
+        return c
+
+    def utf8n(v):
+        if v < 0x80:
+            put(v, 8)
+            return
+        seq = []
+        nb = v.bit_length()
+        nbytes = 2
+        while nb > 5 * nbytes + (7 - nbytes):
+            nbytes += 1
+        for _ in range(nbytes - 1):
+            seq.append(0x80 | (v & 0x3F))
+            v >>= 6
+        head = ((0xFF << (8 - nbytes)) & 0xFF) | v
+        put(head, 8)
+        for b in reversed(seq):
+            put(b, 8)
+
+    def rice_residuals(res, order, bs):
+        # residual coding method 0 (4-bit params); partition order
+        po = 2 if (force == "parts" and bs % 4 == 0
+                   and bs // 4 > order) else 0
+        put(0, 2)
+        put(po, 4)
+        nparts = 1 << po
+        per = bs >> po
+        idx = 0
+        for pi in range(nparts):
+            cnt = per - (order if pi == 0 else 0)
+            part = res[idx:idx + cnt]
+            idx += cnt
+            if force == "escape":
+                rawb = max(
+                    (int(v).bit_length() + 1 for v in part),
+                    default=1,
+                )
+                put(0xF, 4)
+                put(rawb, 5)
+                for v in part:
+                    put(int(v), rawb)
+                continue
+            u = [(int(v) << 1) if v >= 0 else ((int(-v) << 1) - 1)
+                 for v in part]
+            mean = (sum(u) / len(u)) if u else 0
+            param = max(0, int(mean).bit_length() - 1)
+            param = min(param, 14)
+            put(param, 4)
+            for uv in u:
+                q = uv >> param
+                put(0, q) if q else None
+                put(1, 1)
+                if param:
+                    put(uv & ((1 << param) - 1), param)
+
+    def subframe(sig, nbits):
+        sig = [int(v) for v in sig]
+        bs = len(sig)
+        wasted = 0
+        if force == "wasted":
+            w = min((v & -v).bit_length() - 1 if v else 64
+                    for v in sig)
+            if w and w < 64:
+                wasted = w
+                sig = [v >> w for v in sig]
+                nbits -= w
+        put(0, 1)  # padding
+        if len(set(sig)) == 1 and force is None:
+            put(0, 6)                       # CONSTANT
+            put(1, 1) if wasted else put(0, 1)
+            if wasted:
+                put(0, wasted - 1); put(1, 1)
+            put(sig[0], nbits)
+            return
+        if force == "verbatim":
+            put(1, 6)
+            put(0, 1)
+            for v in sig:
+                put(v, nbits)
+            return
+        if force == "lpc":
+            order = min(2, bs)
+            put(32 + order - 1, 6)
+            put(0, 1)
+            for v in sig[:order]:
+                put(v, nbits)
+            coefs = [2, -1][:order]
+            put(4 - 1, 4)      # precision 4
+            put(1, 5)          # shift 1
+            for c in coefs:
+                put(c * 2, 4)  # (c*2) >> 1 == c
+            res = [
+                sig[i]
+                - ((sum((cv * 2) * sig[i - 1 - j]
+                        for j, cv in enumerate(coefs))) >> 1)
+                for i in range(order, bs)
+            ]
+            rice_residuals(res, order, bs)
+            return
+        # FIXED: pick order 0-2 by residual magnitude
+        best, best_res = None, None
+        for order in (0, 1, 2):
+            if order > bs - 1:
+                break
+            if order == 0:
+                res = sig[:]
+            elif order == 1:
+                res = [sig[i] - sig[i - 1] for i in range(1, bs)]
+            else:
+                res = [sig[i] - 2 * sig[i - 1] + sig[i - 2]
+                       for i in range(2, bs)]
+            cost = sum(abs(v) for v in res)
+            if best is None or cost < best[0]:
+                best, best_res = (cost, order), res
+        order = best[1]
+        put(8 + order, 6)
+        if wasted:
+            put(1, 1); put(0, wasted - 1); put(1, 1)
+        else:
+            put(0, 1)
+        for v in sig[:order]:
+            put(v, nbits)
+        rice_residuals(best_res, order, len(sig))
+
+    if modes is None:
+        modes = (["indep"] if ch != 2
+                 else ["indep", "ls", "rs", "ms"])
+    nframes = -(-n // block)
+    for fi in range(nframes):
+        seg_x = x[fi * block:(fi + 1) * block]
+        bs = len(seg_x)
+        mode = modes[fi % len(modes)]
+        buf.clear()
+        acc[0] = acc[1] = 0
+        put(0x3FFE, 14); put(0, 1); put(0, 1)  # sync, rsvd, fixed-bs
+        put(7, 4)       # blocksize: 16-bit at end of header
+        put(0, 4)       # sample rate: STREAMINFO
+        if mode == "indep":
+            put(ch - 1, 4)
+        else:
+            put({"ls": 8, "rs": 9, "ms": 10}[mode], 4)
+        put({8: 1, 16: 4, 24: 6}[bits], 3)
+        put(0, 1)
+        utf8n(fi)
+        put(bs - 1, 16)
+        align()
+        hdr = bytes(buf)
+        buf.clear()
+        put(crc8(hdr), 8)
+        if mode == "indep":
+            sigs = [(seg_x[:, j], bits) for j in range(ch)]
+        elif mode == "ls":
+            sigs = [(seg_x[:, 0], bits),
+                    (seg_x[:, 0] - seg_x[:, 1], bits + 1)]
+        elif mode == "rs":
+            sigs = [(seg_x[:, 0] - seg_x[:, 1], bits + 1),
+                    (seg_x[:, 1], bits)]
+        else:  # ms
+            side = seg_x[:, 0] - seg_x[:, 1]
+            mid = (seg_x[:, 0] + seg_x[:, 1]) >> 1
+            sigs = [(mid, bits), (side, bits + 1)]
+        for sig, nb in sigs:
+            subframe(sig, nb)
+        align()
+        body = hdr + bytes(buf)
+        buf.clear()
+        put(crc16(body), 16)
+        out += body + bytes(buf)
+        buf.clear()
+    return bytes(out)
+
+
+def _walk_signal(n, ch, lo=-20000, hi=20000, seed=0, step=600):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    x = np.cumsum(
+        rng.integers(-step, step + 1, size=(n, ch)), axis=0
+    )
+    return np.clip(x, lo, hi).astype(np.int64)
+
+
+def test_flac_roundtrip_exact_stereo_modes():
+    """FLAC is lossless: decode(encode(x)) == x bit-for-bit, across
+    multiple frames cycling independent/left-side/right-side/mid-side
+    decorrelation, with a short last frame."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+    )
+
+    fl = _pure_decoders()["flac"]
+    x = _walk_signal(64 * 4 + 17, 2, seed=5)
+    rate, got = fl(_flac_bytes(x, rate=22050, block=64))
+    assert rate == 22050
+    assert got.shape == x.shape
+    assert np.array_equal(got, x)
+    m = _walk_signal(150, 1, seed=6)
+    rate, got = fl(_flac_bytes(m, rate=8000, block=64))
+    assert np.array_equal(got, m)
+
+
+def test_flac_roundtrip_forced_subframe_paths():
+    """Every decoder branch under forced encoding: VERBATIM, LPC
+    (order-2 quantized coefficients, shift=1), escape-coded raw
+    residual partitions, wasted-bits shift, 4-partition Rice — all
+    must land on the identical samples."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+    )
+
+    fl = _pure_decoders()["flac"]
+    x = _walk_signal(64 * 3, 2, seed=9)
+    for force in ("verbatim", "lpc", "escape", "parts"):
+        rate, got = fl(_flac_bytes(x, block=64, force=force))
+        assert np.array_equal(got, x), force
+    w = (_walk_signal(128, 2, seed=11) >> 3) << 3  # low bits zero
+    rate, got = fl(_flac_bytes(w, block=64, force="wasted"))
+    assert np.array_equal(got, w)
+    const = np.full((130, 1), -777, np.int64)
+    rate, got = fl(_flac_bytes(const, block=64))
+    assert np.array_equal(got, const)
+
+
+def test_flac_bit_depth_grid_alignment():
+    """8-bit and 24-bit FLAC land on the same 16-bit-aligned grid as
+    wav_array (<<8 / >>8), so depth changes don't move features."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+    )
+
+    fl = _pure_decoders()["flac"]
+    x8 = _walk_signal(100, 1, lo=-128, hi=127, step=9, seed=3)
+    _, got = fl(_flac_bytes(x8, bits=8, block=64))
+    assert np.array_equal(got, x8.astype(np.int64) << 8)
+    x24 = _walk_signal(100, 2, lo=-(1 << 22), hi=(1 << 22) - 1,
+                       step=77777, seed=4)
+    _, got = fl(_flac_bytes(x24, bits=24, block=64))
+    assert np.array_equal(got, x24 >> 8)
+
+
+def test_flac_crc_and_gates():
+    """Corrupted entropy bytes fail a CRC (never a silent wrong
+    decode); MP3/OGG magics stay behind the guarded stub in the audio
+    dispatcher."""
+    import pytest
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+    )
+
+    d = _pure_decoders()
+    x = _walk_signal(128, 2, seed=13)
+    b = bytearray(_flac_bytes(x, block=64))
+    b[len(b) - 10] ^= 0x55  # flip bits inside the last frame
+    with pytest.raises(ValueError, match="CRC|truncated|bad"):
+        d["flac"](bytes(b))
+    for payload in (b"ID3\x04" + b"\x00" * 64,
+                    b"OggS" + b"\x00" * 64):
+        with pytest.raises(NotImplementedError, match="MP3/OGG"):
+            d["audio"](payload)
+
+
+def test_flac_wav_feature_parity_spark(spark):
+    """decode_audio(fake=False) over the SAME waveform shipped as WAV
+    and as FLAC returns identical features (rate, channels, samples,
+    duration, RMS) — container invariance through the Arrow pass; the
+    envelope near-dup hash is likewise container-invariant."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        decode_audio,
+        envelope_hash_audio,
+    )
+
+    from .test_northstar import _wav_bytes
+
+    x = _walk_signal(1000, 2, seed=21)
+    wav = _wav_bytes(x.astype(np.int16), rate=16000)
+    flc = _flac_bytes(x, rate=16000, block=256)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(flc))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_audio(df, fake=False).collect()}
+    for col in ("sample_rate", "n_channels", "n_samples",
+                "duration_ms", "rms"):
+        assert rows[1][col] == rows[2][col], col
+    h = {r["doc_id"]: r["envelope_hash"]
+         for r in envelope_hash_audio(df, fake=False).collect()}
+    assert h[1] == h[2]
