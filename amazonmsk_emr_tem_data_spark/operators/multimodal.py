@@ -21,7 +21,8 @@ IEEE float 32/64, G.711 A-law/µ-law, IMA/DVI ADPCM — new r12 —
 WAVE_FORMAT_EXTENSIBLE, multi-channel)
 plus a gain-invariant energy-envelope fingerprint for audio near-dup.
 The container lacks media codec libraries, so decode of the REMAINING
-formats (WebP/TIFF, MP3/OGG — FLAC decodes natively since r13),
+formats (WebP, LZW/JPEG-compressed TIFF, MP3/OGG — FLAC and strip
+TIFF decode natively since r13),
 ``embed_media``'s encoder
 forward pass, and video frame extraction remain clearly-marked stubs
 (`NotImplementedError` unless ``fake=True``) — except MJPEG-in-AVI,
@@ -83,7 +84,8 @@ def _pure_decoders():
     ``wav`` returns (sample_rate, int32 samples of shape
     (n, channels)); ``any`` dispatches images on magic bytes and
     raises a guarded NotImplementedError for formats that need a
-    native codec (WebP/TIFF, arithmetic-coded JPEG) — raising beats
+    native codec (WebP, LZW-TIFF, arithmetic-coded JPEG) — raising
+    beats
     silently-wrong decode.
 
     Performance envelope, measured at 1 MP (SCALING.md "Image-codec
@@ -1323,6 +1325,144 @@ def _pure_decoders():
             pos = body_at + clen + (clen & 1)  # chunks are word-aligned
         raise ValueError("WAV missing data chunk")
 
+    # ---- TIFF (baseline 6.0: uncompressed + PackBits, r13) ---------
+    def tiff_array(data: bytes):
+        """Baseline TIFF 6.0 decode (public spec): II/MM byte orders,
+        first-IFD walk, strip organization (any RowsPerStrip),
+        Compression 1 (none) and 32773 (PackBits run-length), 8-bit
+        grayscale (PhotometricInterpretation 0 — inverted — and 1),
+        RGB and extra-sample RGBA, chunky planar config. The
+        compressed long tail (LZW, Deflate, JPEG-in-TIFF, tiles,
+        planar=2, 1/16-bit) raises the guarded stub — raise beats
+        wrong, and TIFF's role in a 100 TB corpus is a container:
+        the strip walk IS the format; heavy codecs arrive via PIL."""
+        if data[:4] == b"II*\x00":
+            bo = "<"
+        elif data[:4] == b"MM\x00*":
+            bo = ">"
+        else:
+            raise ValueError("bad TIFF signature")
+        nd = len(data)
+
+        def u16(o):
+            return struct.unpack_from(bo + "H", data, o)[0]
+
+        def u32(o):
+            return struct.unpack_from(bo + "I", data, o)[0]
+
+        ifd = u32(4)
+        if ifd + 2 > nd:
+            raise ValueError("truncated TIFF IFD")
+        n_ent = u16(ifd)
+        if ifd + 2 + 12 * n_ent > nd:
+            raise ValueError("truncated TIFF IFD")
+        _SZ = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1}
+        tags = {}
+        for i in range(n_ent):
+            o = ifd + 2 + 12 * i
+            tag, typ, cnt = u16(o), u16(o + 2), u32(o + 4)
+            if typ not in _SZ and typ != 5:
+                continue  # RATIONAL etc.: not needed, skip
+            if typ == 5:
+                continue
+            width = _SZ[typ]
+            total = width * cnt
+            at = o + 8 if total <= 4 else u32(o + 8)
+            if at + total > nd:
+                raise ValueError("truncated TIFF tag data")
+            if typ == 3:
+                vals = [u16(at + 2 * k) for k in range(cnt)]
+            elif typ == 4:
+                vals = [u32(at + 4 * k) for k in range(cnt)]
+            else:
+                vals = list(data[at : at + total])
+            tags[tag] = vals
+
+        def one(tag, default=None):
+            v = tags.get(tag)
+            if v is None:
+                if default is None:
+                    raise ValueError(f"TIFF missing tag {tag}")
+                return default
+            return v[0]
+
+        w, h = one(256), one(257)
+        comp = one(259, 1)
+        photo = one(262)
+        spp = one(277, 1)
+        bps = tags.get(258, [8] * spp)
+        planar = one(284, 1)
+        if 322 in tags or 323 in tags:
+            raise NotImplementedError(
+                "tiled TIFF needs PIL here (strips decode natively)"
+            )
+        if comp not in (1, 32773):
+            raise NotImplementedError(
+                "only uncompressed and PackBits TIFF decode natively "
+                f"(got Compression={comp}: LZW/Deflate/JPEG need PIL)"
+            )
+        if planar != 1:
+            raise NotImplementedError("planar TIFF needs PIL here")
+        if any(b != 8 for b in bps) or len(bps) != spp:
+            raise NotImplementedError(
+                "only 8-bit-per-sample TIFF decodes natively"
+            )
+        if photo not in (0, 1, 2):
+            raise NotImplementedError(
+                f"TIFF photometric {photo} (palette/CMYK/YCbCr) "
+                "needs PIL here"
+            )
+        if photo == 2 and spp not in (3, 4):
+            raise ValueError("inconsistent TIFF RGB sample count")
+        if photo in (0, 1) and spp != 1:
+            raise ValueError("inconsistent TIFF gray sample count")
+        offs = tags.get(273)
+        cnts = tags.get(279)
+        if not offs or not cnts or len(offs) != len(cnts):
+            raise ValueError("TIFF missing strip layout")
+        rps = one(278, h)
+
+        def unpackbits(buf: bytes, want: int) -> bytes:
+            o, outb = 0, bytearray()
+            while o < len(buf) and len(outb) < want:
+                code = buf[o]
+                o += 1
+                if code < 128:  # literal run of code+1 bytes
+                    outb += buf[o : o + code + 1]
+                    o += code + 1
+                elif code > 128:  # repeat next byte 257-code times
+                    outb += buf[o : o + 1] * (257 - code)
+                    o += 1
+                # 128: no-op
+            if len(outb) < want:
+                raise ValueError("truncated TIFF PackBits strip")
+            return bytes(outb[:want])
+
+        rows = []
+        for si, (so, sc) in enumerate(zip(offs, cnts)):
+            if so + sc > nd:
+                raise ValueError("truncated TIFF strip")
+            nrows = min(rps, h - si * rps)
+            if nrows <= 0:
+                raise ValueError("inconsistent TIFF strip count")
+            raw = data[so : so + sc]
+            want = nrows * w * spp
+            if comp == 32773:
+                raw = unpackbits(raw, want)
+            elif len(raw) < want:
+                raise ValueError("truncated TIFF strip")
+            rows.append(
+                np.frombuffer(raw, np.uint8, count=want).reshape(
+                    nrows, w, spp
+                )
+            )
+        img = np.concatenate(rows, axis=0)
+        if img.shape[0] != h:
+            raise ValueError("inconsistent TIFF dimensions")
+        if photo == 0:  # WhiteIsZero: invert onto the uniform grid
+            img = 255 - img
+        return np.ascontiguousarray(img)
+
     def any_array(data: bytes):
         if data[:2] == b"BM":
             return bmp_array(data)
@@ -1332,10 +1472,12 @@ def _pure_decoders():
             return png_array(data)
         if data[:2] == b"\xff\xd8":
             return jpeg_array(data)
+        if data[:4] in (b"II*\x00", b"MM\x00*"):
+            return tiff_array(data)
         raise NotImplementedError(
-            "only uncompressed BMP, binary PPM/PGM, 8-bit "
-            "non-interlaced PNG, and baseline JPEG decode natively; "
-            "WebP/TIFF/... need PIL/libvips here"
+            "only uncompressed BMP, binary PPM/PGM, PNG, "
+            "baseline+progressive JPEG, and strip TIFF decode "
+            "natively; WebP/... need PIL/libvips here"
         )
 
     # ---- FLAC (free lossless audio codec, r13) ---------------------
@@ -1680,6 +1822,7 @@ def _pure_decoders():
         "jpeg": jpeg_array,
         "bmp": bmp_array,
         "pnm": pnm_array,
+        "tiff": tiff_array,
         "wav": wav_array,
         "flac": flac_array,
         "audio": audio_any,
@@ -1711,7 +1854,8 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -> D
     zlib inflate + per-scanline None/Sub/Up/Average/Paeth unfilter),
     baseline sequential JPEG (Huffman + dequant + IDCT, DRI/RSTn,
     chroma subsampling — r9), and progressive JPEG (SOF2 multi-scan,
-    new r13). The remaining compressed formats (WebP/TIFF,
+    new r13), and strip TIFF — uncompressed or PackBits (new r13).
+    The remaining compressed formats (WebP, LZW/JPEG-in-TIFF,
     arithmetic-coded JPEG) raise NotImplementedError — that branch
     is where PIL/libvips plugs in.
     ``fake=True`` keeps the deterministic pseudo-decode for fixtures

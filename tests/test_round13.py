@@ -1498,3 +1498,186 @@ def test_flac_wav_feature_parity_spark(spark):
     h = {r["doc_id"]: r["envelope_hash"]
          for r in envelope_hash_audio(df, fake=False).collect()}
     assert h[1] == h[2]
+
+
+# ---------------------------------------------------------------------------
+# TIFF baseline decode (r13) — the container half of the "WebP/TIFF"
+# gate: strips + PackBits decode natively; LZW/Deflate/JPEG-in-TIFF,
+# tiles, and planar stay gated.
+# ---------------------------------------------------------------------------
+
+
+def _packbits(row: bytes) -> bytes:
+    """Reference TIFF PackBits compressor (literal + repeat runs)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        j = i
+        while j + 1 < n and row[j + 1] == row[j] and j - i < 127:
+            j += 1
+        if j > i:  # run of j-i+1 equal bytes
+            out += bytes([257 - (j - i + 1), row[i]])
+            i = j + 1
+            continue
+        j = i
+        while (
+            j + 1 < n
+            and (j + 2 >= n or row[j + 1] != row[j + 2])
+            and j - i < 127
+        ):
+            j += 1
+        out += bytes([j - i]) + row[i : j + 1]
+        i = j + 1
+    return bytes(out)
+
+
+def _tiff_bytes(arr, byteorder="<", photometric=None, rows_per_strip=5,
+                packbits=False):
+    """Baseline TIFF 6.0 encoder for fixtures: header + single IFD +
+    strip data, both byte orders, gray (PhotometricInterpretation 0
+    inverted or 1) and RGB/RGBA chunky, any RowsPerStrip, optional
+    PackBits per strip."""
+    import struct
+
+    import numpy as np
+
+    h, w, c = arr.shape
+    if photometric is None:
+        photometric = 1 if c == 1 else 2
+    px = arr
+    if photometric == 0:
+        px = 255 - arr  # stored inverted
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        raw = np.ascontiguousarray(
+            px[y0 : y0 + rows_per_strip]
+        ).tobytes()
+        strips.append(_packbits(raw) if packbits else raw)
+
+    e = byteorder
+    entries = []  # (tag, type, count, packed-value-or-None, payload)
+
+    def short(tag, *vals):
+        entries.append((tag, 3, len(vals), vals))
+
+    def longt(tag, *vals):
+        entries.append((tag, 4, len(vals), vals))
+
+    short(256, w)
+    short(257, h)
+    short(258, *([8] * c))
+    short(259, 32773 if packbits else 1)
+    short(262, photometric)
+    longt(273, *([0] * len(strips)))  # offsets patched below
+    short(277, c)
+    short(278, rows_per_strip)
+    longt(279, *[len(s) for s in strips])
+    if c == 4:
+        short(338, 2)  # extra sample: unassociated alpha
+    entries.sort(key=lambda t: t[0])
+
+    # layout: header(8) + IFD + out-of-line tag data + strips
+    ifd_at = 8
+    ifd_len = 2 + 12 * len(entries) + 4
+    heap = bytearray()
+    heap_at = ifd_at + ifd_len
+    ifd = bytearray(struct.pack(e + "H", len(entries)))
+    patch273 = None
+    for tag, typ, cnt, vals in entries:
+        width = {3: 2, 4: 4}[typ]
+        fmt = {3: "H", 4: "I"}[typ]
+        blob = b"".join(struct.pack(e + fmt, v) for v in vals)
+        ifd += struct.pack(e + "HHI", tag, typ, cnt)
+        if len(blob) <= 4:
+            if tag == 273:
+                patch273 = ("inline", len(ifd))
+            ifd += blob + b"\x00" * (4 - len(blob))
+        else:
+            if tag == 273:
+                patch273 = ("heap", len(heap))
+            ifd += struct.pack(e + "I", heap_at + len(heap))
+            heap += blob
+    ifd += struct.pack(e + "I", 0)  # no next IFD
+    data_at = heap_at + len(heap)
+    offsets = []
+    o = data_at
+    for s in strips:
+        offsets.append(o)
+        o += len(s)
+    blob = b"".join(struct.pack(e + "I", v) for v in offsets)
+    kind, at = patch273
+    if kind == "inline":
+        ifd[at : at + len(blob)] = blob
+    else:
+        heap[at : at + len(blob)] = blob
+    hdr = (b"II*\x00" if e == "<" else b"MM\x00*") + struct.pack(
+        e + "I", ifd_at
+    )
+    return hdr + bytes(ifd) + bytes(heap) + b"".join(strips)
+
+
+def test_tiff_roundtrip_exact():
+    """Uncompressed and PackBits strip TIFF, both byte orders, gray
+    (both photometric polarities), RGB and RGBA, ragged last strip —
+    all decode to the exact source raster."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+    )
+
+    tf = _pure_decoders()["tiff"]
+    rng = np.random.default_rng(23)
+    gray = rng.integers(0, 256, (13, 7, 1), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (11, 9, 3), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    flat = np.full((12, 20, 3), 77, np.uint8)  # PackBits runs
+    flat[3, 4] = [1, 2, 3]
+    for arr, kw in [
+        (gray, {}),
+        (gray, {"photometric": 0}),
+        (gray, {"byteorder": ">"}),
+        (rgb, {}),
+        (rgb, {"byteorder": ">", "rows_per_strip": 11}),
+        (rgba, {"rows_per_strip": 3}),
+        (flat, {"packbits": True}),
+        (rgb, {"packbits": True, "byteorder": ">"}),
+    ]:
+        got = tf(_tiff_bytes(arr, **kw))
+        assert np.array_equal(got, arr), kw
+
+
+def test_tiff_gates_and_dispatch(spark):
+    """LZW-compressed and tiled TIFF raise the guarded stub; the
+    magic-byte dispatcher routes both byte orders; Spark
+    decode_images(fake=False) handles TIFF payloads."""
+    import struct as _s
+
+    import numpy as np
+    import pytest
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+        decode_images,
+    )
+
+    d = _pure_decoders()
+    rng = np.random.default_rng(29)
+    arr = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    b = bytearray(_tiff_bytes(arr))
+    # patch Compression (tag 259) to LZW (5): find its IFD slot
+    n_ent = _s.unpack_from("<H", b, 8)[0]
+    for i in range(n_ent):
+        o = 10 + 12 * i
+        if _s.unpack_from("<H", b, o)[0] == 259:
+            _s.pack_into("<H", b, o + 8, 5)
+    with pytest.raises(NotImplementedError, match="LZW"):
+        d["tiff"](bytes(b))
+    assert np.array_equal(d["any"](_tiff_bytes(arr, byteorder=">")), arr)
+    df = spark.createDataFrame(
+        [(1, bytearray(_tiff_bytes(arr, packbits=True)))],
+        "doc_id long, payload binary",
+    )
+    row = decode_images(df, fake=False).collect()[0]
+    assert (row["height"], row["width"], row["n_channels"]) == arr.shape
+    assert abs(row["mean_intensity"] - float(arr.mean())) < 1e-6
