@@ -1076,7 +1076,7 @@ def ann_ingest_batch(
     store's 8-byte id column (column pruning — the
     incremental_ingest_dedup convention); at 100 TB that id exchange
     is the piece you'd swap for a bloom-filter guard."""
-    from ..operators.similarity import cosine, with_ivf_cell
+    from ..operators.similarity import score_pairs_cosine, with_ivf_cell
 
     sess = batch_df.sparkSession
     vec_dir = os.path.join(store_dir, "vectors")
@@ -1092,24 +1092,42 @@ def ann_ingest_batch(
         "ivf_cell",
         F.col("embedding").alias("b_emb"),
     )
+    # Pair scoring runs through the shared Arrow fold scorer, NOT the
+    # `cosine` expression: candidate volume is |batch|²/cells within
+    # the batch and |batch|×|same-cell store| against the store, and
+    # the F.aggregate fold is CodegenFallback (interpreted per
+    # element — the kmeans lesson; a 10× backfill batch timed out on
+    # it in the r13 scale study, then passed with the Arrow scorer).
+    # Bit-identical results, so the oracle hash is unchanged.
     # within-batch: smaller-id same-cell neighbor among the arrivals
     dup_ids = (
-        arr.join(F.broadcast(b_side), "ivf_cell")
-        .filter(F.col("b_id") < F.col("vec_id"))
-        .filter(cosine(F.col("embedding"), F.col("b_emb")) >= threshold)
+        score_pairs_cosine(
+            arr.join(F.broadcast(b_side), "ivf_cell").filter(
+                F.col("b_id") < F.col("vec_id")
+            ),
+            "embedding",
+            "b_emb",
+            ("vec_id",),
+        )
+        .filter(F.col("cos_sim") >= threshold)
         .select("vec_id")
     )
     demoted = None
     if store is not None:
         j = (
-            store.select(
-                F.col("vec_id").alias("s_id"),
-                "ivf_cell",
-                F.col("embedding").alias("s_emb"),
+            score_pairs_cosine(
+                store.select(
+                    F.col("vec_id").alias("s_id"),
+                    "ivf_cell",
+                    F.col("embedding").alias("s_emb"),
+                )
+                .join(F.broadcast(b_side), "ivf_cell")
+                .filter(F.col("s_id") != F.col("b_id")),
+                "s_emb",
+                "b_emb",
+                ("s_id", "b_id"),
             )
-            .join(F.broadcast(b_side), "ivf_cell")
-            .filter(F.col("s_id") != F.col("b_id"))
-            .filter(cosine(F.col("s_emb"), F.col("b_emb")) >= threshold)
+            .filter(F.col("cos_sim") >= threshold)
             .select("s_id", "b_id")
             .localCheckpoint(eager=True)  # two consumers, bounded
         )
@@ -1186,6 +1204,8 @@ def stream_ann_ingest(
     threshold: float = 0.45,
     store_dir: str | None = None,
     checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 300,
 ) -> DataFrame:
     """Streaming ANN ingest near-dedup: embeddings arrive as a stream,
     each micro-batch is cell-assigned via the persisted coarse
@@ -1194,8 +1214,15 @@ def stream_ann_ingest(
     drained state is BIT-IDENTICAL to the batch computation over the
     same corpus — the registry checks this stream against a batch-twin
     DuckDB oracle (the stream_priority_sample pattern), so the
-    mergeability claim is a standing hash proof."""
-    emb = embeddings_stream(spark, sf_dir)
+    mergeability claim is a standing hash proof.
+
+    ``max_files_per_trigger`` bounds the micro-batch (availableNow
+    drains in several batches when the table has several files) —
+    the production shape: the per-batch plan contract assumes
+    MICRO-BATCH-SIZED arrivals on the broadcast side, and a backfill
+    that lands the whole corpus in one batch should be split at the
+    source, not pushed through a corpus-sized broadcast."""
+    emb = embeddings_stream(spark, sf_dir, max_files_per_trigger)
     store = store_dir or os.path.join(
         tempfile.mkdtemp(prefix="store_ann_ingest_"), "store"
     )
@@ -1211,9 +1238,11 @@ def stream_ann_ingest(
         .queryName("stream_ann_ingest")
         .start()
     )
-    if not q.awaitTermination(300):
+    if not q.awaitTermination(timeout_s):
         q.stop()
-        raise TimeoutError("ANN ingest stream did not drain in 300s")
+        raise TimeoutError(
+            f"ANN ingest stream did not drain in {timeout_s}s"
+        )
     return read_ann_ingest_store(spark, store)
 
 

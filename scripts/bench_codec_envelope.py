@@ -27,6 +27,12 @@ from amazonmsk_emr_tem_data_spark.operators.multimodal import (  # noqa: E402
     _pure_decoders,
 )
 from tests.test_northstar import _jpeg_bytes, _png_bytes  # noqa: E402
+from tests.test_round13 import (  # noqa: E402
+    _flac_bytes,
+    _jpeg_progressive_bytes,
+    _tiff_bytes,
+    _walk_signal,
+)
 
 
 def _photo(side: int) -> np.ndarray:
@@ -82,6 +88,16 @@ def main() -> None:
         # best-case PNG: every row Up (vectorized numpy unfilter)
         "png_up": (dec["png"], _png_bytes(img, filters=[2] * side)),
         "jpeg_q92_420": (dec["jpeg"], _jpeg_bytes(img, 92, True)),
+        # progressive re-serializes the same coefficients over ~10
+        # scans — prices the multi-pass Huffman walk (r13)
+        "jpeg_prog_q92_420": (
+            dec["jpeg"],
+            _jpeg_progressive_bytes(img, 92, True),
+        ),
+        "tiff_packbits": (
+            dec["tiff"],
+            _tiff_bytes(img, rows_per_strip=64, packbits=True),
+        ),
         "bmp": (dec["bmp"], _bmp_bytes(img)),
     }
     out = {}
@@ -99,6 +115,23 @@ def main() -> None:
             "px_per_sec": int(px / sec),
             "mpx": round(px / 1e6, 2),
         }
+    # FLAC: samples/sec at one "realistic minute" of 16-bit stereo
+    n = side * side // 4  # scale the clip with the image budget
+    clip = _walk_signal(n, 2, seed=20260816)
+    blob = _flac_bytes(clip, rate=44100, block=4096)
+    dec["flac"](blob)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _rate, got = dec["flac"](blob)
+        times.append(time.perf_counter() - t0)
+    assert got.shape == clip.shape
+    sec = sorted(times)[1]
+    out["flac_16b_stereo"] = {
+        "sec": round(sec, 3),
+        "samples_per_sec": int(n / sec),
+        "n_samples": n,
+    }
     print(json.dumps(out))
 
 

@@ -1595,10 +1595,18 @@ def test_stratified_priority_sample_single_exchange(spark, sf_dir):
     assert not f.joins
 
 
-def test_bbit_minhash_audit_shuffles_longs_not_shingles(spark, sf_dir):
-    """b-bit audit: the signature aggregate partial-aggregates
-    map-side (the shuffle carries K longs per doc, never shingles) and
-    nothing goes cartesian."""
+def test_bbit_minhash_audit_consolidated_plan(spark, sf_dir):
+    """b-bit audit after the r13 consolidation (14 shuffles/BHJ×94 →
+    exchange-free final stage): the shingle→signature aggregate runs
+    ONCE behind an eager localCheckpoint of the bounded audit tables
+    (one row per audited doc — driver-safe by the same bound that
+    makes the audit an audit), so the final plan joins checkpointed
+    per-doc signatures with broadcasts only — zero exchanges, no
+    sort-merge, nothing cartesian. The shuffle that remains in the
+    materialization stage carries K longs per doc, never shingles
+    (pinned structurally: no shingle column survives to the audited
+    tables)."""
     f = facts(spark, sf_dir, "bbit_minhash_audit")
-    assert f.has_partial_agg
+    assert f.n_exchanges == 0, "post-checkpoint stage is exchange-free"
+    assert f.joins and all(j == "BroadcastHashJoin" for j in f.joins)
     assert not f.has_cartesian
