@@ -21,8 +21,8 @@ IEEE float 32/64, G.711 A-law/µ-law, IMA/DVI ADPCM — new r12 —
 WAVE_FORMAT_EXTENSIBLE, multi-channel)
 plus a gain-invariant energy-envelope fingerprint for audio near-dup.
 The container lacks media codec libraries, so decode of the REMAINING
-formats (WebP, LZW/JPEG-compressed TIFF, MP3/OGG — FLAC and strip
-TIFF decode natively since r13),
+formats (WebP, JPEG-in-TIFF, MP3/OGG — FLAC, GIF, and strip TIFF
+incl. LZW/Deflate/PackBits decode natively since r13),
 ``embed_media``'s encoder
 forward pass, and video frame extraction remain clearly-marked stubs
 (`NotImplementedError` unless ``fake=True``) — except MJPEG-in-AVI,
@@ -84,7 +84,7 @@ def _pure_decoders():
     ``wav`` returns (sample_rate, int32 samples of shape
     (n, channels)); ``any`` dispatches images on magic bytes and
     raises a guarded NotImplementedError for formats that need a
-    native codec (WebP, LZW-TIFF, arithmetic-coded JPEG) — raising
+    native codec (WebP, JPEG-in-TIFF, arithmetic-coded JPEG) — raising
     beats
     silently-wrong decode.
 
@@ -1325,17 +1325,89 @@ def _pure_decoders():
             pos = body_at + clen + (clen & 1)  # chunks are word-aligned
         raise ValueError("WAV missing data chunk")
 
-    # ---- TIFF (baseline 6.0: uncompressed + PackBits, r13) ---------
+    def _lzw_decode(
+        buf: bytes,
+        nsym: int,
+        msb: bool,
+        early: bool,
+        want: int | None = None,
+    ) -> bytes:
+        """Generic LZW decode shared by TIFF (Section 13 flavor:
+        MSB-first bit packing, early code-width change) and GIF
+        (Appendix F flavor: LSB-first, no early change): ``nsym``
+        single-byte root symbols, CLEAR=nsym, EOI=nsym+1, code width
+        grows from the smallest width holding EOI up to 12 bits."""
+        clear, eoi = nsym, nsym + 1
+        width0 = (eoi + 1).bit_length()
+        nbits_total = 8 * len(buf)
+        out = bytearray()
+        table: list[bytes] = []
+        prev: bytes | None = None
+        width = width0
+        pos = 0
+
+        def _reset() -> None:
+            nonlocal table, prev, width
+            table = [bytes([i]) for i in range(nsym)] + [b"", b""]
+            prev = None
+            width = width0
+
+        _reset()
+        while pos + width <= nbits_total:
+            byte0 = pos // 8
+            end = pos + width
+            if msb:
+                v = int.from_bytes(buf[byte0 : (end + 7) // 8], "big")
+                code = (v >> ((-end) % 8)) & ((1 << width) - 1)
+            else:
+                v = int.from_bytes(
+                    buf[byte0 : (end + 7) // 8], "little"
+                )
+                code = (v >> (pos % 8)) & ((1 << width) - 1)
+            pos += width
+            if code == clear:
+                _reset()
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                if code >= len(table) or not table[code]:
+                    raise ValueError("bad LZW code")
+                entry = table[code]
+            else:
+                if code < len(table) and table[code]:
+                    entry = table[code]
+                elif code == len(table):  # KwKwK
+                    entry = prev + prev[:1]
+                else:
+                    raise ValueError("bad LZW code")
+                table.append(prev + entry[:1])
+            out += entry
+            prev = entry
+            if width < 12 and len(table) >= (1 << width) - (
+                1 if early else 0
+            ):
+                width += 1
+            if want is not None and len(out) >= want:
+                break
+        return bytes(out)
+
+    # ---- TIFF (baseline 6.0: strips — none/PackBits/LZW/Deflate,
+    # r13) ------------------------------------------------------------
     def tiff_array(data: bytes):
         """Baseline TIFF 6.0 decode (public spec): II/MM byte orders,
         first-IFD walk, strip organization (any RowsPerStrip),
-        Compression 1 (none) and 32773 (PackBits run-length), 8-bit
-        grayscale (PhotometricInterpretation 0 — inverted — and 1),
+        Compression 1 (none), 32773 (PackBits), 5 (LZW, Section 13),
+        8/32946 (Deflate), horizontal Predictor 2, 8-bit grayscale
+        (PhotometricInterpretation 0 — inverted — and 1),
         RGB and extra-sample RGBA, chunky planar config. The
-        compressed long tail (LZW, Deflate, JPEG-in-TIFF, tiles,
-        planar=2, 1/16-bit) raises the guarded stub — raise beats
-        wrong, and TIFF's role in a 100 TB corpus is a container:
-        the strip walk IS the format; heavy codecs arrive via PIL."""
+        remaining long tail (JPEG-in-TIFF, CCITT fax, tiles,
+        planar=2, 1/16-bit, float predictor) raises the guarded stub
+        — raise beats wrong, and TIFF's role in a 100 TB corpus is a
+        container: the strip walk + the byte codecs (PackBits, LZW
+        via the shared ``_lzw_decode`` core, zlib Deflate, the
+        horizontal-differencing predictor) ARE the format's real
+        surface; heavy embedded codecs arrive via PIL."""
         if data[:4] == b"II*\x00":
             bo = "<"
         elif data[:4] == b"MM\x00*":
@@ -1396,10 +1468,17 @@ def _pure_decoders():
             raise NotImplementedError(
                 "tiled TIFF needs PIL here (strips decode natively)"
             )
-        if comp not in (1, 32773):
+        if comp not in (1, 5, 8, 32773, 32946):
             raise NotImplementedError(
-                "only uncompressed and PackBits TIFF decode natively "
-                f"(got Compression={comp}: LZW/Deflate/JPEG need PIL)"
+                "only uncompressed, PackBits, LZW, and Deflate TIFF "
+                f"decode natively (got Compression={comp}: "
+                "JPEG-in-TIFF/CCITT need PIL)"
+            )
+        predictor = one(317, 1)
+        if predictor not in (1, 2):
+            raise NotImplementedError(
+                f"TIFF predictor {predictor} (floating-point) "
+                "needs PIL here"
             )
         if planar != 1:
             raise NotImplementedError("planar TIFF needs PIL here")
@@ -1449,19 +1528,144 @@ def _pure_decoders():
             want = nrows * w * spp
             if comp == 32773:
                 raw = unpackbits(raw, want)
+            elif comp == 5:
+                raw = _lzw_decode(
+                    raw, 256, msb=True, early=True, want=want
+                )
+                if len(raw) < want:
+                    raise ValueError("truncated TIFF LZW strip")
+            elif comp in (8, 32946):
+                import zlib
+
+                try:
+                    raw = zlib.decompress(raw)
+                except zlib.error as exc:
+                    raise ValueError(
+                        f"bad TIFF Deflate strip: {exc}"
+                    ) from None
+                if len(raw) < want:
+                    raise ValueError("truncated TIFF Deflate strip")
             elif len(raw) < want:
                 raise ValueError("truncated TIFF strip")
-            rows.append(
-                np.frombuffer(raw, np.uint8, count=want).reshape(
-                    nrows, w, spp
+            strip_px = np.frombuffer(
+                raw, np.uint8, count=want
+            ).reshape(nrows, w, spp)
+            if predictor == 2:
+                # horizontal differencing: cumulative sum mod 256
+                # along the row, per sample channel (vectorized —
+                # uint8 accumulate wraps exactly as the spec's
+                # byte-difference requires)
+                strip_px = np.cumsum(
+                    strip_px, axis=1, dtype=np.uint8
                 )
-            )
+            rows.append(strip_px)
         img = np.concatenate(rows, axis=0)
         if img.shape[0] != h:
             raise ValueError("inconsistent TIFF dimensions")
         if photo == 0:  # WhiteIsZero: invert onto the uniform grid
             img = 255 - img
         return np.ascontiguousarray(img)
+
+    # ---- GIF (87a/89a, r13) ----------------------------------------
+    def gif_array(data: bytes):
+        """Native GIF decode (public spec, Appendix F LZW — the
+        LSB-first no-early-change flavor of the shared ``_lzw_decode``
+        core): logical screen + global/local color tables, interlaced
+        and sequential rasters, extension blocks skipped. Returns the
+        FIRST image frame as (H, W, 3) uint8 via its palette —
+        matching the still-image contract of every other decoder here
+        (animated GIFs are a frame SEQUENCE; the multi-frame story is
+        sample_frames', where MJPEG-in-AVI set the pattern).
+        Transparency is palette-color-as-stored: the transparent
+        index's RGB is what the table says (compositing is a consumer
+        policy, not a decode fact)."""
+        if data[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("bad GIF signature")
+        nd = len(data)
+        if nd < 13:
+            raise ValueError("truncated GIF header")
+        sw, sh, flags = struct.unpack_from("<HHB", data, 6)
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            if pos + 3 * n > nd:
+                raise ValueError("truncated GIF color table")
+            gct = np.frombuffer(
+                data, np.uint8, count=3 * n, offset=pos
+            ).reshape(n, 3)
+            pos += 3 * n
+        while pos < nd:
+            b0 = data[pos]
+            pos += 1
+            if b0 == 0x3B:  # trailer
+                break
+            if b0 == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while pos < nd and data[pos]:
+                    pos += 1 + data[pos]
+                pos += 1
+                continue
+            if b0 != 0x2C:
+                raise ValueError("bad GIF block introducer")
+            # image descriptor
+            if pos + 9 > nd:
+                raise ValueError("truncated GIF image descriptor")
+            _ix, _iy, iw, ih, iflags = struct.unpack_from(
+                "<HHHHB", data, pos
+            )
+            pos += 9
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                if pos + 3 * n > nd:
+                    raise ValueError("truncated GIF color table")
+                pal = np.frombuffer(
+                    data, np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            if iw <= 0 or ih <= 0:
+                raise ValueError("inconsistent GIF dimensions")
+            min_code = data[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                raise ValueError("bad GIF LZW minimum code size")
+            chunks = []
+            while pos < nd and data[pos]:
+                ln = data[pos]
+                chunks.append(data[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1  # sub-block terminator
+            idx = _lzw_decode(
+                b"".join(chunks),
+                1 << min_code,
+                msb=False,
+                early=False,
+                want=iw * ih,
+            )
+            if len(idx) < iw * ih:
+                raise ValueError("truncated GIF image data")
+            grid = np.frombuffer(
+                idx, np.uint8, count=iw * ih
+            ).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: 4-pass row shuffle
+                order = np.concatenate(
+                    [
+                        np.arange(0, ih, 8),
+                        np.arange(4, ih, 8),
+                        np.arange(2, ih, 4),
+                        np.arange(1, ih, 2),
+                    ]
+                )
+                deinter = np.empty_like(grid)
+                deinter[order] = grid
+                grid = deinter
+            if int(grid.max(initial=0)) >= len(pal):
+                raise ValueError("GIF pixel index outside color table")
+            return np.ascontiguousarray(pal[grid])
+        raise ValueError("GIF missing image descriptor")
 
     def any_array(data: bytes):
         if data[:2] == b"BM":
@@ -1474,9 +1678,11 @@ def _pure_decoders():
             return jpeg_array(data)
         if data[:4] in (b"II*\x00", b"MM\x00*"):
             return tiff_array(data)
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            return gif_array(data)
         raise NotImplementedError(
             "only uncompressed BMP, binary PPM/PGM, PNG, "
-            "baseline+progressive JPEG, and strip TIFF decode "
+            "baseline+progressive JPEG, strip TIFF, and GIF decode "
             "natively; WebP/... need PIL/libvips here"
         )
 
@@ -1823,6 +2029,7 @@ def _pure_decoders():
         "bmp": bmp_array,
         "pnm": pnm_array,
         "tiff": tiff_array,
+        "gif": gif_array,
         "wav": wav_array,
         "flac": flac_array,
         "audio": audio_any,
@@ -1854,10 +2061,11 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -> D
     zlib inflate + per-scanline None/Sub/Up/Average/Paeth unfilter),
     baseline sequential JPEG (Huffman + dequant + IDCT, DRI/RSTn,
     chroma subsampling — r9), and progressive JPEG (SOF2 multi-scan,
-    new r13), and strip TIFF — uncompressed or PackBits (new r13).
-    The remaining compressed formats (WebP, LZW/JPEG-in-TIFF,
-    arithmetic-coded JPEG) raise NotImplementedError — that branch
-    is where PIL/libvips plugs in.
+    new r13), strip TIFF — uncompressed, PackBits, LZW, or Deflate,
+    with the horizontal predictor (new r13) — and GIF 87a/89a incl.
+    interlace (new r13). The remaining compressed formats (WebP,
+    JPEG-in-TIFF, arithmetic-coded JPEG) raise NotImplementedError —
+    that branch is where PIL/libvips plugs in.
     ``fake=True`` keeps the deterministic pseudo-decode for fixtures
     whose payloads aren't images at all.
 

@@ -1665,13 +1665,14 @@ def test_tiff_gates_and_dispatch(spark):
     rng = np.random.default_rng(29)
     arr = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
     b = bytearray(_tiff_bytes(arr))
-    # patch Compression (tag 259) to LZW (5): find its IFD slot
+    # patch Compression (tag 259) to JPEG-in-TIFF (7): still gated
+    # (LZW/Deflate graduated to real decodes later in r13)
     n_ent = _s.unpack_from("<H", b, 8)[0]
     for i in range(n_ent):
         o = 10 + 12 * i
         if _s.unpack_from("<H", b, o)[0] == 259:
-            _s.pack_into("<H", b, o + 8, 5)
-    with pytest.raises(NotImplementedError, match="LZW"):
+            _s.pack_into("<H", b, o + 8, 7)
+    with pytest.raises(NotImplementedError, match="JPEG-in-TIFF"):
         d["tiff"](bytes(b))
     assert np.array_equal(d["any"](_tiff_bytes(arr, byteorder=">")), arr)
     df = spark.createDataFrame(
@@ -1681,3 +1682,299 @@ def test_tiff_gates_and_dispatch(spark):
     row = decode_images(df, fake=False).collect()[0]
     assert (row["height"], row["width"], row["n_channels"]) == arr.shape
     assert abs(row["mean_intensity"] - float(arr.mean())) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# TIFF LZW/Deflate/Predictor + GIF decode (r13, late round) — the
+# shared-LZW tier: TIFF Section 13 (MSB-first, early change) and GIF
+# Appendix F (LSB-first) are one parameterized core.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(data: bytes, nsym: int, msb: bool, early: bool) -> bytes:
+    """Reference LZW compressor for fixtures (both flavors), incl.
+    code-width growth at 511/1023/2047 (early-change for TIFF) and a
+    CLEAR-reset when the 12-bit table fills."""
+    clear, eoi = nsym, nsym + 1
+    width0 = (eoi + 1).bit_length()
+    out = bytearray()
+    st = [0, 0]  # bit accumulator, bit count
+
+    def emit(code, width):
+        if msb:
+            st[0] = (st[0] << width) | code
+            st[1] += width
+            while st[1] >= 8:
+                st[1] -= 8
+                out.append((st[0] >> st[1]) & 0xFF)
+            st[0] &= (1 << st[1]) - 1
+        else:
+            st[0] |= code << st[1]
+            st[1] += width
+            while st[1] >= 8:
+                out.append(st[0] & 0xFF)
+                st[0] >>= 8
+                st[1] -= 8
+
+    table = {bytes([i]): i for i in range(nsym)}
+    next_code = eoi + 1
+    width = width0
+    emit(clear, width)
+    w_seq = b""
+    for byte in data:
+        nxt = w_seq + bytes([byte])
+        if nxt in table:
+            w_seq = nxt
+            continue
+        emit(table[w_seq], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code + (1 if early else 0) > (1 << width):
+            if width < 12:
+                width += 1
+            else:
+                emit(clear, width)
+                table = {bytes([i]): i for i in range(nsym)}
+                next_code = eoi + 1
+                width = width0
+        w_seq = bytes([byte])
+    if w_seq:
+        emit(table[w_seq], width)
+    emit(eoi, width)
+    if st[1]:
+        if msb:
+            out.append((st[0] << (8 - st[1])) & 0xFF)
+        else:
+            out.append(st[0] & 0xFF)
+    return bytes(out)
+
+
+def _tiff_bytes_v2(arr, byteorder="<", photometric=None,
+                   rows_per_strip=5, compression="none", predictor=1):
+    """Extended TIFF fixture encoder: compression none/packbits/lzw/
+    deflate, optional horizontal-differencing predictor."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = arr.shape
+    if photometric is None:
+        photometric = 1 if c == 1 else 2
+    px = arr if photometric != 0 else 255 - arr
+    comp_code = {"none": 1, "packbits": 32773, "lzw": 5,
+                 "deflate": 8}[compression]
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        seg = np.ascontiguousarray(px[y0 : y0 + rows_per_strip])
+        if predictor == 2:
+            seg = np.concatenate(
+                [seg[:, :1], np.diff(seg.astype(np.int16), axis=1)],
+                axis=1,
+            ).astype(np.uint8)  # mod-256 horizontal differences
+        raw = seg.tobytes()
+        if compression == "packbits":
+            raw = _packbits(raw)
+        elif compression == "lzw":
+            raw = _lzw_encode(raw, 256, msb=True, early=True)
+        elif compression == "deflate":
+            raw = zlib.compress(raw, 6)
+        strips.append(raw)
+
+    e = byteorder
+    entries = []
+
+    def short(tag, *vals):
+        entries.append((tag, 3, len(vals), vals))
+
+    def longt(tag, *vals):
+        entries.append((tag, 4, len(vals), vals))
+
+    short(256, w)
+    short(257, h)
+    short(258, *([8] * c))
+    short(259, comp_code)
+    short(262, photometric)
+    longt(273, *([0] * len(strips)))
+    short(277, c)
+    short(278, rows_per_strip)
+    longt(279, *[len(s) for s in strips])
+    if predictor != 1:
+        short(317, predictor)
+    if c == 4:
+        short(338, 2)
+    entries.sort(key=lambda t: t[0])
+    ifd_at = 8
+    ifd_len = 2 + 12 * len(entries) + 4
+    heap = bytearray()
+    heap_at = ifd_at + ifd_len
+    ifd = bytearray(struct.pack(e + "H", len(entries)))
+    patch273 = None
+    for tag, typ, cnt, vals in entries:
+        fmt = {3: "H", 4: "I"}[typ]
+        blob = b"".join(struct.pack(e + fmt, v) for v in vals)
+        ifd += struct.pack(e + "HHI", tag, typ, cnt)
+        if len(blob) <= 4:
+            if tag == 273:
+                patch273 = ("inline", len(ifd))
+            ifd += blob + b"\x00" * (4 - len(blob))
+        else:
+            if tag == 273:
+                patch273 = ("heap", len(heap))
+            ifd += struct.pack(e + "I", heap_at + len(heap))
+            heap += blob
+    ifd += struct.pack(e + "I", 0)
+    data_at = heap_at + len(heap)
+    offsets = []
+    o = data_at
+    for s in strips:
+        offsets.append(o)
+        o += len(s)
+    blob = b"".join(struct.pack(e + "I", v) for v in offsets)
+    kind, at = patch273
+    if kind == "inline":
+        ifd[at : at + len(blob)] = blob
+    else:
+        heap[at : at + len(blob)] = blob
+    hdr = (b"II*\x00" if e == "<" else b"MM\x00*") + struct.pack(
+        e + "I", ifd_at
+    )
+    return hdr + bytes(ifd) + bytes(heap) + b"".join(strips)
+
+
+def _gif_bytes(arr, interlace=False, version=b"GIF89a",
+               with_extension=True):
+    """GIF fixture encoder: arr (h, w, 3) with ≤256 distinct colors →
+    global color table + Appendix-F LZW image data (sub-blocked),
+    optional interlace and a skipped-over extension block."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    pal, inv = np.unique(flat, axis=0, return_inverse=True)
+    n_colors = len(pal)
+    assert n_colors <= 256
+    bits = max(1, (n_colors - 1).bit_length())
+    tbl_n = 1 << bits
+    grid = inv.reshape(h, w).astype(np.uint8)
+    if interlace:
+        order = np.concatenate(
+            [np.arange(0, h, 8), np.arange(4, h, 8),
+             np.arange(2, h, 4), np.arange(1, h, 2)]
+        )
+        stored = grid[order]
+    else:
+        stored = grid
+    out = bytearray(version)
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += pal.astype(np.uint8).tobytes()
+    out += b"\x00" * (3 * (tbl_n - n_colors))
+    if with_extension and version == b"GIF89a":
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE, no transp
+        out += b"\x21\xfe\x05hello\x00"  # comment extension
+    min_code = max(2, bits)
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
+    out += bytes([min_code])
+    lzw = _lzw_encode(stored.tobytes(), 1 << min_code, msb=False,
+                      early=False)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_tiff_lzw_deflate_predictor_roundtrips():
+    """LZW (MSB-first early-change, incl. code-width growth past 511/
+    1023 on a 20 kB noise strip), Deflate, and horizontal-predictor
+    variants all reproduce the exact raster — both byte orders."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+    )
+
+    tf = _pure_decoders()["tiff"]
+    rng = np.random.default_rng(31)
+    noise = rng.integers(0, 256, (40, 60, 3), dtype=np.uint8)
+    smooth = (
+        np.cumsum(rng.integers(-2, 3, (30, 50, 3)), axis=1) % 256
+    ).astype(np.uint8)
+    for arr, kw in [
+        (noise, {"compression": "lzw", "rows_per_strip": 40}),
+        (noise, {"compression": "lzw", "byteorder": ">"}),
+        (smooth, {"compression": "lzw", "predictor": 2}),
+        (noise, {"compression": "deflate"}),
+        (smooth, {"compression": "deflate", "predictor": 2,
+                  "byteorder": ">"}),
+        (smooth, {"compression": "none", "predictor": 2}),
+    ]:
+        got = tf(_tiff_bytes_v2(arr, **kw))
+        assert np.array_equal(got, arr), kw
+
+
+def test_gif_roundtrip_and_variants():
+    """GIF87a/89a decode: exact palette raster recovery for noise
+    (256 colors, 12-bit LZW growth), flat runs, interlaced rasters,
+    and streams with extension blocks to skip."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+    )
+
+    gf = _pure_decoders()["gif"]
+    rng = np.random.default_rng(37)
+    pal256 = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (96, 80), dtype=np.uint8)
+    noise = pal256[idx]
+    flat = np.full((20, 30, 3), [10, 200, 44], np.uint8)
+    few = pal256[:5][rng.integers(0, 5, (33, 21), dtype=np.uint8)]
+    for arr, kw in [
+        (noise, {}),
+        (noise, {"interlace": True}),
+        (flat, {"version": b"GIF87a", "with_extension": False}),
+        (few, {"interlace": True}),
+        (few, {"version": b"GIF87a", "with_extension": False}),
+    ]:
+        got = gf(_gif_bytes(arr, **kw))
+        assert got.shape == arr.shape, kw
+        assert np.array_equal(got, arr), kw
+
+
+def test_gif_tiff_gates_and_spark_dispatch(spark):
+    """Malformed GIF raises cleanly; the magic dispatcher routes GIF;
+    Spark decode_images(fake=False) handles LZW-TIFF and GIF
+    payloads in one batch alongside the other formats."""
+    import numpy as np
+    import pytest
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+        decode_images,
+    )
+
+    d = _pure_decoders()
+    rng = np.random.default_rng(41)
+    arr = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    gif_arr = pal[rng.integers(0, 8, (9, 7), dtype=np.uint8)]
+    with pytest.raises(ValueError, match="GIF"):
+        d["gif"](b"GIF89a" + b"\x00" * 4)
+    b = _gif_bytes(gif_arr)
+    assert np.array_equal(d["any"](b), gif_arr)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_tiff_bytes_v2(arr, compression="lzw"))),
+            (2, bytearray(b)),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_images(df, fake=False).collect()}
+    assert (rows[1]["height"], rows[1]["width"]) == (9, 7)
+    assert abs(rows[1]["mean_intensity"] - float(arr.mean())) < 1e-6
+    assert abs(rows[2]["mean_intensity"] - float(gif_arr.mean())) < 1e-6
