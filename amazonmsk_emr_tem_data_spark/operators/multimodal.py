@@ -2290,12 +2290,13 @@ def sample_frames(
     Output explosion happens executor-side — the driver never sees
     frame data.
 
-    ``fake=False`` does REAL container-aware sampling for MJPEG-in-AVI
-    (r12): the RIFF/AVI chunk tree is walked to the ``movi`` payload,
-    the ``##dc``/``##db`` video-stream chunks ARE the frames (each one
-    a complete baseline JPEG that ``decode_images`` can decode), and
-    ``n_frames`` are picked evenly across the real frame sequence —
-    offsets and fingerprints refer to actual frames, not byte ranges.
+    ``fake=False`` does REAL container-aware sampling for
+    MJPEG-in-AVI (r12) and animated GIF (r13): the container
+    structure is walked to the true frame sequence — AVI's
+    ``##dc``/``##db`` video chunks, GIF's image-descriptor blocks
+    (descriptor + local color table + LZW sub-blocks) — and
+    ``n_frames`` are picked evenly across it, so offsets and
+    fingerprints refer to actual frames, not byte ranges.
     Entropy-coded inter-frame codecs (H.264/VP9/...) still raise the
     guarded stub; that branch is where ffmpeg plugs in. ``fake=True``
     keeps the deterministic byte-range pseudo-sampler for non-video
@@ -2325,6 +2326,44 @@ def sample_frames(
         frames.sort()
         return frames
 
+    def _gif_frame_spans(data: bytes):
+        """(offset, size) of every image-descriptor block in a GIF —
+        descriptor through its sub-block terminator — in stream
+        order (the frame sequence of an animated GIF)."""
+        nd = len(data)
+        if nd < 13:
+            raise ValueError("truncated GIF header")
+        flags = data[10]
+        pos = 13
+        if flags & 0x80:
+            pos += 3 * (2 << (flags & 7))
+        frames = []
+        while pos < nd:
+            b0 = data[pos]
+            if b0 == 0x3B:
+                break
+            if b0 == 0x21:
+                pos += 2
+                while pos < nd and data[pos]:
+                    pos += 1 + data[pos]
+                pos += 1
+                continue
+            if b0 != 0x2C:
+                raise ValueError("bad GIF block introducer")
+            start = pos
+            if pos + 10 > nd:
+                raise ValueError("truncated GIF image descriptor")
+            iflags = data[pos + 9]
+            pos += 10  # 0x2C + 9-byte descriptor body
+            if iflags & 0x80:  # local color table precedes min-code
+                pos += 3 * (2 << (iflags & 7))
+            pos += 1  # LZW minimum code size byte
+            while pos < nd and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            frames.append((start, min(pos, nd) - start))
+        return frames
+
     import struct
 
     def frames_iter(batches) -> Iterator:
@@ -2337,19 +2376,25 @@ def sample_frames(
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 data = payload if payload is not None else b""
                 if not fake:
-                    if bytes(data[:4]) != b"RIFF" or bytes(
-                        data[8:12]
-                    ) != b"AVI ":
-                        raise NotImplementedError(
-                            "only MJPEG-in-AVI frame extraction is "
-                            "native (RIFF walk + baseline JPEG "
-                            "frames); inter-frame codecs need ffmpeg "
-                            "here"
-                        )
                     data = bytes(data)
-                    found = _avi_video_frames(data)
-                    if not found:
-                        raise ValueError("AVI contains no video chunks")
+                    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                        found = _avi_video_frames(data)
+                        if not found:
+                            raise ValueError(
+                                "AVI contains no video chunks"
+                            )
+                    elif data[:6] in (b"GIF87a", b"GIF89a"):
+                        found = _gif_frame_spans(data)
+                        if not found:
+                            raise ValueError(
+                                "GIF contains no image frames"
+                            )
+                    else:
+                        raise NotImplementedError(
+                            "only MJPEG-in-AVI and animated-GIF "
+                            "frame extraction is native; inter-frame "
+                            "codecs need ffmpeg here"
+                        )
                     # Evenly spaced across the WHOLE frame sequence
                     # (first and last frame included): the old
                     # found[::max(1, len//n)][:n] biased toward the

@@ -1978,3 +1978,85 @@ def test_gif_tiff_gates_and_spark_dispatch(spark):
     assert (rows[1]["height"], rows[1]["width"]) == (9, 7)
     assert abs(rows[1]["mean_intensity"] - float(arr.mean())) < 1e-6
     assert abs(rows[2]["mean_intensity"] - float(gif_arr.mean())) < 1e-6
+
+
+def _gif_anim_bytes(grids, palette, version=b"GIF89a"):
+    """Animated-GIF fixture: shared global table, one image block per
+    frame, each preceded by a graphic-control extension (delay)."""
+    import struct
+
+    import numpy as np
+
+    h, w = grids[0].shape
+    n_colors = len(palette)
+    bits = max(1, (n_colors - 1).bit_length())
+    tbl_n = 1 << bits
+    min_code = max(2, bits)
+    out = bytearray(version)
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += np.asarray(palette, np.uint8).tobytes()
+    out += b"\x00" * (3 * (tbl_n - n_colors))
+    for g in grids:
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # GCE: 10cs delay
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += bytes([min_code])
+        lzw = _lzw_encode(
+            np.asarray(g, np.uint8).tobytes(), 1 << min_code,
+            msb=False, early=False,
+        )
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_sample_frames_animated_gif(spark):
+    """sample_frames(fake=False) walks animated-GIF image blocks:
+    evenly spread picks across the true frame sequence, offsets
+    pointing at the image descriptors, fingerprints over each frame's
+    container span; gif_array still decodes the FIRST frame."""
+    import hashlib
+
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(43)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    grids = [
+        rng.integers(0, 16, (10, 12), dtype=np.uint8) for _ in range(7)
+    ]
+    payload = _gif_anim_bytes(grids, pal)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    rows = sorted(
+        (
+            (r["frame_idx"], r["frame_offset_bytes"], r["frame_sha256"])
+            for r in sample_frames(df, n_frames=4, fake=False).collect()
+        )
+    )
+    assert [r[0] for r in rows] == [0, 1, 2, 3]
+    offs = [r[1] for r in rows]
+    assert offs == sorted(offs) and len(set(offs)) == 4
+    # picks are evenly spread over 7 frames: first pick is frame 0,
+    # last pick is frame 6 — verify by recomputing the span shas
+    for _, off, sha in rows:
+        assert payload[off] == 0x2C
+        # span: descriptor(10) + min-code(1) + sub-blocks + term
+        p = off + 11
+        while payload[p]:
+            p += 1 + payload[p]
+        p += 1
+        want = hashlib.sha256(
+            payload[off:p].hex().upper().encode("ascii")
+        ).hexdigest()
+        assert sha == want
+    assert rows[0][1] == payload.index(b"\x2c")
+    first = _pure_decoders()["gif"](payload)
+    assert np.array_equal(first, pal[grids[0]])
