@@ -1398,8 +1398,10 @@ def _pure_decoders():
         """Baseline TIFF 6.0 decode (public spec): II/MM byte orders,
         first-IFD walk, strip organization (any RowsPerStrip),
         Compression 1 (none), 32773 (PackBits), 5 (LZW, Section 13),
-        8/32946 (Deflate), horizontal Predictor 2, 8-bit grayscale
-        (PhotometricInterpretation 0 — inverted — and 1),
+        8/32946 (Deflate), horizontal Predictor 2, 8-bit samples
+        plus 16-bit (decoded exactly, reduced to the high byte — the
+        PNG convention) and 1-bit bilevel (row-padded unpack),
+        grayscale (PhotometricInterpretation 0 — inverted — and 1),
         RGB and extra-sample RGBA, chunky planar config. The
         remaining long tail (JPEG-in-TIFF, CCITT fax, tiles,
         planar=2, 1/16-bit, float predictor) raises the guarded stub
@@ -1482,9 +1484,19 @@ def _pure_decoders():
             )
         if planar != 1:
             raise NotImplementedError("planar TIFF needs PIL here")
-        if any(b != 8 for b in bps) or len(bps) != spp:
+        if len(bps) != spp or len(set(bps)) != 1:
             raise NotImplementedError(
-                "only 8-bit-per-sample TIFF decodes natively"
+                "mixed TIFF bits-per-sample needs PIL here"
+            )
+        depth = bps[0]
+        if depth not in (1, 8, 16):
+            raise NotImplementedError(
+                "only 1/8/16-bit-per-sample TIFF decodes natively "
+                f"(got {depth})"
+            )
+        if depth == 1 and (spp != 1 or predictor == 2):
+            raise NotImplementedError(
+                "bilevel TIFF is single-sample, no predictor"
             )
         if photo not in (0, 1, 2):
             raise NotImplementedError(
@@ -1525,7 +1537,10 @@ def _pure_decoders():
             if nrows <= 0:
                 raise ValueError("inconsistent TIFF strip count")
             raw = data[so : so + sc]
-            want = nrows * w * spp
+            if depth == 1:  # bilevel: rows bit-packed, byte-padded
+                want = nrows * ((w + 7) // 8)
+            else:
+                want = nrows * w * spp * (depth // 8)
             if comp == 32773:
                 raw = unpackbits(raw, want)
             elif comp == 5:
@@ -1547,17 +1562,41 @@ def _pure_decoders():
                     raise ValueError("truncated TIFF Deflate strip")
             elif len(raw) < want:
                 raise ValueError("truncated TIFF strip")
-            strip_px = np.frombuffer(
-                raw, np.uint8, count=want
-            ).reshape(nrows, w, spp)
-            if predictor == 2:
-                # horizontal differencing: cumulative sum mod 256
-                # along the row, per sample channel (vectorized —
-                # uint8 accumulate wraps exactly as the spec's
-                # byte-difference requires)
-                strip_px = np.cumsum(
-                    strip_px, axis=1, dtype=np.uint8
+            if depth == 1:
+                bits_ = np.unpackbits(
+                    np.frombuffer(raw, np.uint8, count=want).reshape(
+                        nrows, (w + 7) // 8
+                    ),
+                    axis=1,
+                )[:, :w]
+                strip_px = (bits_ * np.uint8(255)).reshape(
+                    nrows, w, 1
                 )
+            elif depth == 16:
+                strip16 = np.frombuffer(
+                    raw,
+                    np.dtype(bo + "u2"),
+                    count=nrows * w * spp,
+                ).reshape(nrows, w, spp)
+                if predictor == 2:
+                    strip16 = np.cumsum(
+                        strip16, axis=1, dtype=np.uint16
+                    )
+                # high byte onto the uniform uint8 contract — the
+                # same reduction the PNG 16-bit path documents
+                strip_px = (strip16 >> 8).astype(np.uint8)
+            else:
+                strip_px = np.frombuffer(
+                    raw, np.uint8, count=want
+                ).reshape(nrows, w, spp)
+                if predictor == 2:
+                    # horizontal differencing: cumulative sum mod
+                    # 256 along the row, per sample channel
+                    # (vectorized — uint8 accumulate wraps exactly
+                    # as the spec's byte-difference requires)
+                    strip_px = np.cumsum(
+                        strip_px, axis=1, dtype=np.uint8
+                    )
             rows.append(strip_px)
         img = np.concatenate(rows, axis=0)
         if img.shape[0] != h:

@@ -2060,3 +2060,191 @@ def test_sample_frames_animated_gif(spark):
     assert rows[0][1] == payload.index(b"\x2c")
     first = _pure_decoders()["gif"](payload)
     assert np.array_equal(first, pal[grids[0]])
+
+
+def _tiff_bytes_16(arr16, byteorder="<", rows_per_strip=6,
+                   compression="none", predictor=1):
+    """16-bit-per-sample TIFF fixture (gray or RGB), optional
+    horizontal predictor on the 16-bit lattice."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = arr16.shape
+    photometric = 1 if c == 1 else 2
+    comp_code = {"none": 1, "lzw": 5, "deflate": 8}[compression]
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        seg = arr16[y0 : y0 + rows_per_strip].astype(np.uint16)
+        if predictor == 2:
+            seg = np.concatenate(
+                [seg[:, :1],
+                 np.diff(seg.astype(np.int32), axis=1)
+                 .astype(np.uint16)],
+                axis=1,
+            ).astype(np.uint16)
+        raw = seg.astype(
+            np.dtype(byteorder + "u2")
+        ).tobytes()
+        if compression == "lzw":
+            raw = _lzw_encode(raw, 256, msb=True, early=True)
+        elif compression == "deflate":
+            raw = zlib.compress(raw, 6)
+        strips.append(raw)
+    e = byteorder
+    entries = []
+
+    def short(tag, *vals):
+        entries.append((tag, 3, len(vals), vals))
+
+    def longt(tag, *vals):
+        entries.append((tag, 4, len(vals), vals))
+
+    short(256, w); short(257, h); short(258, *([16] * c))
+    short(259, comp_code); short(262, photometric)
+    longt(273, *([0] * len(strips)))
+    short(277, c); short(278, rows_per_strip)
+    longt(279, *[len(s) for s in strips])
+    if predictor != 1:
+        short(317, predictor)
+    entries.sort(key=lambda t: t[0])
+    ifd_at, heap = 8, bytearray()
+    heap_at = ifd_at + 2 + 12 * len(entries) + 4
+    ifd = bytearray(struct.pack(e + "H", len(entries)))
+    patch = None
+    for tag, typ, cnt, vals in entries:
+        fmt = {3: "H", 4: "I"}[typ]
+        blob = b"".join(struct.pack(e + fmt, v) for v in vals)
+        ifd += struct.pack(e + "HHI", tag, typ, cnt)
+        if len(blob) <= 4:
+            if tag == 273:
+                patch = ("inline", len(ifd))
+            ifd += blob + b"\x00" * (4 - len(blob))
+        else:
+            if tag == 273:
+                patch = ("heap", len(heap))
+            ifd += struct.pack(e + "I", heap_at + len(heap))
+            heap += blob
+    ifd += struct.pack(e + "I", 0)
+    o = heap_at + len(heap)
+    offsets = []
+    for s in strips:
+        offsets.append(o)
+        o += len(s)
+    blob = b"".join(struct.pack(e + "I", v) for v in offsets)
+    kind, at = patch
+    if kind == "inline":
+        ifd[at : at + len(blob)] = blob
+    else:
+        heap[at : at + len(blob)] = blob
+    hdr = (b"II*\x00" if e == "<" else b"MM\x00*") + struct.pack(
+        e + "I", 8
+    )
+    return hdr + bytes(ifd) + bytes(heap) + b"".join(strips)
+
+
+def _tiff_bytes_1bit(bits01, photometric=1, rows_per_strip=4,
+                     packbits=False):
+    """Bilevel TIFF fixture: rows bit-packed MSB-first, byte-padded."""
+    import struct
+
+    import numpy as np
+
+    h, w = bits01.shape
+    stored = bits01 if photometric == 1 else 1 - bits01
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        seg = stored[y0 : y0 + rows_per_strip]
+        raw = np.packbits(seg.astype(np.uint8), axis=1).tobytes()
+        strips.append(_packbits(raw) if packbits else raw)
+    entries = []
+
+    def short(tag, *vals):
+        entries.append((tag, 3, len(vals), vals))
+
+    def longt(tag, *vals):
+        entries.append((tag, 4, len(vals), vals))
+
+    short(256, w); short(257, h); short(258, 1)
+    short(259, 32773 if packbits else 1)
+    short(262, photometric)
+    longt(273, *([0] * len(strips)))
+    short(277, 1); short(278, rows_per_strip)
+    longt(279, *[len(s) for s in strips])
+    entries.sort(key=lambda t: t[0])
+    ifd_at, heap = 8, bytearray()
+    heap_at = ifd_at + 2 + 12 * len(entries) + 4
+    ifd = bytearray(struct.pack("<H", len(entries)))
+    patch = None
+    for tag, typ, cnt, vals in entries:
+        fmt = {3: "H", 4: "I"}[typ]
+        blob = b"".join(struct.pack("<" + fmt, v) for v in vals)
+        ifd += struct.pack("<HHI", tag, typ, cnt)
+        if len(blob) <= 4:
+            if tag == 273:
+                patch = ("inline", len(ifd))
+            ifd += blob + b"\x00" * (4 - len(blob))
+        else:
+            if tag == 273:
+                patch = ("heap", len(heap))
+            ifd += struct.pack("<I", heap_at + len(heap))
+            heap += blob
+    ifd += struct.pack("<I", 0)
+    o = heap_at + len(heap)
+    offsets = []
+    for s in strips:
+        offsets.append(o)
+        o += len(s)
+    blob = b"".join(struct.pack("<I", v) for v in offsets)
+    kind, at = patch
+    if kind == "inline":
+        ifd[at : at + len(blob)] = blob
+    else:
+        heap[at : at + len(blob)] = blob
+    return (b"II*\x00" + struct.pack("<I", 8) + bytes(ifd)
+            + bytes(heap) + b"".join(strips))
+
+
+def test_tiff_16bit_and_bilevel():
+    """16-bit TIFF reduces exactly to the high byte (the PNG
+    convention) across byte orders / LZW / Deflate / predictor-2 on
+    the 16-bit lattice; 1-bit bilevel unpacks with per-row byte
+    padding in both photometric polarities (+PackBits)."""
+    import numpy as np
+
+    from amazonmsk_emr_tem_data_spark.operators.multimodal import (
+        _pure_decoders,
+    )
+
+    tf = _pure_decoders()["tiff"]
+    rng = np.random.default_rng(47)
+    hi = rng.integers(0, 256, (14, 11, 3), dtype=np.uint16)
+    lo = rng.integers(0, 256, (14, 11, 3), dtype=np.uint16)
+    a16 = (hi << 8) | lo
+    want = hi.astype(np.uint8)
+    for kw in [
+        {},
+        {"byteorder": ">"},
+        {"compression": "lzw"},
+        {"compression": "deflate", "byteorder": ">"},
+        {"predictor": 2},
+        {"predictor": 2, "compression": "lzw", "byteorder": ">"},
+    ]:
+        got = tf(_tiff_bytes_16(a16, **kw))
+        assert np.array_equal(got, want), kw
+    g16 = ((rng.integers(0, 256, (9, 13), dtype=np.uint16) << 8)
+           | 0x7F)[..., None]
+    assert np.array_equal(
+        tf(_tiff_bytes_16(g16, predictor=2)),
+        (g16 >> 8).astype(np.uint8),
+    )
+    bits = rng.integers(0, 2, (10, 19), dtype=np.uint8)
+    for kw in [
+        {"photometric": 1},
+        {"photometric": 0},
+        {"photometric": 1, "packbits": True},
+    ]:
+        got = tf(_tiff_bytes_1bit(bits, **kw))
+        assert got.shape == (10, 19, 1), kw
+        assert np.array_equal(got[..., 0], bits * np.uint8(255)), kw
