@@ -1484,7 +1484,7 @@ def nn_descent_graph(
         # only on mutual-top pairs, and `cand` dedups below — dropping
         # it saves a full 2nk-row shuffle per round (the r10 verdict's
         # named dominant cost)
-        und = edges.union(rev_s).localCheckpoint(eager=True)
+        und = edges.union(rev_s)
         hop = (
             und.alias("u1")
             .join(und.alias("u2"), F.col("u1.b") == F.col("u2.a"))

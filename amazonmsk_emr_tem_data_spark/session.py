@@ -48,6 +48,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # r13: skip per-Column-op Python call-site capture (PySpark 4
+        # wraps every DataFrame API call to record error context; the
+        # capture is pure driver overhead on EVERY expression build —
+        # cProfile showed it inside the hottest query constructors).
+        # Driver-side cost at any cluster scale, not a local[32] knob.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -62,6 +62,19 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         return []
 
 
+def _path_stamp(path: str):
+    """Cheap content stamp for the table-handle cache: (mtime_ns, size)
+    of the file, or of the directory entry for sharded writes (Spark's
+    commit protocol renames into the dir, bumping its mtime)."""
+    import os
+
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver fixture table from ``{sf_dir}/{name}.parquet``.
 
@@ -69,8 +82,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     default) to Spark TimestampType: read as long nanos, then integer-
     divide to micros (`DIV` — a double division would lose precision at
     ~1.7e18 ns epoch values).
+
+    The resolved DataFrame HANDLE (an unexecuted plan — never data) is
+    memoized per session, keyed by (path, mtime, size): re-resolving
+    the same path costs ~110 ms of footer probe + schema inference +
+    py4j per call, which a catalog would pay once — this is the
+    metastore behavior, implemented at the loader (r13 optimization,
+    guide §5: the driver should do almost no data work). Every
+    execution of the returned plan still scans parquet from scratch;
+    a rewritten file (new mtime/size) gets a fresh plan.
     """
     path = f"{sf_dir}/{name}.parquet"
+    cache = spark.__dict__.setdefault("_graft_table_handles", {})
+    key = (path, _path_stamp(path))
+    if key[1] is not None and key in cache:
+        return cache[key]
+    df = _load_table_uncached(spark, path)
+    if key[1] is not None:
+        cache[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, path: str) -> DataFrame:
     ns_cols = _nanos_timestamp_cols(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -102,9 +135,31 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     """
     spark = df.sparkSession
     target = min_parts or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+    memo = df.__dict__.setdefault("_graft_ep_memo", {})
+    if target in memo:
+        return memo[target]
+    # Partition probe, two-level (r13 driver-overhead fix, guide §5):
+    # `df.rdd.getNumPartitions()` builds a PythonRDD + serializer chain
+    # and physically plans the subtree on EVERY call (~110-380 ms per
+    # fresh plan construction). Instead: (1) the probe goes through the
+    # DataFrame's own lazily-cached queryExecution (`toRdd()` — same
+    # physical-partition answer, no Python wrapper); (2) its result is
+    # memoized per session keyed by the ANALYZED plan's semanticHash
+    # (~16 ms to compute on a fresh plan), so re-constructing the same
+    # query re-uses the count instead of re-planning. The cache holds
+    # an int per distinct plan shape — never data — and a stale hit
+    # after an in-place rewrite of the underlying file can only change
+    # the parallelism decision, not any query result.
+    qe = df._jdf.queryExecution()
+    pcache = spark.__dict__.setdefault("_graft_ep_counts", {})
+    key = (qe.analyzed().semanticHash(), tuple(df.columns))
+    n_parts = pcache.get(key)
+    if n_parts is None:
+        n_parts = qe.toRdd().getNumPartitions()
+        pcache[key] = n_parts
+    out = df if n_parts >= target else df.repartition(target)
+    memo[target] = out
+    return out
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
