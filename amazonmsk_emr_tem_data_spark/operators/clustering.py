@@ -82,14 +82,18 @@ def kmeans_fit(
             # DuckDB promotes to HUGEINT — the 1e12 grid this replaced
             # had only ~9.2M rows/cell of true headroom).
             dim = len(centroids[0])
+            # agg columns as SQL strings (r13): the Column-op form
+            # issued ~6 py4j round-trips per dimension per round; each
+            # F.expr is one JVM parse of the identical expression
+            # (element_at is 1-based in both forms; 0.5D keeps the
+            # literal DOUBLE — a bare 0.5 parses as DECIMAL(1,1)).
             row_sums = (
                 assigned.groupBy("ivf_cell")
                 .agg(
                     *[
-                        F.sum(
-                            F.floor(
-                                F.element_at("v", i + 1) * 1e9 + 0.5
-                            ).cast("long")
+                        F.expr(
+                            f"sum(cast(floor(element_at(v, {i + 1})"
+                            f" * 1.0E9 + 0.5D) as bigint))"
                         ).alias(f"d{i}")
                         for i in range(dim)
                     ]

@@ -588,20 +588,26 @@ def _kmeans_fit_centroids(
         for i, r in enumerate(init)
     ]
     for _ in range(rounds):
-        # bounded k-row collect per round (model state): partials
-        # reduced by a tiny groupBy-sum, then grid means via the
-        # fixed division sequence (s/1e9)/n
+        # bounded collect per round (model state): the ≤ k·partitions
+        # integer partial rows come straight to the driver and reduce
+        # in Python (r13 — the former per-round groupBy-sum added an
+        # exchange plus a 65-column agg expression build, ~200 py4j
+        # calls, to reduce ~256 rows). int64 grid sums are exact under
+        # any association, so the totals — and the fixed (s/1e9)/n
+        # division sequence — are bit-identical to the shuffled reduce.
         part = lloyd_round_partials(emb, centroids, with_grid=True)
-        rows = part.groupBy("cluster").agg(
-            F.sum("n").alias("n"),
-            *[F.sum(f"s{i}").alias(f"s{i}") for i in range(_EMB_DIM)],
-        ).collect()
+        acc: dict[int, list[int]] = {}
+        for r in part.collect():
+            a = acc.setdefault(int(r["cluster"]), [0] * (_EMB_DIM + 1))
+            a[0] += r["n"]
+            for i in range(_EMB_DIM):
+                a[i + 1] += r[f"s{i}"]
         centroids = sorted(
             (
-                int(r["cluster"]),
-                [(r[f"s{i}"] / 1e9) / r["n"] for i in range(_EMB_DIM)],
+                cid,
+                [(a[i + 1] / 1e9) / a[0] for i in range(_EMB_DIM)],
             )
-            for r in rows
+            for cid, a in acc.items()
         )
     return centroids
 
