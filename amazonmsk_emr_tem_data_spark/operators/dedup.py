@@ -494,13 +494,24 @@ def containment_prefix_pairs(
         .filter(F.col("n_b") >= F.col("min_common"))
         .select("doc_a", "doc_b", "n_a")
     )
-    ta = ex.select(F.col(id_col).alias("doc_a"), "shingle")
-    tb = ex.select(F.col(id_col).alias("doc_b"), "shingle")
+    # Verification on the shingle ARRAYS (r13, guide §2.3 — shuffle
+    # keys, not postings): the former exploded-postings verify join
+    # shuffled Σ n_a rows per candidate through two exchanges and a
+    # groupBy; array_intersect computes the same distinct-intersection
+    # count in codegen with ONE row per candidate pair (the
+    # minhash-verify shape). Arrays are distinct by construction, so
+    # n_common is identical.
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
     common = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b", "n_a")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
+        )
     )
     rep_pairs = common.filter(
         F.col("n_common") * threshold_den >= F.col("n_a") * threshold_num
