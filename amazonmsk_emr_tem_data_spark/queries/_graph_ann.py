@@ -3820,20 +3820,49 @@ def part_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sorted_pairs(ps) -> "F.Column":
+    """All (a, b) index pairs i < j from a SORTED-DISTINCT array — on a
+    sorted array the slice already guarantees a < b, so no filter pass
+    and no discarded half of the m² struct allocations
+    (operators/dedup._ordered_pairs is the unsorted-array general
+    form)."""
+    return F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + F.lit(2), F.size(ps)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
 def _repeat_copurchase_edges_w(li: DataFrame) -> DataFrame:
     """Weighted canonical (a < b) edges between parts co-ordered in
-    ≥ 2 distinct orders, w = co-order count. Pair fan-out is bounded
-    by lines-per-order²."""
-    lp = li.select("l_orderkey", "l_partkey").distinct()
-    r = lp.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+    ≥ 2 distinct orders, w = co-order count.
+
+    r13 (guide §2.4/§3: remove the shuffle, don't tune it): formerly a
+    distinct + self-join on l_orderkey — three exchanges, with the
+    basket-bounded pair fan-out crossing the wire UNcombined (profiled
+    at sf0.1: 2×6 MB basket exchanges + a 24 MB pair-row shuffle
+    read). Now ONE map-side-combined groupBy collects each order's
+    sorted distinct part set (collect_set dedups, so the former
+    ``.distinct()`` pre-pass is folded in) and the a<b pairs expand
+    IN-ARRAY from the sorted basket before the count aggregate — the
+    pair rows are born in the same stage that aggregates them, so the
+    only remaining exchanges are the basket rollup and the combined
+    (a, b) counts. Identical output: one pair emission per order per
+    unordered part pair, exactly what the self-join produced. Baskets
+    are bounded by lines-per-order (the same bound the join relied
+    on), so the per-row array work is O(basket²) with basket ≤ ~13."""
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("__ps"))
     )
     return (
-        lp.join(
-            r,
-            (lp["l_orderkey"] == r["o2"]) & (lp["l_partkey"] < r["p2"]),
-        )
-        .groupBy(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        baskets.select(F.explode(_sorted_pairs(F.col("__ps"))).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
     )

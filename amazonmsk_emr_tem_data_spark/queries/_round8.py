@@ -428,28 +428,33 @@ FROM ranked CROSS JOIN n
 def _basket_pairs(spark: SparkSession, sf_dir: str, min_count: int):
     """Distinct co-purchased part pairs (a<b) with basket counts —
     shared by the lift and link-prediction queries. Baskets are
-    order-bounded (≤ ~13 distinct parts), so the orderkey self-join
-    emits ≤ C(13,2) pairs per order: output linear in orders, never
-    |parts|² — the same bounded-basket argument as session
-    association rules."""
-    baskets = (
+    order-bounded (≤ ~13 distinct parts), so the in-array pair
+    expansion emits ≤ C(13,2) pairs per order: output linear in
+    orders, never |parts|² — the same bounded-basket argument as
+    session association rules.
+
+    r13 (guide §2.4): the former orderkey self-join (distinct + two
+    join-side exchanges + an uncombined 24 MB pair shuffle at sf0.1)
+    is replaced by ONE collect_set basket rollup with the a<b pairs
+    expanded in-array from the sorted basket — pair rows are born in
+    the stage that count-aggregates them (see
+    _graph_ann._repeat_copurchase_edges_w, the same rewrite). Counts
+    are identical: one emission per order per unordered pair."""
+    from ._graph_ann import _sorted_pairs
+
+    grouped = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = baskets.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa")
-    )
-    b = baskets.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("__ps"))
     )
     pairs = (
-        a.join(b, (a["o"] == b["o2"]) & (a["pa"] < b["pb"]))
-        .groupBy("pa", "pb")
+        grouped.select(F.explode(_sorted_pairs(F.col("__ps"))).alias("p"))
+        .groupBy(F.col("p.a").alias("pa"), F.col("p.b").alias("pb"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
         .filter(F.col("n_ab") >= min_count)
     )
-    return baskets, pairs
+    return grouped, pairs
 
 
 _BASKET_PAIRS_CTE = """
@@ -477,13 +482,19 @@ def part_copurchase_lift(
     in a 1e9-order corpus (1e6·1e6·1e9 needs 102 bits — at that scale
     drop support to a 1e3 grid); the fixtures are ~10 orders of
     magnitude below."""
-    baskets, pairs = _basket_pairs(spark, sf_dir, min_count)
-    n_orders = baskets.select("l_orderkey").distinct().agg(
+    # One basket rollup serves all three aggregates (r13, guide §2.4):
+    # pairs expand in-array from the sorted basket, per-part counts
+    # explode the same arrays (|__ps| entries per order = the distinct
+    # (order, part) relation), and the order total is a row count —
+    # the identical groupBy subtree is planned once and shared via
+    # ReusedExchange instead of re-scanning lineitem per aggregate.
+    grouped, pairs = _basket_pairs(spark, sf_dir, min_count)
+    n_orders = grouped.agg(
         F.count(F.lit(1)).cast("long").alias("n_orders")
     )
-    per_part = baskets.groupBy(
-        F.col("l_partkey").alias("part")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_p"))
+    per_part = grouped.select(
+        F.explode("__ps").alias("part")
+    ).groupBy("part").agg(F.count(F.lit(1)).cast("long").alias("n_p"))
     na = per_part.select(
         F.col("part").alias("__pa"), F.col("n_p").alias("n_a")
     )
