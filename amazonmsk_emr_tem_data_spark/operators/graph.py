@@ -146,48 +146,49 @@ def kcore(
     Returns (n, core_degree): nodes alive after ``rounds`` and their
     degree in the final induced subgraph.
     """
-    edges = undirected_edges.select(a, b).distinct().cache()
-    nodes = (
-        edges.select(F.explode(F.array(a, b)).alias("n"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # r13 (guide §2.4 — shrink the work, not just the shuffle): the
+    # peel maintains the INDUCED EDGE SET across rounds instead of
+    # re-filtering the full cached edge list per round. Peeling is
+    # monotone (nodes_r ⊆ nodes_{r-1}), so
+    # E ∩ nodes_r² = E_{r-1} ∩ nodes_r² — filtering last round's
+    # survivor edges is provably identical to filtering the originals,
+    # and after the first round the semi-joins and degree aggregates
+    # run over the (typically >99%-smaller) surviving subgraph rather
+    # than |E|. Each round's edge set is eagerly checkpointed (it
+    # feeds the degree aggregate AND the next round's semi-joins);
+    # the early-exit count then reads materialized partitions.
+    cur = undirected_edges.select(a, b).distinct().localCheckpoint(
+        eager=True
     )
-    n_nodes = -1
+    n_edges = -1
     for _round in range(rounds):
-        cur = edges.join(
-            nodes, edges[a] == nodes["n"], "left_semi"
-        ).join(nodes, edges[b] == nodes["n"], "left_semi")
         deg = (
             cur.select(F.explode(F.array(a, b)).alias("n"))
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        nodes = (
-            deg.filter(F.col("d") >= k)
-            .select("n")
+        nodes = deg.filter(F.col("d") >= k).select("n")
+        cur = (
+            cur.join(nodes, cur[a] == nodes["n"], "left_semi")
+            .join(nodes, cur[b] == nodes["n"], "left_semi")
             .localCheckpoint(eager=True)
         )
-        # Fixpoint early-exit (r13, guide §2.4 — remove work outright):
-        # peeling is monotone, so a round that drops NO node leaves the
-        # induced subgraph unchanged and every remaining round is the
-        # identity — the fixed unroll and the early exit provably
-        # return the same survivors (the fixpoint test pins this).
-        # The count() over the just-checkpointed node set costs a
-        # ~80 ms job locally, so checks start at round 3 (measured
-        # sf0.1: counting every round spends 0.64 s to save 0.44 s;
-        # from round 3 it is net-positive, and at scale skipped rounds
-        # are full semi-join passes over |E| while the count stays a
-        # materialized-partition sum).
-        if _round >= 2 and rounds - _round > 1:
-            n_next = nodes.count()
-            if n_next == n_nodes:
+        # Fixpoint early-exit: an unchanged edge COUNT means an
+        # unchanged edge set (each round's set is a subset of the
+        # previous), hence unchanged degrees, hence every remaining
+        # round is the identity — same survivors as the fixed unroll
+        # (the fixpoint test pins this). The count over the
+        # just-checkpointed set is a materialized-partition sum
+        # (~80 ms locally); starting at round 1 is net-positive now
+        # that skipped rounds no longer rescan |E| but the later
+        # rounds they replace are near-free too.
+        if _round >= 1 and rounds - _round > 1:
+            m_next = cur.count()
+            if m_next == n_edges:
                 break
-            n_nodes = n_next
-    final = edges.join(
-        nodes, edges[a] == nodes["n"], "left_semi"
-    ).join(nodes, edges[b] == nodes["n"], "left_semi")
+            n_edges = m_next
     return (
-        final.select(F.explode(F.array(a, b)).alias("n"))
+        cur.select(F.explode(F.array(a, b)).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
