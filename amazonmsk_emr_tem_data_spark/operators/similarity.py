@@ -1416,8 +1416,17 @@ def nn_descent_graph(
         ).filter(F.col("b").isNotNull())
 
     edges = _ring(bucketed, wb).union(_ring(emb, ws)).distinct()
-    va = emb.select(F.col("vid").alias("a"), F.col("v").alias("va"))
-    vb = emb.select(F.col("vid").alias("b"), F.col("v").alias("vb"))
+    # r13 (guide §2.4): va/vb feed BROADCAST builds, where emb's
+    # ensure_parallelism repartition is pure overhead — a full shuffle
+    # of the vector payload under each BroadcastExchange. Project the
+    # raw source instead (scoring parallelism comes from `cand`'s
+    # partitioning, not from these build sides).
+    va = embeddings.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va")
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
+    )
     wr = Window.partitionBy("a").orderBy(
         F.col("cos_sim").desc(), F.col("b").asc()
     )
@@ -1479,6 +1488,14 @@ def nn_descent_graph(
             .withColumn("rrk", F.row_number().over(wrev))
             .filter(F.col("rrk") <= rev_k)
             .select("a", "b")
+            # r13 (guide §2.4, measured from the plan): rev_s reaches
+            # THREE consumers (the cand union and both sides of the
+            # hop self-join), and exchange reuse cannot help — the
+            # window sits on the MAP side of three differently-keyed
+            # exchanges, so it was computed three times per round.
+            # One eager checkpoint (≤ n·rev_k 16-byte rows) makes all
+            # three consumers scan the materialized sample instead.
+            .localCheckpoint(eager=True)
         )
         # NO distinct here: forward and sampled-reverse sets overlap
         # only on mutual-top pairs, and `cand` dedups below — dropping

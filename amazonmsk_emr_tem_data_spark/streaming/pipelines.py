@@ -1032,6 +1032,127 @@ def incremental_ingest_near_dedup(
         raise TimeoutError("near-dedup ingest did not drain in 300s")
 
 
+def _ann_cell_matrices(rows) -> dict:
+    """Pack collected arrival rows (vec_id, ivf_cell, embedding) into
+    per-(cell, dim) numpy matrices for the ANN-ingest matrix kernel:
+    ``{(cell, dim): (ids int64[n], X float64[n, dim], na float64[n])}``
+    where ``na`` is each arrival's norm computed in the shared fold
+    scorer's exact op order (per-dim single-rounded accumulation, then
+    one sqrt). NULL embeddings are excluded — they score NULL against
+    everything in the pair formulation and can neither flag nor demote."""
+    import numpy as np
+
+    groups: dict = {}
+    for r in rows:
+        v = r[2]
+        if v is None:
+            continue
+        groups.setdefault((r[1], len(v)), []).append((r[0], v))
+    out = {}
+    for key, items in groups.items():
+        ids = np.array([i for i, _ in items], dtype=np.int64)
+        X = np.array([list(v) for _, v in items], dtype=np.float64)
+        d = key[1]
+        nn = np.zeros(len(items))
+        for i in range(d):
+            nn = nn + X[:, i] * X[:, i]
+        out[key] = (ids, X, np.sqrt(nn))
+    return out
+
+
+def _ann_flags_vs_arrivals(
+    df: DataFrame,
+    bc_arrivals,
+    threshold: float,
+    emit_flagged_arrivals: bool = False,
+) -> DataFrame:
+    """Arrow matrix kernel behind ann_ingest_batch (r13): score each
+    input vector against the broadcast per-cell arrival matrices and
+    emit only the dup-rule FINDINGS instead of scored candidate pairs.
+
+    Cosines replay operators/similarity.score_pairs_cosine's numeric
+    contract exactly — per-dim single-rounded IEEE steps in fold order
+    (``AB = AB + outer(Xr[:,i], Xa[:,i])`` is elementwise the same
+    chain as the pair kernel's ``ab = ab + A[:,i]*B[:,i]``), den =
+    sqrt(rr)·na then one divide, zero denominator or length mismatch →
+    NULL (NaN here — fails every ``>=``), so every flag is
+    bit-identical to the former pair-join formulation.
+
+    Emits (vec_id, dup):
+    - always: ``(row_id, true)`` for input rows with some same-cell
+      same-dim arrival of SMALLER id scoring ``>= threshold`` (the
+      within-batch dup / retro-demotion finding);
+    - with ``emit_flagged_arrivals``: additionally
+      ``(arrival_id, false)`` for arrivals flagged by some input row
+      of SMALLER id (the store-flags-arrival dup direction). Emitted
+      per Arrow chunk, so downstream consumers must dedup."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        arrivals = bc_arrivals.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = pdf["embedding"].to_numpy()
+            cells = pdf["ivf_cell"].to_numpy()
+            ids = pdf["vec_id"].to_numpy()
+            out_ids: list = []
+            out_dup: list = []
+            grp: dict = {}
+            for j, v in enumerate(vals):
+                if v is None:
+                    continue
+                grp.setdefault((cells[j], len(v)), []).append(j)
+            for key, idx in grp.items():
+                hit = arrivals.get(key)
+                if hit is None:
+                    continue
+                ids_a, Xa, na = hit
+                d = key[1]
+                ids_r = np.array(
+                    [ids[j] for j in idx], dtype=np.int64
+                )
+                Xr = np.array(
+                    [list(vals[j]) for j in idx], dtype=np.float64
+                )
+                m, n = len(idx), len(ids_a)
+                AB = np.zeros((m, n))
+                rr = np.zeros(m)
+                for i in range(d):
+                    AB = AB + np.multiply.outer(Xr[:, i], Xa[:, i])
+                    rr = rr + Xr[:, i] * Xr[:, i]
+                den = np.multiply.outer(np.sqrt(rr), na)
+                cos = np.divide(
+                    AB,
+                    den,
+                    out=np.full((m, n), np.nan),
+                    where=den != 0,
+                )
+                ge = cos >= threshold  # NaN fails, like NULL
+                dup_rows = (
+                    ge & (ids_a[None, :] < ids_r[:, None])
+                ).any(axis=1)
+                out_ids.extend(ids_r[dup_rows].tolist())
+                out_dup.extend([True] * int(dup_rows.sum()))
+                if emit_flagged_arrivals:
+                    fl = (
+                        ge & (ids_r[:, None] < ids_a[None, :])
+                    ).any(axis=0)
+                    out_ids.extend(ids_a[fl].tolist())
+                    out_dup.extend([False] * int(fl.sum()))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pd.Series(out_ids, dtype="int64"),
+                    "dup": pd.Series(out_dup, dtype="bool"),
+                }
+            )
+
+    return df.select("vec_id", "ivf_cell", "embedding").mapInPandas(
+        kernel, "vec_id long, dup boolean"
+    )
+
+
 def ann_ingest_batch(
     batch_df: DataFrame,
     store_dir: str,
@@ -1069,14 +1190,26 @@ def ann_ingest_batch(
     crash between the two appends replays into "no new vectors, same
     demotions re-derived").
 
-    Plan contract: the store's VECTORS never shuffle — both near-dup
-    joins broadcast the (micro-batch-sized) arrivals against the
-    cell-keyed store scan; the model is a driver literal inside the
-    Arrow assignment pass. The replay-guard anti-join reads ONLY the
-    store's 8-byte id column (column pruning — the
+    Plan contract: the store's VECTORS never shuffle — the arrivals
+    travel as one compact per-cell MATRIX broadcast (r13, guide §8:
+    decide with small rows, move big rows once) scored against the
+    store scan inside an Arrow pass; the model is a driver literal
+    inside the Arrow assignment pass. The replay-guard anti-join reads
+    ONLY the store's 8-byte id column (column pruning — the
     incremental_ingest_dedup convention); at 100 TB that id exchange
-    is the piece you'd swap for a bloom-filter guard."""
-    from ..operators.similarity import score_pairs_cosine, with_ivf_cell
+    is the piece you'd swap for a bloom-filter guard.
+
+    r13 rework (guide §8 / §2.3, measured): the former broadcast pair
+    JOINS materialized |batch|²/cells (and |batch|×|same-cell store|)
+    candidate ROWS, each carrying TWO full embedding payloads into the
+    Arrow scorer — the dup rule only needs per-row BOOLEANS ("exists a
+    smaller-id neighbor ≥ t"), so each vector now crosses the Python
+    boundary ONCE and the pairwise cosines fall out of a per-cell
+    matrix kernel (_ann_flags_vs_arrivals) that replays the shared
+    fold scorer's exact per-dim single-rounded IEEE op order —
+    bit-identical flags, pinned by the batch-twin oracle and the
+    order-insensitivity tests."""
+    from ..operators.similarity import with_ivf_cell
 
     sess = batch_df.sparkSession
     vec_dir = os.path.join(store_dir, "vectors")
@@ -1087,59 +1220,36 @@ def ann_ingest_batch(
         .localCheckpoint(eager=True)  # several consumers below
     )
     store = _read_store(sess, vec_dir)
-    b_side = arr.select(
-        F.col("vec_id").alias("b_id"),
-        "ivf_cell",
-        F.col("embedding").alias("b_emb"),
+    # The arrivals are micro-batch-sized by contract (the same bound
+    # the former F.broadcast(b_side) pulled through the driver to
+    # build its hash relation); as per-cell float64 matrices they ship
+    # once per executor instead of once per candidate pair.
+    bc_arr = sess.sparkContext.broadcast(
+        _ann_cell_matrices(arr.collect())
     )
-    # Pair scoring runs through the shared Arrow fold scorer, NOT the
-    # `cosine` expression: candidate volume is |batch|²/cells within
-    # the batch and |batch|×|same-cell store| against the store, and
-    # the F.aggregate fold is CodegenFallback (interpreted per
-    # element — the kmeans lesson; a 10× backfill batch timed out on
-    # it in the r13 scale study, then passed with the Arrow scorer).
-    # Bit-identical results, so the oracle hash is unchanged.
     # within-batch: smaller-id same-cell neighbor among the arrivals
     dup_ids = (
-        score_pairs_cosine(
-            arr.join(F.broadcast(b_side), "ivf_cell").filter(
-                F.col("b_id") < F.col("vec_id")
-            ),
-            "embedding",
-            "b_emb",
-            ("vec_id",),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+        _ann_flags_vs_arrivals(arr, bc_arr, threshold)
+        .filter(F.col("dup"))
         .select("vec_id")
     )
     demoted = None
     if store is not None:
-        j = (
-            score_pairs_cosine(
-                store.select(
-                    F.col("vec_id").alias("s_id"),
-                    "ivf_cell",
-                    F.col("embedding").alias("s_emb"),
-                )
-                .join(F.broadcast(b_side), "ivf_cell")
-                .filter(F.col("s_id") != F.col("b_id")),
-                "s_emb",
-                "b_emb",
-                ("s_id", "b_id"),
-            )
-            .filter(F.col("cos_sim") >= threshold)
-            .select("s_id", "b_id")
-            .localCheckpoint(eager=True)  # two consumers, bounded
-        )
+        # store-vs-arrivals, both directions from ONE store scan:
+        # dup=false rows carry arrival ids flagged by a smaller-id
+        # store vector; dup=true rows are store ids retro-demoted by
+        # a smaller-id arrival.
+        j = _ann_flags_vs_arrivals(
+            store.select("vec_id", "ivf_cell", "embedding"),
+            bc_arr,
+            threshold,
+            emit_flagged_arrivals=True,
+        ).localCheckpoint(eager=True)  # two consumers, bounded
         dup_ids = dup_ids.unionByName(
-            j.filter(F.col("s_id") < F.col("b_id")).select(
-                F.col("b_id").alias("vec_id")
-            )
+            j.filter(~F.col("dup")).select("vec_id")
         )
         demoted = (
-            j.filter(F.col("b_id") < F.col("s_id"))
-            .select(F.col("s_id").alias("vec_id"))
-            .distinct()
+            j.filter(F.col("dup")).select("vec_id").distinct()
         )
     flagged = arr.join(
         dup_ids.distinct().withColumn("__dup", F.lit(True)),
