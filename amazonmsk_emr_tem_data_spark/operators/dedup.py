@@ -197,13 +197,21 @@ def _collapse_exact(df: DataFrame, id_col: str):
     the duplication factor, not corpus size.
     """
     fp = df.select(F.col(id_col), fingerprint("text").alias("fp"))
+    # Eager localCheckpoint, NOT cache() (r13, guide §5 measured): the
+    # group table feeds several BROADCAST builds, and broadcast
+    # exchanges run as concurrent driver-side jobs — with a lazy cache
+    # they race past the unmaterialized entry and EACH recomputes the
+    # fingerprint scan + single-partition collect_list aggregate
+    # (profiled: the same groupBy stage twice per query at 0.4-1.1 s
+    # a pop). The checkpoint materializes it exactly once, at the same
+    # memory footprint the cache held.
     groups = (
         fp.groupBy("fp")
         .agg(
             F.min(id_col).alias("rep"),
             F.collect_list(id_col).alias("members"),
         )
-        .cache()
+        .localCheckpoint(eager=True)
     )
     reps = df.join(
         groups.select(F.col("rep").alias(id_col)), id_col, "left_semi"
@@ -838,7 +846,13 @@ def _minhash_rep_pairs(
     rep pairs plus the rep→member map give the same partition without
     ever materializing the copies²-sized member-pair relation)."""
     groups, reps = _collapse_exact(df, id_col)
-    sh = shingled(reps, id_col, k).cache()
+    # Eager localCheckpoint for the same reason as _collapse_exact's
+    # groups (r13): sh feeds the sh_a/sh_b verify joins, whose
+    # broadcast builds race a lazy cache concurrently and each re-run
+    # the tokenize+gram pass (profiled: the ~10 s-CPU shingle stage
+    # TWICE per query). Checkpointing materializes the rep shingles
+    # once; same footprint the cache held.
+    sh = shingled(reps, id_col, k).localCheckpoint(eager=True)
     # LSH banding (1-row bands) over _melted_signatures: bucket on
     # (slot, value) via a single groupBy; id lists materialize only for
     # buckets whose counted membership is within [2, max_bucket_size]
