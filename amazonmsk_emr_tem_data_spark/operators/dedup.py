@@ -306,7 +306,9 @@ def ngram_jaccard_pairs(
     only LSH candidates into this verification.
     """
     groups, reps = _collapse_exact(df, id_col)
-    sh = shingled(reps, id_col, k).cache()
+    # eager checkpoint, not cache(): broadcast consumers race a lazy
+    # cache and recompute the shingle pass (see _collapse_exact, r13)
+    sh = shingled(reps, id_col, k).localCheckpoint(eager=True)
     sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
     ex = _exploded(sh, id_col)
     a, b = ex.alias("a"), ex.alias("b")
@@ -373,7 +375,9 @@ def prefix_filter_jaccard_pairs(
     Jaccard, so driver equality doubles as the recall-1.0 proof.
     """
     groups, reps = _collapse_exact(df, id_col)
-    sh = shingled(reps, id_col, k).cache()
+    # eager checkpoint, not cache(): broadcast consumers race a lazy
+    # cache and recompute the shingle pass (see _collapse_exact, r13)
+    sh = shingled(reps, id_col, k).localCheckpoint(eager=True)
     sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
     ex = _exploded(sh, id_col)
     sdf = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
@@ -469,7 +473,9 @@ def containment_prefix_pairs(
     via a higher threshold, never the index side.
     """
     groups, reps = _collapse_exact(df, id_col)
-    sh = shingled(reps, id_col, k).cache()
+    # eager checkpoint, not cache(): broadcast consumers race a lazy
+    # cache and recompute the shingle pass (see _collapse_exact, r13)
+    sh = shingled(reps, id_col, k).localCheckpoint(eager=True)
     sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
     ex = _exploded(sh, id_col)
     sdf = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
@@ -604,7 +610,8 @@ def winnowing_match_pairs(
     overlap. The brute-force oracle equality doubles as proof the cap
     dropped nothing on the corpus under test."""
     groups, reps = _collapse_exact(df, id_col)
-    fps = winnowed(reps, id_col, k, w).cache()
+    # eager: fps feeds sizes + buckets + verify (broadcast race, r13)
+    fps = winnowed(reps, id_col, k, w).localCheckpoint(eager=True)
     sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
     buckets = capped_buckets(fps, ["fp"], id_col, max_bucket_size)
     rep_pairs = (
@@ -672,7 +679,9 @@ def fuzzy_edit_verify_pairs(
             ).alias("bh"),
             F.substring("__norm", 1, verify_chars).alias("pfx"),
         )
-        .cache()
+        # eager: feeds buckets + both pfx verify joins (broadcast
+        # race with a lazy cache, r13 — see _collapse_exact)
+        .localCheckpoint(eager=True)
     )
     buckets = capped_buckets(
         staged.select(id_col, "bh"), ["bh"], id_col, max_bucket_size
@@ -990,8 +999,10 @@ def cross_corpus_near_dup(
     """
     groups_n, reps_n = _collapse_exact(new_df, id_col)
     groups_c, reps_c = _collapse_exact(corpus_df, id_col)
-    sh_n = shingled(reps_n, id_col, k).cache()
-    sh_c = shingled(reps_c, id_col, k).cache()
+    # eager: each side feeds several joins whose broadcast builds
+    # race a lazy cache and re-shingle (see _collapse_exact, r13)
+    sh_n = shingled(reps_n, id_col, k).localCheckpoint(eager=True)
+    sh_c = shingled(reps_c, id_col, k).localCheckpoint(eager=True)
 
     # exact-content tier: same fingerprint => identical shingle sets
     exact = (
@@ -1149,9 +1160,10 @@ def simhash_pairs(
     # cache: the chunk join consumes the sketch THREE times (bucket
     # counts + both self-join sides); uncached, the explode+61-column
     # agg pipeline re-runs for each — measured 2.3x slower at sf0.1.
-    # One (id, long) row per doc, MEMORY_AND_DISK via cache(); session
-    # CacheManager dedupes repeats (see module cache-ownership note).
-    sk = simhash_sketch(reps, id_col).cache()
+    # One (id, long) row per doc; eager localCheckpoint (r13) so the
+    # three consumers (several of them broadcast builds, which race a
+    # lazy cache) read one materialization.
+    sk = simhash_sketch(reps, id_col).localCheckpoint(eager=True)
     rep_pairs = hamming_chunk_pairs(
         sk, id_col, "sk", bits=60, max_hamming=max_hamming,
         max_bucket_size=max_bucket_size,
