@@ -533,7 +533,12 @@ def hyperball_kmv(
         .repartition("src")
         .localCheckpoint(eager=True)
     )
-    nodes = bidir.select(F.col(a).alias("node")).distinct()
+    # r13 (guide §2.4, profiled): nodes derived from `bidir` re-ran the
+    # whole edge-derivation subtree (distinct + union + upstream
+    # rollup) a second time beside adj's checkpoint job. `adj` holds
+    # both directions, so its src column covers every endpoint —
+    # identical node set, read from the materialized partitions.
+    nodes = adj.select(F.col("src").alias("node")).distinct()
     sk = nodes.select(
         "node",
         md5_hash64(

@@ -749,6 +749,12 @@ def copurchase_link_prediction(
     edges drop via one anti-join; the top-N is
     TakeOrderedAndProject."""
     _, pairs = _basket_pairs(spark, sf_dir, min_count)
+    # r13 (guide §2.4, profiled): `pairs` feeds both adj_full union
+    # sides AND the existing-edge anti-join, and the kNN window below
+    # feeds both wedge self-join sides — without materialization the
+    # basket rollup + pair aggregation re-executes per consumer. Both
+    # relations are bounded (distinct ≥min_count pairs; |V|·knn rows).
+    pairs = pairs.localCheckpoint(eager=True)
     adj_full = pairs.select(
         F.col("pa").alias("src"),
         F.col("pb").alias("dst"),
@@ -770,6 +776,7 @@ def copurchase_link_prediction(
         adj_full.withColumn("__rk", F.row_number().over(wk))
         .filter(F.col("__rk") <= knn)
         .select("src", "dst")
+        .localCheckpoint(eager=True)  # see `pairs` note above
     )
     mids = deg.filter(F.col("dg") <= max_degree)
     left = adj.select(F.col("dst").alias("a"), F.col("src").alias("z1"))
