@@ -1706,7 +1706,15 @@ def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import token_count
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    ex = _span_pos_hashes(docs)
+    # r13 (guide §2.4, profiled): the tokenize + 8-gram hash pass (the
+    # dominant CPU of this query) feeds BOTH the dup aggregation and
+    # the semi-join probe side — un-materialized it executed twice
+    # (two ~16 s-CPU stages at sf0.1). The checkpoint stores only
+    # (doc_id, h, pos, n_tokens) longs — never text — the same
+    # hash-array materialization the ExactSubstr pipeline itself makes
+    # (Lee et al. 2022 build a full suffix array); linear in corpus
+    # tokens, disk-backed, local (no shuffle).
+    ex = _span_pos_hashes(docs).localCheckpoint(eager=True)
     dup = (
         ex.select("doc_id", "h")
         .distinct()

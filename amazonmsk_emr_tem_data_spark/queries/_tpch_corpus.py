@@ -346,7 +346,15 @@ def doc_dup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans seen elsewhere' — line-level dedup for a corpus without line
     structure."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    ex = _span_pos_hashes(docs).select("doc_id", "h")
+    # eager checkpoint (r13): the tokenize+hash pass feeds THREE
+    # consumers (global doc-frequency, the semi-join probe, per-doc
+    # span counts) — materialize the (doc_id, h) longs once; see
+    # doc_dup_span_removal for the scale argument.
+    ex = (
+        _span_pos_hashes(docs)
+        .select("doc_id", "h")
+        .localCheckpoint(eager=True)
+    )
     # global: which span hashes occur in >= 2 distinct docs
     df_global = (
         ex.select("doc_id", "h")
