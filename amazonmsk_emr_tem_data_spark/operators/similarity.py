@@ -1385,18 +1385,28 @@ def nn_descent_graph(
             [], f"{id_col} long, nbr_id long, cos_sim double, rank int"
         )
     dim = len(head[0])
-    emb = ensure_parallelism(embeddings).select(
+    emb = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     )
-    planes = _hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        h = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(
-            dot(F.col("v"), h) >= 0, F.lit(1)
-        ).otherwise(F.lit(0))
-        bucket = bucket + bit.cast("long") * F.lit(2 ** i).cast("long")
-    bucketed = emb.withColumn("bk", bucket.cast("long"))
+    # r13 (guide §4.1, profiled): the bucket signature formerly ran
+    # n_planes interpreted F.aggregate folds per row (CodegenFallback
+    # — ~1.9 s CPU at sf0.1 squeezed into the AQE-coalesced ring
+    # stage). with_lsh_buckets' Arrow kernel computes the same sign
+    # bits bit-identically (per-dim fold order, NULL-dot → bit 0,
+    # NaN ≥ 0 → bit 1); one table at this seed IS these planes.
+    # The ring windows need only (vid[, bk]), so neither carries
+    # vectors through its exchange any more (the former
+    # ensure_parallelism handle shuffled the full vector payload
+    # ahead of the id-only windows).
+    bucketed = with_lsh_buckets(
+        emb,
+        dim,
+        n_planes=n_planes,
+        n_tables=1,
+        seed=seed,
+        vec_col="v",
+        keep_cols=["vid"],
+    ).select("vid", "bk")
     wb = Window.partitionBy("bk").orderBy("vid")
     ws = Window.partitionBy(F.expr("vid div 256")).orderBy("vid")
 
@@ -1453,7 +1463,9 @@ def nn_descent_graph(
         # exact-rescore rows are cheaper than the added full-candidate
         # bounds pass. The lever would pay at dim ≥ 512 (32×+ payload
         # cut); kept opt-in for that regime.
-        sig = _int8_sig_table(emb).localCheckpoint(eager=True)
+        sig = _int8_sig_table(
+            ensure_parallelism(emb)
+        ).localCheckpoint(eager=True)
         siga = sig.select(
             F.col("vid").alias("a"),
             F.col("sig").alias("sa"),
