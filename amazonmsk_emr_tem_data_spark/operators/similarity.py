@@ -1534,6 +1534,11 @@ def nn_descent_graph(
         # Arrow scorer, and the window sort costs more than one
         # pre-shrunk 16-byte-row exchange saves — distinct's map-side
         # partial aggregate already halves what the wire carries.
+        # (r13: a third exchange-sharing variant was A/B-rejected —
+        # repartition(a) + riding dropDuplicates/window read 8.8 s
+        # median vs 6.4 s with high variance: keying 16-byte rows on
+        # `a` alone both loses distinct's map-side partial agg and
+        # skews the single exchange. The per-round distinct stays.)
         cand = und.union(hop).distinct()
         if prefilter:
             approx = _approx_pair_bounds(
@@ -1624,27 +1629,35 @@ def save_ann_model(
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/planes")
 
 
-def load_ann_model(spark, path: str) -> dict:
+def load_ann_model(
+    spark, path: str, components: tuple[str, ...] | None = None
+) -> dict:
     """Load ANN model state written by :func:`save_ann_model`. Returns
     a dict with whichever of ``centroids`` / ``codebooks`` / ``planes``
     exist under ``path``, rebuilt in index order as plain Python lists
     — directly consumable by :func:`ivfpq_serve`, :func:`ivf_topk`'s
-    assignment step, and the LSH bucketers."""
+    assignment step, and the LSH bucketers. ``components`` restricts
+    which parts are read (r13: each part is a parquet read + collect
+    job, and e.g. the ANN ingest stream serves from centroids alone —
+    no point paying the codebook load per run)."""
     import os
 
+    def want(name: str) -> bool:
+        return components is None or name in components
+
     out: dict = {}
-    if os.path.isdir(os.path.join(path, "centroids")):
+    if want("centroids") and os.path.isdir(os.path.join(path, "centroids")):
         rows = spark.read.parquet(f"{path}/centroids").collect()
         out["centroids"] = [
             list(r["vec"]) for r in sorted(rows, key=lambda r: r["idx"])
         ]
-    if os.path.isdir(os.path.join(path, "codebooks")):
+    if want("codebooks") and os.path.isdir(os.path.join(path, "codebooks")):
         rows = spark.read.parquet(f"{path}/codebooks").collect()
         by_sub: dict[int, list] = {}
         for r in sorted(rows, key=lambda r: (r["subspace"], r["code"])):
             by_sub.setdefault(r["subspace"], []).append(list(r["vec"]))
         out["codebooks"] = [by_sub[j] for j in sorted(by_sub)]
-    if os.path.isdir(os.path.join(path, "planes")):
+    if want("planes") and os.path.isdir(os.path.join(path, "planes")):
         rows = spark.read.parquet(f"{path}/planes").collect()
         out["planes"] = [
             list(r["vec"]) for r in sorted(rows, key=lambda r: r["idx"])

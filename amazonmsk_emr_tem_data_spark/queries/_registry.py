@@ -2092,7 +2092,11 @@ REGISTRY.update(
 # --- round 11 ---------------------------------------------------------
 
 
-def _persisted_ann_model(spark: SparkSession, sf_dir: str) -> dict:
+def _persisted_ann_model(
+    spark: SparkSession,
+    sf_dir: str,
+    components: tuple[str, ...] | None = None,
+) -> dict:
     """Fit-or-load the shared persisted ANN model (coarse centroids +
     PQ codebooks) for ``sf_dir``'s embeddings table — the model state
     behind ivfpq_persisted_topk AND stream_ann_ingest_dedup (r13: the
@@ -2159,7 +2163,7 @@ def _persisted_ann_model(spark: SparkSession, sf_dir: str) -> dict:
             # a concurrent fitter won the rename; its model is
             # bit-identical — discard ours and serve the winner's
             shutil.rmtree(tmp, ignore_errors=True)
-    return load_ann_model(spark, path)
+    return load_ann_model(spark, path, components)
 
 
 def ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2747,7 +2751,7 @@ def stream_ann_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch-sized. See streaming/pipelines.ann_ingest_batch."""
     from ..streaming.pipelines import stream_ann_ingest
 
-    model = _persisted_ann_model(spark, sf_dir)
+    model = _persisted_ann_model(spark, sf_dir, components=("centroids",))
     return stream_ann_ingest(
         spark, sf_dir, model["centroids"], threshold=_ANN_INGEST_THRESHOLD
     )
