@@ -2846,6 +2846,16 @@ _RESTAMP: tuple[str, ...] = (
     # pair set + signatures; 14 shuffles/BHJ×94 -> 2/2) and estimator
     # constants now derived from _BBIT_K:
     "bbit_minhash_audit",
+    # r13 optimization round — the six largest implementation
+    # rewrites under hash-stable outputs (the remaining touched
+    # queries changed only via materialization points and rotate in
+    # by stamp staleness):
+    "stream_ann_ingest_dedup",  # matrix kernel replaces pair joins
+    "nn_descent_knn_graph",  # rev-sample checkpoint + Arrow buckets
+    "part_kcore_members",  # shrinking induced-edge-set peel
+    "minhash_lsh_pairs",  # eager-checkpoint collapse/shingle staging
+    "copurchase_hyperball",  # node set from checkpointed adjacency
+    "doc_dup_span_removal",  # materialized span-hash pass
 )
 
 
