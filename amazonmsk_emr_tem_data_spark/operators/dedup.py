@@ -395,7 +395,12 @@ def prefix_filter_jaccard_pairs(
     ceil_tn = F.floor(
         (F.col("n_sh") * threshold_num + threshold_den - 1) / threshold_den
     )
-    prefix = ranked.filter(F.col("pos") <= F.col("n_sh") - ceil_tn + 1)
+    # eager checkpoint (r13): the prefix relation feeds BOTH sides of
+    # the self-equi-join below — un-materialized, the df-join + rank
+    # window recomputes per side. Bounded: prefix positions only.
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n_sh") - ceil_tn + 1
+    ).localCheckpoint(eager=True)
     a = prefix.select(
         F.col(id_col).alias("doc_a"), "shingle", F.col("n_sh").alias("n_a")
     )
