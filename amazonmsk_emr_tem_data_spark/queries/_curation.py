@@ -1105,7 +1105,9 @@ def corpus_tfidf_topterms(
         docs.select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .cache()
+        # eager checkpoint (r13): consumers include broadcast builds
+        # that race a lazy cache and re-run the tokenize+explode agg
+        .localCheckpoint(eager=True)
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # ONE driver action for both bounded stats (r7 job fold, the BM25

@@ -1339,7 +1339,9 @@ def supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy("l_suppkey")
         .agg(F.sum(disc_price_cents()).alias("rev_grid"))
-        .cache()
+        # eager checkpoint (r13): the 1-row total below is a broadcast
+        # build that races a lazy cache and re-runs the lineitem agg
+        .localCheckpoint(eager=True)
     )
     total = rev.agg(
         F.sum("rev_grid").alias("total_grid"),
