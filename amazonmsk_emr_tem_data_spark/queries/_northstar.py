@@ -1018,7 +1018,11 @@ def _dense_hourly_counts(ev: DataFrame) -> DataFrame:
         ev.select("event_type", F.date_trunc("hour", "ts").alias("h"))
         .groupBy("event_type", "h")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .cache()
+        # eager checkpoint (r13): the span/grid consumers sit inside a
+        # broadcast build that races a lazy cache and re-runs the
+        # events scan + rollup; relation is grid-sized (calendar ×
+        # types), so the materialization is bounded
+        .localCheckpoint(eager=True)
     )
     span = counts.agg(F.min("h").alias("t0"), F.max("h").alias("t1"))
     grid = (
