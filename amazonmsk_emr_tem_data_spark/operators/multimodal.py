@@ -2303,10 +2303,14 @@ def media_phash_near_dup(
     chunks — never a cross join — and verify with one bit_count(xor)."""
     from .dedup import hamming_chunk_pairs
 
-    # cache: the chunk join consumes the hash relation three times
-    # (bucket counts + both self-join sides) — uncached, the Arrow
-    # decode+hash pipeline would re-run for each (see simhash_pairs)
-    sk = ahash_images(df, id_col=id_col, fake=fake).cache()
+    # eager checkpoint (r13, not cache): the chunk join consumes the
+    # hash relation three times (bucket counts + both self-join
+    # sides), and the self-join broadcast builds race a lazy cache —
+    # each re-running the Arrow DECODE+hash pipeline. One long per
+    # image, materialized once.
+    sk = ahash_images(df, id_col=id_col, fake=fake).localCheckpoint(
+        eager=True
+    )
     return hamming_chunk_pairs(
         sk, id_col, "ahash", bits=64, max_hamming=max_hamming
     )
@@ -2650,7 +2654,10 @@ def audio_near_dup_pairs(
     cross join; one bit_count(xor) verifies."""
     from .dedup import hamming_chunk_pairs
 
-    sk = envelope_hash_audio(df, id_col=id_col, fake=fake).cache()
+    # eager checkpoint, same rationale as media_phash_near_dup (r13)
+    sk = envelope_hash_audio(
+        df, id_col=id_col, fake=fake
+    ).localCheckpoint(eager=True)
     return hamming_chunk_pairs(
         sk, id_col, "envelope_hash", bits=64, max_hamming=max_hamming
     )

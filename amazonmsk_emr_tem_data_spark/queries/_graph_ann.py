@@ -672,10 +672,13 @@ def page_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computation, orientation, AND wedge closure — cache it (2 longs
     # per edge; the same adjacency GraphX materializes) so the events
     # scan + window + distinct run once, not once per branch
+    # eager checkpoint (r13, was cache): degree + orientation + wedge
+    # closure all consume it, several through broadcast builds that
+    # race a lazy cache and re-run the events scan + window + distinct
     ue = trans.select(
         F.least(F.col("page"), F.col("dst")).alias("a"),
         F.greatest(F.col("page"), F.col("dst")).alias("b"),
-    ).distinct().cache()
+    ).distinct().localCheckpoint(eager=True)
     # explode, not a 2-way union: one pass over ue instead of two
     # copies of its subtree in the plan
     deg = (

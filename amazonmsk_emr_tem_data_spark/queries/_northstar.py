@@ -889,7 +889,9 @@ def _tvd_ppm(
     c = (
         obs.groupBy(group_col, item_col)
         .agg(F.count(F.lit(1)).alias("n_st"))
-        .cache()
+        # eager checkpoint (r13): the marginals feed broadcast builds
+        # that race a lazy cache and re-run the observation rollup
+        .localCheckpoint(eager=True)
     )
     g = c.groupBy(item_col).agg(F.sum("n_st").alias("n_t"))
     total = g.agg(F.sum("n_t").alias("n_total"))
