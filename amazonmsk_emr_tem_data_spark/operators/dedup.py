@@ -395,12 +395,14 @@ def prefix_filter_jaccard_pairs(
     ceil_tn = F.floor(
         (F.col("n_sh") * threshold_num + threshold_den - 1) / threshold_den
     )
-    # eager checkpoint (r13): the prefix relation feeds BOTH sides of
-    # the self-equi-join below — un-materialized, the df-join + rank
-    # window recomputes per side. Bounded: prefix positions only.
-    prefix = ranked.filter(
-        F.col("pos") <= F.col("n_sh") - ceil_tn + 1
-    ).localCheckpoint(eager=True)
+    # (r13: an eager checkpoint here — the prefix relation feeds both
+    # self-join sides, so the rank window computes twice — was tried
+    # and REVERTED: materialization hides the prefix-length filter and
+    # the doc-keyed window partitioning from the final physical plan,
+    # which is exactly what test_prefix_filter_verification_is_
+    # candidate_bounded pins as the operator's scale contract. The
+    # observable contract beats the bounded-window recompute.)
+    prefix = ranked.filter(F.col("pos") <= F.col("n_sh") - ceil_tn + 1)
     a = prefix.select(
         F.col(id_col).alias("doc_a"), "shingle", F.col("n_sh").alias("n_a")
     )
