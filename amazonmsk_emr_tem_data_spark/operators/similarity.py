@@ -1539,6 +1539,19 @@ def nn_descent_graph(
         # median vs 6.4 s with high variance: keying 16-byte rows on
         # `a` alone both loses distinct's map-side partial agg and
         # skews the single exchange. The per-round distinct stays.)
+        # (r13 resumed session, FOURTH rejection: size-derived explicit
+        # repartition counts — REPARTITION_BY_NUM exempt from AQE
+        # coalescing — pinning the scoring stage at
+        # max(defaultParallelism, cand_bytes/64MB) and the rank/rev
+        # windows likewise, to lift the profiled 1-2-task stages (2.8 s
+        # of 3.8 s stage time) to full parallelism. Measured: sf0.1 a
+        # wash (NEW 6.0-8.5 vs OLD 6.2-8.9 medians, alternated), 100×
+        # fixture 88-124 s vs 51.6-57.6 s — 1.8× WORSE: pre-exchange
+        # repartition displaces distinct's map-side partial dedup, and
+        # the Arrow scorer prefers few large batches (per-task
+        # Python/Arrow overhead beats the parallelism gained). A
+        # window-only variant was also a wash (pairs 6.81/5.31,
+        # 5.91/6.08). AQE's byte-derived choice stands.)
         cand = und.union(hop).distinct()
         if prefilter:
             approx = _approx_pair_bounds(
