@@ -264,26 +264,56 @@ def semantic_dedup(
     the shared CC operator (union-find fast path for the tiny pair
     graph)."""
     from .dedup import connected_components
+    from .similarity import score_pairs_cosine
 
     centroids = kmeans_fit(
         embeddings, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
     )
-    celled = assign_cells(embeddings, centroids, id_col, vec_col).cache()
+    # Eager checkpoint, not cache() (r13, the round's staging pattern):
+    # celled feeds both self-join sides, the CC gate aggregate and the
+    # final projection — a lazily-cached entry is raced by concurrent
+    # consumers, each re-running the normalize+assign pass; the
+    # checkpoint also truncates the kmeans-fit lineage.
+    celled = assign_cells(embeddings, centroids, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     a = celled.alias("a")
     b = celled.alias("b")
+    # Within-cell pair scoring through the shared Arrow fold scorer
+    # (r13, guide §4.1): the former per-pair ``cosine`` COLUMN
+    # expression is a CodegenFallback F.aggregate fold — ~3·dim
+    # interpreted steps per pair over the Σ cell² candidate volume, the
+    # profiled dominant cost (the same lesson as the r11 LSH bucketer).
+    # score_pairs_cosine replays the identical single-rounded per-dim
+    # op order (bit-identical result; pinned by the oracle hash and the
+    # scorer's own tests).
     pairs = (
-        a.join(
-            b,
-            (F.col("a.ivf_cell") == F.col("b.ivf_cell"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        score_pairs_cosine(
+            a.join(
+                b,
+                (F.col("a.ivf_cell") == F.col("b.ivf_cell"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            ).select(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+                F.col("a.v").alias("va"),
+                F.col("b.v").alias("vb"),
+            ),
+            "va",
+            "vb",
+            keep=("doc_a", "doc_b"),
         )
-        .withColumn("cos", cosine(F.col("a.v"), F.col("b.v")))
-        .filter(F.col("cos") >= threshold)
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("doc_a", "doc_b")
     )
+    # Eager checkpoint before CC (r13, mirrors dedup_clusters): the CC
+    # gate aggregate and the union-find pass are separate consumers —
+    # un-materialized, each re-runs the whole pair-scoring pipeline,
+    # and the union-find's coalesce(1) additionally PULLS that pipeline
+    # into its single task (profiled: one 7 s task holding the BHJ +
+    # Arrow scorer for every within-cell pair). The checkpointed
+    # relation is the verified near-dup pairs only — two longs per row.
+    pairs = pairs.localCheckpoint(eager=True)
     nodes = celled.select(id_col)
     comp = connected_components(pairs, nodes, id_col=id_col)
     out = (

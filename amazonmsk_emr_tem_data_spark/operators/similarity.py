@@ -71,9 +71,18 @@ def score_pairs_cosine(
     cosine) but scores equal-length pairs at their own dimension, so
     scoreability must NOT depend on what other rows share the Arrow
     batch (rows are grouped by their common length and folded per
-    group). Output: ``keep`` columns + cos_sim double; no shuffle."""
+    group). Output: ``keep`` columns + cos_sim double; no shuffle.
+
+    r13 (guide §4.2): runs as ``mapInArrow`` with a ZERO-COPY fast
+    path — when a batch has no NULL vectors, no NULL elements and one
+    common length, the two list columns' contiguous values buffers
+    reshape straight into (n, d) float64 matrices, replacing the
+    former per-row ``np.asarray``+``np.stack`` Python loop (profiled
+    at ~50 µs/pair — the loop, not the math, dominated every scorer
+    stage). The per-dim fold over the matrices is UNCHANGED, so the
+    result stays bit-identical; NULL-bearing or ragged batches take
+    the original per-row path (same semantics, pinned by tests)."""
     import numpy as np
-    import pandas as pd
 
     from pyspark.sql import types as T
 
@@ -84,64 +93,102 @@ def score_pairs_cosine(
     )
     src = pairs.select(*dict.fromkeys([*keep, a_vec, b_vec]))
 
-    def fold_cos(batches):
-        for pdf in batches:
-            if not len(pdf):
+    def _fold_mats(A: "np.ndarray", B: "np.ndarray"):
+        """cos + zero-denominator mask for equal-shape (n, d) float64
+        matrices — the shared fold kernel of both paths: per-dim
+        single-rounded IEEE steps in exactly _COS_SQL's op order."""
+        n, d = A.shape
+        ab = np.zeros(n)
+        aa = np.zeros(n)
+        bb = np.zeros(n)
+        for i in range(d):
+            ab = ab + A[:, i] * B[:, i]
+            aa = aa + A[:, i] * A[:, i]
+            bb = bb + B[:, i] * B[:, i]
+        den = np.sqrt(aa) * np.sqrt(bb)
+        cos = np.divide(ab, den, out=np.full(n, np.nan), where=den != 0)
+        return cos, den == 0
+
+    def _cos_slow(a_arr, b_arr, n: int):
+        """Original per-row path for NULL/ragged batches: identical to
+        the r11 pandas kernel (rows grouped by common length, folded
+        per group; NULL/ragged/zero-length → NULL)."""
+        av = a_arr.to_pandas().to_numpy()
+        bv = b_arr.to_pandas().to_numpy()
+        pair_len = np.array(
+            [
+                len(x)
+                if x is not None and y is not None and len(x) == len(y)
+                else -1
+                for x, y in zip(av, bv)
+            ],
+            dtype=np.int64,
+        )
+        ok = pair_len >= 0
+        cos = np.full(n, np.nan)
+        null_mask = ~ok
+        for d in np.unique(pair_len[ok]):
+            grp = np.where(pair_len == d)[0]
+            if d == 0:
+                # dot = 0, norm = 0 → try_divide NULL
+                null_mask[grp] = True
                 continue
-            av = pdf[a_vec].to_numpy()
-            bv = pdf[b_vec].to_numpy()
-            # Scoreable ⇔ both present and same length (any length):
-            # matches zip_with, independent of batch composition.
-            pair_len = np.array(
-                [
-                    len(x)
-                    if x is not None and y is not None and len(x) == len(y)
-                    else -1
-                    for x, y in zip(av, bv)
-                ],
-                dtype=np.int64,
+            A = np.stack([np.asarray(av[i]) for i in grp]).astype(
+                np.float64
             )
-            ok = pair_len >= 0
-            cos = np.full(len(pdf), np.nan)
-            null_mask = ~ok
-            for d in np.unique(pair_len[ok]):
-                grp = np.where(pair_len == d)[0]
-                if d == 0:
-                    # dot = 0, norm = 0 → try_divide NULL
-                    null_mask[grp] = True
-                    continue
-                A = np.stack(
-                    [np.asarray(av[i]) for i in grp]
-                ).astype(np.float64)
-                B = np.stack(
-                    [np.asarray(bv[i]) for i in grp]
-                ).astype(np.float64)
-                n = A.shape[0]
-                ab = np.zeros(n)
-                aa = np.zeros(n)
-                bb = np.zeros(n)
-                for i in range(d):
-                    ab = ab + A[:, i] * B[:, i]
-                    aa = aa + A[:, i] * A[:, i]
-                    bb = bb + B[:, i] * B[:, i]
-                den = np.sqrt(aa) * np.sqrt(bb)
-                c = np.divide(
-                    ab, den, out=np.full(n, np.nan), where=den != 0
+            B = np.stack([np.asarray(bv[i]) for i in grp]).astype(
+                np.float64
+            )
+            c, zero = _fold_mats(A, B)
+            cos[grp] = c
+            null_mask[grp[zero]] = True
+        # element-NULLs surface as NaN from the pandas conversion and
+        # propagate to a NaN cosine, exactly as the r11 kernel behaved
+        return cos, null_mask
+
+    def fold_cos(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            a_arr = rb.column(a_vec)
+            b_arr = rb.column(b_vec)
+            d = 0
+            fast = a_arr.null_count == 0 and b_arr.null_count == 0
+            if fast:
+                off_a = np.asarray(a_arr.offsets)
+                off_b = np.asarray(b_arr.offsets)
+                d = int(off_a[1] - off_a[0]) if n else 0
+                fast = bool(
+                    d > 0
+                    and (np.diff(off_a) == d).all()
+                    and (np.diff(off_b) == d).all()
                 )
-                cos[grp] = c
-                zero = grp[den == 0]
-                null_mask[zero] = True
-            s = pd.Series(cos, dtype="float64")
-            if null_mask.any():
-                s = s.astype(object).where(~null_mask, None)
-            yield pd.DataFrame(
-                {
-                    **{c: pdf[c] for c in keep},
-                    "cos_sim": s,
-                }
+            if fast:
+                va = a_arr.flatten()
+                vb = b_arr.flatten()
+                fast = va.null_count == 0 and vb.null_count == 0
+            if fast:
+                A = np.asarray(va).reshape(n, d).astype(np.float64, copy=False)
+                B = np.asarray(vb).reshape(n, d).astype(np.float64, copy=False)
+                cos, null_mask = _fold_mats(A, B)
+            else:
+                cos, null_mask = _cos_slow(a_arr, b_arr, n)
+            yield pa.record_batch(
+                [rb.column(c) for c in keep]
+                + [
+                    pa.array(
+                        cos,
+                        type=pa.float64(),
+                        mask=null_mask if null_mask.any() else None,
+                    )
+                ],
+                names=[*keep, "cos_sim"],
             )
 
-    return src.mapInPandas(fold_cos, out_schema)
+    return src.mapInArrow(fold_cos, out_schema)
 
 
 def cosine_topk(

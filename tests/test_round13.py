@@ -2248,3 +2248,48 @@ def test_tiff_16bit_and_bilevel():
         got = tf(_tiff_bytes_1bit(bits, **kw))
         assert got.shape == (10, 19, 1), kw
         assert np.array_equal(got[..., 0], bits * np.uint8(255)), kw
+
+
+# ---------------------------------------------------------------------------
+# r13 optimization: score_pairs_cosine zero-copy Arrow fast path.
+# A uniform batch (no NULL vectors, no NULL elements, one common
+# length) takes the reshape-the-values-buffer path; its result must be
+# BIT-identical to the JVM ``cosine`` expression, including the
+# zero-vector -> NULL (try_divide) row, which stays inside the fast
+# path via the denominator mask. The mixed/ragged batch semantics are
+# pinned separately by test_score_pairs_cosine_batch_independent.
+# ---------------------------------------------------------------------------
+
+
+def test_score_pairs_cosine_fast_path_bit_identical(spark):
+    import pyspark.sql.functions as F
+
+    from amazonmsk_emr_tem_data_spark.operators.similarity import (
+        cosine,
+        score_pairs_cosine,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j) % 13) - 6.0 for j in range(16)],
+            [float((i * 11 + 3 * j) % 17) - 8.0 for j in range(16)])
+        for i in range(1, 200)
+    ]
+    rows.append((200, [0.0] * 16, [1.0] * 16))  # zero vec -> NULL
+    pairs = spark.createDataFrame(
+        rows, "pid long, a array<double>, b array<double>"
+    ).coalesce(1)  # one uniform Arrow batch -> the fast path
+
+    got = {
+        r["pid"]: r["cos_sim"]
+        for r in score_pairs_cosine(pairs, "a", "b", ("pid",)).collect()
+    }
+    want = {
+        r["pid"]: r["cos_sim"]
+        for r in pairs.select(
+            "pid", cosine(F.col("a"), F.col("b")).alias("cos_sim")
+        ).collect()
+    }
+    assert got[200] is None and want[200] is None
+    # bit-identical, not approx: both sides are the same single-rounded
+    # per-dim fold
+    assert got == want and len(got) == 200
