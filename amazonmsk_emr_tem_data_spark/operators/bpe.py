@@ -22,6 +22,8 @@ dict loop; this one is the corpus-scale shape:
 
 from __future__ import annotations
 
+from ..sources.files import checkpoint_stage
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -90,7 +92,7 @@ def learn_bpe_merges(
     """Learn up to ``n_merges`` BPE merges from a corpus; returns
     [(round, left, right, pair_freq)] in learned order. Stops early
     when no adjacent pair repeats."""
-    wf = _word_freqs(df, text_col).localCheckpoint(eager=True)
+    wf = _word_freqs(df, text_col).transform(checkpoint_stage)
     merges: list[tuple[int, str, str, int]] = []
     for r in range(n_merges):
         top = (
@@ -107,7 +109,7 @@ def learn_bpe_merges(
         merges.append((r, a, b, int(top[0]["n"])))
         wf = wf.withColumn(
             "symbols", _merge_pair(F.col("symbols"), a, b)
-        ).localCheckpoint(eager=True)
+        ).transform(checkpoint_stage)
     return merges
 
 

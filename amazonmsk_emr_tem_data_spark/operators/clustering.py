@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..sources.files import ensure_parallelism
+from ..sources.files import checkpoint_stage, ensure_parallelism
 from .similarity import cosine, with_ivf_cell
 
 
@@ -274,9 +274,7 @@ def semantic_dedup(
     # final projection — a lazily-cached entry is raced by concurrent
     # consumers, each re-running the normalize+assign pass; the
     # checkpoint also truncates the kmeans-fit lineage.
-    celled = assign_cells(embeddings, centroids, id_col, vec_col).localCheckpoint(
-        eager=True
-    )
+    celled = assign_cells(embeddings, centroids, id_col, vec_col).transform(checkpoint_stage)
     a = celled.alias("a")
     b = celled.alias("b")
     # Within-cell pair scoring through the shared Arrow fold scorer
@@ -313,7 +311,7 @@ def semantic_dedup(
     # into its single task (profiled: one 7 s task holding the BHJ +
     # Arrow scorer for every within-cell pair). The checkpointed
     # relation is the verified near-dup pairs only — two longs per row.
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = pairs.transform(checkpoint_stage)
     nodes = celled.select(id_col)
     comp = connected_components(pairs, nodes, id_col=id_col)
     out = (

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import fingerprint, md5_hash64, tokens
-from ..sources.files import ensure_parallelism
+from ..sources.files import checkpoint_stage, ensure_parallelism
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -211,7 +211,7 @@ def _collapse_exact(df: DataFrame, id_col: str):
             F.min(id_col).alias("rep"),
             F.collect_list(id_col).alias("members"),
         )
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_stage)
     )
     reps = df.join(
         groups.select(F.col("rep").alias(id_col)), id_col, "left_semi"
@@ -308,7 +308,7 @@ def ngram_jaccard_pairs(
     groups, reps = _collapse_exact(df, id_col)
     # eager checkpoint, not cache(): broadcast consumers race a lazy
     # cache and recompute the shingle pass (see _collapse_exact, r13)
-    sh = shingled(reps, id_col, k).localCheckpoint(eager=True)
+    sh = shingled(reps, id_col, k).transform(checkpoint_stage)
     sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
     ex = _exploded(sh, id_col)
     a, b = ex.alias("a"), ex.alias("b")
@@ -377,7 +377,7 @@ def prefix_filter_jaccard_pairs(
     groups, reps = _collapse_exact(df, id_col)
     # eager checkpoint, not cache(): broadcast consumers race a lazy
     # cache and recompute the shingle pass (see _collapse_exact, r13)
-    sh = shingled(reps, id_col, k).localCheckpoint(eager=True)
+    sh = shingled(reps, id_col, k).transform(checkpoint_stage)
     sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
     ex = _exploded(sh, id_col)
     sdf = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
@@ -482,7 +482,7 @@ def containment_prefix_pairs(
     groups, reps = _collapse_exact(df, id_col)
     # eager checkpoint, not cache(): broadcast consumers race a lazy
     # cache and recompute the shingle pass (see _collapse_exact, r13)
-    sh = shingled(reps, id_col, k).localCheckpoint(eager=True)
+    sh = shingled(reps, id_col, k).transform(checkpoint_stage)
     sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
     ex = _exploded(sh, id_col)
     sdf = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
@@ -618,7 +618,7 @@ def winnowing_match_pairs(
     dropped nothing on the corpus under test."""
     groups, reps = _collapse_exact(df, id_col)
     # eager: fps feeds sizes + buckets + verify (broadcast race, r13)
-    fps = winnowed(reps, id_col, k, w).localCheckpoint(eager=True)
+    fps = winnowed(reps, id_col, k, w).transform(checkpoint_stage)
     sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
     buckets = capped_buckets(fps, ["fp"], id_col, max_bucket_size)
     rep_pairs = (
@@ -688,7 +688,7 @@ def fuzzy_edit_verify_pairs(
         )
         # eager: feeds buckets + both pfx verify joins (broadcast
         # race with a lazy cache, r13 — see _collapse_exact)
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_stage)
     )
     buckets = capped_buckets(
         staged.select(id_col, "bh"), ["bh"], id_col, max_bucket_size
@@ -868,7 +868,7 @@ def _minhash_rep_pairs(
     # the tokenize+gram pass (profiled: the ~10 s-CPU shingle stage
     # TWICE per query). Checkpointing materializes the rep shingles
     # once; same footprint the cache held.
-    sh = shingled(reps, id_col, k).localCheckpoint(eager=True)
+    sh = shingled(reps, id_col, k).transform(checkpoint_stage)
     # LSH banding (1-row bands) over _melted_signatures: bucket on
     # (slot, value) via a single groupBy; id lists materialize only for
     # buckets whose counted membership is within [2, max_bucket_size]
@@ -1008,8 +1008,8 @@ def cross_corpus_near_dup(
     groups_c, reps_c = _collapse_exact(corpus_df, id_col)
     # eager: each side feeds several joins whose broadcast builds
     # race a lazy cache and re-shingle (see _collapse_exact, r13)
-    sh_n = shingled(reps_n, id_col, k).localCheckpoint(eager=True)
-    sh_c = shingled(reps_c, id_col, k).localCheckpoint(eager=True)
+    sh_n = shingled(reps_n, id_col, k).transform(checkpoint_stage)
+    sh_c = shingled(reps_c, id_col, k).transform(checkpoint_stage)
 
     # exact-content tier: same fingerprint => identical shingle sets
     exact = (
@@ -1170,7 +1170,7 @@ def simhash_pairs(
     # One (id, long) row per doc; eager localCheckpoint (r13) so the
     # three consumers (several of them broadcast builds, which race a
     # lazy cache) read one materialization.
-    sk = simhash_sketch(reps, id_col).localCheckpoint(eager=True)
+    sk = simhash_sketch(reps, id_col).transform(checkpoint_stage)
     rep_pairs = hamming_chunk_pairs(
         sk, id_col, "sk", bits=60, max_hamming=max_hamming,
         max_bucket_size=max_bucket_size,
@@ -1390,7 +1390,7 @@ def connected_components(
     )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("comp")
-    ).localCheckpoint(eager=True)
+    ).transform(checkpoint_stage)
     for _ in range(max_iter):
         # neighbor labels: for each dst, min label among its neighbors
         msgs = (
@@ -1427,7 +1427,7 @@ def connected_components(
             )
             .withColumn("moved", F.col("comp") != F.col("comp0"))
             .drop("comp0")
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_stage)
         )
         changed = new_labels.filter("moved").count()
         labels = new_labels.drop("moved")
@@ -1489,7 +1489,7 @@ def dedup_clusters(
     # unlike a cache-manager entry — the checkpoint blocks are freed
     # by the ContextCleaner when the result goes out of scope, so a
     # dedup_clusters call leaks nothing into session-lifetime storage.
-    pairs = rep_pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    pairs = rep_pairs.select("doc_a", "doc_b").transform(checkpoint_stage)
     # sh's cache exists to share the shingle scan across the melted-
     # signature pass and the two verify joins; the checkpoint above
     # just materialized all of that, so release it now.
@@ -1511,7 +1511,7 @@ def dedup_clusters(
         rep_comp.withColumnRenamed(id_col, "rep"), "rep", "left_outer"
     ).select(
         id_col, F.coalesce("comp", F.col("rep")).alias("comp")
-    ).localCheckpoint(eager=True)
+    ).transform(checkpoint_stage)
     groups.unpersist()
     sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (

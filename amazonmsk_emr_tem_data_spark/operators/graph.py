@@ -31,6 +31,8 @@ keys (partial aggregation absorbs the fan-in map-side).
 
 from __future__ import annotations
 
+from ..sources.files import checkpoint_stage
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -80,7 +82,7 @@ def pagerank(
         F.lit(SCALE // n_nodes).cast("long").alias("rank_micro"),
     )
     if checkpoint:
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.transform(checkpoint_stage)
     for _ in range(n_iterations):
         contribs = (
             norm_edges.join(ranks, norm_edges[src_col] == ranks["node"])
@@ -115,7 +117,7 @@ def pagerank(
             )
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(checkpoint_stage)
     return ranks.select(F.col("node").alias(id_col), "rank_micro")
 
 
@@ -157,9 +159,7 @@ def kcore(
     # than |E|. Each round's edge set is eagerly checkpointed (it
     # feeds the degree aggregate AND the next round's semi-joins);
     # the early-exit count then reads materialized partitions.
-    cur = undirected_edges.select(a, b).distinct().localCheckpoint(
-        eager=True
-    )
+    cur = undirected_edges.select(a, b).distinct().transform(checkpoint_stage)
     n_edges = -1
     for _round in range(rounds):
         deg = (
@@ -171,7 +171,7 @@ def kcore(
         cur = (
             cur.join(nodes, cur[a] == nodes["n"], "left_semi")
             .join(nodes, cur[b] == nodes["n"], "left_semi")
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_stage)
         )
         # Fixpoint early-exit: an unchanged edge COUNT means an
         # unchanged edge set (each round's set is a subset of the
@@ -226,7 +226,7 @@ def bfs_hops(
     dist = (
         seeds.select("n").distinct()
         .select("n", F.lit(0).cast("long").alias("dist"))
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_stage)
     )
     frontier = dist.select("n")
     for i in range(1, rounds + 1):
@@ -238,9 +238,9 @@ def bfs_hops(
         new = (
             nbrs.join(dist, "n", "left_anti")
             .select("n", F.lit(i).cast("long").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_stage)
         )
-        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        dist = dist.unionByName(new).transform(checkpoint_stage)
         frontier = new.select("n")
     return dist
 
@@ -278,7 +278,7 @@ def label_propagation(
         bidir.select(F.col(a).alias("n"))
         .distinct()
         .select("n", F.col("n").alias("lab"))
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_stage)
     )
     w = Window.partitionBy("n").orderBy(
         F.col("c").desc(), F.col("lab").asc()
@@ -294,7 +294,7 @@ def label_propagation(
             votes.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("n", "lab")
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_stage)
         )
     return labels
 
@@ -351,7 +351,7 @@ def personalized_pagerank(
         .alias("rank_micro"),
     )
     if checkpoint:
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.transform(checkpoint_stage)
     for _ in range(n_iterations):
         contribs = (
             norm_edges.join(ranks, norm_edges[src_col] == ranks["node"])
@@ -390,7 +390,7 @@ def personalized_pagerank(
             )
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(checkpoint_stage)
     return ranks.select(
         F.col("node").alias(id_col), "rank_micro", "is_seed"
     )
@@ -437,13 +437,13 @@ def per_source_harmonic(
             edges.select(F.col(b).alias(a), F.col(a).alias(b))
         )
         .repartition(F.col(a))
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_stage)
     )
     seeds = sources.select("n").distinct()
     reached = seeds.select(
         F.col("n").alias("src"), F.col("n").alias("node"),
         F.lit(0).cast("long").alias("dist"),
-    ).localCheckpoint(eager=True)
+    ).transform(checkpoint_stage)
     frontier = reached
     for t in range(1, rounds + 1):
         nxt = (
@@ -454,7 +454,7 @@ def per_source_harmonic(
         new = nxt.join(
             reached, ["src", "node"], "left_anti"
         ).withColumn("dist", F.lit(t).cast("long"))
-        reached = reached.unionByName(new).localCheckpoint(eager=True)
+        reached = reached.unionByName(new).transform(checkpoint_stage)
         frontier = reached.filter(F.col("dist") == t)
     h = (
         reached.filter(F.col("dist") > 0)
@@ -531,7 +531,7 @@ def hyperball_kmv(
     adj = (
         bidir.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .repartition("src")
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_stage)
     )
     # r13 (guide §2.4, profiled): nodes derived from `bidir` re-ran the
     # whole edge-derivation subtree (distinct + union + upstream
@@ -544,7 +544,7 @@ def hyperball_kmv(
         md5_hash64(
             F.concat_ws("|", F.lit("hb1"), F.col("node"))
         ).alias("h"),
-    ).localCheckpoint(eager=True)
+    ).transform(checkpoint_stage)
     wk = Window.partitionBy("node").orderBy("h")
     for _ in range(rounds):
         nbr = (
@@ -565,7 +565,7 @@ def hyperball_kmv(
             .filter(F.col("rk") <= k)
             .select("node", "h")
             .dropDuplicates(["node", "h"])
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_stage)
         )
     est_sat = F.expr(
         f"CAST({(k - 1) * (1 << 60)} AS BIGINT) div (kmin_max + 1)"

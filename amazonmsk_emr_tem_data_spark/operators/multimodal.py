@@ -35,6 +35,8 @@ replacement.
 
 from __future__ import annotations
 
+from ..sources.files import checkpoint_stage
+
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -2308,9 +2310,7 @@ def media_phash_near_dup(
     # sides), and the self-join broadcast builds race a lazy cache —
     # each re-running the Arrow DECODE+hash pipeline. One long per
     # image, materialized once.
-    sk = ahash_images(df, id_col=id_col, fake=fake).localCheckpoint(
-        eager=True
-    )
+    sk = ahash_images(df, id_col=id_col, fake=fake).transform(checkpoint_stage)
     return hamming_chunk_pairs(
         sk, id_col, "ahash", bits=64, max_hamming=max_hamming
     )
@@ -2657,7 +2657,7 @@ def audio_near_dup_pairs(
     # eager checkpoint, same rationale as media_phash_near_dup (r13)
     sk = envelope_hash_audio(
         df, id_col=id_col, fake=fake
-    ).localCheckpoint(eager=True)
+    ).transform(checkpoint_stage)
     return hamming_chunk_pairs(
         sk, id_col, "envelope_hash", bits=64, max_hamming=max_hamming
     )

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import md5_hash64
-from ..sources.files import ensure_parallelism
+from ..sources.files import checkpoint_stage, ensure_parallelism
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -81,7 +81,21 @@ def score_pairs_cosine(
     at ~50 µs/pair — the loop, not the math, dominated every scorer
     stage). The per-dim fold over the matrices is UNCHANGED, so the
     result stays bit-identical; NULL-bearing or ragged batches take
-    the original per-row path (same semantics, pinned by tests)."""
+    the per-row path.
+
+    NULL/NaN element contract (r14, pinned by tests): a vector
+    containing a NULL element yields cos_sim NULL — the JVM ``cosine``
+    expression's behavior (``zip_with`` multiply → NULL, the
+    ``aggregate`` fold absorbs it, ``try_divide(NULL, NULL)`` → NULL).
+    The r13 slow path let the pandas conversion turn element-NULLs
+    into NaN, which under NaN-largest semantics passes every
+    ``>= threshold`` filter; element-NULL rows are now detected from
+    the Arrow offsets + values null bitmap BEFORE conversion and
+    masked to NULL. A NaN ELEMENT (a real float NaN value) yields
+    cos_sim NaN, deliberately matching the JVM expression
+    (``try_divide``'s divisor NaN is not 0, so NaN/NaN = NaN); this
+    aligns r13+ with the JVM twin where the r11/r12 pandas kernel
+    emitted NULL for NaN-bearing rows."""
     import numpy as np
 
     from pyspark.sql import types as T
@@ -109,10 +123,29 @@ def score_pairs_cosine(
         cos = np.divide(ab, den, out=np.full(n, np.nan), where=den != 0)
         return cos, den == 0
 
+    def _elem_null_rows(arr, n: int) -> "np.ndarray":
+        """Rows whose list VALUES contain a NULL element, read from the
+        Arrow offsets + values null bitmap — the pandas conversion
+        below collapses element-NULL into NaN, so the check must come
+        first (r14; see the NULL/NaN contract in the docstring).
+        ``.values`` is the unsliced child array and ``.offsets`` are
+        absolute indices into it, so a prefix-sum of the child null
+        bitmap gives per-row null counts without materializing rows."""
+        vals = arr.values
+        if vals.null_count == 0:
+            return np.zeros(n, dtype=bool)
+        import pyarrow.compute as pc
+
+        isn = np.asarray(pc.is_null(vals))
+        cs = np.concatenate(([0], np.cumsum(isn, dtype=np.int64)))
+        off = np.asarray(arr.offsets, dtype=np.int64)
+        return (cs[off[1:]] - cs[off[:-1]]) > 0
+
     def _cos_slow(a_arr, b_arr, n: int):
-        """Original per-row path for NULL/ragged batches: identical to
-        the r11 pandas kernel (rows grouped by common length, folded
-        per group; NULL/ragged/zero-length → NULL)."""
+        """Per-row path for NULL/ragged batches: rows grouped by
+        common length, folded per group; NULL/ragged/zero-length →
+        NULL; element-NULL → NULL (JVM contract, r14)."""
+        elem_null = _elem_null_rows(a_arr, n) | _elem_null_rows(b_arr, n)
         av = a_arr.to_pandas().to_numpy()
         bv = b_arr.to_pandas().to_numpy()
         pair_len = np.array(
@@ -124,6 +157,7 @@ def score_pairs_cosine(
             ],
             dtype=np.int64,
         )
+        pair_len[elem_null] = -1
         ok = pair_len >= 0
         cos = np.full(n, np.nan)
         null_mask = ~ok
@@ -142,8 +176,9 @@ def score_pairs_cosine(
             c, zero = _fold_mats(A, B)
             cos[grp] = c
             null_mask[grp[zero]] = True
-        # element-NULLs surface as NaN from the pandas conversion and
-        # propagate to a NaN cosine, exactly as the r11 kernel behaved
+        # NaN ELEMENTS (real float NaN, not element-NULL — those were
+        # masked above) propagate through the fold to a NaN cosine,
+        # matching the JVM expression (see docstring contract)
         return cos, null_mask
 
     def fold_cos(batches):
@@ -1512,7 +1547,7 @@ def nn_descent_graph(
         # cut); kept opt-in for that regime.
         sig = _int8_sig_table(
             ensure_parallelism(emb)
-        ).localCheckpoint(eager=True)
+        ).transform(checkpoint_stage)
         siga = sig.select(
             F.col("vid").alias("a"),
             F.col("sig").alias("sa"),
@@ -1530,37 +1565,45 @@ def nn_descent_graph(
 
     if rev_k is None:
         rev_k = max(1, k // 2)
-    wrev = Window.partitionBy("a").orderBy("ek", "b")
-    for _ in range(iters):
-        # per-round lineage truncation (the graph-iteration rule):
-        # `und` feeds THREE consumers (both hop sides + the union), so
-        # without it Catalyst re-derives the whole prior-round subtree
-        # per consumer and the plan grows ~4x per round (measured: 620
-        # exchanges planned for 3 rounds; 14 after). The checkpointed
-        # relation is ≤ n·k edge rows.
-        edges = edges.select("a", "b").localCheckpoint(eager=True)
-        rev_s = (
-            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-            .withColumn(
-                "ek", md5_hash64(F.concat_ws("|", F.col("a"), F.col("b")))
+
+    # Fused per-round staging (r14, r13 VERDICT ask #3): the r13 loop
+    # ran TWO eager checkpoint jobs per round — (1) the edge set (it
+    # feeds the rev window, the und union and the next round; without
+    # truncation the plan grows ~4x/round — measured 620 exchanges
+    # planned for 3 rounds, 14 after) and (2) the ρ-sampled reverse
+    # edges (they reach THREE consumers across differently-keyed
+    # exchanges, r13). ~2 s of the query's ~5-6 s was inter-stage
+    # gaps: job launch + AQE re-planning per action. The rev-sample
+    # RANK is just a second window over the SAME rows, so one staged
+    # relation (a, b, rrk) now materializes both in ONE job per round
+    # (2·iters → iters actions): rrk = row_number over (partitionBy b,
+    # orderBy md5(b|a), a) ≡ the old window over the REVERSED frame
+    # (partitionBy a'=b, orderBy ek=md5(a'|b'), b'=a) — same hash,
+    # same partition, same order, so the sample is identical row for
+    # row. The staged relation is ≤ n·k rows of (a, b, rrk) longs.
+    wrev = Window.partitionBy("b").orderBy("ek", "a")
+
+    def _staged(ed: DataFrame) -> DataFrame:
+        return (
+            ed.withColumn(
+                "ek", md5_hash64(F.concat_ws("|", F.col("b"), F.col("a")))
             )
             .withColumn("rrk", F.row_number().over(wrev))
-            .filter(F.col("rrk") <= rev_k)
-            .select("a", "b")
-            # r13 (guide §2.4, measured from the plan): rev_s reaches
-            # THREE consumers (the cand union and both sides of the
-            # hop self-join), and exchange reuse cannot help — the
-            # window sits on the MAP side of three differently-keyed
-            # exchanges, so it was computed three times per round.
-            # One eager checkpoint (≤ n·rev_k 16-byte rows) makes all
-            # three consumers scan the materialized sample instead.
-            .localCheckpoint(eager=True)
+            .select("a", "b", "rrk")
+            .transform(checkpoint_stage)
+        )
+
+    staged = _staged(edges.select("a", "b"))
+    for _it in range(iters):
+        edges_ab = staged.select("a", "b")
+        rev_s = staged.filter(F.col("rrk") <= rev_k).select(
+            F.col("b").alias("a"), F.col("a").alias("b")
         )
         # NO distinct here: forward and sampled-reverse sets overlap
         # only on mutual-top pairs, and `cand` dedups below — dropping
         # it saves a full 2nk-row shuffle per round (the r10 verdict's
         # named dominant cost)
-        und = edges.union(rev_s)
+        und = edges_ab.union(rev_s)
         hop = (
             und.alias("u1")
             .join(und.alias("u2"), F.col("u1.b") == F.col("u2.a"))
@@ -1637,6 +1680,10 @@ def nn_descent_graph(
             .filter(F.col("rank") <= k)
             .select("a", "b", "cos_sim", "rank")
         )
+        if _it < iters - 1:
+            # mid rounds consume only (a, b); the final round's ranked
+            # output is returned lazily (the caller materializes once)
+            staged = _staged(edges.select("a", "b"))
     return edges.select(
         F.col("a").alias(id_col),
         F.col("b").alias("nbr_id"),

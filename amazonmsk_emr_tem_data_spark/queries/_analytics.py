@@ -19,7 +19,11 @@ from pyspark.sql.window import Window
 from ..functions.codec import from_kafka_envelope, to_kafka_envelope
 from ..functions.tem import horizontal_mean
 from ..schemas import EVENTS_SCHEMA
-from ..sources.files import ensure_parallelism, load_table
+from ..sources.files import (
+    checkpoint_stage,
+    ensure_parallelism,
+    load_table,
+)
 from ._core import QueryFn
 from ._core import (
     _DISC_PRICE_CENTS_SQL,
@@ -106,7 +110,7 @@ def nation_min_latency_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         # relaxation loop below references it 4x and the dist table 2x
         # per round — without the checkpoint the unroll re-runs the
         # two fact shuffles 2^rounds times
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_stage)
     )
     dist = spark.createDataFrame(
         [(0, 0)], "n long, dist long"
@@ -125,7 +129,7 @@ def nation_min_latency_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(relaxed)
             .groupBy("n")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_stage)
         )
     return dist.select(F.col("n").alias("nation"), "dist")
 
@@ -243,7 +247,7 @@ def copurchase_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import label_propagation
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = _repeat_copurchase_edges(li).localCheckpoint(eager=True)
+    edges = _repeat_copurchase_edges(li).transform(checkpoint_stage)
     labels = label_propagation(edges, rounds=4)
     m_df = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
     deg = (
@@ -587,15 +591,41 @@ def _kmeans_fit_centroids(
         (i, [float(x) for x in r["embedding"]])
         for i, r in enumerate(init)
     ]
+    # Scale-adaptive round reduce (r14, r13 VERDICT ask #2): the Arrow
+    # pass emits ≤ k partial rows (65 int64 columns) per batch. At
+    # local parallelism (~32 partitions → ≤ 256 rows) collecting them
+    # and reducing in Python is strictly cheaper than an extra
+    # exchange+stage per round (measured: the unconditional k-row
+    # aggregate read 1.96 s vs 1.64 s — pure per-round stage latency);
+    # at cluster parallelism (10^5-10^6 partitions) the same collect
+    # is millions of 65-long rows to the driver PER ROUND — the guide
+    # §5 "driver does data work" smell. The switch derives from the
+    # INPUT's physical partition count (memoized probe — not a core
+    # count, so it scales with data, not with the deployment):
+    # above ~4k partials-emitting partitions the reduce runs as a
+    # k-row groupBy sum whose agg builds as ONE SQL string/parse and
+    # whose collect is bounded at k rows of model state. int64 grid
+    # sums are exact under any association, so both reduce orders —
+    # and the fixed (s/1e9)/n division sequence — are bit-identical
+    # (pinned by test; the oracle hash covers the collect path, the
+    # forced-aggregate test covers the other).
+    import os
+
+    from ..sources.files import plan_partitions
+
+    max_rows = int(
+        os.environ.get("SPARK_GRAFT_KMEANS_COLLECT_MAX_ROWS", "32768")
+    )
+    wide = plan_partitions(emb) * _KMEANS_K > max_rows
+    sums = ", ".join(f"sum(s{i}) AS s{i}" for i in range(_EMB_DIM))
     for _ in range(rounds):
-        # bounded collect per round (model state): the ≤ k·partitions
-        # integer partial rows come straight to the driver and reduce
-        # in Python (r13 — the former per-round groupBy-sum added an
-        # exchange plus a 65-column agg expression build, ~200 py4j
-        # calls, to reduce ~256 rows). int64 grid sums are exact under
-        # any association, so the totals — and the fixed (s/1e9)/n
-        # division sequence — are bit-identical to the shuffled reduce.
         part = lloyd_round_partials(emb, centroids, with_grid=True)
+        if wide:
+            part = part.sparkSession.sql(
+                f"SELECT cluster, sum(n) AS n, {sums} FROM {{part}}"
+                " GROUP BY cluster",
+                part=part,
+            )
         acc: dict[int, list[int]] = {}
         for r in part.collect():
             a = acc.setdefault(int(r["cluster"]), [0] * (_EMB_DIM + 1))
@@ -2595,7 +2625,7 @@ def ppr_part_recommendations(
     # and every iteration's out-degree all derive from it — without the
     # checkpoint the pair join re-runs per iteration (measured 16.8 s
     # -> the extraction is the whole bill, the walk is sketch-sized)
-    ue = _repeat_copurchase_edges(li).localCheckpoint(eager=True)
+    ue = _repeat_copurchase_edges(li).transform(checkpoint_stage)
     bidir = ue.unionByName(
         ue.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )

@@ -19,7 +19,11 @@ from pyspark.sql.window import Window
 from ..functions.codec import from_kafka_envelope, to_kafka_envelope
 from ..functions.tem import horizontal_mean
 from ..schemas import EVENTS_SCHEMA
-from ..sources.files import ensure_parallelism, load_table
+from ..sources.files import (
+    checkpoint_stage,
+    ensure_parallelism,
+    load_table,
+)
 from ._core import QueryFn
 from ._core import (
     _ranked_topk,
@@ -1107,7 +1111,7 @@ def corpus_tfidf_topterms(
         .agg(F.count(F.lit(1)).alias("tf"))
         # eager checkpoint (r13): consumers include broadcast builds
         # that race a lazy cache and re-run the tokenize+explode agg
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_stage)
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # ONE driver action for both bounded stats (r7 job fold, the BM25

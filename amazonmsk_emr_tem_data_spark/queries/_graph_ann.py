@@ -19,7 +19,11 @@ from pyspark.sql.window import Window
 from ..functions.codec import from_kafka_envelope, to_kafka_envelope
 from ..functions.tem import horizontal_mean
 from ..schemas import EVENTS_SCHEMA
-from ..sources.files import ensure_parallelism, load_table
+from ..sources.files import (
+    checkpoint_stage,
+    ensure_parallelism,
+    load_table,
+)
 from ._core import QueryFn
 from ._core import (
     _DISC_PRICE_CENTS_SQL,
@@ -678,7 +682,7 @@ def page_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     ue = trans.select(
         F.least(F.col("page"), F.col("dst")).alias("a"),
         F.greatest(F.col("page"), F.col("dst")).alias("b"),
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().transform(checkpoint_stage)
     # explode, not a 2-way union: one pass over ue instead of two
     # copies of its subtree in the plan
     deg = (
@@ -1717,7 +1721,7 @@ def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-array materialization the ExactSubstr pipeline itself makes
     # (Lee et al. 2022 build a full suffix array); linear in corpus
     # tokens, disk-backed, local (no shuffle).
-    ex = _span_pos_hashes(docs).localCheckpoint(eager=True)
+    ex = _span_pos_hashes(docs).transform(checkpoint_stage)
     dup = (
         ex.select("doc_id", "h")
         .distinct()

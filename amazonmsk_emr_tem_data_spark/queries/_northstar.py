@@ -19,7 +19,11 @@ from pyspark.sql.window import Window
 from ..functions.codec import from_kafka_envelope, to_kafka_envelope
 from ..functions.tem import horizontal_mean
 from ..schemas import EVENTS_SCHEMA
-from ..sources.files import ensure_parallelism, load_table
+from ..sources.files import (
+    checkpoint_stage,
+    ensure_parallelism,
+    load_table,
+)
 from ._core import QueryFn
 from ._core import (
     _ranked_topk,
@@ -891,7 +895,7 @@ def _tvd_ppm(
         .agg(F.count(F.lit(1)).alias("n_st"))
         # eager checkpoint (r13): the marginals feed broadcast builds
         # that race a lazy cache and re-run the observation rollup
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_stage)
     )
     g = c.groupBy(item_col).agg(F.sum("n_st").alias("n_t"))
     total = g.agg(F.sum("n_t").alias("n_total"))
@@ -1024,7 +1028,7 @@ def _dense_hourly_counts(ev: DataFrame) -> DataFrame:
         # broadcast build that races a lazy cache and re-runs the
         # events scan + rollup; relation is grid-sized (calendar ×
         # types), so the materialization is bounded
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_stage)
     )
     span = counts.agg(F.min("h").alias("t0"), F.max("h").alias("t1"))
     grid = (

@@ -19,7 +19,11 @@ from pyspark.sql.window import Window
 from ..functions.codec import from_kafka_envelope, to_kafka_envelope
 from ..functions.tem import horizontal_mean
 from ..schemas import EVENTS_SCHEMA
-from ..sources.files import ensure_parallelism, load_table
+from ..sources.files import (
+    checkpoint_stage,
+    ensure_parallelism,
+    load_table,
+)
 from ._core import QueryFn
 from ._core import (
     _ANTI_JOIN_SQL,
@@ -2564,7 +2568,7 @@ def bbit_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         ngram_jaccard_pairs(docs, threshold=_BBIT_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_stage)
     )
     # signatures only for audited endpoints: the K slot hashes are the
     # dense map of this query, and the audit touches few docs — the
@@ -2593,7 +2597,7 @@ def bbit_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"mh{i}")
             for i in range(_BBIT_K)
         ]
-    ).localCheckpoint(eager=True)  # one row per audited doc; 2 consumers
+    ).transform(checkpoint_stage)  # one row per audited doc; 2 consumers
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_BBIT_K)],
@@ -2838,24 +2842,16 @@ REGISTRY.update(
 #: the one freshness signal the artifacts cannot carry. Reset each
 #: round to the queries the round actually touched.
 _RESTAMP: tuple[str, ...] = (
-    # r13: reservoir persistence moved to crash-atomic generations
-    # (streaming/pipelines._reservoir_commit) — output is hash-stable
-    # by design, but the store layout changed under the query:
-    "stream_priority_sample",
-    # r13: plan consolidation (localCheckpoint on the bounded audit
-    # pair set + signatures; 14 shuffles/BHJ×94 -> 2/2) and estimator
-    # constants now derived from _BBIT_K:
-    "bbit_minhash_audit",
-    # r13 optimization round — the six largest implementation
-    # rewrites under hash-stable outputs (the remaining touched
-    # queries changed only via materialization points and rotate in
-    # by stamp staleness):
-    "stream_ann_ingest_dedup",  # matrix kernel replaces pair joins
-    "nn_descent_knn_graph",  # rev-sample checkpoint + Arrow buckets
-    "part_kcore_members",  # shrinking induced-edge-set peel
-    "minhash_lsh_pairs",  # eager-checkpoint collapse/shingle staging
-    "copurchase_hyperball",  # node set from checkpointed adjacency
-    "doc_dup_span_removal",  # materialized span-hash pass
+    # r14 (r13 VERDICT ask #1): queries whose physical path changed in
+    # the r13 post-sweep snapshot (score_pairs_cosine mapInPandas →
+    # mapInArrow zero-copy; semantic_dedup rewired onto it) or in the
+    # r13 Lloyd-fit rewrite, without a ≥ r13 driver stamp:
+    "semantic_dedup_vectors",  # Arrow scorer under semantic_dedup (stamp r11)
+    "lsh_ann_pairs",  # Arrow scorer under the LSH verify stage (stamp r12)
+    "kmeans_lloyd_clusters",  # r13 fit rewrite + r14 k-row reduce (stamp r10)
+    "kmeans_cluster_medoids",  # consumes the same fit (stamp r10)
+    # r14 optimization-round rewrites under hash-stable outputs:
+    "nn_descent_knn_graph",  # fused per-round staging checkpoint
 )
 
 

@@ -19,7 +19,11 @@ from pyspark.sql.window import Window
 from ..functions.codec import from_kafka_envelope, to_kafka_envelope
 from ..functions.tem import horizontal_mean
 from ..schemas import EVENTS_SCHEMA
-from ..sources.files import ensure_parallelism, load_table
+from ..sources.files import (
+    checkpoint_stage,
+    ensure_parallelism,
+    load_table,
+)
 from ._core import QueryFn
 from ._core import (
     _cents,
@@ -754,7 +758,7 @@ def copurchase_link_prediction(
     # feeds both wedge self-join sides — without materialization the
     # basket rollup + pair aggregation re-executes per consumer. Both
     # relations are bounded (distinct ≥min_count pairs; |V|·knn rows).
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = pairs.transform(checkpoint_stage)
     adj_full = pairs.select(
         F.col("pa").alias("src"),
         F.col("pb").alias("dst"),
@@ -776,7 +780,7 @@ def copurchase_link_prediction(
         adj_full.withColumn("__rk", F.row_number().over(wk))
         .filter(F.col("__rk") <= knn)
         .select("src", "dst")
-        .localCheckpoint(eager=True)  # see `pairs` note above
+        .transform(checkpoint_stage)  # see `pairs` note above
     )
     mids = deg.filter(F.col("dg") <= max_degree)
     left = adj.select(F.col("dst").alias("a"), F.col("src").alias("z1"))

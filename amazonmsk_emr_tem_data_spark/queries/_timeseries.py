@@ -19,7 +19,11 @@ from pyspark.sql.window import Window
 from ..functions.codec import from_kafka_envelope, to_kafka_envelope
 from ..functions.tem import horizontal_mean
 from ..schemas import EVENTS_SCHEMA
-from ..sources.files import ensure_parallelism, load_table
+from ..sources.files import (
+    checkpoint_stage,
+    ensure_parallelism,
+    load_table,
+)
 from ._core import QueryFn
 from ._core import (
     _DISC_PRICE_CENTS_SQL,
@@ -1341,7 +1345,7 @@ def supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(disc_price_cents()).alias("rev_grid"))
         # eager checkpoint (r13): the 1-row total below is a broadcast
         # build that races a lazy cache and re-runs the lineitem agg
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_stage)
     )
     total = rev.agg(
         F.sum("rev_grid").alias("total_grid"),

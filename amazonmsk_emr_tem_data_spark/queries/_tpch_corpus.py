@@ -19,7 +19,11 @@ from pyspark.sql.window import Window
 from ..functions.codec import from_kafka_envelope, to_kafka_envelope
 from ..functions.tem import horizontal_mean
 from ..schemas import EVENTS_SCHEMA
-from ..sources.files import ensure_parallelism, load_table
+from ..sources.files import (
+    checkpoint_stage,
+    ensure_parallelism,
+    load_table,
+)
 from ._core import QueryFn
 from ._core import (
     _DISC_PRICE_CENTS_SQL,
@@ -353,7 +357,7 @@ def doc_dup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = (
         _span_pos_hashes(docs)
         .select("doc_id", "h")
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_stage)
     )
     # global: which span hashes occur in >= 2 distinct docs
     df_global = (

@@ -120,6 +120,43 @@ def _load_table_uncached(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def checkpoint_stage(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a staging table (used as
+    ``df.transform(checkpoint_stage)`` at every multi-consumer staging
+    and per-round lineage-truncation site).
+
+    Default: ``localCheckpoint(eager=True)`` — blocks on executor
+    local storage, no lineage. That is the right call on local[N]
+    (and it is what fixes the concurrent-broadcast-build recompute
+    race, r13), but it is a durability bet on a real cluster: one
+    lost executor fails the job mid-query because there is no lineage
+    to recover from (r13 VERDICT "What's wrong" #2).
+
+    ``SPARK_GRAFT_RELIABLE_CHECKPOINT=<dir>`` switches every site to a
+    RELIABLE checkpoint under ``<dir>`` (HDFS/S3 path on a cluster):
+    same eager materialization and plan truncation, but blocks are
+    re-readable after executor loss. The env var carries the
+    checkpoint directory because a reliable checkpoint is meaningless
+    without one; ``setCheckpointDir`` is applied once per session.
+    Production would set e.g. ``hdfs:///tmp/graft-ckpt`` and a TTL
+    cleaner on the directory.
+
+    Either mode truncates the logical plan at this boundary, so
+    pushdown/pruning cannot cross it — every call site therefore
+    stages an explicitly projected, pre-filtered relation (the PLANS.md
+    "checkpoint staging" fact; scans UPSTREAM of the boundary keep
+    their pruned ReadSchema, pinned by test)."""
+    import os
+
+    ckdir = os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT", "")
+    if not ckdir:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(ckdir)
+    return df.checkpoint(eager=True)
+
+
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Raise a compute-bound stage's partition count to cluster
     parallelism when the upstream scan under-splits (few files / one
@@ -150,6 +187,19 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     # an int per distinct plan shape — never data — and a stale hit
     # after an in-place rewrite of the underlying file can only change
     # the parallelism decision, not any query result.
+    n_parts = plan_partitions(df)
+    out = df if n_parts >= target else df.repartition(target)
+    memo[target] = out
+    return out
+
+
+def plan_partitions(df: DataFrame) -> int:
+    """Physical partition count of ``df``'s plan, memoized per session
+    on the analyzed plan's semanticHash — the ensure_parallelism probe
+    (r13, see above), exposed (r14) so operators can make
+    scale-adaptive reduce decisions (e.g. the Lloyd fit collects tiny
+    partial sets but aggregates wide ones) without re-planning."""
+    spark = df.sparkSession
     qe = df._jdf.queryExecution()
     pcache = spark.__dict__.setdefault("_graft_ep_counts", {})
     key = (qe.analyzed().semanticHash(), tuple(df.columns))
@@ -157,9 +207,7 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     if n_parts is None:
         n_parts = qe.toRdd().getNumPartitions()
         pcache[key] = n_parts
-    out = df if n_parts >= target else df.repartition(target)
-    memo[target] = out
-    return out
+    return n_parts
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

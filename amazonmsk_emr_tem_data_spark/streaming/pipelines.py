@@ -30,6 +30,8 @@ exactly-once state recovery — the two knobs the reference left unset.
 
 from __future__ import annotations
 
+from ..sources.files import checkpoint_stage
+
 import os
 import shutil
 import tempfile
@@ -1217,7 +1219,7 @@ def ann_ingest_batch(
     arr = (
         with_ivf_cell(batch_df, centroids)
         .select("vec_id", "ivf_cell", "embedding")
-        .localCheckpoint(eager=True)  # several consumers below
+        .transform(checkpoint_stage)  # several consumers below
     )
     store = _read_store(sess, vec_dir)
     # The arrivals are micro-batch-sized by contract (the same bound
@@ -1244,7 +1246,7 @@ def ann_ingest_batch(
             bc_arr,
             threshold,
             emit_flagged_arrivals=True,
-        ).localCheckpoint(eager=True)  # two consumers, bounded
+        ).transform(checkpoint_stage)  # two consumers, bounded
         dup_ids = dup_ids.unionByName(
             j.filter(~F.col("dup")).select("vec_id")
         )

@@ -51,11 +51,16 @@ def _quiet_gate() -> dict:
     such run pays a drift-investigation tax. Gating happens ONCE at
     start: per-rep gating would trip on the bench's own executor load
     (loadavg_after legitimately reads 5-7 mid-run). Tunables:
-    SPARK_GRAFT_QUIET_LOADAVG (1-min loadavg threshold, default 4.0;
+    SPARK_GRAFT_QUIET_LOADAVG (1-min loadavg threshold, default 2.0;
     0 disables) and SPARK_GRAFT_QUIET_WAIT_MAX (seconds, default 300).
     The returned metadata is recorded in the payload either way, so a
-    comparison can mechanically drop non-quiet runs."""
-    threshold = float(os.environ.get("SPARK_GRAFT_QUIET_LOADAVG", "4.0"))
+    comparison can mechanically drop non-quiet runs. r14 (r13 VERDICT
+    ask #5): default lowered 4.0 → 2.0 — both r13 driver runs gated
+    "satisfied" at loadavg 3.7-3.9 on a host documented to drift up to
+    1.8× under that much ambient load, so "gate satisfied" must mean
+    actually quiet; a run that proceeds after the bounded wait records
+    satisfied:false as the explicit waiver."""
+    threshold = float(os.environ.get("SPARK_GRAFT_QUIET_LOADAVG", "2.0"))
     max_wait = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_MAX", "300"))
     waited = 0.0
     load = os.getloadavg()[0]
@@ -101,10 +106,19 @@ def main() -> None:
     # unchanged plans); the median of three keeps one slow outlier from
     # reading as a regression.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # Optional subset filter (r14, additions-only: the default run is
+    # unchanged). SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run to
+    # those headline queries — the sf1 heavy-tier lane
+    # (scripts/bench_sf1_lane.py) uses it so the 10x fixture run
+    # measures the parallel tier without paying 40 sub-second queries.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    only = {q.strip() for q in only_env.split(",") if q.strip()}
     total = 0.0
     spread: dict[str, float] = {}
     for name in HEADLINE:
         if name not in REGISTRY:
+            continue
+        if only and name not in only:
             continue
         fn, _ = REGISTRY[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -35,11 +35,39 @@ def load(path: str) -> dict:
     return out
 
 
+#: An arm measured above this 1-min loadavg is not a quiet baseline on
+#: this host (documented ~1.8x drift under ambient load); matches the
+#: r14 bench.py quiet-gate default.
+QUIET_LOADAVG = 2.0
+
+
 def main() -> int:
-    if len(sys.argv) != 3:
+    args = [a for a in sys.argv[1:] if a != "--allow-dirty"]
+    allow_dirty = "--allow-dirty" in sys.argv[1:]
+    if len(args) != 2:
         print(__doc__)
+        print("    --allow-dirty: compare non-quiet arms anyway")
         return 2
-    old, new = load(sys.argv[1]), load(sys.argv[2])
+    old, new = load(args[0]), load(args[1])
+    if not allow_dirty:
+        # r14 (r13 VERDICT ask #5): refuse non-quiet arms by default —
+        # the r13 driver runs gated "satisfied" at loadavg 3.7-3.9 and
+        # their heavy tail read ~2x off the quiet numbers. An arm with
+        # no recorded gate (pre-r12 artifact) only warns below.
+        for label, d in (("old", old), ("new", new)):
+            gate = d.get("quiet_gate")
+            if gate is None:
+                continue
+            if not gate["satisfied"] or (
+                gate["loadavg_at_measure"] > QUIET_LOADAVG
+            ):
+                print(
+                    f"REFUSED: {label} arm measured at loadavg "
+                    f"{gate['loadavg_at_measure']} (quiet means <= "
+                    f"{QUIET_LOADAVG}); re-run it gated or pass "
+                    "--allow-dirty to compare anyway"
+                )
+                return 2
     qo, qn = old.get("queries", {}), new.get("queries", {})
     shared = sorted(set(qo) & set(qn))
     if not shared:
