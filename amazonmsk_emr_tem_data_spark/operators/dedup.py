@@ -873,6 +873,16 @@ def _minhash_rep_pairs(
     # (slot, value) via a single groupBy; id lists materialize only for
     # buckets whose counted membership is within [2, max_bucket_size]
     # (capped_buckets).
+    # r14, BUILT+MEASURED+REJECTED (the basket-rollup repartition
+    # pattern applied here): hash-repartitioning the band rows before
+    # the bucket groupBy (to pin the CPU-dense bucket+pair stage at
+    # cluster width) read SLOWER in an alternated A/B (NEW 2.51/3.32/
+    # 2.74 s vs OLD 2.26/2.90/2.49 s for minhash/clusters/degree-hist,
+    # NEW measured under LESS ambient load) — capped_buckets' counting
+    # tier combines map-side, and the pre-agg repartition displaces
+    # those partials, the same failure as NN-Descent's rejected
+    # distinct repartition (r13). AQE's byte-derived choice stands
+    # for this family.
     melted = _melted_signatures(sh, id_col, num_hashes)
     buckets = capped_buckets(melted, ["slot", "val"], id_col, max_bucket_size)
     # Candidate = collides in >= min_collisions of the K slots. One

@@ -3872,6 +3872,28 @@ def _repeat_copurchase_edges_w(li: DataFrame) -> DataFrame:
     on), so the per-row array work is O(basket²) with basket ≤ ~13."""
     baskets = (
         li.select("l_orderkey", "l_partkey")
+        # r14 (guide §2.5 byte-undercount, profiled): the set-merge +
+        # sort_array + in-array pair expansion downstream are
+        # CPU-dense on byte-light rows, so AQE's byte-derived
+        # coalescing of the rollup exchange undercounted the stage
+        # ~10x — at sf0.1 it ran at 4 tasks with ~4 s of CPU while 28
+        # cores idled (the same ratio holds at any scale: the 1 MB
+        # minPartitionSize floor sees bytes, not basket² work). The
+        # explicit hash repartition (REPARTITION_BY_NUM — exempt from
+        # AQE coalescing) BEFORE the groupBy satisfies the aggregate's
+        # required distribution, so agg + expansion + partial pair
+        # count all run in ONE pinned-width stage after ONE exchange
+        # (vs the r13 shape's agg exchange + a coalesced reduce
+        # stage). The exchange carries the raw (orderkey, partkey)
+        # pairs uncombined; a post-agg repartition that kept map-side
+        # combining was measured SLOWER (the merge+sort_array CPU
+        # stayed on the coalesced stage and the extra exchange paid
+        # 12 MB to fix only the cheap half) — see OPTIMIZATION_r14.md.
+        # defaultParallelism scales with the deployment, not a local
+        # constant.
+        .repartition(
+            li.sparkSession.sparkContext.defaultParallelism, "l_orderkey"
+        )
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("__ps"))
     )

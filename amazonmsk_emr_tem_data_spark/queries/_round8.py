@@ -449,6 +449,16 @@ def _basket_pairs(spark: SparkSession, sf_dir: str, min_count: int):
     grouped = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
+        # r14 (guide §2.5 byte-undercount — same fix, rationale and
+        # measured shape choice as _graph_ann._repeat_copurchase_
+        # edges_w): pin the set-merge + sort_array + pair-expansion
+        # width by hash-repartitioning BEFORE the groupBy
+        # (REPARTITION_BY_NUM, AQE-exempt; one exchange, complete agg
+        # at cluster parallelism). All three shared-rollup consumers
+        # still reuse ONE planned subtree via ReusedExchange.
+        .repartition(
+            spark.sparkContext.defaultParallelism, "l_orderkey"
+        )
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("__ps"))
     )
