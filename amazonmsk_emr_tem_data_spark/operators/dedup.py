@@ -522,6 +522,16 @@ def containment_prefix_pairs(
     # count in codegen with ONE row per candidate pair (the
     # minhash-verify shape). Arrays are distinct by construction, so
     # n_common is identical.
+    # r14 (guide §2.5 byte-undercount, profiled): the verify otherwise
+    # rides the candidate distinct's AQE-coalesced reduce stage (6
+    # tasks, ~6 s of array_intersect CPU at sf0.1 — byte-light rows,
+    # CPU-dense work). One explicit hash repartition of the SURVIVING
+    # candidates (24-byte rows, post-distinct and post-size-filter, so
+    # no map-side partials are displaced) pins the verify at cluster
+    # width for the price of a trivially small exchange.
+    cand = cand.repartition(
+        sh.sparkSession.sparkContext.defaultParallelism, "doc_a", "doc_b"
+    )
     sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
     sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
     common = (
@@ -899,6 +909,13 @@ def _minhash_rep_pairs(
     )
     sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
     sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # r14, BUILT+MEASURED+REJECTED: pinning this exact-Jaccard verify
+    # at cluster width (the containment_prefix_pairs fix) read SLOWER
+    # here (2.46 vs 2.18 s, NEW arm at LOWER load) — the
+    # min_collisions filter leaves so few candidates that the extra
+    # exchange+stage costs more than the array_intersect CPU it
+    # spreads. Kept for containment (whose asymmetric prefix filter
+    # admits orders of magnitude more candidates), not here.
     rep_pairs = (
         candidates.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
