@@ -1409,7 +1409,7 @@ def nn_descent_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rev_k: int | None = None,
-    prefilter: bool = False,
+    prefilter: bool | None = None,
 ) -> DataFrame:
     """NN-Descent k-NN graph construction (Dong et al., WWW'11) — the
     modern graph-ANN tier member beside LSH/IVF/PQ: start from a cheap
@@ -1467,6 +1467,16 @@ def nn_descent_graph(
             [], f"{id_col} long, nbr_id long, cos_sim double, rank int"
         )
     dim = len(head[0])
+    if prefilter is None:
+        # Data-derived default (r14, closing the r12/r13 "would pay at
+        # dim >= 512" claim with a measurement): at dim=64 the int8
+        # signature is only 8x narrower than the raw vector and the
+        # prefilter was measured SLOWER (r12/r13 rejections below); at
+        # dim=512 (20k clustered vectors, alternated arms, identical
+        # outputs — scripts/bench_nnd_dim512.py) it won both pairs:
+        # 72.5 vs 89.8 s and 28.3 vs 50.3 s. The switch derives from
+        # the DATA's dimensionality, not the deployment.
+        prefilter = dim >= 512
     emb = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     )
@@ -1543,8 +1553,10 @@ def nn_descent_graph(
         # 41.8-42.0 s (min-of-2 per arm, both orderings) — 4-9%
         # SLOWER despite 4-7× candidate pruning, because the saved
         # exact-rescore rows are cheaper than the added full-candidate
-        # bounds pass. The lever would pay at dim ≥ 512 (32×+ payload
-        # cut); kept opt-in for that regime.
+        # bounds pass. r14: the dim ≥ 512 regime was finally MEASURED
+        # (see the auto-default above) and the lever pays there, so
+        # `prefilter=None` now derives the default from the data's
+        # dimensionality.
         sig = _int8_sig_table(
             ensure_parallelism(emb)
         ).transform(checkpoint_stage)

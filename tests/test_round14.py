@@ -218,3 +218,37 @@ def test_nn_descent_fused_rev_sample_identical(spark):
     assert sorted(map(tuple, old.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+def test_nn_descent_prefilter_dim_derived_default(spark):
+    """r14: prefilter=None derives the default from the data's
+    dimensionality — off at dim 64 (measured-rejected regime), on at
+    dim >= 512 (measured-winning regime, bench_nnd_dim512)."""
+    from amazonmsk_emr_tem_data_spark.operators.similarity import (
+        nn_descent_graph,
+    )
+
+    def emb(dim):
+        rows = [
+            (i, [float((i * 7 + j) % 13) - 6.0 for j in range(dim)])
+            for i in range(1, 30)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def plan(df):
+        import re
+
+        s = df._jdf.queryExecution().executedPlan().toString()
+        # strip per-invocation ids (expression #N, RDD [N],
+        # plan_id=N) so plan SHAPES compare
+        return re.sub(r"#\d+|\[\d+\]|plan_id=\d+", "#", s)
+
+    lo = emb(64)
+    assert plan(nn_descent_graph(lo, k=3, iters=1)) == plan(
+        nn_descent_graph(lo, k=3, iters=1, prefilter=False)
+    )
+    hi = emb(512)
+    auto_hi = plan(nn_descent_graph(hi, k=3, iters=1))
+    assert auto_hi == plan(nn_descent_graph(hi, k=3, iters=1, prefilter=True))
+    assert auto_hi != plan(nn_descent_graph(hi, k=3, iters=1, prefilter=False))
