@@ -2850,8 +2850,15 @@ _RESTAMP: tuple[str, ...] = (
     "lsh_ann_pairs",  # Arrow scorer under the LSH verify stage (stamp r12)
     "kmeans_lloyd_clusters",  # r13 fit rewrite + r14 k-row reduce (stamp r10)
     "kmeans_cluster_medoids",  # consumes the same fit (stamp r10)
-    # r14 optimization-round rewrites under hash-stable outputs:
+    # r14 optimization-round rewrites under hash-stable outputs (the
+    # tier is capped at 8 — r14 ALSO touched part_copurchase_lift
+    # (stamp r08 → the staleness tier already seats it, slot ~32) and
+    # copurchase_hyperball/part_bfs_hops, which change ONLY via the
+    # shared basket subtree that two stamped siblings below cover):
     "nn_descent_knn_graph",  # fused per-round staging checkpoint
+    "part_kcore_members",  # pinned-width basket rollup (pre-agg repartition)
+    "copurchase_link_prediction",  # same
+    "containment_dup_pairs",  # pinned-width verify repartition
 )
 
 
